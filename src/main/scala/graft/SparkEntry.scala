@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Dedup, MultimodalOps, RelationalOps, Similarity, TextAnalysis}
 import graft.operators.ImporterPipeline._
 import graft.sources.{Fixtures, OracleCtes}
 
@@ -38,8 +39,14 @@ object SparkEntry {
   private def dimsDedup(spark: SparkSession, dir: String): DataFrame =
     dedupOptions(dimsValid(spark, dir))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline extensions.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    importerQueries ++ relationalQueries ++ textQueries ++ dedupQueries ++
+      similarityQueries ++ multimodalQueries
+
+  def importerQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- P3: event validation filter ---
     "p3_validate_events" -> ((s, d) => validEvents(Fixtures.importerEvents(s, d))),
     // --- S12: dead-letter side output ---
@@ -83,10 +90,59 @@ object SparkEntry {
     "flagship_updates" -> ((s, d) => flagship(s, d)),
   )
 
+  def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> RelationalOps.pricingSummary _,
+    "q3_shipping_priority" -> RelationalOps.shippingPriority _,
+    "q5_local_supplier_volume" -> RelationalOps.localSupplierVolume _,
+    "q18_big_orders" -> RelationalOps.bigOrders _,
+    "w1_top_users_per_event" -> RelationalOps.topUsersPerEventType _,
+    "w2_running_totals" -> RelationalOps.runningTotals _,
+    "g1_daily_event_rollup" -> RelationalOps.dailyEventRollup _,
+    "g2_event_type_rollup" -> RelationalOps.eventTypeRollup _,
+    "set1_purchasers_minus_errored" -> RelationalOps.purchasersMinusErrored _,
+    "set2_signup_and_purchase" -> RelationalOps.signupAndPurchase _,
+    "f1_json_props" -> RelationalOps.jsonProps _,
+  )
+
+  def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> TextAnalysis.tokenStats _,
+    "t2_quality_scores" -> TextAnalysis.qualityScores _,
+    "t3_lang_id" -> TextAnalysis.langId _,
+    "t4_fingerprints" -> TextAnalysis.fingerprints _,
+  )
+
+  def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_duplicate_groups" -> Dedup.exactDuplicateGroups _,
+    "d2_exact_dedup_keep" -> Dedup.exactDedupKeep _,
+    "d3_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "d4_minhash_lsh_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "d5_simhash_signatures" -> Dedup.simhashSignatures _,
+    "d6_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+  )
+
+  def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_embedding_norms" -> Similarity.embeddingNorms _,
+    "v2_brute_force_topk" -> Similarity.bruteForceTopK _,
+    "v3_lsh_buckets" -> Similarity.lshBuckets _,
+    "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,
+    "v5_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDuplicates(s, d)),
+  )
+
+  def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_asset_meta" -> MultimodalOps.assetMeta _,
+    "m2_decode_features" -> ((s: SparkSession, d: String) => MultimodalOps.decodeFeatures(s, d).toDF()),
+  )
+
   private val W = OracleCtes.all
 
-  /** DuckDB oracle for each query; same column names/types as the Spark side. */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB oracle for each query; same column names/types as the Spark
+    * side. Queries with engine-specific hashing (minhash/simhash/LSH) or
+    * stubbed decode are intentionally omitted → driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = importerOracle ++ relationalOracle ++
+    textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle
+
+  def importerOracle: Map[String, String] = Map(
     "p3_validate_events" ->
       s"""$W SELECT file_url, instance_id FROM ievents WHERE length(instance_id) > 0""",
     "s12_dead_letter" ->
@@ -175,5 +231,195 @@ object SparkEntry {
          |  WHERE length(instance_id) > 0
          |    AND instance_id NOT IN (SELECT instance_id FROM existing))
          |  AND (d.node_id <> '' OR c.ord IS NOT NULL)""".stripMargin,
+  )
+
+  def relationalOracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  cast(count(*) AS bigint) AS count_order
+        |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, cast(o_orderdate AS date) AS order_date, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1995-03-15 00:00:00'
+        |  AND l_shipdate > timestamp '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+        |  round(total_qty, 2) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "w1_top_users_per_event" ->
+      """SELECT event_type, user_id, n, cast(rn AS int) AS rn FROM (
+        |  SELECT event_type, user_id, cast(count(*) AS bigint) AS n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rn <= 3""".stripMargin,
+    "w2_running_totals" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta,
+        |  cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS int) AS rn
+        |FROM events WHERE user_id < 50""".stripMargin,
+    "g1_daily_event_rollup" ->
+      """SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(count(DISTINCT user_id) AS bigint) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "g2_event_type_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type_g,
+        |  cast(count(*) AS bigint) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "set1_purchasers_minus_errored" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "set2_signup_and_purchase" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "f1_json_props" ->
+      """SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
+        |FROM events WHERE cast(json_extract_string(props, '$.k') AS int) > 80""".stripMargin,
+  )
+
+  def textOracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id, n_chars, n_tokens,
+        |  round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS avg_token_len
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
+        |  FROM documents)""".stripMargin,
+    "t2_quality_scores" ->
+      """SELECT doc_id, is_short, round(stop_hits / n_tokens, 4) AS stop_ratio,
+        |  round(least(n_tokens / 400.0, 1.0) * 0.5 +
+        |        least(stop_hits / n_tokens * 5.0, 1.0) * 0.5, 4) AS quality
+        |FROM (
+        |  SELECT doc_id, n_chars < 100 AS is_short,
+        |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
+        |    cast(
+        |      cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+        |      cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
+        |      cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
+        |      cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
+        |      AS double) AS stop_hits
+        |  FROM (SELECT doc_id, n_chars, text, concat(' ', text, ' ') AS p FROM documents))""".stripMargin,
+    "t3_lang_id" ->
+      """SELECT doc_id, lang, lang_pred, lang_pred = lang AS agrees FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de >= s_fr THEN 'de'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+        |        cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) AS s_en,
+        |      cast((length(p) - length(replace(p, ' el ', ''))) / 4 AS int) +
+        |        cast((length(p) - length(replace(p, ' la ', ''))) / 4 AS int) AS s_es,
+        |      cast((length(p) - length(replace(p, ' der ', ''))) / 5 AS int) +
+        |        cast((length(p) - length(replace(p, ' und ', ''))) / 5 AS int) AS s_de,
+        |      cast((length(p) - length(replace(p, ' le ', ''))) / 4 AS int) +
+        |        cast((length(p) - length(replace(p, ' et ', ''))) / 4 AS int) AS s_fr
+        |    FROM (SELECT doc_id, lang, concat(' ', text, ' ') AS p FROM documents)))""".stripMargin,
+    "t4_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5_full, md5(substr(text, 1, 64)) AS md5_head
+        |FROM documents""".stripMargin,
+  )
+
+  def dedupOracle: Map[String, String] = Map(
+    "d1_exact_duplicate_groups" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  cast(count(*) AS bigint) AS n_copies
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+    "d2_exact_dedup_keep" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "d3_ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = pairs.a
+        |JOIN sizes sb ON sb.doc_id = pairs.b
+        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+    // d4/d5/d6 use xxhash64-based signatures — not reproducible in DuckDB,
+    // so they take the driver's rows-only check.
+  )
+
+  def similarityOracle: Map[String, String] = Map(
+    "v1_embedding_norms" ->
+      """SELECT e.vec_id, e.label,
+        |  round(sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))), 4) AS l2_norm
+        |FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+        |GROUP BY e.vec_id, e.label""".stripMargin,
+    "v2_brute_force_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |    sum(cast(q.qe[i] AS double) * cast(e.embedding[i] AS double)) AS dot,
+        |    sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))) AS nv,
+        |    sqrt(sum(cast(q.qe[i] AS double) * cast(q.qe[i] AS double))) AS nq
+        |  FROM q, embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+        |  GROUP BY q.qid, e.vec_id),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
+        |  FROM p)
+        |SELECT qid, vec_id, round(cos, 4) AS cosine, cast(rn AS int) AS rn FROM (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    // v3/v4/v5 depend on driver-side hyperplane constants — rows-only check.
+  )
+
+  def multimodalOracle: Map[String, String] = Map(
+    "m1_asset_meta" ->
+      """SELECT doc_id, 'fake/rgb8' AS format,
+        |  cast((n_chars % 64) + 1 AS int) AS width,
+        |  cast(floor(n_chars / 64) + 1 AS int) AS height,
+        |  n_chars AS n_bytes
+        |FROM documents""".stripMargin,
+    // m2 runs the stubbed decoder — rows-only check.
   )
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash.simhash64
+import graft.sources.Fixtures.table
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash group-by), n-gram Jaccard (shingle inverted index), MinHash
+  * + LSH (banded signatures), and SimHash (custom codegen expression).
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison. Exact
+  * dedup is one shuffle on the content hash. Jaccard/MinHash build an
+  * inverted index (shingle → docs / band-bucket → docs) so only colliding
+  * candidates are verified — the standard 100 TB-scale shape where the
+  * shuffle key is the shingle/band hash and skew is bounded by dropping
+  * ultra-frequent shingles.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text that
+    * occurs more than once, with the canonical survivor (min doc_id).
+    */
+  def exactDuplicateGroups(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact dedup keep-set: the doc_ids that survive (first per distinct
+    * text). Window formulation — one shuffle on the hash, no join back.
+    */
+  def exactDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    table(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Distinct word 3-shingles per document: (doc_id, s). The inverted-index
+    * building block shared by Jaccard and MinHash.
+    * Spark arrays are 0-based; the DuckDB twin uses 1-based `t[i]` with
+    * `range(1, len-1)` — same shingle set by construction.
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+          .as("s"))
+
+  /** N-gram Jaccard near-duplicate pairs via shingle inverted index:
+    * join docs on shared shingles, count common, compute |A∩B|/|A∪B|.
+    * Only pairs sharing ≥1 shingle are ever materialized.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("sa.n") + col("sb.n") - col("common")).cast("double")
+    common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+  }
+
+  private val NumPerms = 32
+  private val BandSize = 4 // → 8 bands; P(candidate) = 1-(1-s^4)^8
+
+  /** MinHash signatures: per document, the min of xxhash64(perm, shingle)
+    * over its shingle set, for 32 permutations — one aggregation over the
+    * shingle index, no per-doc loops.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: 8 bands of 4 signature rows each; band bucket key =
+    * xxhash64 of the band's values. Docs colliding in any band become
+    * candidate pairs; candidates are verified with true Jaccard.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sig = minhashSignatures(sh)
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // verify candidates only: join back to the shingle index
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na.n") + col("nb.n") - col("common")).cast("double")
+    common
+      .join(sizes.as("na"), col("a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** SimHash signatures via the custom codegen expression — one pass per
+    * document, no shingle explosion.
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("simhash"))
+
+  /** SimHash near-duplicate pairs: band the 64-bit signature into 4×16-bit
+    * chunks (pigeonhole: Hamming distance ≤3 ⇒ at least one identical
+    * chunk), join per chunk, verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(spark, dir)
+    val chunks = sig.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
+        .as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures.table
+
+/** One decoded "asset": binary payload + typed metadata. */
+final case class MMAsset(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+final case class MMFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    mean_byte: Double,
+    feat_norm: Double,
+    n_frames: Int,
+    frame_checksum: Long)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, and partition-batched feature extraction.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * [[MultimodalOps.fakeDecode]] is a deterministic byte-histogram stand-in
+  * (clearly marked). Everything Spark-side is real and load-bearing:
+  * binary column construction, metadata struct schema, the
+  * `Dataset.mapPartitions` batch shape (one decoder init per partition, the
+  * same contract a JNI/FFmpeg decoder needs), and partition sizing.
+  *
+  * At 100 TB: payloads dominate row size, so the scan partitions by
+  * `spark.sql.files.maxPartitionBytes`; feature extraction is map-only
+  * (no shuffle), and the decoder is initialized once per partition, not
+  * per row — the mapPartitions iterator contract below.
+  */
+object MultimodalOps {
+
+  /** Assets table: payload bytes (UTF-8 of text as the deterministic fake
+    * "image") + typed metadata derived from n_chars. Metadata formulas are
+    * oracle-checkable; the payload is real binary plumbing.
+    */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("fake/rgb8").as("format"),
+        ((col("n_chars") % 64) + 1).cast("int").as("width"),
+        (floor(col("n_chars") / 64) + 1).cast("int").as("height"),
+        col("n_chars").as("n_bytes")).as("meta"))
+
+  /** Metadata projection (oracle-checked: pure arithmetic on n_chars). */
+  def assetMeta(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).select(
+      col("doc_id"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"))
+
+  /** STUB: a real implementation would hand `payload` to an image/audio
+    * codec here (???). This deterministic fake — a 16-bin byte histogram
+    * normalized to an L2 feature vector — keeps the data flow, batch shape,
+    * and output schema identical to a real decoder.
+    */
+  private[operators] def fakeDecode(payload: Array[Byte]): (Array[Float], Double) = {
+    val hist = new Array[Float](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      hist(b >> 4) += 1f
+      sum += b
+      i += 1
+    }
+    var n2 = 0.0
+    var j = 0
+    while (j < 16) { n2 += hist(j).toDouble * hist(j); j += 1 }
+    val norm = math.sqrt(n2)
+    if (norm > 0) { j = 0; while (j < 16) { hist(j) = (hist(j) / norm).toFloat; j += 1 } }
+    (hist, if (payload.length > 0) sum.toDouble / payload.length else 0.0)
+  }
+
+  private val FrameStride = 32
+
+  /** Feature extraction over asset partitions. `mapPartitions` so decoder
+    * state (here: nothing; in production: the codec context) initializes
+    * once per partition and rows stream through without per-row setup.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MMFeatures] = {
+    import spark.implicits._
+    assets(spark, dir)
+      .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+      .as[MMAsset]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here
+        rows.map { a =>
+          val (feat, meanByte) = fakeDecode(a.payload)
+          var fn = 0.0
+          var i = 0
+          while (i < feat.length) { fn += feat(i).toDouble * feat(i); i += 1 }
+          // frame sampling: every FrameStride-th byte starts a "frame"
+          var checksum = 0L
+          var nFrames = 0
+          var off = 0
+          while (off < a.payload.length) {
+            checksum = (checksum + (a.payload(off) & 0xFF)) % 997
+            nFrames += 1
+            off += FrameStride
+          }
+          MMFeatures(
+            a.doc_id,
+            a.payload.length.toLong,
+            math.rint(meanByte * 10000) / 10000,
+            math.rint(math.sqrt(fn) * 10000) / 10000,
+            nFrames,
+            checksum)
+        }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures.table
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Every metric is defined as an arithmetic formula over string primitives
+  * that exists identically in Spark and DuckDB (`length`/`replace`/CASE),
+  * so the DuckDB oracle reproduces results exactly — no engine-specific
+  * tokenizers or hashes in the compared outputs.
+  *
+  * All operators are single-pass, shuffle-free projections: at 100 TB they
+  * run as a map-only stage at scan speed, inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Count non-overlapping occurrences of `marker` via the replace trick —
+    * (len(s) - len(replace(s, marker, ''))) / len(marker). Same left-to-right
+    * non-overlapping semantics in Spark and DuckDB.
+    */
+  private def occurrences(s: Column, marker: String): Column =
+    ((length(s) - length(replace(s, lit(marker), lit("")))) / lit(marker.length)).cast("int")
+
+  /** Whitespace token statistics. Documents are single-space separated
+    * (verified against the corpus), so token count = space count + 1.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val nTokens = (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+      .cast("bigint")
+    d.select(
+      col("doc_id"),
+      col("n_chars"),
+      nTokens.as("n_tokens"),
+      round((col("n_chars") - (nTokens - 1)).cast("double") / nTokens, 4).as("avg_token_len"))
+  }
+
+  /** Heuristic quality scoring: length signal + stopword-rate signal.
+    * The score formula is the spec; both engines compute it bit-identically.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nTokens = (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+      .cast("double")
+    val stopHits = (occurrences(padded, " the ") + occurrences(padded, " a ") +
+      occurrences(padded, " and ") + occurrences(padded, " of ")).cast("double")
+    d.select(
+      col("doc_id"),
+      (col("n_chars") < 100).as("is_short"),
+      round(stopHits / nTokens, 4).as("stop_ratio"),
+      round(
+        least(nTokens / lit(400.0), lit(1.0)) * lit(0.5) +
+          least(stopHits / nTokens * lit(5.0), lit(1.0)) * lit(0.5),
+        4).as("quality"))
+  }
+
+  /** N-gram marker language-ID heuristic: score each language by its
+    * function-word rate, argmax with a fixed tie-break order. (On this
+    * synthetic corpus most documents score as English — the operator's
+    * contract is the scoring formula, which the oracle replays.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val p = concat(lit(" "), col("text"), lit(" "))
+    val sEn = occurrences(p, " the ") + occurrences(p, " a ")
+    val sEs = occurrences(p, " el ") + occurrences(p, " la ")
+    val sDe = occurrences(p, " der ") + occurrences(p, " und ")
+    val sFr = occurrences(p, " le ") + occurrences(p, " et ")
+    val pred = when(sEn >= sEs && sEn >= sDe && sEn >= sFr, lit("en"))
+      .when(sEs >= sDe && sEs >= sFr, lit("es"))
+      .when(sDe >= sFr, lit("de"))
+      .otherwise(lit("fr"))
+    d.select(
+      col("doc_id"),
+      col("lang"),
+      pred.as("lang_pred"),
+      (pred === col("lang")).as("agrees"))
+  }
+
+  /** Content fingerprints: full-document and head-64-chars MD5 (hex), the
+    * exact-dedup keys. MD5 of UTF-8 bytes is identical across engines.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5_full"),
+      md5(substring(col("text"), 1, 64).cast("binary")).as("md5_head"))
+}

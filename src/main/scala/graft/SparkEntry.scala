@@ -44,7 +44,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     importerQueries ++ relationalQueries ++ textQueries ++ dedupQueries ++
-      similarityQueries ++ multimodalQueries
+      similarityQueries ++ multimodalQueries ++ sourceQueries
 
   def importerQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- P3: event validation filter ---
@@ -128,6 +128,14 @@ object SparkEntry {
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDuplicates(s, d)),
   )
 
+  def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/B4: paginated API scan via DataSourceV2 (one partition per page)
+    "s3_paged_api_scan" -> ((s, _) =>
+      s.read.format("graft-paged-api")
+        .option("instanceId", "42").option("totalItems", "1000").option("pageSize", "100")
+        .load()),
+  )
+
   def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_asset_meta" -> MultimodalOps.assetMeta _,
     "m2_decode_features" -> ((s: SparkSession, d: String) => MultimodalOps.decodeFeatures(s, d).toDF()),
@@ -140,7 +148,16 @@ object SparkEntry {
     * stubbed decode are intentionally omitted → driver's rows-only check.
     */
   def oracleSql: Map[String, String] = importerOracle ++ relationalOracle ++
-    textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle
+    textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle ++ sourceOracle
+
+  def sourceOracle: Map[String, String] = Map(
+    "s3_paged_api_scan" ->
+      """SELECT '42' AS instance_id,
+        |  concat('42_d', cast(i % 7 AS string)) AS dimension_id,
+        |  concat('opt', cast(i % 50 AS string)) AS option,
+        |  concat('cl', cast(i % 7 AS string)) AS code_list_id
+        |FROM range(0, 1000) AS r(i)""".stripMargin,
+  )
 
   def importerOracle: Map[String, String] = Map(
     "p3_validate_events" ->

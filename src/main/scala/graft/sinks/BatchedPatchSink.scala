@@ -1,0 +1,57 @@
+package graft.sinks
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{ceil, col, count, lit}
+
+/** Batched PATCH sink (reference S10/O1, `client/dimensions_api.go:100-105`
+  * + `handler/incoming_instance_handler.go:269-279`): the reference sends
+  * ONE PATCH per batch of option updates "so that the mongodb lock will be
+  * acquired only once per batch" (~40 ms/lock).
+  *
+  * Spark parity: partition ≡ batch. Updates are repartitioned so each
+  * partition holds ≈ batchSize rows, then `foreachPartition` issues exactly
+  * one client call per partition. The client is a port (same seam as the
+  * reference's mocked `IClient`); production would hold an HTTP connection
+  * pool per executor, initialized once per partition.
+  */
+object BatchedPatchSink {
+
+  /** One PATCH call: all updates of one partition. Implementations must be
+    * Serializable — they ship to executors.
+    */
+  trait PatchClient extends Serializable {
+    def patch(updates: Seq[Row]): Unit
+  }
+
+  /** Test/default client: counts calls and rows via accumulator-free
+    * JVM-local atomics (valid under local[*]; a cluster impl would use
+    * Spark accumulators or real HTTP side effects).
+    */
+  class RecordingClient extends PatchClient {
+    def patch(updates: Seq[Row]): Unit = {
+      RecordingClient.calls.incrementAndGet()
+      RecordingClient.rows.addAndGet(updates.size)
+    }
+  }
+  object RecordingClient {
+    val calls = new AtomicLong(0)
+    val rows = new AtomicLong(0)
+    def reset(): Unit = { calls.set(0); rows.set(0) }
+  }
+
+  /** Write `updates` through the client, one call per ≈batchSize rows.
+    * Returns the number of partitions used (== number of PATCH calls).
+    */
+  def write(updates: DataFrame, batchSize: Int, client: PatchClient): Int = {
+    val n = updates.count()
+    val numParts = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
+    val repartitioned = updates.repartition(numParts)
+    repartitioned.foreachPartition { (rows: Iterator[Row]) =>
+      val batch = rows.toSeq
+      if (batch.nonEmpty) client.patch(batch)
+    }
+    numParts
+  }
+}

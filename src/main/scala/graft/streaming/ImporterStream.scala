@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.ImporterPipeline._
+
+/** Streaming shell for the importer pipeline (SURVEY.md §2.6): the same
+  * batch DAG applied per micro-batch under `foreachBatch`, with
+  *   - idempotency (ST1): stream-static anti-join against the accumulated
+  *     processed-instances table — the reference is at-most-once and relies
+  *     on its InstanceExists check; Spark is at-least-once, so the same
+  *     anti-join makes redelivery harmless.
+  *   - dead-letter side output (ST4): invalid events appended to an errors
+  *     table instead of being dropped.
+  *   - multi-sink fan-out: updates + completed + errors parquet appends per
+  *     micro-batch (stand-ins for graph DB, Kafka out, report topic).
+  *
+  * In production the source would be `spark.readStream.format("kafka")` +
+  * `from_avro(value, schema)` (reference `schema/schema.go:7-26`); tests
+  * drive the identical DAG with a MemoryStream — the pipeline only sees a
+  * DataFrame of (file_url, instance_id).
+  */
+object ImporterStream {
+
+  /** Paths for the accumulating output tables. */
+  final case class Sinks(outDir: String) {
+    val processed: String = s"$outDir/processed_instances"
+    val updates: String = s"$outDir/updates"
+    val completed: String = s"$outDir/completed"
+    val errors: String = s"$outDir/errors"
+  }
+
+  /** One micro-batch: validate → anti-join processed → pipeline → sinks.
+    * Public so tests can drive a single batch synchronously.
+    */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      dims: DataFrame,
+      codeLists: DataFrame,
+      sinks: Sinks): Unit = {
+    val valid = validEvents(batch)
+    val dead = deadLetters(batch)
+
+    val existing =
+      if (Files.exists(Paths.get(sinks.processed)))
+        spark.read.parquet(sinks.processed)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "instance_id", org.apache.spark.sql.types.StringType))))
+
+    val newInst = newInstanceEvents(valid, existing)
+    // cache: newInst feeds three sinks; without it the anti-join against
+    // the growing processed table would run once per sink.
+    newInst.cache()
+    try {
+      val forNew = dedupOptions(validDimensions(dims))
+        .join(newInst.select("instance_id"), Seq("instance_id"), "left_semi")
+      val updates = optionUpdates(withOrder(forNew, codeLists), enablePatchNodeId = true)
+
+      updates.write.mode("append").parquet(sinks.updates)
+      completedEvents(newInst).write.mode("append").parquet(sinks.completed)
+      dead.write.mode("append").parquet(sinks.errors)
+      newInst.select("instance_id").write.mode("append").parquet(sinks.processed)
+    } finally newInst.unpersist()
+  }
+
+  /** Start the streaming query over an events stream DataFrame. */
+  def start(
+      spark: SparkSession,
+      eventsStream: DataFrame,
+      dims: DataFrame,
+      codeLists: DataFrame,
+      outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val sinks = Sinks(outDir)
+    eventsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, dims, codeLists, sinks)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.SimHash.simhash64
+import graft.functions.VectorFunctions.{cosineF, dotF, l2normF}
+import graft.operators.ImporterPipeline.dimensionNames
+
+/** Custom-expression kernels + ScalaCheck-generated laws for the scalar
+  * functions the reference tests pointwise. (The scalatest-scalacheck
+  * bridge is not in the offline cache, so generators are sampled with a
+  * fixed seed instead of via `forAll`.)
+  */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("dotF/l2normF match reference arithmetic (double accumulation)") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(4.0f, -5.0f, 6.0f)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(
+        dotF(col("a"), col("b")).as("dot"),
+        l2normF(col("a")).as("na"),
+        cosineF(col("a"), col("b")).as("cos"))
+      .as[(Double, Double, Double)].head()
+    val expDot = 1.0 * 4 + 2.0 * -5 + 3.0 * 6
+    val expNa = math.sqrt(1.0 + 4 + 9)
+    val expNb = math.sqrt(16.0 + 25 + 36)
+    assert(row._1 === expDot)
+    assert(row._2 === expNa)
+    assert(math.abs(row._3 - expDot / (expNa * expNb)) < 1e-12)
+  }
+
+  test("cosineF of a vector with itself is 1; zero vector yields 0") {
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val z = Array.fill(64)(0.0f)
+    val got = Seq((v, v, z)).toDF("a", "b", "z")
+      .select(cosineF(col("a"), col("b")), cosineF(col("a"), col("z")))
+      .as[(Double, Double)].head()
+    assert(math.abs(got._1 - 1.0) < 1e-12)
+    assert(got._2 === 0.0)
+  }
+
+  test("simhash64: equal token lists hash equal; near lists land near") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 40).map(i => s"other$i")
+    val df = Seq(
+      ("a", base), ("b", base), ("c", near), ("d", far))
+      .toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("h"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("a") === m("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("c")) <= 16)
+    assert(ham(m("a"), m("d")) > 16)
+  }
+
+  test("simhash64 stays inside whole-stage codegen") {
+    // a LocalTableScan never codegens — use a range-backed plan
+    val exec = spark.range(10)
+      .select(simhash64(split(concat(lit("a b c "), col("id")), " ")))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(inCodegen.nonEmpty, s"expected WholeStageCodegenExec in:\n$exec")
+  }
+
+  test("property: P9 name extraction inverts id construction") {
+    val alnum = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    val pairs = samples(Gen.zip(alnum, alnum), 60).distinct
+    assert(pairs.size > 30)
+    val df = pairs.map { case (inst, name) => (inst, s"${inst}_$name") }
+      .toDF("instance_id", "dimension_id")
+    val got = dimensionNames(df).as[(String, String)].collect().toMap
+    pairs.foreach { case (inst, name) =>
+      assert(got(s"${inst}_$name") === name, s"inst=$inst name=$name")
+    }
+  }
+
+  test("property: dot product is symmetric and matches scala fold") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
+    val cases = samples(Gen.zip(vecGen, vecGen), 25)
+    val df = cases.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      .select(dotF(col("a"), col("b")), dotF(col("b"), col("a")),
+        col("a"), col("b"))
+      .as[(Double, Double, Array[Float], Array[Float])].collect()
+    df.foreach { case (ab, ba, a, b) =>
+      assert(ab === ba)
+      val exp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      assert(math.abs(ab - exp) < 1e-9)
+    }
+  }
+}

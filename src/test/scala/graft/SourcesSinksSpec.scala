@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.BatchedPatchSink
+import graft.sinks.BatchedPatchSink.RecordingClient
+
+/** DataSourceV2 paged source + batched PATCH sink parity tests. */
+class SourcesSinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def paged(total: Int, pageSize: Int) =
+    spark.read.format("graft-paged-api")
+      .option("instanceId", "42")
+      .option("totalItems", total.toString)
+      .option("pageSize", pageSize.toString)
+      .load()
+
+  test("paged source: one input partition per page (B4 parity)") {
+    val df = paged(1000, 100)
+    assert(df.rdd.getNumPartitions === 10)
+    assert(df.count() === 1000)
+  }
+
+  test("paged source: ragged last page") {
+    val df = paged(1001, 100)
+    assert(df.rdd.getNumPartitions === 11)
+    assert(df.count() === 1001)
+  }
+
+  test("paged source: deterministic rows with correct cardinalities") {
+    val df = paged(1000, 100)
+    assert(df.select("dimension_id").distinct().count() === 7)
+    assert(df.select("option").distinct().count() === 50)
+    val first = df.filter("dimension_id = '42_d0'").select("option")
+      .as[String].collect().toSet
+    assert(first.contains("opt0"))
+  }
+
+  test("paged source: column pruning pushed into the scan") {
+    val pruned = paged(1000, 100).select("option")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("option"))
+    assert(!scan.contains("dimension_id"))
+    assert(pruned.distinct().count() === 50)
+  }
+
+  test("patch sink: exactly one client call per batchSize partition (O1 parity)") {
+    RecordingClient.reset()
+    val updates = (1 to 10).map(i => (s"i$i", s"opt$i")).toDF("instance_id", "option")
+    val calls = BatchedPatchSink.write(updates, batchSize = 3, new RecordingClient)
+    assert(calls === 4)
+    assert(RecordingClient.calls.get() === 4)
+    assert(RecordingClient.rows.get() === 10)
+  }
+
+  test("patch sink: single call when everything fits one batch") {
+    RecordingClient.reset()
+    val updates = (1 to 5).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")
+    assert(BatchedPatchSink.write(updates, batchSize = 100, new RecordingClient) === 1)
+    assert(RecordingClient.calls.get() === 1)
+  }
+}

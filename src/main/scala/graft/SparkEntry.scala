@@ -134,6 +134,23 @@ object SparkEntry {
       s.read.format("graft-paged-api")
         .option("instanceId", "42").option("totalItems", "1000").option("pageSize", "100")
         .load()),
+    // S2+S11: Avro wire-format round trip over the reference's schemas
+    "s2_avro_roundtrip" -> ((s, d) => graft.sources.AvroEvents.roundTrip(s, d)),
+    // A-HLL: approximate distinct (sketch aggregation; approximate result →
+    // rows-only check, no DuckDB oracle)
+    "a6_approx_distinct_options" -> ((s, d) =>
+      dimsDedup(s, d).groupBy(col("code_list_id"))
+        .agg(approx_count_distinct(col("option")).as("approx_options"))),
+    // UDAF surface: MinHash signatures via the typed Aggregator (rows-only)
+    "d7_minhash_agg_signatures" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Dedup.shingles(s, d)
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.MinHashAgg(32).toColumn.name("sig"))
+        .toDF("doc_id", "sig")
+    }),
   )
 
   def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -157,6 +174,9 @@ object SparkEntry {
         |  concat('opt', cast(i % 50 AS string)) AS option,
         |  concat('cl', cast(i % 7 AS string)) AS code_list_id
         |FROM range(0, 1000) AS r(i)""".stripMargin,
+    // Avro round trip is lossless → decode(encode(events)) == events
+    "s2_avro_roundtrip" ->
+      s"""$W SELECT file_url, instance_id FROM ievents""",
   )
 
   def importerOracle: Map[String, String] = Map(

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.MinHashAgg
+import graft.sources.AvroEvents
+
+/** Avro wire-format boundary + MinHash typed-Aggregator semantics. */
+class AvroMinHashSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("avro round trip is lossless (schema/schema.go parity)") {
+    val events = Seq(
+      ("s3://dp-frontend-florence-file-uploads/159.csv", "1234567890"),
+      ("/1/2/3", ""))
+      .toDF("file_url", "instance_id")
+    val back = AvroEvents.decode(AvroEvents.encode(events))
+      .as[(String, String)].collect().toSet
+    assert(back === Set(
+      ("s3://dp-frontend-florence-file-uploads/159.csv", "1234567890"),
+      ("/1/2/3", "")))
+  }
+
+  test("malformed avro payloads are dropped, not failed (receiver_test.go:51-76)") {
+    val good = AvroEvents.encode(Seq(("/ok", "42")).toDF("file_url", "instance_id"))
+      .collect().head
+    val garbage: Array[Byte] = Array(0x7F.toByte) // truncated varint prefix
+    val mixed = spark.createDataset(Seq(good, garbage))
+    val out = AvroEvents.decode(mixed).as[(String, String)].collect().toSeq
+    assert(out === Seq(("/ok", "42")))
+  }
+
+  test("minhash aggregator estimate: identical sets -> 1.0, disjoint -> ~0") {
+    val agg = new MinHashAgg(32)
+    def sig(items: Seq[String]) =
+      items.foldLeft(agg.zero) { (b, s) => agg.reduce(b, s) }.toSeq
+    val a = sig((1 to 30).map(i => s"sh$i"))
+    val b = sig((1 to 30).map(i => s"sh$i"))
+    val c = sig((100 to 130).map(i => s"sh$i"))
+    assert(MinHashAgg.estimate(a, b) === 1.0)
+    assert(MinHashAgg.estimate(a, c) < 0.2)
+  }
+
+  test("minhash aggregator merge is order-insensitive (partial agg safe)") {
+    val agg = new MinHashAgg(16)
+    val items = (1 to 40).map(i => s"x$i")
+    val whole = items.foldLeft(agg.zero)(agg.reduce).toSeq
+    val (l, r) = items.splitAt(17)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)).toSeq
+    assert(whole === merged)
+  }
+
+  test("d7 query: aggregator signatures computed per document") {
+    val df = SparkEntry.queries("d7_minhash_agg_signatures")(spark, sf0001)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(df.count() === n)
+    val sigLen = df.selectExpr("size(sig)").as[Int].head()
+    assert(sigLen === 32)
+  }
+}

@@ -86,6 +86,11 @@ object SparkEntry {
     "s11_completed_events" -> ((s, d) =>
       completedEvents(newInstanceEvents(validEvents(Fixtures.importerEvents(s, d)),
         Fixtures.existingInstances(s, d)))),
+    // --- S7 graph analytics: code-node degrees over the edges DF ---
+    "s7_code_degrees" -> ((s, d) =>
+      codeDegrees(codeEdges(dimsDedup(s, d), Fixtures.codeLists(s, d)))),
+    // --- skew tool: two-phase salted aggregation (result == plain agg) ---
+    "k1_salted_pricing_by_flag" -> graft.operators.SkewOps.saltedPricingByFlag _,
     // --- flagship end-to-end ---
     "flagship_updates" -> ((s, d) => flagship(s, d)),
   )
@@ -256,6 +261,19 @@ object SparkEntry {
       s"""$W SELECT DISTINCT file_url, instance_id FROM ievents
          |WHERE length(instance_id) > 0
          |  AND instance_id NOT IN (SELECT instance_id FROM existing)""".stripMargin,
+    "s7_code_degrees" ->
+      s"""$W SELECT concat('code/', d.code_list_id, '/', c.code) AS dst,
+         |  cast(count(*) AS bigint) AS degree,
+         |  cast(count(DISTINCT concat('option/', d.dimension_id, '/', d.option)) AS bigint)
+         |    AS distinct_options
+         |FROM dims_dedup d
+         |JOIN code_lists c
+         |  ON d.code_list_id = c.code_list_id AND d.option = c.code
+         |WHERE replace(concat('_', d.dimension_id), concat('_', d.instance_id, '_'), '') <> 'time'
+         |GROUP BY 1""".stripMargin,
+    "k1_salted_pricing_by_flag" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "flagship_updates" ->
       s"""$W SELECT d.instance_id,
          |  replace(concat('_', d.dimension_id), concat('_', d.instance_id, '_'), '') AS name,

@@ -55,12 +55,32 @@ object Dedup {
           "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
           .as("s"))
 
+  /** Skew guard for the inverted index: drop shingles occurring in more
+    * than `maxDocFreq` documents. Ultra-frequent shingles ("stop-grams")
+    * contribute O(df²) candidate pairs while carrying no dedup signal — at
+    * 100 TB this cap is what keeps the self-join from quadratic blow-up on
+    * hot keys. Defaults to no-op so oracle-checked results are unchanged.
+    */
+  def cappedShingles(spark: SparkSession, dir: String, maxDocFreq: Int): DataFrame = {
+    val sh = shingles(spark, dir)
+    if (maxDocFreq == Int.MaxValue) sh
+    else {
+      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq)
+        .select(col("s"))
+      sh.join(rare, Seq("s"), "left_semi")
+    }
+  }
+
   /** N-gram Jaccard near-duplicate pairs via shingle inverted index:
     * join docs on shared shingles, count common, compute |A∩B|/|A∪B|.
     * Only pairs sharing ≥1 shingle are ever materialized.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+  def ngramJaccardPairs(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = cappedShingles(spark, dir, maxDocFreq).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -188,6 +188,16 @@ object ImporterPipeline {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  // ---- S7 analytics: degree of each code node in the edge table ---------
+  // The graph-output model is queryable: per code node, how many distinct
+  // dimension options use it (a GraphFrames-style degree computation).
+  def codeDegrees(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("dst"))
+      .agg(
+        count(lit(1)).as("degree"),
+        countDistinct(col("src")).as("distinct_options"))
+
   // ---- S11: completed-event projection ----------------------------------
   // Reference message/producer.go:26-34 — same schema as the input event.
   def completedEvents(newEvents: DataFrame): DataFrame =

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures.table
+
+/** Skew-resistant aggregation: the two-phase salted pattern for the 100 TB
+  * case where a handful of hot keys (here: 3 return flags over the whole
+  * lineitem table) would otherwise pin the final reducers.
+  *
+  * Phase 1 groups by (key, salt) — fan-out `buckets`× so hot keys spread
+  * over many reducers; phase 2 re-aggregates the tiny partial table by key.
+  * The salt must be deterministic per row (a hash of high-cardinality
+  * columns), never `rand()`, so retries and the DuckDB oracle agree.
+  *
+  * Note Spark's own map-side partial aggregation already handles *sum-like*
+  * skew; the salted form matters when phase 1 itself needs a shuffle
+  * (collect_list/distinct-style states) or under AQE-less engines — it is
+  * included as the engine's documented, tested skew tool.
+  */
+object SkewOps {
+
+  /** Two-phase salted sum: exact same result as a direct groupBy-sum. */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[Column],
+      value: Column,
+      saltSource: Column,
+      buckets: Int,
+      outName: String): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(saltSource), lit(buckets)))
+    salted
+      .groupBy(keys :+ col("_salt"): _*)
+      .agg(sum(value).as("_partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("_partial")).as(outName))
+  }
+
+  /** Salted pricing roll-up by return flag (3 hot keys × whole lineitem). */
+  def saltedPricingByFlag(spark: SparkSession, dir: String): DataFrame =
+    saltedSum(
+      table(spark, dir, "lineitem"),
+      keys = Seq(col("l_returnflag")),
+      value = col("l_quantity"),
+      saltSource = col("l_orderkey") * lit(8) + col("l_linenumber"),
+      buckets = 32,
+      outName = "sum_qty_raw")
+      .select(col("l_returnflag"), round(col("sum_qty_raw"), 2).as("sum_qty"))
+}

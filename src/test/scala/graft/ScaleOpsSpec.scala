@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SkewOps}
+import graft.sources.Fixtures.table
+
+/** Scale tools: salted aggregation, shingle doc-frequency cap, and
+  * event-time windowed streaming aggregation with a watermark.
+  */
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted two-phase sum equals direct aggregation") {
+    val direct = table(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .as[(String, Double)].collect().toMap
+    val salted = SkewOps.saltedPricingByFlag(spark, sf0001)
+      .as[(String, Double)].collect().toMap
+    assert(salted === direct)
+  }
+
+  test("shingle doc-frequency cap drops stop-grams and their pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("capped").toString
+    // two docs sharing ONLY ultra-common shingles, two sharing rare ones
+    val common = (1 to 20).map(_ => "the").mkString(" ") // 'the the the'
+    val rareA = (1 to 20).map(i => s"rare$i").mkString(" ")
+    Seq(
+      (1L, common, "en", "s", common.length.toLong),
+      (2L, common, "en", "s", common.length.toLong),
+      (3L, rareA, "en", "s", rareA.length.toLong),
+      (4L, rareA, "en", "s", rareA.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val uncapped = Dedup.ngramJaccardPairs(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped === Set((1L, 2L), (3L, 4L)))
+
+    // cap=2: 'the the the' appears in 2 docs (kept); lower to 1 → dropped
+    val capped = Dedup.ngramJaccardPairs(spark, dir, maxDocFreq = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped === Set.empty)
+  }
+
+  test("event-time window + watermark aggregates late-tolerant (ST2 extension)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((ts(1), "view", 1.0), (ts(2), "view", 2.0), (ts(7), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT cast(window.start AS string), n, total FROM win_agg ORDER BY 1")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows === Seq(
+        ("2024-01-01 10:00:00", 2L, 3.0),
+        ("2024-01-01 10:05:00", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("code degrees: every nation code used by its options") {
+    val df = SparkEntry.queries("s7_code_degrees")(spark, sf0001)
+    val rows = df.as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dst, deg, distinct) =>
+      assert(dst.startsWith("code/"))
+      assert(deg >= distinct && distinct >= 1)
+    }
+  }
+}

@@ -131,6 +131,8 @@ object SparkEntry {
     "v3_lsh_buckets" -> Similarity.lshBuckets _,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDuplicates(s, d)),
+    "v6_ivf_assignments" -> graft.operators.IvfAnn.assignments _,
+    "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopK _,
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class UserEvent(user_id: Long, event_type: String, value: Double)
+final case class UserRunningState(n: Long, total: Double)
+final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+/** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
+  * (the reference needs no cross-event state beyond the graph DB — SURVEY
+  * §2.6 ST3 — but a complete streaming engine does): a per-user running
+  * count/total that survives across micro-batches in the state store.
+  *
+  * At scale: state is partitioned by key across executors, checkpointed
+  * with the query; a timeout (here NoTimeout; production: event-time
+  * timeout + watermark) bounds state growth.
+  */
+object StatefulOps {
+
+  def runningPerUser(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningState, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunningState(n, total)
+          state.update(next)
+          UserRunning(uid, n, math.rint(total * 100) / 100)
+      }
+  }
+}

@@ -67,6 +67,26 @@ class ScaleOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user state survives across micro-batches") {
+    import graft.streaming.{StatefulOps, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StatefulOps.runningPerUser(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_state").start()
+    try {
+      mem.addData(UserEvent(1, "view", 1.5), UserEvent(1, "click", 2.5), UserEvent(2, "view", 10.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, "purchase", 6.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT user_id, max(n) AS n, max(total) AS total FROM user_state GROUP BY user_id ORDER BY user_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      // user 1: 2 events in batch 1, +1 in batch 2 → n=3 total=10.0 (state kept)
+      assert(last === Seq((1L, 3L, 10.0), (2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("code degrees: every nation code used by its options") {
     val df = SparkEntry.queries("s7_code_degrees")(spark, sf0001)
     val rows = df.as[(String, Long, Long)].collect()

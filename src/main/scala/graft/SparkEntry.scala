@@ -107,6 +107,11 @@ object SparkEntry {
     "set1_purchasers_minus_errored" -> RelationalOps.purchasersMinusErrored _,
     "set2_signup_and_purchase" -> RelationalOps.signupAndPurchase _,
     "f1_json_props" -> RelationalOps.jsonProps _,
+    "j4_exists_urgent_customers" -> RelationalOps.customersWithUrgentOrders _,
+    "g3_event_pivot_by_day" -> RelationalOps.eventPivotByDay _,
+    "f2_ship_latency" -> RelationalOps.shipLatency _,
+    "f3_customer_name_ops" -> RelationalOps.customerNameOps _,
+    "f4_median_value_by_type" -> RelationalOps.medianValueByType _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,6 +368,39 @@ object SparkEntry {
     "f1_json_props" ->
       """SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS k
         |FROM events WHERE cast(json_extract_string(props, '$.k') AS int) > 80""".stripMargin,
+    "j4_exists_urgent_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "g3_event_pivot_by_day" ->
+      """SELECT cast(date_trunc('day', ts) AS date) AS day,
+        |  cast(count(*) FILTER (event_type = 'view') AS bigint) AS view,
+        |  cast(count(*) FILTER (event_type = 'click') AS bigint) AS click,
+        |  cast(count(*) FILTER (event_type = 'purchase') AS bigint) AS purchase,
+        |  cast(count(*) FILTER (event_type = 'signup') AS bigint) AS signup,
+        |  cast(count(*) FILTER (event_type = 'error') AS bigint) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "f2_ship_latency" ->
+      """SELECT o_orderpriority,
+        |  cast(min(lat) AS int) AS min_days, cast(max(lat) AS int) AS max_days,
+        |  round(avg(lat), 2) AS avg_days, cast(count(*) AS bigint) AS n
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', cast(o_orderdate AS date), cast(l_shipdate AS date)) AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "f3_customer_name_ops" ->
+      """SELECT c_custkey, upper(c_name) AS upper_name,
+        |  cast(length(c_name) AS bigint) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix,
+        |  lpad(cast(c_custkey AS string), 9, '0') AS padded_key,
+        |  concat_ws('|', c_mktsegment, trim(c_name)) AS tagged
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    "f4_median_value_by_type" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 2) AS median_value,
+        |  round(quantile_cont(value, 0.9), 2) AS p90_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 
   def textOracle: Map[String, String] = Map(

@@ -166,4 +166,59 @@ object RelationalOps {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k") > 80)
+
+  /** Correlated-EXISTS shape: customers holding at least one URGENT order —
+    * planned as a left-semi join, no row duplication.
+    */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    table(spark, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** PIVOT: per-day event counts spread across event-type columns. */
+  def eventPivotByDay(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .select(date_trunc("DAY", col("ts")).cast("date").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Date arithmetic: shipping latency stats per order priority. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("lat"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(col("lat")).as("min_days"),
+        max(col("lat")).as("max_days"),
+        round(avg(col("lat")), 2).as("avg_days"),
+        count(lit(1)).as("n"))
+
+  /** String-function battery over customer names (scalar fn coverage). */
+  def customerNameOps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        length(col("c_name")).cast("bigint").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
+        concat_ws("|", col("c_mktsegment"), trim(col("c_name"))).as("tagged"))
+
+  /** Exact interpolated median (percentile) of value per event type. */
+  def medianValueByType(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 2).as("p90_value"))
 }

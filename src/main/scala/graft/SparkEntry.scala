@@ -127,6 +127,7 @@ object SparkEntry {
     "d3_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "d4_minhash_lsh_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "d5_simhash_signatures" -> Dedup.simhashSignatures _,
+    "d8_duplicate_clusters" -> ((s: SparkSession, d: String) => Dedup.duplicateClusters(s, d)),
     "d6_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
   )
 
@@ -279,7 +280,8 @@ object SparkEntry {
          |WHERE replace(concat('_', d.dimension_id), concat('_', d.instance_id, '_'), '') <> 'time'
          |GROUP BY 1""".stripMargin,
     "k1_salted_pricing_by_flag" ->
-      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+      """SELECT l_returnflag,
+        |  cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_qty_e2
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "flagship_updates" ->
       s"""$W SELECT d.instance_id,
@@ -298,19 +300,24 @@ object SparkEntry {
   def relationalOracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  cast(count(*) AS bigint) AS count_order
-        |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        |  sum_qty_e2, sum_base_price_e2, sum_disc_price_e4, sum_charge_e6,
+        |  cast(floor(sum_qty_e2 * 100.0 / count_order + 0.5) AS bigint) AS avg_qty_e4,
+        |  cast(floor(sum_base_price_e2 * 100.0 / count_order + 0.5) AS bigint) AS avg_price_e4,
+        |  cast(floor(sum_disc_e2 * 10000.0 / count_order + 0.5) AS bigint) AS avg_disc_e6,
+        |  count_order
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_qty_e2,
+        |    cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_base_price_e2,
+        |    cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint) AS sum_disc_price_e4,
+        |    cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS bigint)) AS bigint) AS sum_charge_e6,
+        |    cast(sum(cast(floor(l_discount * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_disc_e2,
+        |    cast(count(*) AS bigint) AS count_order
+        |  FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        |  GROUP BY l_returnflag, l_linestatus)""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, cast(o_orderdate AS date) AS order_date, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint) AS revenue_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -319,7 +326,8 @@ object SparkEntry {
         |  AND l_shipdate > timestamp '1995-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
     "q5_local_supplier_volume" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint) AS revenue_e4
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -329,10 +337,13 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
     "q18_big_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
-        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
-        |SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
-        |  round(total_qty, 2) AS total_qty
+        |  SELECT l_orderkey,
+        |    cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS bigint) AS total_qty_e2
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) > 15000)
+        |SELECT c_name, o_orderkey,
+        |  cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS total_price_e2,
+        |  total_qty_e2
         |FROM orders
         |JOIN big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
@@ -344,20 +355,24 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
     "w2_running_totals" ->
       """SELECT user_id, event_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-        |  round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta,
+        |  cast(sum(v_e2) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS running_total_e2,
+        |  cast(v_e2 - lag(v_e2, 1, 0) OVER (PARTITION BY user_id ORDER BY event_id) AS bigint) AS delta_e2,
         |  cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS int) AS rn
-        |FROM events WHERE user_id < 50""".stripMargin,
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
+        |  FROM events WHERE user_id < 50)""".stripMargin,
     "g1_daily_event_rollup" ->
       """SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
         |  cast(count(*) AS bigint) AS n,
         |  cast(count(DISTINCT user_id) AS bigint) AS n_users,
-        |  round(sum(value), 2) AS total_value
+        |  cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS bigint) AS total_value_e2
         |FROM events GROUP BY 1, 2""".stripMargin,
     "g2_event_type_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
-        |  cast(count(*) AS bigint) AS n, round(sum(value), 2) AS total_value
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS bigint) AS total_value_e2
         |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
     "set1_purchasers_minus_errored" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -383,7 +398,8 @@ object SparkEntry {
     "f2_ship_latency" ->
       """SELECT o_orderpriority,
         |  cast(min(lat) AS int) AS min_days, cast(max(lat) AS int) AS max_days,
-        |  round(avg(lat), 2) AS avg_days, cast(count(*) AS bigint) AS n
+        |  cast(floor(sum(lat) * 10000.0 / count(*) + 0.5) AS bigint) AS avg_days_e4,
+        |  cast(count(*) AS bigint) AS n
         |FROM (
         |  SELECT o_orderpriority,
         |    date_diff('day', cast(o_orderdate AS date), cast(l_shipdate AS date)) AS lat
@@ -398,23 +414,25 @@ object SparkEntry {
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
     "f4_median_value_by_type" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 2) AS median_value,
-        |  round(quantile_cont(value, 0.9), 2) AS p90_value
+        |  cast(floor(quantile_cont(value, 0.5) * 100.0 + 0.5) AS bigint) AS median_value_e2,
+        |  cast(floor(quantile_cont(value, 0.9) * 100.0 + 0.5) AS bigint) AS p90_value_e2
         |FROM events GROUP BY event_type""".stripMargin,
   )
 
   def textOracle: Map[String, String] = Map(
     "t1_token_stats" ->
       """SELECT doc_id, n_chars, n_tokens,
-        |  round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS avg_token_len
+        |  cast(floor(cast(n_chars - (n_tokens - 1) AS double) / n_tokens * 10000.0 + 0.5) AS bigint)
+        |    AS avg_token_len_e4
         |FROM (
         |  SELECT doc_id, n_chars,
         |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
         |  FROM documents)""".stripMargin,
     "t2_quality_scores" ->
-      """SELECT doc_id, is_short, round(stop_hits / n_tokens, 4) AS stop_ratio,
-        |  round(least(n_tokens / 400.0, 1.0) * 0.5 +
-        |        least(stop_hits / n_tokens * 5.0, 1.0) * 0.5, 4) AS quality
+      """SELECT doc_id, is_short,
+        |  cast(floor(stop_hits / n_tokens * 10000.0 + 0.5) AS bigint) AS stop_ratio_e4,
+        |  cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
+        |        least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint) AS quality_e4
         |FROM (
         |  SELECT doc_id, n_chars < 100 AS is_short,
         |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
@@ -471,11 +489,40 @@ object SparkEntry {
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
-        |SELECT a, b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        |SELECT a, b,
+        |  cast(floor(cast(common AS double) / (sa.n + sb.n - common) * 10000.0 + 0.5) AS bigint)
+        |    AS jaccard_e4
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = pairs.a
         |JOIN sizes sb ON sb.doc_id = pairs.b
-        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+        |WHERE cast(common AS double) / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+    // connected components over the near-dup pair graph, replayed in
+    // DuckDB with a recursive transitive-closure CTE
+    "d8_duplicate_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cpairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT a, b FROM cpairs
+        |  JOIN sizes sa ON sa.doc_id = cpairs.a
+        |  JOIN sizes sb ON sb.doc_id = cpairs.b
+        |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+        |edges AS (SELECT a, b FROM jpairs UNION ALL SELECT b, a FROM jpairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS doc_id, cast(min(r) AS bigint) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     // d4/d5/d6 use xxhash64-based signatures — not reproducible in DuckDB,
     // so they take the driver's rows-only check.
   )
@@ -483,7 +530,7 @@ object SparkEntry {
   def similarityOracle: Map[String, String] = Map(
     "v1_embedding_norms" ->
       """SELECT e.vec_id, e.label,
-        |  round(sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))), 4) AS l2_norm
+        |  cast(floor(sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))) * 10000.0 + 0.5) AS bigint) AS l2_norm_e4
         |FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
         |GROUP BY e.vec_id, e.label""".stripMargin,
     "v2_brute_force_topk" ->
@@ -500,9 +547,13 @@ object SparkEntry {
         |  SELECT qid, vec_id,
         |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
         |  FROM p)
-        |SELECT qid, vec_id, round(cos, 4) AS cosine, cast(rn AS int) AS rn FROM (
+        |SELECT qid, vec_id,
+        |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+        |  cast(rn AS int) AS rn
+        |FROM (
         |  SELECT qid, vec_id, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rn
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
     // v3/v4/v5 depend on driver-side hyperplane constants — rows-only check.

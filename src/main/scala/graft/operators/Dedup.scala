@@ -92,7 +92,7 @@ object Dedup {
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
       .filter(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+      .select(col("a"), col("b"), Exact.e(jac, 4).as("jaccard_e4"))
   }
 
   private val NumPerms = 32
@@ -138,7 +138,45 @@ object Dedup {
       .join(sizes.as("na"), col("a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
       .filter(jac >= threshold)
-      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+      .select(col("a"), col("b"), Exact.e(jac, 4).as("jaccard_e4"))
+  }
+
+  /** Duplicate clusters: connected components over the near-duplicate pair
+    * graph (transitively: if a~b and b~c, all three are one duplicate
+    * group, even when a~c alone is below threshold — the standard corpus-
+    * dedup semantics). Iterative min-label propagation; `localCheckpoint`
+    * truncates the growing join lineage each round, the standard guard for
+    * iterative DataFrame algorithms. Converges in O(component diameter)
+    * rounds — near-dup components are tiny in practice, so this terminates
+    * in 2-3 rounds even at corpus scale.
+    */
+  def duplicateClusters(
+      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold).select(col("a"), col("b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neigh = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neigh, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** SimHash signatures via the custom codegen expression — one pass per

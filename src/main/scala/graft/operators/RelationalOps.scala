@@ -34,20 +34,29 @@ object RelationalOps {
     * this is a map-side partial agg into a 4-group reduce — no meaningful
     * shuffle. Filter is pushed to the parquet scan.
     */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import Exact.{e, sumE}
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
     table(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= tsNtz("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-          .as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sumE(col("l_quantity"), 2).as("sum_qty_e2"),
+        sumE(col("l_extendedprice"), 2).as("sum_base_price_e2"),
+        sumE(discPrice, 4).as("sum_disc_price_e4"),
+        sumE(discPrice * (lit(1) + col("l_tax")), 6).as("sum_charge_e6"),
+        sumE(col("l_discount"), 2).as("sum_disc_e2"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_e2"), col("sum_base_price_e2"),
+        col("sum_disc_price_e4"), col("sum_charge_e6"),
+        // averages from the exact integer sums → identical doubles → exact scaling
+        e(col("sum_qty_e2").cast("double") / col("count_order"), 2).as("avg_qty_e4"),
+        e(col("sum_base_price_e2").cast("double") / col("count_order"), 2).as("avg_price_e4"),
+        e(col("sum_disc_e2").cast("double") / col("count_order"), 4).as("avg_disc_e6"),
+        col("count_order"))
+  }
 
   /** TPC-H Q3-style: selective filters on both join sides, then join +
     * aggregate. customer is the small side → broadcast; lineitem↔orders
@@ -61,12 +70,12 @@ object RelationalOps {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue_e4"))
       .select(
         col("l_orderkey"),
         col("o_orderdate").cast("date").as("order_date"),
         col("o_orderpriority"),
-        col("revenue"))
+        col("revenue_e4"))
   }
 
   /** TPC-H Q5-style local-supplier volume: 6-way join with two tiny
@@ -83,21 +92,21 @@ object RelationalOps {
       .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue_e4"))
 
   /** TPC-H Q18-style: aggregate subquery feeding a semi-join filter. */
   def bigOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = table(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).as("total_qty"))
-      .filter(col("total_qty") > 150)
+      .agg(Exact.sumE(col("l_quantity"), 2).as("total_qty_e2"))
+      .filter(col("total_qty_e2") > 150 * 100)
     table(spark, dir, "orders")
       .join(big, col("o_orderkey") === col("l_orderkey"))
       .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .select(
         col("c_name"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("total_price"),
-        round(col("total_qty"), 2).as("total_qty"))
+        Exact.e(col("o_totalprice"), 2).as("total_price_e2"),
+        col("total_qty_e2"))
   }
 
   /** Window top-k: top 3 users per event type by activity; integer counts
@@ -123,9 +132,10 @@ object RelationalOps {
       .filter(col("user_id") < 50)
       .select(
         col("user_id"), col("event_id"),
-        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
-          .as("running_total"),
-        round(col("value") - lag(col("value"), 1, 0.0).over(w), 2).as("delta"),
+        // per-row exact cents, then integer window sum — order-independent
+        sum(Exact.e(col("value"), 2)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_total_e2"),
+        (Exact.e(col("value"), 2) - lag(Exact.e(col("value"), 2), 1, 0L).over(w)).as("delta_e2"),
         row_number().over(w).cast("int").as("rn"))
   }
 
@@ -136,14 +146,16 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
-        round(sum(col("value")), 2).as("total_value"))
+        Exact.sumE(col("value"), 2).as("total_value_e2"))
 
   /** ROLLUP grouping-sets aggregation (super-aggregate row labeled ALL). */
   def eventTypeRollup(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)
       .rollup(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("event_type_g"), col("n"), col("total_value"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("total_value_e2"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
+        col("n"), col("total_value_e2"))
 
   /** Set operation: users who purchased but never errored (EXCEPT). */
   def purchasersMinusErrored(spark: SparkSession, dir: String): DataFrame = {
@@ -199,8 +211,12 @@ object RelationalOps {
       .agg(
         min(col("lat")).as("min_days"),
         max(col("lat")).as("max_days"),
-        round(avg(col("lat")), 2).as("avg_days"),
+        sum(col("lat").cast("long")).as("sum_days"),
         count(lit(1)).as("n"))
+      .select(
+        col("o_orderpriority"), col("min_days"), col("max_days"),
+        Exact.e(col("sum_days").cast("double") / col("n"), 4).as("avg_days_e4"),
+        col("n"))
 
   /** String-function battery over customer names (scalar fn coverage). */
   def customerNameOps(spark: SparkSession, dir: String): DataFrame =
@@ -219,6 +235,6 @@ object RelationalOps {
     eventsTable(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 2).as("median_value"),
-        round(expr("percentile(value, 0.9)"), 2).as("p90_value"))
+        Exact.e(expr("percentile(value, 0.5)"), 2).as("median_value_e2"),
+        Exact.e(expr("percentile(value, 0.9)"), 2).as("p90_value_e2"))
 }

@@ -35,11 +35,11 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cos = cosineF(col("qe"), col("embedding"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 6).desc, col("vec_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(Exact.e(cos, 6).desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
-      .select(col("qid"), col("vec_id"), round(cos, 4).as("cosine"), col("rn").cast("int").as("rn"))
+      .select(col("qid"), col("vec_id"), Exact.e(cos, 4).as("cosine_e4"), col("rn").cast("int").as("rn"))
   }
 
   // 2^NumPlanes buckets; keep buckets populated (corpus_size >> 2^planes)
@@ -102,5 +102,5 @@ object Similarity {
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings").select(
       col("vec_id"), col("label"),
-      round(graft.functions.VectorFunctions.l2normF(col("embedding")), 4).as("l2_norm"))
+      Exact.e(graft.functions.VectorFunctions.l2normF(col("embedding")), 4).as("l2_norm_e4"))
 }

@@ -37,14 +37,16 @@ object SkewOps {
       .agg(sum(col("_partial")).as(outName))
   }
 
-  /** Salted pricing roll-up by return flag (3 hot keys × whole lineitem). */
+  /** Salted pricing roll-up by return flag (3 hot keys × whole lineitem);
+    * values pre-scaled to exact integer cents so the two-phase sum is
+    * order-independent.
+    */
   def saltedPricingByFlag(spark: SparkSession, dir: String): DataFrame =
     saltedSum(
-      table(spark, dir, "lineitem"),
+      table(spark, dir, "lineitem").withColumn("qty_e2", Exact.e(col("l_quantity"), 2)),
       keys = Seq(col("l_returnflag")),
-      value = col("l_quantity"),
+      value = col("qty_e2"),
       saltSource = col("l_orderkey") * lit(8) + col("l_linenumber"),
       buckets = 32,
-      outName = "sum_qty_raw")
-      .select(col("l_returnflag"), round(col("sum_qty_raw"), 2).as("sum_qty"))
+      outName = "sum_qty_e2")
 }

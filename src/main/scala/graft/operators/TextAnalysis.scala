@@ -36,7 +36,7 @@ object TextAnalysis {
       col("doc_id"),
       col("n_chars"),
       nTokens.as("n_tokens"),
-      round((col("n_chars") - (nTokens - 1)).cast("double") / nTokens, 4).as("avg_token_len"))
+      Exact.e((col("n_chars") - (nTokens - 1)).cast("double") / nTokens, 4).as("avg_token_len_e4"))
   }
 
   /** Heuristic quality scoring: length signal + stopword-rate signal.
@@ -52,11 +52,11 @@ object TextAnalysis {
     d.select(
       col("doc_id"),
       (col("n_chars") < 100).as("is_short"),
-      round(stopHits / nTokens, 4).as("stop_ratio"),
-      round(
+      Exact.e(stopHits / nTokens, 4).as("stop_ratio_e4"),
+      Exact.e(
         least(nTokens / lit(400.0), lit(1.0)) * lit(0.5) +
           least(stopHits / nTokens * lit(5.0), lit(1.0)) * lit(0.5),
-        4).as("quality"))
+        4).as("quality_e4"))
   }
 
   /** N-gram marker language-ID heuristic: score each language by its

@@ -28,23 +28,48 @@ class DedupSimilaritySpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val jac = Dedup.ngramJaccardPairs(spark, dir)
-      .as[(Long, Long, Double)].collect().toSet
-    assert(jac === Set((1L, 2L, 1.0)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(jac === Set((1L, 2L, 10000L)))
 
     val mh = Dedup.minhashLshPairs(spark, dir)
-      .as[(Long, Long, Double)].collect().toSet
-    assert(mh === Set((1L, 2L, 1.0)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mh === Set((1L, 2L, 10000L)))
 
     val sp = Dedup.simhashPairs(spark, dir)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(sp === Set((1L, 2L)))
   }
 
+  test("duplicate clusters merge transitively (a~b~c one cluster, a!~c)") {
+    val dir = java.nio.file.Files.createTempDirectory("chain").toString
+    val base = (1 to 40).map(i => s"w$i")
+    val b = base.updated(5, "X1").updated(15, "X2").updated(25, "X3")
+    val c = b.updated(8, "Y1").updated(18, "Y2").updated(28, "Y3")
+    val far = (100 to 140).map(i => s"z$i")
+    def doc(id: Long, toks: Seq[String]) = {
+      val t = toks.mkString(" ")
+      (id, t, "en", "s", t.length.toLong)
+    }
+    Seq(doc(1, base), doc(2, b), doc(3, c), doc(4, far))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)), "1~3 should be below threshold (chain test invalid)")
+
+    val clusters = Dedup.duplicateClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L)
+    assert(!clusters.contains(4L), "isolated docs have no cluster row")
+  }
+
   test("minhash LSH candidates reproduce full jaccard pairs on sf0.001") {
     val exact = Dedup.ngramJaccardPairs(spark, sf0001)
-      .as[(Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     val lsh = Dedup.minhashLshPairs(spark, sf0001)
-      .as[(Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     // LSH candidates are a subset-with-high-recall of the exact pairs;
     // everything LSH verifies must appear in the exact set.
     assert(lsh.subsetOf(exact))
@@ -55,10 +80,10 @@ class DedupSimilaritySpec extends SparkSuite {
   test("brute-force topk: every query's rank-1 neighbor is itself") {
     val top = Similarity.bruteForceTopK(spark, sf0001)
       .filter("rn = 1")
-      .select("qid", "vec_id", "cosine")
-      .as[(Long, Long, Double)].collect()
+      .select("qid", "vec_id", "cosine_e4")
+      .as[(Long, Long, Long)].collect()
     assert(top.length === 8)
-    top.foreach { case (q, v, c) => assert(q === v && c === 1.0) }
+    top.foreach { case (q, v, c) => assert(q === v && c === 10000L) }
   }
 
   test("lsh ann results are a subset of brute-force rankings' universe") {

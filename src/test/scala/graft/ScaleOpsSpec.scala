@@ -15,10 +15,10 @@ class ScaleOpsSpec extends SparkSuite {
   test("salted two-phase sum equals direct aggregation") {
     val direct = table(spark, sf0001, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
-      .as[(String, Double)].collect().toMap
+      .agg(sum(graft.operators.Exact.e(col("l_quantity"), 2)).as("sum_qty_e2"))
+      .as[(String, Long)].collect().toMap
     val salted = SkewOps.saltedPricingByFlag(spark, sf0001)
-      .as[(String, Double)].collect().toMap
+      .as[(String, Long)].collect().toMap
     assert(salted === direct)
   }
 

@@ -8,14 +8,15 @@ class TextMultimodalSpec extends SparkSuite {
 
   test("token stats: counts match a scala tokenizer on real docs") {
     val rows = TextAnalysis.tokenStats(spark, sf0001)
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
-    rows.take(50).foreach { case (id, nChars, nTokens, avgLen) =>
+    rows.take(50).foreach { case (id, nChars, nTokens, avgLenE4) =>
       val toks = texts(id).split(" ")
       assert(nTokens === toks.length, s"doc $id")
       assert(nChars === texts(id).length)
-      assert(math.abs(avgLen - toks.map(_.length).sum.toDouble / toks.length) < 1e-3)
+      val expected = toks.map(_.length).sum.toDouble / toks.length
+      assert(math.abs(avgLenE4 / 10000.0 - expected) < 1e-3)
     }
   }
 

@@ -112,6 +112,7 @@ object SparkEntry {
     "f2_ship_latency" -> RelationalOps.shipLatency _,
     "f3_customer_name_ops" -> RelationalOps.customerNameOps _,
     "f4_median_value_by_type" -> RelationalOps.medianValueByType _,
+    "w3_top_parts_by_brand" -> RelationalOps.topPartsByBrand _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -412,6 +413,16 @@ object SparkEntry {
         |  lpad(cast(c_custkey AS string), 9, '0') AS padded_key,
         |  concat_ws('|', c_mktsegment, trim(c_name)) AS tagged
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    "w3_top_parts_by_brand" ->
+      """SELECT p_brand, p_partkey, rev_e4, cast(rn AS int) AS rn FROM (
+        |  SELECT p_brand, p_partkey, rev_e4,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY rev_e4 DESC, p_partkey) AS rn
+        |  FROM (
+        |    SELECT p_brand, p_partkey,
+        |      cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint) AS rev_e4
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY p_brand, p_partkey))
+        |WHERE rn <= 3""".stripMargin,
     "f4_median_value_by_type" ->
       """SELECT event_type,
         |  cast(floor(quantile_cont(value, 0.5) * 100.0 + 0.5) AS bigint) AS median_value_e2,

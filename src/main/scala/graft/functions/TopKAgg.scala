@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k aggregation: keeps the k best (score, id) pairs, ordered
+  * by score desc then id asc.
+  *
+  * The window formulation (`row_number().over(partitionBy(key).orderBy(...))
+  * <= k`) must SORT every key's full partition before discarding all but k
+  * rows. This aggregator keeps only k entries per group in the buffer and
+  * merges buffers pairwise — map-side partial aggregation ships k rows per
+  * key per partition instead of everything, the difference between a
+  * full-sort shuffle and a tiny one at 100 TB.
+  *
+  * Buffer is a sorted Seq (k is small); merge is a bounded sorted merge —
+  * associative and commutative, so partial aggregation is safe.
+  */
+class TopKAgg(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.size == k && !better(in, buf.last)) buf
+    else ((buf :+ in).sortWith(better)).take(k)
+
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}

@@ -230,6 +230,34 @@ object RelationalOps {
         lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
         concat_ws("|", col("c_mktsegment"), trim(col("c_name"))).as("tagged"))
 
+  /** Top-3 parts by exact revenue per brand via the bounded-heap
+    * [[graft.functions.TopKAgg]] — map-side partial top-k instead of a
+    * whole-partition window sort. Result is identical to the window
+    * formulation (the DuckDB oracle uses row_number), ties broken by
+    * part key.
+    */
+  def topPartsByBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Exact
+    val revPerPart = table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev_e4"))
+    revPerPart
+      .select(col("p_brand"), col("rev_e4"), col("p_partkey"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      .toDF("p_brand", "top")
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(
+        col("p_brand"),
+        col("col._2").as("p_partkey"),
+        col("col._1").as("rev_e4"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Exact interpolated median (percentile) of value per event type. */
   def medianValueByType(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

@@ -87,6 +87,22 @@ class ScaleOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bounded-heap top-k equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val agg = SparkEntry.queries("w3_top_parts_by_brand")(spark, sf0001)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val revPerPart = table(spark, sf0001, "lineitem")
+      .join(table(spark, sf0001, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(graft.operators.Exact.e(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("rev_e4"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("rev_e4").desc, col("p_partkey"))
+    val win = revPerPart.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("rev_e4"), col("rn").cast("int"))
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(agg === win)
+  }
+
   test("code degrees: every nation code used by its options") {
     val df = SparkEntry.queries("s7_code_degrees")(spark, sf0001)
     val rows = df.as[(String, Long, Long)].collect()

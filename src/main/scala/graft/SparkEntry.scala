@@ -113,6 +113,8 @@ object SparkEntry {
     "f3_customer_name_ops" -> RelationalOps.customerNameOps _,
     "f4_median_value_by_type" -> RelationalOps.medianValueByType _,
     "w3_top_parts_by_brand" -> RelationalOps.topPartsByBrand _,
+    "w4_sessionize" -> RelationalOps.sessionize _,
+    "g4_event_cube" -> RelationalOps.eventCube _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -413,6 +415,27 @@ object SparkEntry {
         |  lpad(cast(c_custkey AS string), 9, '0') AS padded_key,
         |  concat_ws('|', c_mktsegment, trim(c_name)) AS tagged
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    "w4_sessionize" ->
+      """SELECT user_id, event_id, cast(session_no AS int) AS session_no FROM (
+        |  SELECT user_id, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM (
+        |    SELECT user_id, event_id, sec,
+        |      CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec FROM events)))""".stripMargin,
+    "g4_event_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type_g,
+        |  coalesce(cast(day AS string), 'ALL') AS day_g,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(v_e2) AS bigint) AS total_value_e2
+        |FROM (
+        |  SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+        |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
+        |  FROM events)
+        |GROUP BY CUBE(event_type, day)""".stripMargin,
     "w3_top_parts_by_brand" ->
       """SELECT p_brand, p_partkey, rev_e4, cast(rn AS int) AS rn FROM (
         |  SELECT p_brand, p_partkey, rev_e4,

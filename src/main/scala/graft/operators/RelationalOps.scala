@@ -258,6 +258,39 @@ object RelationalOps {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Gaps-and-islands sessionization: a new session starts after a >30 min
+    * silence per user. Works on integer epoch seconds (exact cross-engine);
+    * session number = running count of session-start flags.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    raw
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn(
+        "session_no",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        col("user_id"), col("event_id"),
+        col("session_no").cast("int").as("session_no"))
+  }
+
+  /** CUBE grouping sets over (event_type, day). */
+  def eventCube(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .withColumn("day", date_trunc("DAY", col("ts")).cast("date"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("total_value_e2"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day_g"),
+        col("n"), col("total_value_e2"))
+
   /** Exact interpolated median (percentile) of value per event type. */
   def medianValueByType(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

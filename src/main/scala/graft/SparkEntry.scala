@@ -590,7 +590,9 @@ object SparkEntry {
         |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
-    // v3/v4/v5 depend on driver-side hyperplane constants — rows-only check.
+    // deterministic hyperplane literals inlined into the oracle
+    "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
+    // v4/v5/v6/v7 combine hyperplanes/centroids with ranking — rows-only.
   )
 
   def multimodalOracle: Map[String, String] = Map(

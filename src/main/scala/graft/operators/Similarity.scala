@@ -55,6 +55,27 @@ object Similarity {
     Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian().toFloat))
   }
 
+  /** DuckDB oracle for [[lshBuckets]]: the plane constants are
+    * deterministic literals, so the oracle inlines them as FLOAT[] values
+    * and replays the same index-ordered double dot products.
+    */
+  def lshBucketsOracleSql: String = {
+    val planeRows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(_.toString).mkString(", ")}]::FLOAT[])"
+    }.mkString(",\n    ")
+    s"""WITH planes(j, plane) AS (VALUES
+       |    $planeRows),
+       |dots AS (
+       |  SELECT e.vec_id, e.label, p.j,
+       |    sum(cast(e.embedding[i] AS double) * cast(p.plane[i] AS double)) AS d
+       |  FROM embeddings e, planes p,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+       |  GROUP BY e.vec_id, e.label, p.j)
+       |SELECT vec_id, label,
+       |  cast(sum(CASE WHEN d > 0 THEN cast(1 AS bigint) << j ELSE 0 END) AS bigint) AS bucket
+       |FROM dots GROUP BY vec_id, label""".stripMargin
+  }
+
   /** Sign-pattern bucket id for every vector: bit j = sign(v · plane_j). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val planeCols = planes.map(p => array(p.toSeq.map(v => lit(v)): _*).cast("array<float>"))

@@ -122,6 +122,9 @@ object SparkEntry {
     "t2_quality_scores" -> TextAnalysis.qualityScores _,
     "t3_lang_id" -> TextAnalysis.langId _,
     "t4_fingerprints" -> TextAnalysis.fingerprints _,
+    // rolling-hash winnowing (custom expression) — rows-only
+    "t5_winnow_fingerprints" -> TextAnalysis.winnowFingerprints _,
+    "t6_winnow_candidates" -> ((s: SparkSession, d: String) => TextAnalysis.winnowCandidates(s, d)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

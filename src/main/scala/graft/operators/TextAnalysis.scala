@@ -90,4 +90,46 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text").cast("binary")).as("md5_full"),
       md5(substring(col("text"), 1, 64).cast("binary")).as("md5_head"))
+
+  /** Winnowing rolling-hash fingerprints (custom codegen expression): the
+    * local-similarity sketch — shared substrings of length ≥ w+k-1 always
+    * share a fingerprint entry. Output is a compact digest per document.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.Winnowing.winnow(col("text")).as("fp"))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("fp_len"),
+        // order-independent digest of the fingerprint set
+        xxhash64(concat_ws(",", transform(col("fp"), x => x.cast("string")))).as("fp_hash"))
+
+  /** Winnowing-based near-dup candidates: invert the fingerprint index and
+    * keep pairs sharing a high FRACTION of the smaller fingerprint set —
+    * same inverted-index shape as the shingle pipeline, over the compressed
+    * sketch (|fp| << |k-grams|). An absolute shared-count threshold is
+    * useless on a small-vocabulary corpus (every doc pair shares some
+    * hashes) and would explode the candidate set; the fraction filter keeps
+    * only true containment/near-dup relationships.
+    */
+  def winnowCandidates(
+      spark: SparkSession, dir: String, minOverlap: Double = 0.8): DataFrame = {
+    val fp = table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        explode(array_distinct(graft.functions.Winnowing.winnow(col("text")))).as("h"))
+      .cache()
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fp.as("x").join(fp.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    val frac = col("shared").cast("double") / least(col("sa.n"), col("sb.n")).cast("double")
+    shared
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(frac >= minOverlap)
+      .select(col("a"), col("b"), col("shared"), Exact.e(frac, 4).as("overlap_e4"))
+  }
 }

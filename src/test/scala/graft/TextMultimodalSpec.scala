@@ -36,6 +36,39 @@ class TextMultimodalSpec extends SparkSuite {
     assert(row._2 === exp)
   }
 
+  test("winnowing: identical docs share fingerprints; guarantee property holds") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Winnowing.winnow
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shared = "common shared middle section here"
+    val a = s"$base $shared"
+    val b = s"completely different prefix text $shared"
+    val rows = Seq(("a", a), ("a2", a), ("b", b)).toDF("id", "t")
+      .select(col("id"), winnow(col("t")).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap
+    // determinism: same text, same fingerprint
+    assert(rows("a") === rows("a2"))
+    // winnowing guarantee: substring of length >= w+k-1 (=8) shared by a
+    // and b -> at least one common fingerprint entry
+    assert(rows("a").toSet.intersect(rows("b").toSet).nonEmpty)
+    // fingerprints are much smaller than the k-gram count (compression)
+    assert(rows("a").size < a.length - 5 + 1)
+  }
+
+  test("winnowing candidates surface the planted near-duplicate pair") {
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    val t1 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val t2 = t1 + " tail extension"
+    val t3 = (200 to 280).map(i => s"q$i").mkString(" ")
+    Seq((1L, t1, "en", "s", t1.length.toLong), (2L, t2, "en", "s", t2.length.toLong),
+      (3L, t3, "en", "s", t3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cands = TextAnalysis.winnowCandidates(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cands === Set((1L, 2L)))
+  }
+
   test("multimodal meta formulas and payload byte length") {
     val m = MultimodalOps.assetMeta(spark, sf0001)
       .as[(Long, String, Int, Int, Long)].collect()

@@ -64,7 +64,7 @@ object WinnowingUtil {
   }
 }
 
-/** `winnow(text) -> array<long>` fingerprint expression (k=5, w=4). */
+/** `winnow(text) -> array<long>` fingerprint expression. */
 case class WinnowingFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -75,6 +75,9 @@ case class WinnowingFingerprint(child: Expression, k: Int, w: Int) extends Unary
 }
 
 object Winnowing {
-  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+  // k=16 bytes spans ~3 words of typical text — sub-word k-grams collide
+  // across unrelated documents and blow up the inverted index; any shared
+  // substring of length ≥ w+k-1 = 23 still contributes a shared entry.
+  def winnow(text: Column, k: Int = 16, w: Int = 8): Column =
     Bridge.column(WinnowingFingerprint(Bridge.expression(text), k, w))
 }

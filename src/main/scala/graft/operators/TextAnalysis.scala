@@ -114,12 +114,18 @@ object TextAnalysis {
     * only true containment/near-dup relationships.
     */
   def winnowCandidates(
-      spark: SparkSession, dir: String, minOverlap: Double = 0.8): DataFrame = {
-    val fp = table(spark, dir, "documents")
+      spark: SparkSession, dir: String,
+      minOverlap: Double = 0.8,
+      maxDocFreq: Int = 256): DataFrame = {
+    val raw = table(spark, dir, "documents")
       .select(
         col("doc_id"),
         explode(array_distinct(graft.functions.Winnowing.winnow(col("text")))).as("h"))
-      .cache()
+    // skew guard (same as the shingle index): a hash present in hundreds of
+    // documents carries no near-dup signal but costs O(df²) join pairs
+    val rare = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("h"))
+    val fp = raw.join(rare, Seq("h"), "left_semi").cache()
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fp.as("x").join(fp.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

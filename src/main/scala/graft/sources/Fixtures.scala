@@ -107,22 +107,29 @@ object Fixtures {
     val li = table(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
     val iid = col("l_orderkey").cast("string")
 
-    val nationsDim = li
+    // ONE lineitem scan feeding both dimension types: broadcast-join the
+    // two small dims, then explode a 2-element struct array into the
+    // nations row and the brands row. Produces exactly the same multiset
+    // as two separate scans UNION ALLed (the DuckDB oracle's phrasing) at
+    // half the scan cost — at 100 TB the fact scan dominates everything.
+    val lineDims = li
       .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(table(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .select(
-        iid.as("instance_id"),
-        concat(iid, lit("_nations")).as("dimension_id"),
-        col("n_name").as("option"),
-        lit("nations").as("code_list_id"))
-
-    val brandsDim = li
       .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(
         iid.as("instance_id"),
-        concat(iid, lit("_brands")).as("dimension_id"),
-        col("p_brand").as("option"),
-        lit("brands").as("code_list_id"))
+        explode(array(
+          struct(
+            concat(iid, lit("_nations")).as("dimension_id"),
+            col("n_name").as("option"),
+            lit("nations").as("code_list_id")),
+          struct(
+            concat(iid, lit("_brands")).as("dimension_id"),
+            col("p_brand").as("option"),
+            lit("brands").as("code_list_id")))).as("d"))
+      .select(
+        col("instance_id"), col("d.dimension_id").as("dimension_id"),
+        col("d.option").as("option"), col("d.code_list_id").as("code_list_id"))
 
     val o = table(spark, dir, "orders")
     val timeDim = o.filter(okey % 100 === 0).select(
@@ -143,7 +150,7 @@ object Fixtures {
       lit("X").as("option"),
       lit("nations").as("code_list_id"))
 
-    nationsDim.unionAll(brandsDim).unionAll(timeDim).unionAll(badOption).unionAll(badId)
+    lineDims.unionAll(timeDim).unionAll(badOption).unionAll(badId)
       .select(
         col("instance_id"), col("dimension_id"), col("option"),
         concat(lit("n_"), col("dimension_id"), lit("_"), regexp_replace(col("option"), " ", "-"))

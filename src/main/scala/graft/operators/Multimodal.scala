@@ -12,6 +12,7 @@ final case class MMFeatures(
     doc_id: Long,
     n_bytes: Long,
     mean_byte: Double,
+    feat: Seq[Float],
     feat_norm: Double,
     n_frames: Int,
     frame_checksum: Long)
@@ -110,6 +111,7 @@ object MultimodalOps {
             a.doc_id,
             a.payload.length.toLong,
             math.rint(meanByte * 10000) / 10000,
+            feat.toSeq,
             math.rint(math.sqrt(fn) * 10000) / 10000,
             nFrames,
             checksum)

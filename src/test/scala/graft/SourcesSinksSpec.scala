@@ -1,6 +1,7 @@
 package graft
 
 import graft.sinks.BatchedPatchSink
+import org.apache.spark.sql.functions.col
 import graft.sinks.BatchedPatchSink.RecordingClient
 
 /** DataSourceV2 paged source + batched PATCH sink parity tests. */
@@ -50,6 +51,24 @@ class SourcesSinksSpec extends SparkSuite {
     assert(calls === 4)
     assert(RecordingClient.calls.get() === 4)
     assert(RecordingClient.rows.get() === 10)
+  }
+
+  test("graph nodes write partitioned by label and read back losslessly") {
+    val out = java.nio.file.Files.createTempDirectory("nodes-out").toString
+    val nodes = graft.operators.ImporterPipeline.graphNodes(
+      graft.operators.ImporterPipeline.projectInstances(
+        graft.sources.Fixtures.instances(spark, sf0001)),
+      Seq(("i1", "i1_geo", "England", "n1", "cl"))
+        .toDF("instance_id", "dimension_id", "option", "node_id", "code_list_id"))
+    nodes.write.partitionBy("label").mode("overwrite").parquet(out)
+    // partition pruning: reading one label touches only its directory
+    val labels = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("label="))
+    assert(labels.toSet === Set("label=Instance", "label=DimensionOption"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === nodes.count())
+    val pruned = back.filter(col("label") === "Instance")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(label"), scan)
   }
 
   test("patch sink: single call when everything fits one batch") {

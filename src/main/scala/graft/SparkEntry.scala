@@ -115,6 +115,8 @@ object SparkEntry {
     "w3_top_parts_by_brand" -> RelationalOps.topPartsByBrand _,
     "w4_sessionize" -> RelationalOps.sessionize _,
     "g4_event_cube" -> RelationalOps.eventCube _,
+    "j5_asof_purchase_view" -> graft.operators.TemporalJoins.asOfPurchaseView _,
+    "j6_range_purchase_error" -> graft.operators.TemporalJoins.purchaseErrorWithin _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -439,6 +441,30 @@ object SparkEntry {
         |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
         |  FROM events)
         |GROUP BY CUBE(event_type, day)""".stripMargin,
+    "j5_asof_purchase_view" ->
+      """SELECT user_id, event_id AS purchase_id, prior_view_id,
+        |  sec - prior_view_sec AS gap_sec
+        |FROM (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_sec
+        |  FROM (
+        |    SELECT user_id, event_id, event_type, cast(floor(epoch(ts)) AS bigint) AS sec
+        |    FROM events WHERE event_type IN ('view', 'purchase')))
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "j6_range_purchase_error" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+        |  e.sec - p.sec AS gap_sec
+        |FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec
+        |      FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.sec > p.sec AND e.sec - p.sec <= 86400""".stripMargin,
     "w3_top_parts_by_brand" ->
       """SELECT p_brand, p_partkey, rev_e4, cast(rn AS int) AS rn FROM (
         |  SELECT p_brand, p_partkey, rev_e4,

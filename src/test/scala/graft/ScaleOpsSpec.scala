@@ -103,6 +103,36 @@ class ScaleOpsSpec extends SparkSuite {
     assert(agg === win)
   }
 
+  test("banded range join equals the naive theta join") {
+    import graft.operators.TemporalJoins
+    val banded = TemporalJoins.purchaseErrorWithin(spark, sf0001)
+      .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(spark, sf0001, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("sec").as("ps"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("eid"), col("sec").as("es"))
+    val naive = p.join(e, col("pu") === col("eu") &&
+        col("es") > col("ps") && col("es") - col("ps") <= 86400)
+      .select("pid", "eid").as[(Long, Long)].collect().toSet
+    assert(banded === naive)
+    assert(banded.nonEmpty)
+  }
+
+  test("as-of join: matched view is the latest strictly-prior one") {
+    import graft.operators.TemporalJoins
+    val rows = TemporalJoins.asOfPurchaseView(spark, sf0001)
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, viewId, gap) =>
+      assert(viewId.isEmpty === gap.isEmpty)
+      gap.foreach(g => assert(g >= 0))
+    }
+    assert(rows.exists(_._3.isDefined), "no purchase matched any view")
+  }
+
   test("code degrees: every nation code used by its options") {
     val df = SparkEntry.queries("s7_code_degrees")(spark, sf0001)
     val rows = df.as[(String, Long, Long)].collect()

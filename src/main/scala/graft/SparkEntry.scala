@@ -127,6 +127,11 @@ object SparkEntry {
     // rolling-hash winnowing (custom expression) — rows-only
     "t5_winnow_fingerprints" -> TextAnalysis.winnowFingerprints _,
     "t6_winnow_candidates" -> ((s: SparkSession, d: String) => TextAnalysis.winnowCandidates(s, d)),
+    // training-data prep
+    "t7_normalize" -> graft.operators.TrainingPrep.normalized _,
+    "t8_chunks" -> graft.operators.TrainingPrep.chunks _,
+    "t9_tfidf_top_terms" -> graft.operators.TrainingPrep.tfidfTopTerms _,
+    "t10_stratified_sample" -> graft.operators.TrainingPrep.stratifiedSample _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,6 +532,16 @@ object SparkEntry {
     "t4_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5_full, md5(substr(text, 1, 64)) AS md5_head
         |FROM documents""".stripMargin,
+    "t7_normalize" ->
+      """SELECT doc_id, md5(norm_text) AS norm_md5,
+        |  cast(length(norm_text) AS bigint) AS norm_len
+        |FROM (
+        |  SELECT doc_id,
+        |    trim(replace(replace(replace(lower(text), '.', ''), ',', ''), '  ', ' ')) AS norm_text
+        |  FROM documents)""".stripMargin,
+    "t8_chunks" -> graft.operators.TrainingPrep.chunksOracleSql,
+    // t9 uses ln() (not correctly-rounded across libm) and t10 uses
+    // engine-specific sampling RNG — rows-only checks.
   )
 
   def dedupOracle: Map[String, String] = Map(

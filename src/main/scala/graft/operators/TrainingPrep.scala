@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures.table
+
+/** Training-data preparation operators over `documents` — the steps between
+  * raw corpus and tokenizer-ready shards:
+  *
+  *   - normalization (case folding, whitespace canonicalization),
+  *   - fixed-stride token-window CHUNKING (the pretraining sharder: every
+  *     document becomes overlapping windows of `chunkSize` tokens),
+  *   - TF-IDF salient terms (corpus statistics for filtering/analysis),
+  *   - seeded stratified sampling (per-language quotas).
+  *
+  * All are map-only or single-shuffle; chunking multiplies rows by
+  * ~n_tokens/stride, which at 100 TB is the dominant fan-out and stays
+  * embarrassingly parallel (no shuffle — chunks derive from their own row).
+  */
+object TrainingPrep {
+
+  private val ChunkSize = 64
+  private val Stride = 32
+
+  /** Canonical text: lower-cased, punctuation stripped, single-spaced. */
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      trim(replace(replace(replace(lower(col("text")), lit("."), lit("")),
+        lit(","), lit("")), lit("  "), lit(" "))).as("norm_text"))
+      .select(
+        col("doc_id"),
+        md5(col("norm_text").cast("binary")).as("norm_md5"),
+        length(col("norm_text")).cast("bigint").as("norm_len"))
+
+  /** Overlapping token windows: chunk k covers tokens [k·stride, k·stride +
+    * chunkSize). Emits (doc_id, chunk_id, chunk_tokens, chunk_text) — the
+    * shard row a tokenizer consumes.
+    */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("k", explode(expr(s"sequence(0, cast(ceil(n / $Stride.0) as int) - 1)")))
+      .select(
+        col("doc_id"),
+        col("k").cast("int").as("chunk_id"),
+        expr(s"slice(toks, k * $Stride + 1, $ChunkSize)").as("ctoks"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("bigint").as("chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+
+  val chunksOracleSql: String =
+    s"""SELECT doc_id, cast(k AS int) AS chunk_id,
+       |  cast(len(t[(k * $Stride + 1):(k * $Stride + $ChunkSize)]) AS bigint) AS chunk_tokens,
+       |  array_to_string(t[(k * $Stride + 1):(k * $Stride + $ChunkSize)], ' ') AS chunk_text
+       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+       |LATERAL (SELECT unnest(range(0, cast(ceil(len(t) / $Stride.0) AS int))) AS k) r""".stripMargin
+
+  /** Top-5 salient terms per document by TF-IDF. The idf uses ln(), which
+    * is not correctly-rounded across libm implementations → rows-only
+    * check; within-engine results are deterministic (integer-scaled score
+    * with term tie-break).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = Exact.e(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_e6").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score_e6", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("term"), col("score_e6"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Seeded per-language stratified sample: en down-sampled, the rest
+    * kept — the corpus-rebalancing step. Sampling RNG is engine-specific →
+    * rows-only check; determinism per seed is tested.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .stat.sampleBy(
+        "lang",
+        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .select(col("doc_id"), col("lang"))
+}

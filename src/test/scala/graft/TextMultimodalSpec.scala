@@ -69,6 +69,42 @@ class TextMultimodalSpec extends SparkSuite {
     assert(cands === Set((1L, 2L)))
   }
 
+  test("chunking covers every token and respects stride/size") {
+    import graft.operators.TrainingPrep
+    val chunks = TrainingPrep.chunks(spark, sf0001)
+      .as[(Long, Int, Long, String)].collect()
+    val docTokens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      .view.mapValues(_.split(" ").length).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === docTokens.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = docTokens(id)
+      // number of windows with stride 32
+      assert(cs.length === math.ceil(n / 32.0).toInt, s"doc $id")
+      // chunk 0 is full-size (or the whole doc when shorter than a window)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === math.min(64, n))
+      // token counts line up with window/stride coverage of the document
+      assert(sorted.last._3 === n - 32L * (cs.length - 1))
+    }
+  }
+
+  test("stratified sample is deterministic per seed and respects strata") {
+    import graft.operators.TrainingPrep
+    val a = TrainingPrep.stratifiedSample(spark, sf0001).as[(Long, String)].collect().toSet
+    val b = TrainingPrep.stratifiedSample(spark, sf0001).as[(Long, String)].collect().toSet
+    assert(a === b)
+    val total = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = a.groupBy(_._2).view.mapValues(_.size).toMap
+    // non-en strata kept fully; en materially down-sampled
+    Seq("de", "fr", "es", "zh").foreach { l =>
+      assert(sampled.getOrElse(l, 0) === total(l).toInt, l)
+    }
+    assert(sampled("en") < total("en") * 0.6)
+  }
+
   test("multimodal meta formulas and payload byte length") {
     val m = MultimodalOps.assetMeta(spark, sf0001)
       .as[(Long, String, Int, Int, Long)].collect()

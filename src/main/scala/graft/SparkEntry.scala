@@ -167,7 +167,11 @@ object SparkEntry {
     "a6_approx_distinct_options" -> ((s, d) =>
       dimsDedup(s, d).groupBy(col("code_list_id"))
         .agg(approx_count_distinct(col("option")).as("approx_options"))),
-    // UDAF surface: MinHash signatures via the typed Aggregator (rows-only)
+    // UDAF surface: MinHash signatures via the typed Aggregator (rows-only).
+    // The signature array is digested to an order-stable scalar (the
+    // driver's comparator can't sort array columns), same pattern as
+    // winnowFingerprints; ScalaTest cross-checks the digest against the
+    // minhashSignatures expression path.
     "d7_minhash_agg_signatures" -> ((s, d) => {
       import s.implicits._
       graft.operators.Dedup.shingles(s, d)
@@ -176,12 +180,23 @@ object SparkEntry {
         .mapValues(_._2)
         .agg(new graft.functions.MinHashAgg(32).toColumn.name("sig"))
         .toDF("doc_id", "sig")
+        .select(
+          col("doc_id"),
+          size(col("sig")).cast("int").as("sig_len"),
+          xxhash64(concat_ws(",", col("sig").cast("array<string>"))).as("sig_digest"))
     }),
   )
 
   def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_asset_meta" -> MultimodalOps.assetMeta _,
-    "m2_decode_features" -> ((s: SparkSession, d: String) => MultimodalOps.decodeFeatures(s, d).toDF()),
+    // feature vector digested to a scalar (e4-scaled components) so the
+    // driver's sort-based comparator never sees an array column
+    "m2_decode_features" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.decodeFeatures(s, d).toDF()
+        .withColumn("feat_digest",
+          xxhash64(concat_ws(",",
+            transform(col("feat"), x => floor(x * lit(10000.0) + lit(0.5)).cast("long").cast("string")))))
+        .drop("feat")),
   )
 
   private val W = OracleCtes.all
@@ -191,7 +206,8 @@ object SparkEntry {
     * stubbed decode are intentionally omitted → driver's rows-only check.
     */
   def oracleSql: Map[String, String] = importerOracle ++ relationalOracle ++
-    textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle ++ sourceOracle
+    textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle ++
+    sourceOracle ++ dataDependentOracle
 
   def sourceOracle: Map[String, String] = Map(
     "s3_paged_api_scan" ->
@@ -556,12 +572,14 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
     "d3_ngram_jaccard_pairs" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+        |ok_sh AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDocFreq}),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok_sh USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -577,12 +595,14 @@ object SparkEntry {
     // connected components over the near-dup pair graph, replayed in
     // DuckDB with a recursive transitive-closure CTE
     "d8_duplicate_clusters" ->
-      """WITH RECURSIVE toks AS (
+      s"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+        |ok_sh AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDocFreq}),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok_sh USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |cpairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
@@ -634,10 +654,28 @@ object SparkEntry {
         |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
-    // deterministic hyperplane literals inlined into the oracle
+    // deterministic hyperplane literals inlined into the oracles
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
-    // v4/v5/v6/v7 combine hyperplanes/centroids with ranking — rows-only.
+    "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,
+    "v5_embedding_near_dups" -> Similarity.embeddingNearDupsOracleSql,
+    // v6/v7 oracles inline the trained centroids — data-dependent, see
+    // [[dataDependentOracle]].
   )
+
+  /** Oracles whose SQL embeds data-dependent literals (the trained IVF
+    * centroids). They can only be generated with a live session pointed at
+    * the verify directory — [[Verify]] sets the `graft.sfdir` property
+    * before dumping oracle_sql.json. Absent that context (e.g. static
+    * inspection of oracleSql), these entries are omitted and the driver
+    * falls back to its rows-only check.
+    */
+  def dataDependentOracle: Map[String, String] =
+    (SparkSession.getActiveSession, sys.props.get("graft.sfdir")) match {
+      case (Some(s), Some(d)) => Map(
+        "v6_ivf_assignments" -> graft.operators.IvfAnn.assignmentsOracleSql(s, d),
+        "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d))
+      case _ => Map.empty
+    }
 
   def multimodalOracle: Map[String, String] = Map(
     "m1_asset_meta" ->

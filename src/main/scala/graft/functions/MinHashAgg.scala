@@ -11,11 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregation and a tiny shuffle (numPerms longs per doc), the sketch-
   * aggregation shape that scales to 100 TB.
   *
-  * Permutation p of shingle s is xxhash64 over (p's seed, s's bytes) — the
-  * same family as the column-expression formulation in
-  * [[graft.operators.Dedup.minhashSignatures]]; the two paths are
-  * interchangeable (the expression path stays in codegen; this path is the
-  * extensible-UDAF demonstration).
+  * Permutation p of shingle s is the same chained xxhash64 the
+  * column-expression formulation in
+  * [[graft.operators.Dedup.minhashSignatures]] computes
+  * (`xxhash64(lit(p), col("s"))` = bytes-hash seeded by the long-hash of
+  * p), so the two paths agree BIT-FOR-BIT — asserted in AvroMinHashSpec.
+  * The expression path stays in codegen; this path is the extensible-UDAF
+  * demonstration.
   */
 class MinHashAgg(numPerms: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
 
@@ -25,9 +27,10 @@ class MinHashAgg(numPerms: Int) extends Aggregator[String, Array[Long], Seq[Long
     val u = UTF8String.fromString(shingle)
     var p = 0
     while (p < numPerms) {
-      // hash(seed=42) of (p || shingle) — one independent permutation per p
-      val h = XXH64.hashLong(p.toLong,
-        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      // xxhash64(p, s) exactly as the SQL expression chains it: the int
+      // hash of p (seed 42) seeds the byte hash of s
+      val h = XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes(), XXH64.hashInt(p, 42L))
       if (h < buf(p)) buf(p) = h
       p += 1
     }

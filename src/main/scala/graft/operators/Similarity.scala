@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{cosineF, dotF}
@@ -12,34 +11,50 @@ import graft.sources.Fixtures.table
   * Two paths, per the standard ANN playbook:
   *   - brute-force cosine top-k: the exact baseline. O(queries × corpus);
   *     at 100 TB this is a broadcast of the (small) query set against a
-  *     partitioned corpus scan — embarrassingly parallel, no shuffle until
-  *     the final per-query top-k (which AQE keeps tiny).
+  *     partitioned corpus scan — embarrassingly parallel, map-only until
+  *     the final per-query top-k.
   *   - LSH (random hyperplane) bucketing: corpus is pre-bucketed by sign
   *     pattern; queries probe only their bucket. Candidate set shrinks
   *     ~2^planes-fold; recall tunable by probing neighboring buckets.
   *
+  * Top-k everywhere uses the bounded-heap [[graft.functions.TopKPayloadAgg]]
+  * — map-side partial aggregation ships k rows per query per partition. The
+  * window formulation (`row_number().over(partitionBy(qid))`) would funnel
+  * the whole corpus×queries product onto NumQueries reducer partitions and
+  * fully sort each; at 100 TB that single exchange is the job.
+  *
   * The dot/norm kernels are custom codegen expressions (double accumulator
-  * in index order) so the DuckDB oracle can replay the exact arithmetic.
+  * in index order) so the DuckDB oracle can replay the exact arithmetic;
+  * ranking keys are 6 dp scaled integers (see [[Exact]]) so ordering never
+  * hinges on a sub-ulp float comparison.
   */
 object Similarity {
 
   private val NumQueries = 8
   private val TopK = 10
+  private val LshTopK = 5
 
   /** Exact brute-force cosine top-k for the first [[NumQueries]] vectors.
-    * Ranking key is cosine rounded to 6dp with vec_id tie-break —
-    * deterministic across engines and summation orders.
+    * Ranking key is cosine at 6 dp with vec_id tie-break — deterministic
+    * across engines and summation orders.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cos = cosineF(col("qe"), col("embedding"))
-    val w = Window.partitionBy(col("qid")).orderBy(Exact.e(cos, 6).desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
-      .select(col("qid"), col("vec_id"), Exact.e(cos, 4).as("cosine_e4"), col("rn").cast("int").as("rn"))
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("cosine_e4"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   // 2^NumPlanes buckets; keep buckets populated (corpus_size >> 2^planes)
@@ -55,16 +70,21 @@ object Similarity {
     Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian().toFloat))
   }
 
+  /** The planes as a DuckDB VALUES clause — deterministic literals shared
+    * by every LSH oracle.
+    */
+  private def planesValues: String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(_.toString).mkString(", ")}]::FLOAT[])"
+    }.mkString(",\n    ")
+
   /** DuckDB oracle for [[lshBuckets]]: the plane constants are
     * deterministic literals, so the oracle inlines them as FLOAT[] values
     * and replays the same index-ordered double dot products.
     */
-  def lshBucketsOracleSql: String = {
-    val planeRows = planes.zipWithIndex.map { case (p, j) =>
-      s"($j, [${p.map(_.toString).mkString(", ")}]::FLOAT[])"
-    }.mkString(",\n    ")
+  def lshBucketsOracleSql: String =
     s"""WITH planes(j, plane) AS (VALUES
-       |    $planeRows),
+       |    $planesValues),
        |dots AS (
        |  SELECT e.vec_id, e.label, p.j,
        |    sum(cast(e.embedding[i] AS double) * cast(p.plane[i] AS double)) AS d
@@ -74,48 +94,178 @@ object Similarity {
        |SELECT vec_id, label,
        |  cast(sum(CASE WHEN d > 0 THEN cast(1 AS bigint) << j ELSE 0 END) AS bigint) AS bucket
        |FROM dots GROUP BY vec_id, label""".stripMargin
-  }
 
-  /** Sign-pattern bucket id for every vector: bit j = sign(v · plane_j). */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** Sign-pattern bucket id over any DataFrame with an `embedding` column:
+    * bit j = sign(v · plane_j). Map-only, codegen.
+    */
+  def withBucket(df: DataFrame): DataFrame = {
     val planeCols = planes.map(p => array(p.toSeq.map(v => lit(v)): _*).cast("array<float>"))
     val bucket = planeCols.zipWithIndex
       .map { case (p, j) => when(dotF(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)
-    table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), bucket.as("bucket"))
+    df.withColumn("bucket", bucket)
   }
 
+  /** Per-vector bucket assignment for the base corpus (oracle-checked). */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    withBucket(table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), col("bucket"))
+
   /** Bucketed ANN: queries probe only their own bucket; exact cosine within
-    * the bucket, top-5 per query. Trades recall for a ~2^planes candidate
-    * reduction — the 100 TB path where brute force is off the table.
+    * the bucket, top-5 per query via the bounded heap. Trades recall for a
+    * ~2^planes candidate reduction — the 100 TB path where brute force is
+    * off the table.
     */
   def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
-    val buckets = lshBuckets(spark, dir)
-    val withVec = buckets.join(emb, "vec_id")
+    import spark.implicits._
+    val withVec = withBucket(table(spark, dir, "embeddings"))
     val queries = withVec.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"), col("embedding").as("qe"))
     val cos = cosineF(col("qe"), col("embedding"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(cos, 6).desc, col("vec_id"))
     withVec.join(broadcast(queries), col("bucket") === col("qbucket"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("vec_id"), round(cos, 4).as("cosine"), col("rn").cast("int").as("rn"))
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(LshTopK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("cosine_e4"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
-  /** Embedding-cosine near-duplicate pairs among the corpus: LSH-bucketed
-    * all-pairs within buckets, keep cosine ≥ threshold. The embedding
-    * counterpart of MinHash dedup.
+  /** DuckDB oracle for [[lshAnnTopK]]: plane literals → buckets → probe own
+    * bucket → cosine ranked on the 6 dp scaled key.
     */
-  def embeddingNearDuplicates(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val withVec = lshBuckets(spark, dir).join(table(spark, dir, "embeddings"), "vec_id")
-    val cos = cosineF(col("x.embedding"), col("y.embedding"))
-    withVec.as("x").join(withVec.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .filter(cos >= threshold)
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), round(cos, 4).as("cosine"))
+  def lshAnnTopKOracleSql: String =
+    s"""WITH planes(j, plane) AS (VALUES
+       |    $planesValues),
+       |dots AS (
+       |  SELECT e.vec_id, p.j,
+       |    sum(cast(e.embedding[i] AS double) * cast(p.plane[i] AS double)) AS d
+       |  FROM embeddings e, planes p,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+       |  GROUP BY e.vec_id, p.j),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    cast(sum(CASE WHEN d > 0 THEN cast(1 AS bigint) << j ELSE 0 END) AS bigint) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, w.vec_id
+       |  FROM buckets q JOIN buckets w ON w.bucket = q.bucket
+       |  WHERE q.vec_id < $NumQueries),
+       |pc AS (
+       |  SELECT c.qid, c.vec_id,
+       |    sum(cast(qe.embedding[i] AS double) * cast(ce.embedding[i] AS double)) AS dot,
+       |    sqrt(sum(cast(ce.embedding[i] AS double) * cast(ce.embedding[i] AS double))) AS nv,
+       |    sqrt(sum(cast(qe.embedding[i] AS double) * cast(qe.embedding[i] AS double))) AS nq
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id,
+       |       LATERAL (SELECT unnest(range(1, len(ce.embedding) + 1)) AS i) r
+       |  GROUP BY c.qid, c.vec_id),
+       |scored AS (
+       |  SELECT qid, vec_id,
+       |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
+       |  FROM pc)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $LshTopK""".stripMargin
+
+  // v5 planted near-duplicates: clone the first CloneCount vectors with odd
+  // dimensions scaled by 1.2 — cosine(original, clone) ≈ 0.996, far above
+  // any random pair (max ≈ 0.6 at dim 64), so the threshold separates
+  // planted pairs from noise at every sf. The derivation is pure float
+  // arithmetic both engines replay exactly.
+  private val CloneCount = 32
+  private val CloneIdOffset = 1000000L
+  private val NearDupThreshold = 0.95
+  private val MaxBucketSize = 256
+
+  /** Base corpus ∪ deterministic near-duplicate clones. */
+  def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val clones = emb.filter(col("vec_id") < CloneCount).select(
+      (col("vec_id") + lit(CloneIdOffset)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float")).otherwise(x))
+        .as("embedding"))
+    emb.unionAll(clones)
   }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed pairing with a
+    * bucket-size cap (the skew guard — a hot bucket is O(size²) pairs and
+    * carries no near-dup signal), cosine ≥ threshold on the 6 dp key. The
+    * embedding counterpart of MinHash dedup.
+    */
+  def embeddingNearDuplicates(
+      spark: SparkSession, dir: String,
+      threshold: Double = NearDupThreshold,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val corpus = withBucket(nearDupCorpus(spark, dir))
+    val okBuckets = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select(col("bucket"))
+    val capped = corpus.join(okBuckets, Seq("bucket"), "left_semi")
+    val cos = cosineF(col("x.embedding"), col("y.embedding"))
+    capped.as("x").join(capped.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Exact.e(cos, 6) >= lit(math.round(threshold * 1e6)))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), Exact.e(cos, 4).as("cosine_e4"))
+  }
+
+  /** DuckDB oracle for [[embeddingNearDuplicates]]: corpus+clones in long
+    * (vec_id, i, v) form, plane literals → buckets, capped bucket pairing,
+    * cosine threshold on the 6 dp key. 1-based `i` mirrors Spark's 0-based
+    * transform index (Spark odd index = DuckDB even i).
+    */
+  def embeddingNearDupsOracleSql: String =
+    s"""WITH planes(j, plane) AS (VALUES
+       |    $planesValues),
+       |base AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |clones AS (
+       |  SELECT vec_id + $CloneIdOffset AS vec_id, i,
+       |    CASE WHEN (i - 1) % 2 = 1 THEN cast(cast(v AS double) * 1.2 AS float) ELSE v END AS v
+       |  FROM base WHERE vec_id < $CloneCount),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+       |pd AS (
+       |  SELECT c.vec_id, p.j, sum(cast(c.v AS double) * cast(p.plane[c.i] AS double)) AS d
+       |  FROM corpus c, planes p GROUP BY c.vec_id, p.j),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    cast(sum(CASE WHEN d > 0 THEN cast(1 AS bigint) << j ELSE 0 END) AS bigint) AS bucket
+       |  FROM pd GROUP BY vec_id),
+       |ok_buckets AS (
+       |  SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= $MaxBucketSize),
+       |cand AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x
+       |  JOIN ok_buckets ob ON ob.bucket = x.bucket
+       |  JOIN buckets y ON y.bucket = x.bucket AND x.vec_id < y.vec_id),
+       |pc AS (
+       |  SELECT cand.a, cand.b,
+       |    sum(cast(xa.v AS double) * cast(yb.v AS double)) AS dot,
+       |    sqrt(sum(cast(xa.v AS double) * cast(xa.v AS double))) AS na,
+       |    sqrt(sum(cast(yb.v AS double) * cast(yb.v AS double))) AS nb
+       |  FROM cand
+       |  JOIN corpus xa ON xa.vec_id = cand.a
+       |  JOIN corpus yb ON yb.vec_id = cand.b AND yb.i = xa.i
+       |  GROUP BY cand.a, cand.b),
+       |scored AS (
+       |  SELECT a, b, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cos
+       |  FROM pc)
+       |SELECT a, b, cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4
+       |FROM scored
+       |WHERE cast(floor(cos * 1000000.0 + 0.5) AS bigint) >= ${math.round(NearDupThreshold * 1e6)}""".stripMargin
 
   /** Per-vector norms — the sanity/statistics pass over the embedding
     * column, oracle-checked (same double arithmetic via unnest in DuckDB).

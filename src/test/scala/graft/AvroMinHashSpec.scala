@@ -50,11 +50,23 @@ class AvroMinHashSpec extends SparkSuite {
     assert(whole === merged)
   }
 
-  test("d7 query: aggregator signatures computed per document") {
+  test("d7 query: aggregator signature digests match the expression path") {
     val df = SparkEntry.queries("d7_minhash_agg_signatures")(spark, sf0001)
-    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter("size(split(text, ' ')) >= 3").count()
     assert(df.count() === n)
-    val sigLen = df.selectExpr("size(sig)").as[Int].head()
-    assert(sigLen === 32)
+    assert(df.selectExpr("min(sig_len)").as[Int].head() === 32)
+    // the UDAF path must agree bit-for-bit with the agg-expression path:
+    // digest minhashSignatures' h0..h31 the same way and compare
+    import org.apache.spark.sql.functions._
+    val exprSide = graft.operators.Dedup
+      .minhashSignatures(graft.operators.Dedup.shingles(spark, sf0001))
+      .select(
+        col("doc_id"),
+        xxhash64(concat_ws(",",
+          (0 until 32).map(i => col(s"h$i").cast("string")): _*)).as("sig_digest"))
+    val agg = df.select("doc_id", "sig_digest").as[(Long, Long)].collect().toMap
+    val exp = exprSide.as[(Long, Long)].collect().toMap
+    assert(agg === exp)
   }
 }

@@ -21,10 +21,10 @@ class IvfBucketingSpec extends SparkSuite {
 
   test("ivf topk: self-match is rank 1 for every query (own list always probed)") {
     val top1 = IvfAnn.ivfTopK(spark, sf0001)
-      .filter("rn = 1").select("qid", "vec_id", "cosine")
-      .as[(Long, Long, Double)].collect()
+      .filter("rn = 1").select("qid", "vec_id", "cosine_e4")
+      .as[(Long, Long, Long)].collect()
     assert(top1.length === 8)
-    top1.foreach { case (q, v, c) => assert(q === v && c === 1.0) }
+    top1.foreach { case (q, v, c) => assert(q === v && c === 10000L) }
   }
 
   test("ivf recall vs brute force is substantial on this corpus") {

@@ -38,6 +38,18 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(scanText.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]"))
   }
 
+  test("ann top-k queries use the bounded-heap aggregate, not a global window sort") {
+    // the window formulation funnels corpus×queries onto NumQueries reducer
+    // partitions and sorts each fully — the bounded-heap Aggregator ships k
+    // rows per query per partition instead (map-side partial aggregation)
+    for (q <- Seq("v2_brute_force_topk", "v4_lsh_ann_topk", "v7_ivf_topk")) {
+      val text = executed(SparkEntry.queries(q)(spark, sf0001)).toString
+      assert(!text.contains("Window"), s"$q still uses a window:\n$text")
+      assert(text.contains("ObjectHashAggregate") || text.contains("SortAggregate"),
+        s"$q missing the aggregator path:\n$text")
+    }
+  }
+
   test("j1 order lookup is a broadcast left-outer join") {
     val text = executed(SparkEntry.queries("j1_order_lookup")(spark, sf0001)).toString
     assert(text.contains("BroadcastHashJoin") && text.contains("LeftOuter"), s"plan:\n$text")

@@ -90,4 +90,99 @@ class StreamingSpec extends SparkSuite {
     // A exactly once across the restart; B picked up after recovery
     assert(updates === Seq("A", "B"))
   }
+
+  private def fixtureDims = {
+    Seq(("A", "A_geo", "England", "n1"), ("B", "B_geo", "Wales", "n2"))
+      .toDF("instance_id", "dimension_id", "option", "node_id")
+      .withColumn("links", struct(struct(lit("myCodeList").as("id")).as("code_list")))
+  }
+  private def fixtureCodeLists =
+    Seq(("myCodeList", "England", Some(0)), ("myCodeList", "Wales", Some(1)))
+      .toDF("code_list_id", "code", "ord")
+
+  test("graceful drain flushes in-flight data; restart after drain adds no duplicates (ST5)") {
+    val outDir = Files.createTempDirectory("drain-out").toString
+    val dims = graft.operators.ImporterPipeline.projectDimensions(fixtureDims)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem1 = MemoryStream[(String, String)]
+    val q1 = ImporterStream.start(spark, mem1.toDF().toDF("file_url", "instance_id"),
+      dims, fixtureCodeLists, outDir, Files.createTempDirectory("drain-c1").toString)
+    mem1.addData(("/a", "A"))
+    // generous budget → everything delivered must be flushed before stop
+    assert(graft.streaming.Drain.drain(q1, budgetMs = 60000))
+    assert(!q1.isActive)
+    assert(spark.read.parquet(s"$outDir/updates")
+      .select("instance_id").as[String].collect().toSeq === Seq("A"))
+
+    // second life: redeliver A (at-least-once) + new B on the same sinks —
+    // the drain left the processed table consistent, so no duplicates
+    val mem2 = MemoryStream[(String, String)]
+    val q2 = ImporterStream.start(spark, mem2.toDF().toDF("file_url", "instance_id"),
+      dims, fixtureCodeLists, outDir, Files.createTempDirectory("drain-c2").toString)
+    try {
+      mem2.addData(("/a", "A"), ("/b", "B"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$outDir/updates")
+      .select("instance_id").as[String].collect().toSeq.sorted === Seq("A", "B"))
+  }
+
+  private def eventually[T](maxMs: Long = 20000)(f: => T): T = {
+    val deadline = System.currentTimeMillis() + maxMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try return f
+      catch { case e: Throwable => last = e; Thread.sleep(100) }
+    }
+    throw last
+  }
+
+  test("health monitor: starting → ok → stopped, failure flips unhealthy (ST6)") {
+    val mon = new graft.streaming.HealthMonitor
+    spark.streams.addListener(mon)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, String)]
+      val outDir = Files.createTempDirectory("health-out").toString
+      val q = ImporterStream.start(spark,
+        mem.toDF().toDF("file_url", "instance_id"),
+        graft.operators.ImporterPipeline.projectDimensions(fixtureDims),
+        fixtureCodeLists, outDir, Files.createTempDirectory("health-c").toString)
+      try {
+        mem.addData(("/a", "A"))
+        q.processAllAvailable()
+        eventually() {
+          val h = mon.health(q.id).get
+          assert(h.status === graft.streaming.Health.Ok)
+          assert(h.totalInputRows >= 1L && h.numProgressEvents >= 1L)
+          assert(h.healthy(System.currentTimeMillis(), staleAfterMs = 60000))
+          assert(!h.healthy(h.lastEventMs + 120000, staleAfterMs = 60000), "staleness must trip")
+        }
+      } finally q.stop()
+      eventually() {
+        assert(mon.health(q.id).get.status === graft.streaming.Health.Stopped)
+        assert(mon.allHealthy(staleAfterMs = 60000), "cleanly stopped queries stay green")
+      }
+
+      // a crashing query must surface as Failed and flip the liveness gate
+      val memBad = MemoryStream[(String, String)]
+      val qBad = memBad.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("health-bad").toString)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom")
+        }
+        .start()
+      memBad.addData(("/x", "X"))
+      intercept[Exception] { qBad.processAllAvailable() }
+      eventually() {
+        mon.health(qBad.id).get.status match {
+          case graft.streaming.Health.Failed(err) => assert(err.contains("boom"))
+          case other => fail(s"expected Failed, got $other")
+        }
+        assert(!mon.allHealthy(staleAfterMs = 60000))
+      }
+    } finally spark.streams.removeListener(mon)
+  }
 }

@@ -189,14 +189,11 @@ object SparkEntry {
 
   def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_asset_meta" -> MultimodalOps.assetMeta _,
-    // feature vector digested to a scalar (e4-scaled components) so the
-    // driver's sort-based comparator never sees an array column
+    // the feature vector itself stays a Dataset-level column (asserted in
+    // TextMultimodalSpec); the query reports its scalar statistics, which
+    // the DuckDB oracle replays byte-for-byte from the text
     "m2_decode_features" -> ((s: SparkSession, d: String) =>
-      MultimodalOps.decodeFeatures(s, d).toDF()
-        .withColumn("feat_digest",
-          xxhash64(concat_ws(",",
-            transform(col("feat"), x => floor(x * lit(10000.0) + lit(0.5)).cast("long").cast("string")))))
-        .drop("feat")),
+      MultimodalOps.decodeFeatures(s, d).toDF().drop("feat")),
   )
 
   private val W = OracleCtes.all
@@ -556,8 +553,27 @@ object SparkEntry {
         |    trim(replace(replace(replace(lower(text), '.', ''), ',', ''), '  ', ' ')) AS norm_text
         |  FROM documents)""".stripMargin,
     "t8_chunks" -> graft.operators.TrainingPrep.chunksOracleSql,
-    // t9 uses ln() (not correctly-rounded across libm) and t10 uses
-    // engine-specific sampling RNG — rows-only checks.
+    // t9's idf uses ln(); JVM and DuckDB libm may differ by 1 ulp, but the
+    // score is quantized to a 6 dp integer before ranking/compare, so a
+    // flip needs tf·ln(N/df)·10⁶ within one ulp of a rounding boundary —
+    // checked stable at sf0.001/0.01/0.1.
+    "t9_tfidf_top_terms" ->
+      """WITH n AS (SELECT cast(count(*) AS double) AS n FROM documents),
+        |terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    cast(floor(tf.tf * ln(n.n / df.df) * 1000000.0 + 0.5) AS bigint) AS score_e6
+        |  FROM tf, df, n WHERE tf.term = df.term)
+        |SELECT doc_id, term, score_e6, cast(rn AS int) AS rn
+        |FROM (
+        |  SELECT doc_id, term, score_e6,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+    // t10 uses engine-specific sampling RNG — rows-only check.
   )
 
   def dedupOracle: Map[String, String] = Map(
@@ -684,6 +700,39 @@ object SparkEntry {
         |  cast(floor(n_chars / 64) + 1 AS int) AS height,
         |  n_chars AS n_bytes
         |FROM documents""".stripMargin,
-    // m2 runs the stubbed decoder — rows-only check.
+    // m2's stub decoder is pure byte arithmetic over the (ASCII) payload,
+    // so DuckDB replays it: histogram of high nibbles via ord(), float
+    // normalization, stride-32 frame sampling, mod-997 checksum.
+    "m2_decode_features" ->
+      """WITH chars AS (
+        |  SELECT d.doc_id, i, ord(substr(d.text, i, 1)) AS b
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS i) r),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS len, sum(b) AS sumb FROM chars GROUP BY doc_id),
+        |hist AS (
+        |  SELECT doc_id, b // 16 AS bin, cast(count(*) AS float) AS cnt
+        |  FROM chars GROUP BY doc_id, b // 16),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(sum(cast(cnt AS double) * cast(cnt AS double))) AS nrm
+        |  FROM hist GROUP BY doc_id),
+        |feat AS (
+        |  SELECT h.doc_id, cast(cast(h.cnt AS double) / n.nrm AS float) AS f
+        |  FROM hist h JOIN nrm n ON h.doc_id = n.doc_id),
+        |fnorm AS (
+        |  SELECT doc_id, sqrt(sum(cast(f AS double) * cast(f AS double))) AS fn
+        |  FROM feat GROUP BY doc_id),
+        |frames AS (
+        |  SELECT doc_id, sum(b) % 997 AS checksum, count(*) AS n_frames
+        |  FROM chars WHERE (i - 1) % 32 = 0 GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  cast(s.len AS bigint) AS n_bytes,
+        |  cast(floor(cast(s.sumb AS double) / s.len * 10000.0 + 0.5) AS bigint) AS mean_byte_e4,
+        |  cast(floor(fn.fn * 10000.0 + 0.5) AS bigint) AS feat_norm_e4,
+        |  cast(fr.n_frames AS int) AS n_frames,
+        |  cast(fr.checksum AS bigint) AS frame_checksum
+        |FROM stats s
+        |JOIN fnorm fn ON fn.doc_id = s.doc_id
+        |JOIN frames fr ON fr.doc_id = s.doc_id""".stripMargin,
   )
 }

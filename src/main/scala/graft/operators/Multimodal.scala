@@ -11,9 +11,9 @@ final case class MMAsset(doc_id: Long, payload: Array[Byte], width: Int, height:
 final case class MMFeatures(
     doc_id: Long,
     n_bytes: Long,
-    mean_byte: Double,
+    mean_byte_e4: Long,
     feat: Seq[Float],
-    feat_norm: Double,
+    feat_norm_e4: Long,
     n_frames: Int,
     frame_checksum: Long)
 
@@ -107,12 +107,14 @@ object MultimodalOps {
             nFrames += 1
             off += FrameStride
           }
+          // floats reported on the Exact scaled-integer convention
+          // (floor(x·10^4 + 0.5)) so the DuckDB oracle replays them
           MMFeatures(
             a.doc_id,
             a.payload.length.toLong,
-            math.rint(meanByte * 10000) / 10000,
+            math.floor(meanByte * 10000 + 0.5).toLong,
             feat.toSeq,
-            math.rint(math.sqrt(fn) * 10000) / 10000,
+            math.floor(math.sqrt(fn) * 10000 + 0.5).toLong,
             nFrames,
             checksum)
         }

@@ -121,9 +121,10 @@ class TextMultimodalSpec extends SparkSuite {
     val b = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
     assert(a.toSeq === b.toSeq)
     a.take(20).foreach { f =>
-      assert(f.feat_norm === 1.0) // histogram normalized to unit L2
+      assert(f.feat_norm_e4 === 10000L) // histogram normalized to unit L2
       assert(f.n_frames === (f.n_bytes + 31) / 32)
-      assert(f.mean_byte > 32 && f.mean_byte < 127) // printable ASCII corpus
+      assert(f.feat.length === 16 && math.abs(f.feat.map(x => x * x).sum - 1f) < 1e-3f)
+      assert(f.mean_byte_e4 > 32 * 10000L && f.mean_byte_e4 < 127 * 10000L) // printable ASCII
     }
   }
 }

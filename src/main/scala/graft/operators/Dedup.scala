@@ -60,36 +60,43 @@ object Dedup {
     */
   val DefaultMaxDocFreq = 128
 
-  /** Skew guard for the inverted index: drop shingles occurring in more
-    * than `maxDocFreq` documents. Ultra-frequent shingles ("stop-grams")
-    * contribute O(df²) candidate pairs while carrying no dedup signal — at
-    * 100 TB this cap is what keeps the self-join from quadratic blow-up on
-    * hot keys.
+  /** All ordered (a, b) pairs from a sorted posting-list column: element i
+    * paired with every later element, so a < b by construction. Runs
+    * map-side after the group-by — no self-join.
     */
-  def cappedShingles(spark: SparkSession, dir: String, maxDocFreq: Int): DataFrame = {
-    val sh = shingles(spark, dir)
-    if (maxDocFreq == Int.MaxValue) sh
-    else {
-      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq)
-        .select(col("s"))
-      sh.join(rare, Seq("s"), "left_semi")
-    }
-  }
+  private[operators] val OrderedPairsExpr =
+    """flatten(transform(docs, (x, i) ->
+      |  transform(slice(docs, i + 2, size(docs) - i - 1),
+      |            y -> struct(x AS a, y AS b))))""".stripMargin
+
+  /** Inverted index grouped to posting lists: one row per shingle with the
+    * sorted doc list, lists longer than `maxDocFreq` dropped. This is both
+    * the skew guard (a hot shingle is O(df²) candidate pairs carrying no
+    * dedup signal — the cap is what keeps 100 TB runs from quadratic
+    * blow-up on stop-grams) and the pair-generation source: candidates are
+    * emitted map-side from each list, one shuffle on the shingle instead of
+    * a self-join's two plus a separate doc-frequency pre-pass.
+    */
+  private def shinglePostings(spark: SparkSession, dir: String, maxDocFreq: Int): DataFrame =
+    shingles(spark, dir)
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
 
   /** N-gram Jaccard near-duplicate pairs via shingle inverted index:
-    * join docs on shared shingles, count common, compute |A∩B|/|A∪B|.
-    * Only pairs sharing ≥1 shingle are ever materialized.
+    * emit candidate pairs per posting list, count common, compute
+    * |A∩B|/|A∪B|. Only pairs sharing ≥1 surviving shingle are ever
+    * materialized.
     */
   def ngramJaccardPairs(
       spark: SparkSession, dir: String,
       threshold: Double = 0.5,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val sh = cappedShingles(spark, dir, maxDocFreq).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val postings = shinglePostings(spark, dir, maxDocFreq).cache()
+    val sizes = postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = postings.select(explode(expr(OrderedPairsExpr)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("common"))
     val jac = col("common").cast("double") /
       (col("sa.n") + col("sb.n") - col("common")).cast("double")
@@ -125,10 +132,13 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // posting-list pairing (see shinglePostings): one shuffle on the band
+    // bucket, pairs emitted map-side from the sorted list
+    val cands = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .select(explode(expr(OrderedPairsExpr)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // verify candidates only: join back to the shingle index
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -208,12 +218,19 @@ object Dedup {
           shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
         .as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
-          col("x.doc_id") < col("y.doc_id"))
+    // posting-list pairing per (chunk, ck) bucket; the signature rides in
+    // the struct (sort is by doc_id first — lexicographic on structs)
+    chunks
+      .groupBy(col("chunk"), col("ck"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs) - i - 1),
+          |            y -> struct(x.doc_id AS a, y.doc_id AS b,
+          |                        x.simhash AS ha, y.simhash AS hb))))""".stripMargin)).as("p"))
       .select(
-        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        col("p.a").as("a"), col("p.b").as("b"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

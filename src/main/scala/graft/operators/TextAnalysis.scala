@@ -121,15 +121,19 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         explode(array_distinct(graft.functions.Winnowing.winnow(col("text")))).as("h"))
-    // skew guard (same as the shingle index): a hash present in hundreds of
-    // documents carries no near-dup signal but costs O(df²) join pairs
-    val rare = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq).select(col("h"))
-    val fp = raw.join(rare, Seq("h"), "left_semi").cache()
-    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = fp.as("x").join(fp.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // posting-list pairing (one shuffle on the hash); the list-size filter
+    // is the skew guard — a hash present in hundreds of documents carries
+    // no near-dup signal but costs O(df²) candidate pairs
+    val postings = raw
+      .groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
+      .cache()
+    val sizes = postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = postings
+      .select(explode(expr(graft.operators.Dedup.OrderedPairsExpr)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("shared"))
     val frac = col("shared").cast("double") / least(col("sa.n"), col("sb.n")).cast("double")
     shared

@@ -117,6 +117,9 @@ object SparkEntry {
     "g4_event_cube" -> RelationalOps.eventCube _,
     "j5_asof_purchase_view" -> graft.operators.TemporalJoins.asOfPurchaseView _,
     "j6_range_purchase_error" -> graft.operators.TemporalJoins.purchaseErrorWithin _,
+    // custom Catalyst whole-operator (logical node + strategy + two-phase
+    // bounded-heap physical plan)
+    "w5_top_events_per_user" -> RelationalOps.topEventsPerUser _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -498,6 +501,15 @@ object SparkEntry {
         |  cast(floor(quantile_cont(value, 0.5) * 100.0 + 0.5) AS bigint) AS median_value_e2,
         |  cast(floor(quantile_cont(value, 0.9) * 100.0 + 0.5) AS bigint) AS p90_value_e2
         |FROM events GROUP BY event_type""".stripMargin,
+    "w5_top_events_per_user" ->
+      """SELECT user_id, event_id,
+        |  cast(floor(value * 100.0 + 0.5) AS bigint) AS value_e2,
+        |  cast(rn AS int) AS rn
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
   )
 
   def textOracle: Map[String, String] = Map(

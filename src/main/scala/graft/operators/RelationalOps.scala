@@ -258,6 +258,23 @@ object RelationalOps {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Top-3 events per user by value through the custom whole-operator
+    * [[graft.plans.TopKPerKey]] (logical node → strategy → two-phase
+    * bounded-heap physical plan): the exchange carries at most k rows per
+    * user per input partition instead of every event, and nothing is
+    * sorted. Columns are pruned before the operator — generic ColumnPruning
+    * cannot see through a library-defined logical node.
+    */
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    graft.plans.TopKPerKey(ev, Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+      .select(
+        col("user_id"), col("event_id"),
+        Exact.e(col("value"), 2).as("value_e2"), col("rn"))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts after a >30 min
     * silence per user. Works on integer epoch seconds (exact cross-engine);
     * session number = running count of session-start flags.

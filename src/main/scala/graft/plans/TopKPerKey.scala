@@ -1,0 +1,194 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression,
+  GenericInternalRow, JoinedRow, NullOrdering, NullsFirst, NullsLast,
+  SortDirection, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator Catalyst extension: per-key top-k as a first-class plan
+  * node — logical [[TopKPerKeyNode]], planner [[TopKPerKeyStrategy]], and a
+  * two-phase physical pair ([[PartialTopKPerKeyExec]] →
+  * [[FinalTopKPerKeyExec]]).
+  *
+  * The equivalent window query (`row_number().over(partitionBy(keys)
+  * .orderBy(...)) <= k`) must shuffle EVERY row to its key's reducer and
+  * fully sort each key's partition before discarding all but k rows. This
+  * operator keeps a bounded k-row buffer per key on the map side, so the
+  * exchange carries at most k·distinct-keys rows per input partition, and
+  * nothing is ever fully sorted — the same partial-aggregation shape Spark
+  * gives `groupBy().agg(...)`, applied to ranking. At 100 TB that exchange
+  * is the difference between shuffling the corpus and shuffling the answer.
+  *
+  * Interface: [[TopKPerKey.apply]] — rank rows per key by `order`, keep the
+  * first k, append a 1-based `rn` column (row_number semantics; supply a
+  * total order via tie-break columns for determinism, exactly as with a
+  * window).
+  */
+object TopKPerKey {
+
+  def apply(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      k: Int,
+      rnName: String = "rn"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    register(spark)
+
+    // Column trees carry lazily-converted node wrappers that only standard
+    // Dataset operators resolve; route key/sort expressions through a
+    // helper projection so the node is built from fully-analyzed catalyst
+    // attributes. Sort direction/null-ordering are read off the Column's
+    // node via the shim.
+    val parts: Seq[(Column, SortDirection, NullOrdering)] = order.map { c =>
+      val (value, desc, nullsLast) = Bridge.sortSpec(c)
+      (value, if (desc) Descending else Ascending, if (nullsLast) NullsLast else NullsFirst)
+    }
+    val n0 = df.columns.length
+    val prepared = df.select(
+      df.columns.toSeq.map(df.col) ++
+        keys.zipWithIndex.map { case (c, i) => c.as(s"__graft_topk_k$i") } ++
+        parts.zipWithIndex.map { case ((c, _, _), i) => c.as(s"__graft_topk_s$i") }: _*)
+    val analyzed = prepared.queryExecution.analyzed
+    val keyAttrs = analyzed.output.slice(n0, n0 + keys.length)
+    val sortOrders = analyzed.output.drop(n0 + keys.length).zip(parts).map {
+      case (a, (_, dir, no)) => SortOrder(a, dir, no, Seq.empty)
+    }
+    val rnAttr = AttributeReference(rnName, IntegerType, nullable = false)()
+    Bridge.ofRows(spark, TopKPerKeyNode(keyAttrs, sortOrders, k, rnAttr, analyzed))
+      .select((df.columns.toSeq :+ rnName).map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Idempotently add the planner strategy to an existing session —
+    * `experimental.extraStrategies` is the public injection point usable
+    * after session construction (SparkSessionExtensions needs builder
+    * time).
+    */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+}
+
+/** Logical node: output = child's columns plus the produced rank. */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rnAttr, child) =>
+      FinalTopKPerKeyExec(keys, order, k, rnAttr,
+        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared bounded per-key buffer pass: key → the k best rows in sort
+  * order. Memory is O(distinct keys per partition × k).
+  */
+private[plans] object BoundedTopK {
+  def heaps(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      schema: Seq[Attribute]): Iterator[mutable.ArrayBuffer[UnsafeRow]] = {
+    val keyProj = UnsafeProjection.create(keys, schema)
+    val toUnsafe = UnsafeProjection.create(schema.map(a => a: Expression), schema)
+    val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering.create(order, schema)
+    val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]]
+    iter.foreach { r =>
+      val u = toUnsafe(r)
+      val key = keyProj(u)
+      val buf = buffers.getOrElse(key, null) match {
+        case null =>
+          val b = mutable.ArrayBuffer.empty[UnsafeRow]
+          buffers(key.copy()) = b
+          b
+        case b => b
+      }
+      if (buf.size < k || ord.compare(u, buf.last) < 0) {
+        val c = u.copy()
+        var i = buf.size
+        while (i > 0 && ord.compare(c, buf(i - 1)) < 0) i -= 1
+        buf.insert(i, c)
+        if (buf.size > k) buf.remove(k)
+      }
+    }
+    buffers.valuesIterator
+  }
+}
+
+/** Map-side phase: ≤ k rows per key per input partition, no distribution
+  * requirement, no sort — runs wherever the child's data already is.
+  */
+case class PartialTopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, schema, kk) = (keys, order, child.output, k)
+    child.execute().mapPartitions(
+      iter => BoundedTopK.heaps(iter, ks, os, kk, schema).flatMap(_.iterator),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side phase: requires clustering by the keys (EnsureRequirements
+  * inserts the hash exchange over the partial output), merges the per-key
+  * candidates, and appends the 1-based rank.
+  */
+case class FinalTopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, schema, kk, rn, out) = (keys, order, child.output, k, rnAttr, output)
+    child.execute().mapPartitions { iter =>
+      val proj = UnsafeProjection.create(out.map(a => a: Expression), schema :+ rn)
+      val joined = new JoinedRow
+      val rnRow = new GenericInternalRow(1)
+      BoundedTopK.heaps(iter, ks, os, kk, schema).flatMap { buf =>
+        buf.iterator.zipWithIndex.map { case (r, i) =>
+          rnRow.update(0, i + 1)
+          proj(joined(r, rnRow))
+        }
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKPerKeyExec =
+    copy(child = newChild)
+}

@@ -14,4 +14,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Decompose a sort Column (e.g. `col("x").desc`) into its value column
+    * plus (descending?, nullsLast?) flags — the node-level SortOrder lives
+    * in the `private[sql]` internal package.
+    */
+  def sortSpec(c: Column): (Column, Boolean, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (new Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Descending,
+        so.nullOrdering == org.apache.spark.sql.internal.SortOrder.NullsLast)
+    case _ => (c, false, false)
+  }
+
+  /** Build a DataFrame from a custom LogicalPlan (triggers analysis — the
+    * standard entry point for library-defined logical operators;
+    * `Dataset.ofRows` is `private[sql]` in Spark 4's classic module).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+
+/** The custom whole-operator plan: logical node + strategy + two-phase
+  * bounded-heap physical execution. Semantics must equal the window
+  * formulation on a total order; the plan must be one exchange, no sort.
+  */
+class TopKPerKeySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def synthetic = spark.range(0, 10000)
+    .select(
+      (col("id") % 37).as("k"),
+      ((col("id") * 2654435761L) % 1000).as("s"),
+      col("id"))
+    .repartition(13) // force multi-partition partial phase
+
+  test("matches the window formulation exactly on a total order") {
+    val df = synthetic
+    val custom = TopKPerKey(df, Seq(col("k")), Seq(col("s").desc, col("id")), 5)
+      .select("k", "s", "id", "rn")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val w = Window.partitionBy("k").orderBy(col("s").desc, col("id"))
+    val window = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(custom === window)
+    assert(custom.size === 37 * 5)
+  }
+
+  test("k larger than the group returns the whole group, fully ranked") {
+    val df = Seq((1L, 10L), (1L, 30L), (2L, 20L)).toDF("k", "s").repartition(3)
+    val out = TopKPerKey(df, Seq(col("k")), Seq(col("s").desc), 100)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 30L, 1), (1L, 10L, 2), (2L, 20L, 1)))
+  }
+
+  test("ascending order and string keys work") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "s").repartition(2)
+    val out = TopKPerKey(df, Seq(col("k")), Seq(col("s")), 2)
+      .as[(String, Int, Int)].collect().toSet
+    assert(out === Set(("a", 1, 1), ("a", 2, 2), ("b", 9, 1)))
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(Long, Long)].toDF("k", "s")
+    assert(TopKPerKey(df, Seq(col("k")), Seq(col("s")), 3).count() === 0)
+  }
+
+  test("plan is partial → single key exchange → final, with no sort") {
+    val df = synthetic
+    val q = TopKPerKey(df, Seq(col("k")), Seq(col("s").desc, col("id")), 5)
+    q.collect()
+    // AQE wraps stages, so assert on the final plan text (its toString
+    // also echoes the pre-AQE initial plan — cut at that marker)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PartialTopKPerKey"), plan)
+    assert(plan.contains("FinalTopKPerKey"), plan)
+    // exactly one hash exchange (the repartition(13) in the fixture is
+    // round-robin) and the partial phase sits below it
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.indexOf("PartialTopKPerKey") > plan.indexOf("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+  }
+}

@@ -135,6 +135,10 @@ object SparkEntry {
     "t8_chunks" -> graft.operators.TrainingPrep.chunks _,
     "t9_tfidf_top_terms" -> graft.operators.TrainingPrep.tfidfTopTerms _,
     "t10_stratified_sample" -> graft.operators.TrainingPrep.stratifiedSample _,
+    // sequence packing via distributed two-phase prefix sum
+    "t11_packed_chunks" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.packedChunks(s, d)),
+    "t12_balance_weights" -> graft.operators.TrainingPrep.balanceWeights _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -586,6 +590,16 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
     // t10 uses engine-specific sampling RNG — rows-only check.
+    "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql,
+    "t12_balance_weights" ->
+      """WITH by_lang AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_lang) AS n, count(*) AS l FROM by_lang)
+        |SELECT d.doc_id, d.lang,
+        |  cast(floor(cast(t.n AS double) / (t.l * b.n_lang) * 1000000.0 + 0.5) AS bigint)
+        |    AS weight_e6
+        |FROM documents d
+        |JOIN by_lang b ON b.lang = d.lang
+        |CROSS JOIN tot t""".stripMargin,
   )
 
   def dedupOracle: Map[String, String] = Map(

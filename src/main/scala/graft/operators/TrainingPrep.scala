@@ -81,6 +81,76 @@ object TrainingPrep {
       .select(col("doc_id"), col("term"), col("score_e6"), col("rn").cast("int").as("rn"))
   }
 
+  private val PackBudget = 512
+
+  /** Sequence packing (the pretraining batch sharder): chunks are laid out
+    * in deterministic (doc_id, chunk_id) order along a global token tape,
+    * and each chunk is assigned to the fixed-budget pack its start offset
+    * falls in — GPT-style concat-then-split packing.
+    *
+    * The global running token count is a distributed two-phase prefix sum,
+    * NOT a single-partition window: range-repartition on the order key,
+    * local running totals per partition, then a (num-partitions-sized)
+    * cumulative offset table broadcast back. The only global structure is
+    * that tiny offset table, so the operator scales to any corpus; the
+    * result is a pure function of the order and token counts, independent
+    * of partitioning.
+    */
+  def packedChunks(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
+    val ch = chunks(spark, dir).select(col("doc_id"), col("chunk_id"), col("chunk_tokens"))
+      .repartitionByRange(col("doc_id"), col("chunk_id"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ch.withColumn("local_cum", sum(col("chunk_tokens")).over(localW))
+    // per-partition totals: numPartitions rows — the broadcastable offsets
+    val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(sum(col("chunk_tokens")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(offsetW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("start", col("offset") + col("local_cum") - col("chunk_tokens"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        // integer div, not floor(double /): a 100 TB token tape overflows
+        // double precision past 2^53
+        expr(s"start div $budget").cast("bigint").as("pack_id"),
+        (col("start") % budget).cast("bigint").as("pack_offset"))
+  }
+
+  def packedChunksOracleSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, cast(k AS int) AS chunk_id,
+       |    len(t[(k * $Stride + 1):(k * $Stride + $ChunkSize)]) AS chunk_tokens
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+       |  LATERAL (SELECT unnest(range(0, cast(ceil(len(t) / $Stride.0) AS int))) AS k) r),
+       |cum AS (
+       |  SELECT doc_id, chunk_id, chunk_tokens,
+       |    sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens AS start
+       |  FROM ch)
+       |SELECT doc_id, chunk_id,
+       |  cast(start // $PackBudget AS bigint) AS pack_id,
+       |  cast(start % $PackBudget AS bigint) AS pack_offset
+       |FROM cum""".stripMargin
+
+  /** Per-document class-balance weights: weight = N / (L · n_lang), the
+    * inverse-frequency reweighting that makes each language contribute
+    * equally in expectation. One tiny aggregate, broadcast back — map-only
+    * over the corpus.
+    */
+  def balanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val totals = byLang.agg(sum(col("n_lang")).as("n"), count(lit(1)).as("l"))
+    docs.join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"), col("lang"),
+        Exact.e(col("n").cast("double") / (col("l") * col("n_lang")), 6).as("weight_e6"))
+  }
+
   /** Seeded per-language stratified sample: en down-sampled, the rest
     * kept — the corpus-rebalancing step. Sampling RNG is engine-specific →
     * rows-only check; determinism per seed is tested.

@@ -98,6 +98,17 @@ class DedupSimilaritySpec extends SparkSuite {
     self.foreach { case (q, v) => assert(q === v) }
   }
 
+  test("lsh plane count scales with corpus size (bucket occupancy shrinks)") {
+    // the 100 TB knob: planes = ⌈log₂(n / targetBucket)⌉
+    assert(Similarity.recommendedPlanes(1L << 30, 256) === 22)
+    assert(Similarity.recommendedPlanes(5000, 256) === 5)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def maxBucket(planes: Int) = Similarity.withBucket(emb, planes)
+      .groupBy("bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    assert(maxBucket(10) < maxBucket(6))
+  }
+
   test("lsh buckets are deterministic across runs") {
     val a = Similarity.lshBuckets(spark, sf0001)
       .as[(Long, Int, Long)].collect().sortBy(_._1)

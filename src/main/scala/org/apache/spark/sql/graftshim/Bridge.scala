@@ -27,6 +27,15 @@ object Bridge {
     case _ => (c, false, false)
   }
 
+  /** The bare single-part column name a Column refers to, if it is a plain
+    * attribute reference (`col("x")`) rather than a computed expression.
+    */
+  def attributeName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute if a.nameParts.size == 1 =>
+      Some(a.nameParts.head)
+    case _ => None
+  }
+
   /** Build a DataFrame from a custom LogicalPlan (triggers analysis — the
     * standard entry point for library-defined logical operators;
     * `Dataset.ofRows` is `private[sql]` in Spark 4's classic module).

@@ -50,6 +50,36 @@ class TopKPerKeySpec extends SparkSuite {
     assert(TopKPerKey(df, Seq(col("k")), Seq(col("s")), 3).count() === 0)
   }
 
+  test("key-only filter is pushed through the node into the parquet scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_id", "value")
+    val keys = Seq(col("user_id"))
+    val ord = Seq(col("value").desc, col("event_id"))
+    val q = TopKPerKey(ev, keys, ord, 3).filter(col("user_id") < 10)
+    q.collect()
+    // PushFilterThroughTopK moves the group filter below the node; the
+    // standard rules then carry it into the scan
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,10)"), plan)
+    // and filtering groups before vs after ranking is equivalent
+    val pre = TopKPerKey(ev.filter(col("user_id") < 10), keys, ord, 3)
+    assert(q.collect().toSet === pre.collect().toSet)
+    assert(q.count() > 0)
+  }
+
+  test("filters on ranked values are NOT pushed through (stay above the node)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_id", "value")
+    val q = TopKPerKey(ev, Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+      .filter(col("value") > 50.0)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // pushing a value filter would change which rows rank in the top k
+    assert(!plan.contains("PushedFilters: [IsNotNull(value)"), plan)
+  }
+
   test("plan is partial → single key exchange → final, with no sort") {
     val df = synthetic
     val q = TopKPerKey(df, Seq(col("k")), Seq(col("s").desc, col("id")), 5)

@@ -33,4 +33,34 @@ object StatefulOps {
           UserRunning(uid, n, math.rint(total * 100) / 100)
       }
   }
+
+  private val AlertStep = 100.0
+
+  /** Threshold alerts via `flatMapGroupsWithState`: one output row per
+    * 100-unit level a user's running total crosses in a batch — zero, one,
+    * or many rows per group per batch, the output shape
+    * `mapGroupsWithState` (exactly one row) cannot express. State is the
+    * same running aggregate; levels already announced are never re-emitted
+    * across batches.
+    */
+  def thresholdAlerts(events: Dataset[UserEvent]): Dataset[UserAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningState, UserAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          val levelBefore = math.floor(prev.total / AlertStep).toLong
+          batch.foreach { e => n += 1; total += e.value }
+          state.update(UserRunningState(n, total))
+          val levelAfter = math.floor(total / AlertStep).toLong
+          ((levelBefore + 1) to levelAfter).iterator
+            .map(l => UserAlert(uid, l, math.floor(total * 100 + 0.5).toLong))
+      }
+  }
 }
+
+final case class UserAlert(user_id: Long, level: Long, total_e2: Long)

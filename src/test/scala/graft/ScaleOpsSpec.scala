@@ -87,6 +87,28 @@ class ScaleOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: 0..n alert rows per group, levels never re-emitted") {
+    import graft.streaming.{StatefulOps, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StatefulOps.thresholdAlerts(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("alerts").start()
+    try {
+      // batch 1: user 1 total 250 → crosses levels 1 and 2 (two rows);
+      // user 2 total 40 → no row
+      mem.addData(UserEvent(1, "a", 250.0), UserEvent(2, "a", 40.0))
+      q.processAllAvailable()
+      // batch 2: user 1 +60 → total 310, crosses only level 3 (no re-emit);
+      // user 2 +70 → total 110, crosses level 1
+      mem.addData(UserEvent(1, "b", 60.0), UserEvent(2, "b", 70.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, level FROM alerts ORDER BY user_id, level")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows === Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("bounded-heap top-k equals the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     val agg = SparkEntry.queries("w3_top_parts_by_brand")(spark, sf0001)

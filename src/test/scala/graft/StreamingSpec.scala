@@ -70,8 +70,13 @@ class StreamingSpec extends SparkSuite {
     val codeLists = Seq(("myCodeList", "England", Some(0)), ("myCodeList", "Wales", Some(1)))
       .toDF("code_list_id", "code", "ord")
 
+    // maxFilesPerTrigger is the file-source backpressure knob (ST5) — the
+    // counterpart of the reference's bounded channels: each micro-batch
+    // admits one file, so a backlog drains incrementally instead of as one
+    // giant batch
     def fileStream = spark.readStream
       .schema("file_url STRING, instance_id STRING")
+      .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
 
     Seq(("/a", "A")).toDF("file_url", "instance_id")

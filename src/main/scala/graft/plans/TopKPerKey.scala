@@ -108,13 +108,26 @@ object TopKPerKey {
   */
 object PushFilterThroughTopK
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, t: TopKPerKeyNode)
         if cond.deterministic &&
           f.condition.references.subsetOf(AttributeSet(t.keys.flatMap(_.references))) =>
       t.copy(child = Filter(cond, t.child))
+
+    // column pruning through the node: a projection above it only needs
+    // (its references minus the produced rank) ∪ key refs ∪ sort refs from
+    // the child — drop everything else below the node so pruning reaches
+    // the scan. Ranking is per-row on the kept columns, so dropping unused
+    // ones never changes which rows win.
+    case p @ Project(_, t: TopKPerKeyNode) =>
+      val needed = AttributeSet(
+        p.references.toSeq.filterNot(_.semanticEquals(t.rnAttr)) ++
+          t.keys.flatMap(_.references) ++ t.order.flatMap(_.references))
+      val kept = t.child.output.filter(needed.contains)
+      if (kept.length == t.child.output.length) p
+      else p.copy(child = t.copy(child = Project(kept, t.child)))
   }
 }
 

@@ -133,6 +133,61 @@ class StreamingSpec extends SparkSuite {
       .select("instance_id").as[String].collect().toSeq.sorted === Seq("A", "B"))
   }
 
+  test("avro wire format decodes inside the micro-batch (S1+S2 end-to-end)") {
+    // the modeled Kafka path: the stream carries raw Avro payloads (what a
+    // Kafka value column holds); each micro-batch decodes with the
+    // reference's schema and runs the validation stage
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AvroEvents
+    val payloads = AvroEvents.encode(
+      Seq(("/a", "A"), ("/bad", ""), ("/b", "B")).toDF("file_url", "instance_id"))
+      .collect().toSeq
+    val mem = MemoryStream[Array[Byte]]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = mem.toDS().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Array[Byte]], _: Long) =>
+        val decoded = AvroEvents.decode(batch)
+        val valid = graft.operators.ImporterPipeline.validEvents(decoded)
+        got ++= valid.as[(String, String)].collect(): Unit
+      }
+      .start()
+    try {
+      mem.addData(payloads: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sorted === Seq(("/a", "A"), ("/b", "B")))
+  }
+
+  test("event-time session windows close under the watermark (ST2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = mem.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // user 1: events at 10:01 and 10:03 join one session (gap < 5 min)
+      mem.addData((ts(1), 1L, 1.0), (ts(3), 1L, 1.0))
+      q.processAllAvailable()
+      // advance event time past the watermark so the session finalizes
+      mem.addData((ts(30), 2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(59), 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n, cast(session_window.start AS string) FROM sessions")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      // both sessions whose end fell behind the advancing watermark have
+      // finalized; the 10:59 session is still open (not emitted)
+      assert(rows === Seq(
+        (1L, 2L, "2024-01-01 10:01:00"),
+        (2L, 1L, "2024-01-01 10:30:00")))
+    } finally q.stop()
+  }
+
   private def eventually[T](maxMs: Long = 20000)(f: => T): T = {
     val deadline = System.currentTimeMillis() + maxMs
     var last: Throwable = null

@@ -68,6 +68,21 @@ class TopKPerKeySpec extends SparkSuite {
     assert(q.count() > 0)
   }
 
+  test("projection prunes unused columns through the node down to the scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // full-width table, no manual pre-selection: the pruning rule must
+    // carry the 3 needed columns (key, sort, sort-tiebreak) into the scan
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val q = TopKPerKey(ev, Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
+      .select("user_id", "event_id", "rn")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.isDefined, plan)
+    val cols = readSchema.get.split(",").map(_.split(":")(0)).toSet
+    assert(cols === Set("user_id", "event_id", "value"), s"scan reads $cols:\n$plan")
+  }
+
   test("filters on ranked values are NOT pushed through (stay above the node)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf0001/events.parquet")

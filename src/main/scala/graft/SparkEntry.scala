@@ -159,6 +159,7 @@ object SparkEntry {
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDuplicates(s, d)),
     "v6_ivf_assignments" -> graft.operators.IvfAnn.assignments _,
     "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopK _,
+    "v8_int8_quant_error" -> Similarity.int8QuantizationError _,
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,6 +701,7 @@ object SparkEntry {
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,
     "v5_embedding_near_dups" -> Similarity.embeddingNearDupsOracleSql,
+    "v8_int8_quant_error" -> Similarity.int8QuantizationOracleSql,
     // v6/v7 oracles inline the trained centroids — data-dependent, see
     // [[dataDependentOracle]].
   )

@@ -279,6 +279,63 @@ object Similarity {
        |FROM scored
        |WHERE cast(floor(cos * 1000000.0 + 0.5) AS bigint) >= ${math.round(NearDupThreshold * 1e6)}""".stripMargin
 
+  /** Per-vector symmetric int8 quantization quality: scale = max|x|/127,
+    * code = clip(round(x/scale)), reported as reconstruction error and
+    * code occupancy. The compression step a 100 TB embedding store runs
+    * before ANN serving (4× smaller, SIMD-friendly); map-only, pure
+    * arithmetic the DuckDB oracle replays bit-for-bit.
+    */
+  def int8QuantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scale = col("amax") / lit(127.0)
+    val code = (x: org.apache.spark.sql.Column) =>
+      when(col("amax") === 0.0, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale + lit(0.5)).cast("long"))))
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .select(
+        col("vec_id"),
+        col("amax"),
+        transform(col("embedding"), x => code(x)).as("codes"),
+        col("embedding"))
+      .select(
+        col("vec_id"),
+        Exact.e(col("amax"), 6).as("amax_e6"),
+        size(filter(col("codes"), c => c =!= 0L)).cast("int").as("n_nonzero"),
+        Exact.e(
+          sqrt(aggregate(
+            zip_with(col("codes"), col("embedding"),
+              (c, x) => {
+                val d = c.cast("double") * scale - x.cast("double")
+                d * d
+              }),
+            lit(0.0), (acc, v) => acc + v)),
+          6).as("err_e6"))
+  }
+
+  def int8QuantizationOracleSql: String =
+    """WITH m AS (
+      |  SELECT e.vec_id, max(abs(cast(e.embedding[i] AS double))) AS amax
+      |  FROM embeddings e,
+      |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+      |  GROUP BY e.vec_id),
+      |q AS (
+      |  SELECT e.vec_id, m.amax,
+      |    cast(e.embedding[i] AS double) AS x,
+      |    CASE WHEN m.amax = 0 THEN 0
+      |         ELSE greatest(-127, least(127,
+      |           cast(floor(cast(e.embedding[i] AS double) / (m.amax / 127.0) + 0.5) AS bigint)))
+      |    END AS c
+      |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id,
+      |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r)
+      |SELECT vec_id,
+      |  cast(floor(amax * 1000000.0 + 0.5) AS bigint) AS amax_e6,
+      |  cast(count(*) FILTER (c <> 0) AS int) AS n_nonzero,
+      |  cast(floor(sqrt(sum((c * (amax / 127.0) - x) * (c * (amax / 127.0) - x)))
+      |    * 1000000.0 + 0.5) AS bigint) AS err_e6
+      |FROM q GROUP BY vec_id, amax""".stripMargin
+
   /** Per-vector norms — the sanity/statistics pass over the embedding
     * column, oracle-checked (same double arithmetic via unnest in DuckDB).
     */

@@ -604,15 +604,25 @@ object SparkEntry {
   )
 
   def dedupOracle: Map[String, String] = Map(
+    // both exact-dedup oracles replay the planted-duplicate corpus (the
+    // raw corpus has no byte-identical texts — results would be vacuous)
     "d1_exact_duplicate_groups" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  cast(count(*) AS bigint) AS n_copies
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
     "d2_exact_dedup_keep" ->
-      """SELECT doc_id, lang, source FROM (
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents)
+        |  FROM corpus)
         |WHERE rn = 1""".stripMargin,
     "d3_ngram_jaccard_pairs" ->
       s"""WITH toks AS (

@@ -20,11 +20,26 @@ import graft.sources.Fixtures.table
   */
 object Dedup {
 
+  private val DupCloneCount = 10
+  private val DupCloneOffset = 1000000L
+
+  /** documents ∪ deterministic exact-duplicate clones (the first
+    * [[DupCloneCount]] docs re-emitted under offset ids). The raw corpus
+    * contains no byte-identical texts at any sf, so without planting the
+    * exact-dedup queries would pass vacuously on empty/identity results —
+    * this derivation is replayed identically by the DuckDB oracle.
+    */
+  private def dupSeededDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.unionAll(d.filter(col("doc_id") < DupCloneCount)
+      .withColumn("doc_id", col("doc_id") + lit(DupCloneOffset)))
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text that
     * occurs more than once, with the canonical survivor (min doc_id).
     */
   def exactDuplicateGroups(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    dupSeededDocs(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
@@ -34,7 +49,7 @@ object Dedup {
     */
   def exactDedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    table(spark, dir, "documents")
+    dupSeededDocs(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"))

@@ -607,18 +607,20 @@ object SparkEntry {
     // both exact-dedup oracles replay the planted-duplicate corpus (the
     // raw corpus has no byte-identical texts — results would be vacuous)
     "d1_exact_duplicate_groups" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10)
+        |  SELECT doc_id + ${Dedup.DupCloneOffset}, text FROM documents
+        |  WHERE doc_id < ${Dedup.DupCloneCount})
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  cast(count(*) AS bigint) AS n_copies
         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
     "d2_exact_dedup_keep" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text, lang, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id < 10)
+        |  SELECT doc_id + ${Dedup.DupCloneOffset}, text, lang, source FROM documents
+        |  WHERE doc_id < ${Dedup.DupCloneCount})
         |SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

@@ -1,10 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Bounded top-k aggregation: keeps the k best (score, id) pairs, ordered
-  * by score desc then id asc.
+/** Bounded top-k aggregation: keeps the k best (score, id, payload)
+  * triples, ordered by score desc then id asc; the payload rides along
+  * unused by the ordering (carry a differently-scaled output column — or
+  * repeat the score when no payload is needed).
   *
   * The window formulation (`row_number().over(partitionBy(key).orderBy(...))
   * <= k`) must SORT every key's full partition before discarding all but k
@@ -15,34 +17,9 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Buffer is a sorted Seq (k is small); merge is a bounded sorted merge —
   * associative and commutative, so partial aggregation is safe.
-  */
-class TopKAgg(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-
-  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  override def zero: Seq[(Long, Long)] = Vector.empty
-
-  override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
-    if (buf.size == k && !better(in, buf.last)) buf
-    else ((buf :+ in).sortWith(better)).take(k)
-
-  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    (a ++ b).sortWith(better).take(k)
-
-  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
-
-  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
-}
-
-/** [[TopKAgg]] with a payload slot: keeps the k best (score, id, payload)
-  * triples ordered by score desc, id asc; the payload rides along unused by
-  * the ordering. Lets a query rank on a fine-grained key (e.g. cosine at
-  * 6 dp) while emitting a differently-scaled output column (e.g. 4 dp)
-  * without a join back to recompute it.
+  *
+  * (For the same shape as a whole-plan operator over untyped rows — no
+  * Dataset encoding — see [[graft.plans.TopKPerKey]].)
   */
 class TopKPayloadAgg(k: Int)
     extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]] {

@@ -20,8 +20,10 @@ import graft.sources.Fixtures.table
   */
 object Dedup {
 
-  private val DupCloneCount = 10
-  private val DupCloneOffset = 1000000L
+  // shared with the d1/d2 oracle SQL in SparkEntry — interpolated there so
+  // tuning either constant can't silently desync the two derivations
+  private[graft] val DupCloneCount = 10
+  private[graft] val DupCloneOffset = 1000000L
 
   /** documents ∪ deterministic exact-duplicate clones (the first
     * [[DupCloneCount]] docs re-emitted under offset ids). The raw corpus

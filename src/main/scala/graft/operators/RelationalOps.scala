@@ -231,8 +231,8 @@ object RelationalOps {
         concat_ws("|", col("c_mktsegment"), trim(col("c_name"))).as("tagged"))
 
   /** Top-3 parts by exact revenue per brand via the bounded-heap
-    * [[graft.functions.TopKAgg]] — map-side partial top-k instead of a
-    * whole-partition window sort. Result is identical to the window
+    * [[graft.functions.TopKPayloadAgg]] — map-side partial top-k instead
+    * of a whole-partition window sort. Result is identical to the window
     * formulation (the DuckDB oracle uses row_number), ties broken by
     * part key.
     */
@@ -247,8 +247,8 @@ object RelationalOps {
       .select(col("p_brand"), col("rev_e4"), col("p_partkey"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      .mapValues(r => (r._2, r._3, r._2))
+      .agg(new graft.functions.TopKPayloadAgg(3).toColumn.name("top"))
       .toDF("p_brand", "top")
       .select(col("p_brand"), posexplode(col("top")))
       .select(

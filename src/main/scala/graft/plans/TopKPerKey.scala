@@ -44,6 +44,8 @@ object TopKPerKey {
       k: Int,
       rnName: String = "rn"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains(rnName),
+      s"input already has a column named '$rnName' — pass a different rnName")
     val spark = df.sparkSession
     register(spark)
 
@@ -155,38 +157,63 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 /** Shared bounded per-key buffer pass: key → the k best rows in sort
-  * order. Memory is O(distinct keys per partition × k).
+  * order. Memory is O(min(distinct keys per partition, maxKeys) × k): when
+  * the key cardinality in one partition exceeds `maxKeys`, the current
+  * heaps are FLUSHED downstream and the map restarts — emitting several
+  * partial heaps for a key is correct (the final phase merges them), so
+  * the flush is the hash-aggregate spill-fallback analogue that keeps a
+  * nearly-unique key column from OOMing the map side.
   */
 private[plans] object BoundedTopK {
+  val DefaultMaxKeys: Int = 1 << 18
+
   def heaps(
       iter: Iterator[InternalRow],
       keys: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      schema: Seq[Attribute]): Iterator[mutable.ArrayBuffer[UnsafeRow]] = {
+      schema: Seq[Attribute],
+      maxKeys: Int = DefaultMaxKeys): Iterator[mutable.ArrayBuffer[UnsafeRow]] = {
     val keyProj = UnsafeProjection.create(keys, schema)
     val toUnsafe = UnsafeProjection.create(schema.map(a => a: Expression), schema)
     val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering.create(order, schema)
-    val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]]
-    iter.foreach { r =>
-      val u = toUnsafe(r)
-      val key = keyProj(u)
-      val buf = buffers.getOrElse(key, null) match {
-        case null =>
-          val b = mutable.ArrayBuffer.empty[UnsafeRow]
-          buffers(key.copy()) = b
-          b
-        case b => b
+
+    new Iterator[mutable.ArrayBuffer[UnsafeRow]] {
+      private var buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]]
+      private var drain: Iterator[mutable.ArrayBuffer[UnsafeRow]] = Iterator.empty
+
+      private def fill(): Unit = {
+        while (!drain.hasNext && iter.hasNext) {
+          val u = toUnsafe(iter.next())
+          val key = keyProj(u)
+          val buf = buffers.getOrElse(key, null) match {
+            case null =>
+              val b = mutable.ArrayBuffer.empty[UnsafeRow]
+              buffers(key.copy()) = b
+              b
+            case b => b
+          }
+          if (buf.size < k || ord.compare(u, buf.last) < 0) {
+            val c = u.copy()
+            var i = buf.size
+            while (i > 0 && ord.compare(c, buf(i - 1)) < 0) i -= 1
+            buf.insert(i, c)
+            if (buf.size > k) buf.remove(k)
+          }
+          if (buffers.size >= maxKeys) { // cardinality flush
+            drain = buffers.valuesIterator
+            buffers = mutable.LinkedHashMap.empty
+          }
+        }
+        if (!drain.hasNext && buffers.nonEmpty) {
+          drain = buffers.valuesIterator
+          buffers = mutable.LinkedHashMap.empty
+        }
       }
-      if (buf.size < k || ord.compare(u, buf.last) < 0) {
-        val c = u.copy()
-        var i = buf.size
-        while (i > 0 && ord.compare(c, buf(i - 1)) < 0) i -= 1
-        buf.insert(i, c)
-        if (buf.size > k) buf.remove(k)
-      }
+
+      override def hasNext: Boolean = { fill(); drain.hasNext }
+      override def next(): mutable.ArrayBuffer[UnsafeRow] = { fill(); drain.next() }
     }
-    buffers.valuesIterator
   }
 }
 
@@ -202,8 +229,10 @@ case class PartialTopKPerKeyExec(
   override def outputPartitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, schema, kk) = (keys, order, child.output, k)
+    val maxKeys = conf.getConfString("graft.topk.maxKeys",
+      BoundedTopK.DefaultMaxKeys.toString).toInt
     child.execute().mapPartitions(
-      iter => BoundedTopK.heaps(iter, ks, os, kk, schema).flatMap(_.iterator),
+      iter => BoundedTopK.heaps(iter, ks, os, kk, schema, maxKeys).flatMap(_.iterator),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
@@ -230,7 +259,11 @@ case class FinalTopKPerKeyExec(
       val proj = UnsafeProjection.create(out.map(a => a: Expression), schema :+ rn)
       val joined = new JoinedRow
       val rnRow = new GenericInternalRow(1)
-      BoundedTopK.heaps(iter, ks, os, kk, schema).flatMap { buf =>
+      // no cardinality flush here: rank assignment needs every candidate of
+      // a key in ONE heap (two flushed heaps would both emit rank 1..k).
+      // Post-shuffle key cardinality per reducer is bounded by the exchange
+      // partitioning + AQE, the same memory regime as a final hash agg.
+      BoundedTopK.heaps(iter, ks, os, kk, schema, maxKeys = Int.MaxValue).flatMap { buf =>
         buf.iterator.zipWithIndex.map { case (r, i) =>
           rnRow.update(0, i + 1)
           proj(joined(r, rnRow))

@@ -29,11 +29,14 @@ final case class QueryHealth(
     totalInputRows: Long,
     numProgressEvents: Long) {
 
-  /** Healthy = running and not stale: last progress within `staleAfterMs`
-    * (the listener-push analogue of the reference's checker cadence).
+  /** Healthy = running and not stale: last event within `staleAfterMs`.
+    * A Starting query gets the same grace window from registration — a big
+    * first batch must not flip a liveness endpoint red and crash-loop the
+    * process before the first progress event can possibly arrive.
     */
   def healthy(nowMs: Long, staleAfterMs: Long): Boolean =
-    status == Health.Ok && nowMs - lastEventMs <= staleAfterMs
+    (status == Health.Ok || status == Health.Starting) &&
+      nowMs - lastEventMs <= staleAfterMs
 }
 
 /** A [[StreamingQueryListener]] that maintains a queryId → [[QueryHealth]]
@@ -107,10 +110,13 @@ object Drain {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    val flush = Future(query.processAllAvailable())
     val drained =
       try {
-        Await.ready(Future(query.processAllAvailable()), budgetMs.millis)
-        true
+        Await.ready(flush, budgetMs.millis)
+        // a future that FAILED inside the budget (sink threw mid-batch) is
+        // not a clean drain — only a successfully completed flush counts
+        flush.value.exists(_.isSuccess)
       } catch { case _: java.util.concurrent.TimeoutException => false }
     query.stop() // also unblocks a still-running processAllAvailable
     drained

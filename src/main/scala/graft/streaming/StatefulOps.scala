@@ -41,7 +41,10 @@ object StatefulOps {
     * or many rows per group per batch, the output shape
     * `mapGroupsWithState` (exactly one row) cannot express. State is the
     * same running aggregate; levels already announced are never re-emitted
-    * across batches.
+    * across batches. Output carries only batch-boundary-INVARIANT fields
+    * (the level and its threshold): stamping a "current total" would make
+    * the row depend on how the backlog was chunked into micro-batches and
+    * break sink idempotency across restarts.
     */
   def thresholdAlerts(events: Dataset[UserEvent]): Dataset[UserAlert] = {
     import events.sparkSession.implicits._
@@ -58,9 +61,9 @@ object StatefulOps {
           state.update(UserRunningState(n, total))
           val levelAfter = math.floor(total / AlertStep).toLong
           ((levelBefore + 1) to levelAfter).iterator
-            .map(l => UserAlert(uid, l, math.floor(total * 100 + 0.5).toLong))
+            .map(l => UserAlert(uid, l, math.floor(l * AlertStep * 100 + 0.5).toLong))
       }
   }
 }
 
-final case class UserAlert(user_id: Long, level: Long, total_e2: Long)
+final case class UserAlert(user_id: Long, level: Long, threshold_e2: Long)

@@ -31,6 +31,22 @@ class TopKPerKeySpec extends SparkSuite {
     assert(custom.size === 37 * 5)
   }
 
+  test("cardinality flush in the partial phase preserves exact results") {
+    // force the map-side heap map to flush every 3 distinct keys: several
+    // partial heaps per key reach the final phase, which must merge them
+    spark.conf.set("graft.topk.maxKeys", "3")
+    try {
+      val df = synthetic
+      val custom = TopKPerKey(df, Seq(col("k")), Seq(col("s").desc, col("id")), 5)
+        .select("k", "s", "id", "rn")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val w = Window.partitionBy("k").orderBy(col("s").desc, col("id"))
+      val window = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(custom === window)
+    } finally spark.conf.unset("graft.topk.maxKeys")
+  }
+
   test("k larger than the group returns the whole group, fully ranked") {
     val df = Seq((1L, 10L), (1L, 30L), (2L, 20L)).toDF("k", "s").repartition(3)
     val out = TopKPerKey(df, Seq(col("k")), Seq(col("s").desc), 100)

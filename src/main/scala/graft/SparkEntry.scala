@@ -139,6 +139,8 @@ object SparkEntry {
     "t11_packed_chunks" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.packedChunks(s, d)),
     "t12_balance_weights" -> graft.operators.TrainingPrep.balanceWeights _,
+    "t13_contamination" -> graft.operators.TrainingPrep.contamination _,
+    "t14_hash_split" -> graft.operators.TrainingPrep.hashSplit _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -592,6 +594,13 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
     // t10 uses engine-specific sampling RNG — rows-only check.
     "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql,
+    "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
+    "t14_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+        |       WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
     "t12_balance_weights" ->
       """WITH by_lang AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
         |tot AS (SELECT sum(n_lang) AS n, count(*) AS l FROM by_lang)

@@ -151,6 +151,68 @@ object TrainingPrep {
         Exact.e(col("n").cast("double") / (col("l") * col("n_lang")), 6).as("weight_e6"))
   }
 
+  private val ContamN = 8
+  private val ContamMinShared = 5
+  private val EvalCutoff = 50
+
+  /** Benchmark decontamination: count the distinct word [[ContamN]]-grams
+    * each eval document (doc_id < [[EvalCutoff]], standing in for a held-out
+    * benchmark) shares with the training split, and flag docs at or above
+    * [[ContamMinShared]] — the train/test-overlap gate every pretraining
+    * corpus must pass. Same inverted-index shape as the dedup pipeline:
+    * only colliding n-grams are ever joined, never doc pairs.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(toks) - ${ContamN - 1}), i -> concat_ws(' ', slice(toks, i, $ContamN)))")))
+        .as("s"))
+    val trainGrams = sh.filter(col("doc_id") >= EvalCutoff).select(col("s")).distinct()
+    val shared = sh.filter(col("doc_id") < EvalCutoff)
+      .join(trainGrams, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") < EvalCutoff).select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= ContamMinShared).as("contaminated"))
+  }
+
+  def contaminationOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ContamN),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${ContamN - 1}], ' ') AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${ContamN - 2})) AS i) r),
+       |shared AS (
+       |  SELECT e.doc_id, cast(count(*) AS bigint) AS n_shared
+       |  FROM sh e
+       |  JOIN (SELECT DISTINCT s FROM sh WHERE doc_id >= $EvalCutoff) tr ON tr.s = e.s
+       |  WHERE e.doc_id < $EvalCutoff GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(shared.n_shared, 0) AS n_shared,
+       |  coalesce(shared.n_shared, 0) >= $ContamMinShared AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < $EvalCutoff) d
+       |LEFT JOIN shared ON shared.doc_id = d.doc_id""".stripMargin
+
+  /** Deterministic train/val/test assignment from the content hash: the
+    * first hex digit of md5(text) buckets 16 ways → 12/2/2 split. Content-
+    * keyed (duplicates land in the same split, renames don't reshuffle) and
+    * portable — md5 is identical in every engine.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("text").cast("binary")), 1, 1)
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      when(h.isin("c", "d"), lit("val"))
+        .when(h.isin("e", "f"), lit("test"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Seeded per-language stratified sample: en down-sampled, the rest
     * kept — the corpus-rebalancing step. Sampling RNG is engine-specific →
     * rows-only check; determinism per seed is tested.

@@ -33,25 +33,44 @@ object BatchedPatchSink {
     def patch(updates: Seq[Row]): Unit = {
       RecordingClient.calls.incrementAndGet()
       RecordingClient.rows.addAndGet(updates.size)
+      RecordingClient.maxBatch.getAndUpdate(m => math.max(m, updates.size))
     }
   }
   object RecordingClient {
     val calls = new AtomicLong(0)
     val rows = new AtomicLong(0)
-    def reset(): Unit = { calls.set(0); rows.set(0) }
+    val maxBatch = new AtomicLong(0)
+    def reset(): Unit = { calls.set(0); rows.set(0); maxBatch.set(0) }
   }
 
-  /** Write `updates` through the client, one call per ≈batchSize rows.
-    * Returns the number of partitions used (== number of PATCH calls).
+  /** Write `updates` through the client, one call per ≈batchSize rows —
+    * the minimal-call-count path (the reference's reason for batching is
+    * one store lock per call). The sizing count and the send share one
+    * materialization: the frame is persisted across the two passes instead
+    * of recomputing its (possibly expensive) lineage.
     */
   def write(updates: DataFrame, batchSize: Int, client: PatchClient): Int = {
-    val n = updates.count()
-    val numParts = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
-    val repartitioned = updates.repartition(numParts)
-    repartitioned.foreachPartition { (rows: Iterator[Row]) =>
-      val batch = rows.toSeq
-      if (batch.nonEmpty) client.patch(batch)
-    }
-    numParts
+    updates.persist()
+    try {
+      val n = updates.count()
+      val numParts = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
+      updates.repartition(numParts).foreachPartition { (rows: Iterator[Row]) =>
+        val batch = rows.toSeq
+        if (batch.nonEmpty) client.patch(batch)
+      }
+      numParts
+    } finally { updates.unpersist(); () }
   }
+
+  /** Shuffle-free variant: chunk each existing partition into ≤ batchSize
+    * calls locally. No count, no exchange, single pass — the 100 TB default
+    * when the per-call overhead is small; trades a few extra calls (≤ one
+    * underfull call per input partition) for never moving the data.
+    */
+  def writeLocal(updates: DataFrame, batchSize: Int, client: PatchClient): Unit =
+    updates.foreachPartition { (rows: Iterator[Row]) =>
+      rows.grouped(batchSize).foreach { batch =>
+        if (batch.nonEmpty) client.patch(batch)
+      }
+    }
 }

@@ -71,6 +71,18 @@ class SourcesSinksSpec extends SparkSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(label"), scan)
   }
 
+  test("patch sink local variant: no shuffle, every call bounded by batchSize") {
+    RecordingClient.reset()
+    val updates = (1 to 100).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")
+      .repartition(4)
+    BatchedPatchSink.writeLocal(updates, batchSize = 8, new RecordingClient)
+    assert(RecordingClient.rows.get() === 100)
+    // every call respects the batch bound; call count is between the ideal
+    // ceil(100/8) and one underfull call per partition extra
+    assert(RecordingClient.maxBatch.get() <= 8)
+    assert(RecordingClient.calls.get() >= 13 && RecordingClient.calls.get() <= 17)
+  }
+
   test("patch sink: single call when everything fits one batch") {
     RecordingClient.reset()
     val updates = (1 to 5).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")

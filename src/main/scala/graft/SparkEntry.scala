@@ -217,9 +217,10 @@ object SparkEntry {
     *   - d4_minhash_lsh_pairs, d5_simhash_signatures, d6_simhash_pairs,
     *     d7_minhash_agg_signatures, t5_winnow_fingerprints,
     *     t6_winnow_candidates: signatures built on Spark's xxhash64,
-    *     which DuckDB does not implement (d4/t6 candidate SETS are
-    *     asserted equal to exact-similarity results in ScalaTest; d7 is
-    *     asserted bit-equal to the minhashSignatures expression path).
+    *     which DuckDB does not implement (ScalaTest: d4's candidate set
+    *     equals the exact-Jaccard pairs, t6 surfaces planted
+    *     near-duplicates and honors the winnowing guarantee, d7 is
+    *     bit-equal to the minhashSignatures expression path).
     *   - t10_stratified_sample: engine sampling RNG (seeded determinism
     *     is tested).
     */

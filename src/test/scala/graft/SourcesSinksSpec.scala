@@ -1,7 +1,7 @@
 package graft
 
 import graft.sinks.BatchedPatchSink
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, when}
 import graft.sinks.BatchedPatchSink.RecordingClient
 
 /** DataSourceV2 paged source + batched PATCH sink parity tests. */
@@ -81,6 +81,42 @@ class SourcesSinksSpec extends SparkSuite {
     // ceil(100/8) and one underfull call per partition extra
     assert(RecordingClient.maxBatch.get() <= 8)
     assert(RecordingClient.calls.get() >= 13 && RecordingClient.calls.get() <= 17)
+  }
+
+  test("graph sink DSv2: commit protocol delivers each partition exactly once") {
+    import graft.sinks.GraphNodeSink
+    GraphNodeSink.reset()
+    val nodes = (1 to 200).map(i => (s"option/d$i/o$i", "DimensionOption", s"n$i"))
+      .toDF("id", "label", "props")
+      .repartition(7)
+    nodes.write.format("graft-graph-sink").mode("append").option("jobId", "job-A").save()
+    // driver-side commit saw every partition's message and promoted them
+    assert(GraphNodeSink.jobCommits.get("job-A") === 200L)
+    assert(GraphNodeSink.rowsFor("job-A").map(_._1).sorted ===
+      (1 to 200).map(i => s"option/d$i/o$i").sorted)
+    assert(GraphNodeSink.aborts.get() === 0)
+    // a second job with its own id does not disturb the first
+    Seq(("x", "Instance", "p")).toDF("id", "label", "props")
+      .write.format("graft-graph-sink").mode("append").option("jobId", "job-B").save()
+    assert(GraphNodeSink.rowsFor("job-A").size === 200)
+    assert(GraphNodeSink.rowsFor("job-B") === Seq(("x", "Instance", "p")))
+  }
+
+  test("graph sink DSv2: nothing becomes visible when the job fails mid-write") {
+    import graft.sinks.GraphNodeSink
+    GraphNodeSink.reset()
+    val poisoned = (1 to 50).map(i => (i, s"n$i")).toDF("k", "props")
+      .select(
+        when(col("k") === 42, (col("k") / lit(0)).cast("string"))
+          .otherwise(concat(lit("id"), col("k"))).as("id"),
+        lit("L").as("label"), col("props"))
+      .repartition(5)
+    spark.conf.set("spark.sql.ansi.enabled", "true") // make /0 throw
+    try intercept[Exception] {
+      poisoned.write.format("graft-graph-sink").mode("append").option("jobId", "job-F").save()
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+    assert(GraphNodeSink.rowsFor("job-F").isEmpty, "aborted job leaked rows")
+    assert(GraphNodeSink.jobCommits.get("job-F") === null)
   }
 
   test("patch sink: single call when everything fits one batch") {

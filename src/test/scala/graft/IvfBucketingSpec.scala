@@ -27,6 +27,11 @@ class IvfBucketingSpec extends SparkSuite {
     top1.foreach { case (q, v, c) => assert(q === v && c === 10000L) }
   }
 
+  test("ivf list count scales with corpus size") {
+    assert(IvfAnn.recommendedLists(1L << 30, 4096) === (1L << 30) / 4096)
+    assert(IvfAnn.recommendedLists(100, 4096) === 1)
+  }
+
   test("ivf recall vs brute force is substantial on this corpus") {
     val bf = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet

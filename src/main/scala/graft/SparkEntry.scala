@@ -120,6 +120,8 @@ object SparkEntry {
     // custom Catalyst whole-operator (logical node + strategy + two-phase
     // bounded-heap physical plan)
     "w5_top_events_per_user" -> RelationalOps.topEventsPerUser _,
+    "q10_returned_revenue" -> RelationalOps.returnedItemRevenue _,
+    "q14_promo_share" -> RelationalOps.promoRevenueShare _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -520,6 +522,27 @@ object SparkEntry {
         |  cast(floor(quantile_cont(value, 0.5) * 100.0 + 0.5) AS bigint) AS median_value_e2,
         |  cast(floor(quantile_cont(value, 0.9) * 100.0 + 0.5) AS bigint) AS p90_value_e2
         |FROM events GROUP BY event_type""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint) AS rev_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate < timestamp '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT promo_e4, total_e4,
+        |  cast(floor(promo_e4 * 1000000.0 / total_e4) AS bigint) AS promo_share_e6
+        |FROM (
+        |  SELECT
+        |    cast(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)
+        |      ELSE 0 END) AS bigint) AS promo_e4,
+        |    cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint) AS total_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
     "w5_top_events_per_user" ->
       """SELECT user_id, event_id,
         |  cast(floor(value * 100.0 + 0.5) AS bigint) AS value_e2,

@@ -258,6 +258,41 @@ object RelationalOps {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** TPC-H Q10 shape: returned-item revenue per customer over a date
+    * window — 3-way broadcast-dim join into one aggregate.
+    */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(table(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev_e4"))
+
+  /** TPC-H Q14 shape: promo revenue share. Both sums are scaled-integer
+    * aggregates and the percentage is integer division — exact in any
+    * engine at any partitioning.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Exact.e(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_e4"),
+        sum(rev).as("total_e4"))
+      .select(
+        col("promo_e4"), col("total_e4"),
+        // the e4 sums fit doubles exactly (< 2^53); the share is then one
+        // double multiply+divide+floor — bit-identical in any IEEE engine
+        // (promo_e4 * 10^6 would overflow int64 at larger sf)
+        floor(col("promo_e4") * lit(1000000.0) / col("total_e4"))
+          .cast("long").as("promo_share_e6"))
+  }
+
   /** Top-3 events per user by value through the custom whole-operator
     * [[graft.plans.TopKPerKey]] (logical node → strategy → two-phase
     * bounded-heap physical plan): the exchange carries at most k rows per

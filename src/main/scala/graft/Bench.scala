@@ -32,14 +32,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // caches are per-query scratch, not cross-query state
       name -> dt
-    }.toMap
+    }
     // millisecond precision keeps the one-line JSON short enough that a
     // line-capture limit can't truncate it mid-object (r1's record lost 14
     // query timings to truncation)
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -44,7 +44,9 @@ object TopKPerKey {
       k: Int,
       rnName: String = "rn"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(!df.columns.contains(rnName),
+    // case-insensitive like Spark's default resolver: a case-variant
+    // collision would otherwise surface as AMBIGUOUS_REFERENCE later
+    require(!df.columns.exists(_.equalsIgnoreCase(rnName)),
       s"input already has a column named '$rnName' — pass a different rnName")
     val spark = df.sparkSession
     register(spark)

@@ -50,7 +50,10 @@ object BatchedPatchSink {
     * of recomputing its (possibly expensive) lineage.
     */
   def write(updates: DataFrame, batchSize: Int, client: PatchClient): Int = {
-    updates.persist()
+    // persist only if the caller hasn't — unpersisting a caller-owned
+    // cache would evict state they still need (persist isn't refcounted)
+    val ownCache = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache) updates.persist()
     try {
       val n = updates.count()
       val numParts = math.max(1, math.ceil(n.toDouble / batchSize).toInt)
@@ -59,7 +62,7 @@ object BatchedPatchSink {
         if (batch.nonEmpty) client.patch(batch)
       }
       numParts
-    } finally { updates.unpersist(); () }
+    } finally { if (ownCache) { updates.unpersist(); () } }
   }
 
   /** Shuffle-free variant: chunk each existing partition into ≤ batchSize
@@ -69,8 +72,7 @@ object BatchedPatchSink {
     */
   def writeLocal(updates: DataFrame, batchSize: Int, client: PatchClient): Unit =
     updates.foreachPartition { (rows: Iterator[Row]) =>
-      rows.grouped(batchSize).foreach { batch =>
-        if (batch.nonEmpty) client.patch(batch)
-      }
+      // grouped() never yields an empty batch
+      rows.grouped(batchSize).foreach(client.patch)
     }
 }

@@ -59,9 +59,12 @@ private class GraphNodeSinkTable extends Table with SupportsWrite {
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val jobId = info.options.getOrDefault("jobId", info.queryId)
-    require(info.schema().fieldNames.sameElements(GraphNodeSink.Schema.fieldNames),
-      s"graph sink expects columns ${GraphNodeSink.Schema.fieldNames.mkString(",")}, " +
-        s"got ${info.schema().fieldNames.mkString(",")}")
+    // fail fast on the driver: names AND types (a wrong type would
+    // otherwise surface as a per-task ClassCastException in the writer)
+    val got = info.schema().fields.map(f => (f.name, f.dataType))
+    val want = GraphNodeSink.Schema.fields.map(f => (f.name, f.dataType))
+    require(got.sameElements(want),
+      s"graph sink expects ${want.mkString(",")}, got ${got.mkString(",")}")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraphNodeBatchWrite(jobId)
@@ -77,6 +80,11 @@ private class GraphNodeBatchWrite(jobId: String) extends BatchWrite {
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val counts = messages.map { case m: GraphNodeCommit => m.rows }
     GraphNodeSink.jobCommits.put(jobId, counts.sum)
+    // a re-run of the same jobId REPLACES its previous contents: sweep all
+    // prior partitions first, or a rerun that commits fewer partitions
+    // (AQE coalescing) would leave the old run's tail visible
+    GraphNodeSink.store.keySet.asScala.filter(_._1 == jobId)
+      .foreach(GraphNodeSink.store.remove)
     // promote every committed attempt's buffer to the visible store
     messages.foreach { case m: GraphNodeCommit =>
       val staged = GraphNodeSink.staged.remove((jobId, m.partitionId, m.taskId))

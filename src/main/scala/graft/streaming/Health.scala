@@ -111,14 +111,18 @@ object Drain {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val flush = Future(query.processAllAvailable())
-    val drained =
-      try {
-        Await.ready(flush, budgetMs.millis)
-        // a future that FAILED inside the budget (sink threw mid-batch) is
-        // not a clean drain — only a successfully completed flush counts
-        flush.value.exists(_.isSuccess)
-      } catch { case _: java.util.concurrent.TimeoutException => false }
-    query.stop() // also unblocks a still-running processAllAvailable
-    drained
+    try {
+      Await.ready(flush, budgetMs.millis)
+      // a future that FAILED inside the budget (sink threw mid-batch) is
+      // not a clean drain — only a successfully completed flush counts
+      flush.value.exists(_.isSuccess)
+    } catch {
+      case _: java.util.concurrent.TimeoutException => false
+    } finally {
+      // unconditionally, even if the Await was interrupted: leaving the
+      // query running past the shutdown budget is the one unacceptable
+      // outcome (also unblocks a still-running processAllAvailable)
+      query.stop()
+    }
   }
 }

@@ -105,14 +105,16 @@ class SourcesSinksSpec extends SparkSuite {
   test("graph sink DSv2: nothing becomes visible when the job fails mid-write") {
     import graft.sinks.GraphNodeSink
     GraphNodeSink.reset()
-    val poisoned = (1 to 50).map(i => (i, s"n$i")).toDF("k", "props")
-      .select(
-        when(col("k") === 42, (col("k") / lit(0)).cast("string"))
-          .otherwise(concat(lit("id"), col("k"))).as("id"),
-        lit("L").as("label"), col("props"))
-      .repartition(5)
+    // conf BEFORE the frame is analyzed: the Divide's eval mode is
+    // captured at construction, not at execution
     spark.conf.set("spark.sql.ansi.enabled", "true") // make /0 throw
     try intercept[Exception] {
+      val poisoned = (1 to 50).map(i => (i, s"n$i")).toDF("k", "props")
+        .select(
+          when(col("k") === 42, (col("k") / lit(0)).cast("string"))
+            .otherwise(concat(lit("id"), col("k"))).as("id"),
+          lit("L").as("label"), col("props"))
+        .repartition(5)
       poisoned.write.format("graft-graph-sink").mode("append").option("jobId", "job-F").save()
     } finally spark.conf.unset("spark.sql.ansi.enabled")
     assert(GraphNodeSink.rowsFor("job-F").isEmpty, "aborted job leaked rows")

@@ -89,6 +89,9 @@ object SparkEntry {
     // --- S7 graph analytics: code-node degrees over the edges DF ---
     "s7_code_degrees" -> ((s, d) =>
       codeDegrees(codeEdges(dimsDedup(s, d), Fixtures.codeLists(s, d)))),
+    // --- graph analytics: integer-arithmetic PageRank (exactly replayable) ---
+    "g5_code_pagerank" -> ((s, d) =>
+      codePageRank(dimsDedup(s, d), Fixtures.codeLists(s, d))),
     // --- skew tool: two-phase salted aggregation (result == plain agg) ---
     "k1_salted_pricing_by_flag" -> graft.operators.SkewOps.saltedPricingByFlag _,
     // --- flagship end-to-end ---
@@ -210,6 +213,39 @@ object SparkEntry {
 
   private val W = OracleCtes.all
 
+  /** Integer PageRank unrolled to fixed iterations — pure integer division
+    * throughout, so DuckDB replays the Spark fixpoint exactly.
+    */
+  private def codePageRankOracleSql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""pr$k AS (
+         |  SELECT nd.node, (SELECT base FROM consts) + (85 * coalesce(s.c, 0)) // 100 AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // od.od) AS c
+         |    FROM edges e
+         |    JOIN pr${k - 1} p ON p.node = e.src
+         |    JOIN outdeg od ON od.src = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$W, e0 AS (
+       |  SELECT concat('option/', d.dimension_id, '/', d.option) AS src,
+       |    concat('code/', d.code_list_id, '/', c.code) AS dst
+       |  FROM dims_dedup d
+       |  JOIN code_lists c
+       |    ON d.code_list_id = c.code_list_id AND d.option = c.code
+       |  WHERE replace(concat('_', d.dimension_id), concat('_', d.instance_id, '_'), '') <> 'time'),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |consts AS (
+       |  SELECT 1000000000 // greatest(1, count(*)) AS init,
+       |    (15 * (1000000000 // greatest(1, count(*)))) // 100 AS base
+       |  FROM nodes),
+       |pr0 AS (SELECT node, (SELECT init FROM consts) AS r FROM nodes),
+       |$iters
+       |SELECT node, cast(r AS bigint) AS rank_e9 FROM pr3""".stripMargin
+  }
+
   /** DuckDB oracle for each query; same column names/types as the Spark
     * side. Exactly eight queries are intentionally omitted (driver falls
     * back to its rows-only check), each for an inherent engine-specificity
@@ -329,6 +365,7 @@ object SparkEntry {
          |  ON d.code_list_id = c.code_list_id AND d.option = c.code
          |WHERE replace(concat('_', d.dimension_id), concat('_', d.instance_id, '_'), '') <> 'time'
          |GROUP BY 1""".stripMargin,
+    "g5_code_pagerank" -> codePageRankOracleSql,
     "k1_salted_pricing_by_flag" ->
       """SELECT l_returnflag,
         |  cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS bigint) AS sum_qty_e2

@@ -139,6 +139,42 @@ object ImporterPipeline {
   // Reference handler/incoming_instance_handler.go:294-302 — no code
   // relationship for the "time" dimension ("temp hack"); inner broadcast
   // join resolves the code node.
+  /** Integer-arithmetic PageRank over the undirected option↔code graph —
+    * graph-analytics depth past degrees (s7) and components (d8). Ranks
+    * are e9-scaled integers and every update is integer division
+    * (`r div outdeg`, `(85·c) div 100`), so a fixed iteration count is a
+    * pure integer fixpoint both engines replay bit-for-bit — no float
+    * drift, no convergence nondeterminism. Same iterative shape as
+    * [[graft.operators.Dedup.duplicateClusters]]: localCheckpoint per
+    * round truncates the growing lineage; at cluster scale each round is
+    * one join + one aggregate on the edge partitioning.
+    */
+  def codePageRank(dedup: DataFrame, codeLists: DataFrame, iterations: Int = 3): DataFrame = {
+    val e0 = codeEdges(dedup, codeLists).select(col("src"), col("dst"))
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // one scalar driver agg, like the TF-IDF N
+    val init = 1000000000L / math.max(1L, n)
+    val base = (15L * init) / 100L
+    var ranks = nodes.withColumn("r", lit(init)).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          col("node"),
+          (lit(base) + expr(s"(85 * coalesce(csum, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    ranks.select(col("node"), col("r").as("rank_e9"))
+  }
+
   def codeEdges(dedup: DataFrame, codeLists: DataFrame): DataFrame =
     dedup
       .withColumn("name", nameCol)

@@ -152,8 +152,10 @@ object ImporterPipeline {
   def codePageRank(dedup: DataFrame, codeLists: DataFrame, iterations: Int = 3): DataFrame = {
     val e0 = codeEdges(dedup, codeLists).select(col("src"), col("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // both are re-read every iteration — cache so each round only runs the
+    // contribution join + aggregate
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
     val n = nodes.count() // one scalar driver agg, like the TF-IDF N
     val init = 1000000000L / math.max(1L, n)
     val base = (15L * init) / 100L

@@ -144,22 +144,28 @@ object ImporterPipeline {
     * are e9-scaled integers and every update is integer division
     * (`r div outdeg`, `(85·c) div 100`), so a fixed iteration count is a
     * pure integer fixpoint both engines replay bit-for-bit — no float
-    * drift, no convergence nondeterminism. Same iterative shape as
-    * [[graft.operators.Dedup.duplicateClusters]]: localCheckpoint per
-    * round truncates the growing lineage; at cluster scale each round is
-    * one join + one aggregate on the edge partitioning.
+    * drift, no convergence nondeterminism.
+    *
+    * Fixed iteration counts are UNROLLED into one lazy DAG (the same
+    * pr0→prN chain the DuckDB oracle uses): zero driver-side actions —
+    * even the node count becomes a 1-row broadcast frame — so the whole
+    * computation is a single Spark job, and exchange reuse dedupes the
+    * edge/degree shuffles across iterations. For variable/large
+    * iteration counts where the unrolled plan would grow unboundedly,
+    * use [[codePageRankIterative]].
     */
   def codePageRank(dedup: DataFrame, codeLists: DataFrame, iterations: Int = 3): DataFrame = {
     val e0 = codeEdges(dedup, codeLists).select(col("src"), col("dst"))
-    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    // both are re-read every iteration — cache so each round only runs the
-    // contribution join + aggregate
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
-    val n = nodes.count() // one scalar driver agg, like the TF-IDF N
-    val init = 1000000000L / math.max(1L, n)
-    val base = (15L * init) / 100L
-    var ranks = nodes.withColumn("r", lit(init)).localCheckpoint()
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    // rank constants as a 1-row broadcast frame instead of a driver count():
+    // keeps the whole computation one job with no eager materialization
+    val consts = nodes.agg(
+      expr("1000000000L div greatest(1L, count(1))").as("init"),
+      expr("(15 * (1000000000L div greatest(1L, count(1)))) div 100").as("base"))
+    var ranks = nodes.crossJoin(broadcast(consts))
+      .select(col("node"), col("init").as("r"))
     for (_ <- 0 until iterations) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("node"))
@@ -168,12 +174,56 @@ object ImporterPipeline {
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(consts))
         .select(
           col("node"),
-          (lit(base) + expr(s"(85 * coalesce(csum, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+          (col("base") + expr("(85 * coalesce(csum, 0L)) div 100")).as("r"))
     }
+    ranks.select(col("node"), col("r").as("rank_e9"))
+  }
+
+  /** Loop form of [[codePageRank]] for variable or large iteration
+    * counts, where per-round checkpointing bounds the plan instead of
+    * unrolling. `reliable = true` uses fault-tolerant `checkpoint()`
+    * (requires `sparkContext.setCheckpointDir`) — the right choice on a
+    * real cluster, where `localCheckpoint` blocks die with a lost
+    * executor; the default keeps the faster local variant for
+    * single-node runs.
+    */
+  def codePageRankIterative(
+      dedup: DataFrame,
+      codeLists: DataFrame,
+      iterations: Int,
+      reliable: Boolean = false): DataFrame = {
+    val e0 = codeEdges(dedup, codeLists).select(col("src"), col("dst"))
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // both are re-read every iteration — cache so each round only runs the
+    // contribution join + aggregate
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    def bound(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val n = nodes.count() // one scalar driver agg, like the TF-IDF N
+    val init = 1000000000L / math.max(1L, n)
+    val base = (15L * init) / 100L
+    var ranks = bound(nodes.withColumn("r", lit(init)))
+    for (_ <- 0 until iterations) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      ranks = bound(
+        nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(
+            col("node"),
+            (lit(base) + expr(s"(85 * coalesce(csum, 0L)) div 100")).as("r")))
+    }
+    // ranks is checkpointed, so the lineage no longer needs the caches
     edges.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
     ranks.select(col("node"), col("r").as("rank_e9"))
   }
 

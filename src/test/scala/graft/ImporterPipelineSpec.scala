@@ -124,4 +124,16 @@ class ImporterPipelineSpec extends SparkSuite {
   test("flagship end-to-end returns rows on sf0.001 (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("g5 unrolled PageRank DAG equals the checkpointed loop form") {
+    val dims = dedupOptions(validDimensions(projectDimensions(apiDims)))
+    def toMap(df: DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unrolled = toMap(codePageRank(dims, codeLists, iterations = 3))
+    val looped = toMap(codePageRankIterative(dims, codeLists, iterations = 3))
+    assert(unrolled.nonEmpty)
+    assert(unrolled === looped)
+    // every node keeps at least the base (teleport) mass
+    assert(unrolled.values.forall(_ > 0L))
+  }
 }

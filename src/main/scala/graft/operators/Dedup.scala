@@ -176,43 +176,69 @@ object Dedup {
   /** Duplicate clusters: connected components over the near-duplicate pair
     * graph (transitively: if a~b and b~c, all three are one duplicate
     * group, even when a~c alone is below threshold — the standard corpus-
-    * dedup semantics). Iterative min-label propagation; `localCheckpoint`
-    * truncates the growing join lineage each round, the standard guard for
-    * iterative DataFrame algorithms. Converges in O(component diameter)
-    * rounds — near-dup components are tiny in practice, so this terminates
-    * in 2-3 rounds even at corpus scale.
+    * dedup semantics). Min-label propagation, converging in O(component
+    * diameter) rounds. The first `unrolledRounds` rounds run as ONE lazy
+    * DAG (near-dup components are tiny in practice, so this is almost
+    * always the whole computation) with a single materialization and a
+    * fixpoint check; only a diameter larger than `unrolledRounds` falls
+    * back to checkpoint-per-round looping.
     */
   def duplicateClusters(
-      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, threshold).select(col("a"), col("b"))
-    val edges = pairs
+      spark: SparkSession, dir: String, threshold: Double = 0.5,
+      unrolledRounds: Int = 3): DataFrame = {
+    // Cache the PAIRS leaf, not a union over it: unionAll eagerly flattens
+    // nested Unions (CombineUnions), so a cached Union(pairs, swap)
+    // subtree disappears from any wider union built on top of it and
+    // every scan site silently recomputes the expensive pair generation.
+    // A cached leaf survives inside every union branch.
+    val pairs = ngramJaccardPairs(spark, dir, threshold).select(col("a"), col("b")).cache()
+    pairs.count() // fill before the multi-branch plan below races the cache
+    // Self-loop formulation: with (x, x) edges in the set, "min over
+    // neighbor labels" already includes the node's own label, so a round
+    // is ONE join + aggregate referencing the label table once — the
+    // least(own, neighbors) outer-join form references it twice and the
+    // unrolled plan would double per round (2^k subtrees). Duplicate
+    // edges are harmless under min.
+    val eSelf = pairs
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    var changed = 1L
+      .unionAll(pairs.select(col("a"), col("a").as("b")))
+      .unionAll(pairs.select(col("b").as("a"), col("b")))
+    def round(labels: DataFrame): DataFrame =
+      eSelf.join(labels, eSelf("b") === labels("id"))
+        .groupBy(eSelf("a").as("id")).agg(min(col("lbl")).as("lbl"))
+    // One full round against `plbl`-named previous labels, keeping a
+    // changed flag. Inner join is total: the self-loop guarantees every
+    // id survives as a source.
+    def step(prevR: DataFrame): DataFrame = {
+      val neigh = eSelf.join(prevR, eSelf("b") === prevR("id"))
+        .groupBy(eSelf("a").as("id")).agg(min(col("plbl")).as("lbl"))
+      neigh.join(prevR, Seq("id"))
+        .select(
+          col("id"), col("lbl").as("nxt"),
+          (col("lbl") < col("plbl")).as("changed"))
+    }
+    // Near-dup components are tiny in practice (diameter 2-3), so unroll
+    // the first rounds into ONE lazy DAG and materialize once. Round 1
+    // needs no label table at all — label(x) = x initially, so it is just
+    // the min neighbor id. The last round carries the changed flag:
+    // labels decrease monotonically, so "round k changed nothing" IS the
+    // fixpoint, checked by one cheap scan of the materialized blocks.
+    val r1 = eSelf.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl"))
+    val prev = (2 until unrolledRounds).foldLeft(r1)((l, _) => round(l))
+      .select(col("id"), col("lbl").as("plbl"))
+    var mat = step(prev).localCheckpoint()
+    var changed = mat.filter(col("changed")).count()
+    // Rare fallback (diameter > unrolledRounds): resume the loop from the
+    // materialized labels. On a real cluster prefer reliable checkpoint()
+    // here — localCheckpoint blocks die with a lost executor.
     var iter = 0
     while (changed > 0 && iter < 20) {
-      val neigh = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id"))
-        .agg(min(col("lbl")).as("nlbl"))
-      // carry the convergence flag inside the checkpointed frame: the
-      // eager localCheckpoint is the one job per iteration, and the
-      // changed-count below is a cheap scan of the materialized result
-      // (not a recompute of the join)
-      val next = labels.join(neigh, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"),
-          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("changed"))
-        .localCheckpoint()
-      changed = next.filter(col("changed")).count()
-      labels = next.select(col("id"), col("nxt").as("lbl"))
+      mat = step(mat.select(col("id"), col("nxt").as("plbl"))).localCheckpoint()
+      changed = mat.filter(col("changed")).count()
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    pairs.unpersist()
+    mat.select(col("id").as("doc_id"), col("nxt").as("cluster_id"))
   }
 
   /** SimHash signatures via the custom codegen expression — one pass per

@@ -25,23 +25,27 @@ object Dedup {
   private[graft] val DupCloneCount = 10
   private[graft] val DupCloneOffset = 1000000L
 
-  /** documents ∪ deterministic exact-duplicate clones (the first
-    * [[DupCloneCount]] docs re-emitted under offset ids). The raw corpus
-    * contains no byte-identical texts at any sf, so without planting the
-    * exact-dedup queries would pass vacuously on empty/identity results —
-    * this derivation is replayed identically by the DuckDB oracle.
+  /** documents, optionally ∪ deterministic exact-duplicate clones (the
+    * first [[DupCloneCount]] docs re-emitted under offset ids). Planting
+    * is for the graded benchmark/oracle path ONLY — the raw corpus has no
+    * byte-identical texts at any sf, so without it the exact-dedup queries
+    * would pass vacuously; a production caller gets the unmodified corpus.
+    * The clone derivation is replayed identically by the DuckDB oracle.
     */
-  private def dupSeededDocs(spark: SparkSession, dir: String): DataFrame = {
+  private def maybeSeededDocs(
+      spark: SparkSession, dir: String, plantClones: Boolean): DataFrame = {
     val d = table(spark, dir, "documents")
-    d.unionAll(d.filter(col("doc_id") < DupCloneCount)
+    if (!plantClones) d
+    else d.unionAll(d.filter(col("doc_id") < DupCloneCount)
       .withColumn("doc_id", col("doc_id") + lit(DupCloneOffset)))
   }
 
   /** Exact duplicate groups by content hash: one row per distinct text that
     * occurs more than once, with the canonical survivor (min doc_id).
     */
-  def exactDuplicateGroups(spark: SparkSession, dir: String): DataFrame =
-    dupSeededDocs(spark, dir)
+  def exactDuplicateGroups(
+      spark: SparkSession, dir: String, plantClones: Boolean = false): DataFrame =
+    maybeSeededDocs(spark, dir, plantClones)
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
@@ -49,9 +53,10 @@ object Dedup {
   /** Exact dedup keep-set: the doc_ids that survive (first per distinct
     * text). Window formulation — one shuffle on the hash, no join back.
     */
-  def exactDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+  def exactDedupKeep(
+      spark: SparkSession, dir: String, plantClones: Boolean = false): DataFrame = {
     val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    dupSeededDocs(spark, dir)
+    maybeSeededDocs(spark, dir, plantClones)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"))

@@ -15,6 +15,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kept <= total)
   }
 
+  test("clone planting is off by default — no fabricated ids leak out") {
+    // d1/d2: the raw corpus has no byte-identical texts, so the default
+    // (production) path finds no duplicate groups and keeps every doc
+    assert(Dedup.exactDuplicateGroups(spark, sf0001).count() === 0L)
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(Dedup.exactDedupKeep(spark, sf0001).count() === total)
+    // v5: no planted clones → no vec_id beyond the real corpus range
+    val fabricated = Similarity.embeddingNearDuplicates(spark, sf0001)
+      .filter($"a" >= 1000000L || $"b" >= 1000000L).count()
+    assert(fabricated === 0L)
+  }
+
   test("jaccard of identical shingle sets is 1.0 (planted duplicate)") {
     // plant a duplicate by writing a tiny corpus
     val dir = java.nio.file.Files.createTempDirectory("dupes").toString

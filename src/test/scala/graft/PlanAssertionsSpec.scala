@@ -61,6 +61,16 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(aggCount >= 2, s"expected partial+final HashAggregate:\n$text")
   }
 
+  test("v5 computes the bucketed corpus once — census and both join sides reuse the exchange") {
+    val text = executed(SparkEntry.queries("v5_embedding_near_dups")(spark, sf0001)).toString
+    // the corpus subtree (scan + 2^planes dot products) feeds three
+    // consumers; it is materialized once up front, so the pairing plan
+    // itself reads the materialized RDD and never re-scans the file
+    val scans = "FileScan parquet".r.findAllIn(text).length
+    assert(scans === 0, s"expected no embeddings re-scan, got $scans:\n$text")
+    assert(text.contains("ExistingRDD") || text.contains("Scan ExistingRDD"), s"plan:\n$text")
+  }
+
   test("paged source scan has no shuffle — pages map straight to partitions") {
     val df = spark.read.format("graft-paged-api")
       .option("totalItems", "500").option("pageSize", "50").load()

@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the events table carries nanosecond timestamps; session-level
+      // choice, not a per-query mutation (see RelationalOps.eventsTable)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,7 +23,6 @@ object Bench {
     // events-table first-touch cost).
     try {
       spark.range(1000).selectExpr("sum(id)").count()
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count()

@@ -44,8 +44,13 @@ object IvfAnn {
     * (trained on a sample, centroids still broadcastable) — the knob a
     * 100 TB deployment turns instead of accepting O(n) lists.
     */
-  def recommendedLists(corpusSize: Long, targetList: Int = 4096): Int =
-    math.max(1, math.min(corpusSize, corpusSize / math.max(1, targetList)).toInt)
+  def recommendedLists(corpusSize: Long, targetList: Int = 4096): Int = {
+    // clamp BEFORE narrowing: corpusSize beyond ~2^31·targetList would
+    // otherwise wrap in the Long-to-Int cast — exactly the 100 TB regime
+    // this helper exists for
+    val lists = math.min(corpusSize, corpusSize / math.max(1, targetList))
+    math.max(1L, math.min(Int.MaxValue.toLong, lists)).toInt
+  }
 
   /** Deterministic k-means-lite on the driver over a (small, sorted)
     * training sample — collect is bounded by [[MaxTrain]], never the corpus.
@@ -78,13 +83,36 @@ object IvfAnn {
     centroids.map(_.map(_.toFloat))
   }
 
-  // memoized per data dir: training is a pure function of the parquet, and
-  // assignments/topk/both oracle generators all need the same centroids
+  // memoized per data snapshot: training is a pure function of the parquet,
+  // and assignments/topk/both oracle generators all need the same centroids.
+  // The key includes the file mtime so a regenerated parquet at the same
+  // path (tests, long-lived drivers) retrains instead of silently reusing
+  // stale centroids.
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
+  private def snapshotKey(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val mtime =
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try {
+            val it = s.iterator()
+            var m = java.nio.file.Files.getLastModifiedTime(p).toMillis
+            while (it.hasNext) {
+              val t = java.nio.file.Files.getLastModifiedTime(it.next()).toMillis
+              if (t > m) m = t
+            }
+            m
+          } finally s.close()
+        } else java.nio.file.Files.getLastModifiedTime(p).toMillis
+      } catch { case _: Exception => 0L }
+    s"$dir@$mtime"
+  }
+
   private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(dir, {
+    centroidCache.getOrElseUpdate(snapshotKey(dir), {
       import spark.implicits._
       val sample = table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))

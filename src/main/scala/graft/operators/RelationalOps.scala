@@ -20,15 +20,16 @@ object RelationalOps {
   private def tsNtz(s: String) = lit(s).cast("timestamp_ntz")
 
   /** The events table is written with nanosecond timestamps, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read `ts` as raw
-    * nanos (legacy nanosAsLong) and convert with integer division — a
-    * double division would lose precision above 2^53 ns.
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at construction (Bench/
+    * Verify/SparkSuite do) — a session-level reader choice, not a hidden
+    * per-query mutation. `ts` then arrives as raw nanos and converts with
+    * integer division — a double division would lose precision above
+    * 2^53 ns.
     */
-  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsTable(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** TPC-H Q1-style pricing summary: full scan + hash aggregate. At scale
     * this is a map-side partial agg into a 4-group reduce — no meaningful
@@ -301,7 +302,6 @@ object RelationalOps {
     * cannot see through a library-defined logical node.
     */
   def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = table(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("value"))
     graft.plans.TopKPerKey(ev, Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)
@@ -315,7 +315,6 @@ object RelationalOps {
     * session number = running count of session-start flags.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
       .withColumn("sec", expr("ts div 1000000000"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))

@@ -25,11 +25,11 @@ import graft.sources.Fixtures.table
   */
 object TemporalJoins {
 
-  private def secEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // session must set spark.sql.legacy.parquet.nanosAsLong=true at
+  // construction (see RelationalOps.eventsTable)
+  private def secEvents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("sec", expr("ts div 1000000000"))
-  }
 
   /** AS-OF: (purchase, latest prior view) per user; unmatched purchases
     * keep a null view id.

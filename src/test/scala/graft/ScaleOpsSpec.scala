@@ -129,7 +129,6 @@ class ScaleOpsSpec extends SparkSuite {
     import graft.operators.TemporalJoins
     val banded = TemporalJoins.purchaseErrorWithin(spark, sf0001)
       .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = table(spark, sf0001, "events")
       .withColumn("sec", expr("ts div 1000000000"))
     val p = ev.filter(col("event_type") === "purchase")

@@ -67,7 +67,6 @@ class TopKPerKeySpec extends SparkSuite {
   }
 
   test("key-only filter is pushed through the node into the parquet scan") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .select("user_id", "event_id", "value")
     val keys = Seq(col("user_id"))
@@ -85,7 +84,6 @@ class TopKPerKeySpec extends SparkSuite {
   }
 
   test("projection prunes unused columns through the node down to the scan") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // full-width table, no manual pre-selection: the pruning rule must
     // carry the 3 needed columns (key, sort, sort-tiebreak) into the scan
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
@@ -100,7 +98,6 @@ class TopKPerKeySpec extends SparkSuite {
   }
 
   test("filters on ranked values are NOT pushed through (stay above the node)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .select("user_id", "event_id", "value")
     val q = TopKPerKey(ev, Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 3)

@@ -18,17 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * by Spark — the idiomatic shape for an HTTP-paged source at scale
   * (pages fetch in parallel across executors, no driver bottleneck).
   *
-  * The HTTP client is replaced by [[FakeDimensionService]], a deterministic
-  * generator standing in for the remote endpoint (same seam as the
-  * reference's mocked `IClient`). Column pruning is pushed down
-  * (SupportsPushDownRequiredColumns) so `select(one_col)` does not
-  * materialize whole rows.
+  * The fetch itself is injectable: the `fetcher` option names a
+  * [[DimensionPageFetcher]] implementation, instantiated reflectively on
+  * the executor once per page partition — exactly where the reference
+  * issues one `GetDimensions` HTTP call per page, so a `java.net.http`
+  * client drops into the existing partition-per-page reader with no
+  * planner change. Default is [[FakeDimensionFetcher]] (deterministic
+  * generator, same seam as the reference's mocked `IClient`). Column
+  * pruning is pushed down (SupportsPushDownRequiredColumns) so
+  * `select(one_col)` does not materialize whole rows.
   *
   * Usage:
   * {{{
   * spark.read.format("graft-paged-api")
   *   .option("instanceId", "42").option("totalItems", "1000")
-  *   .option("pageSize", "100").load()
+  *   .option("pageSize", "100")
+  *   .option("fetcher", "com.example.HttpDimensionFetcher") // optional
+  *   .load()
   * }}}
   */
 class PagedApiSource extends TableProvider with DataSourceRegister {
@@ -44,7 +50,8 @@ class PagedApiSource extends TableProvider with DataSourceRegister {
     new PagedApiTable(
       opts.getOrDefault("instanceid", "42"),
       opts.getOrDefault("totalitems", "1000").toLong,
-      opts.getOrDefault("pagesize", "100").toInt)
+      opts.getOrDefault("pagesize", "100").toInt,
+      opts.getOrDefault("fetcher", classOf[FakeDimensionFetcher].getName))
   }
 }
 
@@ -54,6 +61,35 @@ object PagedApiSource {
     StructField("dimension_id", StringType, nullable = false),
     StructField("option", StringType, nullable = false),
     StructField("code_list_id", StringType, nullable = false)))
+}
+
+/** One fetched dimension row (full source schema, pre-pruning). */
+case class DimensionItem(
+    instanceId: String, dimensionId: String, option: String, codeListId: String)
+
+/** The injectable fetch seam (reference `client/dimensions_api.go:82-97`,
+  * one call per page). Implementations must have a no-arg constructor —
+  * they are instantiated reflectively on the executor, once per page
+  * partition, so a real implementation can open an HTTP client per page
+  * (or pool it in a companion) without serializing connection state
+  * through the plan.
+  */
+trait DimensionPageFetcher extends Serializable {
+  /** Fetch items [start, end) of `instanceId`'s dimension listing. */
+  def fetchPage(instanceId: String, start: Long, end: Long): Iterator[DimensionItem]
+}
+
+/** Deterministic stand-in for the remote Dataset API: item i of an instance
+  * is a pure function of (instanceId, i), so results are reproducible in
+  * the DuckDB oracle via `range()`.
+  */
+class FakeDimensionFetcher extends DimensionPageFetcher {
+  override def fetchPage(
+      instanceId: String, start: Long, end: Long): Iterator[DimensionItem] =
+    Iterator.range(start, end).map { i =>
+      val t = FakeDimensionService.item(instanceId, i)
+      DimensionItem(t._1, t._2, t._3, t._4)
+    }
 }
 
 /** Deterministic stand-in for the remote Dataset API: item i of an instance
@@ -68,25 +104,27 @@ object FakeDimensionService {
     s"cl${i % 7}")
 }
 
-private[sources] class PagedApiTable(instanceId: String, total: Long, pageSize: Int)
+private[sources] class PagedApiTable(
+    instanceId: String, total: Long, pageSize: Int, fetcherClass: String)
     extends Table with SupportsRead {
   override def name(): String = s"paged_api($instanceId)"
   override def schema(): StructType = PagedApiSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(instanceId, total, pageSize)
+    new PagedScanBuilder(instanceId, total, pageSize, fetcherClass)
 }
 
-private[sources] class PagedScanBuilder(instanceId: String, total: Long, pageSize: Int)
+private[sources] class PagedScanBuilder(
+    instanceId: String, total: Long, pageSize: Int, fetcherClass: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedApiSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new PagedScan(instanceId, total, pageSize, required)
+  override def build(): Scan = new PagedScan(instanceId, total, pageSize, fetcherClass, required)
 }
 
 private[sources] class PagedScan(
-    instanceId: String, total: Long, pageSize: Int, required: StructType)
+    instanceId: String, total: Long, pageSize: Int, fetcherClass: String, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -100,25 +138,31 @@ private[sources] class PagedScan(
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required)
+    new PagedReaderFactory(required, fetcherClass)
 }
 
 private[sources] case class PagePartition(instanceId: String, start: Long, end: Long)
     extends InputPartition
 
-private[sources] class PagedReaderFactory(required: StructType)
+private[sources] class PagedReaderFactory(required: StructType, fetcherClass: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
+    // executor-side construction: one fetcher (≡ one page request) per
+    // partition; only the class NAME rides through the serialized plan
+    val fetcher = Class
+      .forName(fetcherClass, true, Thread.currentThread().getContextClassLoader)
+      .getDeclaredConstructor().newInstance().asInstanceOf[DimensionPageFetcher]
     // map required column names to the full-schema field index once per page
     val fieldIdx = required.fieldNames.map(PagedApiSource.schema.fieldIndex)
     new PartitionReader[InternalRow] {
-      private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end }
+      private val items = fetcher.fetchPage(p.instanceId, p.start, p.end)
+      private var cur: DimensionItem = _
+      override def next(): Boolean = {
+        if (items.hasNext) { cur = items.next(); true } else false
+      }
       override def get(): InternalRow = {
-        // in production this row comes from the page's HTTP response body
-        val t = FakeDimensionService.item(p.instanceId, i)
-        val full = Array(t._1, t._2, t._3, t._4)
+        val full = Array(cur.instanceId, cur.dimensionId, cur.option, cur.codeListId)
         InternalRow.fromSeq(fieldIdx.map(j => UTF8String.fromString(full(j))).toSeq)
       }
       override def close(): Unit = ()

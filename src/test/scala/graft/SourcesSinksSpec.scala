@@ -44,6 +44,25 @@ class SourcesSinksSpec extends SparkSuite {
     assert(pruned.distinct().count() === 50)
   }
 
+  test("paged source: custom fetcher class drops into the partition-per-page reader") {
+    val df = spark.read.format("graft-paged-api")
+      .option("instanceId", "7")
+      .option("totalItems", "250")
+      .option("pageSize", "100")
+      .option("fetcher", classOf[StubHttpFetcher].getName)
+      .load()
+    // same partition-per-page planning, rows from the injected impl
+    assert(df.rdd.getNumPartitions === 3)
+    val rows = df.filter(col("option") === "stub-opt-0")
+      .select("instance_id", "dimension_id", "code_list_id")
+      .as[(String, String, String)].collect().toSet
+    assert(rows === Set(("7", "7_stub_0", "stub-cl")))
+    // per-page construction: one fetcher instance per partition per action
+    StubHttpFetcher.constructed.set(0)
+    assert(df.count() === 250)
+    assert(StubHttpFetcher.constructed.get() === 3)
+  }
+
   test("patch sink: exactly one client call per batchSize partition (O1 parity)") {
     RecordingClient.reset()
     val updates = (1 to 10).map(i => (s"i$i", s"opt$i")).toDF("instance_id", "option")
@@ -127,4 +146,20 @@ class SourcesSinksSpec extends SparkSuite {
     assert(BatchedPatchSink.write(updates, batchSize = 100, new RecordingClient) === 1)
     assert(RecordingClient.calls.get() === 1)
   }
+}
+
+/** In-JVM stand-in for an HTTP-backed [[graft.sources.DimensionPageFetcher]]:
+  * what a real `java.net.http` impl would look like behind the seam, with a
+  * construction counter to prove one-instance-per-page.
+  */
+class StubHttpFetcher extends graft.sources.DimensionPageFetcher {
+  StubHttpFetcher.constructed.incrementAndGet()
+  override def fetchPage(
+      instanceId: String, start: Long, end: Long): Iterator[graft.sources.DimensionItem] =
+    Iterator.range(start, end).map(i => graft.sources.DimensionItem(
+      instanceId, s"${instanceId}_stub_${i % 3}", s"stub-opt-$i", "stub-cl"))
+}
+
+object StubHttpFetcher {
+  val constructed = new java.util.concurrent.atomic.AtomicInteger(0)
 }

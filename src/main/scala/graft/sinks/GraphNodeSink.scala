@@ -31,9 +31,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the visible store keyed by partitionId — last committed attempt
   *     wins, making task retries idempotent.
   *
-  * The "graph database" here is a JVM-local store (the same port seam as
-  * [[BatchedPatchSink.PatchClient]]); a production impl would open a graph
-  * driver per writer and run its transaction inside `commit()`.
+  * Where committed rows land is the [[GraphTarget]] seam (the reference's
+  * `store.Storer` port): `target=memory` (default) is a JVM-local store,
+  * `target=jdbc` with `url=jdbc:...` stages and promotes through a
+  * relational database (embedded Derby in tests, a server in production).
   *
   * Usage: `df.write.format("graft-graph-sink").option("jobId", id).save()`
   * with rows of (id: string, label: string, props: string).
@@ -46,12 +47,23 @@ class GraphNodeSinkProvider extends TableProvider
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraphNodeSinkTable
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val target = opts.getOrDefault("target", "memory") match {
+      case "memory" => new MemoryGraphTarget
+      case "jdbc" =>
+        val url = opts.get("url")
+        require(url != null, "target=jdbc requires a url option")
+        JdbcGraphTarget(url)
+      case other => throw new IllegalArgumentException(
+        s"unknown graph sink target '$other' (memory | jdbc)")
+    }
+    new GraphNodeSinkTable(target)
+  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
-private class GraphNodeSinkTable extends Table with SupportsWrite {
+private class GraphNodeSinkTable(target: GraphTarget) extends Table with SupportsWrite {
   override def name(): String = "graft-graph-sink"
   override def schema(): StructType = GraphNodeSink.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -67,47 +79,42 @@ private class GraphNodeSinkTable extends Table with SupportsWrite {
       s"graph sink expects ${want.mkString(",")}, got ${got.mkString(",")}")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraphNodeBatchWrite(jobId)
+        override def toBatch: BatchWrite = new GraphNodeBatchWrite(jobId, target)
       }
     }
   }
 }
 
-private class GraphNodeBatchWrite(jobId: String) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraphNodeWriterFactory(jobId)
+private class GraphNodeBatchWrite(jobId: String, target: GraphTarget) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task runs: tables/state ready for staging
+    target.init()
+    new GraphNodeWriterFactory(jobId, target)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val counts = messages.map { case m: GraphNodeCommit => m.rows }
-    GraphNodeSink.jobCommits.put(jobId, counts.sum)
-    // a re-run of the same jobId REPLACES its previous contents: sweep all
-    // prior partitions first, or a rerun that commits fewer partitions
-    // (AQE coalescing) would leave the old run's tail visible
-    GraphNodeSink.store.keySet.asScala.filter(_._1 == jobId)
-      .foreach(GraphNodeSink.store.remove)
-    // promote every committed attempt's buffer to the visible store
-    messages.foreach { case m: GraphNodeCommit =>
-      val staged = GraphNodeSink.staged.remove((jobId, m.partitionId, m.taskId))
-      if (staged != null) GraphNodeSink.store.put((jobId, m.partitionId), staged)
-    }
-    // drop leftovers from non-committed (speculative/failed) attempts
-    GraphNodeSink.staged.keySet.asScala.filter(_._1 == jobId)
-      .foreach(GraphNodeSink.staged.remove)
+    val commits = messages.map { case m: GraphNodeCommit => m }
+    // Spark guarantees exactly one committed attempt per partition; the
+    // target atomically replaces the job's visible rows with exactly
+    // these attempts' staged rows
+    target.promote(jobId, commits.map(m => (m.partitionId, m.taskId)).toSeq,
+      commits.map(_.rows).sum)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    GraphNodeSink.staged.keySet.asScala.filter(_._1 == jobId)
-      .foreach(GraphNodeSink.staged.remove)
+    target.abortJob(jobId)
     GraphNodeSink.aborts.incrementAndGet(): Unit
   }
 }
 
-private class GraphNodeWriterFactory(jobId: String) extends DataWriterFactory {
+private class GraphNodeWriterFactory(jobId: String, target: GraphTarget)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraphNodeWriter(jobId, partitionId, taskId)
+    new GraphNodeWriter(jobId, partitionId, taskId, target)
 }
 
-private class GraphNodeWriter(jobId: String, partitionId: Int, taskId: Long)
+private class GraphNodeWriter(
+    jobId: String, partitionId: Int, taskId: Long, target: GraphTarget)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
 
@@ -116,11 +123,14 @@ private class GraphNodeWriter(jobId: String, partitionId: Int, taskId: Long)
 
   // nothing visible until commit: the executor-side half of exactly-once
   override def commit(): WriterCommitMessage = {
-    GraphNodeSink.staged.put((jobId, partitionId, taskId), buf.toVector)
+    target.stage(jobId, partitionId, taskId, buf.toVector)
     GraphNodeCommit(partitionId, taskId, buf.size)
   }
 
-  override def abort(): Unit = buf.clear()
+  override def abort(): Unit = {
+    buf.clear()
+    target.abortAttempt(jobId, partitionId, taskId)
+  }
   override def close(): Unit = ()
 }
 

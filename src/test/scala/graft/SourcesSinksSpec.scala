@@ -140,6 +140,51 @@ class SourcesSinksSpec extends SparkSuite {
     assert(GraphNodeSink.jobCommits.get("job-F") === null)
   }
 
+  test("graph sink DSv2: jdbc target commits exactly once and replaces on re-run") {
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    def jdbcNodes(jobId: String) = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_NODES").load()
+      .filter(col("JOB_ID") === jobId)
+    val nodes = (1 to 120).map(i => (s"option/d$i/o$i", "DimensionOption", s"n$i"))
+      .toDF("id", "label", "props")
+      .repartition(5)
+    nodes.write.format("graft-graph-sink").mode("append")
+      .option("jobId", "jdbc-A").option("target", "jdbc").option("url", url).save()
+    assert(jdbcNodes("jdbc-A").count() === 120)
+    // staging fully promoted — nothing left behind
+    val staged = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_NODES_STAGING").load()
+    assert(staged.filter(col("JOB_ID") === "jdbc-A").count() === 0)
+    // re-running the same jobId REPLACES its rows (no duplicates)
+    val fewer = (1 to 30).map(i => (s"option/x$i", "DimensionOption", s"n$i"))
+      .toDF("id", "label", "props").repartition(2)
+    fewer.write.format("graft-graph-sink").mode("append")
+      .option("jobId", "jdbc-A").option("target", "jdbc").option("url", url).save()
+    assert(jdbcNodes("jdbc-A").count() === 30)
+    assert(jdbcNodes("jdbc-A").select("ID").as[String].collect().forall(_.startsWith("option/x")))
+  }
+
+  test("graph sink DSv2: jdbc target aborted job leaves no visible or staged rows") {
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    spark.conf.set("spark.sql.ansi.enabled", "true") // make /0 throw
+    try {
+      intercept[Exception] {
+        val poisoned = spark.range(100).toDF("k")
+          .select(
+            when(col("k") === 99, concat(lit("boom"), (lit(1) / lit(0)).cast("string")))
+              .otherwise(concat(lit("id"), col("k"))).as("id"),
+            lit("L").as("label"), lit("p").as("props"))
+          .repartition(4)
+        poisoned.write.format("graft-graph-sink").mode("append")
+          .option("jobId", "jdbc-F").option("target", "jdbc").option("url", url).save()
+      }
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+    val read = (t: String) => spark.read.format("jdbc")
+      .option("url", url).option("dbtable", t).load().filter(col("JOB_ID") === "jdbc-F")
+    assert(read("GRAFT_NODES").count() === 0, "aborted job leaked visible rows")
+    assert(read("GRAFT_NODES_STAGING").count() === 0, "aborted job leaked staging rows")
+  }
+
   test("patch sink: single call when everything fits one batch") {
     RecordingClient.reset()
     val updates = (1 to 5).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")

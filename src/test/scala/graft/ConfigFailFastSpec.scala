@@ -33,7 +33,7 @@ class ConfigFailFastSpec extends SparkSuite {
 
   test("patch sink fails fast: a failing client aborts the job (O4 parity)") {
     val failing = new BatchedPatchSink.PatchClient {
-      def patch(updates: Seq[Row]): Unit =
+      def patch(updates: Seq[Row], ifMatch: String): String =
         throw new RuntimeException("downstream PATCH rejected")
     }
     val updates = (1 to 10).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")

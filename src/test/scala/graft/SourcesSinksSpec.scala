@@ -185,6 +185,29 @@ class SourcesSinksSpec extends SparkSuite {
     assert(read("GRAFT_NODES_STAGING").count() === 0, "aborted job leaked staging rows")
   }
 
+  test("patch sink: If-Match token round-trips — stale etag 412s, wildcard never does") {
+    import graft.sinks.BatchedPatchSink.{EtagAny, PreconditionFailedException, VersionedClient}
+    VersionedClient.reset()
+    val updates = (1 to 5).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")
+    // single-batch write with the CORRECT token succeeds and bumps the etag
+    assert(BatchedPatchSink.write(updates, batchSize = 100, new VersionedClient,
+      ifMatch = "v0") === 1)
+    assert(VersionedClient.version.get() === 1)
+    // replaying the consumed token is a conflict (HTTP 412 semantics)
+    val ex = intercept[org.apache.spark.SparkException] {
+      BatchedPatchSink.write(updates, batchSize = 100, new VersionedClient, ifMatch = "v0")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[PreconditionFailedException]))
+    assert(VersionedClient.version.get() === 1, "failed precondition must not bump")
+    // the wildcard (what the reference always passes) matches any version,
+    // including across a multi-batch write
+    assert(BatchedPatchSink.write(updates, batchSize = 2, new VersionedClient,
+      ifMatch = EtagAny) === 3)
+    assert(VersionedClient.version.get() === 4)
+  }
+
   test("patch sink: single call when everything fits one batch") {
     RecordingClient.reset()
     val updates = (1 to 5).map(i => (s"i$i", s"o$i")).toDF("instance_id", "option")

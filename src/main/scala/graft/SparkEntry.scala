@@ -146,6 +146,12 @@ object SparkEntry {
     "t12_balance_weights" -> graft.operators.TrainingPrep.balanceWeights _,
     "t13_contamination" -> graft.operators.TrainingPrep.contamination _,
     "t14_hash_split" -> graft.operators.TrainingPrep.hashSplit _,
+    // Gopher-style repetition quality gates
+    "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
+    // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
+    // corpus has none — same vacuity rule as d1/d2/v5)
+    "t16_pii_redaction" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.piiRedacted(s, d, plantPii = true)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -693,6 +699,45 @@ object SparkEntry {
         |FROM documents d
         |JOIN by_lang b ON b.lang = d.lang
         |CROSS JOIN tot t""".stripMargin,
+    "t15_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r)
+        |  GROUP BY doc_id, bg),
+        |bstat AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY doc_id),
+        |tstat AS (
+        |  SELECT doc_id, count(*) AS n_tri, count(DISTINCT tg) AS d_tri FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+        |    FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  cast(n_bi AS bigint) AS n_bigrams,
+        |  cast(top_bi AS bigint) AS top_bigram_n,
+        |  cast(floor(top_bi * 1000000.0 / n_bi + 0.5) AS bigint) AS top_bigram_share_e6,
+        |  cast(floor((n_tri - d_tri) * 1000000.0 / n_tri + 0.5) AS bigint) AS dup_trigram_frac_e6
+        |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id""".stripMargin,
+    "t16_pii_redaction" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 10 = 0
+         |         THEN ' contact user' || cast(doc_id AS varchar) || '@example.com now'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 20 = 0 THEN ' call 555-0147' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  cast(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.EmailRe}')) AS int)
+         |    AS n_emails,
+         |  cast(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PhoneRe}')) AS int)
+         |    AS n_phones,
+         |  regexp_replace(
+         |    regexp_replace(text, '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM seeded""".stripMargin,
   )
 
   def dedupOracle: Map[String, String] = Map(

@@ -82,6 +82,78 @@ object TextAnalysis {
       (pred === col("lang")).as("agrees"))
   }
 
+  /** Gopher-style repetition signals: the fraction of a document consumed
+    * by its most frequent word bigram, and the duplicated-trigram
+    * fraction (1 - distinct/total) — the standard "looping text" quality
+    * gates a pretraining pipeline runs after exact/near dedup.
+    *
+    * Shape: one explode + two-level aggregation per n-gram order, both
+    * keyed on doc_id — at 100 TB this is two shuffles of (doc_id, gram)
+    * pairs with map-side partial counts, no joins against the corpus.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val bi = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    val tri = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .as("tg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), countDistinct(col("tg")).as("d_tri"))
+    bi.join(tri, "doc_id").select(
+      col("doc_id"),
+      col("n_bigrams"),
+      col("top_bigram_n"),
+      floor(col("top_bigram_n") * lit(1000000.0) / col("n_bigrams") + lit(0.5))
+        .cast("bigint").as("top_bigram_share_e6"),
+      floor((col("n_tri") - col("d_tri")) * lit(1000000.0) / col("n_tri") + lit(0.5))
+        .cast("bigint").as("dup_trigram_frac_e6"))
+  }
+
+  // backslash-free on purpose: these literals pass through Scala, Spark
+  // SQL single-quoted strings (which process backslash escapes), and
+  // DuckDB SQL unchanged — a \. would mean different things per layer
+  private[graft] val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  private[graft] val PhoneRe = "555-[0-9][0-9][0-9][0-9]"
+
+  /** PII scrubbing: redact emails and (toy North-American test-range)
+    * phone numbers, reporting match counts per document — the compliance
+    * pass a training corpus runs before packing. Map-only, both regexes
+    * chosen to mean the same thing to Java regex and RE2 so the DuckDB
+    * oracle replays the redaction byte-for-byte.
+    *
+    * `plantPii` is for the graded benchmark/oracle path ONLY (the corpus
+    * contains no PII, so the query would pass vacuously): docs with
+    * doc_id % 10 == 0 get a deterministic synthetic email appended, and
+    * % 20 == 0 also a phone number — replayed identically by the oracle.
+    */
+  def piiRedacted(
+      spark: SparkSession, dir: String, plantPii: Boolean = false): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val seeded =
+      if (!plantPii) d
+      else d.withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 20 === 0, lit(" call 555-0147")).otherwise(lit(""))))
+    seeded.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).cast("int").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$PhoneRe', 0)")).cast("int").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")).as("redacted"))
+  }
+
   /** Content fingerprints: full-document and head-64-chars MD5 (hex), the
     * exact-dedup keys. MD5 of UTF-8 bytes is identical across engines.
     */

@@ -105,6 +105,44 @@ class TextMultimodalSpec extends SparkSuite {
     assert(sampled("en") < total("en") * 0.6)
   }
 
+  test("repetition signals separate looping text from varied text") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    val looping = Array.fill(30)("spam ham").mkString(" ")     // one dominant bigram
+    val varied = (1 to 60).map(i => s"w$i").mkString(" ")      // all n-grams unique
+    Seq((1L, looping, "en", "s", looping.length.toLong),
+        (2L, varied, "en", "s", varied.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.repetitionSignals(spark, dir)
+      .select("doc_id", "top_bigram_share_e6", "dup_trigram_frac_e6")
+      .as[(Long, Long, Long)].collect().map { case (k, a, b) => k -> (a, b) }.toMap
+    // looping doc: "spam ham" appears 30 of 59 bigrams; trigrams cycle with
+    // period 2 → only 2 distinct among 58
+    assert(got(1L)._1 === math.round(30 * 1e6 / 59))
+    assert(got(1L)._2 === math.round((58 - 2) * 1e6 / 58))
+    // varied doc: every bigram unique (share = 1/59), no duplicate trigrams
+    assert(got(2L)._1 === math.round(1e6 / 59))
+    assert(got(2L)._2 === 0L)
+  }
+
+  test("pii redaction: planting off is identity on a clean corpus; planted PII is scrubbed") {
+    import graft.operators.TextAnalysis
+    val clean = TextAnalysis.piiRedacted(spark, sf0001)
+      .filter($"n_emails" > 0 || $"n_phones" > 0 || $"redacted".contains("<"))
+    assert(clean.count() === 0, "clean corpus must redact nothing by default")
+    val planted = TextAnalysis.piiRedacted(spark, sf0001, plantPii = true)
+      .filter($"doc_id" % 20 === 0)
+      .select("n_emails", "n_phones", "redacted")
+      .as[(Int, Int, String)].collect()
+    assert(planted.nonEmpty)
+    planted.foreach { case (e, p, r) =>
+      assert(e === 1 && p === 1)
+      assert(r.endsWith(" contact <EMAIL> now call <PHONE>"))
+      assert(!r.contains("@") && !r.contains("555-"))
+    }
+  }
+
   test("multimodal meta formulas and payload byte length") {
     val m = MultimodalOps.assetMeta(spark, sf0001)
       .as[(Long, String, Int, Int, Long)].collect()

@@ -125,6 +125,9 @@ object SparkEntry {
     "w5_top_events_per_user" -> RelationalOps.topEventsPerUser _,
     "q10_returned_revenue" -> RelationalOps.returnedItemRevenue _,
     "q14_promo_share" -> RelationalOps.promoRevenueShare _,
+    // correlated scalar subquery (decorrelated) + EXISTS/NOT-EXISTS shapes
+    "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenue _,
+    "q21_waiting_suppliers" -> RelationalOps.waitingSuppliers _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,6 +609,37 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |lb AS (
+        |  SELECT l_partkey,
+        |    cast(floor(l_quantity * 100.0 + 0.5) AS bigint) AS q_e2,
+        |    cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint) AS ep_e2
+        |  FROM lineitem JOIN bp ON p_partkey = l_partkey),
+        |pa AS (SELECT l_partkey, sum(q_e2) AS s, count(*) AS c FROM lb GROUP BY l_partkey)
+        |SELECT
+        |  cast(count(*) AS bigint) AS n_small,
+        |  cast(coalesce(sum(lb.ep_e2), 0) AS bigint) AS sum_extprice_e2,
+        |  cast(floor(coalesce(sum(lb.ep_e2), 0) * 100.0 / 7.0 + 0.5) AS bigint) AS avg_yearly_e4
+        |FROM lb JOIN pa ON pa.l_partkey = lb.l_partkey
+        |WHERE 5 * lb.q_e2 * pa.c < pa.s""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, cast(count(*) AS bigint) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name""".stripMargin,
   )
 
   def textOracle: Map[String, String] = Map(

@@ -110,6 +110,68 @@ object RelationalOps {
         col("total_qty_e2"))
   }
 
+  /** TPC-H Q17-style: correlated scalar subquery (per-part average
+    * quantity) decorrelated into an aggregate + join — the plan Spark
+    * produces for the subquery form, written directly. The brand filter is
+    * semi-applied BEFORE the per-part aggregate, so at scale the average
+    * is computed only over the ~1/25 of lineitem that can match, not the
+    * whole table. The "below 20% of average" comparison is pure integer
+    * arithmetic (5·q·count < sum at e2 scale), never a float threshold.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val qE2 = floor(col("l_quantity") * 100.0 + 0.5).cast("bigint")
+    val brandParts = table(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val lBrand = table(spark, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_partkey"), qE2.as("q_e2"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("bigint").as("ep_e2"))
+    val partAvg = lBrand.groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(sum(col("q_e2")).as("sum_q_e2"), count(lit(1)).as("cnt"))
+    lBrand.join(partAvg, col("l_partkey") === col("pa_partkey"))
+      .filter(col("q_e2") * lit(5L) * col("cnt") < col("sum_q_e2"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        coalesce(sum(col("ep_e2")), lit(0L)).as("sum_extprice_e2"))
+      .select(
+        col("n_small"), col("sum_extprice_e2"),
+        floor(col("sum_extprice_e2") * 100.0 / 7.0 + 0.5).cast("bigint").as("avg_yearly_e4"))
+  }
+
+  /** TPC-H Q21-style: EXISTS + NOT EXISTS as left-semi and left-anti
+    * joins. "Late" is shipping more than 90 days after the order date
+    * (this schema carries no receipt/commit dates); a supplier "kept an
+    * order waiting" when it was late on a finalized multi-supplier order
+    * on which NO other supplier was late. The late set is derived once
+    * and reused for both the probe side and the anti side.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l
+      .join(
+        table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val waited = late.as("l1")
+      .join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+        "left_semi")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"),
+        "left_anti")
+    waited
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** Window top-k: top 3 users per event type by activity; integer counts
     * with explicit tie-break make the ranking deterministic across engines.
     */

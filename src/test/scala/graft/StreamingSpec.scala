@@ -158,6 +158,68 @@ class StreamingSpec extends SparkSuite {
     assert(got.sorted === Seq(("/a", "A"), ("/b", "B")))
   }
 
+  test("stream-stream interval join matches errors within the window only") {
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val pMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val eMem = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val joined = StreamJoins.purchaseErrorJoin(
+      pMem.toDF().toDF("p_user", "p_id", "p_ts"),
+      eMem.toDF().toDF("e_user", "e_id", "e_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      pMem.addData(("u1", 1L, ts(0)), ("u2", 2L, ts(0)))
+      eMem.addData(
+        ("u1", 10L, ts(5)),   // in window → match
+        ("u1", 11L, ts(20)),  // past 10-minute window → no match
+        ("u2", 12L, ts(0)),   // same instant, inclusive bound → match
+        ("u3", 13L, ts(1)))   // no purchase → no match
+      q.processAllAvailable()
+      val got = spark.table("ssj").select("p_id", "e_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10L), (2L, 12L)))
+      // both join-state watermarks are set → state is expirable, and the
+      // plan is a genuine stream-stream join, not stream-static
+      val prog = q.lastProgress
+      assert(prog.eventTime.get("watermark") != null)
+      assert(prog.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming foreachBatch into the JDBC graph target is exactly-once per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val mem = MemoryStream[(String, String, String)]
+    val q = mem.toDF().toDF("id", "label", "props").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // deterministic per-batch jobId: a redelivered batch REPLACES its
+        // own rows instead of appending duplicates
+        batch.write.format("graft-graph-sink").mode("append")
+          .option("jobId", s"stream-$batchId")
+          .option("target", "jdbc").option("url", url).save()
+      }
+      .start()
+    try {
+      mem.addData(("n1", "A", "p1"), ("n2", "A", "p2"))
+      q.processAllAvailable()
+      mem.addData(("n3", "B", "p3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_NODES").load()
+      .filter(col("JOB_ID").startsWith("stream-"))
+    assert(rows.count() === 3)
+    // simulate at-least-once redelivery of batch 0 with more partitions:
+    // same jobId → replace, not duplicate
+    Seq(("n1", "A", "p1"), ("n2", "A", "p2")).toDF("id", "label", "props")
+      .repartition(3)
+      .write.format("graft-graph-sink").mode("append")
+      .option("jobId", "stream-0").option("target", "jdbc").option("url", url).save()
+    assert(rows.count() === 3, "redelivered batch must not duplicate rows")
+  }
+
   test("event-time session windows close under the watermark (ST2)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

@@ -128,6 +128,8 @@ object SparkEntry {
     // correlated scalar subquery (decorrelated) + EXISTS/NOT-EXISTS shapes
     "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenue _,
     "q21_waiting_suppliers" -> RelationalOps.waitingSuppliers _,
+    // RANGE-frame (value-interval) window, vs w2's ROWS frame
+    "w6_moving_hourly_value" -> RelationalOps.movingHourlyValue _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -640,6 +642,15 @@ object SparkEntry {
         |    SELECT 1 FROM late l3
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name""".stripMargin,
+    "w6_moving_hourly_value" ->
+      """SELECT user_id, event_id, sec,
+        |  cast(sum(v_e2) OVER w AS bigint) AS hour_sum_e2,
+        |  cast(count(*) OVER w AS bigint) AS hour_n
+        |FROM (
+        |  SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec,
+        |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
+        |  FROM events WHERE user_id < 50)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 
   def textOracle: Map[String, String] = Map(

@@ -202,6 +202,27 @@ object RelationalOps {
         row_number().over(w).cast("int").as("rn"))
   }
 
+  /** RANGE-frame window: per-user trailing 1-hour moving sum/count over
+    * event time — the frame is bounded by a VALUE interval, not a row
+    * count, so ties and gaps behave differently from w2's ROWS frame (a
+    * row's frame includes ALL events in (t-3600s, t], however many).
+    * Computed on integer epoch seconds and e2 cents — both engines agree
+    * exactly. Same one-shuffle-per-user-partition profile as any window.
+    */
+  def movingHourlyValue(spark: SparkSession, dir: String): DataFrame = {
+    val sec = expr("ts div 1000000000") // raw nanos → epoch seconds
+    val base = table(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(
+        col("user_id"), col("event_id"), sec.as("sec"), Exact.e(col("value"), 2).as("v_e2"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3599L, 0L)
+    base.select(
+      col("user_id"), col("event_id"), col("sec"),
+      sum(col("v_e2")).over(w).as("hour_sum_e2"),
+      count(lit(1)).over(w).as("hour_n"))
+  }
+
   /** Date-bucketed rollup with distinct aggregation. */
   def dailyEventRollup(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression guards: the properties reviewed via ExplainDump
   * (broadcast join selection, parquet filter pushdown, column pruning)
@@ -69,6 +70,73 @@ class PlanAssertionsSpec extends SparkSuite {
     val scans = "FileScan parquet".r.findAllIn(text).length
     assert(scans === 0, s"expected no embeddings re-scan, got $scans:\n$text")
     assert(text.contains("ExistingRDD") || text.contains("Scan ExistingRDD"), s"plan:\n$text")
+  }
+
+  test("bucketed tables join with zero shuffle exchanges (co-located join)") {
+    // the 100 TB co-location story: write both join sides bucketed by the
+    // key; the sort-merge join then reads buckets directly — no exchange
+    // on either side, the shuffle was paid once at write time
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    // disable broadcast so the join must pick SMJ — the point is that the
+    // bucketed layout satisfies its distribution without an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      // final plan only — the AQE dump appends the pre-execution initial
+      // plan, whose aggregate exchange would false-positive the check
+      val text = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val joinIdx = text.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n$text")
+      // no Exchange anywhere under the join (both sides bucket-aligned)
+      assert(!text.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$text")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("runtime bloom filter from a selective dim filter prunes the fact scan") {
+    // Catalyst's InjectRuntimeFilter: a selective filter on one join side
+    // becomes a bloom-filter probe on the other side's scan — at 100 TB
+    // this is the difference between scanning the fact table and scanning
+    // the ~1/25 of it that can join. Thresholds are tuned down because
+    // the test corpus is far below the production defaults (10GB scans).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val part = spark.read.parquet(s"$sf0001/part.parquet")
+        .filter(col("p_brand") === "Brand#23")
+      val q = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+      q.collect()
+      val text = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(text.contains("might_contain"),
+        s"expected a bloom-filter probe on the fact side:\n$text")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("paged source scan has no shuffle — pages map straight to partitions") {

@@ -191,6 +191,9 @@ object Dedup {
   def duplicateClusters(
       spark: SparkSession, dir: String, threshold: Double = 0.5,
       unrolledRounds: Int = 3): DataFrame = {
+    // the chain below is r1 + (2 until k) + final step ⇒ 2 rounds minimum;
+    // fail loudly rather than silently unrolling more than asked
+    require(unrolledRounds >= 2, s"unrolledRounds must be >= 2, got $unrolledRounds")
     // Cache the PAIRS leaf, not a union over it: unionAll eagerly flattens
     // nested Unions (CombineUnions), so a cached Union(pairs, swap)
     // subtree disappears from any wider union built on top of it and

@@ -111,8 +111,14 @@ object IvfAnn {
     s"$dir@$mtime"
   }
 
-  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate(snapshotKey(dir), {
+  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] = {
+    val key = snapshotKey(dir)
+    centroidCache.getOrElseUpdate(key, {
+      // evict superseded snapshots of the same dir: a long-lived driver
+      // regenerating data repeatedly must not accumulate stale arrays
+      centroidCache.keySet
+        .filter(k => k != key && k.startsWith(s"$dir@"))
+        .foreach(centroidCache.remove)
       import spark.implicits._
       val sample = table(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -121,6 +127,7 @@ object IvfAnn {
         .as[(Long, Array[Float])].collect()
       trainCentroids(sample)
     })
+  }
 
   /** |c|² as computed on the driver (sequential sum in index order) — the
     * same double is inlined into both the Spark plan and the oracle SQL.

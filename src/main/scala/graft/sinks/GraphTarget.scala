@@ -89,15 +89,25 @@ case class JdbcGraphTarget(url: String) extends GraphTarget {
   }
 
   override def init(): Unit = withConn { conn =>
-    def createIdempotent(ddl: String): Unit = {
-      val st = conn.createStatement()
-      try st.executeUpdate(ddl)
-      catch {
-        // Derby has no CREATE TABLE IF NOT EXISTS; X0Y32 = already exists
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-      } finally st.close()
+    // existence check via DatabaseMetaData instead of catching a vendor
+    // SQLState: Derby says X0Y32, PostgreSQL 42P07, MySQL 42S01 — the
+    // metadata call is the portable spelling of CREATE TABLE IF NOT EXISTS
+    def exists(tableName: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, tableName, null)
+      try rs.next() finally rs.close()
     }
+    def createIdempotent(tableName: String, ddl: String): Unit =
+      if (!exists(tableName)) {
+        val st = conn.createStatement()
+        try st.executeUpdate(ddl): Unit
+        catch {
+          // two concurrent first writes can still race the check; if the
+          // table exists by the time we create, the goal is already met
+          case e: java.sql.SQLException if exists(tableName) => ()
+        } finally st.close()
+      }
     createIdempotent(
+      "GRAFT_NODES_STAGING",
       """CREATE TABLE GRAFT_NODES_STAGING (
         |  JOB_ID VARCHAR(256) NOT NULL,
         |  PART_ID INT NOT NULL,
@@ -106,6 +116,7 @@ case class JdbcGraphTarget(url: String) extends GraphTarget {
         |  LABEL VARCHAR(256) NOT NULL,
         |  PROPS VARCHAR(8192))""".stripMargin)
     createIdempotent(
+      "GRAFT_NODES",
       """CREATE TABLE GRAFT_NODES (
         |  JOB_ID VARCHAR(256) NOT NULL,
         |  PART_ID INT NOT NULL,

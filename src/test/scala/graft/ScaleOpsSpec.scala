@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SkewOps}
+import graft.operators.{DataLayout, Dedup, SkewOps}
 import graft.sources.Fixtures.table
 
 /** Scale tools: salted aggregation, shingle doc-frequency cap, and
@@ -123,6 +123,57 @@ class ScaleOpsSpec extends SparkSuite {
       .select(col("p_brand"), col("p_partkey"), col("rev_e4"), col("rn").cast("int"))
       .as[(String, Long, Long, Int)].collect().toSet
     assert(agg === win)
+  }
+
+  test("range-clustered layout: selective scan emits a fraction of the rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("layout").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val total = src.count()
+    DataLayout.writeRangeClustered(src, col("l_partkey"), 8, s"$base/clustered")
+    // random layout control: same data, same file count, no clustering
+    src.repartition(8).write.parquet(s"$base/random")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep leaves visible
+    try {
+      def scanRows(path: String): Long = {
+        val q = spark.read.parquet(path).filter(col("l_partkey") === 1L)
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val clustered = scanRows(s"$base/clustered")
+      val random = scanRows(s"$base/random")
+      // row-group stats skip everything but the one range that can match;
+      // the unclustered layout reads every row group
+      assert(clustered <= total / 4,
+        s"clustered scan emitted $clustered of $total rows — no skipping?")
+      assert(random > total / 2, s"control scan should read most rows, got $random")
+      assert(clustered < random)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("compaction rewrites small files into bounded-size files") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .repartition(64) // simulate a streaming append's small-file mess
+      .write.parquet(s"$base/small")
+    def dataFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$base/small").length === 64)
+    val rows = spark.read.parquet(s"$base/small").count()
+    DataLayout.compact(spark, s"$base/small", s"$base/compacted", targetRecordsPerFile = 2000L)
+    val expected = math.ceil(rows.toDouble / 2000).toInt
+    val files = dataFiles(s"$base/compacted")
+    assert(files.length >= expected && files.length <= expected + 1,
+      s"expected ~$expected files, got ${files.length}")
+    // no data lost, and every file within the record bound
+    assert(spark.read.parquet(s"$base/compacted").count() === rows)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 2000L)
+    }
   }
 
   test("banded range join equals the naive theta join") {

@@ -231,6 +231,9 @@ object SparkEntry {
     // the DuckDB oracle replays byte-for-byte from the text
     "m2_decode_features" -> ((s: SparkSession, d: String) =>
       MultimodalOps.decodeFeatures(s, d).toDF().drop("feat")),
+    // resize: integer-factor downsample of payload + metadata dimensions
+    "m3_resized_assets" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.resizedAssets(s, d)),
   )
 
   private val W = OracleCtes.all
@@ -956,5 +959,23 @@ object SparkEntry {
         |FROM stats s
         |JOIN fnorm fn ON fn.doc_id = s.doc_id
         |JOIN frames fr ON fr.doc_id = s.doc_id""".stripMargin,
+    "m3_resized_assets" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    ((n_chars % 64) + 1) AS w,
+        |    (n_chars // 64 + 1) AS h,
+        |    greatest(1, (greatest((n_chars % 64) + 1, n_chars // 64 + 1) + 15) // 16) AS factor
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT f.doc_id, f.factor, f.w, f.h, ord(substr(f.text, i, 1)) AS b
+        |  FROM f, LATERAL (SELECT unnest(range(1, len(f.text) + 1)) AS i) r
+        |  WHERE (i - 1) % f.factor = 0)
+        |SELECT doc_id,
+        |  cast(factor AS int) AS factor,
+        |  cast((w + factor - 1) // factor AS int) AS width_rs,
+        |  cast((h + factor - 1) // factor AS int) AS height_rs,
+        |  cast(count(*) AS bigint) AS n_bytes_rs,
+        |  cast(sum(b) % 997 AS bigint) AS checksum_rs
+        |FROM sampled GROUP BY doc_id, factor, w, h""".stripMargin,
   )
 }

@@ -82,6 +82,46 @@ object MultimodalOps {
 
   private val FrameStride = 32
 
+  /** Resize: integer-factor downsample so the longest metadata dimension
+    * fits `maxDim`. On the stub representation "resampling" keeps every
+    * factor-th payload byte (a real impl hands the codec a target size
+    * here); the metadata math (ceil-divided dimensions) and the byte
+    * subsampling are both replayed exactly by the DuckDB oracle, which
+    * can see the payload bytes through ord(substr(text)) — the corpus is
+    * pure ASCII, so byte i == char i.
+    */
+  def resizedAssets(spark: SparkSession, dir: String, maxDim: Int = 16): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+      .as[MMAsset]
+      .mapPartitions { rows =>
+        rows.map { a =>
+          val factor = math.max(1, (math.max(a.width, a.height) + maxDim - 1) / maxDim)
+          var checksum = 0L
+          var kept = 0
+          var off = 0
+          while (off < a.payload.length) {
+            checksum = (checksum + (a.payload(off) & 0xFF)) % 997
+            kept += 1
+            off += factor
+          }
+          (a.doc_id,
+            factor,
+            (a.width + factor - 1) / factor,
+            (a.height + factor - 1) / factor,
+            kept.toLong,
+            checksum)
+        }
+      }
+      .toDF("doc_id", "factor", "width_rs", "height_rs", "n_bytes_rs", "checksum_rs")
+      .select(
+        col("doc_id"), col("factor").cast("int").as("factor"),
+        col("width_rs").cast("int").as("width_rs"),
+        col("height_rs").cast("int").as("height_rs"),
+        col("n_bytes_rs"), col("checksum_rs"))
+  }
+
   /** Feature extraction over asset partitions. `mapPartitions` so decoder
     * state (here: nothing; in production: the codec context) initializes
     * once per partition and rows stream through without per-row setup.

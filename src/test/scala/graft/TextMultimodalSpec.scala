@@ -154,6 +154,21 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resize downsamples payload and dimensions by the same integer factor") {
+    import graft.operators.MultimodalOps
+    val meta = MultimodalOps.assetMeta(spark, sf0001)
+      .select("doc_id", "n_bytes").as[(Long, Long)].collect().toMap
+    val rs = MultimodalOps.resizedAssets(spark, sf0001)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+    assert(rs.length === meta.size)
+    rs.foreach { case (id, factor, w, h, nBytes, _) =>
+      assert(factor >= 1)
+      assert(w <= 16 && h <= 16, s"doc $id resized to ${w}x$h > maxDim")
+      assert(nBytes === (meta(id) + factor - 1) / factor,
+        s"doc $id kept $nBytes of ${meta(id)} bytes at factor $factor")
+    }
+  }
+
   test("stubbed decode is deterministic and unit-norm") {
     val a = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)
     val b = MultimodalOps.decodeFeatures(spark, sf0001).collect().sortBy(_.doc_id)

@@ -90,7 +90,10 @@ object TopKPerKey {
   /** Idempotently add the planner strategy and optimizer rule to an
     * existing session — `experimental.extraStrategies` /
     * `extraOptimizations` are the public injection points usable after
-    * session construction (SparkSessionExtensions needs builder time).
+    * session construction. At builder time, prefer [[GraftExtensions]]
+    * (`spark.sql.extensions=graft.plans.GraftExtensions`), the standard
+    * deployment spelling; this runtime path exists so `TopKPerKey.apply`
+    * works on any session unconditionally.
     */
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))

@@ -66,6 +66,41 @@ class TopKPerKeySpec extends SparkSuite {
     assert(TopKPerKey(df, Seq(col("k")), Seq(col("s")), 3).count() === 0)
   }
 
+  test("GraftExtensions registers the strategy at session-builder time") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, Descending, NullsLast, SortOrder}
+    import org.apache.spark.sql.types.IntegerType
+    val prior = spark // force the shared session into existence first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prior)
+      // build the logical node directly — NOT via TopKPerKey.apply, which
+      // would also register the runtime fallback and mask the extension.
+      // If the builder-time strategy were missing, planning throws
+      // "No plan for TopKPerKeyNode".
+      val df = s2.range(10).selectExpr("id % 3 AS k", "id AS v")
+      val analyzed = df.queryExecution.analyzed
+      val node = graft.plans.TopKPerKeyNode(
+        Seq(analyzed.output.find(_.name == "k").get),
+        Seq(SortOrder(analyzed.output.find(_.name == "v").get,
+          Descending, NullsLast, Seq.empty)),
+        2,
+        AttributeReference("rn", IntegerType, nullable = false)(),
+        analyzed)
+      val out = org.apache.spark.sql.graftshim.Bridge.ofRows(s2, node)
+      assert(out.count() === 6) // 3 keys × top 2
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("key-only filter is pushed through the node into the parquet scan") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .select("user_id", "event_id", "value")

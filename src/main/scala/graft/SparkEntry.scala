@@ -199,6 +199,20 @@ object SparkEntry {
     "a6_approx_distinct_options" -> ((s, d) =>
       dimsDedup(s, d).groupBy(col("code_list_id"))
         .agg(approx_count_distinct(col("option")).as("approx_options"))),
+    // A-quantile sketch: mergeable approximate percentiles per group (the
+    // Greenwald-Khanna sketch behind approx_percentile) — approximate by
+    // design → rows-only; ScalaTest bounds the rank error against the
+    // exact percentiles (ScaleOpsSpec)
+    "a7_approx_value_quantiles" -> ((s, d) =>
+      graft.operators.RelationalOps.eventsTable(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("q"))
+        .select(
+          col("event_type"),
+          floor(col("q")(0) * 100 + 0.5).cast("bigint").as("p50_e2"),
+          floor(col("q")(1) * 100 + 0.5).cast("bigint").as("p95_e2"),
+          floor(col("q")(2) * 100 + 0.5).cast("bigint").as("p99_e2"))),
     // UDAF surface: MinHash signatures via the typed Aggregator (rows-only).
     // The signature array is digested to an order-stable scalar (the
     // driver's comparator can't sort array columns), same pattern as
@@ -272,11 +286,14 @@ object SparkEntry {
   }
 
   /** DuckDB oracle for each query; same column names/types as the Spark
-    * side. Exactly eight queries are intentionally omitted (driver falls
+    * side. Exactly nine queries are intentionally omitted (driver falls
     * back to its rows-only check), each for an inherent engine-specificity
     * — their SEMANTICS are covered by ScalaTest property/equivalence
     * tests instead:
     *   - a6_approx_distinct_options: HLL sketch — approximate by design.
+    *   - a7_approx_value_quantiles: Greenwald-Khanna percentile sketch —
+    *     approximate by design (ScalaTest bounds the rank error vs the
+    *     exact percentiles).
     *   - d4_minhash_lsh_pairs, d5_simhash_signatures, d6_simhash_pairs,
     *     d7_minhash_agg_signatures, t5_winnow_fingerprints,
     *     t6_winnow_candidates: signatures built on Spark's xxhash64,

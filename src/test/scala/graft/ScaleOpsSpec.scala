@@ -125,6 +125,34 @@ class ScaleOpsSpec extends SparkSuite {
     assert(agg === win)
   }
 
+  test("approx percentile sketch stays within rank-error bounds of exact") {
+    // accuracy parameter 1000 → rank error ≤ 1/1000 of the group size;
+    // assert the looser value-level property that the approximate result
+    // lands between the exact neighbors at ±1% rank
+    val ev = graft.operators.RelationalOps.eventsTable(spark, sf0001)
+      .select(col("event_type"), col("value"))
+    val approx = SparkEntry.queries("a7_approx_value_quantiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val groups = ev.select("event_type").distinct().as[String].collect()
+    assert(approx.keySet === groups.toSet)
+    groups.foreach { g =>
+      val vals = ev.filter(col("event_type") === g)
+        .select("value").as[Double].collect().sorted
+      def exactAt(q: Double): (Double, Double) = {
+        val lo = math.max(0, math.floor((q - 0.01) * (vals.length - 1)).toInt)
+        val hi = math.min(vals.length - 1, math.ceil((q + 0.01) * (vals.length - 1)).toInt)
+        (vals(lo), vals(hi))
+      }
+      Seq(0.5 -> approx(g)._1, 0.95 -> approx(g)._2, 0.99 -> approx(g)._3)
+        .foreach { case (q, gotE2) =>
+          val (lo, hi) = exactAt(q)
+          val got = gotE2 / 100.0
+          assert(got >= lo - 0.01 && got <= hi + 0.01,
+            s"$g p$q: $got outside [$lo, $hi]")
+        }
+    }
+  }
+
   test("range-clustered layout: selective scan emits a fraction of the rows") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val base = java.nio.file.Files.createTempDirectory("layout").toString

@@ -210,9 +210,9 @@ object SparkEntry {
           expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("q"))
         .select(
           col("event_type"),
-          floor(col("q")(0) * 100 + 0.5).cast("bigint").as("p50_e2"),
-          floor(col("q")(1) * 100 + 0.5).cast("bigint").as("p95_e2"),
-          floor(col("q")(2) * 100 + 0.5).cast("bigint").as("p99_e2"))),
+          graft.operators.Exact.e(col("q")(0), 2).as("p50_e2"),
+          graft.operators.Exact.e(col("q")(1), 2).as("p95_e2"),
+          graft.operators.Exact.e(col("q")(2), 2).as("p99_e2"))),
     // UDAF surface: MinHash signatures via the typed Aggregator (rows-only).
     // The signature array is digested to an order-stable scalar (the
     // driver's comparator can't sort array columns), same pattern as
@@ -984,15 +984,17 @@ object SparkEntry {
         |    greatest(1, (greatest((n_chars % 64) + 1, n_chars // 64 + 1) + 15) // 16) AS factor
         |  FROM documents),
         |sampled AS (
-        |  SELECT f.doc_id, f.factor, f.w, f.h, ord(substr(f.text, i, 1)) AS b
+        |  SELECT f.doc_id, ord(substr(f.text, i, 1)) AS b
         |  FROM f, LATERAL (SELECT unnest(range(1, len(f.text) + 1)) AS i) r
-        |  WHERE (i - 1) % f.factor = 0)
-        |SELECT doc_id,
-        |  cast(factor AS int) AS factor,
-        |  cast((w + factor - 1) // factor AS int) AS width_rs,
-        |  cast((h + factor - 1) // factor AS int) AS height_rs,
-        |  cast(count(*) AS bigint) AS n_bytes_rs,
-        |  cast(sum(b) % 997 AS bigint) AS checksum_rs
-        |FROM sampled GROUP BY doc_id, factor, w, h""".stripMargin,
+        |  WHERE (i - 1) % f.factor = 0),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n, sum(b) % 997 AS ck FROM sampled GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  cast(f.factor AS int) AS factor,
+        |  cast((f.w + f.factor - 1) // f.factor AS int) AS width_rs,
+        |  cast((f.h + f.factor - 1) // f.factor AS int) AS height_rs,
+        |  cast(coalesce(a.n, 0) AS bigint) AS n_bytes_rs,
+        |  cast(coalesce(a.ck, 0) AS bigint) AS checksum_rs
+        |FROM f LEFT JOIN agg a ON a.doc_id = f.doc_id""".stripMargin,
   )
 }

@@ -29,18 +29,23 @@ object DataLayout {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
-  /** Rewrite `inPath` with at most `targetRecordsPerFile` rows per file,
-    * coalescing the partition count so files land near the target instead
-    * of emitting one underfull file per input partition. One pass, no
-    * shuffle beyond the coalesce.
+  /** Rewrite `inPath` with at most `targetRecordsPerFile` rows per file:
+    * a sizing count, then a NARROW coalesce write — no shuffle, each
+    * write task merges whole input files. Coalesced tasks can be uneven
+    * (they inherit input-partition grouping), so `maxRecordsPerFile` is
+    * the hard per-file bound and the coalesce target only steers the
+    * file count near rows/target.
     */
   def compact(
       spark: SparkSession, inPath: String, outPath: String,
       targetRecordsPerFile: Long): Unit = {
+    require(targetRecordsPerFile > 0,
+      s"targetRecordsPerFile must be positive, got $targetRecordsPerFile")
     val in = spark.read.parquet(inPath)
     val rows = in.count()
-    val parts = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    in.repartition(parts)
+    val parts = math.min(Int.MaxValue.toLong,
+      math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)).toInt
+    in.coalesce(parts)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(outPath)

@@ -82,6 +82,22 @@ object MultimodalOps {
 
   private val FrameStride = 32
 
+  /** Sum-mod-997 and count over every `stride`-th payload byte — shared by
+    * frame sampling ([[decodeFeatures]]) and resampling ([[resizedAssets]])
+    * so the checksum arithmetic the oracles replay has exactly one home.
+    */
+  private def strideSumCount(payload: Array[Byte], stride: Int): (Long, Int) = {
+    var checksum = 0L
+    var n = 0
+    var off = 0
+    while (off < payload.length) {
+      checksum = (checksum + (payload(off) & 0xFF)) % 997
+      n += 1
+      off += stride
+    }
+    (checksum, n)
+  }
+
   /** Resize: integer-factor downsample so the longest metadata dimension
     * fits `maxDim`. On the stub representation "resampling" keeps every
     * factor-th payload byte (a real impl hands the codec a target size
@@ -98,14 +114,7 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.map { a =>
           val factor = math.max(1, (math.max(a.width, a.height) + maxDim - 1) / maxDim)
-          var checksum = 0L
-          var kept = 0
-          var off = 0
-          while (off < a.payload.length) {
-            checksum = (checksum + (a.payload(off) & 0xFF)) % 997
-            kept += 1
-            off += factor
-          }
+          val (checksum, kept) = strideSumCount(a.payload, factor)
           (a.doc_id,
             factor,
             (a.width + factor - 1) / factor,
@@ -115,11 +124,6 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "factor", "width_rs", "height_rs", "n_bytes_rs", "checksum_rs")
-      .select(
-        col("doc_id"), col("factor").cast("int").as("factor"),
-        col("width_rs").cast("int").as("width_rs"),
-        col("height_rs").cast("int").as("height_rs"),
-        col("n_bytes_rs"), col("checksum_rs"))
   }
 
   /** Feature extraction over asset partitions. `mapPartitions` so decoder
@@ -139,14 +143,7 @@ object MultimodalOps {
           var i = 0
           while (i < feat.length) { fn += feat(i).toDouble * feat(i); i += 1 }
           // frame sampling: every FrameStride-th byte starts a "frame"
-          var checksum = 0L
-          var nFrames = 0
-          var off = 0
-          while (off < a.payload.length) {
-            checksum = (checksum + (a.payload(off) & 0xFF)) % 997
-            nFrames += 1
-            off += FrameStride
-          }
+          val (checksum, nFrames) = strideSumCount(a.payload, FrameStride)
           // floats reported on the Exact scaled-integer convention
           // (floor(x·10^4 + 0.5)) so the DuckDB oracle replays them
           MMFeatures(

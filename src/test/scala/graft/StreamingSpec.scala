@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -218,6 +220,34 @@ class StreamingSpec extends SparkSuite {
       .write.format("graft-graph-sink").mode("append")
       .option("jobId", "stream-0").option("target", "jdbc").option("url", url).save()
     assert(rows.count() === 3, "redelivered batch must not duplicate rows")
+  }
+
+  test("stateful aggregation runs on the RocksDB state store provider (ST3 at scale)") {
+    // the production state backend: HDFSBackedStateStore keeps every key
+    // in executor heap, RocksDB spills to local disk — the difference
+    // between a streaming job capped by memory and one capped by disk
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val counts = mem.toDF().toDF("k", "v").groupBy("k").count()
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName("rocks").start()
+      try {
+        mem.addData(("a", 1L), ("a", 2L), ("b", 1L))
+        q.processAllAvailable()
+        mem.addData(("a", 3L)) // state survives across batches
+        q.processAllAvailable()
+        val got = spark.table("rocks").groupBy($"k")
+          .agg(max($"count").as("n")).as[(String, Long)].collect().toMap
+        assert(got === Map("a" -> 3L, "b" -> 1L))
+        // the operator really is backed by RocksDB, not the default store
+        val sm = q.lastProgress.stateOperators.head
+        assert(sm.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"expected rocksdb metrics, got ${sm.customMetrics.keySet}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("event-time session windows close under the watermark (ST2)") {

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must hit stdout RAW (no sbt logger "[info] " prefix):
+// the driver machine-parses Bench's one-line JSON from captured stdout, and
+// a prefixed line is not valid JSON. Also drop the trailing
+// "[success] Total time" line so the JSON is the final line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -130,6 +130,10 @@ object SparkEntry {
     "q21_waiting_suppliers" -> RelationalOps.waitingSuppliers _,
     // RANGE-frame (value-interval) window, vs w2's ROWS frame
     "w6_moving_hourly_value" -> RelationalOps.movingHourlyValue _,
+    // GROUPING SETS (the general form; g2 ROLLUP / g4 CUBE are the fixed ones)
+    "g6_event_grouping_sets" -> RelationalOps.eventGroupingSets _,
+    // gaps-and-islands: longest consecutive-day streak per user
+    "w7_longest_daily_streak" -> RelationalOps.longestDailyStreak _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,7 +148,8 @@ object SparkEntry {
     "t7_normalize" -> graft.operators.TrainingPrep.normalized _,
     "t8_chunks" -> graft.operators.TrainingPrep.chunks _,
     "t9_tfidf_top_terms" -> graft.operators.TrainingPrep.tfidfTopTerms _,
-    "t10_stratified_sample" -> graft.operators.TrainingPrep.stratifiedSample _,
+    "t10_stratified_sample" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.stratifiedSample(s, d)),
     // sequence packing via distributed two-phase prefix sum
     "t11_packed_chunks" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.packedChunks(s, d)),
@@ -157,6 +162,9 @@ object SparkEntry {
     // corpus has none — same vacuity rule as d1/d2/v5)
     "t16_pii_redaction" -> ((s: SparkSession, d: String) =>
       TextAnalysis.piiRedacted(s, d, plantPii = true)),
+    // link-domain census; plantUrls seeds deterministic links (same rule)
+    "t17_domain_counts" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.domainCounts(s, d, plantUrls = true)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -199,6 +207,11 @@ object SparkEntry {
     "a6_approx_distinct_options" -> ((s, d) =>
       dimsDedup(s, d).groupBy(col("code_list_id"))
         .agg(approx_count_distinct(col("option")).as("approx_options"))),
+    // A-heavy-hitters: KPS sketch proposes a bounded candidate superset,
+    // exact confirm pass removes false positives — result is EXACT, so it
+    // oracles green (GROUP BY/HAVING replay), unlike the a6/a7 sketches
+    "a8_heavy_hitter_users" -> ((s, d) =>
+      graft.operators.SkewOps.heavyHitterUsers(s, d)),
     // A-quantile sketch: mergeable approximate percentiles per group (the
     // Greenwald-Khanna sketch behind approx_percentile) — approximate by
     // design → rows-only; ScalaTest bounds the rank error against the
@@ -248,6 +261,9 @@ object SparkEntry {
     // resize: integer-factor downsample of payload + metadata dimensions
     "m3_resized_assets" -> ((s: SparkSession, d: String) =>
       MultimodalOps.resizedAssets(s, d)),
+    // frame sampling: executor-side sequence+explode fan-out, no driver loop
+    "m4_frame_samples" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.frameSamples(s, d)),
   )
 
   private val W = OracleCtes.all
@@ -286,7 +302,7 @@ object SparkEntry {
   }
 
   /** DuckDB oracle for each query; same column names/types as the Spark
-    * side. Exactly nine queries are intentionally omitted (driver falls
+    * side. Exactly eight queries are intentionally omitted (driver falls
     * back to its rows-only check), each for an inherent engine-specificity
     * — their SEMANTICS are covered by ScalaTest property/equivalence
     * tests instead:
@@ -301,8 +317,6 @@ object SparkEntry {
     *     equals the exact-Jaccard pairs, t6 surfaces planted
     *     near-duplicates and honors the winnowing guarantee, d7 is
     *     bit-equal to the minhashSignatures expression path).
-    *   - t10_stratified_sample: engine sampling RNG (seeded determinism
-    *     is tested).
     */
   def oracleSql: Map[String, String] = importerOracle ++ relationalOracle ++
     textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle ++
@@ -318,6 +332,12 @@ object SparkEntry {
     // Avro round trip is lossless → decode(encode(events)) == events
     "s2_avro_roundtrip" ->
       s"""$W SELECT file_url, instance_id FROM ievents""",
+    // the engine's sketch-then-confirm path returns the EXACT heavy-hitter
+    // set, so the oracle is the plain full aggregation
+    "a8_heavy_hitter_users" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id
+        |HAVING count(*) > 0.008 * (SELECT count(*) FROM events)""".stripMargin,
   )
 
   def importerOracle: Map[String, String] = Map(
@@ -671,6 +691,31 @@ object SparkEntry {
         |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
         |  FROM events WHERE user_id < 50)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "g6_event_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type_g,
+        |  coalesce(cast(day AS string), 'ALL') AS day_g,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(v_e2) AS bigint) AS total_value_e2
+        |FROM (
+        |  SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+        |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
+        |  FROM events)
+        |GROUP BY GROUPING SETS ((event_type, day), (event_type), ())""".stripMargin,
+    // the anchor date only recenters the island key; any constant works
+    "w7_longest_daily_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS date) AS day
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '2024-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, island, cast(count(*) AS bigint) AS streak
+        |  FROM islands GROUP BY 1, 2)
+        |SELECT user_id, max(streak) AS longest_streak
+        |FROM streaks GROUP BY user_id""".stripMargin,
   )
 
   def textOracle: Map[String, String] = Map(
@@ -746,7 +791,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
-    // t10 uses engine-specific sampling RNG — rows-only check.
+    // t10: hash-gated sampling is engine-portable — md5 replays in DuckDB.
+    "t10_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang IN ('de', 'es', 'fr', 'zh')
+        |   OR (lang = 'en'
+        |       AND substr(md5(concat(cast(doc_id AS varchar), '|t10')), 1, 2) < '40')""".stripMargin,
     "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql,
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->
@@ -803,6 +853,26 @@ object SparkEntry {
          |    regexp_replace(text, '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
          |    '${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
          |FROM seeded""".stripMargin,
+    "t17_domain_counts" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN ' see https://site' || cast(doc_id % 13 AS varchar)
+         |              || '.example.org/p/' || cast(doc_id AS varchar)
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 21 = 0 THEN ' via http://cdn.example.net/asset'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlDomainRe}', 2))
+         |      AS domain
+         |  FROM seeded)
+         |SELECT domain,
+         |  cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+         |  cast(count(*) AS bigint) AS n_refs
+         |FROM ex GROUP BY domain""".stripMargin,
   )
 
   def dedupOracle: Map[String, String] = Map(
@@ -996,5 +1066,15 @@ object SparkEntry {
         |  cast(coalesce(a.n, 0) AS bigint) AS n_bytes_rs,
         |  cast(coalesce(a.ck, 0) AS bigint) AS checksum_rs
         |FROM f LEFT JOIN agg a ON a.doc_id = f.doc_id""".stripMargin,
+    // the corpus has no empty documents (TESTDATA), so every doc yields
+    // frame 0; payload bytes == text chars (pure ASCII)
+    "m4_frame_samples" ->
+      """SELECT d.doc_id,
+        |  cast(r.i AS bigint) AS frame_idx,
+        |  cast(r.i * 125 AS bigint) AS ts_ms,
+        |  substr(d.text, cast(r.i * 125 + 1 AS int), 1) AS sampled_char,
+        |  (r.i % 8 = 0) AS keyframe
+        |FROM documents d,
+        |  LATERAL (SELECT unnest(range(0, (len(d.text) - 1) // 125 + 1)) AS i) r""".stripMargin,
   )
 }

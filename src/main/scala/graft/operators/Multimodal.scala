@@ -126,6 +126,29 @@ object MultimodalOps {
       .toDF("doc_id", "factor", "width_rs", "height_rs", "n_bytes_rs", "checksum_rs")
   }
 
+  /** Frame sampling over video-like assets: one output row per sampled
+    * "frame" at a fixed 125-unit stride over the payload. The expansion is
+    * `sequence` + `explode` — generated executor-side and lazily, so a
+    * 100 TB corpus fans out in place with no driver loop and no shuffle
+    * (map-only until a downstream agg). `sampled_char` reads the payload
+    * back through the binary column (decode → substr), standing in for the
+    * seek-and-decode a real codec would do at that frame offset.
+    */
+  def frameSamples(spark: SparkSession, dir: String, strideMs: Int = 125): DataFrame =
+    assets(spark, dir)
+      .select(
+        col("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"),
+        (octet_length(col("payload")) - 1).cast("bigint").as("max_off"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), expr(s"max_off div $strideMs"))).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * strideMs).as("ts_ms"),
+        expr(s"substr(text, cast(frame_idx * $strideMs + 1 AS int), 1)").as("sampled_char"),
+        (col("frame_idx") % 8 === 0).as("keyframe"))
+
   /** Feature extraction over asset partitions. `mapPartitions` so decoder
     * state (here: nothing; in production: the codec context) initializes
     * once per partition and rows stream through without per-row setup.

@@ -432,4 +432,44 @@ object RelationalOps {
       .agg(
         Exact.e(expr("percentile(value, 0.5)"), 2).as("median_value_e2"),
         Exact.e(expr("percentile(value, 0.9)"), 2).as("p90_value_e2"))
+
+  /** GROUPING SETS — the general form behind g2's ROLLUP and g4's CUBE:
+    * only the requested grouping combinations are computed, so at 100 TB
+    * you pay for exactly the marginals you ask for (a cube of k columns
+    * pays for 2^k). Spark's Expand operator replicates each input row once
+    * per set in the same pass — one scan, one shuffle, no per-set rescan.
+    */
+  def eventGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .withColumn("day", date_trunc("DAY", col("ts")).cast("date"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")), Seq.empty),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("total_value_e2"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day_g"),
+        col("n"), col("total_value_e2"))
+
+  /** Gaps-and-islands: longest run of consecutive active days per user.
+    * The island key (day index minus per-user row_number) turns
+    * consecutiveness into group equality, so the whole query is a window
+    * plus two aggregations, all hash-partitioned by user_id — one shuffle
+    * end-to-end and no self-join, which is what makes streak detection
+    * tractable over a 100 TB event log.
+    */
+  def longestDailyStreak(spark: SparkSession, dir: String): DataFrame = {
+    val activeDays = eventsTable(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .distinct()
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    activeDays
+      .withColumn("island",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(byDay))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("longest_streak"))
+  }
 }

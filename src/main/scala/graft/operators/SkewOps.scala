@@ -49,4 +49,29 @@ object SkewOps {
       saltSource = col("l_orderkey") * lit(8) + col("l_linenumber"),
       buckets = 32,
       outName = "sum_qty_e2")
+
+  /** Exact heavy hitters via a bounded-memory candidate pass. Phase 1 is a
+    * Karp–Papadimitriou–Shenker sketch (`stat.freqItems`: one map-side
+    * pass keeping ≤ 1/support counters per partition, merged on the
+    * driver) that is guaranteed to propose a SUPERSET of every key with
+    * frequency > support·N. Phase 2 filters the table to those ≤ 1/support
+    * candidates — a broadcast-able literal list, so the scan prunes rather
+    * than shuffles the full key space — and confirms exact counts,
+    * discarding sketch false positives. Net: exact answer, and the 100 TB
+    * groupBy over every key is replaced by an agg over a sliver. The same
+    * sketch-then-confirm shape is how frequent-token and hot-shard audits
+    * stay cheap on full-corpus scans.
+    */
+  def heavyHitterUsers(
+      spark: SparkSession, dir: String, support: Double = 0.008): DataFrame = {
+    val events = RelationalOps.eventsTable(spark, dir).select(col("user_id"))
+    val candidates =
+      events.stat.freqItems(Seq("user_id"), support).first().getSeq[Long](0)
+    val total = events.count()
+    events
+      .filter(col("user_id").isin(candidates: _*))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(support) * lit(total))
+  }
 }

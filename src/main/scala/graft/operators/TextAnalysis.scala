@@ -154,6 +154,41 @@ object TextAnalysis {
         lit(PhoneRe), lit("<PHONE>")).as("redacted"))
   }
 
+  // group 2 = the host; backslash-free for the same 3-layer reason as EmailRe
+  private[graft] val UrlDomainRe = "(https?://)([a-z0-9.-]+)"
+
+  /** Link-domain extraction: pull every URL host out of the text, explode,
+    * and aggregate per domain — the provenance/outlink census a web corpus
+    * runs before source-level filtering. Map + explode + one agg shuffle;
+    * domain cardinality, not document count, sizes the reduce side.
+    *
+    * `plantUrls` is for the graded benchmark/oracle path ONLY (the corpus
+    * contains no URLs, so the query would pass vacuously): doc_id % 7 == 0
+    * gets a deterministic site link, % 21 == 0 also a shared CDN link —
+    * replayed identically by the oracle.
+    */
+  def domainCounts(
+      spark: SparkSession, dir: String, plantUrls: Boolean = false): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val seeded =
+      if (!plantUrls) d
+      else d.withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 13).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 21 === 0, lit(" via http://cdn.example.net/asset"))
+          .otherwise(lit(""))))
+    seeded
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$UrlDomainRe', 2)")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_refs"))
+  }
+
   /** Content fingerprints: full-document and head-64-chars MD5 (hex), the
     * exact-dedup keys. MD5 of UTF-8 bytes is identical across engines.
     */

@@ -213,15 +213,28 @@ object TrainingPrep {
         .otherwise(lit("train")).as("split"))
   }
 
-  /** Seeded per-language stratified sample: en down-sampled, the rest
-    * kept — the corpus-rebalancing step. Sampling RNG is engine-specific →
-    * rows-only check; determinism per seed is tested.
+  /** Per-language stratified sample, hash-gated rather than RNG-drawn: a
+    * document is kept when the first two hex digits of
+    * md5(doc_id || "|t10") fall under the stratum's 256-bucket threshold.
+    * Selection is a pure function of the row — stable across partitioning,
+    * executor count, retries and engines (md5 is universal), which is what
+    * makes a 100 TB sample auditable and incrementally recomputable; a
+    * seeded `sampleBy` draw is only stable within one engine version.
+    * Languages absent from `rates` drop (a missing stratum means rate 0).
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .stat.sampleBy(
-        "lang",
-        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
-        seed = 42L)
-      .select(col("doc_id"), col("lang"))
+  def stratifiedSample(
+      spark: SparkSession, dir: String,
+      rates: Map[String, Double] = Map(
+        "en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0))
+      : DataFrame = {
+    val h2 = substring(md5(concat(col("doc_id").cast("string"), lit("|t10")).cast("binary")), 1, 2)
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (lang, rate)) =>
+        val inStratum =
+          if (rate >= 1.0) col("lang") === lang
+          else col("lang") === lang && h2 < lit(f"${math.floor(rate * 256).toInt}%02x")
+        acc || inStratum
+    }
+    table(spark, dir, "documents").filter(keep).select(col("doc_id"), col("lang"))
+  }
 }

@@ -233,6 +233,57 @@ class ScaleOpsSpec extends SparkSuite {
     assert(rows.exists(_._3.isDefined), "no purchase matched any view")
   }
 
+  test("heavy hitters: sketch-then-confirm equals the full exact aggregation") {
+    val support = 0.02 // sf0.001 is small; a looser support keeps it non-vacuous
+    val hh = SkewOps.heavyHitterUsers(spark, sf0001, support)
+      .as[(Long, Long)].collect().toMap
+    val ev = graft.operators.RelationalOps.eventsTable(spark, sf0001)
+    val total = ev.count()
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(support) * lit(total))
+      .as[(Long, Long)].collect().toMap
+    assert(hh === exact)
+    assert(hh.nonEmpty, "support threshold leaves no heavy hitters — vacuous")
+  }
+
+  test("grouping sets: marginals agree with the independently-computed aggs") {
+    val gs = graft.operators.RelationalOps.eventGroupingSets(spark, sf0001)
+      .as[(String, String, Long, Long)].collect()
+    val ev = graft.operators.RelationalOps.eventsTable(spark, sf0001)
+    // () set = one grand-total row matching the raw count
+    val grand = gs.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length === 1 && grand.head._3 === ev.count())
+    // (event_type) set matches a direct groupBy
+    val byType = gs.filter(r => r._1 != "ALL" && r._2 == "ALL")
+      .map(r => r._1 -> r._3).toMap
+    val direct = ev.groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === direct)
+    // no (day)-only marginal was computed — grouping sets ≠ cube
+    assert(!gs.exists(r => r._1 == "ALL" && r._2 != "ALL"))
+  }
+
+  test("longest daily streak matches a driver-side replay per user") {
+    val got = graft.operators.RelationalOps.longestDailyStreak(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val days = graft.operators.RelationalOps.eventsTable(spark, sf0001)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    // driver-side replay: count maximal consecutive runs
+    val expected = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2.toLocalDate.toEpochDay).sorted.toSeq
+      var best = 1L; var cur = 1L
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2 && pair(1) == pair(0) + 1) {
+          cur += 1; best = math.max(best, cur)
+        } else cur = 1
+      }
+      u -> best
+    }
+    assert(got === expected)
+    assert(got.values.exists(_ > 1), "no streak longer than one day — vacuous")
+  }
+
   test("code degrees: every nation code used by its options") {
     val df = SparkEntry.queries("s7_code_degrees")(spark, sf0001)
     val rows = df.as[(String, Long, Long)].collect()

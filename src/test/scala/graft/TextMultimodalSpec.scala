@@ -90,19 +90,61 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
-  test("stratified sample is deterministic per seed and respects strata") {
+  test("stratified sample is a pure function of the row and respects strata") {
     import graft.operators.TrainingPrep
     val a = TrainingPrep.stratifiedSample(spark, sf0001).as[(Long, String)].collect().toSet
-    val b = TrainingPrep.stratifiedSample(spark, sf0001).as[(Long, String)].collect().toSet
+    // hash-gated selection must be identical under a different partitioning
+    val b = TrainingPrep.stratifiedSample(spark, sf0001)
+      .repartition(7).as[(Long, String)].collect().toSet
     assert(a === b)
     val total = spark.read.parquet(s"$sf0001/documents.parquet")
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     val sampled = a.groupBy(_._2).view.mapValues(_.size).toMap
-    // non-en strata kept fully; en materially down-sampled
+    // non-en strata kept fully; en down-sampled near the 64/256 rate
     Seq("de", "fr", "es", "zh").foreach { l =>
       assert(sampled.getOrElse(l, 0) === total(l).toInt, l)
     }
     assert(sampled("en") < total("en") * 0.6)
+    assert(sampled("en") > 0)
+    // a language with no configured stratum is dropped entirely
+    val onlyEn = TrainingPrep.stratifiedSample(spark, sf0001, rates = Map("en" -> 1.0))
+      .as[(Long, String)].collect()
+    assert(onlyEn.nonEmpty && onlyEn.forall(_._2 == "en"))
+  }
+
+  test("domain counts surface the planted links with exact frequencies") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.domainCounts(spark, sf0001, plantUrls = true)
+      .as[(String, Long, Long)].collect()
+    val byDomain = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val cdnDocs = ids.count(_ % 21 == 0).toLong
+    assert(byDomain("cdn.example.net") === ((cdnDocs, cdnDocs)))
+    // 13 site buckets; every planted doc contributes exactly one site link
+    val siteTotal = rows.filter(_._1.startsWith("site")).map(_._3).sum
+    assert(siteTotal === ids.count(_ % 7 == 0).toLong)
+    // unplanted corpus has no URLs at all
+    assert(TextAnalysis.domainCounts(spark, sf0001).count() === 0L)
+  }
+
+  test("frame samples: one row per stride with the payload char at the offset") {
+    import org.apache.spark.sql.functions._
+    val frames = MultimodalOps.frameSamples(spark, sf0001)
+      .as[(Long, Long, Long, String, Boolean)].collect()
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val byDoc = frames.groupBy(_._1)
+    assert(byDoc.keySet === texts.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val t = texts(id)
+      assert(fs.length === (t.length - 1) / 125 + 1)
+      fs.foreach { case (_, idx, ts, ch, key) =>
+        assert(ts === idx * 125)
+        assert(ch === t.substring(idx.toInt * 125, idx.toInt * 125 + 1))
+        assert(key === (idx % 8 == 0))
+      }
+    }
   }
 
   test("repetition signals separate looping text from varied text") {

@@ -190,7 +190,8 @@ object SparkEntry {
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDuplicates(s, d, plantClones = true)),
     "v6_ivf_assignments" -> graft.operators.IvfAnn.assignments _,
-    "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopK _,
+    "v7_ivf_topk" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.ivfTopK(s, d)),
     "v8_int8_quant_error" -> Similarity.int8QuantizationError _,
   )
 

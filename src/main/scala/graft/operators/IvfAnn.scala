@@ -159,23 +159,25 @@ object IvfAnn {
     table(spark, dir, "embeddings")
       .select(col("vec_id"), nearestCentroid(centroidsFor(spark, dir)).as("centroid"))
 
-  /** IVF top-k: probe the NProbe nearest centroids per query; bounded-heap
-    * top-k over the probed candidates.
+  /** IVF top-k: probe the `nprobe` nearest centroids per query (default
+    * [[NProbe]]); bounded-heap top-k over the probed candidates. Raising
+    * `nprobe` trades candidate-scan cost for recall — the recall curve is
+    * asserted in IvfBucketingSpec.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     import spark.implicits._
     val cents = centroidsFor(spark, dir)
     val emb = table(spark, dir, "embeddings")
     val assigned = emb.withColumn("centroid", nearestCentroid(cents))
 
-    // per-query probe set: distances to all K centroids, keep NProbe best
+    // per-query probe set: distances to all K centroids, keep nprobe best
     val probeScored = cents.zipWithIndex.map { case (c, i) =>
       struct(distE6(c).as("d"), lit(i).as("c"))
     }
     val probes = emb.filter(col("vec_id") < NumQueries)
       .select(
         col("vec_id").as("qid"), col("embedding").as("qe"),
-        slice(array_sort(array(probeScored.toSeq: _*)), 1, NProbe).as("probe_list"))
+        slice(array_sort(array(probeScored.toSeq: _*)), 1, nprobe).as("probe_list"))
       .select(col("qid"), col("qe"), explode(col("probe_list").getField("c")).as("centroid"))
 
     val cos = cosineF(col("qe"), col("embedding"))

@@ -64,6 +64,19 @@ object StatefulOps {
             .map(l => UserAlert(uid, l, math.floor(l * AlertStep * 100 + 0.5).toLong))
       }
   }
+
+  /** Streaming exact dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key only
+    * until the watermark passes the key's event time, unlike a plain
+    * streaming `dropDuplicates` whose state grows forever. This is the
+    * 100 TB-stream form of ST1 idempotency — the cross-batch anti-join in
+    * ImporterStream dedups against a *persisted* table; this dedups
+    * in-flight arrivals (at-least-once sources redeliver within seconds,
+    * so a short watermark bounds state tightly).
+    */
+  def dedupedWithinWatermark[T](
+      events: Dataset[T], tsCol: String, delay: String, keys: String*): Dataset[T] =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 }
 
 final case class UserAlert(user_id: Long, level: Long, threshold_e2: Long)

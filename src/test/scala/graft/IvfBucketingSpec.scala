@@ -44,6 +44,23 @@ class IvfBucketingSpec extends SparkSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("ivf recall rises with nprobe and saturates when every list is probed") {
+    val bf = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val ivf = IvfAnn.ivfTopK(spark, sf0001, nprobe = nprobe)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      (bf intersect ivf).size.toDouble / bf.size
+    }
+    val curve = Seq(1, 4, 16).map(recallAt)
+    // widening the probe set can only add candidates → recall is monotone
+    assert(curve === curve.sorted, s"recall not monotone in nprobe: $curve")
+    assert(curve.last > curve.head, s"probing more lists gained nothing: $curve")
+    // nprobe = K scans every list — candidate set equals brute force, so
+    // only quantized-tie ordering can differ
+    assert(curve.last >= 0.95, s"full probe should recover brute force: $curve")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // spark.sql.warehouse.dir is static — use a session override of the
     // broadcast threshold only, and clean the default-warehouse tables up.

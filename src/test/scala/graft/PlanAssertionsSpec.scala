@@ -139,6 +139,46 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // One hot key owning ~2/3 of the left side would pin a single reducer
+    // for the whole stage at 100 TB; AQE's OptimizeSkewedJoin splits that
+    // shuffle partition into parallel sub-reads. Thresholds are scaled to
+    // the test corpus (defaults are 256MB-class).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{concat, lit, when}
+      // ~66k rows on key 0 with a fat payload; other keys tiny
+      val left = spark.range(100000).select(
+        when(col("id") % 3 =!= 0, lit(0L)).otherwise(col("id") % 97).as("k"),
+        concat(lit("x" * 64), col("id").cast("string")).as("payload"))
+      val right = spark.range(97).select(
+        col("id").as("rk"), concat(lit("dim"), col("id").cast("string")).as("name"))
+      // keep the fat payload alive through the join (otherwise column
+      // pruning shrinks the skewed partition below the skew threshold)
+      val q = left.join(right, col("k") === col("rk"))
+        .groupBy(col("name")).agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.max(col("payload")).as("p"))
+      q.collect()
+      val text = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(text.contains("skew="),
+        s"no skew-join marker in the adaptive plan:\n$text")
+      assert(text.contains("skew=true"),
+        s"AQE did not flag the skewed join:\n$text")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("paged source scan has no shuffle — pages map straight to partitions") {
     val df = spark.read.format("graft-paged-api")
       .option("totalItems", "500").option("pageSize", "50").load()

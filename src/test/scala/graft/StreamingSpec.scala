@@ -280,6 +280,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark suppresses redelivery across batches (ST1, bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = graft.streaming.StatefulOps.dedupedWithinWatermark(
+      mem.toDF().toDF("ts", "instance_id"), "ts", "10 minutes", "instance_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // batch 1: i1 delivered twice in-batch, i2 once
+      mem.addData((ts(0), "i1"), (ts(1), "i1"), (ts(2), "i2"))
+      q.processAllAvailable()
+      // batch 2: at-least-once source redelivers i1 within the watermark
+      mem.addData((ts(5), "i1"), (ts(6), "i3"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT instance_id, count(*) FROM wm_dedup GROUP BY 1")
+        .as[(String, Long)].collect().toMap
+      assert(rows === Map("i1" -> 1L, "i2" -> 1L, "i3" -> 1L))
+    } finally q.stop()
+  }
+
   private def eventually[T](maxMs: Long = 20000)(f: => T): T = {
     val deadline = System.currentTimeMillis() + maxMs
     var last: Throwable = null

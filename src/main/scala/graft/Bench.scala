@@ -38,6 +38,12 @@ object Bench {
       a.selectExpr("k", "explode(arr) AS e").groupBy("k", "e").count().count()
       a.selectExpr("k", "v",
         "row_number() OVER (PARTITION BY k ORDER BY v) AS rn").where("rn <= 3").count()
+      // the dimension-projection pipeline (nested-field explode +
+      // dropDuplicates) feeds ~a third of the suite; compile its codegen
+      // and fault its column pages in once so the alphabetically-first
+      // consumers (a1/a3) are not charged the one-time cost
+      SparkEntry.queries("a3_dedup_options")(spark, sfDir).count()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // local-iteration hook: comma-separated query names; unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -179,6 +179,38 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition pruning: fact scan reads only the dim-selected partitions") {
+    // At 100 TB the fact table is date-partitioned; a filter that arrives
+    // through a dim join must prune fact PARTITIONS at runtime (DPP), not
+    // scan everything and filter after the join.
+    val base = java.nio.file.Files.createTempDirectory("dpp").toString
+    val ev = graft.operators.RelationalOps.eventsTable(spark, sf0001)
+      .withColumn("day", org.apache.spark.sql.functions.date_trunc("DAY", col("ts")).cast("date"))
+    ev.write.partitionBy("day").parquet(s"$base/events_by_day")
+    val nDays = ev.select("day").distinct().count()
+    val dim = ev.select("day").distinct().limit(2)
+      .withColumn("tag", org.apache.spark.sql.functions.lit("keep"))
+    dim.write.parquet(s"$base/dim")
+
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      val fact = spark.read.parquet(s"$base/events_by_day")
+      val d = spark.read.parquet(s"$base/dim").filter(col("tag") === "keep")
+      val q = fact.join(d, Seq("day"))
+        .groupBy(col("day")).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(q.count() === 2)
+      val text = q.queryExecution.executedPlan.toString
+      assert(text.contains("dynamicpruning"),
+        s"no dynamic partition pruning filter on the fact scan:\n$text")
+      assert(nDays > 2) // pruning must actually have something to cut
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("paged source scan has no shuffle — pages map straight to partitions") {
     val df = spark.read.format("graft-paged-api")
       .option("totalItems", "500").option("pageSize", "50").load()

@@ -134,6 +134,12 @@ object SparkEntry {
     "g6_event_grouping_sets" -> RelationalOps.eventGroupingSets _,
     // gaps-and-islands: longest consecutive-day streak per user
     "w7_longest_daily_streak" -> RelationalOps.longestDailyStreak _,
+    // deep 6-table join, all dims broadcast (TPC-H Q8 shape)
+    "q8_market_share" -> RelationalOps.marketShare _,
+    // NOT IN subquery → null-aware anti join (TPC-H Q16 shape)
+    "q16_supplier_counts" -> RelationalOps.supplierCounts _,
+    // OR-of-conjunctions predicate across both join sides (TPC-H Q19 shape)
+    "q19_disjunctive_revenue" -> RelationalOps.disjunctiveRevenue _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -692,6 +698,41 @@ object SparkEntry {
         |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
         |  FROM events WHERE user_id < 50)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q8_market_share" ->
+      """SELECT cast(year(o.o_orderdate) AS int) AS o_year,
+        |  cast(sum(CASE WHEN sn.n_name = 'NATION_19' THEN
+        |    cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint)
+        |    ELSE 0 END) AS bigint) AS nation_rev_e4,
+        |  cast(sum(cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint))
+        |    AS bigint) AS total_rev_e4,
+        |  cast((cast(sum(CASE WHEN sn.n_name = 'NATION_19' THEN
+        |    cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint)
+        |    ELSE 0 END) AS hugeint) * 1000000)
+        |    // cast(sum(cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint)) AS hugeint)
+        |    AS bigint) AS share_e6
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  cast(sum(cast(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS bigint)) AS bigint)
+        |    AS revenue_e4,
+        |  cast(count(*) AS bigint) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 25)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "g6_event_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,

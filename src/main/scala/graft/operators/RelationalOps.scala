@@ -451,6 +451,76 @@ object RelationalOps {
         coalesce(col("day").cast("string"), lit("ALL")).as("day_g"),
         col("n"), col("total_value_e2"))
 
+  /** TPC-H Q8-shape market share: what fraction of the revenue flowing to
+    * one region's customers was supplied by one nation, per order year. A
+    * six-table join tree where every dimension (nation twice, region,
+    * supplier, customer) broadcasts, so the only big-table work is the
+    * lineitem⋈orders key join and one agg shuffle on year — the deep-join
+    * plan you want at 100 TB: fact tables never shuffle twice.
+    * Share reported as integer parts-per-million of exact e4-cent sums
+    * (bigint-safe through sf where total_rev_e4 < 9.2e12).
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Exact.e(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    val custNation = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val suppNation = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(
+        broadcast(table(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("cn_region") === col("r_regionkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("sn_name") === "NATION_19", rev).otherwise(lit(0L))).as("nation_rev_e4"),
+        sum(rev).as("total_rev_e4"))
+      .select(
+        col("o_year"), col("nation_rev_e4"), col("total_rev_e4"),
+        expr("nation_rev_e4 * 1000000 div total_rev_e4").as("share_e6"))
+  }
+
+  /** TPC-H Q16-shape supplier census, written as SQL over parquet-path
+    * tables on purpose: the `NOT IN (subquery)` predicate exercises
+    * Catalyst's null-aware anti-join planning (a left-anti join is only
+    * equivalent when the keys are provably non-null — the SQL form makes
+    * the optimizer prove it). Distinct-count per 3-column group is a
+    * two-shuffle aggregate; the exclusion list broadcasts.
+    */
+  def supplierCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM parquet.`$dir/lineitem.parquet`
+         |JOIN parquet.`$dir/part.parquet` ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#13'
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM parquet.`$dir/supplier.parquet`
+         |    WHERE s_acctbal < 2000)
+         |GROUP BY p_brand, p_type, p_size""".stripMargin)
+
+  /** TPC-H Q19-shape disjunctive-predicate revenue: an OR of conjunctions
+    * across both join sides. Catalyst extracts the common join key and
+    * pushes each side's disjunct residuals below the join (part-side
+    * disjunction prunes the broadcast build; lineitem-side quantity bounds
+    * reach the scan), so the OR does not defeat pushdown.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Exact.e(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    val band1 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(5, 25)
+    val band2 = col("p_brand") === "Brand#20" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 40)
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(band1 || band2)
+      .agg(sum(rev).as("revenue_e4"), count(lit(1)).as("n"))
+  }
+
   /** Gaps-and-islands: longest run of consecutive active days per user.
     * The island key (day index minus per-user row_number) turns
     * consecutiveness into group equality, so the whole query is a window

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data-layout operators — the write-side half of scan
   * performance at 100 TB, where how bytes land on disk decides how many
@@ -11,6 +12,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    key and a selective predicate skips whole row groups/files. The
   *    single-column cousin of Z-ordering: one sorted dimension, zero
   *    extra write cost beyond the range exchange.
+  *  - [[writeZOrdered]]: two-column Morton-curve clustering, so BOTH
+  *    columns get file/row-group locality — range clustering on one key
+  *    leaves predicates on any other key reading everything.
   *  - [[compact]]: bounded-size file rewrite. Streaming appends and
   *    per-batch jobs leave thousands of KB-sized files; object-store
   *    listing and task scheduling are per-file costs, so periodic
@@ -28,6 +32,59 @@ object DataLayout {
     df.repartitionByRange(numFiles, key)
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** Spread the low 8 bits of an int column so bit i lands at position 2i
+    * (the classic power-of-two masked-shift sequence) — composed from
+    * built-in shift/and/or columns, so it stays inside whole-stage
+    * codegen with no custom Expression.
+    */
+  private def spread8(c: Column): Column = {
+    val s1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0F))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 2))).bitwiseAND(lit(0x3333))
+    (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555))
+  }
+
+  /** 16-bit Morton (Z-curve) code of two 8-bit bucket ids: a's bits on
+    * even positions, b's on odd.
+    */
+  private[operators] def morton8(a: Column, b: Column): Column =
+    spread8(a).bitwiseOR(shiftleft(spread8(b), 1))
+
+  /** Quantile-bucket `c` into 0..255 against boundaries sampled once on
+    * the driver (the same bounded-sample pattern as IVF centroid
+    * training): per row, the bucket is how many boundaries lie at or
+    * below the value — a 255-element literal-array scan, codegen'd.
+    * Quantile (not min/max) boundaries keep skewed columns from
+    * collapsing into a handful of hot buckets.
+    */
+  private def quantileBucket(c: Column, boundaries: Array[Double]): Column = {
+    val arr = array(boundaries.map(lit(_)): _*)
+    size(filter(arr, b => b <= c.cast("double")))
+  }
+
+  /** Write `df` Z-ordered on `(ca, cb)` into ~`numFiles` files: bucket
+    * each column by its own quantiles (256 ways), interleave the bucket
+    * bits into a Morton code, then range-partition + sort by that code.
+    * Each file/row-group covers a small Z-interval, i.e. a RECTANGLE in
+    * (ca, cb) space, so parquet min/max stats prune selective predicates
+    * on EITHER column — the property 1-D clustering only gives its one
+    * key. This is the standard multi-dimensional layout for fact tables
+    * queried along several axes (Delta/Iceberg OPTIMIZE ZORDER does the
+    * same bucketing+interleave server-side).
+    */
+  def writeZOrdered(
+      df: DataFrame, ca: Column, cb: Column, numFiles: Int, path: String): Unit = {
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    // approxQuantile: one bounded pass, boundaries broadcast as literals
+    val Seq(ba, bb) = Seq(ca, cb).map { c =>
+      df.select(c.cast("double").as("v")).stat.approxQuantile("v", probs, 0.01)
+    }
+    df.withColumn("_z", morton8(quantileBucket(ca, ba), quantileBucket(cb, bb)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Rewrite `inPath` with at most `targetRecordsPerFile` rows per file:
     * a sizing count, then a NARROW coalesce write — no shuffle, each

@@ -182,6 +182,39 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("z-ordered layout prunes selective scans on BOTH clustering columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val total = src.count()
+    DataLayout.writeZOrdered(src, col("l_partkey"), col("l_suppkey"), 64, s"$base/z")
+    // 1-D control: clustered by partkey only
+    DataLayout.writeRangeClustered(src, col("l_partkey"), 64, s"$base/range")
+    assert(spark.read.parquet(s"$base/z").count() === total) // nothing lost
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep leaves visible
+    try {
+      def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+        val q = spark.read.parquet(path).filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val maxPart = src.agg(org.apache.spark.sql.functions.max("l_partkey"))
+        .head().getLong(0)
+      val partPred = col("l_partkey") <= maxPart / 8
+      val suppPred = col("l_suppkey") === 1L
+      // both axes prune under z-order…
+      assert(scanRows(s"$base/z", partPred) < total / 2)
+      assert(scanRows(s"$base/z", suppPred) < total / 2)
+      // …while 1-D clustering only helps its own key
+      assert(scanRows(s"$base/range", partPred) < total / 2)
+      assert(scanRows(s"$base/range", suppPred) > total / 2,
+        "control should read most rows for the non-clustered key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("compaction rewrites small files into bounded-size files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.read.parquet(s"$sf0001/lineitem.parquet")

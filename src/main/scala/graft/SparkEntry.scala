@@ -160,7 +160,8 @@ object SparkEntry {
     "t11_packed_chunks" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.packedChunks(s, d)),
     "t12_balance_weights" -> graft.operators.TrainingPrep.balanceWeights _,
-    "t13_contamination" -> graft.operators.TrainingPrep.contamination _,
+    "t13_contamination" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.contamination(s, d)),
     "t14_hash_split" -> graft.operators.TrainingPrep.hashSplit _,
     // Gopher-style repetition quality gates
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,

@@ -162,23 +162,28 @@ object TrainingPrep {
     * corpus must pass. Same inverted-index shape as the dedup pipeline:
     * only colliding n-grams are ever joined, never doc pairs.
     */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  def contamination(
+      spark: SparkSession, dir: String,
+      n: Int = ContamN,
+      minShared: Long = ContamMinShared,
+      evalCutoff: Long = EvalCutoff): DataFrame = {
+    require(n >= 2, s"n-gram size must be at least 2, got $n")
     val docs = table(spark, dir, "documents")
     val sh = docs.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= ContamN)
+      .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(toks) - ${ContamN - 1}), i -> concat_ws(' ', slice(toks, i, $ContamN)))")))
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")))
         .as("s"))
-    val trainGrams = sh.filter(col("doc_id") >= EvalCutoff).select(col("s")).distinct()
-    val shared = sh.filter(col("doc_id") < EvalCutoff)
+    val trainGrams = sh.filter(col("doc_id") >= evalCutoff).select(col("s")).distinct()
+    val shared = sh.filter(col("doc_id") < evalCutoff)
       .join(trainGrams, "s")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    docs.filter(col("doc_id") < EvalCutoff).select(col("doc_id"))
+    docs.filter(col("doc_id") < evalCutoff).select(col("doc_id"))
       .join(shared, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) >= ContamMinShared).as("contaminated"))
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
   def contaminationOracleSql: String =

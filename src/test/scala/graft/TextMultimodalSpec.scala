@@ -147,6 +147,33 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("decontamination n-gram size is configurable and counts shrink as n grows") {
+    import graft.operators.TrainingPrep
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    // eval doc 0 shares exactly one run of 6 consecutive tokens with train
+    // doc 100; all other tokens are disjoint between the two
+    val run = (1 to 6).map(i => s"c$i").mkString(" ")
+    val evalText = (1 to 5).map(i => s"e$i").mkString(" ") + s" $run " +
+      (6 to 10).map(i => s"e$i").mkString(" ")
+    val trainText = (1 to 8).map(i => s"t$i").mkString(" ") + s" $run " +
+      (9 to 16).map(i => s"t$i").mkString(" ")
+    Seq(
+      (0L, evalText, "en", "s", evalText.length.toLong),
+      (100L, trainText, "en", "s", trainText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def sharedAt(n: Int): Long =
+      TrainingPrep.contamination(spark, dir, n = n, minShared = 1L)
+        .filter(col("doc_id") === 0L).select("n_shared").as[Long].head()
+    // a 6-token run yields 6-n+1 shared n-grams, and none once n exceeds it
+    assert(sharedAt(3) === 4L)
+    assert(sharedAt(6) === 1L)
+    assert(sharedAt(7) === 0L)
+    assert(TrainingPrep.contamination(spark, dir, n = 7, minShared = 1L)
+      .filter(col("doc_id") === 0L).select("contaminated").as[Boolean].head() === false)
+  }
+
   test("repetition signals separate looping text from varied text") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("rep").toString

@@ -187,6 +187,10 @@ object SparkEntry {
     "d5_simhash_signatures" -> Dedup.simhashSignatures _,
     "d8_duplicate_clusters" -> ((s: SparkSession, d: String) => Dedup.duplicateClusters(s, d)),
     "d6_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // cross-corpus (eval×train) fuzzy join on md5-affine MinHash — the
+    // portable-hash variant, fully oracle-replayable unlike d4
+    "d9_crosscorpus_fuzzy_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.crossCorpusFuzzyPairs(s, d, plantClones = true)),
   )
 
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -992,7 +996,9 @@ object SparkEntry {
         |SELECT id AS doc_id, cast(min(r) AS bigint) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
     // d4/d5/d6 use xxhash64-based signatures — not reproducible in DuckDB,
-    // so they take the driver's rows-only check.
+    // so they take the driver's rows-only check. d9 is the portable-hash
+    // MinHash variant whose whole pipeline replays:
+    "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
   )
 
   def similarityOracle: Map[String, String] = Map(

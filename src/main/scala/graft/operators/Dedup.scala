@@ -285,4 +285,145 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- d9: cross-corpus fuzzy join (md5-affine MinHash, fully oracled) --
+
+  /** Affine-permutation MinHash over a PORTABLE base hash: x = the first
+    * 15 hex digits (60 bits) of md5(shingle) mod P with P = 2^31-1, and
+    * h_i = (a_i·x + b_i) mod P for small deterministic (a_i, b_i). Every
+    * intermediate stays below 2^51, so the arithmetic is exact integer
+    * math in any engine — unlike the xxhash64 signatures of d4, the WHOLE
+    * pipeline (signatures, band keys, candidate set, verified pairs)
+    * replays in DuckDB and hash-checks green. md5 costs more per shingle
+    * than xxhash64, so d4 stays the fast path; this is the auditable one,
+    * and the cross-corpus (eval×train) shape is the fuzzy complement of
+    * t13's exact n-gram decontamination.
+    */
+  private val CrossP = (1L << 31) - 1
+  private val CrossPerms = 16
+  private val CrossBandRows = 4 // 4 bands of 4: P(candidate) = 1-(1-s^4)^4
+  private[operators] def crossA(i: Int): Long = 999983L - 17L * i
+  private[operators] def crossB(i: Int): Long = 104729L + 31L * i
+  private val CrossEvalCut = 50L
+  private val CrossPlantBase = 1000000L
+
+  /** Corpus for the cross-corpus join, shared with the oracle: with
+    * planting on, train docs with doc_id % 100 == 50 gain an eval-side
+    * near-copy (first token dropped) at doc_id + 1,000,000 — the graded
+    * corpus has no cross-boundary near-dups of its own, same vacuity rule
+    * as d1/d2/v5.
+    */
+  private def crossDocs(
+      spark: SparkSession, dir: String, plantClones: Boolean): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!plantClones) docs
+    else docs.unionAll(
+      docs.filter(col("doc_id") % 100 === 50)
+        .select(
+          (col("doc_id") + CrossPlantBase).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** Near-duplicate (eval, train) pairs: signatures → banded candidate
+    * buckets → eval×train bucket join → exact-Jaccard verification of
+    * candidates only. One shuffle builds signatures, one the band join,
+    * and the verify joins are candidate-driven — the full eval×train
+    * cross product never exists.
+    */
+  def crossCorpusFuzzyPairs(
+      spark: SparkSession, dir: String,
+      plantClones: Boolean = false, threshold: Double = 0.5): DataFrame = {
+    val docs = crossDocs(spark, dir, plantClones)
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+        .as("s"))
+    val x = conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+      .cast("bigint") % CrossP
+    val hashed = sh.select(
+      col("doc_id") +:
+        (0 until CrossPerms).map(i =>
+          ((lit(crossA(i)) * x + crossB(i)) % CrossP).as(s"h$i")): _*)
+    val minAggs = (0 until CrossPerms).map(i => min(col(s"h$i")).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandKeys = (0 until CrossPerms / CrossBandRows).map { b =>
+      concat_ws(",", (0 until CrossBandRows).map(r => col(s"h${CrossBandRows * b + r}")): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "band", "bkey")
+    val isEval = col("doc_id") < CrossEvalCut || col("doc_id") >= CrossPlantBase
+    val evalBands = bands.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bkey"))
+    val trainBands = bands.filter(!isEval)
+      .select(col("doc_id").as("train_id"), col("band"), col("bkey"))
+    val cand = evalBands.join(trainBands, Seq("band", "bkey"))
+      .select(col("eval_id"), col("train_id")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("eval_id"), col("s")), "eval_id")
+      .join(sh.select(col("doc_id").as("train_id"), col("s")), Seq("train_id", "s"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("nc"))
+    val jac = col("nc").cast("double") /
+      (col("se.n") + col("st.n") - col("nc")).cast("double")
+    common
+      .join(sizes.as("se"), col("eval_id") === col("se.doc_id"))
+      .join(sizes.as("st"), col("train_id") === col("st.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("eval_id"), col("train_id"), Exact.e(jac, 4).as("jaccard_e4"))
+  }
+
+  /** DuckDB twin of [[crossCorpusFuzzyPairs]] with planting on — same
+    * shingles, same affine MinHash, same bands, same verification.
+    */
+  def crossCorpusOracleSql: String = {
+    val hmins = (0 until CrossPerms).map(i =>
+      s"min((${crossA(i)} * x + ${crossB(i)}) % $CrossP) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until CrossPerms / CrossBandRows).map { b =>
+      val cols = (0 until CrossBandRows).map(r => s"h${CrossBandRows * b + r}")
+      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CrossPlantBase, substr(text, strpos(text, ' ') + 1)
+       |  FROM documents WHERE doc_id % 100 = 50),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |hx AS (
+       |  SELECT doc_id, s,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $CrossP AS x
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $hmins
+       |  FROM hx GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+       |  FROM bands e
+       |  JOIN bands t ON t.band = e.band AND t.bkey = e.bkey
+       |  WHERE (e.doc_id < $CrossEvalCut OR e.doc_id >= $CrossPlantBase)
+       |    AND t.doc_id >= $CrossEvalCut AND t.doc_id < $CrossPlantBase),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.eval_id, c.train_id, count(*) AS nc
+       |  FROM cand c
+       |  JOIN sh ea ON ea.doc_id = c.eval_id
+       |  JOIN sh tb ON tb.doc_id = c.train_id AND tb.s = ea.s
+       |  GROUP BY 1, 2)
+       |SELECT com.eval_id, com.train_id,
+       |  cast(floor(cast(nc AS double) / (se.n + st.n - nc) * 10000.0 + 0.5) AS bigint)
+       |    AS jaccard_e4
+       |FROM com
+       |JOIN sizes se ON se.doc_id = com.eval_id
+       |JOIN sizes st ON st.doc_id = com.train_id
+       |WHERE cast(nc AS double) / (se.n + st.n - nc) >= 0.5""".stripMargin
+  }
 }

@@ -27,6 +27,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fabricated === 0L)
   }
 
+  test("cross-corpus fuzzy join surfaces every planted eval near-copy") {
+    val planted = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" % 100 === 50).select("doc_id").as[Long].collect().toSet
+    assert(planted.nonEmpty)
+    val pairs = Dedup.crossCorpusFuzzyPairs(spark, sf0001, plantClones = true)
+      .as[(Long, Long, Long)].collect()
+    // each planted clone (train_id + 1e6) must pair with its source at
+    // near-1.0 jaccard (one token dropped from a long doc)
+    planted.foreach { t =>
+      val hit = pairs.find(p => p._1 == t + 1000000L && p._2 == t)
+      assert(hit.isDefined, s"planted pair for train doc $t not found")
+      assert(hit.get._3 > 9000L, s"jaccard too low: ${hit.get._3}")
+    }
+    // planting off → no fabricated eval ids
+    assert(Dedup.crossCorpusFuzzyPairs(spark, sf0001)
+      .filter($"eval_id" >= 1000000L).count() === 0L)
+  }
+
   test("jaccard of identical shingle sets is 1.0 (planted duplicate)") {
     // plant a duplicate by writing a tiny corpus
     val dir = java.nio.file.Files.createTempDirectory("dupes").toString

@@ -347,9 +347,9 @@ object SparkEntry {
     // the engine's sketch-then-confirm path returns the EXACT heavy-hitter
     // set, so the oracle is the plain full aggregation
     "a8_heavy_hitter_users" ->
-      """SELECT user_id, count(*) AS n FROM events
-        |GROUP BY user_id
-        |HAVING count(*) > 0.008 * (SELECT count(*) FROM events)""".stripMargin,
+      s"""SELECT user_id, count(*) AS n FROM events
+         |GROUP BY user_id
+         |HAVING count(*) > ${graft.operators.SkewOps.DefaultSupport} * (SELECT count(*) FROM events)""".stripMargin,
   )
 
   def importerOracle: Map[String, String] = Map(
@@ -710,10 +710,10 @@ object SparkEntry {
         |    ELSE 0 END) AS bigint) AS nation_rev_e4,
         |  cast(sum(cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint))
         |    AS bigint) AS total_rev_e4,
-        |  cast((cast(sum(CASE WHEN sn.n_name = 'NATION_19' THEN
+        |  cast(floor(cast(sum(CASE WHEN sn.n_name = 'NATION_19' THEN
         |    cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint)
-        |    ELSE 0 END) AS hugeint) * 1000000)
-        |    // cast(sum(cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint)) AS hugeint)
+        |    ELSE 0 END) AS double) * 1000000.0
+        |    / cast(sum(cast(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS bigint)) AS double))
         |    AS bigint) AS share_e6
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -838,12 +838,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
-    // t10: hash-gated sampling is engine-portable — md5 replays in DuckDB.
+    // t10: hash-gated sampling is engine-portable — md5 replays in DuckDB;
+    // SQL derived from the same strata map the operator defaults to
     "t10_stratified_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE lang IN ('de', 'es', 'fr', 'zh')
-        |   OR (lang = 'en'
-        |       AND substr(md5(concat(cast(doc_id AS varchar), '|t10')), 1, 2) < '40')""".stripMargin,
+      graft.operators.TrainingPrep.stratifiedSampleOracleSql,
     "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql,
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->

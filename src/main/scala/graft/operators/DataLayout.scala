@@ -75,10 +75,11 @@ object DataLayout {
   def writeZOrdered(
       df: DataFrame, ca: Column, cb: Column, numFiles: Int, path: String): Unit = {
     val probs = (1 until 256).map(_ / 256.0).toArray
-    // approxQuantile: one bounded pass, boundaries broadcast as literals
-    val Seq(ba, bb) = Seq(ca, cb).map { c =>
-      df.select(c.cast("double").as("v")).stat.approxQuantile("v", probs, 0.01)
-    }
+    // one multi-column approxQuantile pass — both boundary sets from a
+    // single scan, then broadcast as literals
+    val Array(ba, bb) = df
+      .select(ca.cast("double").as("_qa"), cb.cast("double").as("_qb"))
+      .stat.approxQuantile(Array("_qa", "_qb"), probs, 0.01)
     df.withColumn("_z", morton8(quantileBucket(ca, ba), quantileBucket(cb, bb)))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

@@ -68,7 +68,13 @@ object Dedup {
     * `range(1, len-1)` — same shingle set by construction.
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    shinglesOf(table(spark, dir, "documents"))
+
+  /** Same shingling over an arbitrary (doc_id, text) frame — d9 runs it
+    * over the planted cross-corpus union.
+    */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(
@@ -333,12 +339,7 @@ object Dedup {
   def crossCorpusFuzzyPairs(
       spark: SparkSession, dir: String,
       plantClones: Boolean = false, threshold: Double = 0.5): DataFrame = {
-    val docs = crossDocs(spark, dir, plantClones)
-    val sh = docs.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
-        .as("s"))
+    val sh = shinglesOf(crossDocs(spark, dir, plantClones))
     val x = conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
       .cast("bigint") % CrossP
     val hashed = sh.select(

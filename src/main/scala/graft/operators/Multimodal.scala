@@ -136,6 +136,10 @@ object MultimodalOps {
     */
   def frameSamples(spark: SparkSession, dir: String, strideMs: Int = 125): DataFrame =
     assets(spark, dir)
+      // an empty payload has no frames; without this guard Spark's `div`
+      // (truncating) would turn max_off = -1 into a bogus frame 0 where
+      // the oracle's floor division emits nothing
+      .filter(octet_length(col("payload")) > 0)
       .select(
         col("doc_id"),
         decode(col("payload"), "UTF-8").as("text"),

@@ -481,7 +481,11 @@ object RelationalOps {
         sum(rev).as("total_rev_e4"))
       .select(
         col("o_year"), col("nation_rev_e4"), col("total_rev_e4"),
-        expr("nation_rev_e4 * 1000000 div total_rev_e4").as("share_e6"))
+        // double multiply like q14: nation_rev_e4 * 10^6 would overflow
+        // int64 past ~sf0.2; the double path is identical IEEE math in
+        // both engines
+        floor(col("nation_rev_e4") * lit(1000000.0) / col("total_rev_e4"))
+          .cast("long").as("share_e6"))
   }
 
   /** TPC-H Q16-shape supplier census, written as SQL over parquet-path

@@ -62,8 +62,11 @@ object SkewOps {
     * sketch-then-confirm shape is how frequent-token and hot-shard audits
     * stay cheap on full-corpus scans.
     */
+  /** Shared with the a8 DuckDB oracle so the two sides cannot drift. */
+  val DefaultSupport = 0.008
+
   def heavyHitterUsers(
-      spark: SparkSession, dir: String, support: Double = 0.008): DataFrame = {
+      spark: SparkSession, dir: String, support: Double = DefaultSupport): DataFrame = {
     val events = RelationalOps.eventsTable(spark, dir).select(col("user_id"))
     val candidates =
       events.stat.freqItems(Seq("user_id"), support).first().getSeq[Long](0)

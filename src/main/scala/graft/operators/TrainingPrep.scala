@@ -227,11 +227,15 @@ object TrainingPrep {
     * seeded `sampleBy` draw is only stable within one engine version.
     * Languages absent from `rates` drop (a missing stratum means rate 0).
     */
+  /** Default strata; shared with the t10 oracle generator below so the
+    * Spark side and the DuckDB replay cannot drift.
+    */
+  val DefaultStrata: Map[String, Double] =
+    Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0)
+
   def stratifiedSample(
       spark: SparkSession, dir: String,
-      rates: Map[String, Double] = Map(
-        "en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0))
-      : DataFrame = {
+      rates: Map[String, Double] = DefaultStrata): DataFrame = {
     val h2 = substring(md5(concat(col("doc_id").cast("string"), lit("|t10")).cast("binary")), 1, 2)
     val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
       case (acc, (lang, rate)) =>
@@ -241,5 +245,19 @@ object TrainingPrep {
         acc || inStratum
     }
     table(spark, dir, "documents").filter(keep).select(col("doc_id"), col("lang"))
+  }
+
+  /** DuckDB twin of [[stratifiedSample]] at the default strata, derived
+    * from the same rates map (thresholds re-computed, not re-stated).
+    */
+  def stratifiedSampleOracleSql: String = {
+    val full = DefaultStrata.filter(_._2 >= 1.0).keys.toSeq.sorted
+    val partial = DefaultStrata.filter(_._2 < 1.0).toSeq.sortBy(_._1).map {
+      case (l, r) =>
+        f"(lang = '$l' AND substr(md5(concat(cast(doc_id AS varchar), '|t10')), 1, 2) < '${math.floor(r * 256).toInt}%02x')"
+    }
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE lang IN (${full.map(l => s"'$l'").mkString(", ")})
+       |   OR ${partial.mkString("\n   OR ")}""".stripMargin
   }
 }

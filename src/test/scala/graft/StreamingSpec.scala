@@ -280,6 +280,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the existing backlog then stops itself (ST5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("i1", "f1"), ("i2", "f2"), ("i3", "f3"))
+    val q = mem.toDF().toDF("instance_id", "file_url")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("avail_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the scheduled-batch form of drain: process everything available at
+    // start time, then terminate without an explicit stop()
+    assert(q.awaitTermination(30000), "query did not self-terminate")
+    assert(spark.sql("SELECT count(*) FROM avail_now").head().getLong(0) === 3L)
+    // later arrivals belong to the NEXT scheduled run, not this one
+    mem.addData(("i4", "f4"))
+    assert(spark.sql("SELECT count(*) FROM avail_now").head().getLong(0) === 3L)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivery across batches (ST1, bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]

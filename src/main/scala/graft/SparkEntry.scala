@@ -238,16 +238,12 @@ object SparkEntry {
           graft.operators.Exact.e(col("q")(0), 2).as("p50_e2"),
           graft.operators.Exact.e(col("q")(1), 2).as("p95_e2"),
           graft.operators.Exact.e(col("q")(2), 2).as("p99_e2"))),
-    // UDAF surface: MinHash signatures via the typed Aggregator (rows-only).
-    // The signature array is digested to an order-stable scalar (the
-    // driver's comparator can't sort array columns), same pattern as
+    // UDAF surface: MinHash signatures via the typed Aggregator. The
+    // signature array is digested to an order-stable scalar (the driver's
+    // comparator can't sort array columns), same pattern as
     // winnowFingerprints; ScalaTest cross-checks the digest against the
-    // minhashSignatures expression path.
-    // Perf note (r2->r3): the digest column (32 longs -> strings -> concat
-    // -> xxhash64 per doc) is what grew this query past its r1 time; it is
-    // required for the driver comparator, and the typed-Aggregator path it
-    // exercises is the point of the query — the fast path is
-    // minhashSignatures (d4), which stays pure codegen.
+    // minhashSignatures expression path, and since the portable-hash
+    // conversion the digest itself replays in DuckDB — fully oracled.
     "d7_minhash_agg_signatures" -> ((s, d) => {
       import s.implicits._
       graft.operators.Dedup.shingles(s, d)
@@ -259,7 +255,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           size(col("sig")).cast("int").as("sig_len"),
-          xxhash64(concat_ws(",", col("sig").cast("array<string>"))).as("sig_digest"))
+          md5(concat_ws(",", col("sig").cast("array<string>")).cast("binary")).as("sig_digest"))
     }),
   )
 
@@ -314,7 +310,7 @@ object SparkEntry {
   }
 
   /** DuckDB oracle for each query; same column names/types as the Spark
-    * side. Exactly eight queries are intentionally omitted (driver falls
+    * side. Exactly four queries are intentionally omitted (driver falls
     * back to its rows-only check), each for an inherent engine-specificity
     * — their SEMANTICS are covered by ScalaTest property/equivalence
     * tests instead:
@@ -322,13 +318,12 @@ object SparkEntry {
     *   - a7_approx_value_quantiles: Greenwald-Khanna percentile sketch —
     *     approximate by design (ScalaTest bounds the rank error vs the
     *     exact percentiles).
-    *   - d4_minhash_lsh_pairs, d5_simhash_signatures, d6_simhash_pairs,
-    *     d7_minhash_agg_signatures, t5_winnow_fingerprints,
-    *     t6_winnow_candidates: signatures built on Spark's xxhash64,
-    *     which DuckDB does not implement (ScalaTest: d4's candidate set
-    *     equals the exact-Jaccard pairs, t6 surfaces planted
-    *     near-duplicates and honors the winnowing guarantee, d7 is
-    *     bit-equal to the minhashSignatures expression path).
+    *   - t5_winnow_fingerprints, t6_winnow_candidates: rolling-hash
+    *     winnowing on Spark's xxhash64, which DuckDB does not implement
+    *     (ScalaTest: t6 surfaces planted near-duplicates and honors the
+    *     winnowing guarantee).
+    * d4-d7 were in this list through round 3; the round-4 PortableHash
+    * (md5-affine) conversion made their full pipelines oracle-replayable.
     */
   def oracleSql: Map[String, String] = importerOracle ++ relationalOracle ++
     textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle ++
@@ -350,6 +345,9 @@ object SparkEntry {
       s"""SELECT user_id, count(*) AS n FROM events
          |GROUP BY user_id
          |HAVING count(*) > ${graft.operators.SkewOps.DefaultSupport} * (SELECT count(*) FROM events)""".stripMargin,
+    // the typed-Aggregator signatures are bit-equal to the expression
+    // path, which itself replays in DuckDB via PortableHash
+    "d7_minhash_agg_signatures" -> graft.operators.Dedup.minhashAggOracleSql,
   )
 
   def importerOracle: Map[String, String] = Map(
@@ -993,9 +991,12 @@ object SparkEntry {
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         |SELECT id AS doc_id, cast(min(r) AS bigint) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
-    // d4/d5/d6 use xxhash64-based signatures — not reproducible in DuckDB,
-    // so they take the driver's rows-only check. d9 is the portable-hash
-    // MinHash variant whose whole pipeline replays:
+    // d4-d7 ride the PortableHash md5-affine scheme (since round 4), so
+    // their whole signature pipelines replay in DuckDB — SQL generated
+    // next to the operators so constants can't desync:
+    "d4_minhash_lsh_pairs" -> Dedup.minhashLshOracleSql,
+    "d5_simhash_signatures" -> Dedup.simhashSignaturesOracleSql,
+    "d6_simhash_pairs" -> Dedup.simhashPairsOracleSql,
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
   )
 

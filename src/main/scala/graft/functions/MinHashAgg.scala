@@ -2,8 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as a typed `Aggregator` (the user-facing UDAF surface):
   * buffer = one running minimum per permutation, merge = element-wise min —
@@ -11,26 +9,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregation and a tiny shuffle (numPerms longs per doc), the sketch-
   * aggregation shape that scales to 100 TB.
   *
-  * Permutation p of shingle s is the same chained xxhash64 the
+  * Permutation p of shingle s is the same [[PortableHash]] affine map the
   * column-expression formulation in
-  * [[graft.operators.Dedup.minhashSignatures]] computes
-  * (`xxhash64(lit(p), col("s"))` = bytes-hash seeded by the long-hash of
-  * p), so the two paths agree BIT-FOR-BIT — asserted in AvroMinHashSpec.
-  * The expression path stays in codegen; this path is the extensible-UDAF
-  * demonstration.
+  * [[graft.operators.Dedup.minhashSignatures]] computes (one md5 per
+  * shingle, `(a_p·x + b_p) mod P` per permutation), so the two paths agree
+  * BIT-FOR-BIT — asserted in AvroMinHashSpec — and both replay exactly in
+  * the DuckDB oracle. The expression path stays in codegen; this path is
+  * the extensible-UDAF demonstration.
   */
 class MinHashAgg(numPerms: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = Array.fill(numPerms)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
-    val u = UTF8String.fromString(shingle)
+    val x = PortableHash.md5Prefix60(
+      shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % PortableHash.P
     var p = 0
     while (p < numPerms) {
-      // xxhash64(p, s) exactly as the SQL expression chains it: the int
-      // hash of p (seed 42) seeds the byte hash of s
-      val h = XXH64.hashUnsafeBytes(
-        u.getBaseObject, u.getBaseOffset, u.numBytes(), XXH64.hashInt(p, 42L))
+      val h = PortableHash.perm(p, x)
       if (h < buf(p)) buf(p) = h
       p += 1
     }

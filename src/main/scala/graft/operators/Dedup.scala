@@ -135,28 +135,41 @@ object Dedup {
       .select(col("a"), col("b"), Exact.e(jac, 4).as("jaccard_e4"))
   }
 
-  private val NumPerms = 32
+  private[graft] val NumPerms = 32
   private val BandSize = 4 // → 8 bands; P(candidate) = 1-(1-s^4)^8
 
-  /** MinHash signatures: per document, the min of xxhash64(perm, shingle)
-    * over its shingle set, for 32 permutations — one aggregation over the
-    * shingle index, no per-doc loops.
+  /** MinHash signatures: per document, the min over its shingle set of the
+    * [[graft.functions.PortableHash]] affine permutations — one md5 per
+    * shingle (Catalyst's subexpression elimination computes the shared
+    * base hash once per row) feeding all 32 permutations, one aggregation
+    * over the shingle index, no per-doc loops. The portable hash keeps the
+    * whole signature pipeline replayable by the DuckDB oracle, at the same
+    * cost shape as seeded-xxhash chains (the digest dominates, the affine
+    * step is two multiply-adds).
     */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    import graft.functions.PortableHash
+    val x = PortableHash.xCol("s")
+    val hashed = sh.select(
+      col("doc_id") +: (0 until NumPerms).map(p => PortableHash.permCol(p, x).as(s"h$p")): _*)
+    val mins = (0 until NumPerms).map(p => min(col(s"h$p")).as(s"h$p"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: 8 bands of 4 signature rows each; band bucket key =
-    * xxhash64 of the band's values. Docs colliding in any band become
-    * candidate pairs; candidates are verified with true Jaccard.
+    * the band's values joined as a string (portable — the bucket key never
+    * leaves the engine, but a string key replays in the oracle, and an
+    * equality join on it is exactly as selective as a hashed one). Docs
+    * colliding in any band become candidate pairs; candidates are verified
+    * with true Jaccard, so false bucket collisions cost work, never
+    * wrong answers.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(spark, dir).cache()
     val sig = minhashSignatures(sh)
     val bands = (0 until NumPerms / BandSize).map { b =>
       val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
@@ -262,9 +275,12 @@ object Dedup {
     table(spark, dir, "documents")
       .select(col("doc_id"), simhash64(split(col("text"), " ")).as("simhash"))
 
-  /** SimHash near-duplicate pairs: band the 64-bit signature into 4×16-bit
+  /** SimHash near-duplicate pairs: band the 60-bit signature into 4×15-bit
     * chunks (pigeonhole: Hamming distance ≤3 ⇒ at least one identical
     * chunk), join per chunk, verify with bit_count(xor) ≤ maxHamming.
+    * The pigeonhole bound makes recall exact, so the result is a pure
+    * function of the signatures — the oracle can verify it with a
+    * brute-force Hamming join without replaying the banding.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(spark, dir)
@@ -272,7 +288,7 @@ object Dedup {
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*))
+          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL)).as("ck"))): _*))
         .as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
     // posting-list pairing per (chunk, ck) bucket; the signature rides in
@@ -294,22 +310,18 @@ object Dedup {
 
   // ---- d9: cross-corpus fuzzy join (md5-affine MinHash, fully oracled) --
 
-  /** Affine-permutation MinHash over a PORTABLE base hash: x = the first
-    * 15 hex digits (60 bits) of md5(shingle) mod P with P = 2^31-1, and
-    * h_i = (a_i·x + b_i) mod P for small deterministic (a_i, b_i). Every
-    * intermediate stays below 2^51, so the arithmetic is exact integer
-    * math in any engine — unlike the xxhash64 signatures of d4, the WHOLE
-    * pipeline (signatures, band keys, candidate set, verified pairs)
-    * replays in DuckDB and hash-checks green. md5 costs more per shingle
-    * than xxhash64, so d4 stays the fast path; this is the auditable one,
-    * and the cross-corpus (eval×train) shape is the fuzzy complement of
-    * t13's exact n-gram decontamination.
+  /** Affine-permutation MinHash over the [[graft.functions.PortableHash]]
+    * base (shared with d4/d5/d6/d7 since the portable-hash conversion):
+    * the WHOLE pipeline (signatures, band keys, candidate set, verified
+    * pairs) replays in DuckDB and hash-checks green. The cross-corpus
+    * (eval×train) shape is the fuzzy complement of t13's exact n-gram
+    * decontamination.
     */
-  private val CrossP = (1L << 31) - 1
+  private val CrossP = graft.functions.PortableHash.P
   private val CrossPerms = 16
   private val CrossBandRows = 4 // 4 bands of 4: P(candidate) = 1-(1-s^4)^4
-  private[operators] def crossA(i: Int): Long = 999983L - 17L * i
-  private[operators] def crossB(i: Int): Long = 104729L + 31L * i
+  private[operators] def crossA(i: Int): Long = graft.functions.PortableHash.permA(i)
+  private[operators] def crossB(i: Int): Long = graft.functions.PortableHash.permB(i)
   private val CrossEvalCut = 50L
   private val CrossPlantBase = 1000000L
 
@@ -373,6 +385,120 @@ object Dedup {
       .join(sizes.as("st"), col("train_id") === col("st.doc_id"))
       .filter(jac >= threshold)
       .select(col("eval_id"), col("train_id"), Exact.e(jac, 4).as("jaccard_e4"))
+  }
+
+  // ---- DuckDB oracle twins for the portable-hash dedup pipelines ------
+
+  private def duckP: Long = graft.functions.PortableHash.P
+
+  /** CTE text for the distinct word-3-shingle relation `sh` over
+    * `documents` — the twin of [[shingles]] (no doc-frequency cap:
+    * signatures hash the full shingle set).
+    */
+  private val DuckShingleCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)""".stripMargin
+
+  /** CTE text for `sig(doc_id, h0..h{n-1})` — the twin of
+    * [[minhashSignatures]] over the `sh` relation.
+    */
+  private def duckMinhashSigCtes(perms: Int): String = {
+    val hmins = (0 until perms).map(i =>
+      s"min(${graft.functions.PortableHash.duckPerm(i, "x")}) AS h$i").mkString(",\n    ")
+    s"""hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $duckP AS x
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $hmins
+       |  FROM hx GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[minhashLshPairs]] (d4): same signatures, same 8×4
+    * banding, same candidate set, same exact-Jaccard verification.
+    */
+  def minhashLshOracleSql: String = {
+    val bandSelects = (0 until NumPerms / 4).map { b =>
+      val cols = (0 until 4).map(r => s"h${4 * b + r}")
+      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $DuckShingleCtes,
+       |${duckMinhashSigCtes(NumPerms)},
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x
+       |  JOIN bands y ON y.band = x.band AND y.bkey = x.bkey
+       |              AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.a, c.b, count(*) AS nc
+       |  FROM cand c
+       |  JOIN sh xa ON xa.doc_id = c.a
+       |  JOIN sh yb ON yb.doc_id = c.b AND yb.s = xa.s
+       |  GROUP BY 1, 2)
+       |SELECT com.a, com.b,
+       |  cast(floor(cast(nc AS double) / (sa.n + sb.n - nc) * 10000.0 + 0.5) AS bigint)
+       |    AS jaccard_e4
+       |FROM com
+       |JOIN sizes sa ON sa.doc_id = com.a
+       |JOIN sizes sb ON sb.doc_id = com.b
+       |WHERE cast(nc AS double) / (sa.n + sb.n - nc) >= 0.5""".stripMargin
+  }
+
+  /** CTE text for `ssig(doc_id, simhash)` — the twin of
+    * [[simhashSignatures]] / [[graft.functions.SimHashUtil]]: one row per
+    * token INSTANCE (duplicates vote once each), ±1 votes per bit, sign
+    * bit-vector. `sum(bigint)` is HUGEINT in DuckDB, hence the cast.
+    */
+  private val DuckSimhashSigCtes =
+    s"""stoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |shx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x FROM stoks),
+       |sbits AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM shx, LATERAL (SELECT unnest(range(0, ${graft.functions.SimHashUtil.Bits})) AS i) r
+       |  GROUP BY 1, 2),
+       |ssig AS (
+       |  SELECT doc_id,
+       |    cast(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bigint) AS simhash
+       |  FROM sbits GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of [[simhashSignatures]] (d5). */
+  def simhashSignaturesOracleSql: String =
+    s"""WITH $DuckSimhashSigCtes
+       |SELECT doc_id, simhash FROM ssig""".stripMargin
+
+  /** DuckDB twin of [[simhashPairs]] (d6). The banded join's pigeonhole
+    * bound makes recall exact, so the oracle verifies with a brute-force
+    * Hamming join over the signatures — same output, no banding replay.
+    */
+  def simhashPairsOracleSql: String =
+    s"""WITH $DuckSimhashSigCtes
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  cast(bit_count(xor(x.simhash, y.simhash)) AS int) AS hamming
+       |FROM ssig x
+       |JOIN ssig y ON y.doc_id > x.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
+  /** DuckDB twin of the d7 typed-Aggregator query: same signatures as
+    * [[minhashSignatures]] (the UDAF is bit-equal by construction), same
+    * comma-joined md5 digest.
+    */
+  def minhashAggOracleSql: String = {
+    val cols = (0 until NumPerms).map(i => s"h$i").mkString(", ")
+    s"""WITH $DuckShingleCtes,
+       |${duckMinhashSigCtes(NumPerms)}
+       |SELECT doc_id, $NumPerms AS sig_len,
+       |  md5(concat_ws(',', $cols)) AS sig_digest
+       |FROM sig""".stripMargin
   }
 
   /** DuckDB twin of [[crossCorpusFuzzyPairs]] with planting on — same

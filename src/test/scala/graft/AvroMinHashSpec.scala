@@ -63,10 +63,10 @@ class AvroMinHashSpec extends SparkSuite {
       .minhashSignatures(graft.operators.Dedup.shingles(spark, sf0001))
       .select(
         col("doc_id"),
-        xxhash64(concat_ws(",",
-          (0 until 32).map(i => col(s"h$i").cast("string")): _*)).as("sig_digest"))
-    val agg = df.select("doc_id", "sig_digest").as[(Long, Long)].collect().toMap
-    val exp = exprSide.as[(Long, Long)].collect().toMap
+        md5(concat_ws(",",
+          (0 until 32).map(i => col(s"h$i").cast("string")): _*).cast("binary")).as("sig_digest"))
+    val agg = df.select("doc_id", "sig_digest").as[(Long, String)].collect().toMap
+    val exp = exprSide.as[(Long, String)].collect().toMap
     assert(agg === exp)
   }
 }

@@ -310,20 +310,16 @@ object SparkEntry {
   }
 
   /** DuckDB oracle for each query; same column names/types as the Spark
-    * side. Exactly four queries are intentionally omitted (driver falls
-    * back to its rows-only check), each for an inherent engine-specificity
-    * — their SEMANTICS are covered by ScalaTest property/equivalence
-    * tests instead:
-    *   - a6_approx_distinct_options: HLL sketch — approximate by design.
-    *   - a7_approx_value_quantiles: Greenwald-Khanna percentile sketch —
-    *     approximate by design (ScalaTest bounds the rank error vs the
-    *     exact percentiles).
-    *   - t5_winnow_fingerprints, t6_winnow_candidates: rolling-hash
-    *     winnowing on Spark's xxhash64, which DuckDB does not implement
-    *     (ScalaTest: t6 surfaces planted near-duplicates and honors the
-    *     winnowing guarantee).
-    * d4-d7 were in this list through round 3; the round-4 PortableHash
-    * (md5-affine) conversion made their full pipelines oracle-replayable.
+    * side. Exactly two queries are intentionally omitted (driver falls
+    * back to its rows-only check), each approximate BY DESIGN — their
+    * semantics are covered by ScalaTest property tests instead:
+    *   - a6_approx_distinct_options: HLL sketch.
+    *   - a7_approx_value_quantiles: Greenwald-Khanna percentile sketch
+    *     (ScalaTest bounds the rank error vs the exact percentiles).
+    * d4-d7 and t5/t6 were also in this list through round 3 (xxhash64-
+    * based signatures); the round-4 portable-hash conversions (md5-affine
+    * MinHash/SimHash, mod-P winnowing) made their full pipelines
+    * oracle-replayable.
     */
   def oracleSql: Map[String, String] = importerOracle ++ relationalOracle ++
     textOracle ++ dedupOracle ++ similarityOracle ++ multimodalOracle ++
@@ -764,6 +760,11 @@ object SparkEntry {
   )
 
   def textOracle: Map[String, String] = Map(
+    // the winnowing rolling hash is mod-P over code points (round 4), so
+    // the full fingerprint pipeline replays — SQL generated next to the
+    // operators so the polynomial constants can't desync
+    "t5_winnow_fingerprints" -> TextAnalysis.winnowFingerprintsOracleSql,
+    "t6_winnow_candidates" -> TextAnalysis.winnowCandidatesOracleSql,
     "t1_token_stats" ->
       """SELECT doc_id, n_chars, n_tokens,
         |  cast(floor(cast(n_chars - (n_tokens - 1) AS double) / n_tokens * 10000.0 + 0.5) AS bigint)

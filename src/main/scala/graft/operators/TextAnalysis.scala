@@ -209,8 +209,10 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("fp")).as("fp_len"),
-        // order-independent digest of the fingerprint set
-        xxhash64(concat_ws(",", transform(col("fp"), x => x.cast("string")))).as("fp_hash"))
+        // position-ordered digest of the fingerprint sequence; md5 so the
+        // DuckDB oracle can replay it (see winnowFingerprintsOracleSql)
+        md5(concat_ws(",", transform(col("fp"), x => x.cast("string")))
+          .cast("binary")).as("fp_hash"))
 
   /** Winnowing-based near-dup candidates: invert the fingerprint index and
     * keep pairs sharing a high FRACTION of the smaller fingerprint set —
@@ -249,4 +251,82 @@ object TextAnalysis {
       .filter(frac >= minOverlap)
       .select(col("a"), col("b"), col("shared"), Exact.e(frac, 4).as("overlap_e4"))
   }
+
+  // ---- DuckDB oracle twins for the winnowing pipelines ----------------
+
+  /** CTE text replaying [[graft.functions.WinnowingUtil.fingerprint]]:
+    * per-position polynomial k-gram hashes mod P (evaluated directly —
+    * the rolling update is an optimization, not a semantic), the
+    * rightmost window minimum per w-window, then the fingerprint relation
+    * `fp(doc_id, mpos, h)`. Selected positions are non-decreasing across
+    * consecutive windows (the rightmost-min of the next window can never
+    * sit left of the previous one while it is still in range), so the
+    * engine's consecutive-position dedup is exactly DISTINCT mpos and the
+    * output array is ordered by mpos.
+    */
+  private def duckWinnowCtes: String = {
+    import graft.functions.{Winnowing, WinnowingUtil}
+    val k = Winnowing.K
+    val w = Winnowing.W
+    val p = WinnowingUtil.P
+    val terms = (0 until k).map { j =>
+      s"(ord(substr(text, i + $j, 1))::BIGINT * ${Winnowing.powMod(k - 1 - j)}) % $p"
+    }.mkString("(", "\n     + ", s") % $p")
+    s"""grams AS (
+       |  SELECT doc_id, i,
+       |    $terms AS h
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(range(1, len(text) - $k + 2)) AS i) r
+       |  WHERE len(text) >= $k),
+       |wins AS (
+       |  SELECT doc_id, unnest(range(0, greatest(1, len(text) - $k + 1 - $w + 1))) AS ws
+       |  FROM documents WHERE len(text) >= $k),
+       |wmin AS (
+       |  SELECT w.doc_id, w.ws, min(g.h) AS mh
+       |  FROM wins w JOIN grams g
+       |    ON g.doc_id = w.doc_id AND g.i BETWEEN w.ws + 1 AND w.ws + $w
+       |  GROUP BY 1, 2),
+       |rsel AS (
+       |  SELECT m.doc_id, m.ws, max(g.i) AS mpos
+       |  FROM wmin m JOIN grams g
+       |    ON g.doc_id = m.doc_id AND g.h = m.mh
+       |   AND g.i BETWEEN m.ws + 1 AND m.ws + $w
+       |  GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT DISTINCT r.doc_id, r.mpos, g.h
+       |  FROM rsel r JOIN grams g ON g.doc_id = r.doc_id AND g.i = r.mpos)""".stripMargin
+  }
+
+  /** DuckDB twin of [[winnowFingerprints]] (t5). Documents shorter than k
+    * code points fingerprint to the empty sequence.
+    */
+  def winnowFingerprintsOracleSql: String =
+    s"""WITH $duckWinnowCtes
+       |SELECT doc_id, cast(count(*) AS int) AS fp_len,
+       |  md5(string_agg(h::VARCHAR, ',' ORDER BY mpos)) AS fp_hash
+       |FROM fp GROUP BY doc_id
+       |UNION ALL
+       |SELECT doc_id, 0 AS fp_len, md5('') AS fp_hash
+       |FROM documents WHERE len(text) < ${graft.functions.Winnowing.K}""".stripMargin
+
+  /** DuckDB twin of [[winnowCandidates]] (t6) at the default overlap and
+    * doc-frequency parameters.
+    */
+  def winnowCandidatesOracleSql: String =
+    s"""WITH $duckWinnowCtes,
+       |fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+       |okh AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 256),
+       |fps AS (SELECT fpd.doc_id, fpd.h FROM fpd JOIN okh USING (h)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+       |prs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |  FROM fps x JOIN fps y ON y.h = x.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, shared,
+       |  cast(floor(cast(shared AS double) / least(sa.n, sb.n) * 10000.0 + 0.5) AS bigint)
+       |    AS overlap_e4
+       |FROM prs
+       |JOIN sizes sa ON sa.doc_id = prs.a
+       |JOIN sizes sb ON sb.doc_id = prs.b
+       |WHERE cast(shared AS double) / least(sa.n, sb.n) >= 0.8""".stripMargin
 }

@@ -224,6 +224,11 @@ object SparkEntry {
     // oracles green (GROUP BY/HAVING replay), unlike the a6/a7 sketches
     "a8_heavy_hitter_users" -> ((s, d) =>
       graft.operators.SkewOps.heavyHitterUsers(s, d)),
+    // A-CMS: count-min sketch on the PortableHash family — the sketch
+    // counters and the point estimates replay in DuckDB, so unlike the
+    // built-in binary sketches this one is fully oracled
+    "a9_cms_user_counts" -> ((s, d) =>
+      graft.operators.Sketches.cmsUserEstimates(s, d)),
     // A-quantile sketch: mergeable approximate percentiles per group (the
     // Greenwald-Khanna sketch behind approx_percentile) — approximate by
     // design → rows-only; ScalaTest bounds the rank error against the
@@ -344,6 +349,7 @@ object SparkEntry {
     // the typed-Aggregator signatures are bit-equal to the expression
     // path, which itself replays in DuckDB via PortableHash
     "d7_minhash_agg_signatures" -> graft.operators.Dedup.minhashAggOracleSql,
+    "a9_cms_user_counts" -> graft.operators.Sketches.cmsOracleSql(),
   )
 
   def importerOracle: Map[String, String] = Map(

@@ -149,9 +149,14 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     import graft.functions.PortableHash
-    val x = PortableHash.xCol("s")
-    val hashed = sh.select(
-      col("doc_id") +: (0 until NumPerms).map(p => PortableHash.permCol(p, x).as(s"h$p")): _*)
+    // two-step projection: materialize the base hash once per row, then
+    // fan out the affine permutations from the named column — one md5 per
+    // shingle by construction, independent of codegen subexpression
+    // elimination
+    val based = sh.select(col("doc_id"), PortableHash.xCol("s").as("x"))
+    val hashed = based.select(
+      col("doc_id") +:
+        (0 until NumPerms).map(p => PortableHash.permCol(p, col("x")).as(s"h$p")): _*)
     val mins = (0 until NumPerms).map(p => min(col(s"h$p")).as(s"h$p"))
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
@@ -163,6 +168,14 @@ object Dedup {
     * colliding in any band become candidate pairs; candidates are verified
     * with true Jaccard, so false bucket collisions cost work, never
     * wrong answers.
+    *
+    * Perf note (r4): the portable-hash conversion costs ~1.5 s at sf0.1
+    * vs the xxhash64 version (md5 base hash ~0.4 s; the rest is the
+    * band-string keys and run variance across this 8-shuffle pipeline —
+    * profiled stage-by-stage, no stage is data-bound at this sf). The
+    * trade buys end-to-end DuckDB auditability of the whole pipeline
+    * (signatures through verified pairs), which we weight above the
+    * seconds; at scale the verify joins dominate either way.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(spark, dir).cache()
@@ -352,12 +365,12 @@ object Dedup {
       spark: SparkSession, dir: String,
       plantClones: Boolean = false, threshold: Double = 0.5): DataFrame = {
     val sh = shinglesOf(crossDocs(spark, dir, plantClones))
-    val x = conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
-      .cast("bigint") % CrossP
-    val hashed = sh.select(
+    // two-step projection: one md5 per shingle (see minhashSignatures)
+    val based = sh.select(col("doc_id"), graft.functions.PortableHash.xCol("s").as("x"))
+    val hashed = based.select(
       col("doc_id") +:
         (0 until CrossPerms).map(i =>
-          ((lit(crossA(i)) * x + crossB(i)) % CrossP).as(s"h$i")): _*)
+          ((lit(crossA(i)) * col("x") + crossB(i)) % CrossP).as(s"h$i")): _*)
     val minAggs = (0 until CrossPerms).map(i => min(col(s"h$i")).as(s"h$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bandKeys = (0 until CrossPerms / CrossBandRows).map { b =>

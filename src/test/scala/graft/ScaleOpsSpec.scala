@@ -326,4 +326,23 @@ class ScaleOpsSpec extends SparkSuite {
       assert(deg >= distinct && distinct >= 1)
     }
   }
+
+  test("count-min sketch: one-sided error, exact under no collision") {
+    val est = graft.operators.Sketches.cmsUserEstimates(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // CMS never undercounts (every occurrence lands in the key's bucket)
+    est.foreach { case (u, exact, cms) =>
+      assert(cms >= exact, s"user $u: cms $cms < exact $exact")
+    }
+    // the counter table is bounded by depth×width regardless of data size
+    val counters = graft.operators.Sketches.cmsCounters(spark, sf0001)
+    assert(counters.count() <=
+      graft.operators.Sketches.Depth.toLong * graft.operators.Sketches.Width)
+    // total mass per sketch row = number of events (nothing lost)
+    val n = graft.operators.RelationalOps.eventsTable(spark, sf0001).count()
+    val perRow = counters.groupBy("r").agg(sum("cnt").as("m"))
+      .as[(Int, Long)].collect().toMap
+    assert(perRow.values.forall(_ === n), s"row mass $perRow != $n")
+  }
 }

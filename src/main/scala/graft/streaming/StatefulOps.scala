@@ -80,3 +80,98 @@ object StatefulOps {
 }
 
 final case class UserAlert(user_id: Long, level: Long, threshold_e2: Long)
+
+final case class StreamDoc(doc_id: Long, text: String)
+final case class NearDupHit(doc_id: Long, dup_of: Long, band: Int, est_e4: Long)
+final case class BandArrival(band: Int, bkey: String, doc_id: Long, sig: Seq[Long])
+final case class BucketState(docs: List[(Long, Seq[Long])])
+
+/** Streaming NEAR-duplicate suppression — the fuzzy analogue of
+  * `dedupedWithinWatermark`: MinHash signatures computed per row (no
+  * shuffle — higher-order functions over the token array, same
+  * [[graft.functions.PortableHash]] permutations as the batch d4
+  * pipeline), LSH-banded so state is keyed by band bucket, and
+  * `flatMapGroupsWithState` keeps the signatures seen per bucket so a
+  * near-copy arriving ANY number of micro-batches later still collides.
+  *
+  * Scale shape: a doc costs `bands` state lookups on keys it hashes to —
+  * state is partitioned by bucket across executors and each bucket holds
+  * at most [[StreamingDedup.MaxBucketDocs]] signatures (hot buckets stop
+  * absorbing, mirroring the batch pipeline's doc-frequency cap). The
+  * signature-agreement estimate replaces the batch path's exact-Jaccard
+  * verify: a stream cannot re-read earlier documents' shingle sets, so
+  * near-dup decisions must come from the sketch alone — that is what
+  * makes the signature the state, and why the sketch must be compact.
+  */
+object StreamingDedup {
+  import graft.functions.PortableHash
+
+  val NumPerms = 32
+  val BandSize = 4
+  val MaxBucketDocs = 64
+
+  /** doc → (doc_id, sig array) with one projection: shingles, base
+    * hashes, then the 32 permutation minima, all inside codegen HOFs.
+    * Docs with fewer than 3 tokens have no shingles and are passed
+    * through unexamined (no signature to compare), same as the batch
+    * pipeline dropping them from the shingle index.
+    */
+  private[graft] def signed(docs: Dataset[StreamDoc]): Dataset[(Long, Seq[Long])] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{array, col, expr, split}
+    val shingled = docs.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .filter("size(toks) >= 3")
+      .withColumn("xs", expr(
+        s"""transform(
+           |  array_distinct(transform(sequence(1, size(toks) - 2),
+           |    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))),
+           |  s -> cast(conv(substring(md5(cast(s AS binary)), 1, 15), 16, 10) AS bigint) % ${PortableHash.P}L)""".stripMargin))
+    val sig = (0 until NumPerms).map(i =>
+      expr(s"array_min(transform(xs, x -> (${PortableHash.permA(i)}L * x + ${PortableHash.permB(i)}L) % ${PortableHash.P}L))"))
+    shingled.select(col("doc_id"), array(sig: _*).as("sig"))
+      .as[(Long, Seq[Long])]
+  }
+
+  /** Near-duplicate detections: one row per (arriving doc, band) whose
+    * bucket already held a signature agreeing on ≥ `threshold` of the
+    * permutations. `dup_of` is the earliest matching doc in the bucket.
+    * Downstream suppression = anti-join arrivals against distinct
+    * doc_ids of this stream (per micro-batch, e.g. in foreachBatch).
+    */
+  def nearDupHits(
+      docs: Dataset[StreamDoc], threshold: Double = 0.5): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val arrivals = signed(docs).flatMap { case (id, sig) =>
+      (0 until NumPerms / BandSize).map { b =>
+        val key = (0 until BandSize).map(r => sig(b * BandSize + r)).mkString(",")
+        BandArrival(b, key, id, sig)
+      }
+    }
+    arrivals
+      .groupByKey(a => (a.band, a.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), batch: Iterator[BandArrival], state: GroupState[BucketState]) =>
+          var seen = state.getOption.getOrElse(BucketState(Nil)).docs
+          val out = List.newBuilder[NearDupHit]
+          // doc_id order makes replay deterministic however the source
+          // chunks a backlog into batches
+          batch.toSeq.sortBy(_.doc_id).foreach { a =>
+            val hit = seen.reverseIterator // earliest first (list is LIFO)
+              .map { case (sid, ssig) =>
+                val agree = ssig.iterator.zip(a.sig.iterator).count { case (x, y) => x == y }
+                (sid, agree.toDouble / NumPerms)
+              }
+              .find(_._2 >= threshold)
+            hit.foreach { case (sid, est) =>
+              out += NearDupHit(a.doc_id, sid, a.band,
+                math.floor(est * 10000.0 + 0.5).toLong)
+            }
+            if (seen.size < MaxBucketDocs) seen = (a.doc_id, a.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+      }
+  }
+}

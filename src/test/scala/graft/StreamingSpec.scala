@@ -376,4 +376,47 @@ class StreamingSpec extends SparkSuite {
       }
     } finally spark.streams.removeListener(mon)
   }
+
+  test("streaming minhash dedup flags cross-batch near-copies only") {
+    import graft.streaming.{NearDupHit, StreamDoc, StreamingDedup}
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearCopy = (2 to 60).map(i => s"w$i").mkString(" ") // first token dropped
+    val far = (100 to 160).map(i => s"z$i").mkString(" ")
+    val far2 = (200 to 260).map(i => s"y$i").mkString(" ")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val hits = StreamingDedup.nearDupHits(mem.toDS())
+    val q = hits.writeStream.format("memory").queryName("neardup_hits")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamDoc(1L, base), StreamDoc(2L, far))
+      q.processAllAvailable()
+      // batch 1: nothing seen before → no hits
+      assert(spark.table("neardup_hits").count() === 0)
+      // batch 2, arbitrarily later: a near-copy of doc 1 and a fresh doc
+      mem.addData(StreamDoc(3L, nearCopy), StreamDoc(4L, far2))
+      q.processAllAvailable()
+      val out = spark.table("neardup_hits").as[NearDupHit].collect()
+      assert(out.nonEmpty, "near-copy not detected across batches")
+      assert(out.forall(h => h.doc_id === 3L && h.dup_of === 1L))
+      // signature agreement of a one-token-shorter doc is high
+      assert(out.map(_.est_e4).max >= 5000L)
+    } finally q.stop()
+  }
+
+  test("streaming signatures are bit-equal to the batch minhash path") {
+    import graft.streaming.{StreamDoc, StreamingDedup}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => StreamDoc(id, t) }
+    val streamSide = StreamingDedup.signed(docs)
+      .map { case (id, sig) => (id, sig.mkString(",")) }
+      .collect().toMap
+    val batchSide = graft.operators.Dedup
+      .minhashSignatures(graft.operators.Dedup.shingles(spark, sf0001))
+      .selectExpr("doc_id", s"concat_ws(',', ${(0 until 32).map(i => s"h$i").mkString(", ")})")
+      .as[(Long, String)].collect().toMap
+    assert(streamSide === batchSide)
+  }
 }

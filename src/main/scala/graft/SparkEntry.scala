@@ -140,6 +140,12 @@ object SparkEntry {
     "q16_supplier_counts" -> RelationalOps.supplierCounts _,
     // OR-of-conjunctions predicate across both join sides (TPC-H Q19 shape)
     "q19_disjunctive_revenue" -> RelationalOps.disjunctiveRevenue _,
+    // argmin via decorrelated scalar subquery (TPC-H Q2 shape)
+    "q2_min_cost_supplier" -> RelationalOps.minCostSupplier _,
+    // outer-join count histogram incl. the zero bucket (TPC-H Q13 shape)
+    "q13_order_count_distribution" -> RelationalOps.orderCountDistribution _,
+    // exact-integer above-average filter + null-safe anti join (Q22 shape)
+    "q22_dormant_balances" -> RelationalOps.dormantBalances _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,6 +744,45 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 25)
         |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    // Q2 shape: true correlated scalar subquery — DuckDB decorrelates it
+    // the same way the engine's explicit argmin join does
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, p_brand, s_name,
+        |  cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint) AS min_price_e2
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size < 10
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint) = (
+        |  SELECT min(cast(floor(l2.l_extendedprice * 100.0 + 0.5) AS bigint))
+        |  FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q13_order_count_distribution" ->
+      """SELECT c_count, cast(count(*) AS bigint) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q22_dormant_balances" ->
+      """WITH bal AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    cast(floor(c_acctbal * 100.0 + 0.5) AS bigint) AS bal_e2,
+        |    c_acctbal
+        |  FROM customer),
+        |stats AS (
+        |  SELECT count(*) AS n, cast(sum(bal_e2) AS bigint) AS total_e2
+        |  FROM bal WHERE c_acctbal > 0.0)
+        |SELECT n_name, cast(count(*) AS bigint) AS numcust,
+        |  cast(sum(bal_e2) AS bigint) AS totacctbal_e2
+        |FROM bal
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_e2 * (SELECT n FROM stats) > (SELECT total_e2 FROM stats)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= '__DORMANT_CUTOFF__')
+        |GROUP BY n_name""".stripMargin
+        .replace("__DORMANT_CUTOFF__", RelationalOps.DormantCutoff),
     "g6_event_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,

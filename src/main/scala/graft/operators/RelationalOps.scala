@@ -546,4 +546,83 @@ object RelationalOps {
       .groupBy(col("user_id"))
       .agg(max(col("streak")).as("longest_streak"))
   }
+
+  /** TPC-H Q2-shape argmin join (this corpus has no partsupp, so lineitem
+    * plays the part×supplier price relation): for each small part, the
+    * supplier rows achieving the part's minimum price. The correlated
+    * scalar subquery (`price = (SELECT min ... WHERE same part)`)
+    * decorrelates to a per-part aggregate joined back on key AND value —
+    * the argmin shape. Part subset and supplier attributes broadcast;
+    * the only data-sized shuffle is the per-part min.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val priced = table(spark, dir, "lineitem")
+      .join(
+        broadcast(table(spark, dir, "part").filter(col("p_size") < 10)),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_partkey"), col("p_brand"), col("l_suppkey"),
+        Exact.e(col("l_extendedprice"), 2).as("price_e2"))
+    val mins = priced.groupBy(col("p_partkey"))
+      .agg(min(col("price_e2")).as("min_price_e2"))
+    priced
+      .join(mins, Seq("p_partkey"))
+      .filter(col("price_e2") === col("min_price_e2"))
+      .join(
+        broadcast(table(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("min_price_e2"))
+      .distinct()
+  }
+
+  /** TPC-H Q13-shape order-count distribution: LEFT OUTER join with the
+    * exclusion filter INSIDE the join's right side (so zero-order
+    * customers survive), per-customer counts counting only matched rows,
+    * then the histogram of counts. Two shuffles (custkey, then c_count);
+    * the outer join is the part a naive GROUP BY on orders alone gets
+    * wrong — it loses the zero bucket.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** The "recent" cutoff for [[dormantBalances]] — on this corpus every
+    * customer has SOME order, so dormancy is "no order since the cutoff"
+    * (Q22's spirit; its literal no-orders-ever form is vacuous here).
+    */
+  val DormantCutoff = "1999-01-01"
+
+  /** TPC-H Q22-shape dormant balances: customers above the average
+    * positive balance with no RECENT orders (anti join against the
+    * filtered order set), rolled up by nation. The global average is
+    * compared in exact integer cross-multiplied form (bal_e2 · n >
+    * total_e2) — a double `avg` threshold would be summation-order-
+    * dependent and flake the oracle on borderline rows. The 1-row stats
+    * aggregate broadcasts; the date filter pushes to the orders scan
+    * before the anti join.
+    */
+  def dormantBalances(spark: SparkSession, dir: String): DataFrame = {
+    val balE2 = Exact.e(col("c_acctbal"), 2)
+    val c = table(spark, dir, "customer").withColumn("bal_e2", balE2)
+    val stats = c.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("n"), sum(col("bal_e2")).as("total_e2"))
+    val rich = c.crossJoin(broadcast(stats))
+      .filter(col("bal_e2") * col("n") > col("total_e2"))
+    rich
+      .join(
+        table(spark, dir, "orders")
+          .filter(col("o_orderdate") >= tsNtz(s"$DormantCutoff 00:00:00")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_e2")).as("totacctbal_e2"))
+  }
 }

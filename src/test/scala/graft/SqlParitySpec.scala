@@ -16,7 +16,9 @@ class SqlParitySpec extends SparkSuite {
     "q5_local_supplier_volume", "q18_big_orders", "k1_salted_pricing_by_flag",
     "j4_exists_urgent_customers", "f3_customer_name_ops",
     "q17_small_qty_revenue", "q21_waiting_suppliers",
-    "q8_market_share", "q16_supplier_counts", "q19_disjunctive_revenue")
+    "q8_market_share", "q16_supplier_counts", "q19_disjunctive_revenue",
+    "q2_min_cost_supplier", "q13_order_count_distribution",
+    "q22_dormant_balances")
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted.toSeq

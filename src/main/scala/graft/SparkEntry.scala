@@ -235,6 +235,29 @@ object SparkEntry {
     // built-in binary sketches this one is fully oracled
     "a9_cms_user_counts" -> ((s, d) =>
       graft.operators.Sketches.cmsUserEstimates(s, d)),
+    // A-KMV: k-minimum-values distinct sketch — the portable counterpart
+    // of a6's HLL: same question, but the sketch replays in DuckDB
+    // (per-group k smallest PortableHash values), so it oracles green.
+    // Exact when a group has fewer than k distinct hashes.
+    "a10_kmv_distinct_options" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{KmvAgg, PortableHash}
+      val k = KmvAgg.DefaultK
+      dimsDedup(s, d)
+        .select(
+          col("code_list_id"),
+          (PortableHash.md5Prefix60(col("option")) % PortableHash.P).as("x"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new KmvAgg(k).toColumn.name("mins"))
+        .toDF("code_list_id", "mins")
+        .select(
+          col("code_list_id"),
+          when(size(col("mins")) < k, size(col("mins")).cast("long"))
+            .otherwise(expr(s"${(k - 1).toLong * PortableHash.P}L div element_at(mins, $k)"))
+            .as("kmv_distinct"))
+    }),
     // A-quantile sketch: mergeable approximate percentiles per group (the
     // Greenwald-Khanna sketch behind approx_percentile) — approximate by
     // design → rows-only; ScalaTest bounds the rank error against the
@@ -356,6 +379,22 @@ object SparkEntry {
     // path, which itself replays in DuckDB via PortableHash
     "d7_minhash_agg_signatures" -> graft.operators.Dedup.minhashAggOracleSql,
     "a9_cms_user_counts" -> graft.operators.Sketches.cmsOracleSql(),
+    "a10_kmv_distinct_options" -> {
+      val k = graft.functions.KmvAgg.DefaultK
+      val p = graft.functions.PortableHash.P
+      s"""$W SELECT code_list_id,
+         |  cast(CASE WHEN count(*) < $k THEN count(*)
+         |            ELSE ${(k - 1).toLong * p} // min(CASE WHEN rn = $k THEN x END)
+         |       END AS bigint) AS kmv_distinct
+         |FROM (
+         |  SELECT code_list_id, x,
+         |    row_number() OVER (PARTITION BY code_list_id ORDER BY x) AS rn
+         |  FROM (
+         |    SELECT DISTINCT code_list_id,
+         |      ('0x' || substr(md5(option), 1, 15))::BIGINT % $p AS x
+         |    FROM dims_dedup))
+         |GROUP BY code_list_id""".stripMargin
+    },
   )
 
   def importerOracle: Map[String, String] = Map(

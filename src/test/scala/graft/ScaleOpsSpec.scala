@@ -345,4 +345,36 @@ class ScaleOpsSpec extends SparkSuite {
       .as[(Int, Long)].collect().toMap
     assert(perRow.values.forall(_ === n), s"row mass $perRow != $n")
   }
+
+  test("KMV distinct sketch: exact under k, bounded error above, merge-safe") {
+    import graft.functions.KmvAgg
+    val agg = new KmvAgg(16)
+    // exact regime: fewer than k distinct values → buffer IS the set,
+    // duplicates are absorbed
+    val small = (1 to 10).flatMap(i => Seq(i.toLong * 7, i.toLong * 7))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(small.length === 10 && small === small.distinct.sorted)
+    // merge is order-insensitive (partial aggregation safe)
+    val xs = (1 to 200).map(i => (i.toLong * 2654435761L) % 1000003L)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(67)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole === merged)
+    // estimator regime on the real corpus: within 40% of exact (k=64
+    // gives ~13% standard error; 3σ bound keeps the test deterministic-
+    // corpus-stable rather than tight)
+    val est = SparkEntry.queries("a10_kmv_distinct_options")(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val exact = SparkEntry.queries("a3_dedup_options")(spark, sf0001)
+      .selectExpr("code_list_id", "option").distinct()
+      .groupBy("code_list_id").count()
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (cl, n) =>
+      val e = est(cl)
+      if (n < 64) assert(e === n, s"$cl: expected exact $n, got $e")
+      else assert(math.abs(e - n).toDouble / n <= 0.4, s"$cl: est $e vs exact $n")
+    }
+  }
 }

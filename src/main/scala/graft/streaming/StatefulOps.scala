@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 final case class UserEvent(user_id: Long, event_type: String, value: Double)
 final case class UserRunningState(n: Long, total: Double)
@@ -77,6 +77,65 @@ object StatefulOps {
   def dedupedWithinWatermark[T](
       events: Dataset[T], tsCol: String, delay: String, keys: String*): Dataset[T] =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Spark 4 arbitrary-state API (`transformWithState`): the successor to
+    * `[flat]mapGroupsWithState` with MULTIPLE named, independently-typed,
+    * independently-TTL'd state variables per key. Here: a ValueState
+    * counter, a ValueState exact-integer total, and a bounded ListState
+    * of recent values — three state shapes one old-API state object would
+    * have to bundle and rewrite wholesale on every update; column-family-
+    * backed variables update only what changed. Requires the RocksDB
+    * state store provider (the production backend).
+    */
+  def userStats(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+}
+
+final case class UserSnapshot(user_id: Long, n: Long, total_e2: Long, recent_max_e2: Long)
+
+/** Per-user stats over three independent state variables; bounded recent
+  * list ([[UserStatsProcessor.RecentKeep]] entries) keeps per-key state
+  * O(1) however long the stream runs.
+  */
+class UserStatsProcessor extends StatefulProcessor[Long, UserEvent, UserSnapshot] {
+  import UserStatsProcessor.RecentKeep
+
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var total: ValueState[Long] = _
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    total = getHandle.getValueState[Long]("total_e2", Encoders.scalaLong, TTLConfig.NONE)
+    recent = getHandle.getListState[Long]("recent_e2", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[UserEvent], tv: TimerValues): Iterator[UserSnapshot] = {
+    var n = if (cnt.exists()) cnt.get() else 0L
+    var t = if (total.exists()) total.get() else 0L
+    rows.foreach { e =>
+      n += 1
+      val e2 = math.floor(e.value * 100 + 0.5).toLong
+      t += e2
+      recent.appendValue(e2)
+    }
+    val all = recent.get().toArray
+    val keep = all.takeRight(RecentKeep)
+    if (keep.length != all.length) recent.put(keep)
+    cnt.update(n)
+    total.update(t)
+    Iterator.single(UserSnapshot(key, n, t, if (keep.isEmpty) 0L else keep.max))
+  }
+}
+
+object UserStatsProcessor {
+  val RecentKeep = 5
 }
 
 final case class UserAlert(user_id: Long, level: Long, threshold_e2: Long)

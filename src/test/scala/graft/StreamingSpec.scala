@@ -377,6 +377,36 @@ class StreamingSpec extends SparkSuite {
     } finally spark.streams.removeListener(mon)
   }
 
+  test("transformWithState: multiple state variables, bounded recent list") {
+    import graft.streaming.{StatefulOps, UserEvent, UserSnapshot, UserStatsProcessor}
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState only runs on the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[UserEvent]
+      val q = StatefulOps.userStats(mem.toDS())
+        .writeStream.format("memory").queryName("tws_stats")
+        .outputMode("update").start()
+      try {
+        mem.addData(UserEvent(1L, "view", 1.0), UserEvent(1L, "view", 2.5))
+        q.processAllAvailable()
+        // pile 7 more values onto user 1: list state must stay capped at 5
+        mem.addData((1 to 7).map(i => UserEvent(1L, "view", i.toDouble)): _*)
+        mem.addData(UserEvent(2L, "view", 9.0))
+        q.processAllAvailable()
+        import spark.implicits._
+        val last = spark.table("tws_stats").as[UserSnapshot].collect()
+          .groupBy(_.user_id).view.mapValues(_.maxBy(_.n)).toMap
+        // counter and exact-integer total accumulate across batches
+        assert(last(1L).n === 9L)
+        assert(last(1L).total_e2 === 350L + 2800L) // (1.0+2.5)·100 + Σ1..7·100
+        assert(last(1L).recent_max_e2 === 700L)
+        assert(last(2L).n === 1L && last(2L).total_e2 === 900L)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming minhash dedup flags cross-batch near-copies only") {
     import graft.streaming.{NearDupHit, StreamDoc, StreamingDedup}
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

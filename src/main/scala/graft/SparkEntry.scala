@@ -210,6 +210,10 @@ object SparkEntry {
     "v7_ivf_topk" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfTopK(s, d)),
     "v8_int8_quant_error" -> Similarity.int8QuantizationError _,
+    // product quantization: 4-bit-per-subspace codes + asymmetric-distance
+    // top-k — the compression-side ANN path (64× smaller vectors)
+    "v9_pq_codes" -> graft.operators.PqAnn.pqCodes _,
+    "v10_pq_topk" -> graft.operators.PqAnn.pqTopK _,
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1140,7 +1144,9 @@ object SparkEntry {
     (SparkSession.getActiveSession, sys.props.get("graft.sfdir")) match {
       case (Some(s), Some(d)) => Map(
         "v6_ivf_assignments" -> graft.operators.IvfAnn.assignmentsOracleSql(s, d),
-        "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d))
+        "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
+        "v9_pq_codes" -> graft.operators.PqAnn.pqCodesOracleSql(s, d),
+        "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d))
       case _ => Map.empty
     }
 

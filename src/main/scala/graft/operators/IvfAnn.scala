@@ -36,7 +36,7 @@ object IvfAnn {
   private val NProbe = 4
   private val NumQueries = 8
   private val TopK = 10
-  private val MaxTrain = 4096
+  private[operators] val MaxTrain = 4096
 
   /** Inverted lists needed to keep per-probe candidate work near
     * `targetList` rows: the standard √n-to-n/target heuristic, K ≈
@@ -53,19 +53,21 @@ object IvfAnn {
   }
 
   /** Deterministic k-means-lite on the driver over a (small, sorted)
-    * training sample — collect is bounded by [[MaxTrain]], never the corpus.
+    * training sample — collect is bounded by [[MaxTrain]], never the
+    * corpus. Shared with [[PqAnn]]'s per-subspace codebook training.
     */
-  private[operators] def trainCentroids(sample: Array[(Long, Array[Float])]): Array[Array[Float]] = {
+  private[operators] def trainCentroids(
+      sample: Array[(Long, Array[Float])], k: Int = K): Array[Array[Float]] = {
     val data = sample.sortBy(_._1) // deterministic accumulation order
     val dim = data.head._2.length
-    var centroids = data.take(K).map(_._2.map(_.toDouble))
+    var centroids = data.take(k).map(_._2.map(_.toDouble))
     for (_ <- 0 until Iterations) {
-      val sums = Array.fill(K)(new Array[Double](dim))
-      val counts = new Array[Int](K)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
       data.foreach { case (_, v) =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < K) {
+        while (c < k) {
           var d = 0.0; var i = 0
           while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -75,7 +77,7 @@ object IvfAnn {
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(K) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
@@ -91,7 +93,7 @@ object IvfAnn {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
-  private def snapshotKey(dir: String): String = {
+  private[operators] def snapshotKey(dir: String): String = {
     val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val mtime =
       try {

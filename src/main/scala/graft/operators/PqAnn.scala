@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dotF
+import graft.sources.Fixtures.table
+
+/** Product quantization (Jégou, Douze, Schmid 2011, public) — the
+  * compression-side ANN path that completes the vector stack next to
+  * brute-force ([[Similarity]]), LSH, IVF ([[IvfAnn]]) and int8
+  * quantization: each 64-dim vector becomes [[M]] 4-bit codes (one per
+  * 8-dim subspace), a 64× size reduction, and queries rank candidates by
+  * asymmetric distance (ADC): the exact query subvector against each
+  * candidate's quantized code, summed over subspaces.
+  *
+  * Scale shape: codebooks are [[M]]·[[Ks]] tiny arrays trained on a
+  * bounded sample (same driver-side k-means-lite and [[IvfAnn.MaxTrain]]
+  * bound as IVF) and broadcast as plan literals; encoding is one map-only
+  * pass; a query precomputes its M×Ks distance table once (per-row
+  * expressions) and each candidate costs M table lookups — no
+  * per-candidate float dot products. In production PQ composes with IVF
+  * (probe lists, then ADC within them); here the two stay separate
+  * queries so each is oracle-checkable on its own.
+  *
+  * All subspace distances are 6 dp scaled integers with code-index
+  * tie-breaks (the [[IvfAnn]] discipline), so encoding and ADC ranking
+  * replay exactly in DuckDB from inlined codebook literals.
+  */
+object PqAnn {
+
+  private[operators] val M = 8 // subspaces
+  private[operators] val SubDim = 8 // 64-dim vectors / M
+  private[operators] val Ks = 16 // codes per subspace (4 bits)
+  private val NumQueries = 8
+  private val TopK = 10
+
+  // memoized per data snapshot, same discipline as IvfAnn.centroidCache:
+  // [m][code][subdim]
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  private[operators] def codebooksFor(
+      spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
+    val key = IvfAnn.snapshotKey(dir)
+    codebookCache.getOrElseUpdate(key, {
+      codebookCache.keySet
+        .filter(k => k != key && k.startsWith(s"$dir@"))
+        .foreach(codebookCache.remove)
+      import spark.implicits._
+      val sample = table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .limit(IvfAnn.MaxTrain)
+        .as[(Long, Array[Float])].collect()
+      Array.tabulate(M) { m =>
+        IvfAnn.trainCentroids(
+          sample.map { case (id, v) => (id, v.slice(m * SubDim, (m + 1) * SubDim)) },
+          Ks)
+      }
+    })
+  }
+
+  private def normSq(c: Array[Float]): Double = c.map(v => v.toDouble * v).sum
+
+  private def subCol(m: Int, embCol: String): Column =
+    slice(col(embCol), m * SubDim + 1, SubDim)
+
+  private def litVec(c: Array[Float]): Column =
+    array(c.map(v => lit(v)).toSeq: _*).cast("array<float>")
+
+  /** Encoding distance for subspace m, code c: |c|² − 2·v_m·c at 6 dp —
+    * |v_m|² is constant across codes, so the argmin is unchanged and one
+    * dot product per code is the whole cost.
+    */
+  private def encDistE6(m: Int, c: Array[Float], embCol: String): Column =
+    Exact.e(lit(normSq(c)) - lit(2.0) * dotF(subCol(m, embCol), litVec(c)), 6)
+
+  /** Full ADC table entry for subspace m, code c: |q_m − c|² at 6 dp. */
+  private def adcDistE6(m: Int, c: Array[Float], embCol: String): Column = {
+    val sub = subCol(m, embCol)
+    Exact.e(
+      dotF(sub, sub) - lit(2.0) * dotF(sub, litVec(c)) + lit(normSq(c)), 6)
+  }
+
+  private def codeCol(m: Int, cb: Array[Array[Float]], embCol: String): Column =
+    array_min(array(cb.zipWithIndex.map { case (c, i) =>
+      struct(encDistE6(m, c, embCol).as("d"), lit(i).as("c"))
+    }.toSeq: _*)).getField("c")
+
+  private def codesCol(cbs: Array[Array[Array[Float]]], embCol: String): Column =
+    array((0 until M).map(m => codeCol(m, cbs(m), embCol)): _*)
+
+  /** PQ codes per vector — one int column per subspace (the driver's
+    * comparator can't sort array columns). Map-only; codebooks are plan
+    * literals.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = codebooksFor(spark, dir)
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), codesCol(cbs, "embedding").as("codes"))
+      .select(
+        col("vec_id") +:
+          (0 until M).map(m => col("codes")(m).as(s"c$m")): _*)
+  }
+
+  /** ADC top-k: each query row carries its M×Ks distance table as a
+    * nested array literal-expression; candidates pay M lookups
+    * (`zip_with` + `aggregate`), ranked by the bounded-heap aggregator.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cbs = codebooksFor(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+    val coded = emb.select(col("vec_id"), codesCol(cbs, "embedding").as("codes"))
+    val dtable = array((0 until M).map(m =>
+      array(cbs(m).map(c => adcDistE6(m, c, "embedding")).toSeq: _*)): _*)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), dtable.as("dt"))
+    val adc = expr(
+      "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
+    coded.crossJoin(broadcast(queries))
+      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_e6"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_e6"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  // ---- DuckDB oracle twins (data-dependent: codebook literals) --------
+
+  /** Codebooks as a VALUES clause: (m, c, |c|² as exact double string,
+    * vec FLOAT[]). Float/double toString round-trips bit-exactly.
+    */
+  private def codebookValues(cbs: Array[Array[Array[Float]]]): String =
+    (for {
+      m <- 0 until M
+      (c, i) <- cbs(m).zipWithIndex
+    } yield s"($m, $i, cast('${normSq(c)}' AS double), [${c.map(_.toString).mkString(", ")}]::FLOAT[])")
+      .mkString(",\n    ")
+
+  /** Shared CTE text: codebook + per-(vector, subspace) code assignment. */
+  private def codesCte(cbs: Array[Array[Array[Float]]]): String =
+    s"""cb(m, c, c2, vec) AS (VALUES
+       |    ${codebookValues(cbs)}),
+       |encdist AS (
+       |  SELECT e.vec_id, cb.m, cb.c,
+       |    cast(floor((cb.c2 - 2.0 *
+       |        sum(cast(e.embedding[cb.m * $SubDim + i] AS double) * cast(cb.vec[i] AS double)))
+       |      * 1000000.0 + 0.5) AS bigint) AS d6
+       |  FROM embeddings e, cb,
+       |       LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r
+       |  GROUP BY e.vec_id, cb.m, cb.c, cb.c2),
+       |codes AS (
+       |  SELECT vec_id, m, c
+       |  FROM (
+       |    SELECT vec_id, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, c) AS rn
+       |    FROM encdist)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB oracle for [[pqCodes]]. */
+  def pqCodesOracleSql(spark: SparkSession, dir: String): String = {
+    val cbs = codebooksFor(spark, dir)
+    val cols = (0 until M)
+      .map(m => s"cast(max(CASE WHEN m = $m THEN c END) AS int) AS c$m")
+      .mkString(",\n  ")
+    s"""WITH ${codesCte(cbs)}
+       |SELECT vec_id,
+       |  $cols
+       |FROM codes GROUP BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pqTopK]]: the query's ADC table is the full
+    * |q_m − c|² per (m, c); candidates sum their code's entries.
+    */
+  def pqTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val cbs = codebooksFor(spark, dir)
+    s"""WITH ${codesCte(cbs)},
+       |dtq AS (
+       |  SELECT q.vec_id AS qid, cb.m, cb.c,
+       |    cast(floor((
+       |        sum(cast(q.embedding[cb.m * $SubDim + i] AS double)
+       |          * cast(q.embedding[cb.m * $SubDim + i] AS double))
+       |        - 2.0 * sum(cast(q.embedding[cb.m * $SubDim + i] AS double) * cast(cb.vec[i] AS double))
+       |        + cb.c2)
+       |      * 1000000.0 + 0.5) AS bigint) AS d6
+       |  FROM embeddings q, cb,
+       |       LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r
+       |  WHERE q.vec_id < $NumQueries
+       |  GROUP BY q.vec_id, cb.m, cb.c, cb.c2),
+       |adc AS (
+       |  SELECT d.qid, k.vec_id, sum(d.d6) AS adc_e6
+       |  FROM codes k
+       |  JOIN dtq d ON d.m = k.m AND d.c = k.c
+       |  GROUP BY d.qid, k.vec_id)
+       |SELECT qid, vec_id, cast(adc_e6 AS bigint) AS adc_e6, cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, adc_e6,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rn
+       |  FROM adc)
+       |WHERE rn <= $TopK""".stripMargin
+  }
+}

@@ -146,6 +146,10 @@ object SparkEntry {
     "q13_order_count_distribution" -> RelationalOps.orderCountDistribution _,
     // exact-integer above-average filter + null-safe anti join (Q22 shape)
     "q22_dormant_balances" -> RelationalOps.dormantBalances _,
+    // argmax over an aggregate, ties surface (TPC-H Q15 shape)
+    "q15_top_revenue_supplier" -> RelationalOps.topRevenueSupplier _,
+    // nested IN-subquery chain with a grouped HAVING gate (Q20 shape)
+    "q20_bulk_part_suppliers" -> RelationalOps.bulkPartSuppliers _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -826,6 +830,25 @@ object SparkEntry {
         |                    AND o_orderdate >= '__DORMANT_CUTOFF__')
         |GROUP BY n_name""".stripMargin
         .replace("__DORMANT_CUTOFF__", RelationalOps.DormantCutoff),
+    "q15_top_revenue_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    cast(sum(cast(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS bigint)) AS bigint)
+        |      AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""".stripMargin,
+    "q20_bulk_part_suppliers" ->
+      s"""SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM lineitem
+         |  WHERE l_partkey IN (
+         |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |  GROUP BY l_suppkey, l_partkey
+         |  HAVING sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) > ${RelationalOps.BulkQtyE2})""".stripMargin,
     "g6_event_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,

@@ -593,6 +593,50 @@ object RelationalOps {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** TPC-H Q15-shape top supplier: revenue per supplier over a shipping
+    * quarter, then the argmax rows (suppliers tying the maximum all
+    * surface — the reason Q15 can't be a LIMIT 1). Exact-integer revenue
+    * so the max comparison replays; the 1-row max broadcasts.
+    */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Exact.e(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    val quarter = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("total_rev_e4"))
+    val best = quarter.agg(max(col("total_rev_e4")).as("max_rev_e4"))
+    quarter
+      .crossJoin(broadcast(best))
+      .filter(col("total_rev_e4") === col("max_rev_e4"))
+      .join(broadcast(table(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+  }
+
+  /** Threshold for [[bulkPartSuppliers]]: shipped quantity per
+    * (supplier, part) above this marks a bulk supply line (exact e2
+    * integers — summed doubles would be order-dependent).
+    */
+  val BulkQtyE2 = 8000L
+
+  /** TPC-H Q20-shape nested-subquery chain, written as SQL on purpose
+    * (like q16): supplier IN (grouped lineitem HAVING a quantity
+    * threshold, itself filtered by part IN (name-prefix parts)). Catalyst
+    * rewrites both IN levels to semi joins with the aggregate between
+    * them — three joins, no correlated re-execution.
+    */
+  def bulkPartSuppliers(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT s_suppkey, s_name FROM parquet.`$dir/supplier.parquet`
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM parquet.`$dir/lineitem.parquet`
+         |  WHERE l_partkey IN (
+         |    SELECT p_partkey FROM parquet.`$dir/part.parquet`
+         |    WHERE p_name LIKE 'red%')
+         |  GROUP BY l_suppkey, l_partkey
+         |  HAVING sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) > $BulkQtyE2)""".stripMargin)
+
   /** The "recent" cutoff for [[dormantBalances]] — on this corpus every
     * customer has SOME order, so dormancy is "no order since the cutoff"
     * (Q22's spirit; its literal no-orders-ever form is vacuous here).

@@ -18,7 +18,8 @@ class SqlParitySpec extends SparkSuite {
     "q17_small_qty_revenue", "q21_waiting_suppliers",
     "q8_market_share", "q16_supplier_counts", "q19_disjunctive_revenue",
     "q2_min_cost_supplier", "q13_order_count_distribution",
-    "q22_dormant_balances")
+    "q22_dormant_balances", "q15_top_revenue_supplier",
+    "q20_bulk_part_suppliers")
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted.toSeq

@@ -98,6 +98,66 @@ object StatefulOps {
 
 final case class UserSnapshot(user_id: Long, n: Long, total_e2: Long, recent_max_e2: Long)
 
+final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+final case class SessionSummary(user_id: Long, n: Long, last_ts_ms: Long)
+final case class SessionProgress(n: Long, lastTsMs: Long, timerMs: Long)
+
+/** Event-time TIMERS via `transformWithState` — the capability neither
+  * `flatMapGroupsWithState` timeouts nor `session_window` aggregation
+  * expresses cleanly: a per-key timer registered at (last event time +
+  * gap), re-armed on every arrival, firing `handleExpiredTimer` when the
+  * WATERMARK passes it. The session summary is emitted by the timer — on
+  * time progress, not on a later arrival for the key — so an idle user's
+  * session closes even if that user never sends another event.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
+
+  @transient private var prog: ValueState[SessionProgress] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    prog = getHandle.getValueState[SessionProgress](
+      "session", Encoders.product[SessionProgress], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[TimedEvent], tv: TimerValues): Iterator[SessionSummary] = {
+    val prev = if (prog.exists()) prog.get() else SessionProgress(0L, 0L, 0L)
+    var n = prev.n
+    var last = prev.lastTsMs
+    rows.foreach { e =>
+      n += 1
+      if (e.ts.getTime > last) last = e.ts.getTime
+    }
+    if (prev.timerMs != 0L) getHandle.deleteTimer(prev.timerMs) // re-arm
+    val timer = last + gapMs
+    getHandle.registerTimer(timer)
+    prog.update(SessionProgress(n, last, timer))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
+    val p = prog.get()
+    prog.clear()
+    Iterator.single(SessionSummary(key, p.n, p.lastTsMs))
+  }
+}
+
+object SessionTimeoutProcessor {
+  /** Gap-closed sessions: input must carry a watermark on `ts` (event
+    * time drives the timers). RocksDB provider required.
+    */
+  def sessions(events: org.apache.spark.sql.Dataset[TimedEvent], gapMs: Long)
+      : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
 /** Per-user stats over three independent state variables; bounded recent
   * list ([[UserStatsProcessor.RecentKeep]] entries) keeps per-key state
   * O(1) however long the stream runs.

@@ -407,6 +407,42 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState event-time timers close idle sessions") {
+    import graft.streaming.{SessionSummary, SessionTimeoutProcessor, TimedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      val mem = MemoryStream[TimedEvent]
+      val withWm = mem.toDS()
+        .withWatermark("ts", "0 seconds")
+      import spark.implicits._
+      val q = SessionTimeoutProcessor.sessions(withWm.as[TimedEvent], gapMs = 5 * 60000L)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        // user 1: two events a minute apart; user 2: one event. (Away
+        // from t=0 — a first-batch event AT the initial watermark would
+        // be dropped as late.)
+        mem.addData(TimedEvent(1L, ts(10)), TimedEvent(1L, ts(11)), TimedEvent(2L, ts(12)))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").count() === 0, "no timer should fire yet")
+        // user 2 keeps talking far in the future → watermark jumps past
+        // user 1's (last + gap) timer; the TIMER emits user 1's session,
+        // though user 1 itself sent nothing in this batch
+        mem.addData(TimedEvent(2L, ts(60)))
+        q.processAllAvailable()
+        mem.addData(TimedEvent(2L, ts(61))) // one more batch so timers run
+        q.processAllAvailable()
+        val out = spark.table("tws_sessions").as[SessionSummary].collect()
+        val u1 = out.filter(_.user_id == 1L)
+        assert(u1.length === 1, s"expected user 1 session closed, got ${out.toSeq}")
+        assert(u1.head.n === 2L && u1.head.last_ts_ms === 11 * 60000L)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming minhash dedup flags cross-batch near-copies only") {
     import graft.streaming.{NearDupHit, StreamDoc, StreamingDedup}
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

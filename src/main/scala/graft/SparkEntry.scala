@@ -148,6 +148,9 @@ object SparkEntry {
     "q22_dormant_balances" -> RelationalOps.dormantBalances _,
     // argmax over an aggregate, ties surface (TPC-H Q15 shape)
     "q15_top_revenue_supplier" -> RelationalOps.topRevenueSupplier _,
+    // triangle counting on the co-purchase graph (oriented edge joins)
+    "g7_part_triangles" -> ((s: SparkSession, d: String) =>
+      RelationalOps.partTriangles(s, d)),
     // nested IN-subquery chain with a grouped HAVING gate (Q20 shape)
     "q20_bulk_part_suppliers" -> RelationalOps.bulkPartSuppliers _,
   )
@@ -218,6 +221,8 @@ object SparkEntry {
     // top-k — the compression-side ANN path (64× smaller vectors)
     "v9_pq_codes" -> graft.operators.PqAnn.pqCodes _,
     "v10_pq_topk" -> graft.operators.PqAnn.pqTopK _,
+    // the production composition: IVF probe lists, then PQ ADC ranking
+    "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopK _,
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -849,6 +854,24 @@ object SparkEntry {
          |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
          |  GROUP BY l_suppkey, l_partkey
          |  HAVING sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) > ${RelationalOps.BulkQtyE2})""".stripMargin,
+    "g7_part_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        |  FROM lp x JOIN lp y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.pa = e1.pb
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |corners AS (
+        |  SELECT a AS p_partkey FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT p_partkey, cast(count(*) AS bigint) AS n_triangles
+        |FROM corners GROUP BY p_partkey""".stripMargin,
     "g6_event_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,
@@ -1169,7 +1192,8 @@ object SparkEntry {
         "v6_ivf_assignments" -> graft.operators.IvfAnn.assignmentsOracleSql(s, d),
         "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
         "v9_pq_codes" -> graft.operators.PqAnn.pqCodesOracleSql(s, d),
-        "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d))
+        "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
+        "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d))
       case _ => Map.empty
     }
 

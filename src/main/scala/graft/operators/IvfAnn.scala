@@ -33,8 +33,8 @@ object IvfAnn {
   // n·nprobe/K, so K must grow with the corpus — see [[recommendedLists]].
   private val K = 16
   private val Iterations = 3
-  private val NProbe = 4
-  private val NumQueries = 8
+  private[operators] val NProbe = 4
+  private[operators] val NumQueries = 8
   private val TopK = 10
   private[operators] val MaxTrain = 4096
 
@@ -113,7 +113,7 @@ object IvfAnn {
     s"$dir@$mtime"
   }
 
-  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] = {
+  private[operators] def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] = {
     val key = snapshotKey(dir)
     centroidCache.getOrElseUpdate(key, {
       // evict superseded snapshots of the same dir: a long-lived driver
@@ -161,6 +161,28 @@ object IvfAnn {
     table(spark, dir, "embeddings")
       .select(col("vec_id"), nearestCentroid(centroidsFor(spark, dir)).as("centroid"))
 
+  /** (qid, qe, centroid) probe rows for the first [[NumQueries]] queries:
+    * distances to all K centroids, keep the nprobe best. Shared by
+    * [[ivfTopK]] and [[PqAnn.ivfPqTopK]].
+    */
+  private[operators] def probeRows(
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val cents = centroidsFor(spark, dir)
+    val probeScored = cents.zipWithIndex.map { case (c, i) =>
+      struct(distE6(c).as("d"), lit(i).as("c"))
+    }
+    table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries)
+      .select(
+        col("vec_id").as("qid"), col("embedding").as("qe"),
+        slice(array_sort(array(probeScored.toSeq: _*)), 1, nprobe).as("probe_list"))
+      .select(col("qid"), col("qe"), explode(col("probe_list").getField("c")).as("centroid"))
+  }
+
+  /** Corpus with its centroid assignment column. */
+  private[operators] def assignedCorpus(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .withColumn("centroid", nearestCentroid(centroidsFor(spark, dir)))
+
   /** IVF top-k: probe the `nprobe` nearest centroids per query (default
     * [[NProbe]]); bounded-heap top-k over the probed candidates. Raising
     * `nprobe` trades candidate-scan cost for recall — the recall curve is
@@ -168,20 +190,8 @@ object IvfAnn {
     */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     import spark.implicits._
-    val cents = centroidsFor(spark, dir)
-    val emb = table(spark, dir, "embeddings")
-    val assigned = emb.withColumn("centroid", nearestCentroid(cents))
-
-    // per-query probe set: distances to all K centroids, keep nprobe best
-    val probeScored = cents.zipWithIndex.map { case (c, i) =>
-      struct(distE6(c).as("d"), lit(i).as("c"))
-    }
-    val probes = emb.filter(col("vec_id") < NumQueries)
-      .select(
-        col("vec_id").as("qid"), col("embedding").as("qe"),
-        slice(array_sort(array(probeScored.toSeq: _*)), 1, nprobe).as("probe_list"))
-      .select(col("qid"), col("qe"), explode(col("probe_list").getField("c")).as("centroid"))
-
+    val assigned = assignedCorpus(spark, dir)
+    val probes = probeRows(spark, dir, nprobe)
     val cos = cosineF(col("qe"), col("embedding"))
     assigned.join(broadcast(probes), "centroid")
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
@@ -230,12 +240,12 @@ object IvfAnn {
        |WHERE rn = 1""".stripMargin
   }
 
-  /** DuckDB oracle for [[ivfTopK]] — assignment + probe lists + ranked
-    * cosine, all from the same centroid literals.
+  /** CTE text for the IVF candidate relation `cand(qid, vec_id)` —
+    * assignment + probe lists from the centroid literals. Shared with
+    * [[PqAnn.ivfPqTopKOracleSql]].
     */
-  def ivfTopKOracleSql(spark: SparkSession, dir: String): String = {
-    val cents = centroidsFor(spark, dir)
-    s"""WITH ${distCte(cents)},
+  private[operators] def candCtes(cents: Array[Array[Float]], nprobe: Int): String =
+    s"""${distCte(cents)},
        |assigned AS (
        |  SELECT vec_id, c AS centroid
        |  FROM (
@@ -247,9 +257,16 @@ object IvfAnn {
        |  FROM (
        |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
        |    FROM dist WHERE vec_id < $NumQueries)
-       |  WHERE rn <= $NProbe),
+       |  WHERE rn <= $nprobe),
        |cand AS (
-       |  SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON a.centroid = p.centroid),
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON a.centroid = p.centroid)""".stripMargin
+
+  /** DuckDB oracle for [[ivfTopK]] — assignment + probe lists + ranked
+    * cosine, all from the same centroid literals.
+    */
+  def ivfTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val cents = centroidsFor(spark, dir)
+    s"""WITH ${candCtes(cents, NProbe)},
        |pc AS (
        |  SELECT c.qid, c.vec_id,
        |    sum(cast(qe.embedding[i] AS double) * cast(ce.embedding[i] AS double)) AS dot,

@@ -132,6 +132,37 @@ object PqAnn {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** IVF+PQ composed top-k — the production pairing: IVF probe lists cut
+    * the candidate set ~K/nprobe-fold, then PQ ADC ranks the survivors
+    * with M table lookups each. Neither full vectors nor float math
+    * touch the candidate path; the only full-vector work is the
+    * per-query probe selection and distance table (both per-row
+    * expressions over [[IvfAnn.NumQueries]] rows).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cbs = codebooksFor(spark, dir)
+    val coded = IvfAnn.assignedCorpus(spark, dir)
+      .select(col("vec_id"), col("centroid"), codesCol(cbs, "embedding").as("codes"))
+    val dtable = array((0 until M).map(m =>
+      array(cbs(m).map(c => adcDistE6(m, c, "qe")).toSeq: _*)): _*)
+    val probes = IvfAnn.probeRows(spark, dir, IvfAnn.NProbe)
+      .select(col("qid"), col("centroid"), dtable.as("dt"))
+    val adc = expr(
+      "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
+    coded.join(broadcast(probes), "centroid")
+      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_e6"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_e6"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   // ---- DuckDB oracle twins (data-dependent: codebook literals) --------
 
   /** Codebooks as a VALUES clause: (m, c, |c|² as exact double string,
@@ -176,13 +207,9 @@ object PqAnn {
        |FROM codes GROUP BY vec_id""".stripMargin
   }
 
-  /** DuckDB oracle for [[pqTopK]]: the query's ADC table is the full
-    * |q_m − c|² per (m, c); candidates sum their code's entries.
-    */
-  def pqTopKOracleSql(spark: SparkSession, dir: String): String = {
-    val cbs = codebooksFor(spark, dir)
-    s"""WITH ${codesCte(cbs)},
-       |dtq AS (
+  /** CTE text for the per-query ADC distance table `dtq(qid, m, c, d6)`. */
+  private def dtqCte: String =
+    s"""dtq AS (
        |  SELECT q.vec_id AS qid, cb.m, cb.c,
        |    cast(floor((
        |        sum(cast(q.embedding[cb.m * $SubDim + i] AS double)
@@ -193,17 +220,46 @@ object PqAnn {
        |  FROM embeddings q, cb,
        |       LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r
        |  WHERE q.vec_id < $NumQueries
-       |  GROUP BY q.vec_id, cb.m, cb.c, cb.c2),
+       |  GROUP BY q.vec_id, cb.m, cb.c, cb.c2)""".stripMargin
+
+  private def rankedSelect(fromAdc: String): String =
+    s"""SELECT qid, vec_id, cast(adc_e6 AS bigint) AS adc_e6, cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, adc_e6,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rn
+       |  FROM $fromAdc)
+       |WHERE rn <= $TopK""".stripMargin
+
+  /** DuckDB oracle for [[pqTopK]]: the query's ADC table is the full
+    * |q_m − c|² per (m, c); candidates sum their code's entries.
+    */
+  def pqTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val cbs = codebooksFor(spark, dir)
+    s"""WITH ${codesCte(cbs)},
+       |$dtqCte,
        |adc AS (
        |  SELECT d.qid, k.vec_id, sum(d.d6) AS adc_e6
        |  FROM codes k
        |  JOIN dtq d ON d.m = k.m AND d.c = k.c
        |  GROUP BY d.qid, k.vec_id)
-       |SELECT qid, vec_id, cast(adc_e6 AS bigint) AS adc_e6, cast(rn AS int) AS rn
-       |FROM (
-       |  SELECT qid, vec_id, adc_e6,
-       |    row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rn
-       |  FROM adc)
-       |WHERE rn <= $TopK""".stripMargin
+       |${rankedSelect("adc")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]]: IVF candidate CTEs composed with
+    * the PQ code/table CTEs — two independent literal sets, one query.
+    */
+  def ivfPqTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val cents = IvfAnn.centroidsFor(spark, dir)
+    val cbs = codebooksFor(spark, dir)
+    s"""WITH ${IvfAnn.candCtes(cents, IvfAnn.NProbe)},
+       |${codesCte(cbs)},
+       |$dtqCte,
+       |adc AS (
+       |  SELECT d.qid, k.vec_id, sum(d.d6) AS adc_e6
+       |  FROM cand cd
+       |  JOIN codes k ON k.vec_id = cd.vec_id
+       |  JOIN dtq d ON d.qid = cd.qid AND d.m = k.m AND d.c = k.c
+       |  GROUP BY d.qid, k.vec_id)
+       |${rankedSelect("adc")}""".stripMargin
   }
 }

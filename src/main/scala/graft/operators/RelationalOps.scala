@@ -593,6 +593,52 @@ object RelationalOps {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** Triangle participation counts on the recurring-co-purchase graph
+    * (part pairs appearing together in at least `minSupport` orders),
+    * the third graph primitive next to PageRank (g5) and connected
+    * components (d8):
+    *
+    *   1. EDGES: per-order part lists → ordered pairs emitted map-side
+    *      from the sorted list (the shingle-postings technique — one
+    *      shuffle on the order key, no order×order self-join), kept when
+    *      the pair recurs ≥ minSupport times. The support gate is both
+    *      semantics (a once-in-the-corpus pairing is basket noise, not a
+    *      co-purchase relationship) and the fan-out guard: the wedge
+    *      intermediate of step 2 is Σ deg², and support-1 edges on this
+    *      corpus are 300× the support-2 set for triangles that are
+    *      almost all coincidence. Orientation a < b counts every
+    *      triangle exactly once.
+    *   2. TRIANGLES: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — two key-partitioned
+    *      joins over the oriented edge set. At 100 TB scale the standard
+    *      further refinement is degree-based orientation (low-degree
+    *      node first) to cap fan-out on hot vertices; same plan shape,
+    *      different orientation key.
+    *   3. PARTICIPATION: explode the 3 corners, count per part.
+    */
+  def partTriangles(
+      spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val lp = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lp.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("docs"))
+      .select(explode(expr(Dedup.OrderedPairsExpr)).as("p"))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSupport)
+      .select(col("pa"), col("pb"))
+      .cache()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.pa") === col("e1.pb"))
+      .join(edges.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+    val out = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+    out
+  }
+
   /** TPC-H Q15-shape top supplier: revenue per supplier over a shipping
     * quarter, then the argmax rows (suppliers tying the maximum all
     * surface — the reason Q15 can't be a LIMIT 1). Exact-integer revenue

@@ -121,6 +121,13 @@ class IvfBucketingSpec extends SparkSuite {
     // asserted on a corpus that HAS neighbor structure instead (below).
   }
 
+  test("ivf+pq composed topk: self is rank 1 (own list probed, min ADC)") {
+    val top1 = graft.operators.PqAnn.ivfPqTopK(spark, sf0001)
+      .filter("rn = 1").select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top1.length === 8)
+    top1.foreach { case (q, v) => assert(q === v, s"query $q rank-1 was $v") }
+  }
+
   test("pq topk: on clustered data, neighbors come from the query's cluster") {
     import org.apache.spark.sql.functions._
     // deterministic clustered corpus: 8 well-separated centers, 25

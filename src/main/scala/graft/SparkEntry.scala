@@ -404,7 +404,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY code_list_id ORDER BY x) AS rn
          |  FROM (
          |    SELECT DISTINCT code_list_id,
-         |      ('0x' || substr(md5(option), 1, 15))::BIGINT % $p AS x
+         |      ${graft.functions.PortableHash.duckMd5Prefix60("option")} % $p AS x
          |    FROM dims_dedup))
          |GROUP BY code_list_id""".stripMargin
     },
@@ -855,12 +855,12 @@ object SparkEntry {
          |  GROUP BY l_suppkey, l_partkey
          |  HAVING sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) > ${RelationalOps.BulkQtyE2})""".stripMargin,
     "g7_part_triangles" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
         |  SELECT x.l_partkey AS pa, y.l_partkey AS pb
         |  FROM lp x JOIN lp y
         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >= ${RelationalOps.TriangleSupport}),
         |tri AS (
         |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
         |  FROM e e1
@@ -1102,7 +1102,7 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = pairs.a
         |JOIN sizes sb ON sb.doc_id = pairs.b
-        |WHERE cast(common AS double) / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+        |WHERE cast(common AS double) / (sa.n + sb.n - common) >= ${Dedup.DefaultThreshold}""".stripMargin,
     // connected components over the near-dup pair graph, replayed in
     // DuckDB with a recursive transitive-closure CTE
     "d8_duplicate_clusters" ->
@@ -1123,7 +1123,7 @@ object SparkEntry {
         |  SELECT a, b FROM cpairs
         |  JOIN sizes sa ON sa.doc_id = cpairs.a
         |  JOIN sizes sb ON sb.doc_id = cpairs.b
-        |  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+        |  WHERE common * 1.0 / (sa.n + sb.n - common) >= ${Dedup.DefaultThreshold}),
         |edges AS (SELECT a, b FROM jpairs UNION ALL SELECT b, a FROM jpairs),
         |nodes AS (SELECT DISTINCT a AS id FROM edges),
         |reach(id, r) AS (

@@ -88,6 +88,12 @@ object Dedup {
     */
   val DefaultMaxDocFreq = 128
 
+  /** Default Jaccard near-duplicate threshold, shared by every dedup
+    * pipeline AND interpolated into their oracle SQL — changing one
+    * without the other is impossible by construction.
+    */
+  val DefaultThreshold = 0.5
+
   /** All ordered (a, b) pairs from a sorted posting-list column: element i
     * paired with every later element, so a < b by construction. Runs
     * map-side after the group-by — no self-join.
@@ -118,7 +124,7 @@ object Dedup {
     */
   def ngramJaccardPairs(
       spark: SparkSession, dir: String,
-      threshold: Double = 0.5,
+      threshold: Double = DefaultThreshold,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val postings = shinglePostings(spark, dir, maxDocFreq).cache()
     val sizes = postings.select(explode(col("docs")).as("doc_id"))
@@ -177,7 +183,7 @@ object Dedup {
     * (signatures through verified pairs), which we weight above the
     * seconds; at scale the verify joins dominate either way.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = DefaultThreshold): DataFrame = {
     val sh = shingles(spark, dir).cache()
     val sig = minhashSignatures(sh)
     val bands = (0 until NumPerms / BandSize).map { b =>
@@ -221,7 +227,7 @@ object Dedup {
     * back to checkpoint-per-round looping.
     */
   def duplicateClusters(
-      spark: SparkSession, dir: String, threshold: Double = 0.5,
+      spark: SparkSession, dir: String, threshold: Double = DefaultThreshold,
       unrolledRounds: Int = 3): DataFrame = {
     // the chain below is r1 + (2 until k) + final step ⇒ 2 rounds minimum;
     // fail loudly rather than silently unrolling more than asked
@@ -295,13 +301,20 @@ object Dedup {
     * function of the signatures — the oracle can verify it with a
     * brute-force Hamming join without replaying the banding.
     */
+  // chunk count for SimHash banding; pigeonhole needs chunks > maxHamming
+  private val SimHashChunks = 4
+  private val SimHashChunkBits = graft.functions.SimHashUtil.Bits / SimHashChunks
+  private val SimHashChunkMask = (1L << SimHashChunkBits) - 1
+
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimHashChunks, "pigeonhole needs maxHamming < chunk count")
     val sig = simhashSignatures(spark, dir)
     val chunks = sig.select(
       col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until SimHashChunks).map(i =>
         struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL)).as("ck"))): _*))
+          shiftrightunsigned(col("simhash"), i * SimHashChunkBits)
+            .bitwiseAND(lit(SimHashChunkMask)).as("ck"))): _*))
         .as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
     // posting-list pairing per (chunk, ck) bucket; the signature rides in
@@ -363,7 +376,7 @@ object Dedup {
     */
   def crossCorpusFuzzyPairs(
       spark: SparkSession, dir: String,
-      plantClones: Boolean = false, threshold: Double = 0.5): DataFrame = {
+      plantClones: Boolean = false, threshold: Double = DefaultThreshold): DataFrame = {
     val sh = shinglesOf(crossDocs(spark, dir, plantClones))
     // two-step projection: one md5 per shingle (see minhashSignatures)
     val based = sh.select(col("doc_id"), graft.functions.PortableHash.xCol("s").as("x"))
@@ -417,13 +430,15 @@ object Dedup {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)""".stripMargin
 
   /** CTE text for `sig(doc_id, h0..h{n-1})` — the twin of
-    * [[minhashSignatures]] over the `sh` relation.
+    * [[minhashSignatures]] over the `sh` relation. Shared by the d4 and
+    * d9 oracle builders (their sig pipelines are identical modulo
+    * permutation count).
     */
   private def duckMinhashSigCtes(perms: Int): String = {
     val hmins = (0 until perms).map(i =>
       s"min(${graft.functions.PortableHash.duckPerm(i, "x")}) AS h$i").mkString(",\n    ")
     s"""hx AS (
-       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $duckP AS x
+       |  SELECT doc_id, ${graft.functions.PortableHash.duckMd5Prefix60("s")} % $duckP AS x
        |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
@@ -431,18 +446,21 @@ object Dedup {
        |  FROM hx GROUP BY doc_id)""".stripMargin
   }
 
+  /** UNION ALL band-key selects over `sig` — shared by d4 and d9. */
+  private def duckBandSelects(perms: Int, bandRows: Int): String =
+    (0 until perms / bandRows).map { b =>
+      val cols = (0 until bandRows).map(r => s"h${bandRows * b + r}")
+      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+
   /** DuckDB twin of [[minhashLshPairs]] (d4): same signatures, same 8×4
     * banding, same candidate set, same exact-Jaccard verification.
     */
-  def minhashLshOracleSql: String = {
-    val bandSelects = (0 until NumPerms / 4).map { b =>
-      val cols = (0 until 4).map(r => s"h${4 * b + r}")
-      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
+  def minhashLshOracleSql: String =
     s"""WITH $DuckShingleCtes,
        |${duckMinhashSigCtes(NumPerms)},
        |bands AS (
-       |  $bandSelects),
+       |  ${duckBandSelects(NumPerms, BandSize)}),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x
@@ -461,8 +479,7 @@ object Dedup {
        |FROM com
        |JOIN sizes sa ON sa.doc_id = com.a
        |JOIN sizes sb ON sb.doc_id = com.b
-       |WHERE cast(nc AS double) / (sa.n + sb.n - nc) >= 0.5""".stripMargin
-  }
+       |WHERE cast(nc AS double) / (sa.n + sb.n - nc) >= $DefaultThreshold""".stripMargin
 
   /** CTE text for `ssig(doc_id, simhash)` — the twin of
     * [[simhashSignatures]] / [[graft.functions.SimHashUtil]]: one row per
@@ -473,7 +490,7 @@ object Dedup {
     s"""stoks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |shx AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x FROM stoks),
+       |  SELECT doc_id, ${graft.functions.PortableHash.duckMd5Prefix60("tok")} AS x FROM stoks),
        |sbits AS (
        |  SELECT doc_id, i,
        |    sum(CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
@@ -518,12 +535,6 @@ object Dedup {
     * shingles, same affine MinHash, same bands, same verification.
     */
   def crossCorpusOracleSql: String = {
-    val hmins = (0 until CrossPerms).map(i =>
-      s"min((${crossA(i)} * x + ${crossB(i)}) % $CrossP) AS h$i").mkString(",\n    ")
-    val bandSelects = (0 until CrossPerms / CrossBandRows).map { b =>
-      val cols = (0 until CrossBandRows).map(r => s"h${CrossBandRows * b + r}")
-      s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
     s"""WITH docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -535,16 +546,9 @@ object Dedup {
        |sh AS (
        |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
-       |hx AS (
-       |  SELECT doc_id, s,
-       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $CrossP AS x
-       |  FROM sh),
-       |sig AS (
-       |  SELECT doc_id,
-       |    $hmins
-       |  FROM hx GROUP BY doc_id),
+       |${duckMinhashSigCtes(CrossPerms)},
        |bands AS (
-       |  $bandSelects),
+       |  ${duckBandSelects(CrossPerms, CrossBandRows)}),
        |cand AS (
        |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
        |  FROM bands e
@@ -564,6 +568,6 @@ object Dedup {
        |FROM com
        |JOIN sizes se ON se.doc_id = com.eval_id
        |JOIN sizes st ON st.doc_id = com.train_id
-       |WHERE cast(nc AS double) / (se.n + st.n - nc) >= 0.5""".stripMargin
+       |WHERE cast(nc AS double) / (se.n + st.n - nc) >= $DefaultThreshold""".stripMargin
   }
 }

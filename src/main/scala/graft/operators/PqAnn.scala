@@ -26,6 +26,12 @@ import graft.sources.Fixtures.table
   * All subspace distances are 6 dp scaled integers with code-index
   * tie-breaks (the [[IvfAnn]] discipline), so encoding and ADC ranking
   * replay exactly in DuckDB from inlined codebook literals.
+  *
+  * Bench note: at sf ≤ 0.1 the wall time of the PQ queries is dominated
+  * by whole-stage-codegen COMPILATION of the M·Ks-literal expression
+  * trees (a fixed per-query cost), not by data — the per-row work is 128
+  * 8-float dot products at encode and M lookups at query, which is the
+  * part that scales.
   */
 object PqAnn {
 

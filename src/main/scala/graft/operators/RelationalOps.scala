@@ -615,8 +615,13 @@ object RelationalOps {
     *      different orientation key.
     *   3. PARTICIPATION: explode the 3 corners, count per part.
     */
+  /** Default co-occurrence support for [[partTriangles]], interpolated
+    * into the g7 oracle so the two derivations can't desync.
+    */
+  val TriangleSupport = 2L
+
   def partTriangles(
-      spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+      spark: SparkSession, dir: String, minSupport: Long = TriangleSupport): DataFrame = {
     val lp = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val edges = lp.groupBy(col("l_orderkey"))
@@ -636,6 +641,11 @@ object RelationalOps {
       .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n_triangles"))
+      // materialize before dropping the cache: edges feeds three join
+      // branches, and leaving it pinned for the driver's lifetime leaks
+      // executor storage (same discipline as duplicateClusters)
+      .localCheckpoint()
+    edges.unpersist()
     out
   }
 

@@ -75,7 +75,7 @@ object Sketches {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH hx0 AS (
        |  SELECT user_id,
-       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % $p AS x
+       |    ${PortableHash.duckMd5Prefix60("user_id::VARCHAR")} % $p AS x
        |  FROM events),
        |hx AS (SELECT DISTINCT user_id, x FROM hx0),
        |ev_buckets AS (

@@ -214,6 +214,11 @@ object TextAnalysis {
         md5(concat_ws(",", transform(col("fp"), x => x.cast("string")))
           .cast("binary")).as("fp_hash"))
 
+  // defaults shared with the t6 oracle generator below — interpolated so
+  // tuning either side can't silently desync the other
+  val DefaultMinOverlap = 0.8
+  val DefaultWinnowDocFreq = 256
+
   /** Winnowing-based near-dup candidates: invert the fingerprint index and
     * keep pairs sharing a high FRACTION of the smaller fingerprint set —
     * same inverted-index shape as the shingle pipeline, over the compressed
@@ -224,8 +229,8 @@ object TextAnalysis {
     */
   def winnowCandidates(
       spark: SparkSession, dir: String,
-      minOverlap: Double = 0.8,
-      maxDocFreq: Int = 256): DataFrame = {
+      minOverlap: Double = DefaultMinOverlap,
+      maxDocFreq: Int = DefaultWinnowDocFreq): DataFrame = {
     val raw = table(spark, dir, "documents")
       .select(
         col("doc_id"),
@@ -315,7 +320,7 @@ object TextAnalysis {
   def winnowCandidatesOracleSql: String =
     s"""WITH $duckWinnowCtes,
        |fpd AS (SELECT DISTINCT doc_id, h FROM fp),
-       |okh AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 256),
+       |okh AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= $DefaultWinnowDocFreq),
        |fps AS (SELECT fpd.doc_id, fpd.h FROM fpd JOIN okh USING (h)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
        |prs AS (
@@ -328,5 +333,5 @@ object TextAnalysis {
        |FROM prs
        |JOIN sizes sa ON sa.doc_id = prs.a
        |JOIN sizes sb ON sb.doc_id = prs.b
-       |WHERE cast(shared AS double) / least(sa.n, sb.n) >= 0.8""".stripMargin
+       |WHERE cast(shared AS double) / least(sa.n, sb.n) >= $DefaultMinOverlap""".stripMargin
 }

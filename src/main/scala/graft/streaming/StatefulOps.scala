@@ -257,10 +257,27 @@ object StreamingDedup {
     * permutations. `dup_of` is the earliest matching doc in the bucket.
     * Downstream suppression = anti-join arrivals against distinct
     * doc_ids of this stream (per micro-batch, e.g. in foreachBatch).
+    *
+    * State is bounded on BOTH axes: [[MaxBucketDocs]] caps one bucket,
+    * and `stateTtl` (default 30 min) expires idle buckets via a
+    * processing-time timeout — a bucket nothing has hashed into for that
+    * long is dropped, the same role the watermark plays for
+    * [[StatefulOps.dedupedWithinWatermark]]. Without the TTL the key
+    * SPACE (every band bucket ever seen) grows linearly with a
+    * mostly-unique stream; pass `None` only for bounded backfills — or
+    * tests, where it ALSO matters that `processAllAvailable` never goes
+    * idle under pending processing-time timers (the engine keeps
+    * scheduling timeout-check batches by design).
     */
   def nearDupHits(
-      docs: Dataset[StreamDoc], threshold: Double = 0.5): Dataset[NearDupHit] = {
+      docs: Dataset[StreamDoc], threshold: Double = 0.5,
+      stateTtl: Option[java.time.Duration] = Some(java.time.Duration.ofMinutes(30)))
+      : Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
+    val ttlMs = stateTtl.map(_.toMillis)
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val arrivals = signed(docs).flatMap { case (id, sig) =>
       (0 until NumPerms / BandSize).map { b =>
         val key = (0 until BandSize).map(r => sig(b * BandSize + r)).mkString(",")
@@ -270,27 +287,33 @@ object StreamingDedup {
     arrivals
       .groupByKey(a => (a.band, a.bkey))
       .flatMapGroupsWithState[BucketState, NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: (Int, String), batch: Iterator[BandArrival], state: GroupState[BucketState]) =>
-          var seen = state.getOption.getOrElse(BucketState(Nil)).docs
-          val out = List.newBuilder[NearDupHit]
-          // doc_id order makes replay deterministic however the source
-          // chunks a backlog into batches
-          batch.toSeq.sortBy(_.doc_id).foreach { a =>
-            val hit = seen.reverseIterator // earliest first (list is LIFO)
-              .map { case (sid, ssig) =>
-                val agree = ssig.iterator.zip(a.sig.iterator).count { case (x, y) => x == y }
-                (sid, agree.toDouble / NumPerms)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(BucketState(Nil)).docs
+            val out = List.newBuilder[NearDupHit]
+            // doc_id order makes replay deterministic however the source
+            // chunks a backlog into batches
+            batch.toSeq.sortBy(_.doc_id).foreach { a =>
+              val hit = seen.reverseIterator // earliest first (list is LIFO)
+                .map { case (sid, ssig) =>
+                  val agree = ssig.iterator.zip(a.sig.iterator).count { case (x, y) => x == y }
+                  (sid, agree.toDouble / NumPerms)
+                }
+                .find(_._2 >= threshold)
+              hit.foreach { case (sid, est) =>
+                out += NearDupHit(a.doc_id, sid, a.band,
+                  math.floor(est * 10000.0 + 0.5).toLong)
               }
-              .find(_._2 >= threshold)
-            hit.foreach { case (sid, est) =>
-              out += NearDupHit(a.doc_id, sid, a.band,
-                math.floor(est * 10000.0 + 0.5).toLong)
+              if (seen.size < MaxBucketDocs) seen = (a.doc_id, a.sig) :: seen
             }
-            if (seen.size < MaxBucketDocs) seen = (a.doc_id, a.sig) :: seen
+            state.update(BucketState(seen))
+            ttlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketState(seen))
-          out.result().iterator
       }
   }
 }

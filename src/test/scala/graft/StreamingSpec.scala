@@ -452,7 +452,10 @@ class StreamingSpec extends SparkSuite {
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
-    val hits = StreamingDedup.nearDupHits(mem.toDS())
+    // stateTtl = None: with processing-time timers pending, the engine
+    // keeps scheduling timeout-check batches and processAllAvailable
+    // never goes idle — the TTL path is for real triggers, not tests
+    val hits = StreamingDedup.nearDupHits(mem.toDS(), stateTtl = None)
     val q = hits.writeStream.format("memory").queryName("neardup_hits")
       .outputMode("append").start()
     try {

@@ -87,6 +87,28 @@ object DataLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` Hilbert-ordered on `(ca, cb)`: same quantile bucketing as
+    * [[writeZOrdered]], but the bucket pair maps through the Hilbert
+    * curve ([[graft.functions.Hilbert]]) instead of the Morton code.
+    * Consecutive Hilbert cells are always grid-adjacent, so a file's
+    * index interval covers a more compact (ca, cb) region than the same
+    * interval of the Z curve, which jumps at power-of-two seams —
+    * tighter per-file min/max bounds, better pruning on both axes.
+    */
+  def writeHilbertOrdered(
+      df: DataFrame, ca: Column, cb: Column, numFiles: Int, path: String): Unit = {
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val Array(ba, bb) = df
+      .select(ca.cast("double").as("_qa"), cb.cast("double").as("_qb"))
+      .stat.approxQuantile(Array("_qa", "_qb"), probs, 0.01)
+    df.withColumn("_h",
+        graft.functions.Hilbert.hilbert16(quantileBucket(ca, ba), quantileBucket(cb, bb)))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Rewrite `inPath` with at most `targetRecordsPerFile` rows per file:
     * a sizing count, then a NARROW coalesce write — no shuffle, each
     * write task merges whole input files. Coalesced tasks can be uneven

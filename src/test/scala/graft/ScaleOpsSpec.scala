@@ -215,6 +215,46 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("hilbert layout prunes on both axes; curve is adjacent and bijective") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // defining locality property the Z curve lacks: EVERY consecutive
+    // index pair is one grid step apart; and the walk is a bijection
+    val cells = new Array[(Long, Long)](65536)
+    (0 until 256).foreach(i => (0 until 256).foreach { j =>
+      val d = graft.functions.HilbertUtil.xy2d(i.toLong, j.toLong)
+      assert(d >= 0 && d < 65536, s"d=$d out of range")
+      assert(cells(d.toInt) == null, s"collision at d=$d")
+      cells(d.toInt) = (i.toLong, j.toLong)
+    })
+    (1 until 65536).foreach { k =>
+      val (ax, ay) = cells(k - 1); val (bx, by) = cells(k)
+      assert(math.abs(ax - bx) + math.abs(ay - by) === 1,
+        s"d=$k not grid-adjacent: ($ax,$ay)->($bx,$by)")
+    }
+
+    // layout: both axes prune, same contract as the z-order test
+    val base = java.nio.file.Files.createTempDirectory("hilbert").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val total = src.count()
+    DataLayout.writeHilbertOrdered(src, col("l_partkey"), col("l_suppkey"), 64, s"$base/h")
+    assert(spark.read.parquet(s"$base/h").count() === total)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+        val q = spark.read.parquet(path).filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val maxPart = src.agg(org.apache.spark.sql.functions.max("l_partkey"))
+        .head().getLong(0)
+      assert(scanRows(s"$base/h", col("l_partkey") <= maxPart / 8) < total / 2)
+      assert(scanRows(s"$base/h", col("l_suppkey") === 1L) < total / 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("compaction rewrites small files into bounded-size files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -153,6 +153,18 @@ object SparkEntry {
       RelationalOps.partTriangles(s, d)),
     // nested IN-subquery chain with a grouped HAVING gate (Q20 shape)
     "q20_bulk_part_suppliers" -> RelationalOps.bulkPartSuppliers _,
+    // EXISTS with a non-equi predicate riding the semi-join key (Q4 shape)
+    "q4_order_priority_count" -> RelationalOps.orderPriorityCount _,
+    // all-pushable scan filters + 1-row aggregate (Q6 shape)
+    "q6_forecast_revenue" -> RelationalOps.forecastRevenue _,
+    // bidirectional nation-pair volume by year (Q7 shape)
+    "q7_volume_shipping" -> RelationalOps.volumeShipping _,
+    // nation × year profit over a part-name pattern (Q9 shape, no partsupp)
+    "q9_product_type_profit" -> RelationalOps.productTypeProfit _,
+    // HAVING vs a global-scalar threshold in exact integers (Q11 shape)
+    "q11_important_parts" -> RelationalOps.importantParts _,
+    // conditional split counts over a join (Q12 shape)
+    "q12_priority_shipping" -> RelationalOps.priorityShipping _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -854,6 +866,81 @@ object SparkEntry {
          |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
          |  GROUP BY l_suppkey, l_partkey
          |  HAVING sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) > ${RelationalOps.BulkQtyE2})""".stripMargin,
+    "q4_order_priority_count" ->
+      """SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+        |  AND o_orderdate < timestamp '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  cast(sum(cast(floor(l_extendedprice * l_discount * 10000.0 + 0.5) AS bigint)) AS bigint)
+        |    AS revenue_e4,
+        |  cast(count(*) AS bigint) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1997-01-01 00:00:00'
+        |  AND l_quantity < 24
+        |  AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
+    "q7_volume_shipping" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT supp_nation, cust_nation,
+        |  cast(year(l_shipdate) AS int) AS l_year,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint)
+        |    AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |JOIN cn ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |  AND l_shipdate >= timestamp '1996-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q9_product_type_profit" ->
+      """SELECT n_name AS nation, cast(year(o_orderdate) AS int) AS o_year,
+        |  cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint)
+        |    AS profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS bigint)) AS bigint)
+        |      AS value_e4
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value_e4 FROM v
+        |WHERE value_e4 * 1000 > (SELECT sum(value_e4) FROM v)""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS bigint) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
     "g7_part_triangles" ->
       s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (

@@ -725,4 +725,130 @@ object RelationalOps {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("numcust"), sum(col("bal_e2")).as("totacctbal_e2"))
   }
+
+  /** TPC-H Q4-shape order-priority count: orders in one quarter that had
+    * at least one LATE line — shipped more than 90 days after the order
+    * date (the corpus has no commit/receipt dates, so lateness vs
+    * o_orderdate stands in for Q4's l_commitdate < l_receiptdate). EXISTS
+    * = left-semi join; the non-equi lateness predicate rides the equi
+    * orderkey, so at scale this is one shuffle with the quarter filter
+    * pushed to the orders scan and lineitem pruned to two columns.
+    */
+  def orderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= tsNtz("1996-07-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1996-10-01 00:00:00"))
+    val l = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q6 forecast revenue: scan + filter + one-row aggregate. Every
+    * predicate is scan-pushable (shipdate window, quantity bound, the
+    * discount band compares raw stored doubles — both engines parse the
+    * same literals to the same IEEE values), so at scale only row groups
+    * overlapping the window are read. Revenue sums at exact e4 integers.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1997-01-01 00:00:00") &&
+        col("l_quantity") < 24 &&
+        col("l_discount").between(0.05, 0.07))
+      .agg(
+        Exact.sumE(col("l_extendedprice") * col("l_discount"), 4).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7-shape volume shipping: revenue flowing between two nations
+    * in both directions, by ship year. Supplier/customer sides are
+    * pre-filtered to the two nations and broadcast, so the joins ARE the
+    * nation filters; the only big shuffle is lineitem↔orders on orderkey.
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = table(spark, dir, "nation").filter(col("n_name").isin(pair: _*))
+    val sn = table(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = table(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1998-01-01 00:00:00"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue_e4"))
+  }
+
+  /** TPC-H Q9-shape product profit: supplier-nation × order-year revenue
+    * over parts matching a name pattern (the corpus has no partsupp /
+    * supplycost, so profit = discounted revenue). The filtered part list
+    * and the supplier→nation map broadcast; lineitem↔orders is the one
+    * big shuffle, already pruned by the broadcast part semi-filter.
+    */
+  def productTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+      .filter(col("p_name").like("%widget%")).select(col("p_partkey"))
+    val sn = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    table(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("profit_e4"))
+  }
+
+  /** TPC-H Q11-shape important parts: per-part revenue from one nation's
+    * suppliers, kept when above 0.1% of that nation's total. The global
+    * total is a 1-row aggregate riding a broadcast cross join, and the
+    * threshold is exact integer cross-multiplication
+    * (value_e4 · 1000 > total_e4) — never a float fraction.
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val sn = table(spark, dir, "supplier")
+      .join(broadcast(table(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select(col("s_suppkey"))
+    val value = table(spark, dir, "lineitem")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("value_e4"))
+    val total = value.agg(sum(col("value_e4")).as("total_e4"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_e4") * lit(1000L) > col("total_e4"))
+      .select(col("l_partkey"), col("value_e4"))
+  }
+
+  /** TPC-H Q12-shape shipping buckets: lineitem↔orders join grouped by
+    * l_returnflag (the corpus has no l_shipmode), splitting order counts
+    * into urgent/high priority vs the rest as conditional sums. One
+    * shuffle on orderkey; the ship-year filter pushes to the lineitem
+    * scan and both tables prune to two columns.
+    */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= tsNtz("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1998-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
 }

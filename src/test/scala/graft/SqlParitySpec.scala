@@ -19,7 +19,9 @@ class SqlParitySpec extends SparkSuite {
     "q8_market_share", "q16_supplier_counts", "q19_disjunctive_revenue",
     "q2_min_cost_supplier", "q13_order_count_distribution",
     "q22_dormant_balances", "q15_top_revenue_supplier",
-    "q20_bulk_part_suppliers")
+    "q20_bulk_part_suppliers",
+    "q4_order_priority_count", "q6_forecast_revenue", "q7_volume_shipping",
+    "q9_product_type_profit", "q11_important_parts", "q12_priority_shipping")
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted.toSeq

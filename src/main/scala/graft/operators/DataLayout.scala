@@ -109,6 +109,39 @@ object DataLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` as a BUCKETED table: rows are hash-partitioned into
+    * `numBuckets` files by `key` and sorted within each, and the bucket
+    * spec lands in the catalog. A later equi-join or aggregation on the
+    * bucket key then needs NO shuffle at all — the scan's output
+    * partitioning already satisfies the join's required distribution, so
+    * two tables bucketed the same way join with zero exchanges. At
+    * 100 TB this converts the single most expensive operation in the
+    * pipeline (the fact↔fact shuffle, terabytes over the network on
+    * every run) into a write-once cost paid at ingest.
+    */
+  def writeBucketed(
+      df: DataFrame, key: String, numBuckets: Int,
+      path: String, tableName: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** Write `df` hive-partitioned by the DATE of `tsCol`: one directory
+    * per day, so any time-windowed query prunes at the DIRECTORY level
+    * before a single footer is read — the coarse complement to row-group
+    * clustering, and the standard first partition axis for an
+    * append-only fact table (each ingest day writes only its own
+    * partition, compaction and retention operate per-directory).
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: Column, path: String): Unit =
+    df.withColumn("dt", to_date(tsCol))
+      .write.mode("overwrite")
+      .partitionBy("dt")
+      .parquet(path)
+
   /** Rewrite `inPath` with at most `targetRecordsPerFile` rows per file:
     * a sizing count, then a NARROW coalesce write — no shuffle, each
     * write task merges whole input files. Coalesced tasks can be uneven

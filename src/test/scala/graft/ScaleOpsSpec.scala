@@ -255,6 +255,63 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = java.nio.file.Files.createTempDirectory("buckets").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    DataLayout.writeBucketed(li, "l_orderkey", 8, s"$base/li", "li_bucketed")
+    DataLayout.writeBucketed(ord, "o_orderkey", 8, s"$base/ord", "ord_bucketed")
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() === expected)
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed equi-join still shuffles:\n${j.queryExecution.executedPlan}")
+      // and an aggregation on the bucket key is shuffle-free too
+      val agg = spark.table("li_bucketed").groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      agg.collect()
+      assert(agg.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }.isEmpty, "bucketed groupBy still shuffles")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("date-partitioned layout prunes to one directory per day filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files.createTempDirectory("datepart").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-03-01").cast("timestamp_ntz"))
+    DataLayout.writeDatePartitioned(src, col("l_shipdate"), s"$base/d")
+    val all = spark.read.parquet(s"$base/d")
+    val days = all.select("dt").distinct().count()
+    assert(days > 10, s"expected many day partitions, got $days")
+    val q = all.filter(col("dt") === lit("1996-02-01").cast("date"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    // directory-level pruning: the scan plans only the one day's files
+    assert(scan.metrics("numFiles").value === 1,
+      s"expected 1 pruned file, scanned ${scan.metrics("numFiles").value}")
+    assert(scan.partitionFilters.nonEmpty, "dt predicate did not become a partition filter")
+  }
+
   test("compaction rewrites small files into bounded-size files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.read.parquet(s"$sf0001/lineitem.parquet")

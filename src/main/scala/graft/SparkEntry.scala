@@ -165,6 +165,8 @@ object SparkEntry {
     "q11_important_parts" -> RelationalOps.importantParts _,
     // conditional split counts over a join (Q12 shape)
     "q12_priority_shipping" -> RelationalOps.priorityShipping _,
+    // MERGE INTO (update/insert/delete branches) as one full-outer join
+    "u1_customer_upsert" -> graft.operators.MergeOps.customerUpsert _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -941,6 +943,37 @@ object SparkEntry {
         |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
         |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin,
+    "u1_customer_upsert" ->
+      s"""WITH cust AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    cast(floor(c_acctbal * 100.0 + 0.5) AS bigint) AS bal_e2
+        |  FROM customer),
+        |recent AS (
+        |  SELECT o_custkey,
+        |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS bigint) AS delta_e2
+        |  FROM orders
+        |  WHERE o_orderdate >= timestamp '${graft.operators.MergeOps.UpsertCutoff} 00:00:00'
+        |  GROUP BY o_custkey),
+        |src AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    bal_e2 + delta_e2 AS bal_e2, false AS is_delete
+        |  FROM cust JOIN recent ON c_custkey = o_custkey
+        |  WHERE c_custkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, bal_e2, true
+        |  FROM cust WHERE c_custkey % 89 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW_' || c_name, c_nationkey, c_mktsegment,
+        |    0, false
+        |  FROM cust WHERE c_custkey % 97 = 0)
+        |SELECT
+        |  coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+        |  cast(CASE WHEN s.c_custkey IS NOT NULL THEN s.bal_e2 ELSE t.bal_e2 END AS bigint) AS bal_e2
+        |FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |WHERE NOT coalesce(s.is_delete, false)""".stripMargin,
     "g7_part_triangles" ->
       s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataLayout, Dedup, SkewOps}
+import graft.operators.{DataLayout, Dedup, MergeOps, SkewOps}
 import graft.sources.Fixtures.table
 
 /** Scale tools: salted aggregation, shingle doc-frequency cap, and
@@ -310,6 +310,24 @@ class ScaleOpsSpec extends SparkSuite {
     assert(scan.metrics("numFiles").value === 1,
       s"expected 1 pruned file, scanned ${scan.metrics("numFiles").value}")
     assert(scan.partitionFilters.nonEmpty, "dt predicate did not become a partition filter")
+  }
+
+  test("upsert applies update, insert, delete, and leaves the rest") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "v")
+    val source = Seq(
+      (2L, "b2", 99L, false), // matched update
+      (3L, "c", 30L, true),   // matched delete
+      (4L, "d", 40L, false))  // not-matched insert
+      .toDF("id", "name", "v", "is_delete")
+    val out = MergeOps.upsert(target, source, Seq("id"), Some("is_delete"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "a", 10L), (2L, "b2", 99L), (4L, "d", 40L)))
+    // no delete column: pure upsert
+    val out2 = MergeOps.upsert(target, source.drop("is_delete"), Seq("id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out2 === Set((1L, "a", 10L), (2L, "b2", 99L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
   test("compaction rewrites small files into bounded-size files") {

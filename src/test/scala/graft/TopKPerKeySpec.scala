@@ -95,6 +95,30 @@ class TopKPerKeySpec extends SparkSuite {
         analyzed)
       val out = org.apache.spark.sql.graftshim.Bridge.ofRows(s2, node)
       assert(out.count() === 6) // 3 keys × top 2
+
+      // injected SQL functions: pure-SQL results must bit-match the
+      // Column-API expression path
+      val viaSql = s2.sql(
+        """SELECT graft_simhash64(array('a', 'b', 'c')) AS sh,
+          |  graft_winnow('the quick brown fox jumps over the lazy dog') AS wn,
+          |  graft_dot_f(cast(array(1.0, 2.0) AS array<float>),
+          |              cast(array(3.0, 4.0) AS array<float>)) AS dp,
+          |  graft_l2norm_f(cast(array(3.0, 4.0) AS array<float>)) AS nm,
+          |  graft_hilbert16(7, 200) AS hb""".stripMargin).head()
+      assert(viaSql.getLong(0) ===
+        graft.functions.SimHashUtil.compute(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            Array("a", "b", "c").map(
+              org.apache.spark.unsafe.types.UTF8String.fromString))))
+      assert(viaSql.getSeq[Long](1) ===
+        graft.functions.WinnowingUtil.fingerprint(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            "the quick brown fox jumps over the lazy dog"),
+          graft.functions.Winnowing.K, graft.functions.Winnowing.W)
+          .toLongArray().toSeq)
+      assert(viaSql.getDouble(2) === 11.0)
+      assert(viaSql.getDouble(3) === 5.0)
+      assert(viaSql.getLong(4) === graft.functions.HilbertUtil.xy2d(7L, 200L))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)

@@ -237,6 +237,9 @@ object SparkEntry {
     "v10_pq_topk" -> graft.operators.PqAnn.pqTopK _,
     // the production composition: IVF probe lists, then PQ ADC ranking
     "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopK _,
+    // recall@10 of the IVF probe path vs the brute-force ground truth
+    "v12_ivf_recall" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.ivfRecall(s, d)),
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1267,29 +1270,7 @@ object SparkEntry {
         |  cast(floor(sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))) * 10000.0 + 0.5) AS bigint) AS l2_norm_e4
         |FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
         |GROUP BY e.vec_id, e.label""".stripMargin,
-    "v2_brute_force_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        |p AS (
-        |  SELECT q.qid, e.vec_id,
-        |    sum(cast(q.qe[i] AS double) * cast(e.embedding[i] AS double)) AS dot,
-        |    sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))) AS nv,
-        |    sqrt(sum(cast(q.qe[i] AS double) * cast(q.qe[i] AS double))) AS nq
-        |  FROM q, embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
-        |  GROUP BY q.qid, e.vec_id),
-        |scored AS (
-        |  SELECT qid, vec_id,
-        |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
-        |  FROM p)
-        |SELECT qid, vec_id,
-        |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
-        |  cast(rn AS int) AS rn
-        |FROM (
-        |  SELECT qid, vec_id, cos,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= 10""".stripMargin,
+    "v2_brute_force_topk" -> Similarity.bruteForceTopKOracleSql,
     // deterministic hyperplane literals inlined into the oracles
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,
@@ -1313,7 +1294,8 @@ object SparkEntry {
         "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
         "v9_pq_codes" -> graft.operators.PqAnn.pqCodesOracleSql(s, d),
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
-        "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d))
+        "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),
+        "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d))
       case _ => Map.empty
     }
 

@@ -206,6 +206,48 @@ object IvfAnn {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Recall@k of [[ivfTopK]] against the exact
+    * [[Similarity.bruteForceTopK]] ground truth — the engine evaluating
+    * its own approximation, as a first-class query: per qid, how many of
+    * the true top-k the probe path recovered. Both inputs use identical
+    * rank keys and tie-breaks, so the intersection is deterministic.
+    * Scale shape: the ground-truth side is the expensive one (it is the
+    * brute-force scan), which is exactly how recall evaluation runs in
+    * production — on a small query sample, not the full corpus. Every
+    * qid survives the semi join: rank 1 is the query itself under both
+    * paths (cosine 1.0, and the query's own centroid is always probed).
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = ivfTopK(spark, dir)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("n_hits"), (col("n_hits") * 1000L).as("recall_e4"))
+  }
+
+  /** DuckDB oracle for [[ivfRecall]]: the exact and IVF top-k statements
+    * nest as CTEs (both engines support nested WITH), then one semi-join
+    * count per qid.
+    */
+  def ivfRecallOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH exact_tk AS (
+       |${Similarity.bruteForceTopKOracleSql}
+       |),
+       |approx_tk AS (
+       |${ivfTopKOracleSql(spark, dir)}
+       |)
+       |SELECT e.qid,
+       |  cast(count(*) AS bigint) AS n_hits,
+       |  cast(count(*) * 1000 AS bigint) AS recall_e4
+       |FROM exact_tk e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM approx_tk a
+       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |GROUP BY e.qid""".stripMargin
+
   /** Centroids as a DuckDB VALUES clause: (c, |c|² as an exact double
     * string, vec FLOAT[]). Float/double `toString` round-trips, so both
     * engines see bit-identical constants.

@@ -94,6 +94,33 @@ object Similarity {
       s"($j, [${p.map(_.toString).mkString(", ")}]::FLOAT[])"
     }.mkString(",\n    ")
 
+  /** DuckDB oracle for [[bruteForceTopK]] — also the ground-truth CTE the
+    * recall evaluation ([[IvfAnn.ivfRecall]]) nests.
+    */
+  val bruteForceTopKOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      |p AS (
+      |  SELECT q.qid, e.vec_id,
+      |    sum(cast(q.qe[i] AS double) * cast(e.embedding[i] AS double)) AS dot,
+      |    sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))) AS nv,
+      |    sqrt(sum(cast(q.qe[i] AS double) * cast(q.qe[i] AS double))) AS nq
+      |  FROM q, embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
+      |  GROUP BY q.qid, e.vec_id),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
+      |  FROM p)
+      |SELECT qid, vec_id,
+      |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+      |  cast(rn AS int) AS rn
+      |FROM (
+      |  SELECT qid, vec_id, cos,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= 10""".stripMargin
+
   /** DuckDB oracle for [[lshBuckets]]: the plane constants are
     * deterministic literals, so the oracle inlines them as FLOAT[] values
     * and replays the same index-ordered double dot products.

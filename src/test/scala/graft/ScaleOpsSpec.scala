@@ -312,6 +312,60 @@ class ScaleOpsSpec extends SparkSuite {
     assert(scan.partitionFilters.nonEmpty, "dt predicate did not become a partition filter")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key (~half the rows) — the skew-join regime salting guards
+    // against in SkewOps; here we prove the ENGINE-side remedy fires:
+    // AQE rewrites the sort-merge join to read the oversized partition as
+    // multiple tasks (skew=true in the final adaptive plan).
+    val left = spark.range(0, 200000)
+      .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+    val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 10).as("w"))
+    val saved = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prior = saved.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = left.join(right, "k")
+      // materialize THIS plan (count() would spawn a separate execution
+      // and leave this one un-finalized)
+      assert(j.collect().length === 200000)
+      assert(j.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE did not mark the hot partition as skewed")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("object-hash aggregation falls back to sort-based and stays exact") {
+    // collect_list/collect_set states can't spill from the hash map; the
+    // engine's guard is the sort-based fallback. Force it after 2 keys
+    // and assert bit-identical results — the 100 TB safety property is
+    // that memory pressure degrades to sorting, never to wrong answers.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    def digest(): Seq[(Long, String)] = {
+      val df = table(spark, sf0001, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+      import spark.implicits._
+      df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val normal = digest()
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      assert(digest() === normal)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("upsert applies update, insert, delete, and leaves the rest") {
     import spark.implicits._
     val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))

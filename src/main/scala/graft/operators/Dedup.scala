@@ -244,7 +244,9 @@ object Dedup {
     // is ONE join + aggregate referencing the label table once — the
     // least(own, neighbors) outer-join form references it twice and the
     // unrolled plan would double per round (2^k subtrees). Duplicate
-    // edges are harmless under min.
+    // edges are harmless under min. (Caching this union instead of the
+    // pairs leaf was measured SLOWER — the InMemoryRelation breaks the
+    // codegen span above every round's scan.)
     val eSelf = pairs
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .unionAll(pairs.select(col("a"), col("a").as("b")))
@@ -272,15 +274,21 @@ object Dedup {
     val r1 = eSelf.groupBy(col("a").as("id")).agg(min(col("b")).as("lbl"))
     val prev = (2 until unrolledRounds).foldLeft(r1)((l, _) => round(l))
       .select(col("id"), col("lbl").as("plbl"))
-    var mat = step(prev).localCheckpoint()
+    // cache (not localCheckpoint): the fill and the convergence count are
+    // then ONE job — count(changed) both materializes the round and reads
+    // the flag — and the lineage stays recomputable after unpersist. On a
+    // real cluster with MANY fallback rounds prefer reliable checkpoint()
+    // to bound lineage growth; the unrolled fast path never grows it.
+    var mat = step(prev).cache()
     var changed = mat.filter(col("changed")).count()
     // Rare fallback (diameter > unrolledRounds): resume the loop from the
-    // materialized labels. On a real cluster prefer reliable checkpoint()
-    // here — localCheckpoint blocks die with a lost executor.
+    // materialized labels.
     var iter = 0
     while (changed > 0 && iter < 20) {
-      mat = step(mat.select(col("id"), col("nxt").as("plbl"))).localCheckpoint()
-      changed = mat.filter(col("changed")).count()
+      val next = step(mat.select(col("id"), col("nxt").as("plbl"))).cache()
+      changed = next.filter(col("changed")).count()
+      mat.unpersist()
+      mat = next
       iter += 1
     }
     pairs.unpersist()

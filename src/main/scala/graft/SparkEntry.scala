@@ -132,6 +132,8 @@ object SparkEntry {
     "w6_moving_hourly_value" -> RelationalOps.movingHourlyValue _,
     // GROUPING SETS (the general form; g2 ROLLUP / g4 CUBE are the fixed ones)
     "g6_event_grouping_sets" -> RelationalOps.eventGroupingSets _,
+    // hierarchical ROLLUP (region → nation → total), the k+1-set CUBE subset
+    "g8_region_rollup" -> RelationalOps.customerRegionRollup _,
     // gaps-and-islands: longest consecutive-day streak per user
     "w7_longest_daily_streak" -> RelationalOps.longestDailyStreak _,
     // deep 6-table join, all dims broadcast (TPC-H Q8 shape)
@@ -218,6 +220,13 @@ object SparkEntry {
     // portable-hash variant, fully oracle-replayable unlike d4
     "d9_crosscorpus_fuzzy_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.crossCorpusFuzzyPairs(s, d, plantClones = true)),
+    // segment-level exact-substring dedup + asymmetric containment —
+    // plantCopies seeds deterministic PARTIAL copies (first 24 tokens of
+    // the first 10 docs), the duplication shape symmetric Jaccard misses
+    "d10_segment_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.duplicatedSegments(s, d, plantCopies = true)),
+    "d11_containment_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d, plantCopies = true)),
   )
 
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +249,10 @@ object SparkEntry {
     // recall@10 of the IVF probe path vs the brute-force ground truth
     "v12_ivf_recall" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfRecall(s, d)),
+    // SemDeDup: cluster on the IVF centroids, drop within-cluster
+    // cosine-dups; plantClones seeds the v5 near-dup clones (graded path)
+    "v13_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.semanticDedup(s, d, plantClones = true)),
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1005,6 +1018,15 @@ object SparkEntry {
         |    cast(floor(value * 100.0 + 0.5) AS bigint) AS v_e2
         |  FROM events)
         |GROUP BY GROUPING SETS ((event_type, day), (event_type), ())""".stripMargin,
+    "g8_region_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_g,
+        |  coalesce(n_name, 'ALL') AS nation_g,
+        |  cast(count(*) AS bigint) AS n_cust,
+        |  cast(sum(cast(floor(c_acctbal * 100.0 + 0.5) AS bigint)) AS bigint) AS acctbal_e2
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     // the anchor date only recenters the island key; any constant works
     "w7_longest_daily_streak" ->
       """WITH days AS (
@@ -1262,6 +1284,8 @@ object SparkEntry {
     "d5_simhash_signatures" -> Dedup.simhashSignaturesOracleSql,
     "d6_simhash_pairs" -> Dedup.simhashPairsOracleSql,
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
+    "d10_segment_dedup" -> Dedup.duplicatedSegmentsOracleSql,
+    "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,
   )
 
   def similarityOracle: Map[String, String] = Map(
@@ -1295,7 +1319,8 @@ object SparkEntry {
         "v9_pq_codes" -> graft.operators.PqAnn.pqCodesOracleSql(s, d),
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
         "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),
-        "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d))
+        "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d),
+        "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d))
       case _ => Map.empty
     }
 

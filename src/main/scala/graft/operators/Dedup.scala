@@ -103,20 +103,6 @@ object Dedup {
       |  transform(slice(docs, i + 2, size(docs) - i - 1),
       |            y -> struct(x AS a, y AS b))))""".stripMargin
 
-  /** Inverted index grouped to posting lists: one row per shingle with the
-    * sorted doc list, lists longer than `maxDocFreq` dropped. This is both
-    * the skew guard (a hot shingle is O(df²) candidate pairs carrying no
-    * dedup signal — the cap is what keeps 100 TB runs from quadratic
-    * blow-up on stop-grams) and the pair-generation source: candidates are
-    * emitted map-side from each list, one shuffle on the shingle instead of
-    * a self-join's two plus a separate doc-frequency pre-pass.
-    */
-  private def shinglePostings(spark: SparkSession, dir: String, maxDocFreq: Int): DataFrame =
-    shingles(spark, dir)
-      .groupBy(col("s"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= maxDocFreq)
-
   /** N-gram Jaccard near-duplicate pairs via shingle inverted index:
     * emit candidate pairs per posting list, count common, compute
     * |A∩B|/|A∪B|. Only pairs sharing ≥1 surviving shingle are ever
@@ -126,19 +112,37 @@ object Dedup {
       spark: SparkSession, dir: String,
       threshold: Double = DefaultThreshold,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val postings = shinglePostings(spark, dir, maxDocFreq).cache()
+    val stats = pairStats(shingles(spark, dir), maxDocFreq)
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common")).cast("double")
+    stats
+      .filter(jac >= threshold)
+      .select(col("a"), col("b"), Exact.e(jac, 4).as("jaccard_e4"))
+  }
+
+  /** Candidate pairs with overlap statistics from any (doc_id, s) shingle
+    * frame: (a, b, common, na, nb) where `common` = shared surviving
+    * shingles and na/nb = each side's surviving-shingle count. The shared
+    * engine under Jaccard ([[ngramJaccardPairs]]) and containment
+    * ([[containmentPairs]]) scoring — posting-list pair emission, one
+    * shuffle on the shingle, doc-frequency cap as the skew guard.
+    */
+  private[operators] def pairStats(sh: DataFrame, maxDocFreq: Int): DataFrame = {
+    val postings = sh
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxDocFreq)
+      .cache()
     val sizes = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = postings.select(explode(expr(OrderedPairsExpr)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("common"))
-    val jac = col("common").cast("double") /
-      (col("sa.n") + col("sb.n") - col("common")).cast("double")
     common
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-      .filter(jac >= threshold)
-      .select(col("a"), col("b"), Exact.e(jac, 4).as("jaccard_e4"))
+      .select(col("a"), col("b"), col("common"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
   }
 
   private[graft] val NumPerms = 32
@@ -192,7 +196,7 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    // posting-list pairing (see shinglePostings): one shuffle on the band
+    // posting-list pairing (see pairStats): one shuffle on the band
     // bucket, pairs emitted map-side from the sorted list
     val cands = buckets
       .groupBy(col("band"), col("bucket"))
@@ -578,4 +582,164 @@ object Dedup {
        |JOIN sizes st ON st.doc_id = com.train_id
        |WHERE cast(nc AS double) / (se.n + st.n - nc) >= $DefaultThreshold""".stripMargin
   }
+
+  // ---- segment-level exact-substring dedup + containment (d10, d11) ----
+
+  // Partial-copy planting constants, shared by the engine derivation and
+  // the oracle CTE below — interpolated on both sides so tuning one can't
+  // silently desync the other. Offset 2e6 keeps the planted ids disjoint
+  // from both the corpus and the d1/d2 exact-clone range (1e6).
+  private[graft] val PartialCopyCount = 10
+  private[graft] val PartialCopyOffset = 2000000L
+  private[graft] val PartialCopyTokens = 24
+
+  /** documents, optionally ∪ deterministic PARTIAL copies: the first
+    * [[PartialCopyCount]] docs re-emitted under offset ids with only their
+    * first [[PartialCopyTokens]] tokens — boilerplate/quotation-style
+    * duplication that exact dedup (different full text) and symmetric
+    * Jaccard (≈0.45 < 0.5 threshold) both miss, which is exactly what the
+    * segment and containment operators exist to catch. Planting is for
+    * the graded benchmark/oracle path ONLY, same pattern as d1/d2/v5.
+    */
+  private[graft] def maybePartialCopies(
+      spark: SparkSession, dir: String, plantCopies: Boolean): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!plantCopies) d
+    else d.unionAll(
+      d.filter(col("doc_id") < PartialCopyCount).select(
+        (col("doc_id") + lit(PartialCopyOffset)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, PartialCopyTokens)).as("text")))
+  }
+
+  /** DuckDB twin of [[maybePartialCopies]] with planting ON — the `docs`
+    * CTE body shared by the d10/d11 oracles.
+    */
+  private def partialCopyDocsCte: String =
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PartialCopyOffset AS doc_id,
+       |    array_to_string((string_split(text, ' '))[1:$PartialCopyTokens], ' ') AS text
+       |  FROM documents WHERE doc_id < $PartialCopyCount)""".stripMargin
+
+  /** Tokens per non-overlapping dedup segment (d10). */
+  val SegmentTokens = 16
+
+  /** Segment-level exact-substring dedup (the practical form of
+    * "deduplicating training data" span removal, Lee et al. 2022,
+    * arXiv 2107.06499 — simplified from suffix arrays to fixed
+    * token-aligned segments, the shape production pipelines actually
+    * shard): split every document into non-overlapping `segTokens`-token
+    * segments, find segments occurring in more than one document, and
+    * report each document's duplicated-segment fraction — the signal a
+    * pipeline thresholds to strip boilerplate spans.
+    *
+    * Scale shape: segments are emitted map-side; ONE shuffle on the
+    * segment hash computes cross-doc frequency; the join back to segments
+    * reuses the same hash partitioning (no extra exchange); final per-doc
+    * rollup is one shuffle on doc_id. Hash keys are md5 — uniform, no
+    * skew guard needed (unlike shingles, a 16-token segment has no
+    * "stop-gram" analogue).
+    *
+    * Documents shorter than one segment carry no signal and are excluded
+    * (their fraction is 0/0).
+    */
+  def duplicatedSegments(
+      spark: SparkSession, dir: String,
+      segTokens: Int = SegmentTokens,
+      plantCopies: Boolean = false): DataFrame = {
+    val segs = maybePartialCopies(spark, dir, plantCopies)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= segTokens)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, size(toks) div $segTokens - 1),
+             |  j -> concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)))""".stripMargin))
+          .as("seg"))
+      .select(col("doc_id"), md5(col("seg").cast("binary")).as("h"))
+    val docFreq = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    segs.join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .select(
+        col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        Exact.e(col("n_dup_segments").cast("double") / col("n_segments").cast("double"), 4)
+          .as("dup_frac_e4"))
+  }
+
+  /** DuckDB oracle for [[duplicatedSegments]] at the default segment size
+    * with planting ON (the graded d10 configuration).
+    */
+  def duplicatedSegmentsOracleSql: String = {
+    val k = SegmentTokens
+    s"""WITH $partialCopyDocsCte,
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+       |  WHERE len(string_split(text, ' ')) >= $k),
+       |segs AS (
+       |  SELECT doc_id, md5(array_to_string(t[(j * $k + 1):(j * $k + $k)], ' ')) AS h
+       |  FROM toks, LATERAL (SELECT unnest(range(0, len(t) // $k)) AS j) r),
+       |hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY h)
+       |SELECT s.doc_id,
+       |  cast(count(*) AS bigint) AS n_segments,
+       |  cast(sum(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_segments,
+       |  cast(floor(cast(sum(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS double)
+       |    / count(*) * 10000.0 + 0.5) AS bigint) AS dup_frac_e4
+       |FROM segs s JOIN hd USING (h)
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
+  /** Default containment threshold (d11), shared with the oracle SQL. */
+  val DefaultMinContainment = 0.9
+
+  /** Shingle CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold over the
+    * same inverted-index candidates as [[ngramJaccardPairs]]. Containment
+    * is the asymmetric dedup measure — a short document quoted inside a
+    * long one scores ≈1.0 here but only |A|/|B| under Jaccard, so the
+    * symmetric pipeline never surfaces it. Same posting-list scale shape
+    * as d3 (one shuffle on the shingle, doc-frequency skew cap).
+    */
+  def containmentPairs(
+      spark: SparkSession, dir: String,
+      minContainment: Double = DefaultMinContainment,
+      maxDocFreq: Int = DefaultMaxDocFreq,
+      plantCopies: Boolean = false): DataFrame = {
+    val stats = pairStats(
+      shinglesOf(maybePartialCopies(spark, dir, plantCopies)), maxDocFreq)
+    val cont = col("common").cast("double") /
+      least(col("na"), col("nb")).cast("double")
+    stats
+      .filter(cont >= minContainment)
+      .select(col("a"), col("b"), col("common"), Exact.e(cont, 4).as("containment_e4"))
+  }
+
+  /** DuckDB oracle for [[containmentPairs]] at the default threshold with
+    * planting ON (the graded d11 configuration).
+    */
+  def containmentPairsOracleSql: String =
+    s"""WITH $partialCopyDocsCte,
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ok_sh AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DefaultMaxDocFreq),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok_sh USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, cast(common AS bigint) AS common,
+       |  cast(floor(cast(common AS double) / least(sa.n, sb.n) * 10000.0 + 0.5) AS bigint)
+       |    AS containment_e4
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = pairs.a
+       |JOIN sizes sb ON sb.doc_id = pairs.b
+       |WHERE cast(common AS double) / least(sa.n, sb.n) >= $DefaultMinContainment""".stripMargin
 }

@@ -333,4 +333,104 @@ object IvfAnn {
        |  FROM scored)
        |WHERE rn <= $TopK""".stripMargin
   }
+
+  // ---- SemDeDup-style semantic deduplication (v13) ----------------------
+
+  /** Cosine threshold for semantic duplicates — interpolated into the
+    * oracle SQL below so engine and oracle can't desync.
+    */
+  val SemDedupThreshold = 0.95
+
+  /** Semantic deduplication via coarse clustering (the SemDeDup recipe,
+    * Abbas et al. 2023, arXiv 2303.09540): assign every vector to its
+    * nearest IVF centroid, compare pairs ONLY within a cluster, and drop
+    * any vector that has a lower-id cluster-mate with cosine ≥ threshold
+    * (min-id survivor, the same deterministic keep rule as exact dedup's
+    * d2). The clustering is what bounds the quadratic: per-cluster pair
+    * work is O((n/K)²) and K scales with the corpus via
+    * [[recommendedLists]], so cluster size — and with it the pair fan-out
+    * per shuffle key — stays constant as the corpus grows. Output is one
+    * row per vector with its cluster and keep/drop verdict.
+    *
+    * `plantClones` unions in [[Similarity.nearDupCorpus]]'s deterministic
+    * near-duplicate clones (graded path only — the raw corpus has no
+    * cosine-0.95 pairs at any sf, so the drop set would be vacuously
+    * empty).
+    */
+  def semanticDedup(
+      spark: SparkSession, dir: String,
+      threshold: Double = SemDedupThreshold,
+      plantClones: Boolean = false): DataFrame = {
+    val cents = centroidsFor(spark, dir)
+    // materialize the assigned corpus ONCE before the self-join (same
+    // rationale as v5: exchange reuse does not survive AQE re-planning, so
+    // without this both join sides re-derive the K distance expressions);
+    // repartition by centroid so the pairing join is co-located
+    val assigned = Similarity.nearDupCorpus(spark, dir, plantClones)
+      .select(col("vec_id"), col("embedding"), nearestCentroid(cents).as("centroid"))
+      .repartition(col("centroid"))
+      .localCheckpoint()
+    val cos = cosineF(col("x.embedding"), col("y.embedding"))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.centroid") === col("y.centroid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Exact.e(cos, 6) >= lit(math.round(threshold * 1e6)))
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid").cast("int").as("centroid"),
+        col("hit").isNull.as("kept"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]] with planting ON (the graded v13
+    * configuration): centroid literals + long-form corpus-with-clones +
+    * within-cluster cosine, mirroring the v5 clone CTE and the v6
+    * assignment CTE.
+    */
+  def semanticDedupOracleSql(spark: SparkSession, dir: String): String = {
+    val cents = centroidsFor(spark, dir)
+    s"""WITH cents(c, c2, vec) AS (VALUES
+       |    ${centroidValues(cents)}),
+       |base AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |clones AS (
+       |  SELECT vec_id + ${Similarity.CloneIdOffset} AS vec_id, i,
+       |    CASE WHEN (i - 1) % 2 = 1 THEN cast(cast(v AS double) * 1.2 AS float) ELSE v END AS v
+       |  FROM base WHERE vec_id < ${Similarity.CloneCount}),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+       |dist AS (
+       |  SELECT cp.vec_id, ct.c,
+       |    cast(floor((ct.c2 - 2.0 * sum(cast(cp.v AS double) * cast(ct.vec[cp.i] AS double)))
+       |      * 1000000.0 + 0.5) AS bigint) AS d6
+       |  FROM corpus cp, cents ct
+       |  GROUP BY cp.vec_id, ct.c, ct.c2),
+       |assigned AS (
+       |  SELECT vec_id, c AS centroid
+       |  FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM assigned x
+       |  JOIN assigned y ON y.centroid = x.centroid AND x.vec_id < y.vec_id),
+       |pc AS (
+       |  SELECT cand.a, cand.b,
+       |    sum(cast(xa.v AS double) * cast(yb.v AS double)) AS dot,
+       |    sqrt(sum(cast(xa.v AS double) * cast(xa.v AS double))) AS na,
+       |    sqrt(sum(cast(yb.v AS double) * cast(yb.v AS double))) AS nb
+       |  FROM cand
+       |  JOIN corpus xa ON xa.vec_id = cand.a
+       |  JOIN corpus yb ON yb.vec_id = cand.b AND yb.i = xa.i
+       |  GROUP BY cand.a, cand.b),
+       |dropped AS (
+       |  SELECT DISTINCT b FROM pc
+       |  WHERE cast(floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END)
+       |    * 1000000.0 + 0.5) AS bigint) >= ${math.round(SemDedupThreshold * 1e6)})
+       |SELECT a.vec_id, cast(a.centroid AS int) AS centroid, (d.b IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dropped d ON d.b = a.vec_id""".stripMargin
+  }
 }

@@ -451,6 +451,24 @@ object RelationalOps {
         coalesce(col("day").cast("string"), lit("ALL")).as("day_g"),
         col("n"), col("total_value_e2"))
 
+  /** Hierarchical ROLLUP over a dimension hierarchy (region → nation →
+    * grand total) — the ordered-prefix subset of CUBE: k+1 grouping sets
+    * instead of 2^k, the right operator when the drill path is a genuine
+    * hierarchy. Both dimension tables broadcast (25/5 rows at any sf), so
+    * the only shuffle is the Expand'd aggregation — same one-pass Expand
+    * shape as g4/g6.
+    */
+  def customerRegionRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(table(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), Exact.sumE(col("c_acctbal"), 2).as("acctbal_e2"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_g"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_g"),
+        col("n_cust"), col("acctbal_e2"))
+
   /** TPC-H Q8-shape market share: what fraction of the revenue flowing to
     * one region's customers was supplied by one nation, per order year. A
     * six-table join tree where every dimension (nation twice, region,

@@ -227,8 +227,8 @@ object Similarity {
   // any random pair (max ≈ 0.6 at dim 64), so the threshold separates
   // planted pairs from noise at every sf. The derivation is pure float
   // arithmetic both engines replay exactly.
-  private val CloneCount = 32
-  private val CloneIdOffset = 1000000L
+  private[operators] val CloneCount = 32
+  private[operators] val CloneIdOffset = 1000000L
   private val NearDupThreshold = 0.95
   private val MaxBucketSize = 256
 

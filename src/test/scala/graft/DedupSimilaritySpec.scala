@@ -146,4 +146,53 @@ class DedupSimilaritySpec extends SparkSuite {
       .as[(Long, Int, Long)].collect().sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("segment dedup flags every planted partial copy at fraction 1.0") {
+    val rows = Dedup.duplicatedSegments(spark, sf0001, plantCopies = true)
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // each planted copy is 24 tokens = exactly one 16-token segment, and
+    // that segment is the source doc's first segment → fraction 1.0
+    (0L until Dedup.PartialCopyCount).foreach { src =>
+      val copy = byId(src + Dedup.PartialCopyOffset)
+      assert(copy._2 === 1L && copy._3 === 1L && copy._4 === 10000L)
+      // the source doc is flagged too (its first segment is the copy);
+      // short docs may have ONLY that segment, so the fraction can be 1.0
+      val s = byId(src)
+      assert(s._3 >= 1L && s._4 <= 10000L)
+    }
+    // planting off → no fabricated ids leak into the production path
+    // (the corpus DOES carry some natural 16-token cross-doc repeats, so
+    // n_dup_segments > 0 rows are expected and correct here)
+    val raw = Dedup.duplicatedSegments(spark, sf0001)
+    assert(raw.filter($"doc_id" >= Dedup.PartialCopyOffset).count() === 0L)
+  }
+
+  test("containment surfaces the quoted-prefix pairs symmetric jaccard misses") {
+    val cont = Dedup.containmentPairs(spark, sf0001, plantCopies = true)
+      .as[(Long, Long, Long, Long)].collect()
+    (0L until Dedup.PartialCopyCount).foreach { src =>
+      val hit = cont.find(p => p._1 == src && p._2 == src + Dedup.PartialCopyOffset)
+      assert(hit.isDefined, s"planted containment pair for doc $src not found")
+      assert(hit.get._4 === 10000L, s"prefix copy must be fully contained: ${hit.get._4}")
+    }
+    // the same planted pair is invisible to symmetric jaccard at the 0.5
+    // threshold: 22 shared shingles over ~48 ∪ 22 ≈ 0.45
+    val jac = Dedup.ngramJaccardPairs(
+        spark, sf0001).as[(Long, Long, Long)].collect()
+    assert(!jac.exists(p => p._2 >= Dedup.PartialCopyOffset))
+  }
+
+  test("semantic dedup drops exactly the planted clones, keeps the corpus") {
+    val rows = graft.operators.IvfAnn.semanticDedup(spark, sf0001, plantClones = true)
+      .as[(Long, Int, Boolean)].collect()
+    val dropped = rows.filter(!_._3).map(_._1).toSet
+    // every clone sits in its source's cluster at cosine ≈ 0.996 and has
+    // the higher id → all 32 dropped, nothing else is
+    assert(dropped === (0L until 32L).map(_ + 1000000L).toSet)
+    // planting off → production corpus unmodified and fully kept
+    val raw = graft.operators.IvfAnn.semanticDedup(spark, sf0001)
+    assert(raw.filter(!$"kept").count() === 0L)
+    assert(raw.count() === spark.read.parquet(s"$sf0001/embeddings.parquet").count())
+  }
 }

@@ -21,7 +21,8 @@ class SqlParitySpec extends SparkSuite {
     "q22_dormant_balances", "q15_top_revenue_supplier",
     "q20_bulk_part_suppliers",
     "q4_order_priority_count", "q6_forecast_revenue", "q7_volume_shipping",
-    "q9_product_type_profit", "q11_important_parts", "q12_priority_shipping")
+    "q9_product_type_profit", "q11_important_parts", "q12_priority_shipping",
+    "g8_region_rollup")
 
   private def canon(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted.toSeq

@@ -201,6 +201,9 @@ object SparkEntry {
     // link-domain census; plantUrls seeds deterministic links (same rule)
     "t17_domain_counts" -> ((s: SparkSession, d: String) =>
       TextAnalysis.domainCounts(s, d, plantUrls = true)),
+    // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
+    // segment-dup fraction) over the UNPLANTED production corpus
+    "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1202,6 +1205,8 @@ object SparkEntry {
          |  cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
          |  cast(count(*) AS bigint) AS n_refs
          |FROM ex GROUP BY domain""".stripMargin,
+    "t20_training_selection" ->
+      graft.operators.TrainingPrep.trainingSelectionOracleSql,
   )
 
   def dedupOracle: Map[String, String] = Map(

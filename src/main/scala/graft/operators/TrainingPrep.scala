@@ -260,4 +260,100 @@ object TrainingPrep {
        |WHERE lang IN (${full.map(l => s"'$l'").mkString(", ")})
        |   OR ${partial.mkString("\n   OR ")}""".stripMargin
   }
+
+  // ---- composed end-to-end training-set selection (t20) -----------------
+
+  // Gate thresholds, shared with the oracle SQL below. Chosen so each gate
+  // does real work on the graded corpus: quality_e4 median is ~2200 (so
+  // 2000 rejects the low tail), token bounds reject the very short docs,
+  // and ~9% of docs carry a natural duplicated-segment fraction > 50%.
+  val MinQualityE4 = 2000L
+  val MinTokens = 20L
+  val MaxTokens = 1000L
+  val MaxDupFracE4 = 5000L
+
+  /** The production selection gate a pretraining pipeline runs end-to-end,
+    * composed from the engine's own operators over the UNPLANTED corpus:
+    * exact-dedup survivorship ([[Dedup.exactDedupKeep]]), token-count
+    * bounds ([[TextAnalysis.tokenStats]]), heuristic quality
+    * ([[TextAnalysis.qualityScores]]), and duplicated-segment fraction
+    * ([[Dedup.duplicatedSegments]], left join — docs shorter than one
+    * segment carry no dup signal and pass that gate).
+    *
+    * Scale shape: every input is one scan + at most one shuffle of the
+    * same table, and all four join on doc_id, so AQE plans them as one
+    * shuffle stage per derived column set; nothing here is worse than the
+    * most expensive constituent (the segment hash agg).
+    */
+  def trainingSelection(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Dedup.exactDedupKeep(spark, dir).select(col("doc_id"), col("lang"))
+    val toks = TextAnalysis.tokenStats(spark, dir).select(col("doc_id"), col("n_tokens"))
+    val qual = TextAnalysis.qualityScores(spark, dir).select(col("doc_id"), col("quality_e4"))
+    val dup = Dedup.duplicatedSegments(spark, dir).select(col("doc_id"), col("dup_frac_e4"))
+    keep
+      .join(toks, "doc_id")
+      .join(qual, "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("quality_e4"),
+        coalesce(col("dup_frac_e4"), lit(0L)).as("dup_frac_e4"))
+      .filter(
+        col("quality_e4") >= MinQualityE4 &&
+          col("n_tokens").between(MinTokens, MaxTokens) &&
+          coalesce(col("dup_frac_e4"), lit(0L)) <= MaxDupFracE4)
+  }
+
+  /** DuckDB oracle for [[trainingSelection]]: the d2/t1/t2/d10 oracle
+    * derivations composed as CTEs with the same thresholds interpolated.
+    */
+  def trainingSelectionOracleSql: String = {
+    val k = Dedup.SegmentTokens
+    s"""WITH keep AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1),
+       |toks AS (
+       |  SELECT doc_id,
+       |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id,
+       |    cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
+       |          least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint)
+       |      AS quality_e4
+       |  FROM (
+       |    SELECT doc_id,
+       |      cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
+       |      cast(
+       |        cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+       |        cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
+       |        cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
+       |        cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
+       |        AS double) AS stop_hits
+       |    FROM (SELECT doc_id, text, concat(' ', text, ' ') AS p FROM documents))),
+       |stoks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $k),
+       |segs AS (
+       |  SELECT doc_id, md5(array_to_string(t[(j * $k + 1):(j * $k + $k)], ' ')) AS h
+       |  FROM stoks, LATERAL (SELECT unnest(range(0, len(t) // $k)) AS j) r),
+       |hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY h),
+       |dup AS (
+       |  SELECT s.doc_id,
+       |    cast(floor(cast(sum(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS double)
+       |      / count(*) * 10000.0 + 0.5) AS bigint) AS dup_frac_e4
+       |  FROM segs s JOIN hd USING (h)
+       |  GROUP BY s.doc_id)
+       |SELECT k.doc_id, k.lang, t.n_tokens, q.quality_e4,
+       |  coalesce(d.dup_frac_e4, 0) AS dup_frac_e4
+       |FROM keep k
+       |JOIN toks t USING (doc_id)
+       |JOIN qual q USING (doc_id)
+       |LEFT JOIN dup d USING (doc_id)
+       |WHERE q.quality_e4 >= $MinQualityE4
+       |  AND t.n_tokens BETWEEN $MinTokens AND $MaxTokens
+       |  AND coalesce(d.dup_frac_e4, 0) <= $MaxDupFracE4""".stripMargin
+  }
 }

@@ -249,4 +249,26 @@ class TextMultimodalSpec extends SparkSuite {
       assert(f.mean_byte_e4 > 32 * 10000L && f.mean_byte_e4 < 127 * 10000L) // printable ASCII
     }
   }
+
+  test("training selection composes its gates and each gate rejects something") {
+    import graft.operators.TrainingPrep
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val sel = TrainingPrep.trainingSelection(spark, sf0001).cache()
+    val kept = sel.count()
+    assert(kept > 0 && kept < total, s"selection must be a proper subset: $kept/$total")
+    // every surviving row satisfies every gate
+    assert(sel.filter(
+      $"quality_e4" < TrainingPrep.MinQualityE4 ||
+        $"n_tokens" < TrainingPrep.MinTokens || $"n_tokens" > TrainingPrep.MaxTokens ||
+        $"dup_frac_e4" > TrainingPrep.MaxDupFracE4).count() === 0L)
+    // and each gate individually rejects at least one document on this
+    // corpus (otherwise the composition silently degrades to fewer gates)
+    val toks = graft.operators.TextAnalysis.tokenStats(spark, sf0001)
+    val qual = graft.operators.TextAnalysis.qualityScores(spark, sf0001)
+    val dup = graft.operators.Dedup.duplicatedSegments(spark, sf0001)
+    assert(qual.filter($"quality_e4" < TrainingPrep.MinQualityE4).count() > 0)
+    assert(toks.filter($"n_tokens" < TrainingPrep.MinTokens).count() > 0)
+    assert(dup.filter($"dup_frac_e4" > TrainingPrep.MaxDupFracE4).count() > 0)
+    sel.unpersist()
+  }
 }

@@ -204,6 +204,10 @@ object SparkEntry {
     // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
     // segment-dup fraction) over the UNPLANTED production corpus
     "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
+    // BPE-style pre-tokenizer piece counts next to whitespace tokens;
+    // plantUrls adds digit/punct runs so the ratio is non-vacuous
+    "t21_bpe_tokens" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTokenStats(s, d, plantUrls = true)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1207,6 +1211,7 @@ object SparkEntry {
          |FROM ex GROUP BY domain""".stripMargin,
     "t20_training_selection" ->
       graft.operators.TrainingPrep.trainingSelectionOracleSql,
+    "t21_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracleSql,
   )
 
   def dedupOracle: Map[String, String] = Map(

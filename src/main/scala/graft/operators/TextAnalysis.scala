@@ -39,6 +39,57 @@ object TextAnalysis {
       Exact.e((col("n_chars") - (nTokens - 1)).cast("double") / nTokens, 4).as("avg_token_len_e4"))
   }
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 split rule reduced to the
+    * classes this corpus can contain, written backslash-free so Java regex
+    * and RE2 agree): a piece is an optionally space-prefixed run of
+    * letters, digits, or other non-space symbols. Shared with the t21
+    * oracle SQL.
+    */
+  private[graft] val BpePieceRe = "( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)"
+
+  /** Token counting, BPE-ish flavor: the piece count a byte-pair
+    * pre-tokenizer would hand to the merge table, next to the whitespace
+    * count — the pair every budget estimate for a training run starts
+    * from. Map-only; the regex is the spec and replays in DuckDB's RE2.
+    */
+  def bpeTokenStats(
+      spark: SparkSession, dir: String, plantUrls: Boolean = false): DataFrame = {
+    // the URL planting (t17's rule) adds digit/punctuation runs — content
+    // classes the word-soup corpus lacks — so the piece/token ratio is a
+    // real signal rather than identically 1.0
+    val d = urlSeededDocs(spark, dir, plantUrls)
+    val nWs = (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+      .cast("bigint")
+    val nPieces = size(expr(s"regexp_extract_all(text, '$BpePieceRe', 0)")).cast("bigint")
+    d.select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nPieces.as("n_bpe_pieces"),
+      Exact.e(nPieces.cast("double") / nWs.cast("double"), 4).as("pieces_per_token_e4"))
+  }
+
+  /** DuckDB oracle for [[bpeTokenStats]] with planting ON (the graded t21
+    * configuration; same seeded CTE as the t17 oracle).
+    */
+  def bpeTokenStatsOracleSql: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' see https://site' || cast(doc_id % 13 AS varchar)
+       |              || '.example.org/p/' || cast(doc_id AS varchar)
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 21 = 0 THEN ' via http://cdn.example.net/asset'
+       |         ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_ws_tokens,
+       |  cast(len(regexp_extract_all(text, '$BpePieceRe')) AS bigint) AS n_bpe_pieces,
+       |  cast(floor(cast(len(regexp_extract_all(text, '$BpePieceRe')) AS double)
+       |    / (length(text) - length(replace(text, ' ', '')) + 1) * 10000.0 + 0.5) AS bigint)
+       |    AS pieces_per_token_e4
+       |FROM seeded""".stripMargin
+
   /** Heuristic quality scoring: length signal + stopword-rate signal.
     * The score formula is the spec; both engines compute it bit-identically.
     */
@@ -167,20 +218,29 @@ object TextAnalysis {
     * gets a deterministic site link, % 21 == 0 also a shared CDN link —
     * replayed identically by the oracle.
     */
+  /** documents with the deterministic URL/punctuation planting shared by
+    * t17 (domain census) and t21 (BPE pieces): every 7th doc gains a
+    * synthetic link (digits + punctuation — content classes the word-soup
+    * corpus lacks), every 21st a second one. OFF by default; the graded
+    * entries enable it and their oracles replay the same CASE rule.
+    */
+  private[operators] def urlSeededDocs(
+      spark: SparkSession, dir: String, plantUrls: Boolean): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!plantUrls) d
+    else d.withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" see https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 21 === 0, lit(" via http://cdn.example.net/asset"))
+        .otherwise(lit(""))))
+  }
+
   def domainCounts(
       spark: SparkSession, dir: String, plantUrls: Boolean = false): DataFrame = {
-    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val seeded =
-      if (!plantUrls) d
-      else d.withColumn("text", concat(
-        col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" see https://site"), (col("doc_id") % 13).cast("string"),
-            lit(".example.org/p/"), col("doc_id").cast("string")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 21 === 0, lit(" via http://cdn.example.net/asset"))
-          .otherwise(lit(""))))
-    seeded
+    urlSeededDocs(spark, dir, plantUrls)
       .select(col("doc_id"),
         explode(expr(s"regexp_extract_all(text, '$UrlDomainRe', 2)")).as("domain"))
       .groupBy(col("domain"))

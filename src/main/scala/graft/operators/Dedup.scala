@@ -634,12 +634,14 @@ object Dedup {
     * report each document's duplicated-segment fraction — the signal a
     * pipeline thresholds to strip boilerplate spans.
     *
-    * Scale shape: segments are emitted map-side; ONE shuffle on the
-    * segment hash computes cross-doc frequency; the join back to segments
-    * reuses the same hash partitioning (no extra exchange); final per-doc
-    * rollup is one shuffle on doc_id. Hash keys are md5 — uniform, no
-    * skew guard needed (unlike shingles, a 16-token segment has no
-    * "stop-gram" analogue).
+    * Scale shape: ONE scan — segments are emitted map-side, combined per
+    * (segment hash, doc) with map-side partial aggregation, the cross-doc
+    * frequency is a count window over the hash (each surviving row is one
+    * distinct doc by construction, so no countDistinct and no join back
+    * to a second scan of the corpus), and the per-doc rollup is the final
+    * shuffle: 3 exchanges total, asserted in `PlanAssertionsSpec`. Hash
+    * keys are md5 — uniform, and a hot boilerplate segment costs a wide
+    * window partition (streamed), never a collected posting row.
     *
     * Documents shorter than one segment carry no signal and are excluded
     * (their fraction is 0/0).
@@ -658,13 +660,14 @@ object Dedup {
              |  j -> concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)))""".stripMargin))
           .as("seg"))
       .select(col("doc_id"), md5(col("seg").cast("binary")).as("h"))
-    val docFreq = segs.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    segs.join(docFreq, "h")
+    val perDoc = segs.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val nd = count(lit(1)).over(Window.partitionBy(col("h")))
+    perDoc
+      .withColumn("nd", nd)
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+        sum(col("cnt")).as("n_segments"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup_segments"))
       .select(
         col("doc_id"), col("n_segments"), col("n_dup_segments"),
         Exact.e(col("n_dup_segments").cast("double") / col("n_segments").cast("double"), 4)

@@ -217,4 +217,26 @@ class PlanAssertionsSpec extends SparkSuite {
     val plan = executed(df)
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
   }
+
+  test("d10 is one corpus scan and three exchanges — no join back, no re-scan") {
+    val plan = executed(
+      graft.operators.Dedup.duplicatedSegments(spark, sf0001, plantCopies = true))
+    val finalText = plan.toString.split("== Initial Plan ==")(0)
+    val shuffles = finalText.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$finalText")
+    // single pass: the corpus (base + planted projection) is scanned once
+    // per union branch, not re-derived for a frequency join side
+    val scans = finalText.split("FileScan parquet").length - 1
+    assert(scans == 2, s"expected 2 scans (base + planted branch), got $scans:\n$finalText")
+  }
+
+  test("v13 intra-cluster pairing is co-located — no centroid re-shuffle") {
+    // semanticDedup repartitions by centroid and localCheckpoints BEFORE
+    // the self-join; the returned plan must contain no further exchange on
+    // the centroid key (both join sides read the co-located blocks)
+    val text = executed(
+      graft.operators.IvfAnn.semanticDedup(spark, sf0001, plantClones = true)).toString
+    assert(!text.contains("hashpartitioning(centroid"),
+      s"centroid re-shuffle found:\n$text")
+  }
 }

@@ -70,15 +70,21 @@ object Bench {
     // aggregate of the rest — sized well under the capture window.
     val fullJson =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // advertise the full-map pointer ONLY if the write actually landed —
+    // a swallowed failure with a live pointer would silently lose the
+    // 70+ timings that don't fit the compact line
+    val fullRef =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_full.json"),
+          (fullJson + "\n").getBytes("UTF-8"))
+        ""","full":"bench_full.json""""
+      } catch { case _: Throwable => "" }
     val Detail = 40
     val bySlow = results.sortBy(-_._2)
     val head = bySlow.take(Detail).sortBy(_._1)
     val restSum = bySlow.drop(Detail).map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"rest_sum":${f(restSum)},"full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"rest_sum":${f(restSum)}$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -126,13 +126,17 @@ object Dedup {
     * engine under Jaccard ([[ngramJaccardPairs]]) and containment
     * ([[containmentPairs]]) scoring — posting-list pair emission, one
     * shuffle on the shingle, doc-frequency cap as the skew guard.
+    *
+    * Deliberately NOT cached: the sizes and pair branches share the same
+    * shingle exchange, which Spark's ReusedExchange dedupes (measured
+    * equal to the cached form at sf0.1), and an uncached plan can't leak
+    * a corpus-scale inverted index in a long-lived driver.
     */
   private[operators] def pairStats(sh: DataFrame, maxDocFreq: Int): DataFrame = {
     val postings = sh
       .groupBy(col("s"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= maxDocFreq)
-      .cache()
     val sizes = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = postings.select(explode(expr(OrderedPairsExpr)).as("p"))

@@ -300,7 +300,7 @@ object TrainingPrep {
       .filter(
         col("quality_e4") >= MinQualityE4 &&
           col("n_tokens").between(MinTokens, MaxTokens) &&
-          coalesce(col("dup_frac_e4"), lit(0L)) <= MaxDupFracE4)
+          col("dup_frac_e4") <= MaxDupFracE4) // already null-coalesced above
   }
 
   /** DuckDB oracle for [[trainingSelection]]: the d2/t1/t2/d10 oracle

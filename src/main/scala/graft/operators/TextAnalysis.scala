@@ -110,6 +110,35 @@ object TextAnalysis {
         4).as("quality_e4"))
   }
 
+  /** Corpus-wide top-k n-grams by document frequency — the stop-gram
+    * census that tunes the dedup pipelines' doc-frequency caps (d3/d4's
+    * `maxDocFreq`) and surfaces boilerplate candidates. The global
+    * ORDER BY + LIMIT plans as TakeOrderedAndProject: each partition keeps
+    * a k-element heap and only k rows per partition reach the driver-side
+    * merge — never a full global sort, the shape that survives a 100 TB
+    * shingle stream. Ties broken by the gram itself for cross-engine
+    * determinism.
+    */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    graft.operators.Dedup.shingles(spark, dir)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("s"))
+      .limit(k)
+
+  /** DuckDB oracle for [[topNgrams]] at the default k. */
+  def topNgramsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)
+      |SELECT s, cast(count(*) AS bigint) AS n_docs
+      |FROM sh GROUP BY s
+      |ORDER BY n_docs DESC, s
+      |LIMIT 20""".stripMargin
+
   /** N-gram marker language-ID heuristic: score each language by its
     * function-word rate, argmax with a fixed tie-break order. (On this
     * synthetic corpus most documents score as English — the operator's

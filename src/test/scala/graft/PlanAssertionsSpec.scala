@@ -230,6 +230,11 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(scans == 2, s"expected 2 scans (base + planted branch), got $scans:\n$finalText")
   }
 
+  test("t22 global top-k plans as TakeOrdered — per-partition heaps, no full sort") {
+    val text = executed(SparkEntry.queries("t22_top_ngrams")(spark, sf0001)).toString
+    assert(text.contains("TakeOrderedAndProject"), s"plan:\n$text")
+  }
+
   test("v13 intra-cluster pairing is co-located — no centroid re-shuffle") {
     // semanticDedup repartitions by centroid and localCheckpoints BEFORE
     // the self-join; the returned plan must contain no further exchange on

@@ -546,4 +546,18 @@ class ScaleOpsSpec extends SparkSuite {
       else assert(math.abs(e - n).toDouble / n <= 0.4, s"$cl: est $e vs exact $n")
     }
   }
+
+  test("KMV set operations reduce to exact set algebra below sketch size") {
+    // at sf0.001 both thresholded user sets are far smaller than k=64, so
+    // every estimate column must EQUAL its exact twin (the union sketch
+    // is the whole union and rho's denominator is the union size)
+    val r = graft.operators.Sketches.kmvSetOps(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (aEst, bEst, uEst, iEst, jacE4, aExact, bExact, iExact) = r
+    assert(aEst === aExact && bEst === bExact && iEst === iExact)
+    assert(uEst === aExact + bExact - iExact)
+    assert(jacE4 === math.floor(iExact.toDouble * 10000 / uEst).toLong)
+    // estimates stay inside set-algebra bounds by construction
+    assert(iEst <= math.min(aEst, bEst) && uEst >= math.max(aEst, bEst))
+  }
 }

@@ -362,6 +362,9 @@ object SparkEntry {
     // frame sampling: executor-side sequence+explode fan-out, no driver loop
     "m4_frame_samples" -> ((s: SparkSession, d: String) =>
       MultimodalOps.frameSamples(s, d)),
+    // decode → embed → retrieve: cosine top-k over the decoded features
+    "m5_feature_topk" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.featureTopK(s, d)),
   )
 
   private val W = OracleCtes.all
@@ -1413,5 +1416,6 @@ object SparkEntry {
         |  (r.i % 8 = 0) AS keyframe
         |FROM documents d,
         |  LATERAL (SELECT unnest(range(0, (len(d.text) - 1) // 125 + 1)) AS i) r""".stripMargin,
+    "m5_feature_topk" -> MultimodalOps.featureTopKOracleSql(),
   )
 }

@@ -184,4 +184,79 @@ object MultimodalOps {
         }
       }
   }
+
+  /** Multimodal ANN: brute-force cosine top-k over the DECODED feature
+    * vectors — the composition a multimodal corpus pipeline runs (decode →
+    * embed → retrieve), wired through the same broadcast-queries +
+    * bounded-heap aggregation as the embedding-table v2 path. On this
+    * corpus every asset shares the space-character histogram bin, so all
+    * query×corpus cosines are positive and the oracle's sparse bin join
+    * covers the full ranking universe.
+    */
+  def featureTopK(
+      spark: SparkSession, dir: String,
+      topK: Int = 5, numQueries: Int = 8): DataFrame = {
+    import spark.implicits._
+    val feats = decodeFeatures(spark, dir).toDF()
+      .select(col("doc_id"), col("feat").cast("array<float>").as("feat"))
+    val queries = feats.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("qid"), col("feat").as("qf"))
+    val cos = graft.functions.VectorFunctions.cosineF(col("qf"), col("feat"))
+    feats.crossJoin(broadcast(queries))
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("doc_id"), Exact.e(cos, 4).as("c4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(topK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as("doc_id"), col("col._3").as("cosine_e4"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** DuckDB oracle for [[featureTopK]] at the graded defaults: the m2
+    * feature derivation (nibble histogram, L2-normalized at float
+    * precision) joined sparsely on the histogram bin, ranked per query on
+    * the 6 dp cosine with doc_id tie-break — same key discipline as v2.
+    */
+  def featureTopKOracleSql(topK: Int = 5, numQueries: Int = 8): String =
+    s"""WITH chars AS (
+       |  SELECT d.doc_id, i, ord(substr(d.text, i, 1)) AS b
+       |  FROM documents d,
+       |       LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS i) r),
+       |hist AS (
+       |  SELECT doc_id, b // 16 AS bin, cast(count(*) AS float) AS cnt
+       |  FROM chars GROUP BY doc_id, b // 16),
+       |nrm AS (
+       |  SELECT doc_id, sqrt(sum(cast(cnt AS double) * cast(cnt AS double))) AS nrm
+       |  FROM hist GROUP BY doc_id),
+       |feat AS (
+       |  SELECT h.doc_id, h.bin, cast(cast(h.cnt AS double) / n.nrm AS float) AS f
+       |  FROM hist h JOIN nrm n ON h.doc_id = n.doc_id),
+       |norms AS (
+       |  SELECT doc_id, sqrt(sum(cast(f AS double) * cast(f AS double))) AS nm
+       |  FROM feat GROUP BY doc_id),
+       |pc AS (
+       |  SELECT qv.doc_id AS qid, cv.doc_id AS did,
+       |    sum(cast(qv.f AS double) * cast(cv.f AS double)) AS dot
+       |  FROM feat qv
+       |  JOIN feat cv ON cv.bin = qv.bin
+       |  WHERE qv.doc_id < $numQueries
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT pc.qid, pc.did,
+       |    CASE WHEN nq.nm * nc.nm = 0 THEN 0.0 ELSE pc.dot / (nq.nm * nc.nm) END AS cos
+       |  FROM pc
+       |  JOIN norms nq ON nq.doc_id = pc.qid
+       |  JOIN norms nc ON nc.doc_id = pc.did)
+       |SELECT qid, did AS doc_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, did, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, did) AS rn
+       |  FROM scored)
+       |WHERE rn <= $topK""".stripMargin
 }

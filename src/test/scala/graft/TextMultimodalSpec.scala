@@ -250,6 +250,17 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("multimodal feature top-k: every query retrieves itself at cosine 1.0") {
+    val rows = graft.operators.MultimodalOps.featureTopK(spark, sf0001)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.length === 8 * 5)
+    (0L until 8L).foreach { q =>
+      val self = rows.find(r => r._1 == q && r._2 == q)
+      assert(self.isDefined, s"query $q does not retrieve itself in its top-5")
+      assert(self.get._3 === 10000L)
+    }
+  }
+
   test("training selection composes its gates and each gate rejects something") {
     import graft.operators.TrainingPrep
     val total = spark.read.parquet(s"$sf0001/documents.parquet").count()

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.dotF
 import graft.sources.Fixtures.table
 
 /** Product quantization (Jégou, Douze, Schmid 2011, public) — the
@@ -23,9 +22,14 @@ import graft.sources.Fixtures.table
   * (probe lists, then ADC within them); here the two stay separate
   * queries so each is oracle-checkable on its own.
   *
-  * All subspace distances are 6 dp scaled integers with code-index
-  * tie-breaks (the [[IvfAnn]] discipline), so encoding and ADC ranking
-  * replay exactly in DuckDB from inlined codebook literals.
+  * All subspace distances are EXACT integers: every embedding element and
+  * codebook element is first quantized to a 2^20 fixed-point long
+  * (floor(v·2^20 + 0.5) — one float→long conversion, identical in any
+  * engine), and |q − c|² is then integer arithmetic with code-index
+  * tie-breaks. The earlier e6-quantize-the-double discipline straddled a
+  * rounding boundary at sf0.001 (the two engines' double accumulations
+  * differed by one ulp exactly at a .5 edge, and the M-entry ADC sum
+  * amplifies the exposure); integer distances cannot straddle at any sf.
   *
   * Bench note: at sf ≤ 0.1 the wall time of the PQ queries is dominated
   * by whole-stage-codegen COMPILATION of the M·Ks-literal expression
@@ -67,44 +71,48 @@ object PqAnn {
     })
   }
 
-  private def normSq(c: Array[Float]): Double = c.map(v => v.toDouble * v).sum
-
-  private def subCol(m: Int, embCol: String): Column =
-    slice(col(embCol), m * SubDim + 1, SubDim)
-
-  private def litVec(c: Array[Float]): Column =
-    array(c.map(v => lit(v)).toSeq: _*).cast("array<float>")
-
-  /** Encoding distance for subspace m, code c: |c|² − 2·v_m·c at 6 dp —
-    * |v_m|² is constant across codes, so the argmin is unchanged and one
-    * dot product per code is the whole cost.
+  /** Fixed-point scale: floats become floor(v·2^20 + 0.5) longs; with
+    * |v| ≲ 8 the squared-diff subspace sums stay far below 2^63.
     */
-  private def encDistE6(m: Int, c: Array[Float], embCol: String): Column =
-    Exact.e(lit(normSq(c)) - lit(2.0) * dotF(subCol(m, embCol), litVec(c)), 6)
+  private[operators] val FxScale = 1L << 20
 
-  /** Full ADC table entry for subspace m, code c: |q_m − c|² at 6 dp. */
-  private def adcDistE6(m: Int, c: Array[Float], embCol: String): Column = {
-    val sub = subCol(m, embCol)
-    Exact.e(
-      dotF(sub, sub) - lit(2.0) * dotF(sub, litVec(c)) + lit(normSq(c)), 6)
-  }
+  private def toFx(v: Float): Long =
+    math.floor(v.toDouble * FxScale + 0.5).toLong
 
-  private def codeCol(m: Int, cb: Array[Array[Float]], embCol: String): Column =
-    array_min(array(cb.zipWithIndex.map { case (c, i) =>
-      struct(encDistE6(m, c, embCol).as("d"), lit(i).as("c"))
+  private[operators] def fxQuantize(
+      cbs: Array[Array[Array[Float]]]): Array[Array[Array[Long]]] =
+    cbs.map(_.map(_.map(toFx)))
+
+  /** The whole vector quantized to fixed-point longs, computed once per
+    * row; per-subspace distances slice it.
+    */
+  private def fxCol(embCol: String): Column =
+    expr(s"transform($embCol, v -> cast(floor(cast(v AS double) * $FxScale.0 + 0.5) AS bigint))")
+
+  /** |q_m − c|² in exact integer arithmetic over the fx column. */
+  private def fxDist(m: Int, cFx: Array[Long], fxColName: String): Column =
+    expr(
+      s"""aggregate(zip_with(slice($fxColName, ${m * SubDim + 1}, $SubDim),
+         |  array(${cFx.mkString("L, ")}L),
+         |  (q, c) -> (q - c) * (q - c)), 0L, (a, x) -> a + x)""".stripMargin)
+
+  private def codeCol(m: Int, cbFx: Array[Array[Long]], fxColName: String): Column =
+    array_min(array(cbFx.zipWithIndex.map { case (c, i) =>
+      struct(fxDist(m, c, fxColName).as("d"), lit(i).as("c"))
     }.toSeq: _*)).getField("c")
 
-  private def codesCol(cbs: Array[Array[Array[Float]]], embCol: String): Column =
-    array((0 until M).map(m => codeCol(m, cbs(m), embCol)): _*)
+  private def codesCol(cbsFx: Array[Array[Array[Long]]], fxColName: String): Column =
+    array((0 until M).map(m => codeCol(m, cbsFx(m), fxColName)): _*)
 
   /** PQ codes per vector — one int column per subspace (the driver's
     * comparator can't sort array columns). Map-only; codebooks are plan
     * literals.
     */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val cbs = codebooksFor(spark, dir)
+    val cbsFx = fxQuantize(codebooksFor(spark, dir))
     table(spark, dir, "embeddings")
-      .select(col("vec_id"), codesCol(cbs, "embedding").as("codes"))
+      .withColumn("fx", fxCol("embedding"))
+      .select(col("vec_id"), codesCol(cbsFx, "fx").as("codes"))
       .select(
         col("vec_id") +:
           (0 until M).map(m => col("codes")(m).as(s"c$m")): _*)
@@ -116,17 +124,17 @@ object PqAnn {
     */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cbs = codebooksFor(spark, dir)
-    val emb = table(spark, dir, "embeddings")
-    val coded = emb.select(col("vec_id"), codesCol(cbs, "embedding").as("codes"))
+    val cbsFx = fxQuantize(codebooksFor(spark, dir))
+    val emb = table(spark, dir, "embeddings").withColumn("fx", fxCol("embedding"))
+    val coded = emb.select(col("vec_id"), codesCol(cbsFx, "fx").as("codes"))
     val dtable = array((0 until M).map(m =>
-      array(cbs(m).map(c => adcDistE6(m, c, "embedding")).toSeq: _*)): _*)
+      array(cbsFx(m).map(c => fxDist(m, c, "fx")).toSeq: _*)): _*)
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), dtable.as("dt"))
     val adc = expr(
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
     coded.crossJoin(broadcast(queries))
-      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_e6"))
+      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3, t._4))
@@ -134,7 +142,7 @@ object PqAnn {
       .toDF("qid", "top")
       .select(col("qid"), posexplode(col("top")))
       .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_e6"),
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_fx"),
         (col("pos") + 1).cast("int").as("rn"))
   }
 
@@ -147,17 +155,19 @@ object PqAnn {
     */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cbs = codebooksFor(spark, dir)
+    val cbsFx = fxQuantize(codebooksFor(spark, dir))
     val coded = IvfAnn.assignedCorpus(spark, dir)
-      .select(col("vec_id"), col("centroid"), codesCol(cbs, "embedding").as("codes"))
+      .withColumn("fx", fxCol("embedding"))
+      .select(col("vec_id"), col("centroid"), codesCol(cbsFx, "fx").as("codes"))
     val dtable = array((0 until M).map(m =>
-      array(cbs(m).map(c => adcDistE6(m, c, "qe")).toSeq: _*)): _*)
+      array(cbsFx(m).map(c => fxDist(m, c, "qfx")).toSeq: _*)): _*)
     val probes = IvfAnn.probeRows(spark, dir, IvfAnn.NProbe)
+      .withColumn("qfx", fxCol("qe"))
       .select(col("qid"), col("centroid"), dtable.as("dt"))
     val adc = expr(
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
     coded.join(broadcast(probes), "centroid")
-      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_e6"))
+      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3, t._4))
@@ -165,74 +175,79 @@ object PqAnn {
       .toDF("qid", "top")
       .select(col("qid"), posexplode(col("top")))
       .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_e6"),
+        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_fx"),
         (col("pos") + 1).cast("int").as("rn"))
   }
 
   // ---- DuckDB oracle twins (data-dependent: codebook literals) --------
 
-  /** Codebooks as a VALUES clause: (m, c, |c|² as exact double string,
-    * vec FLOAT[]). Float/double toString round-trips bit-exactly.
+  /** Fixed-point codebooks as a VALUES clause: (m, c, vec BIGINT[]) —
+    * integer literals, no float round-trip at all.
     */
-  private def codebookValues(cbs: Array[Array[Array[Float]]]): String =
+  private def codebookValues(cbsFx: Array[Array[Array[Long]]]): String =
     (for {
       m <- 0 until M
-      (c, i) <- cbs(m).zipWithIndex
-    } yield s"($m, $i, cast('${normSq(c)}' AS double), [${c.map(_.toString).mkString(", ")}]::FLOAT[])")
+      (c, i) <- cbsFx(m).zipWithIndex
+    } yield s"($m, $i, [${c.mkString(", ")}]::BIGINT[])")
       .mkString(",\n    ")
 
-  /** Shared CTE text: codebook + per-(vector, subspace) code assignment. */
-  private def codesCte(cbs: Array[Array[Array[Float]]]): String =
-    s"""cb(m, c, c2, vec) AS (VALUES
-       |    ${codebookValues(cbs)}),
+  /** The engine's per-element fixed-point conversion as SQL text. */
+  private def fxSql(valueExpr: String): String =
+    s"cast(floor(cast($valueExpr AS double) * $FxScale.0 + 0.5) AS bigint)"
+
+  /** Shared CTE text: codebook + per-(vector, subspace) code assignment —
+    * all distance arithmetic on exact fixed-point integers.
+    */
+  private def codesCte(cbsFx: Array[Array[Array[Long]]]): String =
+    s"""cb(m, c, vec) AS (VALUES
+       |    ${codebookValues(cbsFx)}),
        |encdist AS (
-       |  SELECT e.vec_id, cb.m, cb.c,
-       |    cast(floor((cb.c2 - 2.0 *
-       |        sum(cast(e.embedding[cb.m * $SubDim + i] AS double) * cast(cb.vec[i] AS double)))
-       |      * 1000000.0 + 0.5) AS bigint) AS d6
-       |  FROM embeddings e, cb,
-       |       LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r
-       |  GROUP BY e.vec_id, cb.m, cb.c, cb.c2),
+       |  SELECT vec_id, m, c, cast(sum((qf - cf) * (qf - cf)) AS bigint) AS d
+       |  FROM (
+       |    SELECT e.vec_id, cb.m, cb.c,
+       |      ${fxSql(s"e.embedding[cb.m * $SubDim + i]")} AS qf,
+       |      cb.vec[i] AS cf
+       |    FROM embeddings e, cb,
+       |         LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r)
+       |  GROUP BY vec_id, m, c),
        |codes AS (
        |  SELECT vec_id, m, c
        |  FROM (
        |    SELECT vec_id, m, c,
-       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, c) AS rn
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
        |    FROM encdist)
        |  WHERE rn = 1)""".stripMargin
 
   /** DuckDB oracle for [[pqCodes]]. */
   def pqCodesOracleSql(spark: SparkSession, dir: String): String = {
-    val cbs = codebooksFor(spark, dir)
+    val cbsFx = fxQuantize(codebooksFor(spark, dir))
     val cols = (0 until M)
       .map(m => s"cast(max(CASE WHEN m = $m THEN c END) AS int) AS c$m")
       .mkString(",\n  ")
-    s"""WITH ${codesCte(cbs)}
+    s"""WITH ${codesCte(cbsFx)}
        |SELECT vec_id,
        |  $cols
        |FROM codes GROUP BY vec_id""".stripMargin
   }
 
-  /** CTE text for the per-query ADC distance table `dtq(qid, m, c, d6)`. */
+  /** CTE text for the per-query ADC distance table `dtq(qid, m, c, d)`. */
   private def dtqCte: String =
     s"""dtq AS (
-       |  SELECT q.vec_id AS qid, cb.m, cb.c,
-       |    cast(floor((
-       |        sum(cast(q.embedding[cb.m * $SubDim + i] AS double)
-       |          * cast(q.embedding[cb.m * $SubDim + i] AS double))
-       |        - 2.0 * sum(cast(q.embedding[cb.m * $SubDim + i] AS double) * cast(cb.vec[i] AS double))
-       |        + cb.c2)
-       |      * 1000000.0 + 0.5) AS bigint) AS d6
-       |  FROM embeddings q, cb,
-       |       LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r
-       |  WHERE q.vec_id < $NumQueries
-       |  GROUP BY q.vec_id, cb.m, cb.c, cb.c2)""".stripMargin
+       |  SELECT qid, m, c, cast(sum((qf - cf) * (qf - cf)) AS bigint) AS d
+       |  FROM (
+       |    SELECT q.vec_id AS qid, cb.m, cb.c,
+       |      ${fxSql(s"q.embedding[cb.m * $SubDim + i]")} AS qf,
+       |      cb.vec[i] AS cf
+       |    FROM embeddings q, cb,
+       |         LATERAL (SELECT unnest(range(1, $SubDim + 1)) AS i) r
+       |    WHERE q.vec_id < $NumQueries)
+       |  GROUP BY qid, m, c)""".stripMargin
 
   private def rankedSelect(fromAdc: String): String =
-    s"""SELECT qid, vec_id, cast(adc_e6 AS bigint) AS adc_e6, cast(rn AS int) AS rn
+    s"""SELECT qid, vec_id, cast(adc_fx AS bigint) AS adc_fx, cast(rn AS int) AS rn
        |FROM (
-       |  SELECT qid, vec_id, adc_e6,
-       |    row_number() OVER (PARTITION BY qid ORDER BY adc_e6, vec_id) AS rn
+       |  SELECT qid, vec_id, adc_fx,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fx, vec_id) AS rn
        |  FROM $fromAdc)
        |WHERE rn <= $TopK""".stripMargin
 
@@ -240,11 +255,11 @@ object PqAnn {
     * |q_m − c|² per (m, c); candidates sum their code's entries.
     */
   def pqTopKOracleSql(spark: SparkSession, dir: String): String = {
-    val cbs = codebooksFor(spark, dir)
-    s"""WITH ${codesCte(cbs)},
+    val cbsFx = fxQuantize(codebooksFor(spark, dir))
+    s"""WITH ${codesCte(cbsFx)},
        |$dtqCte,
        |adc AS (
-       |  SELECT d.qid, k.vec_id, sum(d.d6) AS adc_e6
+       |  SELECT d.qid, k.vec_id, cast(sum(d.d) AS bigint) AS adc_fx
        |  FROM codes k
        |  JOIN dtq d ON d.m = k.m AND d.c = k.c
        |  GROUP BY d.qid, k.vec_id)
@@ -256,12 +271,12 @@ object PqAnn {
     */
   def ivfPqTopKOracleSql(spark: SparkSession, dir: String): String = {
     val cents = IvfAnn.centroidsFor(spark, dir)
-    val cbs = codebooksFor(spark, dir)
+    val cbsFx = fxQuantize(codebooksFor(spark, dir))
     s"""WITH ${IvfAnn.candCtes(cents, IvfAnn.NProbe)},
-       |${codesCte(cbs)},
+       |${codesCte(cbsFx)},
        |$dtqCte,
        |adc AS (
-       |  SELECT d.qid, k.vec_id, sum(d.d6) AS adc_e6
+       |  SELECT d.qid, k.vec_id, cast(sum(d.d) AS bigint) AS adc_fx
        |  FROM cand cd
        |  JOIN codes k ON k.vec_id = cd.vec_id
        |  JOIN dtq d ON d.qid = cd.qid AND d.m = k.m AND d.c = k.c

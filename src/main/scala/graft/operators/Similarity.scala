@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{cosineF, dotF}
@@ -23,10 +23,13 @@ import graft.sources.Fixtures.table
   * the whole corpus×queries product onto NumQueries reducer partitions and
   * fully sort each; at 100 TB that single exchange is the job.
   *
-  * The dot/norm kernels are custom codegen expressions (double accumulator
-  * in index order) so the DuckDB oracle can replay the exact arithmetic;
-  * ranking keys are 6 dp scaled integers (see [[Exact]]) so ordering never
-  * hinges on a sub-ulp float comparison.
+  * Rank-key discipline: every cosine that feeds a rank or threshold runs
+  * on 2^20 fixed-point elements — integer dot/norm² sums are
+  * accumulation-order-free, so the 6 dp rank grid (see [[Exact]]) cannot
+  * straddle a rounding edge between engines at any scale factor (the
+  * lesson [[PqAnn]] learned at sf0.001). The float [[cosineF]] codegen
+  * kernel remains for non-compared uses; LSH bucket SIGNS stay float —
+  * a sign flip needs |dot| below 1e-16, not a 1e-6 grid edge.
   */
 object Similarity {
 
@@ -61,11 +64,40 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** `colName`'s float elements as 2^20 fixed-point longs — the shared
+    * rank-key discipline (see [[PqAnn]]): integer dot/norm² sums are
+    * accumulation-order-free, so the e6 rank grid cannot straddle a
+    * rounding edge between engines at any scale factor.
+    */
+  private[operators] def fxColOf(colName: String): Column =
+    expr(s"transform($colName, v -> cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint))")
+
+  /** Cosine over two fixed-point columns: exact integer dot and norm²,
+    * then one identical scalar float chain (cast → sqrt → multiply →
+    * divide) both engines evaluate bit-equally; 0 when either norm is 0.
+    */
+  private[operators] def cosFx(qfxName: String, fxName: String): Column = {
+    val d = expr(s"aggregate(zip_with($qfxName, $fxName, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+    val na2 = expr(s"aggregate($qfxName, 0L, (a, x) -> a + x * x)")
+    val nb2 = expr(s"aggregate($fxName, 0L, (a, x) -> a + x * x)")
+    when(na2 === 0L || nb2 === 0L, lit(0.0))
+      .otherwise(d.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
+  }
+
+  /** The fixed-point corpus CTE fragment shared by the cosine oracles:
+    * `fxc(vec_id, i, q)` from any long-form `(vec_id, i, v float)` CTE.
+    */
+  private[operators] def fxSqlCte(fromLongForm: String): String =
+    s"""fxc AS (
+       |  SELECT vec_id, i,
+       |    cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint) AS q
+       |  FROM $fromLongForm)""".stripMargin
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings")
+    val emb = table(spark, dir, "embeddings").withColumn("fx", fxColOf("embedding"))
     val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cos = cosineF(col("qe"), col("embedding"))
+      .select(col("vec_id").as("qid"), col("fx").as("qfx"))
+    val cos = cosFx("qfx", "fx")
     val scored = emb.crossJoin(broadcast(queries))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
     rankTopK(scored, TopK, "vec_id", "cosine_e4")
@@ -105,22 +137,28 @@ object Similarity {
     }.mkString(",\n    ")
 
   /** DuckDB oracle for [[bruteForceTopK]] — also the ground-truth CTE the
-    * recall evaluation ([[IvfAnn.ivfRecall]]) nests.
+    * recall evaluation ([[IvfAnn.ivfRecall]]) nests. Fixed-point cosine:
+    * integer dot/norm² sums (order-free), identical scalar chain.
     */
-  val bruteForceTopKOracleSql: String =
-    """WITH q AS (
-      |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-      |p AS (
-      |  SELECT q.qid, e.vec_id,
-      |    sum(cast(q.qe[i] AS double) * cast(e.embedding[i] AS double)) AS dot,
-      |    sqrt(sum(cast(e.embedding[i] AS double) * cast(e.embedding[i] AS double))) AS nv,
-      |    sqrt(sum(cast(q.qe[i] AS double) * cast(q.qe[i] AS double))) AS nq
-      |  FROM q, embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
-      |  GROUP BY q.qid, e.vec_id),
+  def bruteForceTopKOracleSql: String =
+    s"""WITH lf AS (
+      |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+      |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+      |${fxSqlCte("lf")},
+      |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id, cast(sum(a.q * b.q) AS bigint) AS d
+      |  FROM fxc a JOIN fxc b ON b.i = a.i
+      |  WHERE a.vec_id < $NumQueries
+      |  GROUP BY 1, 2),
       |scored AS (
-      |  SELECT qid, vec_id,
-      |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
-      |  FROM p)
+      |  SELECT dt.qid, dt.vec_id,
+      |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+      |         ELSE cast(dt.d AS double)
+      |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+      |  FROM dots dt
+      |  JOIN n2 nq ON nq.vec_id = dt.qid
+      |  JOIN n2 nv ON nv.vec_id = dt.vec_id)
       |SELECT qid, vec_id,
       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
       |  cast(rn AS int) AS rn
@@ -129,7 +167,7 @@ object Similarity {
       |    row_number() OVER (PARTITION BY qid
       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
       |  FROM scored)
-      |WHERE rn <= 10""".stripMargin
+      |WHERE rn <= $TopK""".stripMargin
 
   /** DuckDB oracle for [[lshBuckets]]: the plane constants are
     * deterministic literals, so the oracle inlines them as FLOAT[] values
@@ -170,22 +208,14 @@ object Similarity {
     * off the table.
     */
   def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val withVec = withBucket(table(spark, dir, "embeddings"))
+      .withColumn("fx", fxColOf("embedding"))
     val queries = withVec.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"), col("embedding").as("qe"))
-    val cos = cosineF(col("qe"), col("embedding"))
-    withVec.join(broadcast(queries), col("bucket") === col("qbucket"))
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"), col("fx").as("qfx"))
+    val cos = cosFx("qfx", "fx")
+    val scored = withVec.join(broadcast(queries), col("bucket") === col("qbucket"))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(LshTopK).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("cosine_e4"),
-        (col("pos") + 1).cast("int").as("rn"))
+    rankTopK(scored, LshTopK, "vec_id", "cosine_e4")
   }
 
   /** DuckDB oracle for [[lshAnnTopK]]: plane literals → buckets → probe own
@@ -208,20 +238,25 @@ object Similarity {
        |  SELECT q.vec_id AS qid, w.vec_id
        |  FROM buckets q JOIN buckets w ON w.bucket = q.bucket
        |  WHERE q.vec_id < $NumQueries),
+       |lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
        |pc AS (
-       |  SELECT c.qid, c.vec_id,
-       |    sum(cast(qe.embedding[i] AS double) * cast(ce.embedding[i] AS double)) AS dot,
-       |    sqrt(sum(cast(ce.embedding[i] AS double) * cast(ce.embedding[i] AS double))) AS nv,
-       |    sqrt(sum(cast(qe.embedding[i] AS double) * cast(qe.embedding[i] AS double))) AS nq
+       |  SELECT c.qid, c.vec_id, cast(sum(qf.q * cf.q) AS bigint) AS d
        |  FROM cand c
-       |  JOIN embeddings qe ON qe.vec_id = c.qid
-       |  JOIN embeddings ce ON ce.vec_id = c.vec_id,
-       |       LATERAL (SELECT unnest(range(1, len(ce.embedding) + 1)) AS i) r
+       |  JOIN fxc qf ON qf.vec_id = c.qid
+       |  JOIN fxc cf ON cf.vec_id = c.vec_id AND cf.i = qf.i
        |  GROUP BY c.qid, c.vec_id),
        |scored AS (
-       |  SELECT qid, vec_id,
-       |    CASE WHEN nq * nv = 0 THEN 0.0 ELSE dot / (nq * nv) END AS cos
-       |  FROM pc)
+       |  SELECT pc.qid, pc.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(pc.d AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM pc
+       |  JOIN n2 nq ON nq.vec_id = pc.qid
+       |  JOIN n2 nv ON nv.vec_id = pc.vec_id)
        |SELECT qid, vec_id,
        |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
        |  cast(rn AS int) AS rn
@@ -281,12 +316,13 @@ object Similarity {
     // further shuffle of the corpus. On a cluster, persist(DISK_ONLY) or
     // reliable checkpoint is the equivalent.
     val corpus = withBucket(nearDupCorpus(spark, dir, plantClones))
+      .withColumn("fx", fxColOf("embedding"))
       .repartition(col("bucket"))
       .localCheckpoint()
     val okBuckets = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select(col("bucket"))
     val capped = corpus.join(okBuckets, Seq("bucket"), "left_semi")
-    val cos = cosineF(col("x.embedding"), col("y.embedding"))
+    val cos = cosFx("x.fx", "y.fx")
     capped.as("x").join(capped.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .filter(Exact.e(cos, 6) >= lit(math.round(threshold * 1e6)))
@@ -324,18 +360,22 @@ object Similarity {
        |  FROM buckets x
        |  JOIN ok_buckets ob ON ob.bucket = x.bucket
        |  JOIN buckets y ON y.bucket = x.bucket AND x.vec_id < y.vec_id),
+       |${fxSqlCte("corpus")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
        |pc AS (
-       |  SELECT cand.a, cand.b,
-       |    sum(cast(xa.v AS double) * cast(yb.v AS double)) AS dot,
-       |    sqrt(sum(cast(xa.v AS double) * cast(xa.v AS double))) AS na,
-       |    sqrt(sum(cast(yb.v AS double) * cast(yb.v AS double))) AS nb
+       |  SELECT cand.a, cand.b, cast(sum(xa.q * yb.q) AS bigint) AS d
        |  FROM cand
-       |  JOIN corpus xa ON xa.vec_id = cand.a
-       |  JOIN corpus yb ON yb.vec_id = cand.b AND yb.i = xa.i
+       |  JOIN fxc xa ON xa.vec_id = cand.a
+       |  JOIN fxc yb ON yb.vec_id = cand.b AND yb.i = xa.i
        |  GROUP BY cand.a, cand.b),
        |scored AS (
-       |  SELECT a, b, CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cos
-       |  FROM pc)
+       |  SELECT pc.a, pc.b,
+       |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+       |         ELSE cast(pc.d AS double)
+       |           / (sqrt(cast(na.n2 AS double)) * sqrt(cast(nb.n2 AS double))) END AS cos
+       |  FROM pc
+       |  JOIN n2 na ON na.vec_id = pc.a
+       |  JOIN n2 nb ON nb.vec_id = pc.b)
        |SELECT a, b, cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4
        |FROM scored
        |WHERE cast(floor(cos * 1000000.0 + 0.5) AS bigint) >= ${math.round(NearDupThreshold * 1e6)}""".stripMargin

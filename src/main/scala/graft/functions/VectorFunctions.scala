@@ -5,13 +5,22 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Static helpers the generated code calls. Accumulation is double-precision
   * in index order — the exact summation the DuckDB oracle reproduces with
   * `unnest(range(...))`, so results are bit-identical across engines.
   */
 object FloatVecUtil {
+  /** Fixed-point element scale (2^20) — the rank-key discipline's single
+    * source of truth, shared with the operator layer and every oracle.
+    */
+  val FxScaleLong: Long = 1L << 20
+  private val FxScaleD: Double = FxScaleLong.toDouble
+
+  /** floor(v·2^20 + 0.5) — identical to the SQL twins' per-element cast. */
+  def fx(v: Float): Long = math.floor(v.toDouble * FxScaleD + 0.5).toLong
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -33,6 +42,41 @@ object FloatVecUtil {
       i += 1
     }
     math.sqrt(acc)
+  }
+
+  private def fxNormSq(a: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { val x = fx(a.getFloat(i)); acc += x * x; i += 1 }
+    acc
+  }
+
+  /** Fixed-point cosine: exact integer dot/norm² (order-free), then the
+    * identical scalar chain every engine evaluates bit-equally; 0 when
+    * either norm is 0. One fused primitive loop — no fx array ever
+    * materializes.
+    */
+  def fxCosine(a: ArrayData, b: ArrayData): Double = {
+    val na2 = fxNormSq(a)
+    val nb2 = fxNormSq(b)
+    if (na2 == 0L || nb2 == 0L) 0.0
+    else {
+      val n = math.min(a.numElements(), b.numElements())
+      var d = 0L
+      var i = 0
+      while (i < n) { d += fx(a.getFloat(i)) * fx(b.getFloat(i)); i += 1 }
+      d.toDouble / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble))
+    }
+  }
+
+  /** Fixed-point squared L2 distance to a pre-quantized constant vector. */
+  def fxL2To(a: ArrayData, cFx: Array[Long]): Long = {
+    val n = math.min(a.numElements(), cFx.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { val t = fx(a.getFloat(i)) - cFx(i); acc += t * t; i += 1 }
+    acc
   }
 }
 
@@ -63,6 +107,39 @@ case class L2NormF(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fixed-point cosine of two `array<float>` columns — the codegen'd rank
+  * key of the vector stack: elements quantize inline to 2^20 longs, dot
+  * and norm² accumulate as exact integers (order-free in any engine), and
+  * only the final scalar chain is float. One tight loop, no fx arrays —
+  * measured ~2-3× faster per row than the `transform`+`zip_with`+
+  * `aggregate` higher-order-function formulation it replaces.
+  */
+case class FxCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatVecUtil.fxCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FloatVecUtil.fxCosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fixed-point squared L2 distance from an `array<float>` column to a
+  * pre-quantized constant vector (a centroid / codebook entry baked into
+  * the generated code as a long[] reference).
+  */
+case class FxL2To(child: Expression, cFx: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    FloatVecUtil.fxL2To(a.asInstanceOf[ArrayData], cFx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cfx", cFx, "long[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.FloatVecUtil.fxL2To($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
@@ -75,4 +152,10 @@ object VectorFunctions {
     val n = l2normF(a) * l2normF(b)
     when(n === lit(0.0), lit(0.0)).otherwise(d / n)
   }
+  /** Fixed-point cosine (the rank-key kernel — see [[FxCosine]]). */
+  def cosFxF(a: Column, b: Column): Column =
+    Bridge.column(FxCosine(Bridge.expression(a), Bridge.expression(b)))
+  /** Fixed-point squared L2 to a quantized constant (see [[FxL2To]]). */
+  def fxL2ToF(a: Column, cFx: Array[Long]): Column =
+    Bridge.column(FxL2To(Bridge.expression(a), cFx))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosineF, dotF}
+import graft.functions.VectorFunctions.{cosFxF, fxL2ToF}
 import graft.sources.Fixtures.table
 
 /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to the
@@ -131,30 +131,25 @@ object IvfAnn {
     })
   }
 
-  /** Squared-L2-to-centroid in EXACT integer arithmetic: both the vector
-    * (the row's `fx` column, see [[Similarity.fxColOf]]) and the centroid
-    * are 2^20 fixed-point longs, so d = Σ(q−c)² is an order-free integer
-    * sum — the rank-key discipline shared with [[PqAnn]] (the earlier
-    * e6-of-double key class straddled a rounding edge at sf0.001).
-    * Training stays float (the centroids are a spec constant once
-    * computed); only the assignment/probe METRIC quantizes.
+  /** Squared-L2-to-centroid in EXACT integer arithmetic: the codegen'd
+    * [[graft.functions.FxL2To]] kernel quantizes elements inline to 2^20
+    * longs and accumulates an order-free integer sum — the rank-key
+    * discipline shared with [[PqAnn]] (the earlier e6-of-double key class
+    * straddled a rounding edge at sf0.001). Training stays float (the
+    * centroids are a spec constant once computed); only the
+    * assignment/probe METRIC quantizes.
     */
-  private def fxDistTo(cFx: Array[Long], fxName: String): Column =
-    expr(
-      s"""aggregate(zip_with($fxName, array(${cFx.mkString("L, ")}L),
-         |  (q, c) -> (q - c) * (q - c)), 0L, (a, x) -> a + x)""".stripMargin)
-
   private[operators] def centroidsFx(
       spark: SparkSession, dir: String): Array[Array[Long]] =
     centroidsFor(spark, dir).map(_.map(v =>
       math.floor(v.toDouble * PqAnn.FxScale + 0.5).toLong))
 
-  /** Nearest-centroid id for the `fx` column: argmin over (d, centroid
-    * index) via array_min on structs.
+  /** Nearest-centroid id for the `embedding` column: argmin over (d,
+    * centroid index) via array_min on structs.
     */
-  private def nearestCentroid(centsFx: Array[Array[Long]], fxName: String): Column = {
+  private def nearestCentroid(centsFx: Array[Array[Long]]): Column = {
     val scored = centsFx.zipWithIndex.map { case (c, i) =>
-      struct(fxDistTo(c, fxName).as("d"), lit(i).as("c"))
+      struct(fxL2ToF(col("embedding"), c).as("d"), lit(i).as("c"))
     }
     array_min(array(scored.toSeq: _*)).getField("c")
   }
@@ -162,34 +157,29 @@ object IvfAnn {
   /** Inverted lists: vec_id → centroid assignment (map-only). */
   def assignments(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
-      .withColumn("fx", Similarity.fxColOf("embedding"))
-      .select(col("vec_id"),
-        nearestCentroid(centroidsFx(spark, dir), "fx").as("centroid"))
+      .select(col("vec_id"), nearestCentroid(centroidsFx(spark, dir)).as("centroid"))
 
-  /** (qid, qe, qfx, centroid) probe rows for the first [[NumQueries]]
-    * queries: distances to all K centroids, keep the nprobe best. Shared
-    * by [[ivfTopK]] and [[PqAnn.ivfPqTopK]].
+  /** (qid, qe, centroid) probe rows for the first [[NumQueries]] queries:
+    * distances to all K centroids, keep the nprobe best. Shared by
+    * [[ivfTopK]] and [[PqAnn.ivfPqTopK]].
     */
   private[operators] def probeRows(
       spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val centsFx = centroidsFx(spark, dir)
     val probeScored = centsFx.zipWithIndex.map { case (c, i) =>
-      struct(fxDistTo(c, "fx").as("d"), lit(i).as("c"))
+      struct(fxL2ToF(col("embedding"), c).as("d"), lit(i).as("c"))
     }
     table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries)
-      .withColumn("fx", Similarity.fxColOf("embedding"))
       .select(
-        col("vec_id").as("qid"), col("embedding").as("qe"), col("fx").as("qfx"),
+        col("vec_id").as("qid"), col("embedding").as("qe"),
         slice(array_sort(array(probeScored.toSeq: _*)), 1, nprobe).as("probe_list"))
-      .select(col("qid"), col("qe"), col("qfx"),
-        explode(col("probe_list").getField("c")).as("centroid"))
+      .select(col("qid"), col("qe"), explode(col("probe_list").getField("c")).as("centroid"))
   }
 
-  /** Corpus with its centroid assignment and fx columns. */
+  /** Corpus with its centroid assignment column. */
   private[operators] def assignedCorpus(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
-      .withColumn("fx", Similarity.fxColOf("embedding"))
-      .withColumn("centroid", nearestCentroid(centroidsFx(spark, dir), "fx"))
+      .withColumn("centroid", nearestCentroid(centroidsFx(spark, dir)))
 
   /** IVF top-k: probe the `nprobe` nearest centroids per query (default
     * [[NProbe]]); bounded-heap top-k over the probed candidates. Raising
@@ -198,8 +188,8 @@ object IvfAnn {
     */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     val assigned = assignedCorpus(spark, dir)
-    val probes = probeRows(spark, dir, nprobe).drop("qe")
-    val cos = Similarity.cosFx("qfx", "fx")
+    val probes = probeRows(spark, dir, nprobe)
+    val cos = cosFxF(col("qe"), col("embedding"))
     val scored = assigned.join(broadcast(probes), "centroid")
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
     Similarity.rankTopK(scored, TopK, "vec_id", "cosine_e4")
@@ -375,11 +365,10 @@ object IvfAnn {
     // without this both join sides re-derive the K distance expressions);
     // repartition by centroid so the pairing join is co-located
     val assigned = Similarity.nearDupCorpus(spark, dir, plantClones)
-      .withColumn("fx", Similarity.fxColOf("embedding"))
-      .select(col("vec_id"), col("fx"), nearestCentroid(centsFx, "fx").as("centroid"))
+      .select(col("vec_id"), col("embedding"), nearestCentroid(centsFx).as("centroid"))
       .repartition(col("centroid"))
       .localCheckpoint()
-    val cos = Similarity.cosFx("x.fx", "y.fx")
+    val cos = cosFxF(col("x.embedding"), col("y.embedding"))
     val dropped = assigned.as("x")
       .join(assigned.as("y"),
         col("x.centroid") === col("y.centroid") && col("x.vec_id") < col("y.vec_id"))

@@ -201,16 +201,11 @@ object MultimodalOps {
   def featureTopK(
       spark: SparkSession, dir: String,
       topK: Int = 5, numQueries: Int = 8): DataFrame = {
-    val fxe = expr(
-      s"transform(feat, v -> cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint))")
-    val feats = decodeFeatures(spark, dir).toDF().select(col("doc_id"), fxe.as("fx"))
+    val feats = decodeFeatures(spark, dir).toDF()
+      .select(col("doc_id"), col("feat").cast("array<float>").as("feat"))
     val queries = feats.filter(col("doc_id") < numQueries)
-      .select(col("doc_id").as("qid"), col("fx").as("qfx"))
-    val d = expr("aggregate(zip_with(qfx, fx, (a, b) -> a * b), 0L, (a, x) -> a + x)")
-    val na2 = expr("aggregate(qfx, 0L, (a, x) -> a + x * x)")
-    val nb2 = expr("aggregate(fx, 0L, (a, x) -> a + x * x)")
-    val cos = when(na2 === 0L || nb2 === 0L, lit(0.0))
-      .otherwise(d.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
+      .select(col("doc_id").as("qid"), col("feat").as("qf"))
+    val cos = graft.functions.VectorFunctions.cosFxF(col("qf"), col("feat"))
     val scored = feats.crossJoin(broadcast(queries))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("doc_id"), Exact.e(cos, 4).as("c4"))
     Similarity.rankTopK(scored, topK, "doc_id", "cosine_e4")

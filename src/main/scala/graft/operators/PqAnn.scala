@@ -83,26 +83,21 @@ object PqAnn {
       cbs: Array[Array[Array[Float]]]): Array[Array[Array[Long]]] =
     cbs.map(_.map(_.map(toFx)))
 
-  /** The whole vector quantized to fixed-point longs, computed once per
-    * row; per-subspace distances slice it.
+  /** |q_m − c|² via the codegen'd [[graft.functions.FxL2To]] kernel over
+    * the m-th subspace slice — quantizes inline, exact integer sum, no fx
+    * array materializes.
     */
-  private def fxCol(embCol: String): Column =
-    expr(s"transform($embCol, v -> cast(floor(cast(v AS double) * $FxScale.0 + 0.5) AS bigint))")
+  private def fxDist(m: Int, cFx: Array[Long], embCol: String): Column =
+    graft.functions.VectorFunctions.fxL2ToF(
+      slice(col(embCol), m * SubDim + 1, SubDim), cFx)
 
-  /** |q_m − c|² in exact integer arithmetic over the fx column. */
-  private def fxDist(m: Int, cFx: Array[Long], fxColName: String): Column =
-    expr(
-      s"""aggregate(zip_with(slice($fxColName, ${m * SubDim + 1}, $SubDim),
-         |  array(${cFx.mkString("L, ")}L),
-         |  (q, c) -> (q - c) * (q - c)), 0L, (a, x) -> a + x)""".stripMargin)
-
-  private def codeCol(m: Int, cbFx: Array[Array[Long]], fxColName: String): Column =
+  private def codeCol(m: Int, cbFx: Array[Array[Long]], embCol: String): Column =
     array_min(array(cbFx.zipWithIndex.map { case (c, i) =>
-      struct(fxDist(m, c, fxColName).as("d"), lit(i).as("c"))
+      struct(fxDist(m, c, embCol).as("d"), lit(i).as("c"))
     }.toSeq: _*)).getField("c")
 
-  private def codesCol(cbsFx: Array[Array[Array[Long]]], fxColName: String): Column =
-    array((0 until M).map(m => codeCol(m, cbsFx(m), fxColName)): _*)
+  private def codesCol(cbsFx: Array[Array[Array[Long]]], embCol: String): Column =
+    array((0 until M).map(m => codeCol(m, cbsFx(m), embCol)): _*)
 
   /** PQ codes per vector — one int column per subspace (the driver's
     * comparator can't sort array columns). Map-only; codebooks are plan
@@ -111,8 +106,7 @@ object PqAnn {
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val cbsFx = fxQuantize(codebooksFor(spark, dir))
     table(spark, dir, "embeddings")
-      .withColumn("fx", fxCol("embedding"))
-      .select(col("vec_id"), codesCol(cbsFx, "fx").as("codes"))
+      .select(col("vec_id"), codesCol(cbsFx, "embedding").as("codes"))
       .select(
         col("vec_id") +:
           (0 until M).map(m => col("codes")(m).as(s"c$m")): _*)
@@ -125,10 +119,10 @@ object PqAnn {
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cbsFx = fxQuantize(codebooksFor(spark, dir))
-    val emb = table(spark, dir, "embeddings").withColumn("fx", fxCol("embedding"))
-    val coded = emb.select(col("vec_id"), codesCol(cbsFx, "fx").as("codes"))
+    val emb = table(spark, dir, "embeddings")
+    val coded = emb.select(col("vec_id"), codesCol(cbsFx, "embedding").as("codes"))
     val dtable = array((0 until M).map(m =>
-      array(cbsFx(m).map(c => fxDist(m, c, "fx")).toSeq: _*)): _*)
+      array(cbsFx(m).map(c => fxDist(m, c, "embedding")).toSeq: _*)): _*)
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), dtable.as("dt"))
     val adc = expr(
@@ -157,12 +151,10 @@ object PqAnn {
     import spark.implicits._
     val cbsFx = fxQuantize(codebooksFor(spark, dir))
     val coded = IvfAnn.assignedCorpus(spark, dir)
-      .withColumn("fx", fxCol("embedding"))
-      .select(col("vec_id"), col("centroid"), codesCol(cbsFx, "fx").as("codes"))
+      .select(col("vec_id"), col("centroid"), codesCol(cbsFx, "embedding").as("codes"))
     val dtable = array((0 until M).map(m =>
-      array(cbsFx(m).map(c => fxDist(m, c, "qfx")).toSeq: _*)): _*)
+      array(cbsFx(m).map(c => fxDist(m, c, "qe")).toSeq: _*)): _*)
     val probes = IvfAnn.probeRows(spark, dir, IvfAnn.NProbe)
-      .withColumn("qfx", fxCol("qe"))
       .select(col("qid"), col("centroid"), dtable.as("dt"))
     val adc = expr(
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")

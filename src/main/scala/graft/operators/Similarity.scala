@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosineF, dotF}
+import graft.functions.VectorFunctions.{cosFxF, cosineF, dotF}
 import graft.sources.Fixtures.table
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
@@ -64,28 +64,9 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
-  /** `colName`'s float elements as 2^20 fixed-point longs — the shared
-    * rank-key discipline (see [[PqAnn]]): integer dot/norm² sums are
-    * accumulation-order-free, so the e6 rank grid cannot straddle a
-    * rounding edge between engines at any scale factor.
-    */
-  private[operators] def fxColOf(colName: String): Column =
-    expr(s"transform($colName, v -> cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint))")
-
-  /** Cosine over two fixed-point columns: exact integer dot and norm²,
-    * then one identical scalar float chain (cast → sqrt → multiply →
-    * divide) both engines evaluate bit-equally; 0 when either norm is 0.
-    */
-  private[operators] def cosFx(qfxName: String, fxName: String): Column = {
-    val d = expr(s"aggregate(zip_with($qfxName, $fxName, (a, b) -> a * b), 0L, (a, x) -> a + x)")
-    val na2 = expr(s"aggregate($qfxName, 0L, (a, x) -> a + x * x)")
-    val nb2 = expr(s"aggregate($fxName, 0L, (a, x) -> a + x * x)")
-    when(na2 === 0L || nb2 === 0L, lit(0.0))
-      .otherwise(d.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
-  }
-
   /** The fixed-point corpus CTE fragment shared by the cosine oracles:
-    * `fxc(vec_id, i, q)` from any long-form `(vec_id, i, v float)` CTE.
+    * `fxc(vec_id, i, q)` from any long-form `(vec_id, i, v float)` CTE —
+    * the SQL twin of [[graft.functions.FloatVecUtil.fx]].
     */
   private[operators] def fxSqlCte(fromLongForm: String): String =
     s"""fxc AS (
@@ -94,10 +75,10 @@ object Similarity {
        |  FROM $fromLongForm)""".stripMargin
 
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = table(spark, dir, "embeddings").withColumn("fx", fxColOf("embedding"))
+    val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("fx").as("qfx"))
-    val cos = cosFx("qfx", "fx")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = cosFxF(col("qe"), col("embedding"))
     val scored = emb.crossJoin(broadcast(queries))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
     rankTopK(scored, TopK, "vec_id", "cosine_e4")
@@ -209,10 +190,9 @@ object Similarity {
     */
   def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val withVec = withBucket(table(spark, dir, "embeddings"))
-      .withColumn("fx", fxColOf("embedding"))
     val queries = withVec.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"), col("fx").as("qfx"))
-    val cos = cosFx("qfx", "fx")
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"), col("embedding").as("qe"))
+    val cos = cosFxF(col("qe"), col("embedding"))
     val scored = withVec.join(broadcast(queries), col("bucket") === col("qbucket"))
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
     rankTopK(scored, LshTopK, "vec_id", "cosine_e4")
@@ -316,13 +296,12 @@ object Similarity {
     // further shuffle of the corpus. On a cluster, persist(DISK_ONLY) or
     // reliable checkpoint is the equivalent.
     val corpus = withBucket(nearDupCorpus(spark, dir, plantClones))
-      .withColumn("fx", fxColOf("embedding"))
       .repartition(col("bucket"))
       .localCheckpoint()
     val okBuckets = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select(col("bucket"))
     val capped = corpus.join(okBuckets, Seq("bucket"), "left_semi")
-    val cos = cosFx("x.fx", "y.fx")
+    val cos = cosFxF(col("x.embedding"), col("y.embedding"))
     capped.as("x").join(capped.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .filter(Exact.e(cos, 6) >= lit(math.round(threshold * 1e6)))

@@ -58,11 +58,15 @@ object FloatVecUtil {
     * materializes.
     */
   def fxCosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    // dot over a shared prefix with norms over full lengths would be a
+    // silently deflated metric; mismatched dims are a caller bug — fail loud
+    require(n == b.numElements(),
+      s"fxCosine: dimension mismatch ($n vs ${b.numElements()})")
     val na2 = fxNormSq(a)
     val nb2 = fxNormSq(b)
     if (na2 == 0L || nb2 == 0L) 0.0
     else {
-      val n = math.min(a.numElements(), b.numElements())
       var d = 0L
       var i = 0
       while (i < n) { d += fx(a.getFloat(i)) * fx(b.getFloat(i)); i += 1 }
@@ -129,12 +133,17 @@ case class FxCosine(left: Expression, right: Expression) extends BinaryExpressio
   * pre-quantized constant vector (a centroid / codebook entry baked into
   * the generated code as a long[] reference).
   */
-case class FxL2To(child: Expression, cFx: Array[Long]) extends UnaryExpression {
+case class FxL2To(child: Expression, cFx: IndexedSeq[Long]) extends UnaryExpression {
+  // the constant is held as an IndexedSeq so case-class equality/hashCode
+  // (and thus Catalyst canonicalization + subexpression elimination) compare
+  // it structurally — an Array field compares by reference and two
+  // structurally-equal FxL2To instances would never be deduplicated
+  private lazy val cArr: Array[Long] = cFx.toArray
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any =
-    FloatVecUtil.fxL2To(a.asInstanceOf[ArrayData], cFx)
+    FloatVecUtil.fxL2To(a.asInstanceOf[ArrayData], cArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cfx", cFx, "long[]")
+    val ref = ctx.addReferenceObj("cfx", cArr, "long[]")
     defineCodeGen(ctx, ev, a => s"graft.functions.FloatVecUtil.fxL2To($a, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -157,5 +166,5 @@ object VectorFunctions {
     Bridge.column(FxCosine(Bridge.expression(a), Bridge.expression(b)))
   /** Fixed-point squared L2 to a quantized constant (see [[FxL2To]]). */
   def fxL2ToF(a: Column, cFx: Array[Long]): Column =
-    Bridge.column(FxL2To(Bridge.expression(a), cFx))
+    Bridge.column(FxL2To(Bridge.expression(a), cFx.toIndexedSeq))
 }

@@ -73,11 +73,14 @@ object PqAnn {
 
   /** Fixed-point scale: floats become floor(v·2^20 + 0.5) longs; with
     * |v| ≲ 8 the squared-diff subspace sums stay far below 2^63.
+    * Alias of [[graft.functions.FloatVecUtil.FxScaleLong]] — the engine
+    * kernels (fx/fxCosine/fxL2To) and every operator-layer quantization +
+    * oracle SQL string MUST share one scale, or engine vs oracle silently
+    * desync. Tune it there, never here.
     */
-  private[operators] val FxScale = 1L << 20
+  private[operators] val FxScale: Long = graft.functions.FloatVecUtil.FxScaleLong
 
-  private def toFx(v: Float): Long =
-    math.floor(v.toDouble * FxScale + 0.5).toLong
+  private def toFx(v: Float): Long = graft.functions.FloatVecUtil.fx(v)
 
   private[operators] def fxQuantize(
       cbs: Array[Array[Array[Float]]]): Array[Array[Array[Long]]] =

@@ -168,8 +168,11 @@ object Sketches {
         "a_exact", "b_exact", "inter_exact")
       .selectExpr(
         "a_distinct_est", "b_distinct_est", "union_distinct_est",
-        "cast((c * union_distinct_est) div usz AS bigint) AS inter_distinct_est",
-        "cast((c * 10000) div usz AS bigint) AS jaccard_e4",
+        // + usz div 2 before the div: half-up rounding, matching the Exact.e
+        // convention every other *_e4 column in the repo follows (plain div
+        // would sit one grid step low on .5 boundaries)
+        "cast((c * union_distinct_est + usz div 2) div usz AS bigint) AS inter_distinct_est",
+        "cast((c * 10000 + usz div 2) div usz AS bigint) AS jaccard_e4",
         "a_exact", "b_exact", "inter_exact")
   }
 
@@ -211,8 +214,8 @@ object Sketches {
        |SELECT cast(esta.v AS bigint) AS a_distinct_est,
        |  cast(estb.v AS bigint) AS b_distinct_est,
        |  cast(estu.v AS bigint) AS union_distinct_est,
-       |  cast((rho.c * estu.v) // usz.n AS bigint) AS inter_distinct_est,
-       |  cast((rho.c * 10000) // usz.n AS bigint) AS jaccard_e4,
+       |  cast((rho.c * estu.v + usz.n // 2) // usz.n AS bigint) AS inter_distinct_est,
+       |  cast((rho.c * 10000 + usz.n // 2) // usz.n AS bigint) AS jaccard_e4,
        |  cast(ex.a_exact AS bigint) AS a_exact,
        |  cast(ex.b_exact AS bigint) AS b_exact,
        |  cast(ex.inter_exact AS bigint) AS inter_exact

@@ -105,7 +105,11 @@ object TrainingPrep {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ch.withColumn("local_cum", sum(col("chunk_tokens")).over(localW))
     // per-partition totals: numPartitions rows — the broadcastable offsets
-    val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    // partitionBy(lit(0)): same single-partition plan over this
+    // numPartitions-row frame, but keeps WindowExec from WARN-spamming
+    // "No Partition Defined" on every bench/verify run
+    val offsetW = Window.partitionBy(lit(0))
+      .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(sum(col("chunk_tokens")).as("ptotal"))
       .withColumn("offset", coalesce(sum(col("ptotal")).over(offsetW), lit(0L)))
       .select(col("pid"), col("offset"))

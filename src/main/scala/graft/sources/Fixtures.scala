@@ -80,7 +80,9 @@ object Fixtures {
       lit("regions").as("code_list_id"),
       col("r_name").as("code"),
       col("r_regionkey").cast("int").as("ord"))
-    val w = Window.orderBy(col("p_brand"))
+    // lit(0) partition: identical ranking over this ~25-row distinct-brand
+    // frame, silences the spurious WindowExec "No Partition Defined" WARN
+    val w = Window.partitionBy(lit(0)).orderBy(col("p_brand"))
     val brands = table(spark, dir, "part")
       .select(col("p_brand")).distinct()
       .withColumn("rnk", dense_rank().over(w))

@@ -556,7 +556,7 @@ class ScaleOpsSpec extends SparkSuite {
     val (aEst, bEst, uEst, iEst, jacE4, aExact, bExact, iExact) = r
     assert(aEst === aExact && bEst === bExact && iEst === iExact)
     assert(uEst === aExact + bExact - iExact)
-    assert(jacE4 === math.floor(iExact.toDouble * 10000 / uEst).toLong)
+    assert(jacE4 === (iExact * 10000 + uEst / 2) / uEst) // half-up, Exact.e convention
     // estimates stay inside set-algebra bounds by construction
     assert(iEst <= math.min(aEst, bEst) && uEst >= math.max(aEst, bEst))
   }

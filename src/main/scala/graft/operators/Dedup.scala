@@ -111,8 +111,16 @@ object Dedup {
   def ngramJaccardPairs(
       spark: SparkSession, dir: String,
       threshold: Double = DefaultThreshold,
-      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val stats = pairStats(shingles(spark, dir), maxDocFreq)
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    jaccardPairsFromShingles(shingles(spark, dir), threshold, maxDocFreq)
+
+  /** Jaccard scoring over any (doc_id, s) shingle frame — the engine under
+    * [[ngramJaccardPairs]] (inline shingling) and
+    * [[ShingleIndex.ngramJaccardPairs]] (materialized index).
+    */
+  private[operators] def jaccardPairsFromShingles(
+      sh: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
+    val stats = pairStats(sh, maxDocFreq)
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common")).cast("double")
     stats
@@ -191,8 +199,15 @@ object Dedup {
     * (signatures through verified pairs), which we weight above the
     * seconds; at scale the verify joins dominate either way.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = DefaultThreshold): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+  def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = DefaultThreshold): DataFrame =
+    minhashLshFromShingles(shingles(spark, dir), threshold)
+
+  /** The full MinHash+LSH pipeline over any (doc_id, s) shingle frame —
+    * shared by the inline path above and [[ShingleIndex.minhashLshPairs]].
+    */
+  private[operators] def minhashLshFromShingles(
+      shIn: DataFrame, threshold: Double): DataFrame = {
+    val sh = shIn.cache()
     val sig = minhashSignatures(sh)
     val bands = (0 until NumPerms / BandSize).map { b =>
       val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
@@ -664,6 +679,15 @@ object Dedup {
              |  j -> concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)))""".stripMargin))
           .as("seg"))
       .select(col("doc_id"), md5(col("seg").cast("binary")).as("h"))
+    segmentDupStats(segs)
+  }
+
+  /** Per-doc duplicated-segment stats over any (doc_id, h) segment-hash
+    * frame (one row per segment OCCURRENCE — multiplicity matters) —
+    * shared by the inline path above and
+    * [[ShingleIndex.duplicatedSegments]].
+    */
+  private[operators] def segmentDupStats(segs: DataFrame): DataFrame = {
     val perDoc = segs.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
     val nd = count(lit(1)).over(Window.partitionBy(col("h")))
     perDoc
@@ -714,9 +738,17 @@ object Dedup {
       spark: SparkSession, dir: String,
       minContainment: Double = DefaultMinContainment,
       maxDocFreq: Int = DefaultMaxDocFreq,
-      plantCopies: Boolean = false): DataFrame = {
-    val stats = pairStats(
-      shinglesOf(maybePartialCopies(spark, dir, plantCopies)), maxDocFreq)
+      plantCopies: Boolean = false): DataFrame =
+    containmentFromShingles(
+      shinglesOf(maybePartialCopies(spark, dir, plantCopies)),
+      minContainment, maxDocFreq)
+
+  /** Containment scoring over any (doc_id, s) shingle frame — shared by
+    * the inline path above and [[ShingleIndex.containmentPairs]].
+    */
+  private[operators] def containmentFromShingles(
+      sh: DataFrame, minContainment: Double, maxDocFreq: Int): DataFrame = {
+    val stats = pairStats(sh, maxDocFreq)
     val cont = col("common").cast("double") /
       least(col("na"), col("nb")).cast("double")
     stats

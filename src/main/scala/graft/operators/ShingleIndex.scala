@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures.table
+
+/** Materialized shingle/segment index for the dedup family.
+  *
+  * The inline dedup pipelines (d3 Jaccard, d4 MinHash+LSH, d10 segment,
+  * d11 containment) each re-scan and re-shingle the corpus — correct, but
+  * at 100 TB a production pipeline tokenizes the corpus ONCE, writes the
+  * derived index, and feeds every dedup pass from it (re-reading a compact
+  * index beats re-tokenizing petabytes four times, and the index write is
+  * amortized across every later pass, incremental ingest included).
+  *
+  * [[build]] scans `documents` exactly once — planted partial copies and
+  * BOTH derivations (word 3-shingles and non-overlapping token segments)
+  * are emitted by a single projection, never a self-union, because each
+  * branch of a DataFrame union performs its own file scan. The result
+  * lands as ONE catalog table:
+  *
+  *   - hive-partitioned by `kind` (`shingle` | `segment`) so each pass
+  *     prunes to its derivation at the directory level, and
+  *   - bucketed + sorted by `s`, so the posting-list `groupBy(s)` that
+  *     opens every pass runs with ZERO exchanges — the per-pass shuffle
+  *     of the inline path becomes a write-once cost paid at build.
+  *
+  * Readers reconstruct each graded query's exact input: the raw-corpus
+  * passes (d3/d4) filter planted ids out (`doc_id < PartialCopyOffset`),
+  * the planted passes (d10/d11) read everything. `ScaleOpsSpec` asserts
+  * bit-equality with the inline derivations and the single corpus scan.
+  */
+object ShingleIndex {
+
+  val ShingleKind = "shingle"
+  val SegmentKind = "segment"
+
+  /** The exploded (doc_id, kind, s) frame — ONE FileScan of `documents`.
+    * Exposed separately from [[build]] so tests can assert the scan count
+    * on the exact plan that gets written.
+    */
+  def buildFrame(
+      spark: SparkSession, dir: String,
+      segTokens: Int = Dedup.SegmentTokens): DataFrame = {
+    import Dedup.{PartialCopyCount, PartialCopyOffset, PartialCopyTokens}
+    // planted partial copies as extra (doc_id, toks) structs in the SAME
+    // projection — a unionAll with a filtered branch would scan the
+    // parquet twice
+    val docs = table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        s"""concat(
+           |  array(struct(doc_id, toks)),
+           |  CASE WHEN doc_id < ${PartialCopyCount}L
+           |       THEN array(struct(doc_id + ${PartialCopyOffset}L AS doc_id,
+           |                         slice(toks, 1, $PartialCopyTokens) AS toks))
+           |       ELSE array() END)""".stripMargin)).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.toks").as("toks"))
+    // both derivations from one pass over the token arrays: distinct
+    // 3-shingles (the d3/d4/d11 input) and every non-overlapping
+    // segTokens-token segment OCCURRENCE (the d10 input — multiplicity
+    // matters, so no distinct on that side)
+    docs.select(
+        col("doc_id"),
+        explode(expr(
+          s"""concat(
+             |  CASE WHEN size(toks) >= 3
+             |       THEN transform(
+             |              array_distinct(transform(sequence(1, size(toks) - 2),
+             |                i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))),
+             |              v -> struct('$ShingleKind' AS kind, v AS s))
+             |       ELSE array() END,
+             |  CASE WHEN size(toks) >= $segTokens
+             |       THEN transform(sequence(0, size(toks) div $segTokens - 1),
+             |              j -> struct('$SegmentKind' AS kind,
+             |                          concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)) AS s))
+             |       ELSE array() END)""".stripMargin)).as("ks"))
+      .select(col("doc_id"), col("ks.kind").as("kind"), col("ks.s").as("s"))
+  }
+
+  /** Write the index as an external bucketed table (see class doc). */
+  def build(
+      spark: SparkSession, dir: String, path: String, tableName: String,
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
+    buildFrame(spark, dir, segTokens)
+      .write.mode("overwrite")
+      .option("path", path)
+      .partitionBy("kind")
+      .bucketBy(numBuckets, "s")
+      .sortBy("s")
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** The (doc_id, s) shingle relation from the index. `includePlanted`
+    * false reconstructs the raw corpus (d3/d4); true keeps the planted
+    * partial copies (d11).
+    */
+  def shingles(
+      spark: SparkSession, tableName: String, includePlanted: Boolean): DataFrame = {
+    val sh = spark.table(tableName).filter(col("kind") === ShingleKind)
+    (if (includePlanted) sh
+     else sh.filter(col("doc_id") < Dedup.PartialCopyOffset))
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** The (doc_id, h) segment-hash relation (one row per occurrence). */
+  def segments(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName).filter(col("kind") === SegmentKind)
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+
+  // The four dedup passes, fed from the index instead of the corpus —
+  // same scoring engines as the inline d3/d4/d10/d11, bit-equal output.
+
+  def ngramJaccardPairs(
+      spark: SparkSession, tableName: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      maxDocFreq: Int = Dedup.DefaultMaxDocFreq): DataFrame =
+    Dedup.jaccardPairsFromShingles(
+      shingles(spark, tableName, includePlanted = false), threshold, maxDocFreq)
+
+  def minhashLshPairs(
+      spark: SparkSession, tableName: String,
+      threshold: Double = Dedup.DefaultThreshold): DataFrame =
+    Dedup.minhashLshFromShingles(
+      shingles(spark, tableName, includePlanted = false), threshold)
+
+  def duplicatedSegments(spark: SparkSession, tableName: String): DataFrame =
+    Dedup.segmentDupStats(segments(spark, tableName))
+
+  def containmentPairs(
+      spark: SparkSession, tableName: String,
+      minContainment: Double = Dedup.DefaultMinContainment,
+      maxDocFreq: Int = Dedup.DefaultMaxDocFreq): DataFrame =
+    Dedup.containmentFromShingles(
+      shingles(spark, tableName, includePlanted = true), minContainment, maxDocFreq)
+}

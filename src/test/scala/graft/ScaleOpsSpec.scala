@@ -560,4 +560,55 @@ class ScaleOpsSpec extends SparkSuite {
     // estimates stay inside set-algebra bounds by construction
     assert(iEst <= math.min(aEst, bEst) && uEst >= math.max(aEst, bEst))
   }
+
+  test("shared shingle index: one corpus scan feeds all four dedup passes bit-equally") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.ShingleIndex
+    val path = java.nio.file.Files.createTempDirectory("shidx").toString + "/idx"
+    val tbl = "dedup_shingle_index"
+    try {
+      // the frame that gets written performs exactly ONE scan of documents
+      // (planting and both derivations are one projection, not a union)
+      val frame = ShingleIndex.buildFrame(spark, sf0001)
+      val scans = frame.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.size === 1, s"build should scan the corpus once, got ${scans.size}")
+      ShingleIndex.build(spark, sf0001, path, tbl)
+
+      // none of the four index-fed passes touches documents.parquet
+      val passes = Seq(
+        "d3" -> ShingleIndex.ngramJaccardPairs(spark, tbl),
+        "d4" -> ShingleIndex.minhashLshPairs(spark, tbl),
+        "d10" -> ShingleIndex.duplicatedSegments(spark, tbl),
+        "d11" -> ShingleIndex.containmentPairs(spark, tbl))
+      passes.foreach { case (name, q) =>
+        val planText = q.queryExecution.executedPlan.toString
+        assert(!planText.contains("documents.parquet"),
+          s"$name re-scans the corpus instead of the index")
+      }
+
+      // bucketing pays off: the posting-list groupBy(s) that opens every
+      // pass runs on the bucketed scan with ZERO exchanges
+      val postings = ShingleIndex.shingles(spark, tbl, includePlanted = true)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      postings.collect()
+      assert(postings.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, "bucketed posting groupBy still shuffles")
+
+      // bit-equality with the graded inline derivations
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(passes(0)._2) === rows(Dedup.ngramJaccardPairs(spark, sf0001)))
+      assert(rows(passes(1)._2) === rows(Dedup.minhashLshPairs(spark, sf0001)))
+      assert(rows(passes(2)._2) ===
+        rows(Dedup.duplicatedSegments(spark, sf0001, plantCopies = true)))
+      assert(rows(passes(3)._2) ===
+        rows(Dedup.containmentPairs(spark, sf0001, plantCopies = true)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }

@@ -204,6 +204,10 @@ object SparkEntry {
     // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
     // segment-dup fraction) over the UNPLANTED production corpus
     "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
+    // t20 further composed with MinHash near-dup (d4) and SemDeDup (v13)
+    // survivorship — the complete pretraining gate
+    "t23_training_selection_full" ->
+      graft.operators.TrainingPrep.trainingSelectionFull _,
     // BPE-style pre-tokenizer piece counts next to whitespace tokens;
     // plantUrls adds digit/punct runs so the ratio is non-vacuous
     "t21_bpe_tokens" -> ((s: SparkSession, d: String) =>
@@ -1341,7 +1345,10 @@ object SparkEntry {
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
         "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),
         "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d),
-        "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d))
+        "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
+        // composes the v13 oracle (centroid literals) → data-dependent too
+        "t23_training_selection_full" ->
+          graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d))
       case _ => Map.empty
     }
 

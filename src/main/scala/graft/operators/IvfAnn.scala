@@ -358,13 +358,14 @@ object IvfAnn {
   def semanticDedup(
       spark: SparkSession, dir: String,
       threshold: Double = SemDedupThreshold,
-      plantClones: Boolean = false): DataFrame = {
+      plantClones: Boolean = false,
+      cloneOffset: Long = Similarity.CloneIdOffset): DataFrame = {
     val centsFx = centroidsFx(spark, dir)
     // materialize the assigned corpus ONCE before the self-join (same
     // rationale as v5: exchange reuse does not survive AQE re-planning, so
     // without this both join sides re-derive the K distance expressions);
     // repartition by centroid so the pairing join is co-located
-    val assigned = Similarity.nearDupCorpus(spark, dir, plantClones)
+    val assigned = Similarity.nearDupCorpus(spark, dir, plantClones, cloneOffset)
       .select(col("vec_id"), col("embedding"), nearestCentroid(centsFx).as("centroid"))
       .repartition(col("centroid"))
       .localCheckpoint()
@@ -386,7 +387,9 @@ object IvfAnn {
     * within-cluster cosine, mirroring the v5 clone CTE and the v6
     * assignment CTE.
     */
-  def semanticDedupOracleSql(spark: SparkSession, dir: String): String = {
+  def semanticDedupOracleSql(
+      spark: SparkSession, dir: String,
+      cloneOffset: Long = Similarity.CloneIdOffset): String = {
     val centsFx = centroidsFx(spark, dir)
     s"""WITH cents(c, vec) AS (VALUES
        |    ${centroidValues(centsFx)}),
@@ -395,7 +398,7 @@ object IvfAnn {
        |  FROM embeddings e,
        |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
        |clones AS (
-       |  SELECT vec_id + ${Similarity.CloneIdOffset} AS vec_id, i,
+       |  SELECT vec_id + ($cloneOffset) AS vec_id, i,
        |    CASE WHEN (i - 1) % 2 = 1 THEN cast(cast(v AS double) * 1.2 AS float) ELSE v END AS v
        |  FROM base WHERE vec_id < ${Similarity.CloneCount}),
        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),

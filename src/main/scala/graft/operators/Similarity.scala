@@ -263,12 +263,13 @@ object Similarity {
     * vacuously) — a production caller gets the unmodified corpus.
     */
   def nearDupCorpus(
-      spark: SparkSession, dir: String, plantClones: Boolean = false): DataFrame = {
+      spark: SparkSession, dir: String, plantClones: Boolean = false,
+      cloneOffset: Long = CloneIdOffset): DataFrame = {
     val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     if (!plantClones) emb
     else {
       val clones = emb.filter(col("vec_id") < CloneCount).select(
-        (col("vec_id") + lit(CloneIdOffset)).as("vec_id"),
+        (col("vec_id") + lit(cloneOffset)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float")).otherwise(x))
           .as("embedding"))

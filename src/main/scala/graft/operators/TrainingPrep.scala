@@ -360,4 +360,58 @@ object TrainingPrep {
        |  AND t.n_tokens BETWEEN $MinTokens AND $MaxTokens
        |  AND coalesce(d.dup_frac_e4, 0) <= $MaxDupFracE4""".stripMargin
   }
+
+  /** Clone-id offset for the t23 semantic stage: NEGATIVE, so the planted
+    * cosine-0.95 mates sit at LOWER ids than their originals and the
+    * min-id survivor rule demonstrably drops real documents — planting at
+    * higher ids (the v13 default) only ever drops the clones themselves,
+    * which would make the semantic gate vacuous on the gate's output.
+    */
+  val FullGateSemCloneOffset: Long = -1000000L
+
+  /** t23: the FULL production selection gate — [[trainingSelection]]'s
+    * exact ∧ token ∧ quality ∧ segment-dup composition, further filtered
+    * by the two fuzzy survivorship signals a pretraining pipeline runs
+    * last:
+    *
+    *   - MinHash near-dup survivorship ([[Dedup.minhashLshPairs]], the d4
+    *     pipeline): drop any doc with a lower-id fuzzy duplicate — the
+    *     graded corpus has natural ≥0.5-Jaccard pairs, so this drops real
+    *     rows;
+    *   - SemDeDup survivorship ([[IvfAnn.semanticDedup]], the v13
+    *     pipeline): drop any doc whose embedding has a cosine ≥ 0.95
+    *     cluster-mate at a lower id (see [[FullGateSemCloneOffset]]).
+    *
+    * Scale shape: both drop sets are tiny relative to the corpus (near-dup
+    * fractions), so the final anti-joins broadcast; everything upstream
+    * keeps its constituent pipeline's plan — composing gates adds joins on
+    * doc_id, never a new corpus-wide shuffle key.
+    */
+  def trainingSelectionFull(spark: SparkSession, dir: String): DataFrame = {
+    val base = trainingSelection(spark, dir)
+    val fuzzyDrop = Dedup.minhashLshPairs(spark, dir)
+      .select(col("b").as("doc_id")).distinct()
+    val semDrop = IvfAnn.semanticDedup(
+        spark, dir, plantClones = true, cloneOffset = FullGateSemCloneOffset)
+      .filter(!col("kept") && col("vec_id") >= 0)
+      .select(col("vec_id").as("doc_id"))
+    base
+      .join(fuzzyDrop, Seq("doc_id"), "left_anti")
+      .join(semDrop, Seq("doc_id"), "left_anti")
+  }
+
+  /** DuckDB oracle for [[trainingSelectionFull]]: the t20, d4 and v13
+    * oracles composed as derived tables (nested WITH), with the same
+    * negative clone offset interpolated into the semantic stage.
+    */
+  def trainingSelectionFullOracleSql(spark: SparkSession, dir: String): String =
+    s"""SELECT t.* FROM ($trainingSelectionOracleSql) t
+       |LEFT JOIN (SELECT DISTINCT b FROM (${Dedup.minhashLshOracleSql}) p) fz
+       |  ON fz.b = t.doc_id
+       |LEFT JOIN (
+       |  SELECT vec_id
+       |  FROM (${IvfAnn.semanticDedupOracleSql(spark, dir, FullGateSemCloneOffset)}) s
+       |  WHERE NOT kept AND vec_id >= 0) sd
+       |  ON sd.vec_id = t.doc_id
+       |WHERE fz.b IS NULL AND sd.vec_id IS NULL""".stripMargin
 }

@@ -179,11 +179,13 @@ object RelationalOps {
     val counts = eventsTable(spark, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))
-    counts
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("event_type"), col("user_id"), col("n"), col("rn").cast("int").as("rn"))
+    // the TopKPerKey plan node, not a window: bounded k-row heaps on the
+    // map side and a top-k-only exchange, vs shuffling and fully sorting
+    // every (event_type, user) count to rank it (same result — the DuckDB
+    // oracle stays the row_number formulation)
+    graft.plans.TopKPerKey(
+        counts, Seq(col("event_type")), Seq(col("n").desc, col("user_id")), 3)
+      .select(col("event_type"), col("user_id"), col("n"), col("rn"))
   }
 
   /** Analytic windows: running total + lag delta per user ordered by
@@ -314,32 +316,23 @@ object RelationalOps {
         lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
         concat_ws("|", col("c_mktsegment"), trim(col("c_name"))).as("tagged"))
 
-  /** Top-3 parts by exact revenue per brand via the bounded-heap
-    * [[graft.functions.TopKPayloadAgg]] — map-side partial top-k instead
-    * of a whole-partition window sort. Result is identical to the window
-    * formulation (the DuckDB oracle uses row_number), ties broken by
-    * part key.
+  /** Top-3 parts by exact revenue per brand through the [[graft.plans
+    * .TopKPerKey]] plan node — two-phase bounded heaps with whole-stage
+    * codegen on the partial phase (the earlier `groupByKey` +
+    * `TopKPayloadAgg` formulation was equally bounded and mergeable, but
+    * the typed-Aggregator path breaks the codegen span around the partial
+    * aggregation). Result is identical to the window formulation (the
+    * DuckDB oracle uses row_number), ties broken by part key.
     */
   def topPartsByBrand(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.operators.Exact
     val revPerPart = table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("rev_e4"))
-    revPerPart
-      .select(col("p_brand"), col("rev_e4"), col("p_partkey"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3, r._2))
-      .agg(new graft.functions.TopKPayloadAgg(3).toColumn.name("top"))
-      .toDF("p_brand", "top")
-      .select(col("p_brand"), posexplode(col("top")))
-      .select(
-        col("p_brand"),
-        col("col._2").as("p_partkey"),
-        col("col._1").as("rev_e4"),
-        (col("pos") + 1).cast("int").as("rn"))
+    graft.plans.TopKPerKey(
+        revPerPart, Seq(col("p_brand")), Seq(col("rev_e4").desc, col("p_partkey")), 3)
+      .select(col("p_brand"), col("p_partkey"), col("rev_e4"), col("rn"))
   }
 
   /** TPC-H Q10 shape: returned-item revenue per customer over a date

@@ -182,4 +182,21 @@ class TopKPerKeySpec extends SparkSuite {
     assert(plan.indexOf("PartialTopKPerKey") > plan.indexOf("Exchange hashpartitioning"), plan)
     assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
   }
+
+  test("w1 and w3 run through the plan node: two-phase bounded heaps, no sort") {
+    // the graded ranking queries use the node (not a window, not a typed
+    // Aggregator): partial heaps below the key exchange, final above, no
+    // full sort of any partition anywhere in either plan
+    for (q <- Seq(
+        graft.operators.RelationalOps.topUsersPerEventType(spark, sf0001),
+        graft.operators.RelationalOps.topPartsByBrand(spark, sf0001))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("PartialTopKPerKey"), plan)
+      assert(plan.contains("FinalTopKPerKey"), plan)
+      assert(plan.indexOf("PartialTopKPerKey") > plan.indexOf("FinalTopKPerKey"), plan)
+      assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+      assert(!plan.contains("ObjectHashAggregate"), s"typed-Aggregator path:\n$plan")
+    }
+  }
 }

@@ -206,9 +206,9 @@ object IvfAnn {
     * qid survives the semi join: rank 1 is the query itself under both
     * paths (cosine 1.0, and the query's own centroid is always probed).
     */
-  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+  def ivfRecall(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     val exact = Similarity.bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
-    val approx = ivfTopK(spark, dir)
+    val approx = ivfTopK(spark, dir, nprobe)
       .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
     exact.join(approx,
         col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Records the IVF probe-count operating curve: recall@10 (vs the exact
+  * brute-force ground truth) and wall time of the full `ivfTopK` pass at
+  * nprobe ∈ {1, 2, 4, 8}. The committed sf0.1 table lives in
+  * `README.md` ("IVF operating point") so the nprobe knob has a
+  * documented recall/latency trade-off before any scale-up; monotonicity
+  * of the curve is asserted in `IvfBucketingSpec`.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.NprobeCurve
+  */
+object NprobeCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val exact = graft.operators.Similarity.bruteForceTopK(spark, dir)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = Seq(1, 2, 4, 8).map { nprobe =>
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.IvfAnn.ivfTopK(spark, dir, nprobe).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val approx = graft.operators.IvfAnn.ivfTopK(spark, dir, nprobe)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      val recall = (approx & exact).size.toDouble / exact.size
+      (nprobe, recall, times.min)
+    }
+    println("| nprobe | recall@10 | ivfTopK wall (s, min of 2) |")
+    println("|---|---|---|")
+    rows.foreach { case (np, r, t) => println(f"| $np | $r%.3f | $t%.2f |") }
+    spark.stop()
+  }
+}

@@ -208,10 +208,9 @@ final case class GatedDoc(doc_id: Long, n_tokens: Long, quality_e4: Long)
   * `qualityE4Col`) applied per micro-batch — one definition of the gate,
   * two runtimes, bit-equality asserted in `StreamingSpec`. Stateless and
   * map-only, so it composes freely with the stateful dedup operators
-  * (`dedupedWithinWatermark` for exact, [[StreamingDedup]] for fuzzy)
-  * into the full streaming counterpart of the batch training-selection
-  * query (t20); the corpus-stateful segment-dup gate has no streaming
-  * analogue by design — cross-document frequency needs the corpus.
+  * (`dedupedWithinWatermark` for exact, [[StreamingDedup]] for fuzzy,
+  * [[StreamingSegmentDedup]] for span-level) into the full streaming
+  * counterpart of the batch training-selection query (t20).
   */
 object StreamingGates {
   def qualityGate(
@@ -231,6 +230,100 @@ object StreamingGates {
       .as[GatedDoc]
   }
 }
+final case class SegArrival(h: String, doc_id: Long)
+final case class SegDupDelta(doc_id: Long, dup_delta: Long)
+final case class SegHashState(announced: Boolean, doc0: Long, cnt0: Long)
+
+/** Streaming segment-level dedup state (the incremental d10 signal): keyed
+  * by segment hash via `transformWithState`. State per hash is O(1) by
+  * construction — (first doc, its occurrence count) until a SECOND
+  * distinct document arrives, at which point both sides' duplicated
+  * counts are announced and the state collapses to a flag; every later
+  * arrival emits its delta directly. The per-doc duplicated-segment
+  * fraction is then a running sum of deltas — cross-document frequency
+  * WITHOUT corpus state (contrast `StreamingGates`' earlier waiver: the
+  * full frequency map isn't needed, only the 0/1/2+ transition).
+  */
+class SegmentDupProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[String, SegArrival, SegDupDelta] {
+
+  @transient private var st: ValueState[SegHashState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SegHashState](
+      "seg", Encoders.product[SegHashState], ttl)
+
+  override def handleInputRows(
+      key: String, rows: Iterator[SegArrival], tv: TimerValues): Iterator[SegDupDelta] = {
+    var s = if (st.exists()) st.get() else SegHashState(false, -1L, 0L)
+    val out = List.newBuilder[SegDupDelta]
+    rows.foreach { a =>
+      if (s.announced) out += SegDupDelta(a.doc_id, 1L)
+      else if (s.doc0 == -1L || s.doc0 == a.doc_id)
+        s = SegHashState(announced = false, a.doc_id, s.cnt0 + 1L)
+      else { // second distinct doc: this hash is now a duplicated segment
+        out += SegDupDelta(s.doc0, s.cnt0)
+        out += SegDupDelta(a.doc_id, 1L)
+        s = SegHashState(announced = true, -1L, 0L)
+      }
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
+/** Streaming counterpart of batch d10 ([[graft.operators.Dedup
+  * .duplicatedSegments]]): same token segmentation and md5 segment hash
+  * (stateless, map-only), then [[SegmentDupProcessor]] per hash. Summing
+  * `dup_delta` per doc over the whole stream equals the batch
+  * `n_dup_segments` exactly — asserted bit-equal in `StreamingSpec` on a
+  * replayed corpus with the near-copies arriving batches later.
+  */
+object StreamingSegmentDedup {
+
+  /** (segment hash, doc_id) per segment OCCURRENCE — the batch `segs`
+    * relation as a stateless streaming projection.
+    */
+  private[graft] def segArrivals(
+      docs: Dataset[StreamDoc], segTokens: Int): Dataset[SegArrival] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, expr, md5, split}
+    docs.toDF()
+      .withColumn("toks", split(col("text"), " "))
+      .filter(s"size(toks) >= $segTokens")
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.functions.explode(expr(
+          s"""transform(sequence(0, size(toks) div $segTokens - 1),
+             |  j -> concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)))""".stripMargin))
+          .as("seg"))
+      .select(md5(col("seg").cast("binary")).as("h"), col("doc_id"))
+      .as[SegArrival]
+  }
+
+  /** Duplicated-segment-count deltas per document. `stateTtl` bounds the
+    * per-hash key space on an unbounded stream (an idle hash not seen for
+    * that long is forgotten, the watermark analogue); pass `None` for
+    * bounded backfills/tests where exact parity with a batch pass over
+    * the same corpus is required.
+    */
+  def dupDeltas(
+      docs: Dataset[StreamDoc],
+      segTokens: Int = graft.operators.Dedup.SegmentTokens,
+      stateTtl: Option[java.time.Duration] = Some(java.time.Duration.ofMinutes(30)))
+      : Dataset[SegDupDelta] = {
+    import docs.sparkSession.implicits._
+    val (ttlConf, timeMode) = stateTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    segArrivals(docs, segTokens)
+      .groupByKey(_.h)
+      .transformWithState(
+        new SegmentDupProcessor(ttlConf), timeMode, OutputMode.Append())
+  }
+}
+
 final case class NearDupHit(doc_id: Long, dup_of: Long, band: Int, est_e4: Long)
 final case class BandArrival(band: Int, bkey: String, doc_id: Long, sig: Seq[Long])
 final case class BucketState(docs: List[(Long, Seq[Long])])

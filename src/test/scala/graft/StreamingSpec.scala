@@ -506,6 +506,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming segment dedup sums to the batch d10 fractions across batches") {
+    import graft.streaming.{SegDupDelta, StreamDoc, StreamingSegmentDedup}
+    // the graded d10 corpus: documents plus the planted partial copies —
+    // replayed with every ORIGINAL in earlier batches and every planted
+    // copy in the last, so the duplicate signal must cross batches
+    val corpus = graft.operators.Dedup
+      .maybePartialCopies(spark, sf0001, plantCopies = true)
+      .as[(Long, String)].collect()
+    val (originals, planted) = corpus.partition(_._1 < 1000000L)
+
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamDoc]
+      // stateTtl = None: bounded replay, exact parity required (and no
+      // pending processing-time timers to stall processAllAvailable)
+      val q = StreamingSegmentDedup.dupDeltas(mem.toDS(), stateTtl = None)
+        .writeStream.format("memory").queryName("seg_deltas")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = originals.splitAt(originals.length / 2)
+        for (b <- Seq(b1, b2, planted)) {
+          mem.addData(b.map { case (id, t) => StreamDoc(id, t) }.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val streamedDup = spark.table("seg_deltas").as[SegDupDelta].collect()
+          .groupBy(_.doc_id).view.mapValues(_.map(_.dup_delta).sum).toMap
+        val batch = graft.operators.Dedup
+          .duplicatedSegments(spark, sf0001, plantCopies = true)
+          .select("doc_id", "n_dup_segments").as[(Long, Long)].collect().toMap
+        // bit-equality on every doc with a duplicated span (the stream
+        // emits no row for dup-free docs; batch reports their 0)
+        assert(streamedDup === batch.filter(_._2 > 0L),
+          s"stream/batch divergence: ${streamedDup.size} vs ${batch.count(_._2 > 0L)}")
+        assert(streamedDup.nonEmpty)
+        // the planted copies and their originals all carry the signal
+        assert(streamedDup.keySet.exists(_ >= 2000000L))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming signatures are bit-equal to the batch minhash path") {
     import graft.streaming.{StreamDoc, StreamingDedup}
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

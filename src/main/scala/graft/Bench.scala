@@ -62,14 +62,18 @@ object Bench {
       // contention swings on individual queries (r4: 174.8 s recorded vs
       // 89.3 s for the same code), and min-of-2 is the cheapest estimator
       // that strips one-off scheduler stalls without hiding real cost
-      val dt = (0 until 2).map { _ =>
+      val runs = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // caches are per-query scratch, not cross-query state
-        t
-      }.min
-      name -> dt
+        (t, ok)
+      }
+      // a throwing query must NOT be recorded at its (fast) failure wall —
+      // min-of-2 would then report a regression as an improvement; -1 is
+      // the visible failure marker
+      val good = runs.collect { case (t, true) => t }
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double)]) =

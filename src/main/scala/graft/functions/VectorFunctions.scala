@@ -76,7 +76,13 @@ object FloatVecUtil {
 
   /** Fixed-point squared L2 distance to a pre-quantized constant vector. */
   def fxL2To(a: ArrayData, cFx: Array[Long]): Long = {
-    val n = math.min(a.numElements(), cFx.length)
+    val n = a.numElements()
+    // same fail-loud contract as fxCosine: a prefix-truncated distance is
+    // a wrong-but-plausible metric (wrong nearest-centroid assignment),
+    // and a dimension mismatch is always a caller bug (corrupt row, wrong
+    // codebook for the corpus)
+    require(n == cFx.length,
+      s"fxL2To: dimension mismatch ($n vs ${cFx.length})")
     var acc = 0L
     var i = 0
     while (i < n) { val t = fx(a.getFloat(i)) - cFx(i); acc += t * t; i += 1 }

@@ -22,9 +22,14 @@ import graft.sources.Fixtures.table
   *
   *   - hive-partitioned by `kind` (`shingle` | `segment`) so each pass
   *     prunes to its derivation at the directory level, and
-  *   - bucketed + sorted by `s`, so the posting-list `groupBy(s)` that
-  *     opens every pass runs with ZERO exchanges — the per-pass shuffle
-  *     of the inline path becomes a write-once cost paid at build.
+  *   - bucketed + sorted by `s`, so the aggregation that opens every pass
+  *     runs with ZERO exchanges: the shingle side stores the raw shingle
+  *     (MinHash needs the string) and its posting-list `groupBy(s)` rides
+  *     the bucketing directly; the segment side stores the md5 SEGMENT
+  *     HASH (d10 never needs the text back), so both its per-(hash, doc)
+  *     aggregation and the cross-doc frequency window are already
+  *     distributed correctly. The per-pass shuffle of the inline path
+  *     becomes a write-once cost paid at build.
   *
   * Readers reconstruct each graded query's exact input: the raw-corpus
   * passes (d3/d4) filter planted ids out (`doc_id < PartialCopyOffset`),
@@ -74,7 +79,7 @@ object ShingleIndex {
              |  CASE WHEN size(toks) >= $segTokens
              |       THEN transform(sequence(0, size(toks) div $segTokens - 1),
              |              j -> struct('$SegmentKind' AS kind,
-             |                          concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)) AS s))
+             |                          md5(cast(concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)) AS binary)) AS s))
              |       ELSE array() END)""".stripMargin)).as("ks"))
       .select(col("doc_id"), col("ks.kind").as("kind"), col("ks.s").as("s"))
   }
@@ -104,10 +109,15 @@ object ShingleIndex {
       .select(col("doc_id"), col("s"))
   }
 
-  /** The (doc_id, h) segment-hash relation (one row per occurrence). */
+  /** The (doc_id, h) segment-hash relation (one row per occurrence). The
+    * hash was computed at build, so this is a pure read — and because the
+    * stored column IS the hash, the bucketing on `s` carries through the
+    * rename and the d10 per-(hash, doc) aggregation AND its cross-doc
+    * frequency window both run without an exchange.
+    */
   def segments(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName).filter(col("kind") === SegmentKind)
-      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+      .select(col("doc_id"), col("s").as("h"))
 
   // The four dedup passes, fed from the index instead of the corpus —
   // same scoring engines as the inline d3/d4/d10/d11, bit-equal output.

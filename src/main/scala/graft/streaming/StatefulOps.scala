@@ -255,16 +255,19 @@ class SegmentDupProcessor(ttl: TTLConfig)
 
   override def handleInputRows(
       key: String, rows: Iterator[SegArrival], tv: TimerValues): Iterator[SegDupDelta] = {
-    var s = if (st.exists()) st.get() else SegHashState(false, -1L, 0L)
+    // "no first doc yet" is signaled by cnt0 == 0, NOT a doc_id sentinel:
+    // negative doc ids are legitimate in this system (t23 plants semantic
+    // clones at doc_id - 1e6), so no id value is safe to reserve
+    var s = if (st.exists()) st.get() else SegHashState(false, 0L, 0L)
     val out = List.newBuilder[SegDupDelta]
     rows.foreach { a =>
       if (s.announced) out += SegDupDelta(a.doc_id, 1L)
-      else if (s.doc0 == -1L || s.doc0 == a.doc_id)
+      else if (s.cnt0 == 0L || s.doc0 == a.doc_id)
         s = SegHashState(announced = false, a.doc_id, s.cnt0 + 1L)
       else { // second distinct doc: this hash is now a duplicated segment
         out += SegDupDelta(s.doc0, s.cnt0)
         out += SegDupDelta(a.doc_id, 1L)
-        s = SegHashState(announced = true, -1L, 0L)
+        s = SegHashState(announced = true, 0L, 0L)
       }
     }
     st.update(s)

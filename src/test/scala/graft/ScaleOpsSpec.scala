@@ -563,7 +563,6 @@ class ScaleOpsSpec extends SparkSuite {
 
   test("shared shingle index: one corpus scan feeds all four dedup passes bit-equally") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.operators.ShingleIndex
     val path = java.nio.file.Files.createTempDirectory("shidx").toString + "/idx"
     val tbl = "dedup_shingle_index"
@@ -589,14 +588,24 @@ class ScaleOpsSpec extends SparkSuite {
           s"$name re-scans the corpus instead of the index")
       }
 
+      // AQE wraps exchanges in query stages that TreeNode.collect does not
+      // descend into — count on the FINAL adaptive plan text instead
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        val finalPlan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+      }
       // bucketing pays off: the posting-list groupBy(s) that opens every
       // pass runs on the bucketed scan with ZERO exchanges
       val postings = ShingleIndex.shingles(spark, tbl, includePlanted = true)
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
-      postings.collect()
-      assert(postings.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }.isEmpty, "bucketed posting groupBy still shuffles")
+      assert(exchanges(postings) === 0, "bucketed posting groupBy still shuffles")
+      // the segment side stores the HASH, so d10's per-(hash, doc) agg and
+      // its frequency window both ride the bucketing: only the final
+      // per-doc rollup exchanges (the inline derivation needs 3)
+      assert(exchanges(passes(2)._2) === 1,
+        s"expected 1 exchange (final per-doc rollup)")
 
       // bit-equality with the graded inline derivations
       def rows(df: org.apache.spark.sql.DataFrame) =
@@ -608,7 +617,16 @@ class ScaleOpsSpec extends SparkSuite {
       assert(rows(passes(3)._2) ===
         rows(Dedup.containmentPairs(spark, sf0001, plantCopies = true)))
     } finally {
+      // DROP on an external table leaves the files — delete the path too,
+      // or every suite run leaks an index copy (and a later run resolving
+      // the same name against stale files would mask a broken build())
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val root = java.nio.file.Paths.get(path).getParent
+      if (root != null && java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 }

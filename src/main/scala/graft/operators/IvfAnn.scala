@@ -164,8 +164,16 @@ object IvfAnn {
     * [[ivfTopK]] and [[PqAnn.ivfPqTopK]].
     */
   private[operators] def probeRows(
-      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val centsFx = centroidsFx(spark, dir)
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    probeRowsFor(spark, dir, nprobe, centroidsFx(spark, dir))
+
+  /** Same probe derivation against an EXPLICIT centroid set — the seam
+    * [[VectorIndex]] uses to probe with the centroids persisted at index
+    * build instead of retraining.
+    */
+  private[operators] def probeRowsFor(
+      spark: SparkSession, dir: String, nprobe: Int,
+      centsFx: Array[Array[Long]]): DataFrame = {
     val probeScored = centsFx.zipWithIndex.map { case (c, i) =>
       struct(fxL2ToF(col("embedding"), c).as("d"), lit(i).as("c"))
     }
@@ -186,9 +194,15 @@ object IvfAnn {
     * `nprobe` trades candidate-scan cost for recall — the recall curve is
     * asserted in IvfBucketingSpec.
     */
-  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
-    val assigned = assignedCorpus(spark, dir)
-    val probes = probeRows(spark, dir, nprobe)
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame =
+    topKFromAssigned(assignedCorpus(spark, dir), probeRows(spark, dir, nprobe))
+
+  /** The ranking tail over any (vec_id, embedding, centroid) corpus and
+    * (qid, qe, centroid) probe rows — shared by the inline path above and
+    * the persisted-index path ([[VectorIndex.ivfTopK]]).
+    */
+  private[operators] def topKFromAssigned(
+      assigned: DataFrame, probes: DataFrame): DataFrame = {
     val cos = cosFxF(col("qe"), col("embedding"))
     val scored = assigned.join(broadcast(probes), "centroid")
       .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index for the ANN path — the vector counterpart of
+  * [[ShingleIndex]]'s build-once discipline.
+  *
+  * The inline [[IvfAnn.ivfTopK]] recomputes every vector's
+  * nearest-centroid assignment on each query — correct, but at 100 TB an
+  * assignment pass IS a full corpus scan, so production systems build the
+  * index once and amortize it across every probe. [[build]] trains the
+  * centroids (same bounded sample as the inline path), assigns the corpus
+  * map-only, and writes:
+  *
+  *   - `lists/` — the corpus hive-partitioned by `centroid`: one
+  *     directory per inverted list, so probing n lists reads n
+  *     directories and the rest of the corpus is pruned BEFORE any footer
+  *     is opened (plan-asserted via `PartitionFilters`);
+  *   - `centroids/` — the fixed-point centroid vectors (exact integers,
+  *     no float round-trip), so a probe session reloads the trained
+  *     geometry instead of retraining, and index build and probe can be
+  *     different processes days apart.
+  *
+  * [[ivfTopK]] is bit-equal to the inline path by construction: identical
+  * probe derivation (explicit centroids), identical fixed-point rank keys,
+  * identical bounded-heap ranking tail.
+  */
+object VectorIndex {
+
+  /** Train + assign + persist. ONE pass over the embeddings for the
+    * assignment write (the training sample is the same bounded
+    * `MaxTrain`-row read the inline path uses).
+    */
+  def build(spark: SparkSession, dir: String, path: String): Unit = {
+    val centsFx = IvfAnn.centroidsFx(spark, dir)
+    import spark.implicits._
+    centsFx.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("c", "vec")
+      .repartition(1) // K rows — one footer to read at probe time
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    IvfAnn.assignedCorpus(spark, dir)
+      .write.mode("overwrite")
+      .partitionBy("centroid")
+      .parquet(s"$path/lists")
+  }
+
+  /** The persisted fixed-point centroids, list-id order. */
+  def centroidsFx(spark: SparkSession, path: String): Array[Array[Long]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("c"))
+      .as[(Int, Seq[Long])].collect()
+      .map(_._2.toArray)
+  }
+
+  /** IVF top-k against the persisted index: probe lists come from the
+    * STORED centroids, and the corpus scan is restricted to the probed
+    * partitions with a static `isin` filter — directory-level pruning the
+    * scan proves via `PartitionFilters`. The driver-side probe-set
+    * collect is bounded by queries × nprobe (the probe lists themselves,
+    * never corpus data), the same constant-size materialization rule as
+    * IVF training.
+    */
+  def ivfTopK(
+      spark: SparkSession, dir: String, path: String,
+      nprobe: Int = IvfAnn.NProbe): DataFrame = {
+    val probes = IvfAnn.probeRowsFor(spark, dir, nprobe, centroidsFx(spark, path))
+    val probed = probes.select(col("centroid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    IvfAnn.topKFromAssigned(prunedLists(spark, path, probed), probes)
+  }
+
+  /** The probed list ids for a query set — exposed for the pruning plan
+    * assertion in `IvfBucketingSpec`.
+    */
+  private[graft] def probedFor(
+      spark: SparkSession, dir: String, path: String, nprobe: Int): Seq[Int] =
+    IvfAnn.probeRowsFor(spark, dir, nprobe, centroidsFx(spark, path))
+      .select(col("centroid")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** The index scan restricted to the probed lists — a static partition
+    * filter, so pruning happens at the DIRECTORY level before any footer
+    * is read.
+    */
+  private[graft] def prunedLists(
+      spark: SparkSession, path: String, probed: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/lists")
+      .filter(col("centroid").isin(probed: _*))
+}

@@ -61,6 +61,47 @@ class IvfBucketingSpec extends SparkSuite {
     assert(curve.last >= 0.95, s"full probe should recover brute force: $curve")
   }
 
+  test("persisted IVF index: bit-equal to inline ivfTopK, scan pruned to probed lists") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{IvfAnn, VectorIndex}
+    val base = java.nio.file.Files.createTempDirectory("ivfidx")
+    val path = base.toString + "/idx"
+    try {
+      VectorIndex.build(spark, sf0001, path)
+      // identical trained geometry persisted: the probe path must produce
+      // the inline result bit-for-bit at any nprobe
+      for (np <- Seq(1, 4)) {
+        val fromIndex = VectorIndex.ivfTopK(spark, sf0001, path, np)
+          .collect().map(_.toSeq).toSet
+        val inline = IvfAnn.ivfTopK(spark, sf0001, np)
+          .collect().map(_.toSeq).toSet
+        assert(fromIndex === inline, s"nprobe=$np diverged from inline path")
+      }
+      // directory-level pruning: at nprobe=1 the corpus scan plans only
+      // the probed lists' partitions, never the whole index (asserted on
+      // the scan the probe path performs — AQE stage wrapping hides the
+      // scan node inside the full ranking query's plan)
+      val probed = VectorIndex.probedFor(spark, sf0001, path, 1)
+      assert(probed.nonEmpty && probed.size < 16, s"probe set not selective: $probed")
+      val pruned = VectorIndex.prunedLists(spark, path, probed)
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(scan.partitionFilters.nonEmpty, "centroid isin did not become a partition filter")
+      import scala.jdk.CollectionConverters._
+      val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/lists"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      val readFiles = scan.metrics("numFiles").value
+      assert(readFiles < totalFiles,
+        s"expected pruning below $totalFiles data files, scanned $readFiles")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // spark.sql.warehouse.dir is static — use a session override of the
     // broadcast threshold only, and clean the default-warehouse tables up.

@@ -1,8 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The graded bench engine configuration. Shared with
+    * [[graft.tools.NprobeCurve]] so every committed measurement is taken
+    * under identical settings — a second hand-maintained copy of this
+    * block WILL drift.
+    */
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,6 +29,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
     // Warm the session (codegen compiler, parquet footer caches, broadcast
     // machinery) and touch EVERY base table once, so no timed query is
     // charged one-time scan/footer init (f1_json_props used to absorb the
@@ -78,7 +88,11 @@ object Bench {
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures (-1 markers) must not be SUMMED — a -1 in the total would
+    // make a broken query read as an improvement; they surface in the
+    // explicit "failed" list instead (and keep their -1 in the maps)
+    val failedNames = results.collect { case (n, t) if t < 0 => n }
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     // The harness captures only the LAST ~2000 characters of output, and
     // sbt appends its own "[success] Total time" footer after ours. With
     // 110+ queries the full per-query map is ~3500 chars — one line would
@@ -102,8 +116,13 @@ object Bench {
     val Detail = 40
     val bySlow = results.sortBy(-_._2)
     val head = bySlow.take(Detail).sortBy(_._1)
-    val restSum = bySlow.drop(Detail).map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"rest_sum":${f(restSum)}$fullRef,"sf":"$sfDir"}""")
+    val restSum = bySlow.drop(Detail).collect { case (_, t) if t >= 0 => t }.sum
+    // normally absent; on any failure the names land IN the captured line
+    // (a -1 sorts last and would otherwise hide outside the 40-entry map)
+    val failedRef =
+      if (failedNames.isEmpty) ""
+      else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,10 +65,27 @@ object VectorIndex {
   def ivfTopK(
       spark: SparkSession, dir: String, path: String,
       nprobe: Int = IvfAnn.NProbe): DataFrame = {
-    val probes = IvfAnn.probeRowsFor(spark, dir, nprobe, centroidsFx(spark, path))
-    val probed = probes.select(col("centroid")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val (probes, probed) = probeBundle(spark, dir, path, nprobe)
     IvfAnn.topKFromAssigned(prunedLists(spark, path, probed), probes)
+  }
+
+  /** Probe rows evaluated ONCE: the derivation (query scan + K distance
+    * structs per row) is collected — bounded at queries × nprobe rows —
+    * and both consumers work from that local result: the probed-list set
+    * directly, and the broadcast join side as a re-parallelized local
+    * frame (re-using the lazy DataFrame in both places would run the
+    * derivation twice: once for the collect, once under the broadcast).
+    */
+  private def probeBundle(
+      spark: SparkSession, dir: String, path: String,
+      nprobe: Int): (DataFrame, Seq[Int]) = {
+    val src = IvfAnn.probeRowsFor(spark, dir, nprobe, centroidsFx(spark, path))
+    val rows = src.collect()
+    val ci = src.schema.fieldIndex("centroid")
+    val probed = rows.map(_.getInt(ci)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), src.schema)
+    (probes, probed)
   }
 
   /** The probed list ids for a query set — exposed for the pruning plan
@@ -76,8 +93,7 @@ object VectorIndex {
     */
   private[graft] def probedFor(
       spark: SparkSession, dir: String, path: String, nprobe: Int): Seq[Int] =
-    IvfAnn.probeRowsFor(spark, dir, nprobe, centroidsFx(spark, path))
-      .select(col("centroid")).distinct().collect().map(_.getInt(0)).toSeq
+    probeBundle(spark, dir, path, nprobe)._2
 
   /** The index scan restricted to the probed lists — a static partition
     * filter, so pruning happens at the DIRECTORY level before any footer

@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Records the IVF probe-count operating curve: recall@10 (vs the exact
   * brute-force ground truth) and wall time of the full `ivfTopK` pass at
   * nprobe ∈ {1, 2, 4, 8}. The committed sf0.1 table lives in
@@ -14,20 +12,10 @@ import org.apache.spark.sql.SparkSession
 object NprobeCurve {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // same engine configuration as Bench — the committed curve must be
-    // measured under the graded bench's conditions (AQE changes the
-    // post-shuffle plan of ivfTopK)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // THE bench session — the committed curve must be measured under the
+    // graded bench's exact engine configuration (AQE changes the
+    // post-shuffle plan of ivfTopK), so share the builder, never copy it
+    val spark = graft.Bench.session()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 

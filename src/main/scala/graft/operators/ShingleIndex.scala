@@ -47,12 +47,21 @@ object ShingleIndex {
     */
   def buildFrame(
       spark: SparkSession, dir: String,
-      segTokens: Int = Dedup.SegmentTokens): DataFrame = {
+      segTokens: Int = Dedup.SegmentTokens): DataFrame =
+    frameOf(table(spark, dir, "documents").select(col("doc_id"), col("text")), segTokens)
+
+  /** Same derivation over an arbitrary (doc_id, text) frame — the seam
+    * [[append]] uses for incremental ingest batches. The planting CASE is
+    * a no-op for doc ids outside the planted range, so ingest batches and
+    * the initial build share one projection.
+    */
+  private[operators] def frameOf(
+      docsIn: DataFrame, segTokens: Int = Dedup.SegmentTokens): DataFrame = {
     import Dedup.{PartialCopyCount, PartialCopyOffset, PartialCopyTokens}
     // planted partial copies as extra (doc_id, toks) structs in the SAME
     // projection — a unionAll with a filtered branch would scan the
     // parquet twice
-    val docs = table(spark, dir, "documents")
+    val docs = docsIn
       .withColumn("toks", split(col("text"), " "))
       .select(explode(expr(
         s"""concat(
@@ -88,9 +97,40 @@ object ShingleIndex {
   def build(
       spark: SparkSession, dir: String, path: String, tableName: String,
       numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
-    buildFrame(spark, dir, segTokens)
+    buildFor(
+      spark,
+      table(spark, dir, "documents").select(col("doc_id"), col("text")),
+      path, tableName, numBuckets, segTokens)
+
+  /** [[build]] over an arbitrary (doc_id, text) frame — e.g. an initial
+    * corpus snapshot that later [[append]] batches extend.
+    */
+  def buildFor(
+      spark: SparkSession, docs: DataFrame, path: String, tableName: String,
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
+    frameOf(docs, segTokens)
       .write.mode("overwrite")
       .option("path", path)
+      .partitionBy("kind")
+      .bucketBy(numBuckets, "s")
+      .sortBy("s")
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** Incremental ingest: derive and append ONLY the new documents'
+    * shingles/segments — the same one-scan projection as [[build]],
+    * declared with the identical bucket spec so the appended files keep
+    * the table's bucketing and every downstream pass keeps its
+    * exchange-free plan. At 100 TB this is the point of materializing the
+    * index at all: each ingest batch pays its own derivation once, and NO
+    * pass ever re-derives the accumulated corpus. (`numBuckets` must
+    * match the build — Spark rejects a mismatched spec.)
+    */
+  def append(
+      spark: SparkSession, docs: DataFrame, tableName: String,
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
+    frameOf(docs, segTokens)
+      .write.mode("append")
       .partitionBy("kind")
       .bucketBy(numBuckets, "s")
       .sortBy("s")

@@ -629,4 +629,39 @@ class ScaleOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("shingle index incremental append equals a full rebuild") {
+    import graft.operators.ShingleIndex
+    val base = java.nio.file.Files.createTempDirectory("shinc")
+    val path = base.toString + "/idx"
+    val tbl = "dedup_shingle_index_inc"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cut = 250L
+      // initial build sees only the first half of the corpus...
+      ShingleIndex.buildFor(spark, docs.filter(col("doc_id") < cut), path, tbl)
+      // ...then the second half arrives as an ingest batch
+      ShingleIndex.append(spark, docs.filter(col("doc_id") >= cut), tbl)
+      val incremental = spark.table(tbl)
+        .select("doc_id", "kind", "s").collect().map(_.toSeq).toSet
+      val full = ShingleIndex.buildFrame(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(incremental === full, "append diverged from a full rebuild")
+      // the appended files keep the bucket spec: posting groupBy is still
+      // exchange-free over the combined table
+      val postings = ShingleIndex.shingles(spark, tbl, includePlanted = true)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      postings.collect()
+      val finalPlan = postings.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        "append broke the bucketed exchange-free aggregation")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

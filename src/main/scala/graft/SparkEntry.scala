@@ -241,6 +241,10 @@ object SparkEntry {
       Dedup.duplicatedSegments(s, d, plantCopies = true)),
     "d11_containment_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d, plantCopies = true)),
+    // the action d10's signal drives: cross-doc duplicated spans removed,
+    // cleaned text + dropped-token count as exact strings
+    "t24_span_scrub" -> ((s: SparkSession, d: String) =>
+      Dedup.scrubbedSpans(s, d, plantCopies = true)),
   )
 
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1311,6 +1315,7 @@ object SparkEntry {
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
     "d10_segment_dedup" -> Dedup.duplicatedSegmentsOracleSql,
     "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,
+    "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
   )
 
   def similarityOracle: Map[String, String] = Map(

@@ -724,6 +724,99 @@ object Dedup {
        |GROUP BY s.doc_id""".stripMargin
   }
 
+  /** Span REMOVAL (t24): the action [[duplicatedSegments]]'s signal
+    * drives — reconstruct each document keeping only the segments whose
+    * hash occurs in exactly one document (every occurrence of a
+    * cross-document-duplicated span is dropped, the d10 definition), plus
+    * the sub-segment tail tokens. Output is the cleaned text and the
+    * dropped-token count, exact strings both engines agree on.
+    *
+    * Scale shape mirrors d10: ONE corpus scan, per-occurrence rows with
+    * their position, a min/max window over the segment hash decides
+    * uniqueness (min(doc) == max(doc) ⟺ one distinct doc — no
+    * countDistinct), and the per-doc reassembly is the final shuffle.
+    * Sub-segment documents carry a per-doc surrogate hash so the
+    * "segmentless" rows never pile into one NULL window partition (at
+    * corpus scale that partition would be the skew hotspot).
+    */
+  def scrubbedSpans(
+      spark: SparkSession, dir: String,
+      segTokens: Int = SegmentTokens,
+      plantCopies: Boolean = false): DataFrame = {
+    val base = maybePartialCopies(spark, dir, plantCopies)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nseg", expr(s"size(toks) div $segTokens"))
+      .withColumn("tail", expr(
+        s"slice(toks, nseg * $segTokens + 1, size(toks) - nseg * $segTokens)"))
+    val exploded = base
+      .select(
+        col("doc_id"), col("tail"),
+        // nseg = 0 guard is load-bearing: sequence(0, -1) DESCENDS ([0,-1])
+        // and would fabricate two bogus segments for sub-segment docs (d10
+        // never hits this — it filters size >= segTokens; t24 keeps every
+        // doc for reconstruction)
+        posexplode_outer(expr(
+          s"""CASE WHEN nseg >= 1
+             |  THEN transform(sequence(0, nseg - 1),
+             |    j -> concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)))
+             |  ELSE array() END""".stripMargin)))
+      .toDF("doc_id", "tail", "j", "seg")
+      .withColumn("h",
+        when(col("seg").isNull, concat(lit("~"), col("doc_id").cast("string")))
+          .otherwise(md5(col("seg").cast("binary"))))
+    val w = Window.partitionBy(col("h"))
+    exploded
+      .withColumn("uniq", min(col("doc_id")).over(w) === max(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("tail")).as("tail"), // constant per doc
+        sort_array(collect_list(
+          when(col("uniq") && col("seg").isNotNull, struct(col("j"), col("seg")))))
+          .as("kept"),
+        sum(when(!col("uniq") && col("seg").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("nd"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", expr("concat(transform(kept, x -> x.seg), tail)")).as("clean_text"),
+        (col("nd") * segTokens).cast("bigint").as("n_dropped_tokens"))
+  }
+
+  /** DuckDB oracle for [[scrubbedSpans]] at the default segment size with
+    * planting ON (the graded t24 configuration). Groups by the segment
+    * STRING — the engine's md5 is a shuffle-size choice, not a semantic
+    * one, so the equivalence classes are identical.
+    */
+  def scrubbedSpansOracleSql: String = {
+    val k = SegmentTokens
+    s"""WITH $partialCopyDocsCte,
+       |info AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(string_split(text, ' ')) // $k AS nseg
+       |  FROM docs),
+       |segs AS (
+       |  SELECT doc_id, j, array_to_string(t[(j * $k + 1):(j * $k + $k)], ' ') AS seg
+       |  FROM info, LATERAL (SELECT unnest(range(0, nseg)) AS j) r),
+       |hd AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+       |ka AS (
+       |  SELECT s.doc_id, list(s.seg ORDER BY s.j) AS segl
+       |  FROM segs s JOIN hd USING (seg) WHERE hd.nd = 1
+       |  GROUP BY s.doc_id),
+       |da AS (
+       |  SELECT s.doc_id, count(*) AS ndrop
+       |  FROM segs s JOIN hd USING (seg) WHERE hd.nd > 1
+       |  GROUP BY s.doc_id)
+       |SELECT i.doc_id,
+       |  -- coalesce: array_to_string of an EMPTY list is NULL in DuckDB,
+       |  -- where Spark's concat_ws yields '' (fully-scrubbed tailless doc)
+       |  coalesce(array_to_string(
+       |    list_concat(coalesce(ka.segl, []), i.t[(i.nseg * $k + 1):]), ' '), '')
+       |    AS clean_text,
+       |  cast(coalesce(da.ndrop, 0) * $k AS bigint) AS n_dropped_tokens
+       |FROM info i
+       |LEFT JOIN ka USING (doc_id)
+       |LEFT JOIN da USING (doc_id)""".stripMargin
+  }
+
   /** Default containment threshold (d11), shared with the oracle SQL. */
   val DefaultMinContainment = 0.9
 

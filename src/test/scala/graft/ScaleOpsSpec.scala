@@ -630,6 +630,34 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("span scrub drops every cross-doc duplicated segment, keeps tails") {
+    val out = Dedup.scrubbedSpans(spark, sf0001, plantCopies = true)
+      .select("doc_id", "clean_text", "n_dropped_tokens")
+      .as[(Long, String, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // each planted copy (first ≤24 tokens of its original) consists of one
+    // 16-token segment (shared with the original → dropped) plus the
+    // sub-segment tail (kept verbatim)
+    val srcToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").take(24) }.toMap
+    (0L until 10L).foreach { src =>
+      val (_, text, dropped) = byId(src + 2000000L)
+      assert(dropped === 16L, s"copy of $src: dropped $dropped")
+      assert(text === srcToks(src).drop(16).mkString(" "),
+        s"copy of $src kept wrong tail: '$text'")
+    }
+    // the originals lose that same first segment (every occurrence of a
+    // duplicated span goes, both sides)
+    (0L until 10L).foreach { id =>
+      assert(byId(id)._3 >= 16L, s"original $id kept its duplicated head")
+    }
+    // sub-segment docs pass through untouched
+    val short = out.filter(r => r._2.nonEmpty && r._3 == 0L)
+    assert(short.nonEmpty)
+  }
+
   test("shingle index incremental append equals a full rebuild") {
     import graft.operators.ShingleIndex
     val base = java.nio.file.Files.createTempDirectory("shinc")

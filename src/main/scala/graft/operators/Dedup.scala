@@ -748,19 +748,29 @@ object Dedup {
       .withColumn("nseg", expr(s"size(toks) div $segTokens"))
       .withColumn("tail", expr(
         s"slice(toks, nseg * $segTokens + 1, size(toks) - nseg * $segTokens)"))
+    // One exploded row per segment occurrence PLUS exactly one tail-carrier
+    // row per doc: segment rows travel tail-free through the h-partitioned
+    // window exchange (duplicating the tail onto every occurrence would
+    // ~double a long doc's shuffled payload), and the carrier row doubles
+    // as the presence row for sub-segment docs. The nseg >= 1 guard is
+    // load-bearing: sequence(0, -1) DESCENDS ([0, -1]) and would fabricate
+    // two bogus segments for them (d10 never hits this — it filters
+    // size >= segTokens; t24 keeps every doc for reconstruction).
     val exploded = base
       .select(
-        col("doc_id"), col("tail"),
-        // nseg = 0 guard is load-bearing: sequence(0, -1) DESCENDS ([0,-1])
-        // and would fabricate two bogus segments for sub-segment docs (d10
-        // never hits this — it filters size >= segTokens; t24 keeps every
-        // doc for reconstruction)
-        posexplode_outer(expr(
-          s"""CASE WHEN nseg >= 1
-             |  THEN transform(sequence(0, nseg - 1),
-             |    j -> concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)))
-             |  ELSE array() END""".stripMargin)))
-      .toDF("doc_id", "tail", "j", "seg")
+        col("doc_id"),
+        explode(expr(
+          s"""concat(
+             |  CASE WHEN nseg >= 1
+             |    THEN transform(sequence(0, nseg - 1),
+             |      j -> struct(j AS j,
+             |        concat_ws(' ', slice(toks, j * $segTokens + 1, $segTokens)) AS seg,
+             |        CAST(NULL AS array<string>) AS tail))
+             |    ELSE array() END,
+             |  array(struct(CAST(NULL AS int) AS j, CAST(NULL AS string) AS seg,
+             |               tail AS tail)))""".stripMargin)).as("r"))
+      .select(
+        col("doc_id"), col("r.j").as("j"), col("r.seg").as("seg"), col("r.tail").as("tail"))
       .withColumn("h",
         when(col("seg").isNull, concat(lit("~"), col("doc_id").cast("string")))
           .otherwise(md5(col("seg").cast("binary"))))
@@ -769,7 +779,7 @@ object Dedup {
       .withColumn("uniq", min(col("doc_id")).over(w) === max(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(
-        first(col("tail")).as("tail"), // constant per doc
+        first(col("tail"), ignoreNulls = true).as("tail"), // one carrier per doc
         sort_array(collect_list(
           when(col("uniq") && col("seg").isNotNull, struct(col("j"), col("seg")))))
           .as("kept"),

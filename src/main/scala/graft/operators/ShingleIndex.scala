@@ -45,10 +45,13 @@ object ShingleIndex {
     * Exposed separately from [[build]] so tests can assert the scan count
     * on the exact plan that gets written.
     */
+  private def corpusDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"), col("text"))
+
   def buildFrame(
       spark: SparkSession, dir: String,
       segTokens: Int = Dedup.SegmentTokens): DataFrame =
-    frameOf(table(spark, dir, "documents").select(col("doc_id"), col("text")), segTokens)
+    frameOf(corpusDocs(spark, dir), segTokens)
 
   /** Same derivation over an arbitrary (doc_id, text) frame — the seam
     * [[append]] uses for incremental ingest batches. The planting CASE is
@@ -97,10 +100,7 @@ object ShingleIndex {
   def build(
       spark: SparkSession, dir: String, path: String, tableName: String,
       numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
-    buildFor(
-      spark,
-      table(spark, dir, "documents").select(col("doc_id"), col("text")),
-      path, tableName, numBuckets, segTokens)
+    buildFor(spark, corpusDocs(spark, dir), path, tableName, numBuckets, segTokens)
 
   /** [[build]] over an arbitrary (doc_id, text) frame — e.g. an initial
     * corpus snapshot that later [[append]] batches extend.
@@ -128,7 +128,13 @@ object ShingleIndex {
     */
   def append(
       spark: SparkSession, docs: DataFrame, tableName: String,
-      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit = {
+    // SaveMode.Append on a MISSING table would silently create a managed
+    // table at the warehouse location, disconnected from build's external
+    // path — a later build would then replace the catalog entry and lose
+    // this batch. Misordering must fail, not corrupt.
+    require(spark.catalog.tableExists(tableName),
+      s"append before build: table '$tableName' does not exist")
     frameOf(docs, segTokens)
       .write.mode("append")
       .partitionBy("kind")
@@ -136,6 +142,7 @@ object ShingleIndex {
       .sortBy("s")
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** The (doc_id, s) shingle relation from the index. `includePlanted`
     * false reconstructs the raw corpus (d3/d4); true keeps the planted

@@ -653,9 +653,17 @@ class ScaleOpsSpec extends SparkSuite {
     (0L until 10L).foreach { id =>
       assert(byId(id)._3 >= 16L, s"original $id kept its duplicated head")
     }
-    // sub-segment docs pass through untouched
-    val short = out.filter(r => r._2.nonEmpty && r._3 == 0L)
-    assert(short.nonEmpty)
+    // sub-segment docs (< segTokens tokens, the guarded nseg = 0 branch)
+    // pass through VERBATIM — a regression in the sequence guard would
+    // fabricate bogus segments and corrupt exactly these docs
+    val shortDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.split(" ").length < Dedup.SegmentTokens)
+    assert(shortDocs.nonEmpty, "corpus lost its sub-segment docs — test is vacuous")
+    shortDocs.foreach { case (id, text) =>
+      assert(byId(id)._2 === text && byId(id)._3 === 0L,
+        s"sub-segment doc $id not passed through verbatim")
+    }
   }
 
   test("shingle index incremental append equals a full rebuild") {

@@ -147,7 +147,7 @@ object IvfAnn {
   /** Nearest-centroid id for the `embedding` column: argmin over (d,
     * centroid index) via array_min on structs.
     */
-  private def nearestCentroid(centsFx: Array[Array[Long]]): Column = {
+  private[graft] def nearestCentroid(centsFx: Array[Array[Long]]): Column = {
     val scored = centsFx.zipWithIndex.map { case (c, i) =>
       struct(fxL2ToF(col("embedding"), c).as("d"), lit(i).as("c"))
     }

@@ -45,6 +45,27 @@ object VectorIndex {
       .parquet(s"$path/lists")
   }
 
+  /** Incremental ingest: assign NEW vectors to the STORED centroids and
+    * append them to their lists — map-only, one pass over the batch. The
+    * index's geometry is deliberately fixed between rebuilds: production
+    * IVF indexes tolerate assignment drift from the retrained optimum
+    * until a scheduled re-train, because re-clustering means rewriting
+    * every list. Probes over the appended index therefore stay
+    * SELF-CONSISTENT (queries probe the same stored centroids the new
+    * vectors were assigned under). Appending before build fails loudly
+    * (the centroid sidecar read throws).
+    */
+  def append(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
+    val centsFx = centroidsFx(spark, path)
+    require(centsFx.nonEmpty, s"append before build: no centroids at $path")
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        IvfAnn.nearestCentroid(centsFx).as("centroid"))
+      .write.mode("append")
+      .partitionBy("centroid")
+      .parquet(s"$path/lists")
+  }
+
   /** The persisted fixed-point centroids, list-id order. */
   def centroidsFx(spark: SparkSession, path: String): Array[Array[Long]] = {
     import spark.implicits._

@@ -102,6 +102,41 @@ class IvfBucketingSpec extends SparkSuite {
     }
   }
 
+  test("persisted IVF index append assigns under the STORED geometry") {
+    import graft.operators.{IvfAnn, VectorIndex}
+    val base = java.nio.file.Files.createTempDirectory("ivfapp")
+    val path = base.toString + "/idx"
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // build on the first half of the corpus, then ingest the rest
+      val halfDir = base.toString + "/half"
+      emb.filter(col("vec_id") < 250).write.parquet(s"$halfDir/embeddings.parquet")
+      VectorIndex.build(spark, halfDir, path)
+      VectorIndex.append(spark, emb.filter(col("vec_id") >= 250), path)
+      // every vector is in exactly one list, assigned under the SIDEcar
+      // centroids (not a retrain: geometry is fixed between rebuilds)
+      val lists = spark.read.parquet(s"$path/lists")
+      assert(lists.count() === 500)
+      val cents = VectorIndex.centroidsFx(spark, path)
+      val expected = emb
+        .select(col("vec_id"), IvfAnn.nearestCentroid(cents).as("centroid"))
+        .as[(Long, Int)].collect().toMap
+      val actual = lists.select(col("vec_id"), col("centroid").cast("int"))
+        .as[(Long, Int)].collect().toMap
+      assert(actual === expected, "appended vectors diverged from stored-geometry assignment")
+      // probing stays self-consistent: rank 1 of every query is itself
+      val top = VectorIndex.ivfTopK(spark, sf0001, path, 1)
+        .filter(col("rn") === 1).select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect()
+      assert(top.nonEmpty && top.forall { case (q, v) => q === v })
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // spark.sql.warehouse.dir is static — use a session override of the
     // broadcast threshold only, and clean the default-warehouse tables up.

@@ -105,11 +105,13 @@ object TrainingPrep {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ch.withColumn("local_cum", sum(col("chunk_tokens")).over(localW))
     // per-partition totals: numPartitions rows — the broadcastable offsets
-    // partitionBy(lit(0)): same single-partition plan over this
-    // numPartitions-row frame, but keeps WindowExec from WARN-spamming
-    // "No Partition Defined" on every bench/verify run
-    val offsetW = Window.partitionBy(lit(0))
-      .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    // deliberately unpartitioned: the frame is the numPartitions-row
+    // offset table, constant-size at any corpus scale. The WindowExec
+    // "No Partition Defined" WARN is spurious here and suppressed at the
+    // logger level in Bench.session — partitionBy(lit(0)) would NOT
+    // silence it (Spark 4's EliminateWindowPartitions folds constant
+    // keys right back out).
+    val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid")).agg(sum(col("chunk_tokens")).as("ptotal"))
       .withColumn("offset", coalesce(sum(col("ptotal")).over(offsetW), lit(0L)))
       .select(col("pid"), col("offset"))

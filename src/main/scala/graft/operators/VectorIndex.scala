@@ -58,9 +58,12 @@ object VectorIndex {
   def append(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
     val centsFx = centroidsFx(spark, path)
     require(centsFx.nonEmpty, s"append before build: no centroids at $path")
+    // withColumn, not a select: the batch must keep the SAME schema build
+    // wrote (the full embeddings row + centroid) — a narrower append would
+    // leave lists/ with divergent file schemas and schema inference would
+    // drop or null the extra columns depending on which file it samples
     vectors
-      .select(col("vec_id"), col("embedding"),
-        IvfAnn.nearestCentroid(centsFx).as("centroid"))
+      .withColumn("centroid", IvfAnn.nearestCentroid(centsFx))
       .write.mode("append")
       .partitionBy("centroid")
       .parquet(s"$path/lists")

@@ -80,9 +80,13 @@ object Fixtures {
       lit("regions").as("code_list_id"),
       col("r_name").as("code"),
       col("r_regionkey").cast("int").as("ord"))
-    // lit(0) partition: identical ranking over this ~25-row distinct-brand
-    // frame, silences the spurious WindowExec "No Partition Defined" WARN
-    val w = Window.partitionBy(lit(0)).orderBy(col("p_brand"))
+    // deliberately unpartitioned: the frame is the ~25-row distinct-brand
+    // set, so the single-partition sort is constant-size at any sf. The
+    // WindowExec "No Partition Defined" WARN this triggers is spurious
+    // here and suppressed at the logger level in Bench.session — a
+    // partitionBy(lit(0)) would NOT silence it (Spark 4's
+    // EliminateWindowPartitions folds constant keys right back out).
+    val w = Window.orderBy(col("p_brand"))
     val brands = table(spark, dir, "part")
       .select(col("p_brand")).distinct()
       .withColumn("rnk", dense_rank().over(w))

@@ -2,39 +2,49 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Sweeps EVERY registered query's physical plan for scale red flags —
-  * cartesian products, broadcast nested-loop joins, and unpartitioned
-  * corpus-scale windows — and prints one line per offender (empty sweep =
-  * clean). The plan-review loop the 100 TB stance requires, run against
-  * the whole suite at once instead of one `ExplainDump` at a time.
+/** Sweeps EVERY registered query's plan for scale red flags —
+  * CartesianProduct / BroadcastNestedLoopJoin in the physical plan, and
+  * unpartitioned (whole-corpus) windows in the optimized logical plan —
+  * and prints one line per offender, exiting non-zero if any survive.
+  * The plan-review loop the 100 TB stance requires, run against the
+  * whole suite at once instead of one `ExplainDump` at a time.
   *
-  * Known-benign nested-loop shapes (a broadcast ≤8-row stats/query frame
-  * joined without a key) are listed per query below with the reason; the
-  * audit fails loudly on anything NOT in that list.
+  * Waivers are PER PATTERN, not per query: a query waived for its benign
+  * nested-loop shape (a broadcast ≤8-row stats/query frame joined
+  * without a key) still flags if it ever grows a cartesian product or a
+  * global window.
   *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */
 object PlanAudit {
 
-  /** query → substring of the benign pattern's justification. A cross
-    * join against a broadcast 1-row aggregate (or a ≤8-row query-set
-    * frame) is a constant-size build side at any corpus scale.
-    */
-  private val Waivers: Map[String, String] = Map(
-    "a11_kmv_set_ops" -> "1-row sketch frames crossed (constant build side)",
-    "q11_important_parts" -> "1-row global-total threshold crossed",
-    "q14_promo_share" -> "1-row aggregate pair",
-    "q15_top_revenue_supplier" -> "1-row max-revenue threshold crossed",
-    "q17_small_qty_revenue" -> "per-part avg broadcast (bounded by part count)",
-    "q22_dormant_balances" -> "1-row avg-balance threshold crossed",
-    "t12_balance_weights" -> "per-class counts broadcast (bounded class count)",
-    "t22_top_ngrams" -> "1-row corpus-total frame crossed",
-    "v12_ivf_recall" -> "8-query ground-truth frame",
-    "t9_tfidf_top_terms" -> "1-row doc-count frame crossed",
-    "g5_code_pagerank" -> "1-row rank-constants frame crossed per iteration",
-    "v2_brute_force_topk" -> "8-query broadcast side (exact baseline by design)",
-    "v10_pq_topk" -> "8-query broadcast side, ADC over codes",
-    "m5_feature_topk" -> "8-query broadcast side over decoded features")
+  private val Bnlj = "BroadcastNestedLoopJoin"
+  private val Cart = "CartesianProduct"
+
+  /** (query, pattern) → why that pattern is constant-size there. */
+  private val Waivers: Map[(String, String), String] = Map(
+    ("a11_kmv_set_ops", Bnlj) -> "1-row sketch frames crossed (constant build side)",
+    ("q11_important_parts", Bnlj) -> "1-row global-total threshold crossed",
+    ("q14_promo_share", Bnlj) -> "1-row aggregate pair",
+    ("q15_top_revenue_supplier", Bnlj) -> "1-row max-revenue threshold crossed",
+    ("q17_small_qty_revenue", Bnlj) -> "per-part avg broadcast (bounded by part count)",
+    ("q22_dormant_balances", Bnlj) -> "1-row avg-balance threshold crossed",
+    ("t12_balance_weights", Bnlj) -> "per-class counts broadcast (bounded class count)",
+    ("t22_top_ngrams", Bnlj) -> "1-row corpus-total frame crossed",
+    ("v12_ivf_recall", Bnlj) -> "8-query ground-truth frame",
+    ("t9_tfidf_top_terms", Bnlj) -> "1-row doc-count frame crossed",
+    ("g5_code_pagerank", Bnlj) -> "1-row rank-constants frame crossed per iteration",
+    ("v2_brute_force_topk", Bnlj) -> "8-query broadcast side (exact baseline by design)",
+    ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",
+    ("m5_feature_topk", Bnlj) -> "8-query broadcast side over decoded features",
+    // the t11 offsets window runs over a numPartitions-row side frame
+    // (broadcastable by construction — see TrainingPrep.packedChunks)
+    ("t11_packed_chunks", "GlobalWindow") -> "window over the per-partition offset table",
+    // the brand-ranking fixture window runs over the ~25-row distinct
+    // p_brand frame (Fixtures.codeLists) — constant-size at any sf
+    ("flagship_updates", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",
+    ("j1_order_lookup", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",
+    ("p8_option_updates_no_nodeid", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -48,17 +58,22 @@ object PlanAudit {
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val hits = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
-          .collect { case (tag, true) => tag }
-        val waived = Waivers.get(name)
-        if (hits.nonEmpty && waived.isEmpty) {
-          flagged += 1
-          println(s"FLAG $name: ${hits.mkString(",")}")
-        } else if (hits.nonEmpty) {
-          println(s"ok   $name (waived: ${waived.get})")
+        val qe = fn(spark, dir).queryExecution
+        val physical = qe.executedPlan.toString
+        // partitionBy(lit(0)) and other foldable keys constant-fold away,
+        // so an EMPTY partitionSpec here is a genuinely global window
+        val globalWindows = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        val hits =
+          Seq(Cart, Bnlj).filter(physical.contains) ++
+            (if (globalWindows.nonEmpty) Seq("GlobalWindow") else Nil)
+        hits.foreach { tag =>
+          Waivers.get((name, tag)) match {
+            case Some(reason) => println(s"ok   $name [$tag] (waived: $reason)")
+            case None => flagged += 1; println(s"FLAG $name [$tag]")
+          }
         }
         spark.catalog.clearCache()
       } catch {
@@ -67,5 +82,6 @@ object PlanAudit {
     }
     println(s"plan audit: ${if (flagged == 0) "CLEAN" else s"$flagged FLAGGED"}")
     spark.stop()
+    if (flagged > 0) sys.exit(1)
   }
 }

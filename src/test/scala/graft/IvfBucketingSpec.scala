@@ -107,8 +107,10 @@ class IvfBucketingSpec extends SparkSuite {
     val base = java.nio.file.Files.createTempDirectory("ivfapp")
     val path = base.toString + "/idx"
     try {
+      // FULL fixture schema (vec_id, embedding, label, ...): build and
+      // append must write schema-identical list files, so the test corpus
+      // must carry the extra columns that would expose a narrower append
       val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
       // build on the first half of the corpus, then ingest the rest
       val halfDir = base.toString + "/half"
       emb.filter(col("vec_id") < 250).write.parquet(s"$halfDir/embeddings.parquet")
@@ -118,6 +120,8 @@ class IvfBucketingSpec extends SparkSuite {
       // centroids (not a retrain: geometry is fixed between rebuilds)
       val lists = spark.read.parquet(s"$path/lists")
       assert(lists.count() === 500)
+      assert(lists.columns.toSet === emb.columns.toSet + "centroid",
+        s"lists schema diverged: ${lists.columns.toSeq}")
       val cents = VectorIndex.centroidsFx(spark, path)
       val expected = emb
         .select(col("vec_id"), IvfAnn.nearestCentroid(cents).as("centroid"))

@@ -101,8 +101,12 @@ object Bench {
     // build, and the final stdout line is a compact record — total, count,
     // the slowest `Detail` queries (the ones a grader acts on), and the
     // aggregate of the rest — sized well under the capture window.
+    // n_failed rides in BOTH records: a consumer summing `value` across
+    // rounds must see a nonzero n_failed as "total is not comparable" —
+    // failed queries are excluded from the sum, so a broken query would
+    // otherwise read as an improvement
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failedNames.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
     // 70+ timings that don't fit the compact line
@@ -122,7 +126,7 @@ object Bench {
     val failedRef =
       if (failedNames.isEmpty) ""
       else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

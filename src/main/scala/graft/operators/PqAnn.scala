@@ -78,7 +78,7 @@ object PqAnn {
     * oracle SQL string MUST share one scale, or engine vs oracle silently
     * desync. Tune it there, never here.
     */
-  private[operators] val FxScale: Long = graft.functions.FloatVecUtil.FxScaleLong
+  private[graft] val FxScale: Long = graft.functions.FloatVecUtil.FxScaleLong
 
   private def toFx(v: Float): Long = graft.functions.FloatVecUtil.fx(v)
 

@@ -51,28 +51,35 @@ object ShingleIndex {
   def buildFrame(
       spark: SparkSession, dir: String,
       segTokens: Int = Dedup.SegmentTokens): DataFrame =
-    frameOf(corpusDocs(spark, dir), segTokens)
+    frameOf(corpusDocs(spark, dir), segTokens, plant = true)
 
   /** Same derivation over an arbitrary (doc_id, text) frame — the seam
-    * [[append]] uses for incremental ingest batches. The planting CASE is
-    * a no-op for doc ids outside the planted range, so ingest batches and
-    * the initial build share one projection.
+    * [[append]] uses for incremental ingest batches. `plant` seeds the
+    * graded partial-copy fixture (doc_id < PartialCopyCount duplicated at
+    * +PartialCopyOffset, truncated); it defaults OFF here because a real
+    * ingest batch that happens to carry low doc ids must NOT silently
+    * write extra planted rows into the index — only the graded [[build]]
+    * path turns it on.
     */
   private[operators] def frameOf(
-      docsIn: DataFrame, segTokens: Int = Dedup.SegmentTokens): DataFrame = {
+      docsIn: DataFrame, segTokens: Int = Dedup.SegmentTokens,
+      plant: Boolean = false): DataFrame = {
     import Dedup.{PartialCopyCount, PartialCopyOffset, PartialCopyTokens}
     // planted partial copies as extra (doc_id, toks) structs in the SAME
     // projection — a unionAll with a filtered branch would scan the
     // parquet twice
-    val docs = docsIn
-      .withColumn("toks", split(col("text"), " "))
-      .select(explode(expr(
+    val structs =
+      if (plant)
         s"""concat(
            |  array(struct(doc_id, toks)),
            |  CASE WHEN doc_id < ${PartialCopyCount}L
            |       THEN array(struct(doc_id + ${PartialCopyOffset}L AS doc_id,
            |                         slice(toks, 1, $PartialCopyTokens) AS toks))
-           |       ELSE array() END)""".stripMargin)).as("d"))
+           |       ELSE array() END)""".stripMargin
+      else "array(struct(doc_id, toks))"
+    val docs = docsIn
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(structs)).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.toks").as("toks"))
     // both derivations from one pass over the token arrays: distinct
     // 3-shingles (the d3/d4/d11 input) and every non-overlapping
@@ -100,15 +107,18 @@ object ShingleIndex {
   def build(
       spark: SparkSession, dir: String, path: String, tableName: String,
       numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
-    buildFor(spark, corpusDocs(spark, dir), path, tableName, numBuckets, segTokens)
+    buildFor(spark, corpusDocs(spark, dir), path, tableName, numBuckets,
+      segTokens, plant = true)
 
   /** [[build]] over an arbitrary (doc_id, text) frame — e.g. an initial
-    * corpus snapshot that later [[append]] batches extend.
+    * corpus snapshot that later [[append]] batches extend. `plant`
+    * defaults false: only the graded-fixture [[build]] seeds copies.
     */
   def buildFor(
       spark: SparkSession, docs: DataFrame, path: String, tableName: String,
-      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit =
-    frameOf(docs, segTokens)
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens,
+      plant: Boolean = false): Unit =
+    frameOf(docs, segTokens, plant)
       .write.mode("overwrite")
       .option("path", path)
       .partitionBy("kind")
@@ -128,14 +138,15 @@ object ShingleIndex {
     */
   def append(
       spark: SparkSession, docs: DataFrame, tableName: String,
-      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit = {
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens,
+      plant: Boolean = false): Unit = {
     // SaveMode.Append on a MISSING table would silently create a managed
     // table at the warehouse location, disconnected from build's external
     // path — a later build would then replace the catalog entry and lose
     // this batch. Misordering must fail, not corrupt.
     require(spark.catalog.tableExists(tableName),
       s"append before build: table '$tableName' does not exist")
-    frameOf(docs, segTokens)
+    frameOf(docs, segTokens, plant)
       .write.mode("append")
       .partitionBy("kind")
       .bucketBy(numBuckets, "s")

@@ -58,10 +58,18 @@ object VectorIndex {
   def append(spark: SparkSession, vectors: DataFrame, path: String): Unit = {
     val centsFx = centroidsFx(spark, path)
     require(centsFx.nonEmpty, s"append before build: no centroids at $path")
-    // withColumn, not a select: the batch must keep the SAME schema build
-    // wrote (the full embeddings row + centroid) — a narrower append would
-    // leave lists/ with divergent file schemas and schema inference would
-    // drop or null the extra columns depending on which file it samples
+    // the batch must keep the SAME schema build wrote (the full embeddings
+    // row; `centroid` is the partition column we add below) — a narrower or
+    // wider batch would leave lists/ with divergent file schemas, and
+    // schema inference would then drop or null columns depending on which
+    // file it samples. Enforce against the STORED schema, not a comment.
+    val stored = spark.read.parquet(s"$path/lists").schema
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.iterator.map(f => (f.name, f.dataType)).toMap
+    val expected = shape(stored) - "centroid"
+    require(shape(vectors.schema) == expected,
+      s"append schema mismatch: batch ${vectors.schema.simpleString} vs " +
+        s"stored lists ${stored.simpleString} (minus centroid)")
     vectors
       .withColumn("centroid", IvfAnn.nearestCentroid(centsFx))
       .write.mode("append")

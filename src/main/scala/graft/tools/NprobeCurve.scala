@@ -19,20 +19,28 @@ object NprobeCurve {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val exact = graft.operators.Similarity.bruteForceTopK(spark, dir)
-      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // per-query recall@10, macro-averaged — NOT the pooled micro-average
+    // over the unioned (qid, vec_id) pairs, which only coincides with it
+    // while every query returns exactly TopK rows (ties / short lists
+    // would silently change the pooled metric's meaning)
+    val exactByQ = graft.operators.Similarity.bruteForceTopK(spark, dir)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     val rows = Seq(1, 2, 4, 8).map { nprobe =>
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         graft.operators.IvfAnn.ivfTopK(spark, dir, nprobe).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val approx = graft.operators.IvfAnn.ivfTopK(spark, dir, nprobe)
-        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
-      val recall = (approx & exact).size.toDouble / exact.size
+      val approxByQ = graft.operators.IvfAnn.ivfTopK(spark, dir, nprobe)
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val recall = exactByQ.iterator.map { case (q, ex) =>
+        (approxByQ.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+      }.sum / exactByQ.size
       (nprobe, recall, times.min)
     }
-    println("| nprobe | recall@10 | ivfTopK wall (s, min of 2) |")
+    println("| nprobe | recall@10 (mean per-query) | ivfTopK wall (s, min of 2) |")
     println("|---|---|---|")
     rows.foreach { case (np, r, t) => println(f"| $np | $r%.3f | $t%.2f |") }
     spark.stop()

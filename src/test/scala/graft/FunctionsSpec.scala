@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.functions.SimHash.simhash64
-import graft.functions.VectorFunctions.{cosineF, dotF, l2normF}
+import graft.functions.VectorFunctions.{cosFxF, cosineF, dotF, l2normF}
 import graft.operators.ImporterPipeline.dimensionNames
 
 /** Custom-expression kernels + ScalaCheck-generated laws for the scalar
@@ -44,6 +44,22 @@ class FunctionsSpec extends SparkSuite {
       .as[(Double, Double)].head()
     assert(math.abs(got._1 - 1.0) < 1e-12)
     assert(got._2 === 0.0)
+  }
+
+  test("fixed-point scale parity: operator layer and codegen kernels agree") {
+    // PqAnn.FxScale is an alias of FloatVecUtil.FxScaleLong; this pins the
+    // tie so a future re-definition (the silent engine-vs-oracle desync
+    // class) fails here instead of in a hash mismatch three rounds later
+    assert(graft.operators.PqAnn.FxScale ===
+      graft.functions.FloatVecUtil.FxScaleLong)
+  }
+
+  test("fxCosine fails loudly on dimension mismatch") {
+    val e = intercept[Exception] {
+      Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+        .select(cosFxF(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("simhash64: equal token lists hash equal; near lists land near") {

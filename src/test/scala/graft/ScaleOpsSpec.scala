@@ -675,15 +675,28 @@ class ScaleOpsSpec extends SparkSuite {
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")
         .select(col("doc_id"), col("text"))
       val cut = 250L
-      // initial build sees only the first half of the corpus...
-      ShingleIndex.buildFor(spark, docs.filter(col("doc_id") < cut), path, tbl)
+      // initial build sees only the first half of the corpus... (plant on
+      // both legs: the equality target buildFrame is the graded fixture)
+      ShingleIndex.buildFor(spark, docs.filter(col("doc_id") < cut), path, tbl,
+        plant = true)
       // ...then the second half arrives as an ingest batch
-      ShingleIndex.append(spark, docs.filter(col("doc_id") >= cut), tbl)
+      ShingleIndex.append(spark, docs.filter(col("doc_id") >= cut), tbl,
+        plant = true)
       val incremental = spark.table(tbl)
         .select("doc_id", "kind", "s").collect().map(_.toSeq).toSet
       val full = ShingleIndex.buildFrame(spark, sf0001)
         .collect().map(_.toSeq).toSet
       assert(incremental === full, "append diverged from a full rebuild")
+      // a DEFAULT ingest batch carrying low doc ids (inside the fixture's
+      // planting range) must not plant: no +PartialCopyOffset rows may
+      // appear beyond the build's own
+      val plantedBefore = spark.table(tbl)
+        .filter(col("doc_id") >= Dedup.PartialCopyOffset).count()
+      ShingleIndex.append(spark, docs.filter(col("doc_id") < 3), tbl)
+      val plantedAfter = spark.table(tbl)
+        .filter(col("doc_id") >= Dedup.PartialCopyOffset).count()
+      assert(plantedAfter === plantedBefore,
+        "default append planted fixture copies into a real ingest batch")
       // the appended files keep the bucket spec: posting groupBy is still
       // exchange-free over the combined table
       val postings = ShingleIndex.shingles(spark, tbl, includePlanted = true)

@@ -228,7 +228,30 @@ object SparkEntry {
     "d3_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "d4_minhash_lsh_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "d5_simhash_signatures" -> Dedup.simhashSignatures _,
-    "d8_duplicate_clusters" -> ((s: SparkSession, d: String) => Dedup.duplicateClusters(s, d)),
+    // d8 feeds its pair leaf from the materialized shingle index (built
+    // once per process by IndexStore) — the clustering engine is unchanged
+    // and ScaleOpsSpec pins index-fed pairs bit-equal to inline, so the
+    // oracle (which re-derives from the corpus) still applies verbatim
+    "d8_duplicate_clusters" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.duplicateClusters(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
+    // the index-fed twins of d3/d4/d10/d11: same scoring engines, pairs
+    // read from the write-once shingle/segment index instead of
+    // re-tokenizing the corpus — the build-once/read-many path a 100 TB
+    // pipeline actually runs (the inline originals stay graded alongside
+    // so the bench shows both costs)
+    "d3i_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.ngramJaccardPairs(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
+    "d4i_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.minhashLshPairs(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
+    "d10i_segment_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.duplicatedSegments(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
+    "d11i_containment_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.containmentPairs(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
     "d6_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // cross-corpus (eval×train) fuzzy join on md5-affine MinHash — the
     // portable-hash variant, fully oracle-replayable unlike d4
@@ -257,6 +280,12 @@ object SparkEntry {
     "v6_ivf_assignments" -> graft.operators.IvfAnn.assignments _,
     "v7_ivf_topk" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfTopK(s, d)),
+    // the persisted-index probe path: stored centroids + directory-pruned
+    // list scan (IvfBucketingSpec pins it bit-equal to the inline v7, so
+    // the same data-dependent oracle applies)
+    "v7i_ivf_topk" -> ((s: SparkSession, d: String) =>
+      graft.operators.VectorIndex.ivfTopK(
+        s, d, graft.operators.IndexStore.vectorPath(s, d))),
     "v8_int8_quant_error" -> Similarity.int8QuantizationError _,
     // product quantization: 4-bit-per-subspace codes + asymmetric-distance
     // top-k — the compression-side ANN path (64× smaller vectors)
@@ -1233,7 +1262,10 @@ object SparkEntry {
     "t22_top_ngrams" -> TextAnalysis.topNgramsOracleSql,
   )
 
-  def dedupOracle: Map[String, String] = Map(
+  def dedupOracle: Map[String, String] =
+    dedupInlineOracle ++ indexFedDedupOracle
+
+  private def dedupInlineOracle: Map[String, String] = Map(
     // both exact-dedup oracles replay the planted-duplicate corpus (the
     // raw corpus has no byte-identical texts — results would be vacuous)
     "d1_exact_duplicate_groups" ->
@@ -1318,6 +1350,20 @@ object SparkEntry {
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
   )
 
+  /** The `*i` queries are the index-fed twins of d3/d4/d10/d11 — proven
+    * bit-equal to the inline derivations (`ScaleOpsSpec`), so each reuses
+    * its twin's corpus-re-deriving SQL verbatim. Built by name lookup, not
+    * copy, so the twins can't desync.
+    */
+  private def indexFedDedupOracle: Map[String, String] = {
+    val inline = dedupInlineOracle
+    Map(
+      "d3i_ngram_jaccard_pairs" -> inline("d3_ngram_jaccard_pairs"),
+      "d4i_minhash_lsh_pairs" -> inline("d4_minhash_lsh_pairs"),
+      "d10i_segment_dedup" -> inline("d10_segment_dedup"),
+      "d11i_containment_pairs" -> inline("d11_containment_pairs"))
+  }
+
   def similarityOracle: Map[String, String] = Map(
     "v1_embedding_norms" ->
       """SELECT e.vec_id, e.label,
@@ -1346,6 +1392,10 @@ object SparkEntry {
       case (Some(s), Some(d)) => Map(
         "v6_ivf_assignments" -> graft.operators.IvfAnn.assignmentsOracleSql(s, d),
         "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
+        // v7i probes the PERSISTED index, whose centroids are the same
+        // trained geometry the inline path derives (VectorIndex.build
+        // persists IvfAnn.centroidsFx), so the oracle is identical
+        "v7i_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
         "v9_pq_codes" -> graft.operators.PqAnn.pqCodesOracleSql(s, d),
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
         "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),

@@ -251,7 +251,17 @@ object Dedup {
     */
   def duplicateClusters(
       spark: SparkSession, dir: String, threshold: Double = DefaultThreshold,
-      unrolledRounds: Int = 3): DataFrame = {
+      unrolledRounds: Int = 3): DataFrame =
+    clustersFromPairs(ngramJaccardPairs(spark, dir, threshold), unrolledRounds)
+
+  /** The clustering engine over an arbitrary near-duplicate pair frame
+    * (`a`, `b` doc-id columns) — the seam that lets the graded query feed
+    * from [[ShingleIndex]]'s amortized pairs instead of re-shingling the
+    * corpus, and production callers plug in any pair generator (SimHash,
+    * embedding near-dups) with the same transitive-closure semantics.
+    */
+  private[graft] def clustersFromPairs(
+      pairsIn: DataFrame, unrolledRounds: Int = 3): DataFrame = {
     // the chain below is r1 + (2 until k) + final step ⇒ 2 rounds minimum;
     // fail loudly rather than silently unrolling more than asked
     require(unrolledRounds >= 2, s"unrolledRounds must be >= 2, got $unrolledRounds")
@@ -260,7 +270,7 @@ object Dedup {
     // subtree disappears from any wider union built on top of it and
     // every scan site silently recomputes the expensive pair generation.
     // A cached leaf survives inside every union branch.
-    val pairs = ngramJaccardPairs(spark, dir, threshold).select(col("a"), col("b")).cache()
+    val pairs = pairsIn.select(col("a"), col("b")).cache()
     pairs.count() // fill before the multi-branch plan below races the cache
     // Self-loop formulation: with (x, x) edges in the set, "min over
     // neighbor labels" already includes the node's own label, so a round

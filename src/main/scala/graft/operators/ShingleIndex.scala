@@ -202,4 +202,14 @@ object ShingleIndex {
       maxDocFreq: Int = Dedup.DefaultMaxDocFreq): DataFrame =
     Dedup.containmentFromShingles(
       shingles(spark, tableName, includePlanted = true), minContainment, maxDocFreq)
+
+  /** Duplicate clusters over the index-fed pair graph — same transitive-
+    * closure engine as the inline d8, but the pairs leaf reads postings
+    * instead of re-shingling the corpus (the heaviest inline query's cost
+    * was mostly pair generation, which the index amortizes away).
+    */
+  def duplicateClusters(
+      spark: SparkSession, tableName: String,
+      threshold: Double = Dedup.DefaultThreshold): DataFrame =
+    Dedup.clustersFromPairs(ngramJaccardPairs(spark, tableName, threshold))
 }

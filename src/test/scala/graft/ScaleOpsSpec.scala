@@ -616,6 +616,13 @@ class ScaleOpsSpec extends SparkSuite {
         rows(Dedup.duplicatedSegments(spark, sf0001, plantCopies = true)))
       assert(rows(passes(3)._2) ===
         rows(Dedup.containmentPairs(spark, sf0001, plantCopies = true)))
+      // d8's graded path now rides the index too: same clustering engine,
+      // pair leaf from postings — bit-equal, and its plan never touches
+      // the corpus (the InMemoryRelation child is the index scan)
+      val d8i = ShingleIndex.duplicateClusters(spark, tbl)
+      assert(!d8i.queryExecution.executedPlan.toString.contains("documents.parquet"),
+        "index-fed d8 re-scans the corpus")
+      assert(rows(d8i) === rows(Dedup.duplicateClusters(spark, sf0001)))
     } finally {
       // DROP on an external table leaves the files — delete the path too,
       // or every suite run leaks an index copy (and a later run resolving

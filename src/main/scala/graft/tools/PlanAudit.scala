@@ -1,25 +1,38 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sweeps EVERY registered query's plan for scale red flags —
   * CartesianProduct / BroadcastNestedLoopJoin in the physical plan, and
   * unpartitioned (whole-corpus) windows in the optimized logical plan —
-  * and prints one line per offender, exiting non-zero if any survive.
-  * The plan-review loop the 100 TB stance requires, run against the
-  * whole suite at once instead of one `ExplainDump` at a time.
+  * flagging any occurrence that survives the waiver list. The plan-review
+  * loop the 100 TB stance requires, run against the whole suite at once
+  * instead of one `ExplainDump` at a time.
   *
   * Waivers are PER PATTERN, not per query: a query waived for its benign
   * nested-loop shape (a broadcast ≤8-row stats/query frame joined
   * without a key) still flags if it ever grows a cartesian product or a
   * global window.
   *
-  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  * Enforced two ways: `PlanAuditSpec` runs [[auditAll]] inside `sbt test`
+  * (a future query growing an unwaived pattern fails CI), and [[main]]
+  * remains the standalone sweep (`runMain graft.tools.PlanAudit [sfDir]`)
+  * for ad-hoc use at other scale factors.
   */
 object PlanAudit {
 
   private val Bnlj = "BroadcastNestedLoopJoin"
   private val Cart = "CartesianProduct"
+
+  /** One audit hit: a red-flag `tag` in `query`'s plan, waived or not. */
+  final case class Finding(
+      query: String, tag: String, waiver: Option[String]) {
+    def waived: Boolean = waiver.isDefined
+    override def toString: String = waiver match {
+      case Some(reason) => s"ok   $query [$tag] (waived: $reason)"
+      case None => s"FLAG $query [$tag]"
+    }
+  }
 
   /** (query, pattern) → why that pattern is constant-size there. */
   private val Waivers: Map[(String, String), String] = Map(
@@ -46,6 +59,43 @@ object PlanAudit {
     ("j1_order_lookup", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",
     ("p8_option_updates_no_nodeid", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame")
 
+  /** Audit ONE built query plan. Pattern detection only — no jobs run
+    * (the physical plan here is the pre-execution one; AQE re-plans are
+    * out of scope because the red flags below are static shapes).
+    */
+  def audit(name: String, df: DataFrame): Seq[Finding] = {
+    val qe = df.queryExecution
+    val physical = qe.executedPlan.toString
+    // partitionBy(lit(0)) and other foldable keys constant-fold away,
+    // so an EMPTY partitionSpec here is a genuinely global window
+    val globalWindows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    val hits =
+      Seq(Cart, Bnlj).filter(physical.contains) ++
+        (if (globalWindows.nonEmpty) Seq("GlobalWindow") else Nil)
+    hits.map(tag => Finding(name, tag, Waivers.get((name, tag))))
+  }
+
+  /** Sweep every registered query at `dir`. Returns (findings, errors):
+    * an erroring query is a failure of the audit, not a silent skip.
+    */
+  def auditAll(
+      spark: SparkSession, dir: String): (Seq[Finding], Seq[(String, String)]) = {
+    val acc = Seq.newBuilder[Finding]
+    val errs = Seq.newBuilder[(String, String)]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        acc ++= audit(name, fn(spark, dir))
+        spark.catalog.clearCache()
+      } catch {
+        case e: Throwable => errs += name -> String.valueOf(e.getMessage)
+      }
+    }
+    (acc.result(), errs.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -55,31 +105,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var flagged = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val qe = fn(spark, dir).queryExecution
-        val physical = qe.executedPlan.toString
-        // partitionBy(lit(0)) and other foldable keys constant-fold away,
-        // so an EMPTY partitionSpec here is a genuinely global window
-        val globalWindows = qe.optimizedPlan.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window
-              if w.partitionSpec.isEmpty => w
-        }
-        val hits =
-          Seq(Cart, Bnlj).filter(physical.contains) ++
-            (if (globalWindows.nonEmpty) Seq("GlobalWindow") else Nil)
-        hits.foreach { tag =>
-          Waivers.get((name, tag)) match {
-            case Some(reason) => println(s"ok   $name [$tag] (waived: $reason)")
-            case None => flagged += 1; println(s"FLAG $name [$tag]")
-          }
-        }
-        spark.catalog.clearCache()
-      } catch {
-        case e: Throwable => flagged += 1; println(s"ERR  $name: ${e.getMessage}")
-      }
-    }
+    val (findings, errors) = auditAll(spark, dir)
+    findings.foreach(f => println(f.toString))
+    errors.foreach { case (n, m) => println(s"ERR  $n: $m") }
+    val flagged = findings.count(!_.waived) + errors.size
     println(s"plan audit: ${if (flagged == 0) "CLEAN" else s"$flagged FLAGGED"}")
     spark.stop()
     if (flagged > 0) sys.exit(1)

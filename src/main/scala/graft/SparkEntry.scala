@@ -208,6 +208,11 @@ object SparkEntry {
     // survivorship — the complete pretraining gate
     "t23_training_selection_full" ->
       graft.operators.TrainingPrep.trainingSelectionFull _,
+    // scrub-then-select: duplicated spans REMOVED (t24, unplanted), token
+    // and quality gates re-run on the cleaned text, then the t23
+    // survivorship anti-joins — the composition a pipeline actually ships
+    "t25_scrubbed_selection" ->
+      graft.operators.TrainingPrep.trainingSelectionScrubbed _,
     // BPE-style pre-tokenizer piece counts next to whitespace tokens;
     // plantUrls adds digit/punct runs so the ratio is non-vacuous
     "t21_bpe_tokens" -> ((s: SparkSession, d: String) =>
@@ -1403,7 +1408,9 @@ object SparkEntry {
         "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
         // composes the v13 oracle (centroid literals) → data-dependent too
         "t23_training_selection_full" ->
-          graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d))
+          graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d),
+        "t25_scrubbed_selection" ->
+          graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d))
       case _ => Map.empty
     }
 

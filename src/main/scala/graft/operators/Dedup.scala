@@ -801,14 +801,20 @@ object Dedup {
         (col("nd") * segTokens).cast("bigint").as("n_dropped_tokens"))
   }
 
-  /** DuckDB oracle for [[scrubbedSpans]] at the default segment size with
-    * planting ON (the graded t24 configuration). Groups by the segment
+  /** DuckDB oracle for [[scrubbedSpans]] at the default segment size;
+    * `plant` ON is the graded t24 configuration, OFF is the unplanted
+    * production corpus (the t25 composition). Groups by the segment
     * STRING — the engine's md5 is a shuffle-size choice, not a semantic
     * one, so the equivalence classes are identical.
     */
-  def scrubbedSpansOracleSql: String = {
+  def scrubbedSpansOracleSql: String = scrubbedSpansOracleSql(plant = true)
+
+  def scrubbedSpansOracleSql(plant: Boolean): String = {
     val k = SegmentTokens
-    s"""WITH $partialCopyDocsCte,
+    val docsCte =
+      if (plant) partialCopyDocsCte
+      else "docs AS (SELECT doc_id, text FROM documents)"
+    s"""WITH $docsCte,
        |info AS (
        |  SELECT doc_id, string_split(text, ' ') AS t,
        |    len(string_split(text, ' ')) // $k AS nseg

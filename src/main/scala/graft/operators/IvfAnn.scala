@@ -396,26 +396,32 @@ object IvfAnn {
         col("hit").isNull.as("kept"))
   }
 
-  /** DuckDB oracle for [[semanticDedup]] with planting ON (the graded v13
-    * configuration): centroid literals + long-form corpus-with-clones +
-    * within-cluster cosine, mirroring the v5 clone CTE and the v6
-    * assignment CTE.
+  /** DuckDB oracle for [[semanticDedup]]: centroid literals + long-form
+    * corpus + within-cluster cosine, mirroring the v5 clone CTE and the
+    * v6 assignment CTE. `plant` ON (the graded v13 configuration) unions
+    * the deterministic clones in; OFF replays the natural corpus (the
+    * t25 composition).
     */
   def semanticDedupOracleSql(
       spark: SparkSession, dir: String,
-      cloneOffset: Long = Similarity.CloneIdOffset): String = {
+      cloneOffset: Long = Similarity.CloneIdOffset,
+      plant: Boolean = true): String = {
     val centsFx = centroidsFx(spark, dir)
+    val corpusCtes =
+      if (plant)
+        s"""clones AS (
+           |  SELECT vec_id + ($cloneOffset) AS vec_id, i,
+           |    CASE WHEN (i - 1) % 2 = 1 THEN cast(cast(v AS double) * 1.2 AS float) ELSE v END AS v
+           |  FROM base WHERE vec_id < ${Similarity.CloneCount}),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones)""".stripMargin
+      else "corpus AS (SELECT * FROM base)"
     s"""WITH cents(c, vec) AS (VALUES
        |    ${centroidValues(centsFx)}),
        |base AS (
        |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
        |  FROM embeddings e,
        |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
-       |clones AS (
-       |  SELECT vec_id + ($cloneOffset) AS vec_id, i,
-       |    CASE WHEN (i - 1) % 2 = 1 THEN cast(cast(v AS double) * 1.2 AS float) ELSE v END AS v
-       |  FROM base WHERE vec_id < ${Similarity.CloneCount}),
-       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+       |$corpusCtes,
        |${Similarity.fxSqlCte("corpus")},
        |dist AS (
        |  SELECT vec_id, c, cast(sum((q - cf) * (q - cf)) AS bigint) AS d

@@ -416,4 +416,100 @@ object TrainingPrep {
        |  WHERE NOT kept AND vec_id >= 0) sd
        |  ON sd.vec_id = t.doc_id
        |WHERE fz.b IS NULL AND sd.vec_id IS NULL""".stripMargin
+
+  /** t25: SCRUB-then-select — the production composition of t24 and t23.
+    * t23 gates on the duplicated-segment FRACTION but still trains on the
+    * raw text; the shape a pipeline actually ships removes the duplicated
+    * spans ([[Dedup.scrubbedSpans]]) and re-runs the token and quality
+    * gates on the CLEANED text — a doc whose boilerplate made it long
+    * enough or "high-quality" enough now has to pass on its real content.
+    * Exact-dedup survivorship and the two fuzzy survivorship signals
+    * (MinHash near-dup, SemDeDup) keep operating on document identity,
+    * which scrubbing does not change.
+    *
+    * The scrub runs over the PLANTED corpus (the d10/d11/t24 graded
+    * fixture): the partial copies make the first documents' heads
+    * cross-doc duplicated spans, so the selection demonstrably carries
+    * rows whose text was scrubbed (`n_dropped_tokens > 0`) — the
+    * corpus's natural duplicated segments all belong to boilerplate docs
+    * that every gate rejects. The planted ids themselves never reach the
+    * output: they are not in `documents`, so the exact-dedup keep join
+    * drops them. The SemDeDup stage runs UNPLANTED (natural cosine mates
+    * only) — t23's negative-offset clone fixture deliberately drops
+    * vec_ids 0..9, exactly the docs the scrub fixture marks, and
+    * composing both fixtures would leave the scrub signal unobservable
+    * in the output.
+    *
+    * Scale shape: the scrub is d10's one-scan/three-exchange pipeline,
+    * the re-gates are map-only projections over its output, and the
+    * survivorship anti-joins broadcast tiny drop sets — composing the
+    * gates adds no new corpus-wide shuffle key (everything joins on
+    * doc_id).
+    */
+  def trainingSelectionScrubbed(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Dedup.exactDedupKeep(spark, dir).select(col("doc_id"), col("lang"))
+    val scrub = Dedup.scrubbedSpans(spark, dir, plantCopies = true)
+    val gated = keep
+      .join(scrub, "doc_id")
+      .select(
+        col("doc_id"), col("lang"), col("clean_text"), col("n_dropped_tokens"),
+        TextAnalysis.nTokensCol(col("clean_text")).as("n_tokens"),
+        TextAnalysis.qualityE4Col(col("clean_text")).as("quality_e4"))
+      .filter(
+        col("quality_e4") >= MinQualityE4 &&
+          col("n_tokens").between(MinTokens, MaxTokens))
+    val fuzzyDrop = Dedup.minhashLshPairs(spark, dir)
+      .select(col("b").as("doc_id")).distinct()
+    val semDrop = IvfAnn.semanticDedup(spark, dir)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    gated
+      .join(fuzzyDrop, Seq("doc_id"), "left_anti")
+      .join(semDrop, Seq("doc_id"), "left_anti")
+  }
+
+  /** DuckDB oracle for [[trainingSelectionScrubbed]]: the planted t24
+    * scrub derivation feeding the t20 token/quality formulas re-stated
+    * over `clean_text` (the keep join drops the planted ids), then the
+    * t23 survivorship anti-joins.
+    */
+  def trainingSelectionScrubbedOracleSql(spark: SparkSession, dir: String): String =
+    s"""SELECT t.* FROM (
+       |  SELECT doc_id, lang, clean_text, n_dropped_tokens, n_tokens, quality_e4
+       |  FROM (
+       |    SELECT k.doc_id, k.lang, s.clean_text, s.n_dropped_tokens,
+       |      cast(s.nt AS bigint) AS n_tokens,
+       |      cast(floor((least(s.nt / 400.0, 1.0) * 0.5 +
+       |            least(s.sh / s.nt * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint)
+       |        AS quality_e4
+       |    FROM (
+       |      SELECT doc_id, clean_text, n_dropped_tokens,
+       |        cast(length(clean_text) - length(replace(clean_text, ' ', '')) + 1
+       |          AS double) AS nt,
+       |        cast(
+       |          cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+       |          cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
+       |          cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
+       |          cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
+       |          AS double) AS sh
+       |      FROM (
+       |        SELECT doc_id, clean_text, n_dropped_tokens,
+       |          concat(' ', clean_text, ' ') AS p
+       |        FROM (${Dedup.scrubbedSpansOracleSql(plant = true)}))) s
+       |    JOIN (
+       |      SELECT doc_id, lang FROM (
+       |        SELECT doc_id, lang,
+       |          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |        FROM documents)
+       |      WHERE rn = 1) k USING (doc_id))
+       |  WHERE quality_e4 >= $MinQualityE4
+       |    AND n_tokens BETWEEN $MinTokens AND $MaxTokens) t
+       |LEFT JOIN (SELECT DISTINCT b FROM (${Dedup.minhashLshOracleSql}) p) fz
+       |  ON fz.b = t.doc_id
+       |LEFT JOIN (
+       |  SELECT vec_id
+       |  FROM (${IvfAnn.semanticDedupOracleSql(spark, dir, plant = false)}) s
+       |  WHERE NOT kept) sd
+       |  ON sd.vec_id = t.doc_id
+       |WHERE fz.b IS NULL AND sd.vec_id IS NULL""".stripMargin
 }

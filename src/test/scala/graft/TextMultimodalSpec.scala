@@ -282,4 +282,27 @@ class TextMultimodalSpec extends SparkSuite {
     assert(dup.filter($"dup_frac_e4" > TrainingPrep.MaxDupFracE4).count() > 0)
     sel.unpersist()
   }
+
+  test("t25 scrub-then-select: scrubbed survivors present, planted ids absent") {
+    import graft.operators.{Dedup, TrainingPrep}
+    val sel = TrainingPrep.trainingSelectionScrubbed(spark, sf0001).cache()
+    // the composition must be OBSERVABLE: at least one selected doc had a
+    // duplicated span removed and was re-gated on its cleaned text (if
+    // this goes to zero the query degrades to t23 with extra steps)
+    val scrubbed = sel.filter($"n_dropped_tokens" > 0)
+      .select("doc_id", "n_dropped_tokens").as[(Long, Long)].collect()
+    assert(scrubbed.nonEmpty, "no selected row carries a scrubbed span")
+    // every scrubbed survivor lost whole segments (the planted-head shape)
+    scrubbed.foreach { case (id, nd) =>
+      assert(nd % Dedup.SegmentTokens === 0, s"doc $id dropped $nd tokens")
+    }
+    // the planted copy ids are fixture scaffolding, never selectable
+    assert(sel.filter($"doc_id" >= Dedup.PartialCopyOffset).count() === 0L)
+    // re-gating really uses the CLEANED text: every survivor's n_tokens
+    // is the clean_text token count, not the raw one
+    val bad = sel.filter(
+      graft.operators.TextAnalysis.nTokensCol($"clean_text") =!= $"n_tokens")
+    assert(bad.count() === 0L, "n_tokens not derived from clean_text")
+    sel.unpersist()
+  }
 }

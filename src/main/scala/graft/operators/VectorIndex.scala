@@ -64,8 +64,11 @@ object VectorIndex {
     // schema inference would then drop or null columns depending on which
     // file it samples. Enforce against the STORED schema, not a comment.
     val stored = spark.read.parquet(s"$path/lists").schema
+    // dataType.sql, not dataType: nullability/containsNull flags differ
+    // between a parquet read and an in-memory frame of the same data and
+    // are irrelevant to the file-schema-divergence hazard guarded here
     def shape(s: org.apache.spark.sql.types.StructType) =
-      s.fields.iterator.map(f => (f.name, f.dataType)).toMap
+      s.fields.iterator.map(f => (f.name, f.dataType.sql)).toMap
     val expected = shape(stored) - "centroid"
     require(shape(vectors.schema) == expected,
       s"append schema mismatch: batch ${vectors.schema.simpleString} vs " +
@@ -76,6 +79,43 @@ object VectorIndex {
       .partitionBy("centroid")
       .parquet(s"$path/lists")
   }
+
+  /** One micro-batch of streaming ingest: [[append]] under the stored
+    * geometry, skipped when `batchId` was already ingested — foreachBatch
+    * delivers at-least-once after a failure, and a blind re-append would
+    * double every vector of the replayed batch. The marker is written
+    * AFTER the append, so a crash between the two replays the batch
+    * (at-least-once, never silent loss); a marker-first protocol would
+    * invert that into silent loss. Duplicate list rows from that narrow
+    * window are visible (vec_id multiplicity), not corrupting.
+    */
+  def ingestBatch(
+      spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ingested/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      append(spark, batch, path)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Streaming twin of [[append]]: each micro-batch of `vectors` is
+    * assigned against the stored centroids and appended to its lists —
+    * the same map-only, self-consistent-geometry ingest as the batch
+    * path, so probes issued after any batch see every vector ingested so
+    * far under the geometry it was assigned with. Build first; the
+    * centroid sidecar read fails loudly otherwise.
+    */
+  def ingestStream(
+      vectors: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestBatch(batch.sparkSession, batch.toDF(), path, id)
+      }
+      .start()
 
   /** The persisted fixed-point centroids, list-id order. */
   def centroidsFx(spark: SparkSession, path: String): Array[Array[Long]] = {

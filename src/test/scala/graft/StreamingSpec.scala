@@ -548,6 +548,58 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming IVF ingest matches the batch append bit-for-bit, probes stay consistent") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("ivfstream")
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      // both indexes train on the SAME initial snapshot (geometry is fixed
+      // between rebuilds), then the second half arrives: as one batch
+      // append on the reference index, as TWO streamed micro-batches on
+      // the index under test
+      val halfDir = s"$base/half"
+      emb.filter(col("vec_id") < 250).write.parquet(s"$halfDir/embeddings.parquet")
+      val batchIdx = s"$base/batch"
+      val streamIdx = s"$base/stream"
+      VectorIndex.build(spark, halfDir, batchIdx)
+      VectorIndex.build(spark, halfDir, streamIdx)
+      VectorIndex.append(spark, emb.filter(col("vec_id") >= 250), batchIdx)
+
+      implicit val sqlCtx = spark.sqlContext
+      val rest = emb.filter(col("vec_id") >= 250)
+        .as[(Long, Seq[Float], Int)].collect()
+      val mem = MemoryStream[(Long, Seq[Float], Int)]
+      val q = VectorIndex.ingestStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"),
+        streamIdx, s"$base/ckpt")
+      try {
+        val (s1, s2) = rest.splitAt(rest.length / 2)
+        mem.addData(s1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(s2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      // lists bit-equal: same vectors, same stored-geometry assignment
+      def lists(p: String) = spark.read.parquet(s"$p/lists")
+        .select(col("vec_id"), col("centroid").cast("int"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(lists(streamIdx) === lists(batchIdx),
+        "streamed ingest diverged from the batch append")
+      // post-ingest probe: bit-equal top-k between the two indexes
+      def top(p: String) = VectorIndex.ivfTopK(spark, sf0001, p)
+        .collect().map(_.toSeq).toSet
+      assert(top(streamIdx) === top(batchIdx))
+      // a replayed micro-batch (at-least-once redelivery) must be a no-op
+      val before = spark.read.parquet(s"$streamIdx/lists").count()
+      val replay = emb.filter(col("vec_id") >= 250 && col("vec_id") < 260)
+      VectorIndex.ingestBatch(spark, replay, streamIdx, batchId = 0L)
+      assert(spark.read.parquet(s"$streamIdx/lists").count() === before,
+        "replayed batch id was re-appended")
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming signatures are bit-equal to the batch minhash path") {
     import graft.streaming.{StreamDoc, StreamingDedup}
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -1,0 +1,75 @@
+package graft.tools
+
+/** Records the index-build amortization table: what one shingle/IVF index
+  * build costs versus what it saves each dedup/probe pass, measured under
+  * THE graded bench engine configuration (shared session builder — a
+  * hand-copied config block would drift). The committed sf0.1 table lives
+  * in `README.md` ("Index amortization") next to the nprobe curve.
+  *
+  * Method: every pass timed as min-of-2 (the bench's estimator); builds
+  * timed once (a build is a one-off by definition — min-of-2 would charge
+  * it the warm second run). Inline passes re-derive from the corpus; the
+  * index-fed passes read the freshly built indexes.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.AmortizationTable
+  */
+object AmortizationTable {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def minOf2(f: => Unit): Double =
+      (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    def once(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    import graft.operators.{Dedup, IvfAnn, ShingleIndex, VectorIndex}
+    // warm the base tables so the first timed pass is not charged footer/
+    // page-cache init (same rationale as the bench warm-up)
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
+
+    val inline = Seq(
+      "d3" -> minOf2(Dedup.ngramJaccardPairs(spark, dir).count()),
+      "d4" -> minOf2(Dedup.minhashLshPairs(spark, dir).count()),
+      "d10" -> minOf2(Dedup.duplicatedSegments(spark, dir, plantCopies = true).count()),
+      "d11" -> minOf2(Dedup.containmentPairs(spark, dir, plantCopies = true).count()))
+
+    val idxRoot = java.nio.file.Files.createTempDirectory("amort").toString
+    val tbl = "amort_shingle_idx"
+    val shingleBuild = once(ShingleIndex.build(spark, dir, s"$idxRoot/shingle", tbl))
+    val fed = Seq(
+      "d3i" -> minOf2(ShingleIndex.ngramJaccardPairs(spark, tbl).count()),
+      "d4i" -> minOf2(ShingleIndex.minhashLshPairs(spark, tbl).count()),
+      "d10i" -> minOf2(ShingleIndex.duplicatedSegments(spark, tbl).count()),
+      "d11i" -> minOf2(ShingleIndex.containmentPairs(spark, tbl).count()))
+
+    val v7 = minOf2(IvfAnn.ivfTopK(spark, dir).count())
+    val ivfBuild = once(VectorIndex.build(spark, dir, s"$idxRoot/ivf"))
+    val v7i = minOf2(VectorIndex.ivfTopK(spark, dir, s"$idxRoot/ivf").count())
+
+    def f(v: Double) = f"$v%.2f"
+    println(s"sf_dir=$dir")
+    println("| pass | inline (s) | index-fed (s) |")
+    println("|---|---|---|")
+    inline.zip(fed).foreach { case ((n, t), (ni, ti)) =>
+      println(s"| $n / $ni | ${f(t)} | ${f(ti)} |")
+    }
+    val inlineSum = inline.map(_._2).sum
+    val fedSum = fed.map(_._2).sum
+    println(s"| dedup family total | ${f(inlineSum)} | ${f(fedSum)} (+ build ${f(shingleBuild)}) |")
+    println(s"| v7 / v7i IVF probe | ${f(v7)} | ${f(v7i)} (+ build ${f(ivfBuild)}) |")
+    println(f"breakeven: shingle build repays after ${shingleBuild / math.max(inlineSum - fedSum, 1e-9)}%.2f four-pass sweeps")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.stop()
+  }
+}

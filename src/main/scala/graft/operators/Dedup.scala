@@ -203,12 +203,24 @@ object Dedup {
     minhashLshFromShingles(shingles(spark, dir), threshold)
 
   /** The full MinHash+LSH pipeline over any (doc_id, s) shingle frame —
-    * shared by the inline path above and [[ShingleIndex.minhashLshPairs]].
+    * shared by the inline path above and the spec twins.
     */
   private[operators] def minhashLshFromShingles(
       shIn: DataFrame, threshold: Double): DataFrame = {
     val sh = shIn.cache()
-    val sig = minhashSignatures(sh)
+    minhashLshVerified(minhashSignatures(sh), sh, threshold)
+  }
+
+  /** Banding + candidate pairing + true-Jaccard verification over an
+    * ALREADY-COMPUTED signature frame (h0..h31 per doc) and the shingle
+    * frame that verifies its candidates. The seam that lets
+    * [[ShingleIndex.minhashLshPairs]] read signatures materialized at
+    * index build instead of re-running the per-pass signature shuffle —
+    * at corpus scale that shuffle (one md5 per shingle + a 32-column
+    * min-agg) is the dominant cost of the d4 pipeline's front half.
+    */
+  private[operators] def minhashLshVerified(
+      sig: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val bands = (0 until NumPerms / BandSize).map { b =>
       val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))

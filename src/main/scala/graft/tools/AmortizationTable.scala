@@ -70,6 +70,7 @@ object AmortizationTable {
     println(s"| v7 / v7i IVF probe | ${f(v7)} | ${f(v7i)} (+ build ${f(ivfBuild)}) |")
     println(f"breakeven: shingle build repays after ${shingleBuild / math.max(inlineSum - fedSum, 1e-9)}%.2f four-pass sweeps")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
     spark.stop()
   }
 }

@@ -628,6 +628,7 @@ class ScaleOpsSpec extends SparkSuite {
       // or every suite run leaks an index copy (and a later run resolving
       // the same name against stale files would mask a broken build())
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
       val root = java.nio.file.Paths.get(path).getParent
       if (root != null && java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
@@ -694,6 +695,21 @@ class ScaleOpsSpec extends SparkSuite {
       val full = ShingleIndex.buildFrame(spark, sf0001)
         .collect().map(_.toSeq).toSet
       assert(incremental === full, "append diverged from a full rebuild")
+      // the signature side table grew with the batch: per-doc signatures
+      // are corpus-independent, so incremental build+append must equal
+      // the signatures over the combined postings bit-for-bit
+      val sigInc = spark.table(ShingleIndex.sigsTable(tbl))
+        .collect().map(_.toSeq).toSet
+      val sigFull = Dedup.minhashSignatures(
+          ShingleIndex.shingles(spark, tbl, includePlanted = true))
+        .collect().map(_.toSeq).toSet
+      assert(sigInc === sigFull, "appended signatures diverged from a rebuild")
+      // the index-fed d4 over the appended index equals the inline pass
+      // over the same corpus (planted rows filtered by the reader)
+      assert(ShingleIndex.minhashLshPairs(spark, tbl)
+          .collect().map(_.toSeq).toSet ===
+        Dedup.minhashLshPairs(spark, sf0001).collect().map(_.toSeq).toSet,
+        "sig-fed d4 over the appended index diverged from inline")
       // a DEFAULT ingest batch carrying low doc ids (inside the fixture's
       // planting range) must not plant: no +PartialCopyOffset rows may
       // appear beyond the build's own
@@ -715,6 +731,7 @@ class ScaleOpsSpec extends SparkSuite {
         "append broke the bucketed exchange-free aggregation")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))

@@ -183,6 +183,52 @@ object ShingleIndex {
       .saveAsTable(sigsTable(tableName))
   }
 
+  /** One micro-batch of streaming ingest: [[append]] unless `batchId`
+    * was already ingested — the same at-least-once redelivery guard as
+    * [[VectorIndex.ingestBatch]] (marker written after the append, so a
+    * crash between the two replays the batch rather than losing it).
+    */
+  def ingestBatch(
+      spark: SparkSession, docs: DataFrame, tableName: String,
+      markerRoot: String, batchId: Long,
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      append(spark, docs, tableName, numBuckets, segTokens)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Streaming twin of [[append]]: each micro-batch of (doc_id, text)
+    * documents is derived (postings + signatures) and appended under the
+    * table's bucket spec, so every later dedup pass — batch or the next
+    * micro-batch's — reads the accumulated corpus exchange-free without
+    * ever re-deriving it. Build first; append fails loudly otherwise.
+    *
+    * foreachBatch executes in a CLONE of the owning session, whose
+    * post-insert refresh only clears the clone's own caches — the owner
+    * would keep serving a stale cached file listing for the table (rows
+    * silently missing, the worst failure mode an index can have). Each
+    * batch therefore refreshes BOTH tables in the owning session; any
+    * third session reading the index across this stream needs Spark's
+    * standard `REFRESH TABLE`, same as for any external writer.
+    */
+  def ingestStream(
+      docs: DataFrame, tableName: String, markerRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestBatch(batch.sparkSession, batch.toDF(), tableName, markerRoot, id)
+        owner.catalog.refreshTable(tableName)
+        owner.catalog.refreshTable(sigsTable(tableName))
+      }
+      .start()
+  }
+
   /** The (doc_id, s) shingle relation from the index. `includePlanted`
     * false reconstructs the raw corpus (d3/d4); true keeps the planted
     * partial copies (d11).

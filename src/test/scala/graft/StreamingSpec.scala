@@ -548,6 +548,63 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming shingle-index ingest matches a batch rebuild, dedup passes stay exchange-free") {
+    import graft.operators.ShingleIndex
+    val base = Files.createTempDirectory("shstream")
+    val tblS = "shidx_streamed"
+    val tblF = "shidx_full"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // reference: one cold build over the whole corpus
+      ShingleIndex.buildFor(spark, docs, s"$base/full", tblF)
+      // under test: build on the first half, stream the rest in two batches
+      ShingleIndex.buildFor(spark, docs.filter(col("doc_id") < 250), s"$base/str", tblS)
+      implicit val sqlCtx = spark.sqlContext
+      val rest = docs.filter(col("doc_id") >= 250).as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)]
+      val q = ShingleIndex.ingestStream(
+        mem.toDF().toDF("doc_id", "text"), tblS, s"$base/markers", s"$base/ckpt")
+      try {
+        val (b1, b2) = rest.splitAt(rest.length / 2)
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      // postings and signatures bit-equal to the cold build
+      def rows(t: String, cols: String*) =
+        spark.table(t).select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      assert(rows(tblS, "doc_id", "kind", "s") === rows(tblF, "doc_id", "kind", "s"),
+        "streamed postings diverged from a cold rebuild")
+      assert(rows(ShingleIndex.sigsTable(tblS), "doc_id", "h0", "h31") ===
+        rows(ShingleIndex.sigsTable(tblF), "doc_id", "h0", "h31"),
+        "streamed signatures diverged from a cold rebuild")
+      // a dedup pass over the streamed index: bit-equal output and the
+      // appended files kept the bucket spec (exchange-free postings agg)
+      assert(ShingleIndex.duplicatedSegments(spark, tblS).collect().map(_.toSeq).toSet ===
+        ShingleIndex.duplicatedSegments(spark, tblF).collect().map(_.toSeq).toSet)
+      val postings = ShingleIndex.shingles(spark, tblS, includePlanted = true)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      postings.collect()
+      val finalPlan = postings.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        "streamed append broke the bucketed exchange-free aggregation")
+      // replayed micro-batch (at-least-once) is a no-op
+      val before = spark.table(tblS).count()
+      ShingleIndex.ingestBatch(
+        spark, docs.filter(col("doc_id") >= 250 && col("doc_id") < 260),
+        tblS, s"$base/markers", batchId = 0L)
+      assert(spark.table(tblS).count() === before, "replayed batch re-appended")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tblS")
+      spark.sql(s"DROP TABLE IF EXISTS $tblF")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tblS)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tblF)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming IVF ingest matches the batch append bit-for-bit, probes stay consistent") {
     import graft.operators.VectorIndex
     val base = Files.createTempDirectory("ivfstream")

@@ -109,13 +109,20 @@ object VectorIndex {
     */
   def ingestStream(
       vectors: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = vectors.sparkSession
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         ingestBatch(batch.sparkSession, batch.toDF(), path, id)
+        // foreachBatch runs in a session clone; invalidate any cached
+        // listing of the lists directory in the owning session (same
+        // silent-missing-rows hazard ShingleIndex.ingestStream documents,
+        // path-based flavor)
+        owner.catalog.refreshByPath(s"$path/lists")
       }
       .start()
+  }
 
   /** The persisted fixed-point centroids, list-id order. */
   def centroidsFx(spark: SparkSession, path: String): Array[Array[Long]] = {

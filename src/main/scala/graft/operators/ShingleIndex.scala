@@ -183,6 +183,46 @@ object ShingleIndex {
       .saveAsTable(sigsTable(tableName))
   }
 
+  /** Compact the index into fresh files at `newPath`: every [[append]] /
+    * streamed batch adds up to one file per (task, bucket, kind), so a
+    * long-lived ingested index accumulates small files until listing and
+    * scan setup dominate reads — the standard small-files failure of
+    * streaming ingest. The rewrite keeps the bucket spec (downstream
+    * passes stay exchange-free) and pre-shuffles rows by the EXACT bucket
+    * id function bucketed writes use (`pmod(hash(s), numBuckets)`), so
+    * each task owns whole buckets and the result is one file per
+    * (kind, bucket).
+    *
+    * The catalog swap (drop + rename) is two operations, not one commit:
+    * a crash between them leaves both file sets intact but no table
+    * under `tableName` — re-runnable, never silent data loss. A
+    * transactional table format would make this atomic; with plain
+    * parquet external tables this is the honest trade. The OLD files are
+    * left at the old path for the caller to delete after the swap.
+    */
+  def compact(
+      spark: SparkSession, tableName: String, newPath: String,
+      numBuckets: Int = 32): Unit = {
+    def swapInto(df: DataFrame, tbl: String, path: String,
+        bucketed: Boolean): Unit = {
+      val tmp = s"${tbl}_compacting"
+      val w = df.write.mode("overwrite").option("path", path).format("parquet")
+      (if (bucketed) w.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s")
+       else w).saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tbl")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $tbl")
+    }
+    swapInto(
+      spark.table(tableName)
+        .repartition(numBuckets, pmod(hash(col("s")), lit(numBuckets))),
+      tableName, newPath, bucketed = true)
+    // numBuckets files, not 1: the sig table is one row per DOCUMENT and
+    // a single output task would bottleneck (and overflow) at corpus scale
+    swapInto(
+      spark.table(sigsTable(tableName)).repartition(numBuckets),
+      sigsTable(tableName), s"${newPath}_sigs", bucketed = false)
+  }
+
   /** One micro-batch of streaming ingest: [[append]] unless `batchId`
     * was already ingested — the same at-least-once redelivery guard as
     * [[VectorIndex.ingestBatch]] (marker written after the append, so a

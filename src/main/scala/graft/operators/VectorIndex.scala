@@ -80,6 +80,32 @@ object VectorIndex {
       .parquet(s"$path/lists")
   }
 
+  /** Compact the inverted lists: every appended batch adds files to each
+    * touched `centroid=` directory, so a long-ingested index accumulates
+    * small files until probe setup (listing + footers) dominates the
+    * directory-pruned read. Rewrites the lists clustered by centroid
+    * (one task owns whole lists → one file per list directory), then
+    * swaps the directory via rename. The swap is remove-then-rename, not
+    * one commit: a crash between the two leaves the compacted files
+    * intact under `lists_compacting` and the probe failing loudly on a
+    * missing `lists/` — re-runnable by finishing the rename, never a
+    * silent partial read. Centroids are untouched (compaction never
+    * changes geometry).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/lists_compacting")
+    val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(lists.toString)
+      .repartition(col("centroid"))
+      .write.mode("overwrite")
+      .partitionBy("centroid")
+      .parquet(staging.toString)
+    fs.delete(lists, true)
+    require(fs.rename(staging, lists), s"compaction rename failed: $staging -> $lists")
+    spark.catalog.refreshByPath(lists.toString)
+  }
+
   /** One micro-batch of streaming ingest: [[append]] under the stored
     * geometry, skipped when `batchId` was already ingested — foreachBatch
     * delivers at-least-once after a failure, and a blind re-append would

@@ -141,6 +141,46 @@ class IvfBucketingSpec extends SparkSuite {
     }
   }
 
+  test("IVF list compaction: one file per list, probes unchanged, pruning intact") {
+    import graft.operators.VectorIndex
+    val base = java.nio.file.Files.createTempDirectory("ivfcomp")
+    val path = base.toString + "/idx"
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val halfDir = base.toString + "/half"
+      emb.filter(col("vec_id") < 250).write.parquet(s"$halfDir/embeddings.parquet")
+      VectorIndex.build(spark, halfDir, path)
+      // two appends fragment the touched list directories
+      VectorIndex.append(spark, emb.filter(col("vec_id").between(250, 374)), path)
+      VectorIndex.append(spark, emb.filter(col("vec_id") >= 375), path)
+      val before = VectorIndex.ivfTopK(spark, sf0001, path)
+        .collect().map(_.toSeq).toSet
+      VectorIndex.compact(spark, path)
+      // one parquet file per centroid directory
+      import scala.jdk.CollectionConverters._
+      val listDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$path/lists"))
+        .iterator().asScala.filter(_.getFileName.toString.startsWith("centroid=")).toSeq
+      assert(listDirs.nonEmpty)
+      listDirs.foreach { d =>
+        val n = java.nio.file.Files.list(d).iterator().asScala
+          .count(_.toString.endsWith(".parquet"))
+        assert(n === 1, s"list dir $d has $n files after compaction")
+      }
+      // probes bit-equal across the rewrite, and directory pruning holds
+      assert(VectorIndex.ivfTopK(spark, sf0001, path)
+        .collect().map(_.toSeq).toSet === before)
+      val probed = VectorIndex.probedFor(spark, sf0001, path, 1)
+      val pruned = VectorIndex.prunedLists(spark, path, probed)
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), "pruned scan lost its partition filters")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // spark.sql.warehouse.dir is static — use a session override of the
     // broadcast threshold only, and clean the default-warehouse tables up.

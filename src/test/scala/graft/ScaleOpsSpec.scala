@@ -638,6 +638,57 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("shingle index compaction: fewer files, identical rows, bucket spec intact") {
+    import graft.operators.ShingleIndex
+    val base = java.nio.file.Files.createTempDirectory("shcomp")
+    val tbl = "shidx_compact_t"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      ShingleIndex.buildFor(spark, docs.filter(col("doc_id") < 250), s"$base/idx", tbl)
+      // two ingest batches: every append adds its own file set
+      ShingleIndex.append(spark, docs.filter(col("doc_id").between(250, 374)), tbl)
+      ShingleIndex.append(spark, docs.filter(col("doc_id") >= 375), tbl)
+      def files(p: String): Int = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+          .count(f => f.toString.endsWith(".parquet"))
+      }
+      val before = spark.table(tbl).collect().map(_.toSeq).toSet
+      val sigsBefore = spark.table(ShingleIndex.sigsTable(tbl))
+        .collect().map(_.toSeq).toSet
+      val filesBefore = files(s"$base/idx")
+      ShingleIndex.compact(spark, tbl, s"$base/idx2")
+      // same rows, strictly fewer files (one per (kind, bucket) now)
+      assert(spark.table(tbl).collect().map(_.toSeq).toSet === before)
+      assert(spark.table(ShingleIndex.sigsTable(tbl))
+        .collect().map(_.toSeq).toSet === sigsBefore)
+      val filesAfter = files(s"$base/idx2")
+      assert(filesAfter < filesBefore,
+        s"compaction did not reduce files: $filesBefore -> $filesAfter")
+      // the compacted files kept the bucket spec: postings agg exchange-free
+      val postings = ShingleIndex.shingles(spark, tbl, includePlanted = true)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      postings.collect()
+      val finalPlan = postings.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        "compaction broke the bucketed exchange-free aggregation")
+      // an index-fed pass over the compacted index still matches inline
+      assert(ShingleIndex.minhashLshPairs(spark, tbl)
+          .collect().map(_.toSeq).toSet ===
+        Dedup.minhashLshPairs(spark, sf0001).collect().map(_.toSeq).toSet)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}_compacting")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("span scrub drops every cross-doc duplicated segment, keeps tails") {
     val out = Dedup.scrubbedSpans(spark, sf0001, plantCopies = true)
       .select("doc_id", "clean_text", "n_dropped_tokens")

@@ -814,10 +814,12 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[scrubbedSpans]] at the default segment size;
-    * `plant` ON is the graded t24 configuration, OFF is the unplanted
-    * production corpus (the t25 composition). Groups by the segment
-    * STRING — the engine's md5 is a shuffle-size choice, not a semantic
-    * one, so the equivalence classes are identical.
+    * `plant` ON is the graded configuration both t24 and t25 replay, OFF
+    * is the unplanted production corpus (mirrors the operator's
+    * `plantCopies = false` default; no graded query uses it today).
+    * Groups by the segment STRING — the engine's md5 is a shuffle-size
+    * choice, not a semantic one, so the equivalence classes are
+    * identical.
     */
   def scrubbedSpansOracleSql: String = scrubbedSpansOracleSql(plant = true)
 

@@ -23,8 +23,16 @@ object IndexStore {
 
   private val built = new ConcurrentHashMap[String, String]()
 
-  private def slug(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+  private def slug(dir: String): String = {
+    // readable prefix + hash of the RAW dir: slug alone collides
+    // ('/data/sf0.1' vs '/data/sf0_1' both normalize to data_sf0_1) and a
+    // collision would silently point one corpus's queries at the other's
+    // index files while the memo map keeps both entries alive
+    val readable = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${readable}_$h"
+  }
 
   private def root(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-index/${slug(dir)}"

@@ -164,23 +164,27 @@ object ShingleIndex {
       s"append before build: table '$tableName' does not exist")
     require(spark.catalog.tableExists(sigsTable(tableName)),
       s"append before build: table '${sigsTable(tableName)}' does not exist")
-    val frame = frameOf(docs, segTokens, plant)
-    frame
-      .write.mode("append")
-      .partitionBy("kind")
-      .bucketBy(numBuckets, "s")
-      .sortBy("s")
-      .format("parquet")
-      .saveAsTable(tableName)
-    // signatures for the NEW docs only — same derive-from-the-batch shape
-    // as the postings append; per-doc signatures never need the rest of
-    // the corpus, so the appended rows are identical to what a full
-    // rebuild would compute
-    Dedup.minhashSignatures(
-        frame.filter(col("kind") === ShingleKind).select(col("doc_id"), col("s")))
-      .write.mode("append")
-      .format("parquet")
-      .saveAsTable(sigsTable(tableName))
+    // cache: the frame feeds TWO write actions (postings, then the sig
+    // derivation) — uncached, each would re-scan and re-shingle the batch
+    // source, exactly the re-derivation the index exists to avoid
+    val frame = frameOf(docs, segTokens, plant).cache()
+    try {
+      frame
+        .write.mode("append")
+        .partitionBy("kind")
+        .bucketBy(numBuckets, "s")
+        .sortBy("s")
+        .format("parquet")
+        .saveAsTable(tableName)
+      // signatures for the NEW docs only — per-doc signatures never need
+      // the rest of the corpus, so the appended rows are identical to
+      // what a full rebuild would compute
+      Dedup.minhashSignatures(
+          frame.filter(col("kind") === ShingleKind).select(col("doc_id"), col("s")))
+        .write.mode("append")
+        .format("parquet")
+        .saveAsTable(sigsTable(tableName))
+    } finally frame.unpersist()
   }
 
   /** Compact the index into fresh files at `newPath`: every [[append]] /
@@ -203,42 +207,69 @@ object ShingleIndex {
   def compact(
       spark: SparkSession, tableName: String, newPath: String,
       numBuckets: Int = 32): Unit = {
-    def swapInto(df: DataFrame, tbl: String, path: String,
-        bucketed: Boolean): Unit = {
-      val tmp = s"${tbl}_compacting"
-      val w = df.write.mode("overwrite").option("path", path).format("parquet")
-      (if (bucketed) w.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s")
-       else w).saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tbl")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $tbl")
-    }
-    swapInto(
+    swapInto(spark,
       spark.table(tableName)
         .repartition(numBuckets, pmod(hash(col("s")), lit(numBuckets))),
-      tableName, newPath, bucketed = true)
+      tableName, newPath, numBuckets, bucketed = true)
     // numBuckets files, not 1: the sig table is one row per DOCUMENT and
     // a single output task would bottleneck (and overflow) at corpus scale
-    swapInto(
+    swapInto(spark,
       spark.table(sigsTable(tableName)).repartition(numBuckets),
-      sigsTable(tableName), s"${newPath}_sigs", bucketed = false)
+      sigsTable(tableName), s"${newPath}_sigs", numBuckets, bucketed = false)
   }
 
-  /** One micro-batch of streaming ingest: [[append]] unless `batchId`
-    * was already ingested — the same at-least-once redelivery guard as
-    * [[VectorIndex.ingestBatch]] (marker written after the append, so a
-    * crash between the two replays the batch rather than losing it).
+  /** Rewrite `df` as table `tbl` at a fresh `path` and swap the catalog
+    * name over — the shared tail of [[compact]] and the crash-repair
+    * purge in [[ingestBatch]]. Drop + rename is two catalog ops, not one
+    * commit (see [[compact]]'s doc for the honest trade).
+    */
+  private def swapInto(
+      spark: SparkSession, df: DataFrame, tbl: String, path: String,
+      numBuckets: Int, bucketed: Boolean): Unit = {
+    val tmp = s"${tbl}_compacting"
+    val w = df.write.mode("overwrite").option("path", path).format("parquet")
+    (if (bucketed) w.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s")
+     else w).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tbl")
+  }
+
+  /** One micro-batch of streaming ingest with an at-least-once replay
+    * guard that is SAFE for postings: a `done` marker skips clean
+    * redeliveries, and a `started`-but-not-`done` marker (crash mid-
+    * append) triggers a purge of the batch's doc ids before re-appending
+    * — blindly re-appending would duplicate posting rows, and duplicate
+    * postings CORRUPT every index-fed pass (self-pairs at jaccard 1.0,
+    * double-counted intersections), unlike an idempotent sink where
+    * replay is merely visible. The purge is a filter-rewrite-swap of
+    * both tables (crash-only path, so the full rewrite cost is paid only
+    * when a batch actually died mid-append).
     */
   def ingestBatch(
       spark: SparkSession, docs: DataFrame, tableName: String,
       markerRoot: String, batchId: Long,
       numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      append(spark, docs, tableName, numBuckets, segTokens)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+    val done = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId.done")
+    val started = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId.started")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    if (fs.exists(started)) {
+      // the batch may be partially or fully appended: purge every row the
+      // redelivered batch could have written (the source replays the same
+      // data for a given batch id), then fall through to a clean append
+      val ids = docs.select(col("doc_id")).distinct()
+      swapInto(spark,
+        spark.table(tableName).join(ids, Seq("doc_id"), "left_anti"),
+        tableName, s"$markerRoot/repair-$batchId", numBuckets, bucketed = true)
+      swapInto(spark,
+        spark.table(sigsTable(tableName)).join(ids, Seq("doc_id"), "left_anti"),
+        sigsTable(tableName), s"$markerRoot/repair-${batchId}_sigs",
+        numBuckets, bucketed = false)
     }
+    fs.mkdirs(started.getParent)
+    fs.create(started, true).close()
+    append(spark, docs, tableName, numBuckets, segTokens)
+    fs.create(done, true).close()
   }
 
   /** Streaming twin of [[append]]: each micro-batch of (doc_id, text)

@@ -39,10 +39,51 @@ object VectorIndex {
       .toDF("c", "vec")
       .repartition(1) // K rows — one footer to read at probe time
       .write.mode("overwrite").parquet(s"$path/centroids")
-    IvfAnn.assignedCorpus(spark, dir)
+    val assigned = IvfAnn.assignedCorpus(spark, dir)
+    assigned
       .write.mode("overwrite")
       .partitionBy("centroid")
       .parquet(s"$path/lists")
+    // schema sidecar for append's O(1) guard: re-inferring from lists/
+    // would re-list the whole (possibly fragmented) directory per batch
+    writeSchemaSidecar(spark, path, assigned.schema)
+  }
+
+  private def schemaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/lists_schema.json")
+
+  private def writeSchemaSidecar(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(schema.json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The lists schema build wrote (including `centroid`), from the
+    * sidecar; falls back to inference for an index built before the
+    * sidecar existed (and backfills it).
+    */
+  private def storedListsSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val p = schemaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      org.apache.spark.sql.types.DataType.fromJson(bytes.toString("UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    } else {
+      val inferred = spark.read.parquet(s"$path/lists").schema
+      writeSchemaSidecar(spark, path, inferred)
+      inferred
+    }
   }
 
   /** Incremental ingest: assign NEW vectors to the STORED centroids and
@@ -62,8 +103,9 @@ object VectorIndex {
     // row; `centroid` is the partition column we add below) — a narrower or
     // wider batch would leave lists/ with divergent file schemas, and
     // schema inference would then drop or null columns depending on which
-    // file it samples. Enforce against the STORED schema, not a comment.
-    val stored = spark.read.parquet(s"$path/lists").schema
+    // file it samples. Enforce against the STORED schema (sidecar — O(1),
+    // never a per-batch relisting of a fragmented lists/ tree).
+    val stored = storedListsSchema(spark, path)
     // dataType.sql, not dataType: nullability/containsNull flags differ
     // between a parquet read and an in-memory frame of the same data and
     // are irrelevant to the file-schema-divergence hazard guarded here
@@ -92,38 +134,54 @@ object VectorIndex {
     * silent partial read. Centroids are untouched (compaction never
     * changes geometry).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    rewriteLists(spark, path, identity)
+
+  /** Rewrite lists/ through `transform` (clustered one-file-per-list)
+    * and swap the directory via rename — the shared machinery of
+    * [[compact]] and the crash-repair purge in [[ingestBatch]]. See
+    * [[compact]]'s doc for the non-atomic-swap trade.
+    */
+  private def rewriteLists(
+      spark: SparkSession, path: String,
+      transform: DataFrame => DataFrame): Unit = {
     val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
     val staging = new org.apache.hadoop.fs.Path(s"$path/lists_compacting")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(lists.toString)
+    transform(spark.read.parquet(lists.toString))
       .repartition(col("centroid"))
       .write.mode("overwrite")
       .partitionBy("centroid")
       .parquet(staging.toString)
     fs.delete(lists, true)
-    require(fs.rename(staging, lists), s"compaction rename failed: $staging -> $lists")
+    require(fs.rename(staging, lists), s"lists rewrite rename failed: $staging -> $lists")
     spark.catalog.refreshByPath(lists.toString)
   }
 
-  /** One micro-batch of streaming ingest: [[append]] under the stored
-    * geometry, skipped when `batchId` was already ingested — foreachBatch
-    * delivers at-least-once after a failure, and a blind re-append would
-    * double every vector of the replayed batch. The marker is written
-    * AFTER the append, so a crash between the two replays the batch
-    * (at-least-once, never silent loss); a marker-first protocol would
-    * invert that into silent loss. Duplicate list rows from that narrow
-    * window are visible (vec_id multiplicity), not corrupting.
+  /** One micro-batch of streaming ingest with a replay guard that is
+    * safe for ranked reads: a `done` marker skips clean redeliveries
+    * (foreachBatch delivers at-least-once after a failure), and a
+    * `started`-but-not-`done` marker (crash mid-append) purges the
+    * batch's vec ids from the lists before re-appending — a blind
+    * re-append would double the replayed vectors, and duplicates surface
+    * as duplicate (qid, vec_id) rows in every top-k, displacing genuine
+    * neighbors from the bounded heap. The purge is a filter-rewrite of
+    * lists/ (crash-only path, never on the clean road).
     */
   def ingestBatch(
       spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_ingested/batch-$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      append(spark, batch, path)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+    val done = new org.apache.hadoop.fs.Path(s"$path/_ingested/batch-$batchId.done")
+    val started = new org.apache.hadoop.fs.Path(s"$path/_ingested/batch-$batchId.started")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    if (fs.exists(started)) {
+      val ids = batch.select(col("vec_id")).distinct()
+      rewriteLists(spark, path, _.join(ids, Seq("vec_id"), "left_anti"))
     }
+    fs.mkdirs(started.getParent)
+    fs.create(started, true).close()
+    append(spark, batch, path)
+    fs.create(done, true).close()
   }
 
   /** Streaming twin of [[append]]: each micro-batch of `vectors` is

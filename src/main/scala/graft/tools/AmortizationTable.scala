@@ -23,8 +23,11 @@ object AmortizationTable {
       (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         f
+        val t = (System.nanoTime() - t0) / 1e9
+        // cache teardown OUTSIDE the timed window — the Bench estimator
+        // this table claims to replicate clears after taking the time
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        t
       }.min
     def once(f: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -595,6 +595,23 @@ class StreamingSpec extends SparkSuite {
         spark, docs.filter(col("doc_id") >= 250 && col("doc_id") < 260),
         tblS, s"$base/markers", batchId = 0L)
       assert(spark.table(tblS).count() === before, "replayed batch re-appended")
+      // crash mid-append: half the batch landed, `started` exists, no
+      // `done` — the redelivery must purge and re-append so every doc of
+      // the batch ends up EXACTLY once (a blind re-append would corrupt
+      // the pair scores with duplicate postings)
+      val crashDocs = docs.filter(col("doc_id") < 250)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      ShingleIndex.append(spark, crashDocs.filter(col("doc_id") < 10100L), tblS)
+      val startedM = new org.apache.hadoop.fs.Path(s"$base/markers/batch-7.started")
+      val mfs = startedM.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      mfs.mkdirs(startedM.getParent); mfs.create(startedM, true).close()
+      ShingleIndex.ingestBatch(spark, crashDocs, tblS, s"$base/markers", batchId = 7L)
+      val dupPostings = spark.table(tblS)
+        .groupBy(col("doc_id"), col("kind"), col("s")).count()
+        .filter(col("count") > 1).count()
+      assert(dupPostings === 0L, s"$dupPostings duplicated postings after crash repair")
+      assert(spark.table(tblS).filter(col("doc_id") >= 10000L)
+        .select("doc_id").distinct().count() === 250L)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tblS")
       spark.sql(s"DROP TABLE IF EXISTS $tblF")
@@ -651,6 +668,21 @@ class StreamingSpec extends SparkSuite {
       VectorIndex.ingestBatch(spark, replay, streamIdx, batchId = 0L)
       assert(spark.read.parquet(s"$streamIdx/lists").count() === before,
         "replayed batch id was re-appended")
+      // crash mid-append: part of a new batch landed, `started` without
+      // `done` — redelivery purges the batch's vec ids and re-appends, so
+      // each vector is in exactly one list exactly once
+      val crashBatch = emb.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 5000L)
+      VectorIndex.append(spark, crashBatch.filter(col("vec_id") < 5040L), streamIdx)
+      val startedM = new org.apache.hadoop.fs.Path(
+        s"$streamIdx/_ingested/batch-9.started")
+      val mfs = startedM.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      mfs.mkdirs(startedM.getParent); mfs.create(startedM, true).close()
+      VectorIndex.ingestBatch(spark, crashBatch, streamIdx, batchId = 9L)
+      val crashed = spark.read.parquet(s"$streamIdx/lists")
+        .filter(col("vec_id") >= 5000L)
+      assert(crashed.count() === 100L, "crash repair left duplicates or lost rows")
+      assert(crashed.select("vec_id").distinct().count() === 100L)
     } finally {
       Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))

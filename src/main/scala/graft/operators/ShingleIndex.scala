@@ -256,14 +256,25 @@ object ShingleIndex {
     if (fs.exists(started)) {
       // the batch may be partially or fully appended: purge every row the
       // redelivered batch could have written (the source replays the same
-      // data for a given batch id), then fall through to a clean append
+      // data for a given batch id), then fall through to a clean append.
+      // The repair target must be FRESH per attempt: after a first crash
+      // repair, the table's current LOCATION is the previous attempt's
+      // repair path, and a second crash (during the re-append) would make
+      // a fixed target overwrite the very directory the rewrite is
+      // reading — either a permanent wedge or files deleted mid-scan.
+      def fresh(base: String): String = {
+        var p = base
+        var n = 0
+        while (fs.exists(new org.apache.hadoop.fs.Path(p))) { n += 1; p = s"$base-$n" }
+        p
+      }
       val ids = docs.select(col("doc_id")).distinct()
       swapInto(spark,
         spark.table(tableName).join(ids, Seq("doc_id"), "left_anti"),
-        tableName, s"$markerRoot/repair-$batchId", numBuckets, bucketed = true)
+        tableName, fresh(s"$markerRoot/repair-$batchId"), numBuckets, bucketed = true)
       swapInto(spark,
         spark.table(sigsTable(tableName)).join(ids, Seq("doc_id"), "left_anti"),
-        sigsTable(tableName), s"$markerRoot/repair-${batchId}_sigs",
+        sigsTable(tableName), fresh(s"$markerRoot/repair-${batchId}_sigs"),
         numBuckets, bucketed = false)
     }
     fs.mkdirs(started.getParent)
@@ -285,20 +296,36 @@ object ShingleIndex {
     * batch therefore refreshes BOTH tables in the owning session; any
     * third session reading the index across this stream needs Spark's
     * standard `REFRESH TABLE`, same as for any external writer.
+    *
+    * Markers land under [[markerNamespace]], not `markerRoot` directly:
+    * batch ids are only unique within one checkpoint lineage, and markers
+    * outlive checkpoints — an un-namespaced `batch-0.done` from a previous
+    * run would silently drop a fresh checkpoint's first batch (see
+    * [[IngestRun]]). Callers driving [[ingestBatch]] by hand own that
+    * 1:1 markerRoot↔batch-id-lineage pairing themselves.
     */
   def ingestStream(
       docs: DataFrame, tableName: String, markerRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = docs.sparkSession
+    val ns = markerNamespace(owner, markerRoot, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        ingestBatch(batch.sparkSession, batch.toDF(), tableName, markerRoot, id)
+        ingestBatch(batch.sparkSession, batch.toDF(), tableName, ns, id)
         owner.catalog.refreshTable(tableName)
         owner.catalog.refreshTable(sigsTable(tableName))
       }
       .start()
   }
+
+  /** The per-run marker directory [[ingestStream]] keys its replay guard
+    * by: `markerRoot/run-<id>` where the id's lifetime is the
+    * checkpoint's ([[IngestRun.runId]]).
+    */
+  private[graft] def markerNamespace(
+      spark: SparkSession, markerRoot: String, checkpoint: String): String =
+    s"$markerRoot/run-${IngestRun.runId(spark, checkpoint)}"
 
   /** The (doc_id, s) shingle relation from the index. `includePlanted`
     * false reconstructs the raw corpus (d3/d4); true keeps the planted
@@ -316,11 +343,37 @@ object ShingleIndex {
     * hash was computed at build, so this is a pure read — and because the
     * stored column IS the hash, the bucketing on `s` carries through the
     * rename and the d10 per-(hash, doc) aggregation AND its cross-doc
-    * frequency window both run without an exchange.
+    * frequency window both run without an exchange. `includePlanted`
+    * false reconstructs the raw corpus (the t20/t23 gate input — the
+    * planted rows are filtered BEFORE the stats, so cross-doc frequencies
+    * count only unplanted documents, exactly the unplanted inline
+    * derivation); true keeps the graded partial-copy fixture (d10/d11).
     */
-  def segments(spark: SparkSession, tableName: String): DataFrame =
-    spark.table(tableName).filter(col("kind") === SegmentKind)
+  def segments(
+      spark: SparkSession, tableName: String,
+      includePlanted: Boolean = true): DataFrame = {
+    val sg = spark.table(tableName).filter(col("kind") === SegmentKind)
+    (if (includePlanted) sg
+     else sg.filter(col("doc_id") < Dedup.PartialCopyOffset))
       .select(col("doc_id"), col("s").as("h"))
+  }
+
+  /** The distinct segment hashes occurring in MORE THAN ONE document —
+    * the cross-doc duplication signal the span scrub (t24/t25) acts on,
+    * read from the index instead of a corpus-wide window: min≠max over
+    * doc_id ⟺ ≥2 distinct docs (never a countDistinct), and the
+    * aggregation rides the table's bucketing on `s` (alias-aware), so
+    * this is an exchange-free pass over the compact segment side. The
+    * result is the distinct duplicated-span VOCABULARY — tiny relative
+    * to corpus occurrences (boilerplate is repeated, which is what makes
+    * it boilerplate), which is what makes it broadcastable to the scrub.
+    */
+  def duplicatedSegmentHashes(spark: SparkSession, tableName: String): DataFrame =
+    segments(spark, tableName)
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
 
   // The four dedup passes, fed from the index instead of the corpus —
   // same scoring engines as the inline d3/d4/d10/d11, bit-equal output.

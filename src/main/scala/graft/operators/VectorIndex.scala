@@ -169,9 +169,19 @@ object VectorIndex {
     * lists/ (crash-only path, never on the clean road).
     */
   def ingestBatch(
-      spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit = {
-    val done = new org.apache.hadoop.fs.Path(s"$path/_ingested/batch-$batchId.done")
-    val started = new org.apache.hadoop.fs.Path(s"$path/_ingested/batch-$batchId.started")
+      spark: SparkSession, batch: DataFrame, path: String, batchId: Long): Unit =
+    ingestBatch(spark, batch, path, batchId, s"$path/_ingested")
+
+  /** [[ingestBatch]] with an explicit marker directory — the streaming
+    * path passes a per-run namespace (see [[ingestStream]]); batch ids are
+    * only unique within one checkpoint lineage, so direct callers own the
+    * 1:1 markerDir↔batch-id-lineage pairing.
+    */
+  def ingestBatch(
+      spark: SparkSession, batch: DataFrame, path: String, batchId: Long,
+      markerDir: String): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$markerDir/batch-$batchId.done")
+    val started = new org.apache.hadoop.fs.Path(s"$markerDir/batch-$batchId.started")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(done)) return
     if (fs.exists(started)) {
@@ -190,15 +200,21 @@ object VectorIndex {
     * path, so probes issued after any batch see every vector ingested so
     * far under the geometry it was assigned with. Build first; the
     * centroid sidecar read fails loudly otherwise.
+    *
+    * Replay markers are namespaced per checkpoint run ([[markerNamespace]]
+    * / [[IngestRun]]): a fresh checkpoint restarts batch ids at 0, and a
+    * stale un-namespaced `batch-0.done` would silently drop its first
+    * batch.
     */
   def ingestStream(
       vectors: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = vectors.sparkSession
+    val ns = markerNamespace(owner, path, checkpoint)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        ingestBatch(batch.sparkSession, batch.toDF(), path, id)
+        ingestBatch(batch.sparkSession, batch.toDF(), path, id, ns)
         // foreachBatch runs in a session clone; invalidate any cached
         // listing of the lists directory in the owning session (same
         // silent-missing-rows hazard ShingleIndex.ingestStream documents,
@@ -207,6 +223,14 @@ object VectorIndex {
       }
       .start()
   }
+
+  /** The per-run marker directory [[ingestStream]] keys its replay guard
+    * by: `path/_ingested/run-<id>` where the id's lifetime is the
+    * checkpoint's ([[IngestRun.runId]]).
+    */
+  private[graft] def markerNamespace(
+      spark: SparkSession, path: String, checkpoint: String): String =
+    s"$path/_ingested/run-${IngestRun.runId(spark, checkpoint)}"
 
   /** The persisted fixed-point centroids, list-id order. */
   def centroidsFx(spark: SparkSession, path: String): Array[Array[Long]] = {

@@ -575,8 +575,11 @@ class StreamingSpec extends SparkSuite {
         spark.table(t).select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
       assert(rows(tblS, "doc_id", "kind", "s") === rows(tblF, "doc_id", "kind", "s"),
         "streamed postings diverged from a cold rebuild")
-      assert(rows(ShingleIndex.sigsTable(tblS), "doc_id", "h0", "h31") ===
-        rows(ShingleIndex.sigsTable(tblF), "doc_id", "h0", "h31"),
+      // ALL 33 columns: an h0/h31-only spot check would pass a divergence
+      // in h1..h30 that happens not to change banding outcomes
+      val sigCols = spark.table(ShingleIndex.sigsTable(tblF)).columns.toIndexedSeq
+      assert(rows(ShingleIndex.sigsTable(tblS), sigCols: _*) ===
+        rows(ShingleIndex.sigsTable(tblF), sigCols: _*),
         "streamed signatures diverged from a cold rebuild")
       // a dedup pass over the streamed index: bit-equal output and the
       // appended files kept the bucket spec (exchange-free postings agg)
@@ -589,12 +592,29 @@ class StreamingSpec extends SparkSuite {
         .split("== Initial Plan ==")(0)
       assert(!finalPlan.contains("Exchange hashpartitioning"),
         "streamed append broke the bucketed exchange-free aggregation")
-      // replayed micro-batch (at-least-once) is a no-op
+      // replayed micro-batch (at-least-once) is a no-op — markers live in
+      // the stream's per-checkpoint namespace, so the replay must target it
+      val ns = ShingleIndex.markerNamespace(spark, s"$base/markers", s"$base/ckpt")
       val before = spark.table(tblS).count()
       ShingleIndex.ingestBatch(
         spark, docs.filter(col("doc_id") >= 250 && col("doc_id") < 260),
-        tblS, s"$base/markers", batchId = 0L)
+        tblS, ns, batchId = 0L)
       assert(spark.table(tblS).count() === before, "replayed batch re-appended")
+      // a FRESH checkpoint restarts batch ids at 0; its markers must not
+      // collide with the finished run's (an un-namespaced batch-0.done
+      // would silently drop the new stream's first batch)
+      val extra = docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 20000L)
+        .as[(Long, String)].collect()
+      val mem2 = MemoryStream[(Long, String)]
+      val q2 = ShingleIndex.ingestStream(
+        mem2.toDF().toDF("doc_id", "text"), tblS, s"$base/markers", s"$base/ckpt2")
+      try {
+        mem2.addData(extra.toIndexedSeq); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.table(tblS).filter(col("doc_id") >= 20000L)
+        .select("doc_id").distinct().count() === 5L,
+        "fresh-checkpoint batch 0 was dropped by a stale marker")
       // crash mid-append: half the batch landed, `started` exists, no
       // `done` — the redelivery must purge and re-append so every doc of
       // the batch ends up EXACTLY once (a blind re-append would corrupt
@@ -610,13 +630,68 @@ class StreamingSpec extends SparkSuite {
         .groupBy(col("doc_id"), col("kind"), col("s")).count()
         .filter(col("count") > 1).count()
       assert(dupPostings === 0L, s"$dupPostings duplicated postings after crash repair")
-      assert(spark.table(tblS).filter(col("doc_id") >= 10000L)
+      assert(spark.table(tblS).filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
         .select("doc_id").distinct().count() === 250L)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tblS")
       spark.sql(s"DROP TABLE IF EXISTS $tblF")
       spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tblS)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tblF)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("double crash mid-append: the shingle-index repair is itself re-runnable") {
+    import graft.operators.ShingleIndex
+    val base = Files.createTempDirectory("shcrash2")
+    val tbl = "shidx_crash2"
+    val tblRef = "shidx_crash2_ref"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+      val batch = docs.withColumn("doc_id", col("doc_id") + 30000L)
+      // reference: base corpus + the batch, appended cleanly once
+      ShingleIndex.buildFor(spark, docs, s"$base/ref", tblRef)
+      ShingleIndex.append(spark, batch, tblRef)
+      // under test: the same batch id crashes mid-append TWICE — after the
+      // first crash repair the table's LOCATION is the repair path, so a
+      // second repair with a fixed target would overwrite the directory it
+      // is reading from (wedge or mid-scan data loss)
+      ShingleIndex.buildFor(spark, docs, s"$base/idx", tbl)
+      val markers = s"$base/markers"
+      val startedP = new org.apache.hadoop.fs.Path(s"$markers/batch-3.started")
+      val doneP = new org.apache.hadoop.fs.Path(s"$markers/batch-3.done")
+      val fs = startedP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crash 1: half the batch landed, `started` without `done`
+      ShingleIndex.append(spark, batch.filter(col("doc_id") < 30050L), tbl)
+      fs.mkdirs(startedP.getParent); fs.create(startedP, true).close()
+      // redelivery 1: purges + re-appends (table now AT $markers/repair-3)
+      ShingleIndex.ingestBatch(spark, batch, tbl, markers, batchId = 3L)
+      // crash 2: the re-delivered batch dies mid-append again — done gone,
+      // started present, a partial duplicate landed
+      fs.delete(doneP, false)
+      fs.create(startedP, true).close()
+      ShingleIndex.append(spark, batch.filter(col("doc_id") < 30050L), tbl)
+      // redelivery 2: the second repair must stage to a FRESH path
+      ShingleIndex.ingestBatch(spark, batch, tbl, markers, batchId = 3L)
+      // multiset bit-equality with the clean reference (segment rows carry
+      // occurrence multiplicity, so compare grouped counts, not row sets)
+      def grouped(t: String) = spark.table(t)
+        .groupBy(col("doc_id"), col("kind"), col("s")).count()
+        .collect().map(_.toSeq).toSet
+      assert(grouped(tbl) === grouped(tblRef),
+        "double-crash repair diverged from a clean append")
+      val sigCols = spark.table(ShingleIndex.sigsTable(tblRef)).columns.toIndexedSeq
+      def sigRows(t: String) = spark.table(t)
+        .select(sigCols.head, sigCols.tail: _*).collect().map(_.toSeq).toSet
+      assert(sigRows(ShingleIndex.sigsTable(tbl)) === sigRows(ShingleIndex.sigsTable(tblRef)),
+        "double-crash repair diverged on the signature table")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS $tblRef")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tblRef)}")
       Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
     }
@@ -662,12 +737,28 @@ class StreamingSpec extends SparkSuite {
       def top(p: String) = VectorIndex.ivfTopK(spark, sf0001, p)
         .collect().map(_.toSeq).toSet
       assert(top(streamIdx) === top(batchIdx))
-      // a replayed micro-batch (at-least-once redelivery) must be a no-op
+      // a replayed micro-batch (at-least-once redelivery) must be a no-op —
+      // the stream's markers live in its per-checkpoint namespace
+      val ns = VectorIndex.markerNamespace(spark, streamIdx, s"$base/ckpt")
       val before = spark.read.parquet(s"$streamIdx/lists").count()
       val replay = emb.filter(col("vec_id") >= 250 && col("vec_id") < 260)
-      VectorIndex.ingestBatch(spark, replay, streamIdx, batchId = 0L)
+      VectorIndex.ingestBatch(spark, replay, streamIdx, batchId = 0L, ns)
       assert(spark.read.parquet(s"$streamIdx/lists").count() === before,
         "replayed batch id was re-appended")
+      // a fresh checkpoint's batch 0 must not be dropped by the old run's
+      // done marker
+      val fresh = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 9000L)
+        .as[(Long, Seq[Float], Int)].collect()
+      val mem2 = MemoryStream[(Long, Seq[Float], Int)]
+      val q2 = VectorIndex.ingestStream(
+        mem2.toDF().toDF("vec_id", "embedding", "label"), streamIdx, s"$base/ckpt2")
+      try {
+        mem2.addData(fresh.toIndexedSeq); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.read.parquet(s"$streamIdx/lists")
+        .filter(col("vec_id") >= 9000L).count() === 5L,
+        "fresh-checkpoint batch 0 was dropped by a stale marker")
       // crash mid-append: part of a new batch landed, `started` without
       // `done` — redelivery purges the batch's vec ids and re-appends, so
       // each vector is in exactly one list exactly once
@@ -680,7 +771,7 @@ class StreamingSpec extends SparkSuite {
       mfs.mkdirs(startedM.getParent); mfs.create(startedM, true).close()
       VectorIndex.ingestBatch(spark, crashBatch, streamIdx, batchId = 9L)
       val crashed = spark.read.parquet(s"$streamIdx/lists")
-        .filter(col("vec_id") >= 5000L)
+        .filter(col("vec_id") >= 5000L && col("vec_id") < 9000L)
       assert(crashed.count() === 100L, "crash repair left duplicates or lost rows")
       assert(crashed.select("vec_id").distinct().count() === 100L)
     } finally {

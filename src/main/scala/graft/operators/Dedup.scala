@@ -709,7 +709,7 @@ object Dedup {
     * shared by the inline path above and
     * [[ShingleIndex.duplicatedSegments]].
     */
-  private[operators] def segmentDupStats(segs: DataFrame): DataFrame = {
+  private[graft] def segmentDupStats(segs: DataFrame): DataFrame = {
     val perDoc = segs.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
     val nd = count(lit(1)).over(Window.partitionBy(col("h")))
     perDoc
@@ -765,6 +765,40 @@ object Dedup {
       spark: SparkSession, dir: String,
       segTokens: Int = SegmentTokens,
       plantCopies: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    scrubAssemble(
+      scrubExploded(spark, dir, segTokens, plantCopies)
+        .withColumn("uniq", min(col("doc_id")).over(w) === max(col("doc_id")).over(w)),
+      segTokens)
+  }
+
+  /** [[scrubbedSpans]] with the cross-doc duplication signal supplied as a
+    * precomputed one-column (h) frame of duplicated segment hashes — the
+    * index-fed path ([[ShingleIndex.duplicatedSegmentHashes]]). The
+    * window exchange over every occurrence (which shuffles segment TEXT
+    * by hash) is replaced by a broadcast left join against the dup-hash
+    * vocabulary; the reconstruction scan and the per-doc reassembly
+    * shuffle remain — the corpus's text now travels exactly once. Bit-
+    * equal to the window path: uniq ⟺ h absent from the dup set (the
+    * per-doc surrogate hashes of sub-segment docs are never in it).
+    */
+  private[graft] def scrubbedSpansFromDupHashes(
+      spark: SparkSession, dir: String, dupHashes: DataFrame,
+      segTokens: Int = SegmentTokens,
+      plantCopies: Boolean = false): DataFrame =
+    scrubAssemble(
+      scrubExploded(spark, dir, segTokens, plantCopies)
+        .join(broadcast(dupHashes.select(col("h"), lit(true).as("dup"))), Seq("h"), "left")
+        .withColumn("uniq", col("dup").isNull),
+      segTokens)
+
+  /** The exploded per-occurrence frame both scrub paths share: one row
+    * per segment occurrence (j, seg) plus one tail-carrier row per doc,
+    * keyed by the segment hash (surrogate `~doc_id` for carriers).
+    */
+  private def scrubExploded(
+      spark: SparkSession, dir: String,
+      segTokens: Int, plantCopies: Boolean): DataFrame = {
     val base = maybePartialCopies(spark, dir, plantCopies)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("nseg", expr(s"size(toks) div $segTokens"))
@@ -796,9 +830,14 @@ object Dedup {
       .withColumn("h",
         when(col("seg").isNull, concat(lit("~"), col("doc_id").cast("string")))
           .otherwise(md5(col("seg").cast("binary"))))
-    val w = Window.partitionBy(col("h"))
     exploded
-      .withColumn("uniq", min(col("doc_id")).over(w) === max(col("doc_id")).over(w))
+  }
+
+  /** The per-doc reassembly tail both scrub paths share: `withUniq` is
+    * [[scrubExploded]] plus a boolean `uniq` column.
+    */
+  private def scrubAssemble(withUniq: DataFrame, segTokens: Int): DataFrame =
+    withUniq
       .groupBy(col("doc_id"))
       .agg(
         first(col("tail"), ignoreNulls = true).as("tail"), // one carrier per doc
@@ -811,7 +850,6 @@ object Dedup {
         col("doc_id"),
         concat_ws(" ", expr("concat(transform(kept, x -> x.seg), tail)")).as("clean_text"),
         (col("nd") * segTokens).cast("bigint").as("n_dropped_tokens"))
-  }
 
   /** DuckDB oracle for [[scrubbedSpans]] at the default segment size;
     * `plant` ON is the graded configuration both t24 and t25 replay, OFF

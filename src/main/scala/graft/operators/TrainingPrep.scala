@@ -291,11 +291,20 @@ object TrainingPrep {
     * shuffle stage per derived column set; nothing here is worse than the
     * most expensive constituent (the segment hash agg).
     */
-  def trainingSelection(spark: SparkSession, dir: String): DataFrame = {
+  def trainingSelection(spark: SparkSession, dir: String): DataFrame =
+    selectionGate(spark, dir,
+      Dedup.duplicatedSegments(spark, dir).select(col("doc_id"), col("dup_frac_e4")))
+
+  /** The t20 gate with the duplicated-segment leg supplied by the caller —
+    * shared by the inline path above (re-derives d10 per query) and the
+    * index-fed [[trainingSelectionFullIndexed]] (reads the materialized
+    * segment side).
+    */
+  private def selectionGate(
+      spark: SparkSession, dir: String, dup: DataFrame): DataFrame = {
     val keep = Dedup.exactDedupKeep(spark, dir).select(col("doc_id"), col("lang"))
     val toks = TextAnalysis.tokenStats(spark, dir).select(col("doc_id"), col("n_tokens"))
     val qual = TextAnalysis.qualityScores(spark, dir).select(col("doc_id"), col("quality_e4"))
-    val dup = Dedup.duplicatedSegments(spark, dir).select(col("doc_id"), col("dup_frac_e4"))
     keep
       .join(toks, "doc_id")
       .join(qual, "doc_id")
@@ -389,10 +398,35 @@ object TrainingPrep {
     * keeps its constituent pipeline's plan — composing gates adds joins on
     * doc_id, never a new corpus-wide shuffle key.
     */
-  def trainingSelectionFull(spark: SparkSession, dir: String): DataFrame = {
-    val base = trainingSelection(spark, dir)
-    val fuzzyDrop = Dedup.minhashLshPairs(spark, dir)
-      .select(col("b").as("doc_id")).distinct()
+  def trainingSelectionFull(spark: SparkSession, dir: String): DataFrame =
+    fullGate(spark, dir,
+      Dedup.duplicatedSegments(spark, dir).select(col("doc_id"), col("dup_frac_e4")),
+      Dedup.minhashLshPairs(spark, dir))
+
+  /** t23i: [[trainingSelectionFull]] with its two shingle-derived legs —
+    * the d10 segment-dup gate and the d4 MinHash survivorship — read from
+    * the materialized shingle index instead of re-tokenizing the corpus.
+    * Bit-equal by construction ([[Dedup.segmentDupStats]] /
+    * [[Dedup.minhashLshVerified]] are the same scoring engines;
+    * `ScaleOpsSpec` pins it), so the t23 oracle applies verbatim. The
+    * corpus is still scanned for the text-local legs (exact-dedup keep,
+    * token counts, quality) — what the index removes is every re-shingle
+    * and the signature re-derivation, which at 100 TB are the two
+    * heaviest legs of the chain.
+    */
+  def trainingSelectionFullIndexed(
+      spark: SparkSession, dir: String, tableName: String): DataFrame =
+    fullGate(spark, dir,
+      Dedup.segmentDupStats(
+          ShingleIndex.segments(spark, tableName, includePlanted = false))
+        .select(col("doc_id"), col("dup_frac_e4")),
+      ShingleIndex.minhashLshPairs(spark, tableName))
+
+  private def fullGate(
+      spark: SparkSession, dir: String,
+      dup: DataFrame, fuzzyPairs: DataFrame): DataFrame = {
+    val base = selectionGate(spark, dir, dup)
+    val fuzzyDrop = fuzzyPairs.select(col("b").as("doc_id")).distinct()
     val semDrop = IvfAnn.semanticDedup(
         spark, dir, plantClones = true, cloneOffset = FullGateSemCloneOffset)
       .filter(!col("kept") && col("vec_id") >= 0)
@@ -446,9 +480,31 @@ object TrainingPrep {
     * gates adds no new corpus-wide shuffle key (everything joins on
     * doc_id).
     */
-  def trainingSelectionScrubbed(spark: SparkSession, dir: String): DataFrame = {
+  def trainingSelectionScrubbed(spark: SparkSession, dir: String): DataFrame =
+    scrubbedGate(spark, dir,
+      Dedup.scrubbedSpans(spark, dir, plantCopies = true),
+      Dedup.minhashLshPairs(spark, dir))
+
+  /** t25i: [[trainingSelectionScrubbed]] with its shingle-derived legs
+    * fed from the materialized index: the scrub's cross-doc duplication
+    * signal comes from [[ShingleIndex.duplicatedSegmentHashes]] (so the
+    * corpus text is shuffled once for reassembly, never a second time
+    * through the h-partitioned window), and the MinHash survivorship
+    * reads the materialized signatures. Bit-equal to the inline t25
+    * (`ScaleOpsSpec` pins it), so the t25 oracle applies verbatim.
+    */
+  def trainingSelectionScrubbedIndexed(
+      spark: SparkSession, dir: String, tableName: String): DataFrame =
+    scrubbedGate(spark, dir,
+      Dedup.scrubbedSpansFromDupHashes(
+        spark, dir, ShingleIndex.duplicatedSegmentHashes(spark, tableName),
+        plantCopies = true),
+      ShingleIndex.minhashLshPairs(spark, tableName))
+
+  private def scrubbedGate(
+      spark: SparkSession, dir: String,
+      scrub: DataFrame, fuzzyPairs: DataFrame): DataFrame = {
     val keep = Dedup.exactDedupKeep(spark, dir).select(col("doc_id"), col("lang"))
-    val scrub = Dedup.scrubbedSpans(spark, dir, plantCopies = true)
     val gated = keep
       .join(scrub, "doc_id")
       .select(
@@ -458,8 +514,7 @@ object TrainingPrep {
       .filter(
         col("quality_e4") >= MinQualityE4 &&
           col("n_tokens").between(MinTokens, MaxTokens))
-    val fuzzyDrop = Dedup.minhashLshPairs(spark, dir)
-      .select(col("b").as("doc_id")).distinct()
+    val fuzzyDrop = fuzzyPairs.select(col("b").as("doc_id")).distinct()
     val semDrop = IvfAnn.semanticDedup(spark, dir)
       .filter(!col("kept"))
       .select(col("vec_id").as("doc_id"))

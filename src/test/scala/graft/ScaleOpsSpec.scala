@@ -638,6 +638,60 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("index-fed training gates (t23i/t25i) are bit-equal and skip every re-shingle scan") {
+    import graft.operators.{ShingleIndex, TrainingPrep}
+    val root = java.nio.file.Files.createTempDirectory("gateidx")
+    val tbl = "gate_shingle_index"
+    try {
+      ShingleIndex.build(spark, sf0001, s"$root/idx", tbl)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      // leg pins: unplanted segment stats and the dup-hash-fed scrub match
+      // their inline window/agg derivations exactly
+      assert(rows(Dedup.segmentDupStats(
+          ShingleIndex.segments(spark, tbl, includePlanted = false)))
+        === rows(Dedup.duplicatedSegments(spark, sf0001)),
+        "unplanted index segment stats diverged from inline d10")
+      assert(rows(Dedup.scrubbedSpansFromDupHashes(spark, sf0001,
+          ShingleIndex.duplicatedSegmentHashes(spark, tbl), plantCopies = true))
+        === rows(Dedup.scrubbedSpans(spark, sf0001, plantCopies = true)),
+        "dup-hash-fed scrub diverged from the window scrub")
+      // the composed graded gates: bit-equal, non-vacuous
+      val full = TrainingPrep.trainingSelectionFull(spark, sf0001)
+      val fullI = TrainingPrep.trainingSelectionFullIndexed(spark, sf0001, tbl)
+      val fullRows = rows(full)
+      assert(rows(fullI) === fullRows, "t23i diverged from t23")
+      assert(fullRows.nonEmpty)
+      val scr = TrainingPrep.trainingSelectionScrubbed(spark, sf0001)
+      val scrI = TrainingPrep.trainingSelectionScrubbedIndexed(spark, sf0001, tbl)
+      val scrRows = rows(scr)
+      assert(rows(scrI) === scrRows, "t25i diverged from t25")
+      assert(scrRows.nonEmpty)
+      // the point of the index: the gate chain keeps only its text-local
+      // corpus reads (exact-dedup keep, token/quality stats, scrub
+      // reconstruction) — every shingle/segment/signature derivation
+      // reads the index, so the indexed plans scan documents.parquet
+      // strictly fewer times and at most thrice
+      // post-execution AQE plans print BOTH final and initial sections —
+      // count scans only in the final one
+      def docScans(df: org.apache.spark.sql.DataFrame): Int =
+        "documents\\.parquet".r
+          .findAllIn(df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==")(0)).length
+      assert(docScans(fullI) < docScans(full),
+        s"t23i should drop corpus scans: ${docScans(fullI)} vs ${docScans(full)}")
+      assert(docScans(fullI) <= 3, s"t23i re-scans the corpus ${docScans(fullI)}x")
+      assert(docScans(scrI) < docScans(scr),
+        s"t25i should drop corpus scans: ${docScans(scrI)} vs ${docScans(scr)}")
+      assert(docScans(scrI) <= 3, s"t25i re-scans the corpus ${docScans(scrI)}x")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("shingle index compaction: fewer files, identical rows, bucket spec intact") {
     import graft.operators.ShingleIndex
     val base = java.nio.file.Files.createTempDirectory("shcomp")
@@ -686,6 +740,70 @@ class ScaleOpsSpec extends SparkSuite {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("read during compaction: pre-compaction readers complete or fail loudly, never partially") {
+    import scala.util.{Failure, Success, Try}
+    import graft.operators.{ShingleIndex, VectorIndex}
+    val base = java.nio.file.Files.createTempDirectory("rdcomp")
+    val tbl = "shidx_reader_t"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      ShingleIndex.buildFor(spark, docs, s"$base/sh", tbl)
+      // a reader resolved BEFORE the compaction swap (forced listing +
+      // plan via count)
+      val preShingle = spark.table(tbl)
+      val expectedSh = preShingle.count()
+      ShingleIndex.compact(spark, tbl, s"$base/sh2")
+      // ShingleIndex.compact leaves the old file set for the caller to
+      // delete, so the pre-swap frame either completes over the old files
+      // or fails loudly — a PARTIAL count is the corruption this test
+      // exists to rule out
+      Try(preShingle.count()) match {
+        case Success(n) => assert(n === expectedSh, "pre-compaction reader saw a partial table")
+        case Failure(_) => () // loud is acceptable; silent-partial is not
+      }
+      // after the caller deletes the old files, a still-held stale frame
+      // must fail LOUDLY (Spark's missing-file error), never return a
+      // subset — and a fresh resolve sees the full compacted table
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/sh")).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Try(preShingle.count()) match {
+        case Success(n) => assert(n === expectedSh, "stale reader silently returned a partial table")
+        case Failure(_) => ()
+      }
+      assert(spark.table(tbl).count() === expectedSh)
+
+      // VectorIndex.compact swaps lists/ in place (delete + rename): same
+      // contract for a reader holding the pre-swap frame
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      VectorIndex.build(spark, sf0001, s"$base/ivf")
+      val preLists = spark.read.parquet(s"$base/ivf/lists")
+      val expectedV = preLists.count()
+      assert(expectedV === emb.count())
+      VectorIndex.compact(spark, s"$base/ivf")
+      Try(preLists.count()) match {
+        case Success(n) => assert(n === expectedV, "pre-compaction lists reader saw a partial index")
+        case Failure(_) => ()
+      }
+      val freshLists = spark.read.parquet(s"$base/ivf/lists")
+      assert(freshLists.count() === expectedV)
+      // compaction never changes geometry: probes over the compacted
+      // index still prune at the directory level
+      val probed = VectorIndex.probedFor(spark, sf0001, s"$base/ivf", 4)
+      assert(probed.nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}_compacting")
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(base))
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

@@ -32,6 +32,32 @@ object Bench {
     spark
   }
 
+  /** Two runs disagreeing by more than this ratio are read as box
+    * contention (uniform 3-6x inflation on a shared driver box is the
+    * observed failure mode), not a plan change — triggering a third run.
+    */
+  private[graft] val DispersionRatio = 1.5
+
+  /** Contention-robust estimate over a sampling thunk returning
+    * (seconds, succeeded): run twice; if fewer than two runs succeeded or
+    * the two disagree by more than [[DispersionRatio]], run a third.
+    * Returns (min of successful runs — -1.0 when every run failed — and
+    * dispersion = max/min over successful runs). min-of-2 alone is not
+    * robust when BOTH runs land on a contended box (r6: driver record
+    * 1.76x the committed same-code record); the dispersion field lets a
+    * consumer flag a contaminated record instead of reading it as a
+    * regression.
+    */
+  private[graft] def robustTime(sample: () => (Double, Boolean)): (Double, Double) = {
+    val two = Vector(sample(), sample())
+    def good(rs: Vector[(Double, Boolean)]) = rs.collect { case (t, true) => t }
+    val g2 = good(two)
+    val contended = g2.size == 2 && g2.max / g2.min > DispersionRatio
+    val all = if (contended || g2.size < 2) two :+ sample() else two
+    val g = good(all)
+    if (g.isEmpty) (-1.0, 1.0) else (g.min, g.max / g.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
@@ -65,14 +91,13 @@ object Bench {
     } catch { case _: Throwable => () }
     // local-iteration hook: comma-separated query names; unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // run twice, record the min: the shared driver box shows 2-8x
-      // contention swings on individual queries (r4: 174.8 s recorded vs
-      // 89.3 s for the same code), and min-of-2 is the cheapest estimator
-      // that strips one-off scheduler stalls without hiding real cost
-      val runs = (0 until 2).map { _ =>
+      // adaptive min-of-2/3 (see robustTime): the shared driver box shows
+      // 2-8x contention swings on individual queries (r4: 174.8 s recorded
+      // vs 89.3 s for the same code; r6: both runs contended)
+      val sample = () => {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
@@ -80,11 +105,11 @@ object Bench {
         (t, ok)
       }
       // a throwing query must NOT be recorded at its (fast) failure wall —
-      // min-of-2 would then report a regression as an improvement; -1 is
+      // the min would then report a regression as an improvement; -1 is
       // the visible failure marker
-      val good = runs.collect { case (t, true) => t }
-      name -> (if (good.isEmpty) -1.0 else good.min)
+      name -> robustTime(sample)
     }
+    val results = timed.map { case (name, (t, _)) => name -> t }
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
@@ -105,8 +130,14 @@ object Bench {
     // rounds must see a nonzero n_failed as "total is not comparable" —
     // failed queries are excluded from the sum, so a broken query would
     // otherwise read as an improvement
+    // per-query max/min run ratio: ~1 on a quiet box; >DispersionRatio
+    // marks queries whose record may still carry contention (the third
+    // run bounds it, it cannot eliminate a 3-run-long stall) — a consumer
+    // comparing rounds should weight high-dispersion entries accordingly
+    val disp = timed.map { case (name, (_, d)) => name -> d }
+    val maxDisp = disp.map(_._2).maxOption.getOrElse(1.0)
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failedNames.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failedNames.size},"queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
     // 70+ timings that don't fit the compact line
@@ -126,7 +157,7 @@ object Bench {
     val failedRef =
       if (failedNames.isEmpty) ""
       else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"max_dispersion":${f(maxDisp)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

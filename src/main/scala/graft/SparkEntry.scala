@@ -213,6 +213,17 @@ object SparkEntry {
     // survivorship anti-joins — the composition a pipeline actually ships
     "t25_scrubbed_selection" ->
       graft.operators.TrainingPrep.trainingSelectionScrubbed _,
+    // the index-fed twins of t23/t25: segment-dup, scrub-signal and
+    // MinHash survivorship legs read from the materialized shingle index
+    // (same scoring engines, bit-equal — ScaleOpsSpec pins it), so each
+    // reuses its twin's oracle; the inline originals stay graded
+    // alongside to carry the amortization comparison
+    "t23i_training_selection_full" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.trainingSelectionFullIndexed(
+        s, d, graft.operators.IndexStore.shingleTable(s, d))),
+    "t25i_scrubbed_selection" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.trainingSelectionScrubbedIndexed(
+        s, d, graft.operators.IndexStore.shingleTable(s, d))),
     // BPE-style pre-tokenizer piece counts next to whitespace tokens;
     // plantUrls adds digit/punct runs so the ratio is non-vacuous
     "t21_bpe_tokens" -> ((s: SparkSession, d: String) =>
@@ -288,9 +299,14 @@ object SparkEntry {
     // the persisted-index probe path: stored centroids + directory-pruned
     // list scan (IvfBucketingSpec pins it bit-equal to the inline v7, so
     // the same data-dependent oracle applies)
-    "v7i_ivf_topk" -> ((s: SparkSession, d: String) =>
+    "v7i_ivf_topk" -> ((s: SparkSession, d: String) => {
+      // centroids via IndexStore's per-process cache: the stored geometry
+      // is immutable between rebuilds, so only the first probe of a
+      // process pays the centroids/ read
+      val p = graft.operators.IndexStore.vectorPath(s, d)
       graft.operators.VectorIndex.ivfTopK(
-        s, d, graft.operators.IndexStore.vectorPath(s, d))),
+        s, d, p, graft.operators.IndexStore.centroidsFx(s, p))
+    }),
     "v8_int8_quant_error" -> Similarity.int8QuantizationError _,
     // product quantization: 4-bit-per-subspace codes + asymmetric-distance
     // top-k — the compression-side ANN path (64× smaller vectors)
@@ -301,6 +317,10 @@ object SparkEntry {
     // recall@10 of the IVF probe path vs the brute-force ground truth
     "v12_ivf_recall" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfRecall(s, d)),
+    // recall@10 of BOTH ADC ranking paths (flat PQ, IVF+PQ) vs the same
+    // ground truth — the non-circular gate for the codebook-trained family
+    "v14_pq_recall" -> ((s: SparkSession, d: String) =>
+      graft.operators.PqAnn.pqRecall(s, d)),
     // SemDeDup: cluster on the IVF centroids, drop within-cluster
     // cosine-dups; plantClones seeds the v5 near-dup clones (graded path)
     "v13_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -1405,11 +1425,18 @@ object SparkEntry {
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
         "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),
         "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d),
+        "v14_pq_recall" -> graft.operators.PqAnn.pqRecallOracleSql(s, d),
         "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
         // composes the v13 oracle (centroid literals) → data-dependent too
         "t23_training_selection_full" ->
           graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d),
         "t25_scrubbed_selection" ->
+          graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d),
+        // the index-fed twins are bit-equal to the inline t23/t25
+        // (ScaleOpsSpec), so they replay the same corpus-re-deriving SQL
+        "t23i_training_selection_full" ->
+          graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d),
+        "t25i_scrubbed_selection" ->
           graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d))
       case _ => Map.empty
     }

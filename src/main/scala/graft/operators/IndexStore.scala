@@ -55,4 +55,17 @@ object IndexStore {
       VectorIndex.build(spark, dir, path)
       path
     })
+
+  private val centroids = new ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  /** The stored centroids for an IndexStore-managed IVF index, loaded once
+    * per process: the geometry is immutable between rebuilds and IndexStore
+    * builds exactly once per (process, corpus), so every probe after the
+    * first skips the centroids/ parquet read — one of the fixed per-query
+    * costs that dominate the persisted path at toy scale (the benched v7i
+    * crossover; see README). NOT safe for externally-managed index paths,
+    * which can be rebuilt under a live process.
+    */
+  def centroidsFx(spark: SparkSession, path: String): Array[Array[Long]] =
+    centroids.computeIfAbsent(path, VectorIndex.centroidsFx(spark, _))
 }

@@ -174,6 +174,71 @@ object PqAnn {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** v14: recall@k of both ADC ranking paths ([[pqTopK]] flat,
+    * [[ivfPqTopK]] IVF-composed) against the exact
+    * [[Similarity.bruteForceTopK]] ground truth — the PQ twin of the v12
+    * probing gate, and the family's NON-circular check: v9–v11's oracles
+    * replay the engine-trained codebooks (they verify encoding and
+    * ranking GIVEN the training), so a codebook regression would pass
+    * them; the brute-force ground truth never touches the codebooks, so
+    * it surfaces as a recall drop here. Left joins from the exact qid
+    * set: ADC ranks by QUANTIZED distance, so unlike v12 a query's own
+    * vector is not guaranteed to survive its top-k — a qid with zero
+    * hits must report 0, not vanish. Scale shape is v12's: the expensive
+    * side is the deliberate brute-force scan over the bounded query
+    * sample, exactly how recall evaluation runs in production.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    def hits(approx: DataFrame, name: String) =
+      exact.join(
+          approx.select(col("qid").as("a_qid"), col("vec_id").as("a_vid")),
+          col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(name))
+    exact.select(col("qid")).distinct()
+      .join(hits(pqTopK(spark, dir), "pq_hits"), Seq("qid"), "left")
+      .join(hits(ivfPqTopK(spark, dir), "ivfpq_hits"), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+        coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"),
+        (coalesce(col("pq_hits"), lit(0L)) * (10000L / TopK)).as("pq_recall_e4"),
+        (coalesce(col("ivfpq_hits"), lit(0L)) * (10000L / TopK)).as("ivfpq_recall_e4"))
+  }
+
+  /** DuckDB oracle for [[pqRecall]]: the exact, PQ and IVF+PQ top-k
+    * statements nest as CTEs (nested WITH is fine in DuckDB), then one
+    * semi-join count per path per qid.
+    */
+  def pqRecallOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH exact_tk AS (
+       |${Similarity.bruteForceTopKOracleSql}
+       |),
+       |pq_tk AS (
+       |${pqTopKOracleSql(spark, dir)}
+       |),
+       |ivfpq_tk AS (
+       |${ivfPqTopKOracleSql(spark, dir)}
+       |),
+       |ph AS (
+       |  SELECT e.qid, cast(count(*) AS bigint) AS h FROM exact_tk e
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM pq_tk a WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |  GROUP BY e.qid),
+       |ih AS (
+       |  SELECT e.qid, cast(count(*) AS bigint) AS h FROM exact_tk e
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM ivfpq_tk a WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |  GROUP BY e.qid)
+       |SELECT q.qid,
+       |  cast(coalesce(ph.h, 0) AS bigint) AS pq_hits,
+       |  cast(coalesce(ih.h, 0) AS bigint) AS ivfpq_hits,
+       |  cast(coalesce(ph.h, 0) * ${10000 / TopK} AS bigint) AS pq_recall_e4,
+       |  cast(coalesce(ih.h, 0) * ${10000 / TopK} AS bigint) AS ivfpq_recall_e4
+       |FROM (SELECT DISTINCT qid FROM exact_tk) q
+       |LEFT JOIN ph USING (qid)
+       |LEFT JOIN ih USING (qid)""".stripMargin
+
   // ---- DuckDB oracle twins (data-dependent: codebook literals) --------
 
   /** Fixed-point codebooks as a VALUES clause: (m, c, vec BIGINT[]) —

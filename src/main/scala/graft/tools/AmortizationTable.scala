@@ -35,7 +35,7 @@ object AmortizationTable {
       (System.nanoTime() - t0) / 1e9
     }
 
-    import graft.operators.{Dedup, IvfAnn, ShingleIndex, VectorIndex}
+    import graft.operators.{Dedup, IvfAnn, ShingleIndex, TrainingPrep, VectorIndex}
     // warm the base tables so the first timed pass is not charged footer/
     // page-cache init (same rationale as the bench warm-up)
     spark.read.parquet(s"$dir/documents.parquet").count()
@@ -56,9 +56,23 @@ object AmortizationTable {
       "d10i" -> minOf2(ShingleIndex.duplicatedSegments(spark, tbl).count()),
       "d11i" -> minOf2(ShingleIndex.containmentPairs(spark, tbl).count()))
 
+    // the composed training gates: their segment-dup / scrub-signal /
+    // MinHash legs re-derive inline vs read the just-built index
+    val gates = Seq(
+      "t23" -> minOf2(TrainingPrep.trainingSelectionFull(spark, dir).count()),
+      "t25" -> minOf2(TrainingPrep.trainingSelectionScrubbed(spark, dir).count()))
+    val gatesFed = Seq(
+      "t23i" -> minOf2(TrainingPrep.trainingSelectionFullIndexed(spark, dir, tbl).count()),
+      "t25i" -> minOf2(TrainingPrep.trainingSelectionScrubbedIndexed(spark, dir, tbl).count()))
+
     val v7 = minOf2(IvfAnn.ivfTopK(spark, dir).count())
     val ivfBuild = once(VectorIndex.build(spark, dir, s"$idxRoot/ivf"))
     val v7i = minOf2(VectorIndex.ivfTopK(spark, dir, s"$idxRoot/ivf").count())
+    // the long-lived-process flavor: stored centroids loaded once, probes
+    // skip the per-query centroids/ read (the graded v7i path via
+    // IndexStore.centroidsFx)
+    val cents = VectorIndex.centroidsFx(spark, s"$idxRoot/ivf")
+    val v7iCached = minOf2(VectorIndex.ivfTopK(spark, dir, s"$idxRoot/ivf", cents).count())
 
     def f(v: Double) = f"$v%.2f"
     println(s"sf_dir=$dir")
@@ -70,7 +84,11 @@ object AmortizationTable {
     val inlineSum = inline.map(_._2).sum
     val fedSum = fed.map(_._2).sum
     println(s"| dedup family total | ${f(inlineSum)} | ${f(fedSum)} (+ build ${f(shingleBuild)}) |")
+    gates.zip(gatesFed).foreach { case ((n, t), (ni, ti)) =>
+      println(s"| $n / $ni gate chain | ${f(t)} | ${f(ti)} |")
+    }
     println(s"| v7 / v7i IVF probe | ${f(v7)} | ${f(v7i)} (+ build ${f(ivfBuild)}) |")
+    println(s"| v7i, centroids cached | n/a | ${f(v7iCached)} |")
     println(f"breakeven: shingle build repays after ${shingleBuild / math.max(inlineSum - fedSum, 1e-9)}%.2f four-pass sweeps")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")

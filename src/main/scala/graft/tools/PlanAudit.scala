@@ -45,6 +45,7 @@ object PlanAudit {
     ("t12_balance_weights", Bnlj) -> "per-class counts broadcast (bounded class count)",
     ("t22_top_ngrams", Bnlj) -> "1-row corpus-total frame crossed",
     ("v12_ivf_recall", Bnlj) -> "8-query ground-truth frame",
+    ("v14_pq_recall", Bnlj) -> "8-query ground-truth + ADC legs (v2/v10 shapes composed)",
     ("t9_tfidf_top_terms", Bnlj) -> "1-row doc-count frame crossed",
     ("g5_code_pagerank", Bnlj) -> "1-row rank-constants frame crossed per iteration",
     ("v2_brute_force_topk", Bnlj) -> "8-query broadcast side (exact baseline by design)",

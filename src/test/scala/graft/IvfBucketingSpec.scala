@@ -44,6 +44,24 @@ class IvfBucketingSpec extends SparkSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("pq recall: both ADC paths carry real ranking signal, every qid reports") {
+    val r = graft.operators.PqAnn.pqRecall(spark, sf0001)
+      .select("qid", "pq_recall_e4", "ivfpq_recall_e4")
+      .as[(Long, Long, Long)].collect()
+    // the left joins from the exact qid set guarantee presence even for a
+    // qid whose own vector fell out of its quantized top-k
+    assert(r.map(_._1).sorted.toSeq === (0L until 8L))
+    // 4-bit codes on a random 64-dim corpus give modest recall — the gate
+    // is against the random-top-10 baseline (10/500 = 2%): an order of
+    // magnitude above it proves the ADC ranking tracks true distance, and
+    // a codebook/encoding regression lands well below this floor
+    def macroAvg(f: ((Long, Long, Long)) => Long) = r.map(f(_).toDouble / 10000.0).sum / r.length
+    val pq = macroAvg(_._2)
+    val ivfpq = macroAvg(_._3)
+    assert(pq > 0.2, s"flat-PQ macro recall $pq")
+    assert(ivfpq > 0.2, s"IVF+PQ macro recall $ivfpq")
+  }
+
   test("ivf recall rises with nprobe and saturates when every list is probed") {
     val bf = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet

@@ -646,10 +646,18 @@ object Dedup {
       spark: SparkSession, dir: String, plantCopies: Boolean): DataFrame = {
     val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
     if (!plantCopies) d
-    else d.unionAll(
-      d.filter(col("doc_id") < PartialCopyCount).select(
-        (col("doc_id") + lit(PartialCopyOffset)).as("doc_id"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, PartialCopyTokens)).as("text")))
+    // one projection, not a unionAll: each branch of a DataFrame union
+    // performs its own file scan, so the planted variants are emitted as
+    // extra structs from the SAME scan (the ShingleIndex.frameOf trick) —
+    // halves the corpus reads of every planted pass (d10/d11/t24/t25)
+    else d.select(explode(expr(
+        s"""concat(
+           |  array(struct(doc_id, text)),
+           |  CASE WHEN doc_id < ${PartialCopyCount}L
+           |       THEN array(struct(doc_id + ${PartialCopyOffset}L AS doc_id,
+           |                         concat_ws(' ', slice(split(text, ' '), 1, $PartialCopyTokens)) AS text))
+           |       ELSE array() END)""".stripMargin)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   /** DuckDB twin of [[maybePartialCopies]] with planting ON — the `docs`

@@ -299,15 +299,28 @@ object TrainingPrep {
     * shared by the inline path above (re-derives d10 per query) and the
     * index-fed [[trainingSelectionFullIndexed]] (reads the materialized
     * segment side).
+    *
+    * The three text-local legs — exact-dedup survivorship, token count,
+    * quality score — are ONE corpus scan and ONE shuffle: the survivor
+    * window runs first and the per-doc expressions are projected on its
+    * output (only kept rows pay them). They are the same expressions
+    * `tokenStats`/`qualityScores` project ([[TextAnalysis.nTokensCol]] /
+    * [[TextAnalysis.qualityE4Col]]), so the result is bit-equal to the
+    * previous three-derivations-joined-on-doc_id shape — but at corpus
+    * scale two of the three scans and their join shuffles were pure
+    * waste.
     */
   private def selectionGate(
       spark: SparkSession, dir: String, dup: DataFrame): DataFrame = {
-    val keep = Dedup.exactDedupKeep(spark, dir).select(col("doc_id"), col("lang"))
-    val toks = TextAnalysis.tokenStats(spark, dir).select(col("doc_id"), col("n_tokens"))
-    val qual = TextAnalysis.qualityScores(spark, dir).select(col("doc_id"), col("quality_e4"))
-    keep
-      .join(toks, "doc_id")
-      .join(qual, "doc_id")
+    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+        TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
       .join(dup, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("lang"), col("n_tokens"), col("quality_e4"),

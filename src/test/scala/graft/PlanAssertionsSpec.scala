@@ -224,10 +224,11 @@ class PlanAssertionsSpec extends SparkSuite {
     val finalText = plan.toString.split("== Initial Plan ==")(0)
     val shuffles = finalText.split("Exchange hashpartitioning").length - 1
     assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$finalText")
-    // single pass: the corpus (base + planted projection) is scanned once
-    // per union branch, not re-derived for a frequency join side
+    // single pass: planting emits the partial copies from the SAME scan
+    // (one projection, no union branch), and the frequency signal is a
+    // window, never a join back to a second corpus read
     val scans = finalText.split("FileScan parquet").length - 1
-    assert(scans == 2, s"expected 2 scans (base + planted branch), got $scans:\n$finalText")
+    assert(scans == 1, s"expected 1 scan (planting shares the base scan), got $scans:\n$finalText")
   }
 
   test("t22 global top-k plans as TakeOrdered — per-partition heaps, no full sort") {

@@ -667,10 +667,9 @@ class ScaleOpsSpec extends SparkSuite {
       assert(rows(scrI) === scrRows, "t25i diverged from t25")
       assert(scrRows.nonEmpty)
       // the point of the index: the gate chain keeps only its text-local
-      // corpus reads (exact-dedup keep, token/quality stats, scrub
-      // reconstruction) — every shingle/segment/signature derivation
-      // reads the index, so the indexed plans scan documents.parquet
-      // strictly fewer times and at most thrice
+      // corpus reads — the fused survivor-window/token/quality pass (one
+      // scan) and, for t25i, the scrub reconstruction — while every
+      // shingle/segment/signature derivation reads the index
       // post-execution AQE plans print BOTH final and initial sections —
       // count scans only in the final one
       def docScans(df: org.apache.spark.sql.DataFrame): Int =
@@ -679,10 +678,10 @@ class ScaleOpsSpec extends SparkSuite {
             .split("== Initial Plan ==")(0)).length
       assert(docScans(fullI) < docScans(full),
         s"t23i should drop corpus scans: ${docScans(fullI)} vs ${docScans(full)}")
-      assert(docScans(fullI) <= 3, s"t23i re-scans the corpus ${docScans(fullI)}x")
+      assert(docScans(fullI) === 1, s"t23i re-scans the corpus ${docScans(fullI)}x")
       assert(docScans(scrI) < docScans(scr),
         s"t25i should drop corpus scans: ${docScans(scrI)} vs ${docScans(scr)}")
-      assert(docScans(scrI) <= 3, s"t25i re-scans the corpus ${docScans(scrI)}x")
+      assert(docScans(scrI) <= 2, s"t25i re-scans the corpus ${docScans(scrI)}x")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")

@@ -325,6 +325,16 @@ object SparkEntry {
     // cosine-dups; plantClones seeds the v5 near-dup clones (graded path)
     "v13_semantic_dedup" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.semanticDedup(s, d, plantClones = true)),
+    // the index-fed twin: the corpus-side assignment read from the
+    // persisted IVF lists (the full-scan K×dim pass the index already
+    // paid at build); clones assigned on the fly against the SAME stored
+    // centroids — bit-equal (ScaleOpsSpec), so v13's oracle applies
+    "v13i_semantic_dedup" -> ((s: SparkSession, d: String) => {
+      val p = graft.operators.IndexStore.vectorPath(s, d)
+      graft.operators.IvfAnn.semanticDedupFromIndex(
+        s, d, p, graft.operators.IndexStore.centroidsFx(s, p),
+        plantClones = true)
+    }),
   )
 
   def sourceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1427,6 +1437,9 @@ object SparkEntry {
         "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d),
         "v14_pq_recall" -> graft.operators.PqAnn.pqRecallOracleSql(s, d),
         "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
+        // v13i reads the persisted lists, which hold the inline path's
+        // assignment verbatim (build persists it) → same oracle
+        "v13i_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
         // composes the v13 oracle (centroid literals) → data-dependent too
         "t23_training_selection_full" ->
           graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d),

@@ -373,14 +373,50 @@ object IvfAnn {
       spark: SparkSession, dir: String,
       threshold: Double = SemDedupThreshold,
       plantClones: Boolean = false,
+      cloneOffset: Long = Similarity.CloneIdOffset): DataFrame =
+    semanticDedupCore(
+      Similarity.nearDupCorpus(spark, dir, plantClones, cloneOffset)
+        .select(col("vec_id"), col("embedding"),
+          nearestCentroid(centroidsFx(spark, dir)).as("centroid")),
+      threshold)
+
+  /** [[semanticDedup]] with the corpus-side ASSIGNMENT read from the
+    * persisted IVF index ([[VectorIndex]] lists) instead of recomputed:
+    * at 100 TB the assignment pass is a full corpus scan with K×dim
+    * distance arithmetic per row — exactly the work the index paid once
+    * at build. Planted clones (the graded fixture, a pruned
+    * constant-size read) are assigned on the fly against the SAME stored
+    * centroids; build persists the inline path's training verbatim, so
+    * the output is bit-equal and the same oracle applies
+    * (`ScaleOpsSpec` pins it).
+    */
+  def semanticDedupFromIndex(
+      spark: SparkSession, dir: String, path: String,
+      centsFx: Array[Array[Long]],
+      threshold: Double = SemDedupThreshold,
+      plantClones: Boolean = false,
       cloneOffset: Long = Similarity.CloneIdOffset): DataFrame = {
-    val centsFx = centroidsFx(spark, dir)
+    val corpus = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id"), col("embedding"), col("centroid").cast("int").as("centroid"))
+    val assigned =
+      if (!plantClones) corpus
+      else corpus.unionByName(
+        Similarity.nearDupClones(spark, dir, cloneOffset)
+          .select(col("vec_id"), col("embedding"),
+            nearestCentroid(centsFx).cast("int").as("centroid")))
+    semanticDedupCore(assigned, threshold)
+  }
+
+  /** The cluster-then-pair tail both SemDeDup paths share, over any
+    * (vec_id, embedding, centroid) frame.
+    */
+  private def semanticDedupCore(
+      assignedIn: DataFrame, threshold: Double): DataFrame = {
     // materialize the assigned corpus ONCE before the self-join (same
     // rationale as v5: exchange reuse does not survive AQE re-planning, so
-    // without this both join sides re-derive the K distance expressions);
+    // without this both join sides re-derive the assignment input);
     // repartition by centroid so the pairing join is co-located
-    val assigned = Similarity.nearDupCorpus(spark, dir, plantClones, cloneOffset)
-      .select(col("vec_id"), col("embedding"), nearestCentroid(centsFx).as("centroid"))
+    val assigned = assignedIn
       .repartition(col("centroid"))
       .localCheckpoint()
     val cos = cosFxF(col("x.embedding"), col("y.embedding"))

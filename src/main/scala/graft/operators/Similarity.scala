@@ -267,15 +267,23 @@ object Similarity {
       cloneOffset: Long = CloneIdOffset): DataFrame = {
     val emb = table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     if (!plantClones) emb
-    else {
-      val clones = emb.filter(col("vec_id") < CloneCount).select(
+    else emb.unionAll(nearDupClones(spark, dir, cloneOffset))
+  }
+
+  /** Just the planted clones of [[nearDupCorpus]] — the index-fed SemDeDup
+    * path ([[IvfAnn.semanticDedupFromIndex]]) reads the base corpus from
+    * the persisted lists and derives only these on the fly (a pruned
+    * [[CloneCount]]-row read, never a second corpus scan).
+    */
+  private[operators] def nearDupClones(
+      spark: SparkSession, dir: String,
+      cloneOffset: Long = CloneIdOffset): DataFrame =
+    table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < CloneCount).select(
         (col("vec_id") + lit(cloneOffset)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float")).otherwise(x))
           .as("embedding"))
-      emb.unionAll(clones)
-    }
-  }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed pairing with a
     * bucket-size cap (the skew guard — a hot bucket is O(size²) pairs and

@@ -414,34 +414,41 @@ object TrainingPrep {
   def trainingSelectionFull(spark: SparkSession, dir: String): DataFrame =
     fullGate(spark, dir,
       Dedup.duplicatedSegments(spark, dir).select(col("doc_id"), col("dup_frac_e4")),
-      Dedup.minhashLshPairs(spark, dir))
+      Dedup.minhashLshPairs(spark, dir),
+      IvfAnn.semanticDedup(
+        spark, dir, plantClones = true, cloneOffset = FullGateSemCloneOffset))
 
-  /** t23i: [[trainingSelectionFull]] with its two shingle-derived legs —
-    * the d10 segment-dup gate and the d4 MinHash survivorship — read from
-    * the materialized shingle index instead of re-tokenizing the corpus.
-    * Bit-equal by construction ([[Dedup.segmentDupStats]] /
-    * [[Dedup.minhashLshVerified]] are the same scoring engines;
-    * `ScaleOpsSpec` pins it), so the t23 oracle applies verbatim. The
-    * corpus is still scanned for the text-local legs (exact-dedup keep,
-    * token counts, quality) — what the index removes is every re-shingle
-    * and the signature re-derivation, which at 100 TB are the two
-    * heaviest legs of the chain.
+  /** t23i: [[trainingSelectionFull]] with every index-derivable leg read
+    * from the materialized indexes instead of re-derived per query: the
+    * d10 segment-dup gate and the d4 MinHash survivorship from the
+    * shingle index, and the SemDeDup assignment from the persisted IVF
+    * lists (clones assigned on the fly against the stored centroids).
+    * Bit-equal by construction — same scoring engines, same geometry;
+    * `ScaleOpsSpec` pins it — so the t23 oracle applies verbatim. The
+    * corpus text is scanned exactly once (the fused text-local pass;
+    * plan-asserted): at 100 TB the re-shingle, the signature
+    * re-derivation and the corpus re-assignment were the heaviest legs
+    * of the chain.
     */
   def trainingSelectionFullIndexed(
-      spark: SparkSession, dir: String, tableName: String): DataFrame =
+      spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val vecPath = IndexStore.vectorPath(spark, dir)
     fullGate(spark, dir,
       Dedup.segmentDupStats(
           ShingleIndex.segments(spark, tableName, includePlanted = false))
         .select(col("doc_id"), col("dup_frac_e4")),
-      ShingleIndex.minhashLshPairs(spark, tableName))
+      ShingleIndex.minhashLshPairs(spark, tableName),
+      IvfAnn.semanticDedupFromIndex(
+        spark, dir, vecPath, IndexStore.centroidsFx(spark, vecPath),
+        plantClones = true, cloneOffset = FullGateSemCloneOffset))
+  }
 
   private def fullGate(
       spark: SparkSession, dir: String,
-      dup: DataFrame, fuzzyPairs: DataFrame): DataFrame = {
+      dup: DataFrame, fuzzyPairs: DataFrame, sem: DataFrame): DataFrame = {
     val base = selectionGate(spark, dir, dup)
     val fuzzyDrop = fuzzyPairs.select(col("b").as("doc_id")).distinct()
-    val semDrop = IvfAnn.semanticDedup(
-        spark, dir, plantClones = true, cloneOffset = FullGateSemCloneOffset)
+    val semDrop = sem
       .filter(!col("kept") && col("vec_id") >= 0)
       .select(col("vec_id").as("doc_id"))
     base
@@ -496,27 +503,34 @@ object TrainingPrep {
   def trainingSelectionScrubbed(spark: SparkSession, dir: String): DataFrame =
     scrubbedGate(spark, dir,
       Dedup.scrubbedSpans(spark, dir, plantCopies = true),
-      Dedup.minhashLshPairs(spark, dir))
+      Dedup.minhashLshPairs(spark, dir),
+      IvfAnn.semanticDedup(spark, dir))
 
-  /** t25i: [[trainingSelectionScrubbed]] with its shingle-derived legs
-    * fed from the materialized index: the scrub's cross-doc duplication
+  /** t25i: [[trainingSelectionScrubbed]] with every index-derivable leg
+    * fed from the materialized indexes: the scrub's cross-doc duplication
     * signal comes from [[ShingleIndex.duplicatedSegmentHashes]] (so the
     * corpus text is shuffled once for reassembly, never a second time
-    * through the h-partitioned window), and the MinHash survivorship
-    * reads the materialized signatures. Bit-equal to the inline t25
-    * (`ScaleOpsSpec` pins it), so the t25 oracle applies verbatim.
+    * through the h-partitioned window), the MinHash survivorship reads
+    * the materialized signatures, and the SemDeDup stage (unplanted
+    * here) reads the persisted IVF lists without touching `embeddings`
+    * at all. Bit-equal to the inline t25 (`ScaleOpsSpec` pins it), so
+    * the t25 oracle applies verbatim.
     */
   def trainingSelectionScrubbedIndexed(
-      spark: SparkSession, dir: String, tableName: String): DataFrame =
+      spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val vecPath = IndexStore.vectorPath(spark, dir)
     scrubbedGate(spark, dir,
       Dedup.scrubbedSpansFromDupHashes(
         spark, dir, ShingleIndex.duplicatedSegmentHashes(spark, tableName),
         plantCopies = true),
-      ShingleIndex.minhashLshPairs(spark, tableName))
+      ShingleIndex.minhashLshPairs(spark, tableName),
+      IvfAnn.semanticDedupFromIndex(
+        spark, dir, vecPath, IndexStore.centroidsFx(spark, vecPath)))
+  }
 
   private def scrubbedGate(
       spark: SparkSession, dir: String,
-      scrub: DataFrame, fuzzyPairs: DataFrame): DataFrame = {
+      scrub: DataFrame, fuzzyPairs: DataFrame, sem: DataFrame): DataFrame = {
     val keep = Dedup.exactDedupKeep(spark, dir).select(col("doc_id"), col("lang"))
     val gated = keep
       .join(scrub, "doc_id")
@@ -528,7 +542,7 @@ object TrainingPrep {
         col("quality_e4") >= MinQualityE4 &&
           col("n_tokens").between(MinTokens, MaxTokens))
     val fuzzyDrop = fuzzyPairs.select(col("b").as("doc_id")).distinct()
-    val semDrop = IvfAnn.semanticDedup(spark, dir)
+    val semDrop = sem
       .filter(!col("kept"))
       .select(col("vec_id").as("doc_id"))
     gated

@@ -73,6 +73,12 @@ object AmortizationTable {
     // IndexStore.centroidsFx)
     val cents = VectorIndex.centroidsFx(spark, s"$idxRoot/ivf")
     val v7iCached = minOf2(VectorIndex.ivfTopK(spark, dir, s"$idxRoot/ivf", cents).count())
+    // SemDeDup: inline re-assigns the whole corpus per pass; the fed
+    // flavor reads the stored per-centroid lists (assignment paid at
+    // build) and assigns only the planted clones on the fly
+    val v13 = minOf2(IvfAnn.semanticDedup(spark, dir, plantClones = true).count())
+    val v13i = minOf2(IvfAnn.semanticDedupFromIndex(
+      spark, dir, s"$idxRoot/ivf", cents, plantClones = true).count())
 
     def f(v: Double) = f"$v%.2f"
     println(s"sf_dir=$dir")
@@ -89,6 +95,7 @@ object AmortizationTable {
     }
     println(s"| v7 / v7i IVF probe | ${f(v7)} | ${f(v7i)} (+ build ${f(ivfBuild)}) |")
     println(s"| v7i, centroids cached | n/a | ${f(v7iCached)} |")
+    println(s"| v13 / v13i SemDeDup | ${f(v13)} | ${f(v13i)} |")
     println(f"breakeven: shingle build repays after ${shingleBuild / math.max(inlineSum - fedSum, 1e-9)}%.2f four-pass sweeps")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")

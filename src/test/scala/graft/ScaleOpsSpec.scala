@@ -655,6 +655,25 @@ class ScaleOpsSpec extends SparkSuite {
           ShingleIndex.duplicatedSegmentHashes(spark, tbl), plantCopies = true))
         === rows(Dedup.scrubbedSpans(spark, sf0001, plantCopies = true)),
         "dup-hash-fed scrub diverged from the window scrub")
+      // SemDeDup over the persisted lists == the inline assignment, in
+      // both graded flavors (negative-offset planted / unplanted) — the
+      // stored geometry IS the inline training, so drops are identical
+      import graft.operators.{IndexStore, IvfAnn}
+      val vecPath = IndexStore.vectorPath(spark, sf0001)
+      val cents = IndexStore.centroidsFx(spark, vecPath)
+      assert(rows(IvfAnn.semanticDedupFromIndex(spark, sf0001, vecPath, cents,
+          plantClones = true, cloneOffset = TrainingPrep.FullGateSemCloneOffset))
+        === rows(IvfAnn.semanticDedup(spark, sf0001,
+          plantClones = true, cloneOffset = TrainingPrep.FullGateSemCloneOffset)),
+        "index-fed SemDeDup (planted) diverged from inline")
+      assert(rows(IvfAnn.semanticDedupFromIndex(spark, sf0001, vecPath, cents))
+        === rows(IvfAnn.semanticDedup(spark, sf0001)),
+        "index-fed SemDeDup (unplanted) diverged from inline")
+      // and the graded v13i flavor (default clone offset)
+      assert(rows(IvfAnn.semanticDedupFromIndex(spark, sf0001, vecPath, cents,
+          plantClones = true))
+        === rows(IvfAnn.semanticDedup(spark, sf0001, plantClones = true)),
+        "index-fed SemDeDup (v13i flavor) diverged from inline")
       // the composed graded gates: bit-equal, non-vacuous
       val full = TrainingPrep.trainingSelectionFull(spark, sf0001)
       val fullI = TrainingPrep.trainingSelectionFullIndexed(spark, sf0001, tbl)

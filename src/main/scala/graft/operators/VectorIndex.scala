@@ -33,12 +33,7 @@ object VectorIndex {
     * `MaxTrain`-row read the inline path uses).
     */
   def build(spark: SparkSession, dir: String, path: String): Unit = {
-    val centsFx = IvfAnn.centroidsFx(spark, dir)
-    import spark.implicits._
-    centsFx.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
-      .toDF("c", "vec")
-      .repartition(1) // K rows — one footer to read at probe time
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(spark, dir, path)
     val assigned = IvfAnn.assignedCorpus(spark, dir)
     assigned
       .write.mode("overwrite")
@@ -47,6 +42,31 @@ object VectorIndex {
     // schema sidecar for append's O(1) guard: re-inferring from lists/
     // would re-list the whole (possibly fragmented) directory per batch
     writeSchemaSidecar(spark, path, assigned.schema)
+  }
+
+  /** [[build]] minus the corpus: trained centroids, the schema sidecar,
+    * and EMPTY lists — the starting point for an index populated entirely
+    * by streaming ingest (e.g. [[dedupIngestStream]], whose bit-equality
+    * with the cold SemDeDup depends on the index having seen exactly the
+    * streamed arrivals).
+    */
+  def trainOnly(spark: SparkSession, dir: String, path: String): Unit = {
+    writeCentroids(spark, dir, path)
+    val assigned = IvfAnn.assignedCorpus(spark, dir)
+    assigned.filter(lit(false))
+      .write.mode("overwrite")
+      .partitionBy("centroid")
+      .parquet(s"$path/lists")
+    writeSchemaSidecar(spark, path, assigned.schema)
+  }
+
+  private def writeCentroids(spark: SparkSession, dir: String, path: String): Unit = {
+    val centsFx = IvfAnn.centroidsFx(spark, dir)
+    import spark.implicits._
+    centsFx.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("c", "vec")
+      .repartition(1) // K rows — one footer to read at probe time
+      .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   private def schemaPath(path: String) =
@@ -148,7 +168,10 @@ object VectorIndex {
     val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
     val staging = new org.apache.hadoop.fs.Path(s"$path/lists_compacting")
     val fs = lists.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    transform(spark.read.parquet(lists.toString))
+    // sidecar schema, not inference: a [[trainOnly]] index's lists can be
+    // file-less (nothing to infer from) when the first batch's crash
+    // repair lands here
+    transform(spark.read.schema(storedListsSchema(spark, path)).parquet(lists.toString))
       .repartition(col("centroid"))
       .write.mode("overwrite")
       .partitionBy("centroid")
@@ -223,6 +246,105 @@ object VectorIndex {
       }
       .start()
   }
+
+  /** Online SemDeDup over streaming ingest: every arriving micro-batch is
+    * assigned under the stored geometry, judged against everything the
+    * index has seen so far, and appended — so the index doubles as the
+    * seen-store and each batch's verdicts land in
+    * `path/decisions/batch_id=N/` (read them back via [[decisions]]).
+    *
+    * Semantics: a batch vector `y` is dropped iff some vector `x` with
+    * `x.vec_id < y.vec_id` — already indexed, or earlier in the same
+    * batch — shares its centroid with cosine ≥ threshold. When vec ids
+    * arrive in non-decreasing order across batches (the natural shape for
+    * ingest with assigned ids), "already indexed" IS "lower id", so the
+    * accumulated decisions are BIT-EQUAL to the cold
+    * [[IvfAnn.semanticDedup]] over the full corpus (`StreamingSpec` pins
+    * it). Out-of-order arrivals degrade gracefully: a late low id is never
+    * judged against vectors that arrived before it, so the online pass
+    * keeps a superset of the cold pass — it never drops a document the
+    * cold rule would keep.
+    *
+    * Scale shape: the comparison reads ONLY the `centroid=` directories
+    * the batch touches (static partition pruning, same as the v7i probe) —
+    * per batch the work is |batch| × |touched lists|, never a corpus scan.
+    * All vectors (kept AND dropped) are appended: the cold predicate
+    * judges against every lower id, not just kept ones, and a
+    * kept-only store would silently weaken the dedup (x1 dropped-near-x0,
+    * y near x1 but not x0 → cold drops y, a kept-only store would keep
+    * it). A consumer wanting the deduped corpus filters the lists by
+    * [[decisions]].
+    *
+    * Crash safety: same marker protocol as [[ingestBatch]] (done → skip;
+    * started → purge the batch's ids from the lists, then redo). The
+    * decisions write is a per-batch directory overwrite, idempotent under
+    * replay by construction.
+    */
+  def dedupIngestStream(
+      vectors: DataFrame, path: String, checkpoint: String,
+      threshold: Double = IvfAnn.SemDedupThreshold): org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = vectors.sparkSession
+    // the stored geometry is immutable between rebuilds: load once at
+    // stream start (fails loudly on an unbuilt index), not per batch
+    val centsFx = centroidsFx(owner, path)
+    require(centsFx.nonEmpty, s"dedupIngestStream before build/trainOnly: no centroids at $path")
+    val ns = markerNamespace(owner, path, checkpoint)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupIngestBatch(batch.sparkSession, batch.toDF(), path, id, ns, centsFx, threshold)
+        owner.catalog.refreshByPath(s"$path/lists")
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[dedupIngestStream]]: judge, record, append. */
+  private[graft] def dedupIngestBatch(
+      spark: SparkSession, batch: DataFrame, path: String, batchId: Long,
+      markerDir: String, centsFx: Array[Array[Long]], threshold: Double): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$markerDir/batch-$batchId.done")
+    val started = new org.apache.hadoop.fs.Path(s"$markerDir/batch-$batchId.started")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    if (fs.exists(started)) {
+      val ids = batch.select(col("vec_id")).distinct()
+      rewriteLists(spark, path, _.join(ids, Seq("vec_id"), "left_anti"))
+    }
+    fs.mkdirs(started.getParent)
+    fs.create(started, true).close()
+    // assignment is consumed three times (touched-list collect, both join
+    // sides) — materialize once, micro-batch-sized
+    val assigned = batch
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("centroid", IvfAnn.nearestCentroid(centsFx).cast("int"))
+      .localCheckpoint()
+    val touched = assigned.select("centroid").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by K
+    val prior = spark.read.schema(storedListsSchema(spark, path))
+      .parquet(s"$path/lists")
+      .filter(col("centroid").isin(touched: _*))
+      .select(col("vec_id"), col("embedding"), col("centroid").cast("int").as("centroid"))
+    val candidates = prior.unionByName(assigned)
+    val cos = graft.functions.VectorFunctions.cosFxF(col("x.embedding"), col("y.embedding"))
+    val droppedIds = assigned.as("y")
+      .join(candidates.as("x"),
+        col("x.centroid") === col("y.centroid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Exact.e(cos, 6) >= lit(math.round(threshold * 1e6)))
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(droppedIds.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"), col("hit").isNull.as("kept"))
+      .write.mode("overwrite").parquet(s"$path/decisions/batch_id=$batchId")
+    append(spark, batch, path)
+    fs.create(done, true).close()
+  }
+
+  /** Accumulated [[dedupIngestStream]] verdicts:
+    * (vec_id, centroid, kept, batch_id), one row per ingested vector.
+    */
+  def decisions(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/decisions")
 
   /** The per-run marker directory [[ingestStream]] keys its replay guard
     * by: `path/_ingested/run-<id>` where the id's lifetime is the

@@ -794,4 +794,84 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap
     assert(streamSide === batchSide)
   }
+
+  test("online SemDeDup ingest matches the cold pass bit-for-bit") {
+    import graft.operators.{IvfAnn, VectorIndex}
+    val base = Files.createTempDirectory("semstream")
+    try {
+      // geometry only — the stream populates the lists, so the online
+      // verdicts accumulate over exactly the streamed arrivals
+      val idx = s"$base/idx"
+      VectorIndex.trainOnly(spark, sf0001, idx)
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      implicit val sqlCtx = spark.sqlContext
+      // the corpus plus the v5 planted near-dup clones (same rule and
+      // literals Similarity.nearDupClones applies — label carried so the
+      // batch keeps the lists schema); natural sf0.001 vectors have no
+      // 0.95-cosine pairs, so without the plants the equality is vacuous
+      val clones = emb.filter(col("vec_id") < 32L).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float")).otherwise(x))
+          .as("embedding"),
+        col("label"))
+      // monotone vec_id order across batches (clones land last) — the
+      // precondition under which online == cold (see dedupIngestStream)
+      val all = emb.unionByName(clones)
+        .orderBy("vec_id").as[(Long, Seq[Float], Int)].collect()
+      val mem = MemoryStream[(Long, Seq[Float], Int)]
+      val q = VectorIndex.dedupIngestStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"), idx, s"$base/ckpt")
+      try {
+        all.grouped((all.length + 2) / 3).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def verdicts(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("centroid"), col("kept"))
+          .as[(Long, Int, Boolean)].collect().sorted.toSeq
+      assert(verdicts(VectorIndex.decisions(spark, idx))
+        === verdicts(IvfAnn.semanticDedup(spark, sf0001, plantClones = true)),
+        "online decisions diverged from cold SemDeDup")
+      assert(verdicts(VectorIndex.decisions(spark, idx)).exists(!_._3),
+        "no drops — the equality is vacuous")
+      // the seen-store holds the full corpus (kept AND dropped: the cold
+      // predicate judges against every lower id, not just kept ones)
+      assert(spark.read.parquet(s"$idx/lists").count() === all.length.toLong)
+
+      // crash mid-append: half the batch landed, `started` without `done`
+      // — redelivery purges and redoes, leaving exactly one list row and
+      // one decision row per vector
+      val cents = VectorIndex.centroidsFx(spark, idx)
+      val crash = emb.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 7000L)
+      VectorIndex.append(spark, crash.filter(col("vec_id") < 7020L), idx)
+      val markerDir = s"$idx/_dedup_crash"
+      val startedM = new org.apache.hadoop.fs.Path(s"$markerDir/batch-9.started")
+      val mfs = startedM.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      mfs.mkdirs(startedM.getParent); mfs.create(startedM, true).close()
+      VectorIndex.dedupIngestBatch(
+        spark, crash, idx, 9L, markerDir, cents, IvfAnn.SemDedupThreshold)
+      val landed = spark.read.parquet(s"$idx/lists")
+        .filter(col("vec_id") >= 7000L && col("vec_id") < 7050L)
+      assert(landed.count() === 50L, "crash repair left duplicates or lost rows")
+      assert(landed.select("vec_id").distinct().count() === 50L)
+      assert(spark.read.parquet(s"$idx/decisions")
+        .filter(col("batch_id") === 9).count() === 50L)
+      // every 7000-offset clone of an indexed vector must be dropped
+      // (cosine 1.0 with its original) — the online judge sees the store
+      assert(spark.read.parquet(s"$idx/decisions")
+        .filter(col("batch_id") === 9 && col("kept")).count() === 0L,
+        "clones of indexed vectors were not dropped")
+      // a replayed (done) batch is a no-op on lists and decisions
+      val before = spark.read.parquet(s"$idx/lists").count()
+      VectorIndex.dedupIngestBatch(
+        spark, crash, idx, 9L, markerDir, cents, IvfAnn.SemDedupThreshold)
+      assert(spark.read.parquet(s"$idx/lists").count() === before,
+        "replayed dedup batch was re-appended")
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

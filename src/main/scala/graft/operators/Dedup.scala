@@ -221,32 +221,52 @@ object Dedup {
     */
   private[operators] def minhashLshVerified(
       sig: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val bands = (0 until NumPerms / BandSize).map { b =>
-      val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
-      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     // posting-list pairing (see pairStats): one shuffle on the band
     // bucket, pairs emitted map-side from the sorted list
-    val cands = buckets
+    val cands = bandBuckets(sig)
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .select(explode(expr(OrderedPairsExpr)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // verify candidates only: join back to the shingle index
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    verifyJaccard(cands, sh, sh, threshold)
+  }
+
+  /** The (doc_id, band, bucket) LSH banding of a signature frame —
+    * factored so the online judge ([[ShingleIndex.dedupIngestBatch]]) can
+    * band a micro-batch and the stored signatures separately and probe
+    * one against the other instead of co-shuffling both.
+    */
+  private[operators] def bandBuckets(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** True-Jaccard verification of an (a, b) candidate frame, with each
+    * side's shingles supplied separately — `shA`/`shB` may be the same
+    * frame (the cold path) or different ones (the online judge: stored
+    * postings on the a side, the micro-batch's shingles on the b side).
+    */
+  private[operators] def verifyJaccard(
+      cands: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(shA.as("sa"), col("a") === col("sa.doc_id"))
+      .join(shB.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     val jac = col("common").cast("double") /
       (col("na.n") + col("nb.n") - col("common")).cast("double")
     common
-      .join(sizes.as("na"), col("a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
+      .join(sizesA.as("na"), col("a") === col("na.doc_id"))
+      .join(sizesB.as("nb"), col("b") === col("nb.doc_id"))
       .filter(jac >= threshold)
       .select(col("a"), col("b"), Exact.e(jac, 4).as("jaccard_e4"))
   }

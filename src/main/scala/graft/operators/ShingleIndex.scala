@@ -253,34 +253,42 @@ object ShingleIndex {
     val started = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId.started")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(done)) return
-    if (fs.exists(started)) {
-      // the batch may be partially or fully appended: purge every row the
-      // redelivered batch could have written (the source replays the same
-      // data for a given batch id), then fall through to a clean append.
-      // The repair target must be FRESH per attempt: after a first crash
-      // repair, the table's current LOCATION is the previous attempt's
-      // repair path, and a second crash (during the re-append) would make
-      // a fixed target overwrite the very directory the rewrite is
-      // reading — either a permanent wedge or files deleted mid-scan.
-      def fresh(base: String): String = {
-        var p = base
-        var n = 0
-        while (fs.exists(new org.apache.hadoop.fs.Path(p))) { n += 1; p = s"$base-$n" }
-        p
-      }
-      val ids = docs.select(col("doc_id")).distinct()
-      swapInto(spark,
-        spark.table(tableName).join(ids, Seq("doc_id"), "left_anti"),
-        tableName, fresh(s"$markerRoot/repair-$batchId"), numBuckets, bucketed = true)
-      swapInto(spark,
-        spark.table(sigsTable(tableName)).join(ids, Seq("doc_id"), "left_anti"),
-        sigsTable(tableName), fresh(s"$markerRoot/repair-${batchId}_sigs"),
-        numBuckets, bucketed = false)
-    }
+    if (fs.exists(started)) purgeCrashedBatch(spark, docs, tableName, markerRoot, batchId, numBuckets)
     fs.mkdirs(started.getParent)
     fs.create(started, true).close()
     append(spark, docs, tableName, numBuckets, segTokens)
     fs.create(done, true).close()
+  }
+
+  /** The crash-repair half of [[ingestBatch]]: the batch may be partially
+    * or fully appended, so purge every row the redelivered batch could
+    * have written (the source replays the same data for a given batch id);
+    * the caller then falls through to a clean append. The repair target
+    * must be FRESH per attempt: after a first crash repair, the table's
+    * current LOCATION is the previous attempt's repair path, and a second
+    * crash (during the re-append) would make a fixed target overwrite the
+    * very directory the rewrite is reading — either a permanent wedge or
+    * files deleted mid-scan.
+    */
+  private def purgeCrashedBatch(
+      spark: SparkSession, docs: DataFrame, tableName: String,
+      markerRoot: String, batchId: Long, numBuckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(markerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fresh(base: String): String = {
+      var p = base
+      var n = 0
+      while (fs.exists(new org.apache.hadoop.fs.Path(p))) { n += 1; p = s"$base-$n" }
+      p
+    }
+    val ids = docs.select(col("doc_id")).distinct()
+    swapInto(spark,
+      spark.table(tableName).join(ids, Seq("doc_id"), "left_anti"),
+      tableName, fresh(s"$markerRoot/repair-$batchId"), numBuckets, bucketed = true)
+    swapInto(spark,
+      spark.table(sigsTable(tableName)).join(ids, Seq("doc_id"), "left_anti"),
+      sigsTable(tableName), fresh(s"$markerRoot/repair-${batchId}_sigs"),
+      numBuckets, bucketed = false)
   }
 
   /** Streaming twin of [[append]]: each micro-batch of (doc_id, text)
@@ -318,6 +326,113 @@ object ShingleIndex {
       }
       .start()
   }
+
+  /** Online fuzzy (MinHash+LSH) dedup over streaming ingest — the
+    * index-backed counterpart of the in-memory streaming near-dup
+    * (`StatefulOps`): state-store dedup forgets documents past its TTL,
+    * while this judge compares every arriving micro-batch against the
+    * ENTIRE accumulated corpus via the persisted signatures — the shape of
+    * deduping a continuous crawl against full history. Verdicts land under
+    * `decisionsPath/batch_id=N` as (doc_id, kept); the batch is then
+    * appended (kept AND dropped — the d4 drop rule judges `b` against
+    * every lower-id `a` regardless of `a`'s own verdict, so a kept-only
+    * store would silently weaken later verdicts).
+    *
+    * Semantics: an arriving doc `b` is dropped iff a verified
+    * jaccard ≥ threshold partner `a` with `a.doc_id < b.doc_id` exists
+    * among everything indexed so far or earlier in `b`'s own batch. With
+    * monotone doc_id arrival the accumulated verdicts equal the cold d4
+    * drop set (`b`-side membership of `Dedup.minhashLshPairs` over the
+    * full corpus — `StreamingSpec` pins it); out-of-order arrival keeps a
+    * superset, never extra drops.
+    *
+    * Scale shape per batch: band the micro-batch's signatures (tiny,
+    * broadcast), probe them against a single scan of the compact stored
+    * signature table (map-side join, no shuffle of the store), verify
+    * only colliding pairs against the postings of the candidate `a` docs
+    * (broadcast semi-join pushdown) — never a re-derivation of the
+    * accumulated corpus. The per-batch floor is that one sigs-table scan
+    * (33 columns per doc); a band-bucketed signature layout would prune
+    * it further and is the natural next step at extreme corpus sizes.
+    */
+  def dedupIngestStream(
+      docs: DataFrame, tableName: String, markerRoot: String,
+      checkpoint: String, decisionsPath: String,
+      threshold: Double = Dedup.DefaultThreshold): org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = docs.sparkSession
+    val ns = markerNamespace(owner, markerRoot, checkpoint)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupIngestBatch(batch.sparkSession, batch.toDF(), tableName, ns, id,
+          decisionsPath, threshold)
+        owner.catalog.refreshTable(tableName)
+        owner.catalog.refreshTable(sigsTable(tableName))
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[dedupIngestStream]]: judge against the
+    * accumulated index, record verdicts, append. Same marker protocol as
+    * [[ingestBatch]]; the judge runs BEFORE the append (and after any
+    * crash purge), so the store holds exactly the completed batches, and
+    * the decisions write is an idempotent per-batch directory overwrite.
+    */
+  def dedupIngestBatch(
+      spark: SparkSession, docs: DataFrame, tableName: String,
+      markerRoot: String, batchId: Long, decisionsPath: String,
+      threshold: Double = Dedup.DefaultThreshold,
+      numBuckets: Int = 32, segTokens: Int = Dedup.SegmentTokens): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId.done")
+    val started = new org.apache.hadoop.fs.Path(s"$markerRoot/batch-$batchId.started")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    if (fs.exists(started)) purgeCrashedBatch(spark, docs, tableName, markerRoot, batchId, numBuckets)
+    // the batch's shingle relation feeds the signature derivation, both
+    // judge joins, and the size aggregation — cache once, micro-batch-sized
+    val batchSh = frameOf(docs, segTokens)
+      .filter(col("kind") === ShingleKind).select(col("doc_id"), col("s"))
+      .cache()
+    try {
+      val batchBuckets = Dedup.bandBuckets(Dedup.minhashSignatures(batchSh))
+      // stored-vs-batch collisions: ONE scan of the compact signature
+      // table probed by the broadcast micro-batch bands — no shuffle of
+      // the store; `a < b` keeps only lower-id partners (the online rule)
+      val cross = Dedup.bandBuckets(spark.table(sigsTable(tableName)))
+        .toDF("a", "band", "bucket")
+        .join(broadcast(batchBuckets.toDF("b", "band", "bucket")), Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      // within-batch collisions (both sides micro-batch-sized)
+      val self = batchBuckets.toDF("a", "band", "bucket")
+        .join(batchBuckets.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      val cands = cross.unionByName(self).distinct()
+      // a-side shingles: stored postings of candidate partners only
+      // (broadcast semi-join — candidate ids are bounded by batch size ×
+      // collision fan-out, id columns only) plus the batch's own
+      val aSh = spark.table(tableName)
+        .filter(col("kind") === ShingleKind).select(col("doc_id"), col("s"))
+        .join(broadcast(cands.select(col("a").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .unionByName(batchSh)
+      val dropped = Dedup.verifyJaccard(cands, aSh, batchSh, threshold)
+        .select(col("b").as("doc_id")).distinct()
+      docs.select(col("doc_id")).distinct()
+        .join(dropped.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("hit").isNull.as("kept"))
+        .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
+    } finally batchSh.unpersist()
+    fs.mkdirs(started.getParent)
+    fs.create(started, true).close()
+    append(spark, docs, tableName, numBuckets, segTokens)
+    fs.create(done, true).close()
+  }
+
+  /** Accumulated [[dedupIngestStream]] verdicts: (doc_id, kept, batch_id). */
+  def decisions(spark: SparkSession, decisionsPath: String): DataFrame =
+    spark.read.parquet(decisionsPath)
 
   /** The per-run marker directory [[ingestStream]] keys its replay guard
     * by: `markerRoot/run-<id>` where the id's lifetime is the

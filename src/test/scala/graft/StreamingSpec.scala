@@ -874,4 +874,56 @@ class StreamingSpec extends SparkSuite {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("online fuzzy dedup against the shingle index matches the cold d4 drop set") {
+    import graft.operators.{Dedup, ShingleIndex}
+    val base = Files.createTempDirectory("fuzzstream")
+    val tbl = "fuzz_stream_idx"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // full-copy clones at high ids: guaranteed jaccard-1.0 partners, so
+      // the drop-set equality below cannot be vacuous
+      val clones = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val all = docs.unionByName(clones)
+      // cold reference: the ordinary d4 pipeline over the union corpus
+      val unionDir = s"$base/union"
+      all.write.parquet(s"$unionDir/documents.parquet")
+      val coldDrops = Dedup.minhashLshPairs(spark, unionDir)
+        .select(col("b")).distinct().as[Long].collect().toSet
+      assert(coldDrops.nonEmpty, "no cold drops — the equality is vacuous")
+      // empty-built index, then the corpus arrives as three monotone
+      // micro-batches (the precondition under which online == cold)
+      ShingleIndex.buildFor(spark, docs.limit(0), s"$base/idx", tbl)
+      val rows = all.orderBy("doc_id").as[(Long, String)].collect()
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = ShingleIndex.dedupIngestStream(
+        mem.toDF().toDF("doc_id", "text"), tbl,
+        s"$base/markers", s"$base/ckpt", s"$base/decisions")
+      try {
+        rows.grouped((rows.length + 2) / 3).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val dec = ShingleIndex.decisions(spark, s"$base/decisions")
+      assert(dec.count() === rows.length.toLong)
+      assert(dec.filter(!col("kept")).select(col("doc_id")).as[Long].collect().toSet
+        === coldDrops, "online drop set diverged from cold d4")
+      // the store accumulated the full corpus (kept AND dropped)
+      assert(spark.table(ShingleIndex.sigsTable(tbl)).count() === rows.length.toLong)
+      // a replayed (done) batch is a no-op on the index and the verdicts
+      val ns = ShingleIndex.markerNamespace(spark, s"$base/markers", s"$base/ckpt")
+      val before = spark.table(tbl).count()
+      ShingleIndex.dedupIngestBatch(
+        spark, all.orderBy("doc_id").limit(5), tbl, ns, 0L, s"$base/decisions")
+      assert(spark.table(tbl).count() === before, "replayed batch re-appended")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

@@ -106,6 +106,17 @@ object ShingleIndex {
   /** Name of the materialized MinHash-signature side table. */
   def sigsTable(tableName: String): String = s"${tableName}_sigs"
 
+  /** Name of the optional banded-signature probe table: (doc_id, band,
+    * bucket), bucketed and sorted by `bucket` — the online judge's probe
+    * side, so a micro-batch's candidate lookup prunes to the buckets its
+    * own band keys hash into instead of scanning every stored signature.
+    * Created by [[dedupIngestStream]] (backfilled from the signatures on
+    * first use) and maintained by [[append]] WHENEVER IT EXISTS — the
+    * single append choke point keeps it impossible to go stale, which
+    * matters because a stale probe table would silently miss duplicates.
+    */
+  def bandsTable(tableName: String): String = s"${tableName}_bands"
+
   /** Write the index as an external bucketed table (see class doc). */
   def build(
       spark: SparkSession, dir: String, path: String, tableName: String,
@@ -168,6 +179,9 @@ object ShingleIndex {
     // derivation) — uncached, each would re-scan and re-shingle the batch
     // source, exactly the re-derivation the index exists to avoid
     val frame = frameOf(docs, segTokens, plant).cache()
+    val sigs = Dedup.minhashSignatures(
+      frame.filter(col("kind") === ShingleKind).select(col("doc_id"), col("s")))
+      .cache() // feeds the sigs write AND (when present) the bands write
     try {
       frame
         .write.mode("append")
@@ -179,12 +193,22 @@ object ShingleIndex {
       // signatures for the NEW docs only — per-doc signatures never need
       // the rest of the corpus, so the appended rows are identical to
       // what a full rebuild would compute
-      Dedup.minhashSignatures(
-          frame.filter(col("kind") === ShingleKind).select(col("doc_id"), col("s")))
+      sigs
         .write.mode("append")
         .format("parquet")
         .saveAsTable(sigsTable(tableName))
-    } finally frame.unpersist()
+      // the banded probe table is maintained HERE, the single append
+      // choke point, whenever it exists — any ingest flavor keeps it
+      // consistent, so it can never silently go stale (a stale probe
+      // table would miss duplicates)
+      if (spark.catalog.tableExists(bandsTable(tableName)))
+        Dedup.bandBuckets(sigs)
+          .write.mode("append")
+          .bucketBy(numBuckets, "bucket")
+          .sortBy("bucket")
+          .format("parquet")
+          .saveAsTable(bandsTable(tableName))
+    } finally { sigs.unpersist(); frame.unpersist() }
   }
 
   /** Compact the index into fresh files at `newPath`: every [[append]] /
@@ -210,26 +234,34 @@ object ShingleIndex {
     swapInto(spark,
       spark.table(tableName)
         .repartition(numBuckets, pmod(hash(col("s")), lit(numBuckets))),
-      tableName, newPath, numBuckets, bucketed = true)
+      tableName, newPath,
+      _.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s"))
     // numBuckets files, not 1: the sig table is one row per DOCUMENT and
     // a single output task would bottleneck (and overflow) at corpus scale
     swapInto(spark,
       spark.table(sigsTable(tableName)).repartition(numBuckets),
-      sigsTable(tableName), s"${newPath}_sigs", numBuckets, bucketed = false)
+      sigsTable(tableName), s"${newPath}_sigs", identity)
+    if (spark.catalog.tableExists(bandsTable(tableName)))
+      swapInto(spark,
+        spark.table(bandsTable(tableName))
+          .repartition(numBuckets, pmod(hash(col("bucket")), lit(numBuckets))),
+        bandsTable(tableName), s"${newPath}_bands",
+        _.bucketBy(numBuckets, "bucket").sortBy("bucket"))
   }
 
-  /** Rewrite `df` as table `tbl` at a fresh `path` and swap the catalog
-    * name over — the shared tail of [[compact]] and the crash-repair
-    * purge in [[ingestBatch]]. Drop + rename is two catalog ops, not one
-    * commit (see [[compact]]'s doc for the honest trade).
+  /** Rewrite `df` as table `tbl` at a fresh `path` (layout declared by
+    * `spec`) and swap the catalog name over — the shared tail of
+    * [[compact]] and the crash-repair purge in [[ingestBatch]]. Drop +
+    * rename is two catalog ops, not one commit (see [[compact]]'s doc for
+    * the honest trade).
     */
   private def swapInto(
       spark: SparkSession, df: DataFrame, tbl: String, path: String,
-      numBuckets: Int, bucketed: Boolean): Unit = {
+      spec: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     val tmp = s"${tbl}_compacting"
-    val w = df.write.mode("overwrite").option("path", path).format("parquet")
-    (if (bucketed) w.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s")
-     else w).saveAsTable(tmp)
+    spec(df.write.mode("overwrite").option("path", path).format("parquet"))
+      .saveAsTable(tmp)
     spark.sql(s"DROP TABLE $tbl")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $tbl")
   }
@@ -284,11 +316,16 @@ object ShingleIndex {
     val ids = docs.select(col("doc_id")).distinct()
     swapInto(spark,
       spark.table(tableName).join(ids, Seq("doc_id"), "left_anti"),
-      tableName, fresh(s"$markerRoot/repair-$batchId"), numBuckets, bucketed = true)
+      tableName, fresh(s"$markerRoot/repair-$batchId"),
+      _.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s"))
     swapInto(spark,
       spark.table(sigsTable(tableName)).join(ids, Seq("doc_id"), "left_anti"),
-      sigsTable(tableName), fresh(s"$markerRoot/repair-${batchId}_sigs"),
-      numBuckets, bucketed = false)
+      sigsTable(tableName), fresh(s"$markerRoot/repair-${batchId}_sigs"), identity)
+    if (spark.catalog.tableExists(bandsTable(tableName)))
+      swapInto(spark,
+        spark.table(bandsTable(tableName)).join(ids, Seq("doc_id"), "left_anti"),
+        bandsTable(tableName), fresh(s"$markerRoot/repair-${batchId}_bands"),
+        _.bucketBy(numBuckets, "bucket").sortBy("bucket"))
   }
 
   /** Streaming twin of [[append]]: each micro-batch of (doc_id, text)
@@ -347,19 +384,43 @@ object ShingleIndex {
     * superset, never extra drops.
     *
     * Scale shape per batch: band the micro-batch's signatures (tiny,
-    * broadcast), probe them against a single scan of the compact stored
-    * signature table (map-side join, no shuffle of the store), verify
-    * only colliding pairs against the postings of the candidate `a` docs
-    * (broadcast semi-join pushdown) — never a re-derivation of the
-    * accumulated corpus. The per-batch floor is that one sigs-table scan
-    * (33 columns per doc); a band-bucketed signature layout would prune
-    * it further and is the natural next step at extreme corpus sizes.
+    * broadcast), probe them against the banded signature table
+    * ([[bandsTable]], bucketed+sorted by bucket — literal `isin` pushdown
+    * prunes the scan to the batch's own bucket hashes, plan-asserted via
+    * `SelectedBucketsCount`, with row-group skipping inside), verify only
+    * colliding pairs against the postings of the candidate `a` docs
+    * (broadcast semi-join pushdown) — never a re-derivation, never a
+    * shuffle of the store. Batches too large for literal pushdown
+    * ([[MaxProbeLiterals]]) fall back to the full banded scan — still
+    * un-shuffled, just un-pruned.
     */
+  /** Literal-pushdown cap for the banded probe: above this many distinct
+    * batch bucket strings the `isin` predicate stops paying for itself
+    * (planner cost, no selectivity) and the judge falls back to the full
+    * banded scan — still un-shuffled, just un-pruned.
+    */
+  private val MaxProbeLiterals = 10000
+
+  /** Create the banded probe table from the CURRENT signatures if absent
+    * — the backfill [[dedupIngestStream]] runs once at start; afterwards
+    * [[append]] maintains it on every ingest flavor.
+    */
+  private def ensureBandsTable(
+      spark: SparkSession, tableName: String, numBuckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(bandsTable(tableName)))
+      Dedup.bandBuckets(spark.table(sigsTable(tableName)))
+        .write.mode("overwrite")
+        .bucketBy(numBuckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(bandsTable(tableName))
+
   def dedupIngestStream(
       docs: DataFrame, tableName: String, markerRoot: String,
       checkpoint: String, decisionsPath: String,
       threshold: Double = Dedup.DefaultThreshold): org.apache.spark.sql.streaming.StreamingQuery = {
     val owner = docs.sparkSession
+    ensureBandsTable(owner, tableName)
     val ns = markerNamespace(owner, markerRoot, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -368,6 +429,7 @@ object ShingleIndex {
           decisionsPath, threshold)
         owner.catalog.refreshTable(tableName)
         owner.catalog.refreshTable(sigsTable(tableName))
+        owner.catalog.refreshTable(bandsTable(tableName))
       }
       .start()
   }
@@ -393,12 +455,37 @@ object ShingleIndex {
     val batchSh = frameOf(docs, segTokens)
       .filter(col("kind") === ShingleKind).select(col("doc_id"), col("s"))
       .cache()
+    val batchBuckets = Dedup.bandBuckets(Dedup.minhashSignatures(batchSh))
+      .cache() // feeds the literal collect and both candidate joins
+    // the probe's bucket pruning only happens on the BUCKETED scan path,
+    // and the planner's auto-disable rule (DisableUnnecessaryBucketedScan)
+    // turns that path off for a filter-only scan — no join here wants the
+    // bucketing's output partitioning, the PRUNING is the point. Pin it
+    // on for the judge, restore after (foreachBatch runs in a session
+    // clone, so the streaming path never leaks the setting).
+    val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoBucketWas = spark.conf.get(autoBucketKey)
+    spark.conf.set(autoBucketKey, "false")
     try {
-      val batchBuckets = Dedup.bandBuckets(Dedup.minhashSignatures(batchSh))
-      // stored-vs-batch collisions: ONE scan of the compact signature
-      // table probed by the broadcast micro-batch bands — no shuffle of
-      // the store; `a < b` keeps only lower-id partners (the online rule)
-      val cross = Dedup.bandBuckets(spark.table(sigsTable(tableName)))
+      // stored-vs-batch collisions, cheapest available probe: with the
+      // banded table ([[bandsTable]]) present and the batch small enough
+      // for literal pushdown, the scan prunes to the batch's own bucket
+      // hashes (SelectedBucketsCount) and row-group-skips inside them
+      // (bucket-sorted files); otherwise ONE scan of the compact
+      // signature table, banded on the fly. Either way the store is never
+      // shuffled (broadcast probe); `a < b` keeps only lower-id partners
+      // (the online rule).
+      val stored =
+        if (spark.catalog.tableExists(bandsTable(tableName))) {
+          // bounded driver-side collect: |batch| × 8 bucket strings, the
+          // same probe-bundle rule as the IVF path
+          val lits = batchBuckets.select(col("bucket")).distinct()
+            .collect().map(_.getString(0))
+          if (lits.length <= MaxProbeLiterals)
+            spark.table(bandsTable(tableName)).filter(col("bucket").isin(lits.toIndexedSeq: _*))
+          else spark.table(bandsTable(tableName))
+        } else Dedup.bandBuckets(spark.table(sigsTable(tableName)))
+      val cross = stored
         .toDF("a", "band", "bucket")
         .join(broadcast(batchBuckets.toDF("b", "band", "bucket")), Seq("band", "bucket"))
         .filter(col("a") < col("b"))
@@ -423,7 +510,10 @@ object ShingleIndex {
         .join(dropped.withColumn("hit", lit(1)), Seq("doc_id"), "left")
         .select(col("doc_id"), col("hit").isNull.as("kept"))
         .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
-    } finally batchSh.unpersist()
+    } finally {
+      spark.conf.set(autoBucketKey, autoBucketWas)
+      batchBuckets.unpersist(); batchSh.unpersist()
+    }
     fs.mkdirs(started.getParent)
     fs.create(started, true).close()
     append(spark, docs, tableName, numBuckets, segTokens)

@@ -913,6 +913,32 @@ class StreamingSpec extends SparkSuite {
         === coldDrops, "online drop set diverged from cold d4")
       // the store accumulated the full corpus (kept AND dropped)
       assert(spark.table(ShingleIndex.sigsTable(tbl)).count() === rows.length.toLong)
+      // the banded probe table tracks the signatures: 8 bands per doc …
+      assert(spark.table(ShingleIndex.bandsTable(tbl)).count() === rows.length * 8L)
+      // … and is maintained by ANY ingest flavor through the append choke
+      // point, so a mixed ingest can never leave it stale
+      ShingleIndex.append(spark,
+        docs.filter(col("doc_id") === 0).select(
+          (col("doc_id") + 6000000L).as("doc_id"), col("text")), tbl)
+      assert(spark.table(ShingleIndex.bandsTable(tbl)).count() === rows.length * 8L + 8L,
+        "plain append left the banded probe table stale")
+      // the judge's probe prunes buckets: a literal isin on the bucket
+      // column selects a strict subset of the 32 buckets (under the same
+      // autoBucketedScan pin the judge sets — the planner's auto-disable
+      // rule would otherwise drop the bucketed path for a filter-only scan)
+      val someBuckets = spark.table(ShingleIndex.bandsTable(tbl))
+        .select(col("bucket")).limit(3).collect().map(_.getString(0)).toIndexedSeq
+      val abKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val abWas = spark.conf.get(abKey)
+      spark.conf.set(abKey, "false")
+      val probePlan =
+        try spark.table(ShingleIndex.bandsTable(tbl))
+          .filter(col("bucket").isin(someBuckets: _*))
+          .queryExecution.executedPlan.toString
+        finally spark.conf.set(abKey, abWas)
+      val sel = "SelectedBucketsCount: (\\d+) out of 32".r.findFirstMatchIn(probePlan)
+      assert(sel.nonEmpty, s"no bucket pruning in probe plan:\n$probePlan")
+      assert(sel.get.group(1).toInt < 32, "probe selected every bucket")
       // a replayed (done) batch is a no-op on the index and the verdicts
       val ns = ShingleIndex.markerNamespace(spark, s"$base/markers", s"$base/ckpt")
       val before = spark.table(tbl).count()
@@ -922,6 +948,84 @@ class StreamingSpec extends SparkSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("out-of-order arrival degrades to a superset-keeper: never extra drops") {
+    // both online judges document the same degradation: a late low id is
+    // never judged against vectors/docs that arrived before it, so the
+    // online drop set is a SUBSET of the cold one — over-keeping, never
+    // over-dropping. Stream the high-id clones FIRST to force the case.
+    import graft.operators.{Dedup, IvfAnn, ShingleIndex, VectorIndex}
+    val base = Files.createTempDirectory("oooded")
+    val tbl = "ooo_fuzz_idx"
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // --- vector side ---
+      val idx = s"$base/idx"
+      VectorIndex.trainOnly(spark, sf0001, idx)
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val vClones = emb.filter(col("vec_id") < 32L).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % 2 === 1, (x.cast("double") * lit(1.2)).cast("float")).otherwise(x))
+          .as("embedding"),
+        col("label"))
+      val vMem = MemoryStream[(Long, Seq[Float], Int)]
+      val vQ = VectorIndex.dedupIngestStream(
+        vMem.toDF().toDF("vec_id", "embedding", "label"), idx, s"$base/ckpt")
+      try {
+        vMem.addData(vClones.as[(Long, Seq[Float], Int)].collect().toIndexedSeq)
+        vQ.processAllAvailable()
+        vMem.addData(emb.as[(Long, Seq[Float], Int)].collect().toIndexedSeq)
+        vQ.processAllAvailable()
+      } finally vQ.stop()
+      val vOnlineDrops = VectorIndex.decisions(spark, idx)
+        .filter(!col("kept")).select(col("vec_id")).as[Long].collect().toSet
+      val vColdDrops = IvfAnn.semanticDedup(spark, sf0001, plantClones = true)
+        .filter(!col("kept")).select(col("vec_id")).as[Long].collect().toSet
+      assert(vColdDrops.nonEmpty)
+      assert(vOnlineDrops.subsetOf(vColdDrops),
+        "out-of-order online SemDeDup dropped something the cold pass keeps")
+      // the forced case: a clone that arrived before its partner is kept
+      // online even though the cold pass drops it
+      assert((vColdDrops -- vOnlineDrops).exists(_ >= 1000000L),
+        "no clone survived out-of-order arrival — the subset check is vacuous")
+
+      // --- shingle side ---
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val dClones = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val unionDir = s"$base/union"
+      docs.unionByName(dClones).write.parquet(s"$unionDir/documents.parquet")
+      val dColdDrops = Dedup.minhashLshPairs(spark, unionDir)
+        .select(col("b")).distinct().as[Long].collect().toSet
+      ShingleIndex.buildFor(spark, docs.limit(0), s"$base/sidx", tbl)
+      val dMem = MemoryStream[(Long, String)]
+      val dQ = ShingleIndex.dedupIngestStream(
+        dMem.toDF().toDF("doc_id", "text"), tbl,
+        s"$base/markers", s"$base/dckpt", s"$base/decisions")
+      try {
+        dMem.addData(dClones.as[(Long, String)].collect().toIndexedSeq)
+        dQ.processAllAvailable()
+        dMem.addData(docs.as[(Long, String)].collect().toIndexedSeq)
+        dQ.processAllAvailable()
+      } finally dQ.stop()
+      val dOnlineDrops = ShingleIndex.decisions(spark, s"$base/decisions")
+        .filter(!col("kept")).select(col("doc_id")).as[Long].collect().toSet
+      assert(dColdDrops.nonEmpty)
+      assert(dOnlineDrops.subsetOf(dColdDrops),
+        "out-of-order online fuzzy dedup dropped something the cold pass keeps")
+      assert((dColdDrops -- dOnlineDrops).exists(_ >= 3000000L),
+        "no clone survived out-of-order arrival — the subset check is vacuous")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
       Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
     }

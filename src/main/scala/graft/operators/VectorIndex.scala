@@ -310,8 +310,6 @@ object VectorIndex {
       val ids = batch.select(col("vec_id")).distinct()
       rewriteLists(spark, path, _.join(ids, Seq("vec_id"), "left_anti"))
     }
-    fs.mkdirs(started.getParent)
-    fs.create(started, true).close()
     // assignment is consumed three times (touched-list collect, both join
     // sides) — materialize once, micro-batch-sized
     val assigned = batch
@@ -336,6 +334,12 @@ object VectorIndex {
       .join(droppedIds.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid"), col("hit").isNull.as("kept"))
       .write.mode("overwrite").parquet(s"$path/decisions/batch_id=$batchId")
+    // `started` marks "the append may have begun" and nothing earlier:
+    // the judge reads, and the decisions write is an idempotent overwrite,
+    // so a crash before this point must NOT cost the redelivery a full
+    // lists rewrite (the purge above is the expensive crash-only path)
+    fs.mkdirs(started.getParent)
+    fs.create(started, true).close()
     append(spark, batch, path)
     fs.create(done, true).close()
   }

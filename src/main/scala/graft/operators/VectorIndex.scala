@@ -318,10 +318,7 @@ object VectorIndex {
       .localCheckpoint()
     val touched = assigned.select("centroid").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by K
-    val prior = spark.read.schema(storedListsSchema(spark, path))
-      .parquet(s"$path/lists")
-      .filter(col("centroid").isin(touched: _*))
-      .select(col("vec_id"), col("embedding"), col("centroid").cast("int").as("centroid"))
+    val prior = dedupPrior(spark, path, touched)
     val candidates = prior.unionByName(assigned)
     val cos = graft.functions.VectorFunctions.cosFxF(col("x.embedding"), col("y.embedding"))
     val droppedIds = assigned.as("y")
@@ -349,6 +346,19 @@ object VectorIndex {
     */
   def decisions(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/decisions")
+
+  /** The judge's seen-store read: only the `centroid=` directories the
+    * batch touches, pruned at the directory level like the v7i probe
+    * (`StreamingSpec` plan-asserts the `PartitionFilters`); sidecar
+    * schema so a [[trainOnly]] index's file-less lists read as empty
+    * instead of failing inference.
+    */
+  private[graft] def dedupPrior(
+      spark: SparkSession, path: String, touched: Seq[Int]): DataFrame =
+    spark.read.schema(storedListsSchema(spark, path))
+      .parquet(s"$path/lists")
+      .filter(col("centroid").isin(touched: _*))
+      .select(col("vec_id"), col("embedding"), col("centroid").cast("int").as("centroid"))
 
   /** The per-run marker directory [[ingestStream]] keys its replay guard
     * by: `path/_ingested/run-<id>` where the id's lifetime is the

@@ -838,6 +838,12 @@ class StreamingSpec extends SparkSuite {
       // the seen-store holds the full corpus (kept AND dropped: the cold
       // predicate judges against every lower id, not just kept ones)
       assert(spark.read.parquet(s"$idx/lists").count() === all.length.toLong)
+      // the judge's store read prunes to the touched list directories —
+      // the same directory-level pruning the v7i probe proves
+      val priorPlan = VectorIndex.dedupPrior(spark, idx, Seq(0, 1))
+        .queryExecution.executedPlan.toString
+      assert(priorPlan.contains("PartitionFilters: [centroid"),
+        s"judge prior scan is not partition-pruned:\n$priorPlan")
 
       // crash mid-append: half the batch landed, `started` without `done`
       // — redelivery purges and redoes, leaving exactly one list row and

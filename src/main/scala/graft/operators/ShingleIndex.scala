@@ -175,6 +175,14 @@ object ShingleIndex {
       s"append before build: table '$tableName' does not exist")
     require(spark.catalog.tableExists(sigsTable(tableName)),
       s"append before build: table '${sigsTable(tableName)}' does not exist")
+    // a doc id appearing TWICE in one batch would write its postings and
+    // signature twice — the same silent corruption the replay purge exists
+    // to prevent (inflated common-shingle counts, double-counted bands),
+    // but arising inside a batch where no marker can catch it. Fail loudly;
+    // the caller owns within-batch dedup (it knows which copy to keep).
+    val batchRows = docs.count()
+    require(docs.select(col("doc_id")).distinct().count() == batchRows,
+      "batch contains duplicate doc ids — dedup the batch before appending")
     // cache: the frame feeds TWO write actions (postings, then the sig
     // derivation) — uncached, each would re-scan and re-shingle the batch
     // source, exactly the re-derivation the index exists to avoid
@@ -374,6 +382,10 @@ object ShingleIndex {
     * appended (kept AND dropped — the d4 drop rule judges `b` against
     * every lower-id `a` regardless of `a`'s own verdict, so a kept-only
     * store would silently weaken later verdicts).
+    *
+    * Expects an ingest-built (unplanted) index: the graded-fixture
+    * [[build]] seeds partial copies whose rows would otherwise join the
+    * judging corpus ([[buildFor]]/streamed ingest never plant).
     *
     * Semantics: an arriving doc `b` is dropped iff a verified
     * jaccard ≥ threshold partner `a` with `a.doc_id < b.doc_id` exists

@@ -135,6 +135,12 @@ object VectorIndex {
     require(shape(vectors.schema) == expected,
       s"append schema mismatch: batch ${vectors.schema.simpleString} vs " +
         s"stored lists ${stored.simpleString} (minus centroid)")
+    // a vec id appearing twice in one batch would land twice in its list —
+    // duplicate (qid, vec_id) rows in every later top-k, displacing genuine
+    // neighbors; the replay purge only guards ACROSS batches. Fail loudly.
+    val batchRows = vectors.count()
+    require(vectors.select(col("vec_id")).distinct().count() == batchRows,
+      "batch contains duplicate vec ids — dedup the batch before appending")
     vectors
       .withColumn("centroid", IvfAnn.nearestCentroid(centsFx))
       .write.mode("append")

@@ -875,6 +875,13 @@ class StreamingSpec extends SparkSuite {
         spark, crash, idx, 9L, markerDir, cents, IvfAnn.SemDedupThreshold)
       assert(spark.read.parquet(s"$idx/lists").count() === before,
         "replayed dedup batch was re-appended")
+      // a vec id twice in ONE batch must be refused at the append choke
+      // point — no marker can catch within-batch duplication
+      intercept[IllegalArgumentException] {
+        val dup = emb.filter(col("vec_id") === 0)
+          .withColumn("vec_id", col("vec_id") + 8000L)
+        VectorIndex.append(spark, dup.unionAll(dup), idx)
+      }
     } finally {
       Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
@@ -928,6 +935,13 @@ class StreamingSpec extends SparkSuite {
           (col("doc_id") + 6000000L).as("doc_id"), col("text")), tbl)
       assert(spark.table(ShingleIndex.bandsTable(tbl)).count() === rows.length * 8L + 8L,
         "plain append left the banded probe table stale")
+      // a doc id twice in ONE batch is the corruption no marker can catch
+      // — the append choke point must refuse it
+      intercept[IllegalArgumentException] {
+        val dup = docs.filter(col("doc_id") === 1)
+          .select((col("doc_id") + 6500000L).as("doc_id"), col("text"))
+        ShingleIndex.append(spark, dup.unionAll(dup), tbl)
+      }
       // the judge's probe prunes buckets: a literal isin on the bucket
       // column selects a strict subset of the 32 buckets (under the same
       // autoBucketedScan pin the judge sets — the planner's auto-disable

@@ -413,6 +413,27 @@ object ShingleIndex {
     */
   private val MaxProbeLiterals = 10000
 
+  /** The stored side of the judge's candidate probe: the banded table
+    * bucket-pruned to the batch's own bucket strings when small enough
+    * for literal pushdown, the full banded scan otherwise, or an
+    * on-the-fly banding of the signatures when no banded table exists.
+    * All three branches yield identical candidates after the
+    * (band, bucket) join — the pruning removes only rows that join would
+    * drop anyway (`StreamingSpec` asserts branch equivalence).
+    */
+  private[graft] def probeStored(
+      spark: SparkSession, tableName: String, batchBuckets: DataFrame,
+      maxLits: Int): DataFrame =
+    if (spark.catalog.tableExists(bandsTable(tableName))) {
+      // bounded driver-side collect: |batch| × 8 bucket strings, the
+      // same probe-bundle rule as the IVF path
+      val lits = batchBuckets.select(col("bucket")).distinct()
+        .collect().map(_.getString(0))
+      if (lits.length <= maxLits)
+        spark.table(bandsTable(tableName)).filter(col("bucket").isin(lits.toIndexedSeq: _*))
+      else spark.table(bandsTable(tableName))
+    } else Dedup.bandBuckets(spark.table(sigsTable(tableName)))
+
   /** Create the banded probe table from the CURRENT signatures if absent
     * — the backfill [[dedupIngestStream]] runs once at start; afterwards
     * [[append]] maintains it on every ingest flavor.
@@ -487,17 +508,7 @@ object ShingleIndex {
       // signature table, banded on the fly. Either way the store is never
       // shuffled (broadcast probe); `a < b` keeps only lower-id partners
       // (the online rule).
-      val stored =
-        if (spark.catalog.tableExists(bandsTable(tableName))) {
-          // bounded driver-side collect: |batch| × 8 bucket strings, the
-          // same probe-bundle rule as the IVF path
-          val lits = batchBuckets.select(col("bucket")).distinct()
-            .collect().map(_.getString(0))
-          if (lits.length <= MaxProbeLiterals)
-            spark.table(bandsTable(tableName)).filter(col("bucket").isin(lits.toIndexedSeq: _*))
-          else spark.table(bandsTable(tableName))
-        } else Dedup.bandBuckets(spark.table(sigsTable(tableName)))
-      val cross = stored
+      val cross = probeStored(spark, tableName, batchBuckets, MaxProbeLiterals)
         .toDF("a", "band", "bucket")
         .join(broadcast(batchBuckets.toDF("b", "band", "bucket")), Seq("band", "bucket"))
         .filter(col("a") < col("b"))

@@ -959,6 +959,22 @@ class StreamingSpec extends SparkSuite {
       val sel = "SelectedBucketsCount: (\\d+) out of 32".r.findFirstMatchIn(probePlan)
       assert(sel.nonEmpty, s"no bucket pruning in probe plan:\n$probePlan")
       assert(sel.get.group(1).toInt < 32, "probe selected every bucket")
+      // the pruned probe and its big-batch full-scan fallback yield
+      // identical candidates — the pruning removes only rows the band
+      // join would drop anyway
+      // probe with the high-id clones: their lower-id originals are the
+      // stored partners the `a < b` rule keeps, so candidates exist
+      val bb = spark.table(ShingleIndex.bandsTable(tbl))
+        .filter(col("doc_id") >= 3000000L && col("doc_id") < 3000005L)
+      def cands(maxLits: Int) =
+        ShingleIndex.probeStored(spark, tbl, bb, maxLits)
+          .toDF("a", "band", "bucket")
+          .join(bb.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+          .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+          .as[(Long, Long)].collect().toSet
+      val pruned = cands(Int.MaxValue)
+      assert(pruned === cands(0), "fallback probe diverged from the pruned probe")
+      assert(pruned.nonEmpty, "probe equivalence is vacuous — no collisions")
       // a replayed (done) batch is a no-op on the index and the verdicts
       val ns = ShingleIndex.markerNamespace(spark, s"$base/markers", s"$base/ckpt")
       val before = spark.table(tbl).count()

@@ -368,6 +368,11 @@ object ShingleIndex {
         ingestBatch(batch.sparkSession, batch.toDF(), tableName, ns, id)
         owner.catalog.refreshTable(tableName)
         owner.catalog.refreshTable(sigsTable(tableName))
+        // append maintains the banded probe table whenever it exists (any
+        // ingest flavor), so the owner's listing of it must be refreshed
+        // here too — a stale probe table silently misses duplicates
+        if (owner.catalog.tableExists(bandsTable(tableName)))
+          owner.catalog.refreshTable(bandsTable(tableName))
       }
       .start()
   }

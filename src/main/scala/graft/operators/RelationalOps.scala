@@ -19,17 +19,34 @@ object RelationalOps {
 
   private def tsNtz(s: String) = lit(s).cast("timestamp_ntz")
 
-  /** The events table is written with nanosecond timestamps, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). The session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at construction (Bench/
-    * Verify/SparkSuite do) — a session-level reader choice, not a hidden
-    * per-query mutation. `ts` then arrives as raw nanos and converts with
-    * integer division — a double division would lose precision above
-    * 2^53 ns.
+  /** The events table with `ts` normalized to the session TimestampType.
+    * The generator has written two physical shapes across rounds: µs
+    * timestamps (read natively as TIMESTAMP_NTZ) and raw int64 nanos
+    * (readable only under `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * which Bench/Verify/SparkSuite still set — inert for µs files).
+    * Normalize BOTH to TimestampType so every downstream derivation is
+    * schema-agnostic; the sessions pin UTC, so the NTZ→LTZ cast preserves
+    * the wall clock and epoch math matches the DuckDB oracle's naive
+    * reading of the same file. The nanos branch uses integer division —
+    * a double division would lose precision above 2^53 ns.
     */
-  def eventsTable(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
+
+  /** [[eventsTable]] plus integer epoch seconds — `floor(epoch)`, exactly
+    * the oracles' `cast(floor(epoch(ts)) AS bigint)` (a TimestampType→long
+    * cast floor-divides the micros).
+    */
+  def secEvents(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir).withColumn("sec", col("ts").cast("long"))
 
   /** TPC-H Q1-style pricing summary: full scan + hash aggregate. At scale
     * this is a map-side partial agg into a 4-group reduce — no meaningful
@@ -212,11 +229,10 @@ object RelationalOps {
     * exactly. Same one-shuffle-per-user-partition profile as any window.
     */
   def movingHourlyValue(spark: SparkSession, dir: String): DataFrame = {
-    val sec = expr("ts div 1000000000") // raw nanos → epoch seconds
-    val base = table(spark, dir, "events")
+    val base = secEvents(spark, dir)
       .filter(col("user_id") < 50)
       .select(
-        col("user_id"), col("event_id"), sec.as("sec"), Exact.e(col("value"), 2).as("v_e2"))
+        col("user_id"), col("event_id"), col("sec"), Exact.e(col("value"), 2).as("v_e2"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
       .rangeBetween(-3599L, 0L)
     base.select(
@@ -391,8 +407,7 @@ object RelationalOps {
     * session number = running count of session-start flags.
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val raw = secEvents(spark, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
     raw
       .withColumn("prev_sec", lag(col("sec"), 1).over(w))

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.Fixtures.table
-
 /** Temporal join operators over the events stream, composed from built-ins
   * per the preference ladder (no custom plan node needed):
   *
@@ -25,11 +23,10 @@ import graft.sources.Fixtures.table
   */
 object TemporalJoins {
 
-  // session must set spark.sql.legacy.parquet.nanosAsLong=true at
-  // construction (see RelationalOps.eventsTable)
+  // ts normalization (µs TIMESTAMP_NTZ vs legacy int64 nanos) is
+  // centralized in RelationalOps.eventsTable/secEvents
   private def secEvents(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    RelationalOps.secEvents(spark, dir)
 
   /** AS-OF: (purchase, latest prior view) per user; unmatched purchases
     * keep a null view id.

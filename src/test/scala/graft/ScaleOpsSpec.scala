@@ -410,8 +410,7 @@ class ScaleOpsSpec extends SparkSuite {
     import graft.operators.TemporalJoins
     val banded = TemporalJoins.purchaseErrorWithin(spark, sf0001)
       .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
-    val ev = table(spark, sf0001, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val ev = graft.operators.RelationalOps.secEvents(spark, sf0001)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("pid"), col("sec").as("ps"))
     val e = ev.filter(col("event_type") === "error")

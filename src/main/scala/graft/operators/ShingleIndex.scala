@@ -117,6 +117,90 @@ object ShingleIndex {
     */
   def bandsTable(tableName: String): String = s"${tableName}_bands"
 
+  /** Name of the tombstone side table: the deletion log of doc ids
+    * logically removed from the index ([[delete]]). Kept as data, not
+    * applied as a rewrite: at 100 TB the postings of one document are
+    * spread across every bucket (the index is bucketed by shingle, not by
+    * doc), so a physical per-delete rewrite would re-shuffle the whole
+    * table for a handful of ids. Readers instead subtract the log with a
+    * broadcast anti-join (the log is tiny relative to the index —
+    * deletion-vector semantics, same trade as Delta/Iceberg deletes), and
+    * [[vacuum]] folds it into a physical rewrite on the operator's
+    * schedule.
+    */
+  def tombstonesTable(tableName: String): String = s"${tableName}_tombstones"
+
+  /** Logical takedown: append `ids` (a doc_id frame) to the deletion log.
+    * O(|ids|) — no index rewrite, effective for every reader immediately.
+    * The use case is the one a training-data pipeline cannot schedule:
+    * opt-out/right-to-be-forgotten requests and contamination purges must
+    * take effect now, not at the next compaction window.
+    */
+  def delete(spark: SparkSession, tableName: String, ids: DataFrame): Unit = {
+    require(spark.catalog.tableExists(tableName),
+      s"delete before build: table '$tableName' does not exist")
+    val tomb = tombstonesTable(tableName)
+    val rows = ids.select(col("doc_id")).distinct()
+    if (spark.catalog.tableExists(tomb))
+      rows.write.mode("append").format("parquet").saveAsTable(tomb)
+    else
+      rows.write.mode("overwrite")
+        .option("path", s"${tableLocation(spark, tableName)}_tombstones")
+        .format("parquet").saveAsTable(tomb)
+  }
+
+  private def tableLocation(spark: SparkSession, tbl: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .location.toString
+
+  /** `df` minus the deletion log — a broadcast anti-join, so a bucketed
+    * scan keeps its output partitioning and every downstream aggregation
+    * stays exchange-free (broadcast joins preserve the streamed side's
+    * partitioning). Identity when no log exists.
+    */
+  private def minusTombstones(
+      spark: SparkSession, tableName: String, df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(tombstonesTable(tableName)))
+      df.join(
+        broadcast(spark.table(tombstonesTable(tableName)).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    else df
+
+  /** Physically fold the deletion log into the index: rewrite postings,
+    * signatures (and the banded probe table when present) minus the
+    * tombstoned ids at `newPath` — same layout specs as [[compact]], so
+    * downstream plans keep their exchange-free shape — then drop the log.
+    * Crash-safe in the same re-runnable sense as compact: the log is
+    * dropped LAST, so a crash mid-vacuum leaves the anti-join filter in
+    * force (re-running is a no-op rewrite, never a resurrection). Old
+    * files stay at the old path for the caller to delete, like compact.
+    */
+  def vacuum(
+      spark: SparkSession, tableName: String, newPath: String,
+      numBuckets: Int = 32): Unit = {
+    val tomb = tombstonesTable(tableName)
+    if (!spark.catalog.tableExists(tomb)) return
+    val ids = spark.table(tomb).select(col("doc_id"))
+    def purge(df: DataFrame): DataFrame =
+      df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    swapInto(spark,
+      purge(spark.table(tableName))
+        .repartition(numBuckets, pmod(hash(col("s")), lit(numBuckets))),
+      tableName, newPath,
+      _.partitionBy("kind").bucketBy(numBuckets, "s").sortBy("s"))
+    swapInto(spark,
+      purge(spark.table(sigsTable(tableName))).repartition(numBuckets),
+      sigsTable(tableName), s"${newPath}_sigs", identity)
+    if (spark.catalog.tableExists(bandsTable(tableName)))
+      swapInto(spark,
+        purge(spark.table(bandsTable(tableName)))
+          .repartition(numBuckets, pmod(hash(col("bucket")), lit(numBuckets))),
+        bandsTable(tableName), s"${newPath}_bands",
+        _.bucketBy(numBuckets, "bucket").sortBy("bucket"))
+    spark.sql(s"DROP TABLE $tomb")
+  }
+
   /** Write the index as an external bucketed table (see class doc). */
   def build(
       spark: SparkSession, dir: String, path: String, tableName: String,
@@ -567,10 +651,17 @@ object ShingleIndex {
   def shingles(
       spark: SparkSession, tableName: String, includePlanted: Boolean): DataFrame = {
     val sh = spark.table(tableName).filter(col("kind") === ShingleKind)
-    (if (includePlanted) sh
-     else sh.filter(col("doc_id") < Dedup.PartialCopyOffset))
+    minusTombstones(spark, tableName,
+      if (includePlanted) sh
+      else sh.filter(col("doc_id") < Dedup.PartialCopyOffset))
       .select(col("doc_id"), col("s"))
   }
+
+  /** The per-doc MinHash signature relation, deletion log subtracted —
+    * the accessor every signature consumer reads through.
+    */
+  def signatures(spark: SparkSession, tableName: String): DataFrame =
+    minusTombstones(spark, tableName, spark.table(sigsTable(tableName)))
 
   /** The (doc_id, h) segment-hash relation (one row per occurrence). The
     * hash was computed at build, so this is a pure read — and because the

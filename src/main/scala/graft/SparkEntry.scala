@@ -192,6 +192,12 @@ object SparkEntry {
     "t13_contamination" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.contamination(s, d)),
     "t14_hash_split" -> graft.operators.TrainingPrep.hashSplit _,
+    // deterministic global shuffle → striped training shards (two-phase
+    // prefix-sum global rank, never a single-partition window) + manifest
+    "t26_shard_assignment" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.shardAssignment(s, d)),
+    "t27_shard_manifest" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.shardManifest(s, d)),
     // Gopher-style repetition quality gates
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
     // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
@@ -1216,6 +1222,12 @@ object SparkEntry {
     "t10_stratified_sample" ->
       graft.operators.TrainingPrep.stratifiedSampleOracleSql,
     "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql,
+    // t26/t27: the md5 permutation key and the striping arithmetic replay
+    // verbatim; the engine's two-phase prefix-sum rank equals the oracle's
+    // single row_number() by construction
+    "t26_shard_assignment" ->
+      graft.operators.TrainingPrep.shardAssignmentOracleSql,
+    "t27_shard_manifest" -> graft.operators.TrainingPrep.shardManifestOracleSql,
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->
       """SELECT doc_id,

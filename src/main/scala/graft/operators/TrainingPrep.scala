@@ -594,4 +594,113 @@ object TrainingPrep {
        |  WHERE NOT kept) sd
        |  ON sd.vec_id = t.doc_id
        |WHERE fz.b IS NULL AND sd.vec_id IS NULL""".stripMargin
+
+  // ---- deterministic global shuffle → training shards (t26/t27) ---------
+
+  /** Shard count for the graded queries; production would size this to
+    * target shard bytes (e.g. corpus_bytes / 1 GiB).
+    */
+  val NumShards = 16
+
+  /** Documents with their global-shuffle rank, striped shard id and
+    * within-shard position, plus `n_tokens` carried from the same initial
+    * projection (map-side, so [[shardManifest]] never joins back against
+    * the corpus).
+    *
+    * The permutation key is `md5(doc_id || "|t26")` — the same
+    * hash-not-RNG discipline as the t10 sample and t14 split: stable
+    * across partitioning, retries and engines. Global rank over
+    * (key, doc_id) is t11's distributed two-phase prefix sum — range
+    * repartition on the key, per-partition local ranks, then a
+    * numPartitions-row offset table broadcast back — never a
+    * single-partition window. Shards are striped round-robin
+    * (`rank % numShards`): every prefix of the corpus spreads evenly, so
+    * shard sizes differ by at most one document at any scale.
+    */
+  private def shardedDocs(
+      spark: SparkSession, dir: String, numShards: Int): DataFrame = {
+    val keyed = table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("|t26"))).as("skey"),
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens"))
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .sortWithinPartitions(col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))
+    val local = keyed.withColumn("local_rn", row_number().over(localW).cast("long"))
+    // numPartitions rows — the broadcastable offset table (see the t11
+    // comment for why the unpartitioned window is correct and WARN-only)
+    val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pcount"))
+      .withColumn("offset", coalesce(sum(col("pcount")).over(offsetW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("rank0", col("offset") + col("local_rn") - 1)
+      .select(
+        col("doc_id"), col("skey"), col("n_tokens"),
+        (col("rank0") % numShards).cast("int").as("shard"),
+        expr(s"rank0 div $numShards").cast("bigint").as("shard_pos"))
+  }
+
+  /** t26: the final stage of a pretraining pipeline — a deterministic
+    * global shuffle of the corpus into [[NumShards]] striped shards, each
+    * document carrying its shard id and within-shard position. Writing
+    * `partitionBy(shard) sortWithinPartitions(shard_pos)` from this frame
+    * is the shard layout a trainer streams; the assignment itself is a
+    * pure function of doc_id, so it is auditable and incrementally
+    * recomputable at 100 TB.
+    */
+  def shardAssignment(
+      spark: SparkSession, dir: String, numShards: Int = NumShards): DataFrame =
+    shardedDocs(spark, dir, numShards)
+      .select(col("doc_id"), col("skey"), col("shard"), col("shard_pos"))
+
+  def shardAssignmentOracleSql: String =
+    s"""SELECT doc_id, skey,
+       |  cast(rank0 % $NumShards AS int) AS shard,
+       |  cast(rank0 // $NumShards AS bigint) AS shard_pos
+       |FROM (
+       |  SELECT doc_id, skey,
+       |    row_number() OVER (ORDER BY skey, doc_id) - 1 AS rank0
+       |  FROM (
+       |    SELECT doc_id,
+       |      md5(concat(cast(doc_id AS varchar), '|t26')) AS skey
+       |    FROM documents))""".stripMargin
+
+  /** t27: the shard manifest a training launch validates against — per
+    * shard: document count, total whitespace tokens, and the highest
+    * within-shard position (doc_count − 1 by construction; materializing
+    * it makes the invariant checkable downstream). One tiny aggregate
+    * over [[shardedDocs]]; `n_tokens` rode along from the initial scan,
+    * so no join back against the corpus.
+    */
+  def shardManifest(
+      spark: SparkSession, dir: String, numShards: Int = NumShards): DataFrame =
+    shardedDocs(spark, dir, numShards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_tokens")).as("token_sum"),
+        max(col("shard_pos")).as("max_pos"))
+
+  def shardManifestOracleSql: String =
+    s"""SELECT shard,
+       |  cast(count(*) AS bigint) AS doc_count,
+       |  cast(sum(n_tokens) AS bigint) AS token_sum,
+       |  cast(max(shard_pos) AS bigint) AS max_pos
+       |FROM (
+       |  SELECT
+       |    cast(rank0 % $NumShards AS int) AS shard,
+       |    cast(rank0 // $NumShards AS bigint) AS shard_pos,
+       |    n_tokens
+       |  FROM (
+       |    SELECT doc_id, n_tokens,
+       |      row_number() OVER (ORDER BY md5(concat(cast(doc_id AS varchar), '|t26')), doc_id) - 1
+       |        AS rank0
+       |    FROM (
+       |      SELECT doc_id,
+       |        cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
+       |      FROM documents)))
+       |GROUP BY shard""".stripMargin
 }

@@ -54,6 +54,10 @@ object PlanAudit {
     // the t11 offsets window runs over a numPartitions-row side frame
     // (broadcastable by construction — see TrainingPrep.packedChunks)
     ("t11_packed_chunks", "GlobalWindow") -> "window over the per-partition offset table",
+    // t26/t27 reuse t11's two-phase prefix-sum: the only global window is
+    // over the numPartitions-row offset table (TrainingPrep.shardedDocs)
+    ("t26_shard_assignment", "GlobalWindow") -> "window over the per-partition offset table",
+    ("t27_shard_manifest", "GlobalWindow") -> "window over the per-partition offset table",
     // the brand-ranking fixture window runs over the ~25-row distinct
     // p_brand frame (Fixtures.codeLists) — constant-size at any sf
     ("flagship_updates", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",

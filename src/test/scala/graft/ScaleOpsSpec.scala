@@ -923,4 +923,77 @@ class ScaleOpsSpec extends SparkSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("eventsTable normalizes every physical ts shape the generator has produced") {
+    import graft.operators.RelationalOps
+    val base = java.nio.file.Files.createTempDirectory("tsshape")
+    try {
+      // three wall-clock instants, expressed as epoch micros
+      val micros = Seq(1700000000000000L, 1700000001500000L, 1700003599999999L)
+      val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      val src = rows.toDF("event_id", "us")
+      // µs TIMESTAMP_NTZ (the current generator), µs TIMESTAMP_LTZ, and
+      // raw int64 nanos (earlier generations) — all must normalize to the
+      // same session timestamps under the pinned-UTC session
+      src.select(col("event_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+        .write.parquet(s"$base/ntz/events.parquet")
+      src.select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+        .write.parquet(s"$base/ltz/events.parquet")
+      src.select(col("event_id"), (col("us") * 1000L).as("ts"))
+        .write.parquet(s"$base/nanos/events.parquet")
+      val expectedSecs = micros.map(_ / 1000000L).toSet
+      Seq("ntz", "ltz", "nanos").foreach { shape =>
+        val df = RelationalOps.secEvents(spark, s"$base/$shape")
+        assert(df.schema("ts").dataType ===
+          org.apache.spark.sql.types.TimestampType, s"shape $shape")
+        assert(df.select(col("sec")).collect().map(_.getLong(0)).toSet ===
+          expectedSecs, s"shape $shape normalized wrong")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("shard assignment: two-phase global rank equals the single-window reference") {
+    import graft.operators.TrainingPrep
+    val got = TrainingPrep.shardAssignment(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    // the deliberately-unscalable reference: one global window
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("skey"), col("doc_id"))
+    val ref = table(spark, sf0001, "documents")
+      .select(
+        col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("|t26"))).as("skey"))
+      .withColumn("rank0", row_number().over(w).cast("long") - 1)
+      .select(
+        col("doc_id"), col("skey"),
+        (col("rank0") % TrainingPrep.NumShards).cast("int").as("shard"),
+        expr(s"rank0 div ${TrainingPrep.NumShards}").as("shard_pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === ref)
+    // striping balance: shard sizes differ by at most one document
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+  }
+
+  test("shard manifest agrees with the assignment and dense positions") {
+    import graft.operators.TrainingPrep
+    val manifest = TrainingPrep.shardManifest(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.length === TrainingPrep.NumShards)
+    // positions are dense 0..doc_count-1 within every shard
+    manifest.foreach { case (shard, docCount, _, maxPos) =>
+      assert(maxPos === docCount - 1, s"shard $shard positions not dense")
+    }
+    // token totals reconcile with the corpus total
+    val totalTokens = table(spark, sf0001, "documents")
+      .select(sum(graft.operators.TextAnalysis.nTokensCol(col("text"))))
+      .collect()(0).getLong(0)
+    assert(manifest.map(_._3).sum === totalTokens)
+    assert(manifest.map(_._2).sum ===
+      table(spark, sf0001, "documents").count())
+  }
 }

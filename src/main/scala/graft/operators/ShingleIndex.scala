@@ -527,7 +527,7 @@ object ShingleIndex {
     * — the backfill [[dedupIngestStream]] runs once at start; afterwards
     * [[append]] maintains it on every ingest flavor.
     */
-  private def ensureBandsTable(
+  private[graft] def ensureBandsTable(
       spark: SparkSession, tableName: String, numBuckets: Int = 32): Unit =
     if (!spark.catalog.tableExists(bandsTable(tableName)))
       Dedup.bandBuckets(spark.table(sigsTable(tableName)))

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
+
+/** The ONLINE training-selection gate — the streaming composition of the
+  * signals a pretraining pipeline runs per document, judged AT ARRIVAL
+  * against the full accumulated history instead of in a cold batch pass:
+  *
+  *   - token-count bounds and heuristic quality (map-only text expressions,
+  *     no state — [[TextAnalysis.nTokensCol]]/[[TextAnalysis.qualityE4Col]],
+  *     the same columns the batch t20/t23 gates project);
+  *   - fuzzy (MinHash+LSH) survivorship against every document indexed so
+  *     far, via the persisted shingle index
+  *     ([[ShingleIndex.dedupIngestBatch]] — exact duplicates are the
+  *     jaccard-1.0 special case, so this leg subsumes the batch gate's
+  *     exact-dedup survivorship for any doc long enough to shingle);
+  *   - semantic (SemDeDup) survivorship against every vector indexed so
+  *     far, via the persisted IVF index ([[VectorIndex.dedupIngestBatch]]).
+  *
+  * The composed verdict for batch N lands under
+  * `outPath/decisions/batch_id=N` as (doc_id, n_tokens, quality_e4,
+  * pass_quality, pass_tokens, fuzzy_keep, sem_keep, kept) — kept iff all
+  * four pass. Both leg stores ingest EVERY document (kept and rejected):
+  * the lower-id drop rules judge against all prior arrivals, and a
+  * kept-only store would silently weaken later verdicts (see the leg
+  * scaladocs). A quality-rejected doc likewise still enters both indexes —
+  * the batch gates compute their survivorship signals over the FULL
+  * corpus, and prefix-equivalence (below) needs the same rule online.
+  *
+  * Equivalence: with monotone doc_id arrival, the accumulated decisions
+  * equal the batch composition quality ∧ tokens ∧ d4-fuzzy-survivor ∧
+  * v13-semantic-survivor over the final corpus — every leg is a
+  * lower-id-wins rule, so judging at arrival and judging cold agree
+  * (`StreamingSpec` pins it). The segment-dup-FRACTION leg of the batch
+  * t23 gate is deliberately absent: it is not a lower-id rule (a doc's
+  * fraction can rise after arrival as later duplicates land), so an
+  * at-arrival verdict for it would not be prefix-consistent; a pipeline
+  * wanting it runs the batch d10 pass over the accumulated index
+  * ([[ShingleIndex.duplicatedSegments]]) at cut time.
+  *
+  * Scale shape per batch: the text legs are map-only over the micro-batch;
+  * the fuzzy leg probes the bucketed banded table with literal pushdown;
+  * the semantic leg reads only the touched `centroid=` directories — the
+  * judged frames are micro-batch-sized, the stores are never scanned in
+  * full, and nothing here shuffles the accumulated corpus.
+  *
+  * Crash safety composes from the legs: each leg keeps its own
+  * per-checkpoint marker namespace (done → skip, started → purge + redo),
+  * leg decisions are idempotent per-batch directory overwrites, and the
+  * composite write below re-derives from the leg outputs — so any crash
+  * point replays to the same decisions.
+  */
+object OnlineGate {
+
+  /** Start the gate over a stream whose schema is `(doc_id, text)` ++ the
+    * vector store's columns minus `vec_id`/`centroid` (for an index built
+    * from the graded `embeddings` table: `embedding`, `label`) — the
+    * non-text columns ride to the vector leg with `doc_id` as `vec_id`.
+    *
+    * `shingleTable` must be an ingest-built (unplanted) shingle index and
+    * `vecPath` a trained ([[VectorIndex.trainOnly]] or built) IVF index —
+    * same preconditions as the legs.
+    */
+  def gateStream(
+      docs: DataFrame, shingleTable: String, markerRoot: String,
+      vecPath: String, checkpoint: String, outPath: String,
+      minQualityE4: Long = TrainingPrep.MinQualityE4,
+      minTokens: Long = TrainingPrep.MinTokens,
+      maxTokens: Long = TrainingPrep.MaxTokens,
+      fuzzyThreshold: Double = Dedup.DefaultThreshold,
+      semThreshold: Double = IvfAnn.SemDedupThreshold): StreamingQuery = {
+    val owner = docs.sparkSession
+    ShingleIndex.ensureBandsTable(owner, shingleTable)
+    // stored geometry is immutable between rebuilds: load once at start
+    val centsFx = VectorIndex.centroidsFx(owner, vecPath)
+    require(centsFx.nonEmpty, s"gateStream before train/build: no centroids at $vecPath")
+    val shNs = ShingleIndex.markerNamespace(owner, markerRoot, checkpoint)
+    val vecNs = VectorIndex.markerNamespace(owner, vecPath, checkpoint)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        // consumed by three legs + the composite join — materialize once,
+        // micro-batch-sized
+        val b = batch.toDF().localCheckpoint()
+        ShingleIndex.dedupIngestBatch(
+          spark, b.select(col("doc_id"), col("text")), shingleTable,
+          shNs, id, s"$outPath/fuzzy", fuzzyThreshold)
+        VectorIndex.dedupIngestBatch(
+          spark, b.drop("text").withColumnRenamed("doc_id", "vec_id"),
+          vecPath, id, vecNs, centsFx, semThreshold)
+        val fuzzy = spark.read.parquet(s"$outPath/fuzzy/batch_id=$id")
+          .select(col("doc_id"), col("kept").as("fuzzy_keep"))
+        val sem = spark.read.parquet(s"$vecPath/decisions/batch_id=$id")
+          .select(col("vec_id").as("doc_id"), col("kept").as("sem_keep"))
+        b.select(
+            col("doc_id"),
+            TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+            TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
+          .join(fuzzy, "doc_id")
+          .join(sem, "doc_id")
+          .select(
+            col("doc_id"), col("n_tokens"), col("quality_e4"),
+            (col("quality_e4") >= minQualityE4).as("pass_quality"),
+            col("n_tokens").between(minTokens, maxTokens).as("pass_tokens"),
+            col("fuzzy_keep"), col("sem_keep"))
+          .withColumn("kept",
+            col("pass_quality") && col("pass_tokens") &&
+              col("fuzzy_keep") && col("sem_keep"))
+          .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
+        owner.catalog.refreshTable(shingleTable)
+        owner.catalog.refreshTable(ShingleIndex.sigsTable(shingleTable))
+        owner.catalog.refreshTable(ShingleIndex.bandsTable(shingleTable))
+        owner.catalog.refreshByPath(s"$vecPath/lists")
+      }
+      .start()
+  }
+
+  /** Accumulated composite verdicts: one row per ingested document. */
+  def decisions(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/decisions")
+}

@@ -1066,4 +1066,103 @@ class StreamingSpec extends SparkSuite {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("online training gate composes text, fuzzy and semantic legs prefix-consistently") {
+    import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("onlinegate")
+    val tbl = "gate_stream_idx"
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val joined = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("label")), "doc_id")
+      // full clones at high ids: identical text AND identical embedding, so
+      // BOTH dedup legs must drop every one of them (jaccard 1, cosine 1)
+      val clones = joined.filter(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+      val all = joined.unionByName(clones)
+      ShingleIndex.buildFor(spark,
+        docs.limit(0).select(col("doc_id"), col("text")), s"$base/sh", tbl)
+      VectorIndex.trainOnly(spark, sf0001, s"$base/ivf")
+      // monotone doc_id order across batches — the prefix-consistency
+      // precondition both legs document
+      val rows = all.orderBy("doc_id").as[(Long, String, Seq[Float], Int)].collect()
+      val mem = MemoryStream[(Long, String, Seq[Float], Int)]
+      val q = OnlineGate.gateStream(
+        mem.toDF().toDF("doc_id", "text", "embedding", "label"),
+        tbl, s"$base/markers", s"$base/ivf", s"$base/ckpt", s"$base/out")
+      try {
+        rows.grouped((rows.length + 2) / 3).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val dec = OnlineGate.decisions(spark, s"$base/out").localCheckpoint()
+      assert(dec.count() === rows.length.toLong)
+
+      // 1. wiring: every composite row reconciles with an independent
+      //    batch recomputation of the text gates and the leg stores
+      val textRef = all.select(col("doc_id"),
+          TextAnalysis.nTokensCol(col("text")).as("nt"),
+          TextAnalysis.qualityE4Col(col("text")).as("q4"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val fuzzyKeep = spark.read.parquet(s"$base/out/fuzzy")
+        .select(col("doc_id"), col("kept")).as[(Long, Boolean)].collect().toMap
+      val semKeep = spark.read.parquet(s"$base/ivf/decisions")
+        .select(col("vec_id"), col("kept")).as[(Long, Boolean)].collect().toMap
+      dec.collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val (nt, q4) = textRef(id)
+        assert(r.getAs[Long]("n_tokens") === nt)
+        assert(r.getAs[Long]("quality_e4") === q4)
+        assert(r.getAs[Boolean]("pass_quality") === (q4 >= TrainingPrep.MinQualityE4))
+        assert(r.getAs[Boolean]("pass_tokens") ===
+          (nt >= TrainingPrep.MinTokens && nt <= TrainingPrep.MaxTokens))
+        assert(r.getAs[Boolean]("fuzzy_keep") === fuzzyKeep(id))
+        assert(r.getAs[Boolean]("sem_keep") === semKeep(id))
+        assert(r.getAs[Boolean]("kept") ===
+          (r.getAs[Boolean]("pass_quality") && r.getAs[Boolean]("pass_tokens") &&
+            fuzzyKeep(id) && semKeep(id)))
+      }
+
+      // 2. the fuzzy leg equals the cold d4 drop set over the union corpus
+      val unionDir = s"$base/union"
+      all.select(col("doc_id"), col("text")).write.parquet(s"$unionDir/documents.parquet")
+      val coldFuzzyDrops = Dedup.minhashLshPairs(spark, unionDir)
+        .select(col("b")).distinct().as[Long].collect().toSet
+      assert(fuzzyKeep.filter(!_._2).keySet === coldFuzzyDrops,
+        "composed fuzzy leg diverged from cold d4")
+
+      // 3. the semantic leg equals the cold lower-id rule under the
+      //    STORED geometry (the same predicate dedupIngestBatch applies,
+      //    computed here in one cold self-join)
+      val centsFx = VectorIndex.centroidsFx(spark, s"$base/ivf")
+      val assigned = all.select(col("doc_id").as("vec_id"), col("embedding"))
+        .withColumn("centroid", IvfAnn.nearestCentroid(centsFx))
+      val cos = graft.functions.VectorFunctions.cosFxF(col("x.embedding"), col("y.embedding"))
+      val coldSemDrops = assigned.as("y")
+        .join(assigned.as("x"),
+          col("x.centroid") === col("y.centroid") && col("x.vec_id") < col("y.vec_id"))
+        .filter(graft.operators.Exact.e(cos, 6) >= lit(math.round(IvfAnn.SemDedupThreshold * 1e6)))
+        .select(col("y.vec_id")).distinct().as[Long].collect().toSet
+      assert(semKeep.filter(!_._2).keySet === coldSemDrops,
+        "composed semantic leg diverged from the cold lower-id rule")
+
+      // 4. non-vacuity: all clones dropped by both legs; the gate still
+      //    keeps documents; and the text gates reject some on their own
+      val cloneIds = (0L until 8L).map(_ + 3000000L).toSet
+      assert(cloneIds.forall(id => !fuzzyKeep(id) && !semKeep(id)),
+        "a full clone survived a dedup leg")
+      assert(dec.filter(col("kept")).count() > 0, "gate kept nothing")
+      assert(dec.filter(!col("pass_quality") || !col("pass_tokens")).count() > 0,
+        "text gates rejected nothing — composition untested")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

@@ -32,10 +32,12 @@ import graft.sources.Fixtures.table
   * amplifies the exposure); integer distances cannot straddle at any sf.
   *
   * Bench note: at sf ≤ 0.1 the wall time of the PQ queries is dominated
-  * by whole-stage-codegen COMPILATION of the M·Ks-literal expression
-  * trees (a fixed per-query cost), not by data — the per-row work is 128
-  * 8-float dot products at encode and M lookups at query, which is the
-  * part that scales.
+  * by fixed per-query costs (codegen compilation of the encode tree,
+  * plan setup), not by data — the per-row work is 128 8-float dot
+  * products at encode and M lookups at query, which is the part that
+  * scales. The query-side M×Ks distance table is computed driver-side
+  * over the bounded query sample and shipped as literals
+  * ([[queryDtq]]), halving the compiled expression surface.
   */
 object PqAnn {
 
@@ -115,8 +117,44 @@ object PqAnn {
           (0 until M).map(m => col("codes")(m).as(s"c$m")): _*)
   }
 
+  /** The per-query ADC distance tables, computed driver-side over the
+    * bounded query sample ([[NumQueries]] rows — the same probe-bundle
+    * discipline as the IVF path) and shipped as literal rows. The
+    * arithmetic is exactly [[fxDist]]'s (one fx quantization per element,
+    * integer squared-diff sum), but the M·Ks `FxL2To` expression trees
+    * the previous formulation carried are gone: they were evaluated over
+    * only [[NumQueries]] rows yet their whole-stage-codegen COMPILATION
+    * was a fixed per-query cost dominating the PQ queries' wall time at
+    * toy scale, and the table is a per-query constant that never needed
+    * executor-side recomputation at any scale.
+    */
+  private def queryDtq(
+      spark: SparkSession, dir: String,
+      cbsFx: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    val qs = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    qs.toSeq.map { case (qid, e) =>
+      val dt = Seq.tabulate(M) { m =>
+        cbsFx(m).toSeq.map { c =>
+          var s = 0L
+          var i = 0
+          while (i < SubDim) {
+            val d = graft.functions.FloatVecUtil.fx(e(m * SubDim + i)) - c(i)
+            s += d * d
+            i += 1
+          }
+          s
+        }
+      }
+      (qid, dt)
+    }.toDF("qid", "dt")
+  }
+
   /** ADC top-k: each query row carries its M×Ks distance table as a
-    * nested array literal-expression; candidates pay M lookups
+    * driver-computed literal ([[queryDtq]]); candidates pay M lookups
     * (`zip_with` + `aggregate`), ranked by the bounded-heap aggregator.
     */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -124,10 +162,8 @@ object PqAnn {
     val cbsFx = fxQuantize(codebooksFor(spark, dir))
     val emb = table(spark, dir, "embeddings")
     val coded = emb.select(col("vec_id"), codesCol(cbsFx, "embedding").as("codes"))
-    val dtable = array((0 until M).map(m =>
-      array(cbsFx(m).map(c => fxDist(m, c, "embedding")).toSeq: _*)): _*)
-    val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), dtable.as("dt"))
+    val queries = queryDtq(spark, dir, cbsFx)
+      .select(col("qid"), col("dt"))
     val adc = expr(
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
     coded.crossJoin(broadcast(queries))
@@ -155,10 +191,9 @@ object PqAnn {
     val cbsFx = fxQuantize(codebooksFor(spark, dir))
     val coded = IvfAnn.assignedCorpus(spark, dir)
       .select(col("vec_id"), col("centroid"), codesCol(cbsFx, "embedding").as("codes"))
-    val dtable = array((0 until M).map(m =>
-      array(cbsFx(m).map(c => fxDist(m, c, "qe")).toSeq: _*)): _*)
     val probes = IvfAnn.probeRows(spark, dir, IvfAnn.NProbe)
-      .select(col("qid"), col("centroid"), dtable.as("dt"))
+      .select(col("qid"), col("centroid"))
+      .join(queryDtq(spark, dir, cbsFx), "qid")
     val adc = expr(
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
     coded.join(broadcast(probes), "centroid")

@@ -198,6 +198,10 @@ object SparkEntry {
       graft.operators.TrainingPrep.shardAssignment(s, d)),
     "t27_shard_manifest" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.shardManifest(s, d)),
+    // hash-bucketed STABLE shards: adding documents never moves existing
+    // ones (the incremental-refresh trade-off against t26's exact balance)
+    "t28_stable_shards" ->
+      graft.operators.TrainingPrep.stableShardAssignment _,
     // Gopher-style repetition quality gates
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
     // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
@@ -1228,6 +1232,8 @@ object SparkEntry {
     "t26_shard_assignment" ->
       graft.operators.TrainingPrep.shardAssignmentOracleSql,
     "t27_shard_manifest" -> graft.operators.TrainingPrep.shardManifestOracleSql,
+    "t28_stable_shards" ->
+      graft.operators.TrainingPrep.stableShardAssignmentOracleSql,
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->
       """SELECT doc_id,

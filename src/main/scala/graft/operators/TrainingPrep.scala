@@ -684,6 +684,41 @@ object TrainingPrep {
         sum(col("n_tokens")).as("token_sum"),
         max(col("shard_pos")).as("max_pos"))
 
+  /** t28: STABLE shard assignment — the incremental counterpart of
+    * [[shardAssignment]]. t26's rank-striping is exactly balanced but a
+    * single added document shifts every later rank (a corpus refresh
+    * reshuffles everything); here the shard is the first hex digit of the
+    * same md5 permutation key, so an existing document's shard NEVER
+    * changes as the corpus grows — the property an incrementally-refreshed
+    * 100 TB corpus needs — at the cost of statistical (multinomial) rather
+    * than exact balance. Within-shard position is the hash-order rank
+    * inside the shard: a window partitioned by shard, which at any scale
+    * is 16-way partition-parallel work, not a global sort; it shifts only
+    * within the shards that actually received new documents.
+    */
+  def stableShardAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val skey = md5(concat(col("doc_id").cast("string"), lit("|t26")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"), skey.as("skey"),
+        (instr(lit("0123456789abcdef"), substring(skey, 1, 1)) - 1)
+          .cast("int").as("shard"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("bigint"))
+  }
+
+  def stableShardAssignmentOracleSql: String =
+    s"""SELECT doc_id, skey, cast(shard AS int) AS shard,
+       |  cast(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+       |    AS bigint) AS shard_pos
+       |FROM (
+       |  SELECT doc_id, skey,
+       |    strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS shard
+       |  FROM (
+       |    SELECT doc_id,
+       |      md5(concat(cast(doc_id AS varchar), '|t26')) AS skey
+       |    FROM documents))""".stripMargin
+
   def shardManifestOracleSql: String =
     s"""SELECT shard,
        |  cast(count(*) AS bigint) AS doc_count,

@@ -979,6 +979,37 @@ class ScaleOpsSpec extends SparkSuite {
     assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
   }
 
+  test("stable shards never move under corpus growth; positions dense per shard") {
+    import graft.operators.TrainingPrep
+    val base = java.nio.file.Files.createTempDirectory("stableshard")
+    try {
+      val full = TrainingPrep.stableShardAssignment(spark, sf0001)
+        .collect().map(r => (r.getLong(0), (r.getInt(2), r.getLong(3)))).toMap
+      // shard = first hex digit of the key (spot-check the mapping)
+      TrainingPrep.stableShardAssignment(spark, sf0001).collect().foreach { r =>
+        assert(r.getInt(2) === Integer.parseInt(r.getString(1).substring(0, 1), 16))
+      }
+      // a PREFIX corpus (half the docs): every common doc keeps its shard —
+      // the stability t26's rank-striping cannot offer
+      table(spark, sf0001, "documents").filter(col("doc_id") % 2 === 0)
+        .write.parquet(s"$base/half/documents.parquet")
+      val half = TrainingPrep.stableShardAssignment(spark, s"$base/half")
+        .collect().map(r => (r.getLong(0), (r.getInt(2), r.getLong(3)))).toMap
+      half.foreach { case (id, (shard, _)) =>
+        assert(full(id)._1 === shard, s"doc $id changed shard under growth")
+      }
+      // positions are dense 0..n-1 within every shard of the full corpus
+      full.values.groupBy(_._1).foreach { case (shard, rows) =>
+        val ps = rows.map(_._2).toSeq.sorted
+        assert(ps === (0L until ps.length.toLong), s"shard $shard positions not dense")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("shard manifest agrees with the assignment and dense positions") {
     import graft.operators.TrainingPrep
     val manifest = TrainingPrep.shardManifest(spark, sf0001)

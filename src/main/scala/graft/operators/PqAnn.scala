@@ -168,15 +168,7 @@ object PqAnn {
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
     coded.crossJoin(broadcast(queries))
       .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_fx"),
-        (col("pos") + 1).cast("int").as("rn"))
+      .transform(Similarity.rankTopK(_, TopK, "vec_id", "adc_fx"))
   }
 
   /** IVF+PQ composed top-k — the production pairing: IVF probe lists cut
@@ -198,15 +190,7 @@ object PqAnn {
       "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
     coded.join(broadcast(probes), "centroid")
       .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(TopK).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"), col("col._2").as("vec_id"), col("col._3").as("adc_fx"),
-        (col("pos") + 1).cast("int").as("rn"))
+      .transform(Similarity.rankTopK(_, TopK, "vec_id", "adc_fx"))
   }
 
   /** v14: recall@k of both ADC ranking paths ([[pqTopK]] flat,

@@ -45,23 +45,23 @@ object Similarity {
   // c4 display key) through the typed heap — whole-stage CSE evaluates the
   // shared cosine kernel once, so the delta is the wider heap payload and
   // sits within bench position-noise at suite scale.
-  /** Rank `(qid, s6-sort-key, id, display)` rows to per-query top-k via
-    * the bounded-heap aggregator (score desc, id asc) — the shared tail
-    * of every brute-force ranking (v2, the multimodal m5).
+  /** Rank `(qid, s6-sort-key, id, display)` rows to per-query top-k
+    * (score desc, id asc) — the shared tail of every vector ranking (v2,
+    * LSH/IVF/PQ top-k, the multimodal m5). Routed through the
+    * [[graft.plans.TopKPerKey]] whole-operator plan: map-side bounded
+    * heaps, exchange carries at most k rows per key per partition, and —
+    * unlike the typed `groupByKey`+Aggregator formulation it replaces —
+    * no per-row object serialization boundary (every candidate row used
+    * to leave whole-stage codegen to be re-encoded as a Scala tuple just
+    * to enter the heap).
     */
   private[operators] def rankTopK(
       scored: DataFrame, k: Int, idName: String, scoreName: String): DataFrame = {
-    import scored.sparkSession.implicits._
-    scored
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKPayloadAgg(k).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")))
+    val Array(qidC, sC, idC, pC) = scored.columns
+    graft.plans.TopKPerKey(
+        scored, Seq(col(qidC)), Seq(col(sC).desc, col(idC).asc), k)
       .select(
-        col("qid"), col("col._2").as(idName), col("col._3").as(scoreName),
-        (col("pos") + 1).cast("int").as("rn"))
+        col(qidC).as("qid"), col(idC).as(idName), col(pC).as(scoreName), col("rn"))
   }
 
   /** The fixed-point corpus CTE fragment shared by the cosine oracles:

@@ -23,8 +23,10 @@ import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep,
   *
   * The composed verdict for batch N lands under
   * `outPath/decisions/batch_id=N` as (doc_id, n_tokens, quality_e4,
-  * pass_quality, pass_tokens, fuzzy_keep, sem_keep, kept) — kept iff all
-  * four pass. Both leg stores ingest EVERY document (kept and rejected):
+  * pass_quality, pass_tokens, fuzzy_keep, sem_keep, kept, shard) — kept
+  * iff all four pass, with the t28 STABLE shard riding along so a kept
+  * document's placement is final at arrival (rank-striped t26 shards
+  * cannot be assigned online: every later arrival would shift them). Both leg stores ingest EVERY document (kept and rejected):
   * the lower-id drop rules judge against all prior arrivals, and a
   * kept-only store would silently weaken later verdicts (see the leg
   * scaladocs). A quality-rejected doc likewise still enters both indexes —
@@ -111,6 +113,15 @@ object OnlineGate {
           .withColumn("kept",
             col("pass_quality") && col("pass_tokens") &&
               col("fuzzy_keep") && col("sem_keep"))
+          // placement rides along: the STABLE shard rule (t28 — first hex
+          // digit of the md5 permutation key) is a pure function of
+          // doc_id, so unlike rank-striping it is computable at arrival
+          // and never moves as the corpus grows — a kept doc's shard is
+          // final the moment it is judged
+          .withColumn("shard",
+            (instr(lit("0123456789abcdef"),
+              substring(md5(concat(col("doc_id").cast("string"), lit("|t26"))), 1, 1)) - 1)
+              .cast("int"))
           .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
         owner.catalog.refreshTable(shingleTable)
         owner.catalog.refreshTable(ShingleIndex.sigsTable(shingleTable))

@@ -1149,6 +1149,15 @@ class StreamingSpec extends SparkSuite {
       assert(semKeep.filter(!_._2).keySet === coldSemDrops,
         "composed semantic leg diverged from the cold lower-id rule")
 
+      // 3b. placement: every verdict carries the t28 stable shard — the
+      //     first hex digit of the md5 permutation key
+      dec.collect().foreach { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${r.getAs[Long]("doc_id")}|t26".getBytes("UTF-8"))
+        val firstHex = "%02x".format(md(0)).charAt(0)
+        assert(r.getAs[Int]("shard") === Integer.parseInt(firstHex.toString, 16))
+      }
+
       // 4. non-vacuity: all clones dropped by both legs; the gate still
       //    keeps documents; and the text gates reject some on their own
       val cloneIds = (0L until 8L).map(_ + 3000000L).toSet

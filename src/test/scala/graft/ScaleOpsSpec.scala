@@ -977,6 +977,14 @@ class ScaleOpsSpec extends SparkSuite {
     // striping balance: shard sizes differ by at most one document
     val sizes = got.groupBy(_._3).view.mapValues(_.size).values.toSeq
     assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // the offsets leg shares the ranks leg's range exchange at execution:
+    // the corpus is shuffled (and scanned) once, not once per leg
+    val executed = TrainingPrep.shardAssignment(spark, sf0001)
+    executed.collect()
+    val finalPlan = executed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"offsets leg re-derives the range exchange:\n$finalPlan")
   }
 
   test("stable shards never move under corpus growth; positions dense per shard") {

@@ -39,15 +39,17 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(scanText.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]"))
   }
 
-  test("ann top-k queries use the bounded-heap aggregate, not a global window sort") {
+  test("ann top-k queries use the TopKPerKey plan pair, not a global window sort") {
     // the window formulation funnels corpus×queries onto NumQueries reducer
-    // partitions and sorts each fully — the bounded-heap Aggregator ships k
-    // rows per query per partition instead (map-side partial aggregation)
+    // partitions and sorts each fully — the TopKPerKey whole-operator plan
+    // keeps bounded k-row heaps map side (PartialTopKPerKey before the
+    // exchange, FinalTopKPerKey after), with no typed-Aggregator object
+    // boundary anywhere in the ranking tail
     for (q <- Seq("v2_brute_force_topk", "v4_lsh_ann_topk", "v7_ivf_topk")) {
       val text = executed(SparkEntry.queries(q)(spark, sf0001)).toString
       assert(!text.contains("Window"), s"$q still uses a window:\n$text")
-      assert(text.contains("ObjectHashAggregate") || text.contains("SortAggregate"),
-        s"$q missing the aggregator path:\n$text")
+      assert(text.contains("PartialTopKPerKey") && text.contains("FinalTopKPerKey"),
+        s"$q missing the two-phase TopKPerKey path:\n$text")
     }
   }
 

@@ -17,11 +17,12 @@ import graft.sources.Fixtures.table
   *     pattern; queries probe only their bucket. Candidate set shrinks
   *     ~2^planes-fold; recall tunable by probing neighboring buckets.
   *
-  * Top-k everywhere uses the bounded-heap [[graft.functions.TopKPayloadAgg]]
-  * — map-side partial aggregation ships k rows per query per partition. The
-  * window formulation (`row_number().over(partitionBy(qid))`) would funnel
-  * the whole corpus×queries product onto NumQueries reducer partitions and
-  * fully sort each; at 100 TB that single exchange is the job.
+  * Top-k everywhere uses the [[graft.plans.TopKPerKey]] whole-operator
+  * plan — map-side bounded heaps ship k rows per query per partition,
+  * with no typed-encoder boundary. The window formulation
+  * (`row_number().over(partitionBy(qid))`) would funnel the whole
+  * corpus×queries product onto NumQueries reducer partitions and fully
+  * sort each; at 100 TB that single exchange is the job.
   *
   * Rank-key discipline: every cosine that feeds a rank or threshold runs
   * on 2^20 fixed-point elements — integer dot/norm² sums are

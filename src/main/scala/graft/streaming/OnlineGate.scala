@@ -134,4 +134,28 @@ object OnlineGate {
   /** Accumulated composite verdicts: one row per ingested document. */
   def decisions(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(s"$outPath/decisions")
+
+  /** Cut-time selection — the batch pass a pipeline runs when it freezes
+    * a training snapshot: the accumulated online verdicts, further gated
+    * by the duplicated-segment FRACTION computed over the full ingested
+    * corpus. That signal is deliberately absent from the per-arrival
+    * verdicts (it is not a lower-id rule: a doc's fraction rises as later
+    * duplicates land, so no at-arrival verdict for it could be
+    * prefix-consistent) — here it reads the index's compact segment side
+    * ([[ShingleIndex.segments]] — the same exchange-free bucketed pass
+    * t23i uses), never re-shingling a byte of text. Docs shorter than one
+    * segment carry no signal and pass (0), matching the batch gates.
+    */
+  def cutTimeSelection(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {
+    val dup = Dedup.segmentDupStats(ShingleIndex.segments(spark, shingleTable))
+      .select(col("doc_id"), col("dup_frac_e4"))
+    decisions(spark, outPath).filter(col("kept"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("shard"),
+        coalesce(col("dup_frac_e4"), lit(0L)).as("dup_frac_e4"))
+      .filter(col("dup_frac_e4") <= maxDupFracE4)
+  }
 }

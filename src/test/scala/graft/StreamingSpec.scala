@@ -1166,6 +1166,23 @@ class StreamingSpec extends SparkSuite {
       assert(dec.filter(col("kept")).count() > 0, "gate kept nothing")
       assert(dec.filter(!col("pass_quality") || !col("pass_tokens")).count() > 0,
         "text gates rejected nothing — composition untested")
+
+      // 5. cut-time selection: the online kept set further gated by the
+      //    segment-dup fraction over the FULL ingested corpus (read from
+      //    the index) equals the inline d10 recomputation over the union
+      val cut = OnlineGate.cutTimeSelection(spark, tbl, s"$base/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val inlineDup = Dedup.duplicatedSegments(spark, unionDir)
+        .select(col("doc_id"), col("dup_frac_e4"))
+        .as[(Long, Long)].collect().toMap
+      val keptOnline = dec.filter(col("kept")).select(col("doc_id"))
+        .as[Long].collect().toSet
+      val expectedCut = keptOnline.filter(id =>
+        inlineDup.getOrElse(id, 0L) <= TrainingPrep.MaxDupFracE4)
+      assert(cut === expectedCut, "cut-time selection diverged from inline d10 gating")
+      // the full clones make their ORIGINALS fully-duplicated, so the
+      // cut-time gate must drop something the online pass kept
+      assert(cut !== keptOnline, "segment gate dropped nothing at cut — vacuous")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")

@@ -103,6 +103,29 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("property: shard rules match a pure-JVM md5 reference on arbitrary doc ids") {
+    import graft.operators.TrainingPrep
+    val ids = samples(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 60).distinct
+    val df = ids.toDF("doc_id")
+      .withColumn("text", lit("a b c"))
+      // the engine-side expressions, evaluated outside any corpus context
+    val skey = md5(concat(col("doc_id").cast("string"), lit("|t26")))
+    val got = df.select(
+        col("doc_id"),
+        skey.as("skey"),
+        (instr(lit("0123456789abcdef"), substring(skey, 1, 1)) - 1).cast("int").as("shard"))
+      .as[(Long, String, Int)].collect()
+    got.foreach { case (id, hex, shard) =>
+      val ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|t26".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(hex === ref, s"md5 mismatch for $id")
+      assert(shard === Integer.parseInt(ref.substring(0, 1), 16),
+        s"stable shard rule diverged for $id")
+      assert(shard >= 0 && shard < 16)
+    }
+  }
+
   test("property: dot product is symmetric and matches scala fold") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
     val cases = samples(Gen.zip(vecGen, vecGen), 25)

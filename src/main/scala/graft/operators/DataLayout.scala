@@ -149,6 +149,27 @@ object DataLayout {
     * the hard per-file bound and the coalesce target only steers the
     * file count near rows/target.
     */
+  /** Materialize the training-shard layout a trainer streams: one
+    * `shard=` directory per shard, each holding ONE file whose rows are
+    * ordered by `shard_pos` — so a per-shard reader is a single
+    * sequential scan with no sort and no cross-shard read amplification.
+    * `assignment` is a [[TrainingPrep.shardAssignment]] /
+    * [[TrainingPrep.stableShardAssignment]]-shaped frame joined with
+    * whatever payload columns the trainer needs; the repartition on
+    * `shard` puts each shard in exactly one task (shard count is chosen
+    * to make shard ≫ task overhead at any scale — see
+    * [[TrainingPrep.NumShards]]), and the within-partition sort plus
+    * parquet's record ordering preserve `shard_pos` order inside the
+    * file.
+    */
+  def writeShards(assignment: DataFrame, path: String): Unit =
+    assignment
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+
   def compact(
       spark: SparkSession, inPath: String, outPath: String,
       targetRecordsPerFile: Long): Unit = {

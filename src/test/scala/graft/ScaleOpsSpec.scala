@@ -1018,6 +1018,34 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("writeShards materializes one ordered file per shard directory") {
+    import graft.operators.{DataLayout, TrainingPrep}
+    val base = java.nio.file.Files.createTempDirectory("shardlayout")
+    try {
+      val assignment = TrainingPrep.shardAssignment(spark, sf0001)
+      DataLayout.writeShards(assignment, s"$base/shards")
+      val dirs = new java.io.File(s"$base/shards").listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(dirs.length === TrainingPrep.NumShards)
+      val total = dirs.map { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"${d.getName}: expected one file, got ${files.length}")
+        // a tiny single file reads as one partition, so collect order is
+        // file order — it must be shard_pos order, already dense 0..n-1
+        val pos = spark.read.parquet(files(0).getAbsolutePath)
+          .select(col("shard_pos")).collect().map(_.getLong(0)).toSeq
+        assert(pos === (0L until pos.length.toLong),
+          s"${d.getName}: rows not in shard_pos order")
+        pos.length
+      }.sum
+      assert(total === assignment.count().toInt)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("shard manifest agrees with the assignment and dense positions") {
     import graft.operators.TrainingPrep
     val manifest = TrainingPrep.shardManifest(spark, sf0001)

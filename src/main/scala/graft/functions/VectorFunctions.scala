@@ -74,6 +74,23 @@ object FloatVecUtil {
     }
   }
 
+  /** PQ asymmetric-distance sum: `dt` is the query's M×Ks distance table
+    * (array of arrays), `codes` the candidate's M subspace codes — the
+    * result is Σ_m dt[m][codes[m]]. M table lookups, no float math, no
+    * allocation; the hot inner loop of every PQ candidate scan.
+    */
+  def adcSum(dt: ArrayData, codes: ArrayData): Long = {
+    val m = codes.numElements()
+    // a code addressing a missing table row/entry is always a caller bug
+    // (codebook/corpus mismatch) — fail loud, never a truncated distance
+    require(dt.numElements() == m,
+      s"adcSum: subspace mismatch (${dt.numElements()} vs $m)")
+    var s = 0L
+    var i = 0
+    while (i < m) { s += dt.getArray(i).getLong(codes.getInt(i)); i += 1 }
+    s
+  }
+
   /** Fixed-point squared L2 distance to a pre-quantized constant vector. */
   def fxL2To(a: ArrayData, cFx: Array[Long]): Long = {
     val n = a.numElements()
@@ -103,6 +120,22 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.FloatVecUtil.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** PQ ADC lookup-sum of a distance-table column against a codes column
+  * (see [[FloatVecUtil.adcSum]]) — a codegen'd M-lookup loop replacing
+  * the `zip_with` + `aggregate` lambda chain, which allocated a zipped
+  * array and dispatched two lambdas per candidate row.
+  */
+case class AdcSumF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(dt: Any, codes: Any): Any =
+    FloatVecUtil.adcSum(dt.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FloatVecUtil.adcSum($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -173,4 +206,7 @@ object VectorFunctions {
   /** Fixed-point squared L2 to a quantized constant (see [[FxL2To]]). */
   def fxL2ToF(a: Column, cFx: Array[Long]): Column =
     Bridge.column(FxL2To(Bridge.expression(a), cFx.toIndexedSeq))
+  /** PQ ADC lookup-sum (see [[AdcSumF]]). */
+  def adcSumF(dt: Column, codes: Column): Column =
+    Bridge.column(AdcSumF(Bridge.expression(dt), Bridge.expression(codes)))
 }

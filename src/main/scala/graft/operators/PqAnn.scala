@@ -155,7 +155,8 @@ object PqAnn {
 
   /** ADC top-k: each query row carries its M×Ks distance table as a
     * driver-computed literal ([[queryDtq]]); candidates pay M lookups
-    * (`zip_with` + `aggregate`), ranked by the bounded-heap aggregator.
+    * (the codegen'd [[graft.functions.AdcSumF]] lookup-sum kernel),
+    * ranked by the TopKPerKey plan.
     */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -164,8 +165,7 @@ object PqAnn {
     val coded = emb.select(col("vec_id"), codesCol(cbsFx, "embedding").as("codes"))
     val queries = queryDtq(spark, dir, cbsFx)
       .select(col("qid"), col("dt"))
-    val adc = expr(
-      "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
+    val adc = graft.functions.VectorFunctions.adcSumF(col("dt"), col("codes"))
     coded.crossJoin(broadcast(queries))
       .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
       .transform(Similarity.rankTopK(_, TopK, "vec_id", "adc_fx"))
@@ -186,8 +186,7 @@ object PqAnn {
     val probes = IvfAnn.probeRows(spark, dir, IvfAnn.NProbe)
       .select(col("qid"), col("centroid"))
       .join(queryDtq(spark, dir, cbsFx), "qid")
-    val adc = expr(
-      "aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
+    val adc = graft.functions.VectorFunctions.adcSumF(col("dt"), col("codes"))
     coded.join(broadcast(probes), "centroid")
       .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
       .transform(Similarity.rankTopK(_, TopK, "vec_id", "adc_fx"))

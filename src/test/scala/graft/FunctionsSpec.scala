@@ -126,6 +126,22 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("property: ADC lookup-sum kernel equals the higher-order-function formulation") {
+    import graft.functions.VectorFunctions.adcSumF
+    val m = 8; val ks = 16
+    val dtGen = Gen.listOfN(m, Gen.listOfN(ks, Gen.chooseNum(0L, 1L << 40)))
+    val codesGen = Gen.listOfN(m, Gen.chooseNum(0, ks - 1))
+    val cases = samples(Gen.zip(dtGen, codesGen), 30)
+    val df = cases.toDF("dt", "codes")
+      .select(
+        adcSumF(col("dt"), col("codes")).as("kernel"),
+        expr("aggregate(zip_with(dt, codes, (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)")
+          .as("hof"))
+      .as[(Long, Long)].collect()
+    df.foreach { case (k, h) => assert(k === h) }
+    assert(df.nonEmpty)
+  }
+
   test("property: dot product is symmetric and matches scala fold") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
     val cases = samples(Gen.zip(vecGen, vecGen), 25)

@@ -1,5 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Cross-process serialization of the graded runners. The round-8 driver
+  * record diverged 4x from the committed same-HEAD record because the
+  * correctness Verify run and the bench overlapped on one box (the
+  * inflation decayed in run-order across the alphabetical prefix — the
+  * signature of co-located load, not a code change). Verify holds this
+  * lock for its whole dump; Bench blocks on it before its first timed
+  * query, so the two can no longer overlap no matter how the driver
+  * launches them. Best-effort: if the lock file cannot be opened (absent
+  * /tmp, read-only cwd) the run proceeds unlocked rather than dying.
+  */
+object RunnerLock {
+  def withLock[A](body: => A): A = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_LOCK", "/tmp/graft_runner.lock")
+    val held: Option[(java.nio.channels.FileChannel, java.nio.channels.FileLock)] =
+      try {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        Some((ch, ch.lock())) // blocks until the peer releases
+      } catch { case _: Throwable => None }
+    try body
+    finally held.foreach { case (ch, l) =>
+      try { l.release(); ch.close() } catch { case _: Throwable => () }
+    }
+  }
+}
+
 object Bench {
   /** The graded bench engine configuration. Shared with
     * [[graft.tools.NprobeCurve]] so every committed measurement is taken
@@ -32,33 +62,100 @@ object Bench {
     spark
   }
 
-  /** Two runs disagreeing by more than this ratio are read as box
+  /** Two samples disagreeing by more than this ratio are read as box
     * contention (uniform 3-6x inflation on a shared driver box is the
-    * observed failure mode), not a plan change — triggering a third run.
+    * observed failure mode), not a plan change — triggering a third
+    * sample in the extra pass.
     */
   private[graft] val DispersionRatio = 1.5
 
-  /** Contention-robust estimate over a sampling thunk returning
-    * (seconds, succeeded): run twice; if fewer than two runs succeeded or
-    * the two disagree by more than [[DispersionRatio]], run a third.
-    * Returns (min of successful runs — -1.0 when every run failed — and
-    * dispersion = max/min over successful runs). min-of-2 alone is not
-    * robust when BOTH runs land on a contended box (r6: driver record
-    * 1.76x the committed same-code record); the dispersion field lets a
-    * consumer flag a contaminated record instead of reading it as a
-    * regression.
+  /** A sentinel probe slower than this multiple of the quiet baseline
+    * marks the surrounding window as loaded: the admission gate waits
+    * (bounded) for it to clear, and the ratio is recorded next to the
+    * timing it admitted.
     */
-  private[graft] def robustTime(sample: () => (Double, Boolean)): (Double, Double) = {
-    val two = Vector(sample(), sample())
-    def good(rs: Vector[(Double, Boolean)]) = rs.collect { case (t, true) => t }
-    val g2 = good(two)
-    val contended = g2.size == 2 && g2.max / g2.min > DispersionRatio
-    val all = if (contended || g2.size < 2) two :+ sample() else two
-    val g = good(all)
-    if (g.isEmpty) (-1.0, 1.0) else (g.min, g.max / g.min)
+  private[graft] val DirtySentinel = 3.0
+
+  /** One timed observation: wall seconds, success, and the sentinel
+    * ratio of the window it was admitted into (1.0 = quiet box). */
+  private[graft] final case class Sample(t: Double, ok: Boolean, sentinel: Double)
+
+  /** Per-query record derived from its samples: min over successful
+    * samples (contention only ever inflates, so min is the estimator),
+    * dispersion = max/min over successful samples (>~1 flags residual
+    * contention the extra pass could not bound), and the sentinel ratio
+    * of the window that produced the recorded min (how trustworthy the
+    * recorded number's admission conditions were). All-failed → -1. */
+  private[graft] def estimate(samples: Seq[Sample]): (Double, Double, Double) = {
+    val good = samples.filter(_.ok)
+    if (good.isEmpty) (-1.0, 1.0, 1.0)
+    else {
+      val best = good.minBy(_.t)
+      (best.t, good.map(_.t).max / best.t, best.sentinel)
+    }
   }
 
-  def main(args: Array[String]): Unit = {
+  /** A query re-runs in the extra pass when its two passes disagree
+    * beyond [[DispersionRatio]], fewer than two succeeded, or every
+    * sample so far was admitted into a dirty window (the record would
+    * otherwise carry only loaded-box numbers with no clean floor). */
+  private[graft] def needsExtraPass(samples: Seq[Sample]): Boolean = {
+    val good = samples.filter(_.ok)
+    good.size < 2 ||
+      good.map(_.t).max / good.map(_.t).min > DispersionRatio ||
+      good.forall(_.sentinel > DirtySentinel)
+  }
+
+  /** Deterministic per-pass visit order. Pass 0 is alphabetical and pass
+    * 1 is its reverse: a transient load burst covering the front of the
+    * bench inflates the a-names in pass 0 but meets them LAST in pass 1,
+    * so the per-query min survives any burst shorter than a full pass
+    * (the round-8 failure inflated one alphabetical prefix 18-83x and
+    * decayed in run order — exactly the shape this defeats). The extra
+    * pass (2+) visits in md5 order so a repeat burst cannot track either
+    * primary order.
+    */
+  private[graft] def passOrder(names: Seq[String], pass: Int): Seq[String] = pass match {
+    case 0 => names.sorted
+    case 1 => names.sorted.reverse
+    case p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      names.sortBy { n =>
+        md.digest(s"$n#$p".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+  }
+
+  /** Host-load admission gate: times a tiny fixed probe before every
+    * query. The baseline is the rolling min over all probes (the quiet-
+    * box value), so a loaded start self-corrects at the first quiet
+    * probe. When the probe runs slow ([[DirtySentinel]]x baseline) the
+    * gate sleeps and re-probes until the window clears or the shared
+    * wait budget is spent — actively dodging co-located load instead of
+    * just recording through it.
+    */
+  private[graft] final class SentinelGate(
+      probe: () => Double, sleepMs: Long, maxWaitMs: Long) {
+    private var baseline = Double.MaxValue
+    private var waitedMs = 0L
+    private def observe(): Double = {
+      val t = probe()
+      baseline = math.min(baseline, t)
+      t
+    }
+    def calibrate(n: Int): Unit = (1 to n).foreach(_ => observe())
+    /** Sentinel ratio of the window the next query is admitted into. */
+    def admit(): Double = {
+      var r = observe() / baseline
+      while (r > DirtySentinel && waitedMs < maxWaitMs) {
+        Thread.sleep(sleepMs)
+        waitedMs += math.max(sleepMs, 1L) // the budget must advance even at sleepMs=0
+        r = observe() / baseline
+      }
+      r
+    }
+  }
+
+  def main(args: Array[String]): Unit = RunnerLock.withLock {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     // Warm the session (codegen compiler, parquet footer caches, broadcast
@@ -72,8 +169,8 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
       // exercise the common codegen shapes (broadcast join, two-phase agg,
-      // window, explode) on tiny data so the alphabetically-first timed
-      // query is not charged their one-time JIT/codegen compilation
+      // window, explode) on tiny data so the first timed query is not
+      // charged their one-time JIT/codegen compilation
       val a = spark.range(10000).selectExpr(
         "id", "id % 7 AS k", "cast(id AS double) AS v", "array(id, id + 1) AS arr")
       val dim = spark.range(7).selectExpr("id AS k", "cast(id AS string) AS s")
@@ -84,32 +181,56 @@ object Bench {
         "row_number() OVER (PARTITION BY k ORDER BY v) AS rn").where("rn <= 3").count()
       // the dimension-projection pipeline (nested-field explode +
       // dropDuplicates) feeds ~a third of the suite; compile its codegen
-      // and fault its column pages in once so the alphabetically-first
-      // consumers (a1/a3) are not charged the one-time cost
+      // and fault its column pages in once so the first-visited consumers
+      // are not charged the one-time cost
       SparkEntry.queries("a3_dedup_options")(spark, sfDir).count()
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
+
+    // ~20-40 ms parallel CPU-bound probe: co-located load inflates it in
+    // proportion to stolen cores, which is the contention mode that
+    // inflates the timed queries themselves
+    val gate = new SentinelGate(
+      probe = () => {
+        val t0 = System.nanoTime()
+        // double product: the long sum of id*id overflows ANSI arithmetic
+        spark.range(4000000L).selectExpr("sum(cast(id AS double) * id)").first()
+        (System.nanoTime() - t0) / 1e9
+      },
+      sleepMs = 1000L,
+      maxWaitMs = 90000L)
+    gate.calibrate(5)
+
     // local-iteration hook: comma-separated query names; unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    val fns = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // adaptive min-of-2/3 (see robustTime): the shared driver box shows
-      // 2-8x contention swings on individual queries (r4: 174.8 s recorded
-      // vs 89.3 s for the same code; r6: both runs contended)
-      val sample = () => {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // caches are per-query scratch, not cross-query state
-        (t, ok)
-      }
-      // a throwing query must NOT be recorded at its (fast) failure wall —
-      // the min would then report a regression as an improvement; -1 is
-      // the visible failure marker
-      name -> robustTime(sample)
+    val names = fns.keys.toSeq.sorted
+
+    def runOne(name: String): Sample = {
+      val sentinel = gate.admit()
+      val t0 = System.nanoTime()
+      val ok = try { fns(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // caches are per-query scratch, not cross-query state
+      Sample(t, ok, sentinel)
     }
-    val results = timed.map { case (name, (t, _)) => name -> t }
+
+    val samples = mutable.Map.empty[String, Vector[Sample]].withDefaultValue(Vector.empty)
+    // two whole-suite passes in opposite orders: a query's repeats are
+    // separated by ~a full pass of wall-clock and sit at mirrored
+    // positions, so one contention burst cannot contaminate both
+    for (pass <- 0 to 1; name <- passOrder(names, pass))
+      samples(name) = samples(name) :+ runOne(name)
+    // extra pass only for queries whose two samples don't agree (or
+    // failed, or both landed in dirty windows)
+    val retry = names.filter(n => needsExtraPass(samples(n)))
+    for (name <- passOrder(retry, 2))
+      samples(name) = samples(name) :+ runOne(name)
+
+    val est = names.map(n => n -> estimate(samples(n)))
+    val results = est.map { case (n, (t, _, _)) => n -> t }
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
@@ -120,27 +241,28 @@ object Bench {
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     // The harness captures only the LAST ~2000 characters of output, and
     // sbt appends its own "[success] Total time" footer after ours. With
-    // 110+ queries the full per-query map is ~3500 chars — one line would
+    // 130+ queries the full per-query map is ~3500 chars — one line would
     // be truncated from the FRONT (round 3 lost `total` and every query
     // before f*). So: the COMPLETE map goes to bench_full.json next to the
     // build, and the final stdout line is a compact record — total, count,
     // the slowest `Detail` queries (the ones a grader acts on), and the
     // aggregate of the rest — sized well under the capture window.
     // n_failed rides in BOTH records: a consumer summing `value` across
-    // rounds must see a nonzero n_failed as "total is not comparable" —
-    // failed queries are excluded from the sum, so a broken query would
-    // otherwise read as an improvement
-    // per-query max/min run ratio: ~1 on a quiet box; >DispersionRatio
-    // marks queries whose record may still carry contention (the third
-    // run bounds it, it cannot eliminate a 3-run-long stall) — a consumer
-    // comparing rounds should weight high-dispersion entries accordingly
-    val disp = timed.map { case (name, (_, d)) => name -> d }
+    // rounds must see a nonzero n_failed as "total is not comparable".
+    // dispersion: per-query max/min sample ratio — ~1 on a quiet box,
+    // >DispersionRatio marks entries whose record may still carry
+    // contention. sentinel: the host-load ratio of the window that
+    // produced each recorded min (1.0 = quiet admission) — a mechanical
+    // contamination detector independent of the query's own variance.
+    val disp = est.map { case (n, (_, d, _)) => n -> d }
+    val sent = est.map { case (n, (_, _, s)) => n -> s }
     val maxDisp = disp.map(_._2).maxOption.getOrElse(1.0)
+    val maxSent = sent.map(_._2).maxOption.getOrElse(1.0)
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_failed":${failedNames.size},"queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
-    // 70+ timings that don't fit the compact line
+    // 90+ timings that don't fit the compact line
     val fullRef =
       try {
         java.nio.file.Files.write(
@@ -157,7 +279,7 @@ object Bench {
     val failedRef =
       if (failedNames.isEmpty) ""
       else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"max_dispersion":${f(maxDisp)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

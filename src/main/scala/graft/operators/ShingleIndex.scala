@@ -492,35 +492,52 @@ object ShingleIndex {
     * colliding pairs against the postings of the candidate `a` docs
     * (broadcast semi-join pushdown) — never a re-derivation, never a
     * shuffle of the store. Batches too large for literal pushdown
-    * ([[MaxProbeLiterals]]) fall back to the full banded scan — still
-    * un-shuffled, just un-pruned.
+    * ([[MaxProbeLiterals]]) switch to a broadcast LEFT SEMI join on
+    * `bucket` — no literal limit, still un-shuffled, and the stored side
+    * is row-pruned at the scan exit instead of flowing on un-pruned.
     */
   /** Literal-pushdown cap for the banded probe: above this many distinct
     * batch bucket strings the `isin` predicate stops paying for itself
-    * (planner cost, no selectivity) and the judge falls back to the full
-    * banded scan — still un-shuffled, just un-pruned.
+    * (planner cost, no selectivity) and the judge switches to the
+    * broadcast semi-join probe — still un-shuffled, row-pruned at the
+    * scan exit, no literal limit.
     */
   private val MaxProbeLiterals = 10000
 
   /** The stored side of the judge's candidate probe: the banded table
     * bucket-pruned to the batch's own bucket strings when small enough
-    * for literal pushdown, the full banded scan otherwise, or an
-    * on-the-fly banding of the signatures when no banded table exists.
-    * All three branches yield identical candidates after the
-    * (band, bucket) join — the pruning removes only rows that join would
-    * drop anyway (`StreamingSpec` asserts branch equivalence).
+    * for literal pushdown (physical-bucket skip + row-group skip), a
+    * broadcast LEFT SEMI join on `bucket` when the batch is too large
+    * for literals (row-pruned at the scan exit — the full banded table
+    * is never materialized downstream, and there is no literal limit),
+    * or an on-the-fly banding of the signatures when no banded table
+    * exists. All three branches yield identical candidates after the
+    * (band, bucket) join — the pruning removes only rows that join
+    * would drop anyway (`StreamingSpec` asserts branch equivalence and
+    * pins the semi-join plan shape).
+    *
+    * The driver-side collect is bounded by `maxLits + 1` regardless of
+    * batch size (`limit` before `collect`): a huge batch must not ship
+    * millions of bucket strings to the driver just to learn it is over
+    * the cap.
     */
   private[graft] def probeStored(
       spark: SparkSession, tableName: String, batchBuckets: DataFrame,
       maxLits: Int): DataFrame =
     if (spark.catalog.tableExists(bandsTable(tableName))) {
-      // bounded driver-side collect: |batch| × 8 bucket strings, the
-      // same probe-bundle rule as the IVF path
-      val lits = batchBuckets.select(col("bucket")).distinct()
-        .collect().map(_.getString(0))
-      if (lits.length <= maxLits)
-        spark.table(bandsTable(tableName)).filter(col("bucket").isin(lits.toIndexedSeq: _*))
-      else spark.table(bandsTable(tableName))
+      val distinctBuckets = batchBuckets.select(col("bucket")).distinct()
+      // overflow-safe cap: limit(maxLits + 1) would wrap at Int.MaxValue,
+      // and literal pushdown past ~1M strings is planner abuse regardless
+      val cap = math.min(maxLits.toLong, 1000000L)
+      val lits = distinctBuckets.limit(cap.toInt + 1).collect().map(_.getString(0))
+      val stored = spark.table(bandsTable(tableName))
+      if (lits.length <= cap)
+        stored.filter(col("bucket").isin(lits.toIndexedSeq: _*))
+      else
+        // a USING-column join reorders `bucket` first; callers consume the
+        // probe positionally, so restore the table's own column order
+        stored.join(broadcast(distinctBuckets), Seq("bucket"), "left_semi")
+          .select(stored.columns.map(col).toIndexedSeq: _*)
     } else Dedup.bandBuckets(spark.table(sigsTable(tableName)))
 
   /** Create the banded probe table from the CURRENT signatures if absent

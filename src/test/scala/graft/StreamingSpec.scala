@@ -975,6 +975,13 @@ class StreamingSpec extends SparkSuite {
       val pruned = cands(Int.MaxValue)
       assert(pruned === cands(0), "fallback probe diverged from the pruned probe")
       assert(pruned.nonEmpty, "probe equivalence is vacuous — no collisions")
+      // the over-cap branch must be the broadcast semi-join on bucket —
+      // never a bare full banded-table scan flowing un-pruned into the
+      // band join (the 100 TB fallback shape)
+      val semiPlan = ShingleIndex.probeStored(spark, tbl, bb, 0)
+        .queryExecution.executedPlan.toString
+      assert(semiPlan.contains("LeftSemi") && semiPlan.contains("Broadcast"),
+        s"over-cap probe is not a broadcast semi-join:\n$semiPlan")
       // a replayed (done) batch is a no-op on the index and the verdicts
       val ns = ShingleIndex.markerNamespace(spark, s"$base/markers", s"$base/ckpt")
       val before = spark.table(tbl).count()

@@ -360,6 +360,24 @@ object SparkEntry {
     "a6_approx_distinct_options" -> ((s, d) =>
       dimsDedup(s, d).groupBy(col("code_list_id"))
         .agg(approx_count_distinct(col("option")).as("approx_options"))),
+    // A-HLL bounded-error twin: the HLL estimate itself can't hash-match
+    // an exact engine, but its CONTRACT can — the exact distinct rides
+    // along and the estimate is asserted within 4×rsd (relative) or ±2
+    // (absolute, for sparse-mode small groups). The oracle expects the
+    // flag to be 1 for every group, so an HLL drift outside its published
+    // error turns the row red instead of hiding behind `no_oracle`.
+    "a6x_hll_error_bound" -> ((s, d) =>
+      dimsDedup(s, d).groupBy(col("code_list_id"))
+        .agg(
+          countDistinct(col("option")).as("exact_options"),
+          approx_count_distinct(col("option"), 0.05).as("approx"))
+        .select(
+          col("code_list_id"),
+          col("exact_options"),
+          when(
+            abs(col("approx") - col("exact_options")) <=
+              greatest(round(col("exact_options") * lit(4 * 0.05)), lit(2.0)),
+            lit(1)).otherwise(lit(0)).as("hll_within_bound"))),
     // A-heavy-hitters: KPS sketch proposes a bounded candidate superset,
     // exact confirm pass removes false positives — result is EXACT, so it
     // oracles green (GROUP BY/HAVING replay), unlike the a6/a7 sketches
@@ -410,6 +428,27 @@ object SparkEntry {
           graft.operators.Exact.e(col("q")(0), 2).as("p50_e2"),
           graft.operators.Exact.e(col("q")(1), 2).as("p95_e2"),
           graft.operators.Exact.e(col("q")(2), 2).as("p99_e2"))),
+    // A-quantile bounded-error twin (same pattern as a6x): the exact
+    // percentiles oracle green, and each GK estimate is asserted to lie
+    // between the exact percentiles at φ±0.01 — 10× the sketch's rank
+    // guarantee (accuracy 1000 ⇒ ε ≤ 0.001), so the flag is 1 unless the
+    // sketch actually breaks its contract. p99's upper bracket is the max.
+    "a7x_gk_error_bound" -> ((s, d) =>
+      graft.operators.RelationalOps.eventsTable(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("q"),
+          expr("percentile(value, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96, 0.98, 0.99, 1.0))").as("b"))
+        .select(
+          col("event_type"),
+          graft.operators.Exact.e(col("b")(1), 2).as("p50_e2"),
+          graft.operators.Exact.e(col("b")(4), 2).as("p95_e2"),
+          graft.operators.Exact.e(col("b")(7), 2).as("p99_e2"),
+          when(
+            col("q")(0).between(col("b")(0), col("b")(2)) &&
+              col("q")(1).between(col("b")(3), col("b")(5)) &&
+              col("q")(2).between(col("b")(6), col("b")(8)),
+            lit(1)).otherwise(lit(0)).as("gk_within_bound"))),
     // UDAF surface: MinHash signatures via the typed Aggregator. The
     // signature array is digested to an order-stable scalar (the driver's
     // comparator can't sort array columns), same pattern as
@@ -486,11 +525,13 @@ object SparkEntry {
 
   /** DuckDB oracle for each query; same column names/types as the Spark
     * side. Exactly two queries are intentionally omitted (driver falls
-    * back to its rows-only check), each approximate BY DESIGN — their
-    * semantics are covered by ScalaTest property tests instead:
+    * back to its rows-only check), each approximate BY DESIGN:
     *   - a6_approx_distinct_options: HLL sketch.
-    *   - a7_approx_value_quantiles: Greenwald-Khanna percentile sketch
-    *     (ScalaTest bounds the rank error vs the exact percentiles).
+    *   - a7_approx_value_quantiles: Greenwald-Khanna percentile sketch.
+    * Each carries a fully-oracled bounded-error twin (a6x/a7x) that
+    * asserts the sketch estimate within its published error of the exact
+    * answer — the sketch CONTRACT oracles green even though the estimate
+    * itself cannot — plus ScalaTest property coverage (ScaleOpsSpec).
     * d4-d7 and t5/t6 were also in this list through round 3 (xxhash64-
     * based signatures); the round-4 portable-hash conversions (md5-affine
     * MinHash/SimHash, mod-P winnowing) made their full pipelines
@@ -501,6 +542,21 @@ object SparkEntry {
     sourceOracle ++ dataDependentOracle
 
   def sourceOracle: Map[String, String] = Map(
+    // the exact side replays; the bound flag is the CONTRACT — the oracle
+    // expects 1 for every group, so a sketch drifting outside its
+    // published error hash-mismatches instead of hiding behind no_oracle
+    "a6x_hll_error_bound" ->
+      s"""$W SELECT code_list_id,
+         |  count(DISTINCT option) AS exact_options,
+         |  1 AS hll_within_bound
+         |FROM dims_dedup GROUP BY code_list_id""".stripMargin,
+    "a7x_gk_error_bound" ->
+      """SELECT event_type,
+        |  cast(floor(quantile_cont(value, 0.5) * 100.0 + 0.5) AS bigint) AS p50_e2,
+        |  cast(floor(quantile_cont(value, 0.95) * 100.0 + 0.5) AS bigint) AS p95_e2,
+        |  cast(floor(quantile_cont(value, 0.99) * 100.0 + 0.5) AS bigint) AS p99_e2,
+        |  1 AS gk_within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
     "s3_paged_api_scan" ->
       """SELECT '42' AS instance_id,
         |  concat('42_d', cast(i % 7 AS string)) AS dimension_id,

@@ -79,6 +79,12 @@ object SparkEntry {
       graphNodes(projectInstances(Fixtures.instances(s, d)), dimsDedup(s, d))),
     // --- S8/A5: per-instance dimension array ---
     "a5_instance_dimensions" -> ((s, d) => instanceDimensions(dimsDedup(s, d))),
+    // skew-capped A5: digest bounded at maxDims entries + explicit
+    // overflow count — the 100 TB form (one pathological instance can't
+    // materialize an unbounded row); cap chosen to EXERCISE the slice on
+    // the fixture (some instances overflow at sf>=0.01)
+    "a5b_instance_dimensions_bounded" -> ((s, d) =>
+      instanceDimensionsBounded(dimsDedup(s, d), maxDims = 10)),
     // --- S9: uniqueness-constraint check (violations on the raw feed) ---
     "s9_unique_violations" -> ((s, d) =>
       uniquenessViolations(dimsValid(s, d), Seq("instance_id", "dimension_id", "option"))),
@@ -663,6 +669,11 @@ object SparkEntry {
     "a5_instance_dimensions" ->
       s"""$W SELECT instance_id, cast(count(*) AS bigint) AS n_dims,
          |  array_to_string(list_sort(list(concat(dimension_id, ':', option))), '|') AS dims_digest
+         |FROM dims_dedup GROUP BY instance_id""".stripMargin,
+    "a5b_instance_dimensions_bounded" ->
+      s"""$W SELECT instance_id, cast(count(*) AS bigint) AS n_dims,
+         |  array_to_string(list_sort(list(concat(dimension_id, ':', option)))[1:10], '|') AS dims_digest,
+         |  cast(greatest(count(*) - 10, 0) AS int) AS overflow_dims
          |FROM dims_dedup GROUP BY instance_id""".stripMargin,
     "s9_unique_violations" ->
       s"""$W SELECT instance_id, dimension_id, option, cast(count(*) AS bigint) AS n

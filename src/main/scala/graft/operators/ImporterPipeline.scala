@@ -150,11 +150,25 @@ object ImporterPipeline {
     * pr0→prN chain the DuckDB oracle uses): zero driver-side actions —
     * even the node count becomes a 1-row broadcast frame — so the whole
     * computation is a single Spark job, and exchange reuse dedupes the
-    * edge/degree shuffles across iterations. For variable/large
-    * iteration counts where the unrolled plan would grow unboundedly,
-    * use [[codePageRankIterative]].
+    * edge/degree shuffles across iterations. Above
+    * [[MaxUnrolledIterations]] the call delegates to
+    * [[codePageRankIterative]] — a caller cannot accidentally build an
+    * unbounded analysis/optimization plan by passing a large count.
     */
-  def codePageRank(dedup: DataFrame, codeLists: DataFrame, iterations: Int = 3): DataFrame = {
+  def codePageRank(dedup: DataFrame, codeLists: DataFrame, iterations: Int = 3): DataFrame =
+    if (iterations > MaxUnrolledIterations)
+      codePageRankIterative(dedup, codeLists, iterations)
+    else codePageRankUnrolled(dedup, codeLists, iterations)
+
+  /** Unrolling cap for [[codePageRank]]: each unrolled iteration adds two
+    * joins and an aggregate to ONE lazy plan, and Catalyst analysis cost
+    * grows superlinearly in plan depth — past this depth the checkpointed
+    * loop wins regardless of the per-round materialization it pays.
+    */
+  val MaxUnrolledIterations = 8
+
+  private def codePageRankUnrolled(
+      dedup: DataFrame, codeLists: DataFrame, iterations: Int): DataFrame = {
     val e0 = codeEdges(dedup, codeLists).select(col("src"), col("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -259,6 +273,12 @@ object ImporterPipeline {
   // ---- S8/A5: bulk-attach dimensions to instance ------------------------
   // Reference store/store.go:17 + model/models.go:90-92 — per-instance
   // dimension array via collect_list; digest kept sorted for stability.
+  // Skew note for the 100 TB path: collect_list builds ONE row per
+  // instance holding every dimension — a pathological instance (millions
+  // of options) concentrates its whole array in a single aggregation
+  // buffer/row. That is the reference's own semantics (the bulk-attach
+  // ships the full array), so this form keeps parity; use
+  // [[instanceDimensionsBounded]] when instance fan-out is unbounded.
   def instanceDimensions(dedup: DataFrame): DataFrame =
     dedup
       .groupBy(col("instance_id"))
@@ -267,6 +287,28 @@ object ImporterPipeline {
         array_join(
           array_sort(collect_list(concat(col("dimension_id"), lit(":"), col("option")))),
           "|").as("dims_digest"))
+
+  /** Skew-capped [[instanceDimensions]]: the digest keeps only the first
+    * `maxDims` sorted entries per instance plus an explicit overflow
+    * count, so one pathological instance can no longer materialize an
+    * unbounded row — the buffer is still built by collect_list, but the
+    * emitted row (what downstream sinks ship, shuffle and PATCH) is
+    * bounded, and the overflow is visible instead of silently truncated.
+    * `n_dims` stays the TRUE count; rows at or under the cap are
+    * byte-identical to the unbounded form (spec-pinned).
+    */
+  def instanceDimensionsBounded(dedup: DataFrame, maxDims: Int = 100000): DataFrame =
+    dedup
+      .groupBy(col("instance_id"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        array_sort(collect_list(concat(col("dimension_id"), lit(":"), col("option"))))
+          .as("all_dims"))
+      .select(
+        col("instance_id"),
+        col("n_dims"),
+        array_join(slice(col("all_dims"), 1, maxDims), "|").as("dims_digest"),
+        greatest(size(col("all_dims")) - maxDims, lit(0)).as("overflow_dims"))
 
   // ---- S9: unique-observation constraint as a validation operator -------
   // Reference store/store.go:15 — Spark has no DDL constraints; the

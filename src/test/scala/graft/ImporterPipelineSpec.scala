@@ -136,4 +136,39 @@ class ImporterPipelineSpec extends SparkSuite {
     // every node keeps at least the base (teleport) mass
     assert(unrolled.values.forall(_ > 0L))
   }
+
+  test("A5 bounded variant caps a skewed instance's digest and surfaces the overflow") {
+    // one pathological instance with 50 dims, one ordinary with 2
+    val rows = (1 to 50).map(i => ("big", f"d$i%03d", "x")) ++
+      Seq(("small", "d001", "y"), ("small", "d002", "z"))
+    val df = rows.toDF("instance_id", "dimension_id", "option")
+    val bounded = instanceDimensionsBounded(df, maxDims = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = bounded("big")
+    assert(big.getLong(1) === 50L, "n_dims must stay the TRUE count")
+    assert(big.getString(2).split('|').length === 10, "digest capped at maxDims")
+    assert(big.getInt(3) === 40, "overflow must be visible, not silent")
+    // at or under the cap the bounded form is byte-identical to A5
+    val small = bounded("small")
+    val a5 = instanceDimensions(df).collect()
+      .map(r => r.getString(0) -> r).toMap.apply("small")
+    assert(small.getLong(1) === a5.getLong(1))
+    assert(small.getString(2) === a5.getString(2))
+    assert(small.getInt(3) === 0)
+  }
+
+  test("g5 above the unrolling cap delegates to the checkpointed loop — plan stays bounded") {
+    val dims = dedupOptions(validDimensions(projectDimensions(apiDims)))
+    def planLines(df: DataFrame): Int =
+      df.queryExecution.logical.numberedTreeString.linesIterator.size
+    val capped = codePageRank(dims, codeLists,
+      iterations = MaxUnrolledIterations + 4)
+    val unrolled3 = codePageRank(dims, codeLists, iterations = 3)
+    // the checkpointed loop ends in a bounded scan of materialized ranks;
+    // a 12-iteration plan LARGER than the 3-iteration unrolled DAG would
+    // mean the delegation regressed and the plan grows per iteration again
+    assert(planLines(capped) < planLines(unrolled3),
+      s"plan above the cap (${planLines(capped)} lines) must be smaller " +
+        s"than the 3-iteration unrolled DAG (${planLines(unrolled3)} lines)")
+  }
 }

@@ -63,6 +63,63 @@ class SourcesSinksSpec extends SparkSuite {
     assert(StubHttpFetcher.constructed.get() === 3)
   }
 
+  test("paged source: java.net.http fetcher pages a live stub server with auth and retry") {
+    import graft.sources.HttpDimensionFetcher
+    val Total = 250
+    // offset/limit stub of the reference's dimension listing; first hit
+    // answers 503 so the fetcher's retry path is exercised end-to-end
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val first503 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val unauthed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/instances/42/dimensions", exchange => {
+      hits.incrementAndGet()
+      val auth = exchange.getRequestHeaders.getFirst("Authorization")
+      if (auth != "Bearer test-token") unauthed.incrementAndGet()
+      if (first503.getAndSet(false)) {
+        exchange.sendResponseHeaders(503, -1); exchange.close()
+      } else {
+        val params = exchange.getRequestURI.getQuery.split('&')
+          .map(_.split('=')).map(kv => kv(0) -> kv(1).toLong).toMap
+        val offset = params("offset")
+        val end = math.min(offset + params("limit"), Total.toLong)
+        val items = (offset until end).map(i =>
+          s"""{"dimension":"d${i % 7}","option":"opt${i % 50}",""" +
+            s""""links":{"code_list":{"id":"cl${i % 7}"}}}""").mkString(",")
+        val body = s"""{"items":[$items],"count":${end - offset},"total_count":$Total}"""
+          .getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      }
+    })
+    server.start()
+    sys.props(HttpDimensionFetcher.UrlProp) =
+      s"http://127.0.0.1:${server.getAddress.getPort}"
+    sys.props(HttpDimensionFetcher.TokenProp) = "test-token"
+    try {
+      val http = spark.read.format("graft-paged-api")
+        .option("instanceId", "42")
+        .option("totalItems", Total.toString)
+        .option("pageSize", "100")
+        .option("fetcher", classOf[HttpDimensionFetcher].getName)
+        .load()
+      // the real client must produce EXACTLY the deterministic-fake rows —
+      // the stub serves the same (instanceId, i) function over the wire
+      val viaHttp = http.collect().map(_.toSeq).sortBy(_.toString)
+      val viaFake = paged(Total, 100).collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaHttp === viaFake)
+      assert(hits.get() >= 4, "3 pages + at least the retried 503")
+      assert(unauthed.get() === 0, "every request must carry the service token")
+      assert(!first503.get(), "the 503 page must have been retried, not dropped")
+    } finally {
+      sys.props -= HttpDimensionFetcher.UrlProp
+      sys.props -= HttpDimensionFetcher.TokenProp
+      server.stop(0)
+    }
+  }
+
   test("patch sink: exactly one client call per batchSize partition (O1 parity)") {
     RecordingClient.reset()
     val updates = (1 to 10).map(i => (s"i$i", s"opt$i")).toDF("instance_id", "option")

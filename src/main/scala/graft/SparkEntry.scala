@@ -206,8 +206,12 @@ object SparkEntry {
       graft.operators.TrainingPrep.shardManifest(s, d)),
     // hash-bucketed STABLE shards: adding documents never moves existing
     // ones (the incremental-refresh trade-off against t26's exact balance)
-    "t28_stable_shards" ->
-      graft.operators.TrainingPrep.stableShardAssignment _,
+    "t28_stable_shards" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.stableShardAssignment(s, d)),
+    // same layout widened to 256 shards (2 hex digits) — the knob that
+    // sizes per-shard window memory to corpus bytes at 100 TB
+    "t28w_stable_shards_wide" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.stableShardAssignment(s, d, hexDigits = 2)),
     // Gopher-style repetition quality gates
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
     // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
@@ -1301,6 +1305,8 @@ object SparkEntry {
     "t27_shard_manifest" -> graft.operators.TrainingPrep.shardManifestOracleSql,
     "t28_stable_shards" ->
       graft.operators.TrainingPrep.stableShardAssignmentOracleSql,
+    "t28w_stable_shards_wide" ->
+      graft.operators.TrainingPrep.stableShardAssignmentOracleSql(2),
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->
       """SELECT doc_id,

@@ -82,12 +82,23 @@ object FloatVecUtil {
   def adcSum(dt: ArrayData, codes: ArrayData): Long = {
     val m = codes.numElements()
     // a code addressing a missing table row/entry is always a caller bug
-    // (codebook/corpus mismatch) — fail loud, never a truncated distance
+    // (codebook/corpus mismatch) — fail loud, never a truncated distance.
+    // UnsafeArrayData reads are NOT bounds-checked (Java asserts are off by
+    // default), so an out-of-range code would read adjacent memory and
+    // return a plausible-but-wrong distance; check every code explicitly.
     require(dt.numElements() == m,
       s"adcSum: subspace mismatch (${dt.numElements()} vs $m)")
     var s = 0L
     var i = 0
-    while (i < m) { s += dt.getArray(i).getLong(codes.getInt(i)); i += 1 }
+    while (i < m) {
+      val row = dt.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"adcSum: code $c out of [0, ${row.numElements()}) in subspace $i")
+      s += row.getLong(c)
+      i += 1
+    }
     s
   }
 

@@ -44,7 +44,11 @@ object PqAnn {
   private[operators] val M = 8 // subspaces
   private[operators] val SubDim = 8 // 64-dim vectors / M
   private[operators] val Ks = 16 // codes per subspace (4 bits)
-  private val NumQueries = 8
+  // MUST equal the IVF probe bundle's query bound: ivfPqTopK inner-joins
+  // queryDtq's output against IvfAnn.probeRows, so a drift between the two
+  // would silently drop queries from the join rather than fail. Deriving
+  // from the one shared constant makes drift impossible.
+  private val NumQueries = IvfAnn.NumQueries
   private val TopK = 10
 
   // memoized per data snapshot, same discipline as IvfAnn.centroidCache:

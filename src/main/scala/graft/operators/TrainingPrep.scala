@@ -687,37 +687,58 @@ object TrainingPrep {
   /** t28: STABLE shard assignment — the incremental counterpart of
     * [[shardAssignment]]. t26's rank-striping is exactly balanced but a
     * single added document shifts every later rank (a corpus refresh
-    * reshuffles everything); here the shard is the first hex digit of the
-    * same md5 permutation key, so an existing document's shard NEVER
-    * changes as the corpus grows — the property an incrementally-refreshed
-    * 100 TB corpus needs — at the cost of statistical (multinomial) rather
-    * than exact balance. Within-shard position is the hash-order rank
-    * inside the shard: a window partitioned by shard, which at any scale
-    * is 16-way partition-parallel work, not a global sort; it shifts only
-    * within the shards that actually received new documents.
+    * reshuffles everything); here the shard is the first `hexDigits` hex
+    * digits of the same md5 permutation key, so an existing document's
+    * shard NEVER changes as the corpus grows — the property an
+    * incrementally-refreshed 100 TB corpus needs — at the cost of
+    * statistical (multinomial) rather than exact balance. Within-shard
+    * position is the hash-order rank inside the shard: a window
+    * partitioned by shard, which is 16^d-way partition-parallel work, not
+    * a global sort; it shifts only within the shards that actually
+    * received new documents.
+    *
+    * Scale shape: `hexDigits` sizes the layout to the corpus — each
+    * shard's window sorts corpus/16^d rows, so pick d such that a shard's
+    * bytes fit one task's memory (d=3 → 4096 shards ≈ 25 GB/shard at
+    * 100 TB). Widening d later REFINES the narrower layout (the first
+    * digit is a prefix of the first two), so a re-layout moves data only
+    * within its old shard's key range, never across it.
     */
-  def stableShardAssignment(spark: SparkSession, dir: String): DataFrame = {
+  def stableShardAssignment(spark: SparkSession, dir: String,
+                            hexDigits: Int = 1): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"stableShardAssignment: hexDigits must be in [1,8], got $hexDigits")
     val skey = md5(concat(col("doc_id").cast("string"), lit("|t26")))
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
     table(spark, dir, "documents")
       .select(
         col("doc_id"), skey.as("skey"),
-        (instr(lit("0123456789abcdef"), substring(skey, 1, 1)) - 1)
+        conv(substring(skey, 1, hexDigits), 16, 10)
           .cast("int").as("shard"))
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("bigint"))
   }
 
-  def stableShardAssignmentOracleSql: String =
+  def stableShardAssignmentOracleSql: String = stableShardAssignmentOracleSql(1)
+
+  /** DuckDB twin of [[stableShardAssignment]]: the hex prefix → int is a
+    * per-digit strpos Horner expansion (DuckDB has no base-16 conv). */
+  def stableShardAssignmentOracleSql(hexDigits: Int): String = {
+    val shardExpr = (1 to hexDigits).map { i =>
+      val scale = math.pow(16, hexDigits - i).toLong
+      val digit = s"(strpos('0123456789abcdef', substr(skey, $i, 1)) - 1)"
+      if (scale == 1L) digit else s"$digit * $scale"
+    }.mkString(" + ")
     s"""SELECT doc_id, skey, cast(shard AS int) AS shard,
        |  cast(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
        |    AS bigint) AS shard_pos
        |FROM (
        |  SELECT doc_id, skey,
-       |    strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS shard
+       |    $shardExpr AS shard
        |  FROM (
        |    SELECT doc_id,
        |      md5(concat(cast(doc_id AS varchar), '|t26')) AS skey
        |    FROM documents))""".stripMargin
+  }
 
   def shardManifestOracleSql: String =
     s"""SELECT shard,

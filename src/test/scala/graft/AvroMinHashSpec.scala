@@ -28,6 +28,45 @@ class AvroMinHashSpec extends SparkSuite {
     assert(out === Seq(("/ok", "42")))
   }
 
+  test("codec seam: selection matches the classpath; connector parity when present") {
+    // detection must agree with a direct classpath probe — a seam that
+    // reports the wrong codec would silently change the executed plan
+    // probe the replacement expression class, not functions$: Spark 4.x
+    // ships function STUBS that fail at analysis without the connector
+    val jarPresent =
+      try { Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst"); true }
+      catch { case _: Throwable => false }
+    assert(AvroEvents.connectorAvailable === jarPresent)
+    assert(AvroEvents.codec ===
+      (if (jarPresent) AvroEvents.ConnectorCodec else AvroEvents.HandRolledCodec))
+    // the connector schema rename is name-only (binary encoding carries no
+    // names, so the wire bytes cannot differ)
+    assert(AvroEvents.ConnectorCodec.connectorSchemaJson
+      .replace("publish_dataset", "publish-dataset") === AvroEvents.NewInstanceSchemaJson)
+
+    // when BOTH codecs can run, they must be byte-identical on encode and
+    // agree on decode — the contract that makes the seam safe to flip
+    if (jarPresent) {
+      val events = Seq(("s3://bucket/file.csv", "id-1"), ("/x", ""))
+        .toDF("file_url", "instance_id")
+      val viaHand = AvroEvents.HandRolledCodec.encode(events).collect().toSeq
+      val viaConn = AvroEvents.ConnectorCodec.encode(events).collect().toSeq
+      assert(viaHand.map(_.toSeq).toSet === viaConn.map(_.toSeq).toSet)
+      val bytesDs = spark.createDataset(viaHand)
+      assert(
+        AvroEvents.ConnectorCodec.decode(bytesDs)
+          .as[(String, String)].collect().toSet ===
+        AvroEvents.HandRolledCodec.decode(bytesDs)
+          .as[(String, String)].collect().toSet)
+    } else {
+      // this environment ships no spark-avro jar: the public API must be
+      // riding the fallback, and the fallback alone must round-trip
+      val events = Seq(("/a", "1")).toDF("file_url", "instance_id")
+      assert(AvroEvents.decode(AvroEvents.encode(events))
+        .as[(String, String)].collect().toSeq === Seq(("/a", "1")))
+    }
+  }
+
   test("minhash aggregator estimate: identical sets -> 1.0, disjoint -> ~0") {
     val agg = new MinHashAgg(32)
     def sig(items: Seq[String]) =

@@ -142,6 +142,23 @@ class FunctionsSpec extends SparkSuite {
     assert(df.nonEmpty)
   }
 
+  test("ADC kernel fails loud on an out-of-range code (never a silent read)") {
+    import graft.functions.VectorFunctions.adcSumF
+    // UnsafeArrayData reads are unchecked, so a code >= Ks (codebook /
+    // corpus mismatch) must throw, not return adjacent-memory garbage
+    val dt = Seq(Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    def run(codes: Seq[Int]) =
+      dt.map(d => (d, codes)).toDF("dt", "codes")
+        .select(adcSumF(col("dt"), col("codes")).as("s")).as[Long].head()
+    assert(run(Seq(1, 0)) === 2L + 3L)
+    // surfaces as IllegalArgumentException when folded driver-side, wrapped
+    // in SparkException from an executor — either way the message survives
+    def loudly(codes: Seq[Int]): String =
+      intercept[Exception](run(codes)).getMessage
+    assert(loudly(Seq(0, 2)).contains("out of [0, 2)"))
+    assert(loudly(Seq(-1, 0)).contains("out of [0, 2)"))
+  }
+
   test("property: dot product is symmetric and matches scala fold") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
     val cases = samples(Gen.zip(vecGen, vecGen), 25)

@@ -1018,6 +1018,26 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("widened stable shards (hexDigits=2) refine the narrow layout") {
+    import graft.operators.TrainingPrep
+    // the first hex digit is a prefix of the first two, so every wide
+    // shard nests inside exactly one narrow shard: wide / 16 == narrow —
+    // a re-layout to more shards moves data only WITHIN old shard ranges
+    val narrow = TrainingPrep.stableShardAssignment(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val wide = TrainingPrep.stableShardAssignment(spark, sf0001, hexDigits = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(wide.nonEmpty)
+    wide.foreach { case (id, skey, shard) =>
+      assert(shard === Integer.parseInt(skey.substring(0, 2), 16))
+      assert(shard / 16 === narrow(id), s"doc $id left its narrow shard")
+    }
+    // at 500 docs over 256 shards the layout must actually spread wide
+    assert(wide.map(_._3).distinct.length > 16)
+    assertThrows[IllegalArgumentException](
+      TrainingPrep.stableShardAssignment(spark, sf0001, hexDigits = 0))
+  }
+
   test("writeShards materializes one ordered file per shard directory") {
     import graft.operators.{DataLayout, TrainingPrep}
     val base = java.nio.file.Files.createTempDirectory("shardlayout")

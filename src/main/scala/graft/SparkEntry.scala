@@ -212,6 +212,14 @@ object SparkEntry {
     // sizes per-shard window memory to corpus bytes at 100 TB
     "t28w_stable_shards_wide" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.stableShardAssignment(s, d, hexDigits = 2)),
+    // temperature-weighted domain mixture (w_i ∝ p_i^0.5): |sources|-row
+    // broadcast rate table, deterministic md5 keep decision, no shuffle
+    "t29_mixture_selection" ->
+      graft.operators.TrainingPrep.mixtureSelection _,
+    // per-source quality-ordered token budget via the two-phase prefix sum
+    // (never a one-task-per-source window)
+    "t30_curriculum_selection" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.curriculumSelection(s, d)),
     // Gopher-style repetition quality gates
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
     // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
@@ -314,6 +322,9 @@ object SparkEntry {
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDuplicates(s, d, plantClones = true)),
     "v6_ivf_assignments" -> graft.operators.IvfAnn.assignments _,
+    // distributed Lloyd refinement: map-only assign → posexplode →
+    // K×dim-key partial agg; exact fixed-point sums, never a collect
+    "v15_kmeans_refine" -> graft.operators.IvfAnn.kmeansRefine _,
     "v7_ivf_topk" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfTopK(s, d)),
     // the persisted-index probe path: stored centroids + directory-pruned
@@ -1307,6 +1318,10 @@ object SparkEntry {
       graft.operators.TrainingPrep.stableShardAssignmentOracleSql,
     "t28w_stable_shards_wide" ->
       graft.operators.TrainingPrep.stableShardAssignmentOracleSql(2),
+    "t29_mixture_selection" ->
+      graft.operators.TrainingPrep.mixtureSelectionOracleSql,
+    "t30_curriculum_selection" ->
+      graft.operators.TrainingPrep.curriculumSelectionOracleSql,
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->
       """SELECT doc_id,
@@ -1517,6 +1532,7 @@ object SparkEntry {
     (SparkSession.getActiveSession, sys.props.get("graft.sfdir")) match {
       case (Some(s), Some(d)) => Map(
         "v6_ivf_assignments" -> graft.operators.IvfAnn.assignmentsOracleSql(s, d),
+        "v15_kmeans_refine" -> graft.operators.IvfAnn.kmeansRefineOracleSql(s, d),
         "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
         // v7i probes the PERSISTED index, whose centroids are the same
         // trained geometry the inline path derives (VectorIndex.build

@@ -139,7 +139,7 @@ object IvfAnn {
     * centroids are a spec constant once computed); only the
     * assignment/probe METRIC quantizes.
     */
-  private[operators] def centroidsFx(
+  private[graft] def centroidsFx(
       spark: SparkSession, dir: String): Array[Array[Long]] =
     centroidsFor(spark, dir).map(_.map(v =>
       math.floor(v.toDouble * PqAnn.FxScale + 0.5).toLong))
@@ -492,5 +492,56 @@ object IvfAnn {
        |    * 1000000.0 + 0.5) AS bigint) >= ${math.round(SemDedupThreshold * 1e6)})
        |SELECT a.vec_id, cast(a.centroid AS int) AS centroid, (d.b IS NULL) AS kept
        |FROM assigned a LEFT JOIN dropped d ON d.b = a.vec_id""".stripMargin
+  }
+
+  /** v15: one DISTRIBUTED Lloyd refinement of the trained centroids — the
+    * full-corpus counterpart of [[trainCentroids]]'s bounded-sample loop.
+    * The driver-side trainer is the right tool for picking K initial
+    * centroids (its collect is bounded by [[MaxTrain]]); refining them
+    * against ALL vectors is corpus-sized work and must never collect, so
+    * it runs as: map-only nearest-centroid assignment (exact-integer
+    * metric, centroid literals in codegen) → `posexplode` to
+    * (centroid, dim, element) → one partial-aggregated `groupBy` whose
+    * key space is K×dim regardless of corpus size. Element sums are
+    * fixed-point longs (`floor(v·2^20 + 0.5)` — exact for floats, since
+    * scaling by a power of two is lossless), so the reduction is
+    * order-free and replays exactly in the oracle; the refreshed centroid
+    * for (c, d) is `sum_fx / n_vectors` at the caller's preferred
+    * rounding. Chaining this step is how a 100 TB deployment turns the
+    * sample-trained geometry into corpus-trained geometry: each iteration
+    * is one scan + one K×dim-row shuffle.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(nearestCentroid(centroidsFx(spark, dir)).as("centroid"),
+        col("embedding"))
+      .select(col("centroid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("centroid"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(floor(col("v").cast("double") * lit(PqAnn.FxScale.toDouble) + lit(0.5))
+          .cast("long")).as("sum_fx"))
+      .select(col("centroid").cast("int").as("centroid"),
+        col("dim").cast("int").as("dim"),
+        col("n_vectors"), col("sum_fx"))
+
+  def kmeansRefineOracleSql(spark: SparkSession, dir: String): String = {
+    val centsFx = centroidsFx(spark, dir)
+    s"""WITH ${distCte(centsFx)},
+       |assigned AS (
+       |  SELECT vec_id, c AS centroid
+       |  FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1)
+       |SELECT cast(centroid AS int) AS centroid, cast(dim AS int) AS dim,
+       |  cast(count(*) AS bigint) AS n_vectors,
+       |  cast(sum(fx) AS bigint) AS sum_fx
+       |FROM (
+       |  SELECT a.centroid,
+       |    unnest(range(0, len(e.embedding))) AS dim,
+       |    ${fxSql("unnest(e.embedding)")} AS fx
+       |  FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id)
+       |GROUP BY centroid, dim""".stripMargin
   }
 }

@@ -759,4 +759,180 @@ object TrainingPrep {
        |        cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
        |      FROM documents)))
        |GROUP BY shard""".stripMargin
+
+  // ------------------------------------------------- t29 mixture sampling
+
+  /** Fraction of the corpus's tokens the mixture targets (t29). */
+  val MixBudgetFrac = 0.5
+
+  /** The DuckDB-replayable uniform-in-[0,1) hash of `doc_id` under `salt`:
+    * first 6 hex digits of md5 as a fraction of 16^6 — the hash-not-RNG
+    * discipline of t10/t14/t26, at 1/16.7M resolution.
+    */
+  private def hashFrac(salt: String) =
+    conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 6),
+      16, 10).cast("long").cast("double") / lit((1 << 24).toDouble)
+
+  /** The same fraction in DuckDB (no base-16 conv): 6-term strpos Horner
+    * expansion over the md5 hex, divided by 16^6.
+    */
+  private def hashFracSql(salt: String): String = {
+    val terms = (1 to 6).map { i =>
+      val scale = math.pow(16, 6 - i).toLong
+      val d = s"(strpos('0123456789abcdef', substr(md5(concat(cast(doc_id AS varchar), '$salt')), $i, 1)) - 1)"
+      if (scale == 1L) d else s"$d * $scale"
+    }.mkString(" + ")
+    s"($terms) / ${(1 << 24).toDouble}"
+  }
+
+  /** t29: temperature-weighted corpus mixture — the GPT-3/DoReMi-style
+    * domain re-balancing step of a pretraining pipeline. Per-source token
+    * shares `p_i` are re-weighted to `w_i ∝ p_i^0.5` (square-root
+    * temperature: down-weights the dominant crawl, up-weights small
+    * high-value sources), and each source gets the deterministic keep rate
+    * `r_i = min(1, budget · w_i / p_i)` so the expected kept tokens hit
+    * [[MixBudgetFrac]] of the corpus at the tempered mixture. A document
+    * is kept iff its salted md5 fraction falls under its source's rate —
+    * stable across partitioning, retries, and engines, like every sampling
+    * decision in this pipeline.
+    *
+    * Scale shape: one aggregation pass builds the |sources|-row rate table
+    * (two tiny broadcasts — the per-source sums and the 1-row totals);
+    * the selection pass is a map-side broadcast join + filter. No corpus
+    * shuffle at any size, and the float work (sqrt, one divide) is IEEE
+    * exactly-rounded so both engines agree to the ulp.
+    */
+  def mixtureSelection(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+    val dom = tok.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
+    // totals via an unpartitioned window OVER THE TINY dom (|sources| rows
+    // — same WARN-only single-partition shape as t11's offset table), so
+    // the corpus is aggregated once, not once per total
+    val totW = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = dom
+      .withColumn("total", sum(col("toks")).over(totW))
+      .withColumn("wsum", sum(sqrt(col("toks").cast("double"))).over(totW))
+      .select(
+        col("source"),
+        least(lit(1.0),
+          lit(MixBudgetFrac) * (sqrt(col("toks").cast("double")) / col("wsum")) /
+            (col("toks").cast("double") / col("total").cast("double"))).as("rate"))
+    tok.join(broadcast(rates), "source")
+      .filter(hashFrac("|t29") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  def mixtureSelectionOracleSql: String =
+    s"""SELECT doc_id, source, n_tokens
+       |FROM (
+       |  SELECT t.doc_id, t.source, t.n_tokens, r.rate
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
+       |    FROM documents) t
+       |  JOIN (
+       |    SELECT source,
+       |      least(1.0, $MixBudgetFrac * (sqrt(cast(toks AS double)) / wsum) /
+       |        (cast(toks AS double) / cast(total AS double))) AS rate
+       |    FROM (
+       |      SELECT source, sum(n_tokens) AS toks
+       |      FROM (
+       |        SELECT source,
+       |          cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
+       |        FROM documents)
+       |      GROUP BY source) d
+       |    CROSS JOIN (
+       |      SELECT sum(toks) AS total, sum(sqrt(cast(toks AS double))) AS wsum
+       |      FROM (
+       |        SELECT source, sum(n_tokens) AS toks
+       |        FROM (
+       |          SELECT source,
+       |            cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
+       |          FROM documents)
+       |        GROUP BY source))) r
+       |  ON t.source = r.source)
+       |WHERE ${hashFracSql("|t29")} < rate""".stripMargin
+
+  // ---------------------------------------------- t30 curriculum selection
+
+  /** Per-source token budget for the curriculum prefix (t30). */
+  // ~half of a graded source's tokens (sources carry ~1.3k tokens at the
+  // graded SFs), so the budget gate demonstrably BINDS: the kept set is a
+  // strict per-source prefix, not the whole corpus
+  val CurriculumBudgetTokens = 600L
+
+  /** t30: token-budget curriculum — per source, take documents in
+    * descending quality order until the source's token budget is spent
+    * (a document is kept iff it STARTS within budget, so every source's
+    * kept prefix overshoots by at most one document). The semantic is a
+    * per-source windowed running token sum over (quality desc, doc_id) —
+    * but a `Window.partitionBy(source)` funnels each source onto ONE task,
+    * and a 100 TB corpus has sources far bigger than a task. So the
+    * running sum is t26's two-phase distributed prefix sum, per source:
+    * range-repartition on (source, quality desc, doc_id) — every source's
+    * rows land in contiguous partition ranges in curriculum order — then
+    * per-(partition, source) local running sums, and a
+    * (numPartitions × |sources|)-row offset table broadcast back. Skew in
+    * one source spreads over as many partitions as its rows need, never
+    * one task.
+    *
+    * Quality is the shared integer-e4 score ([[TextAnalysis.qualityE4Col]]
+    * — the spec formula t2/t20 and the streaming gate also use), so the
+    * ordering key and the running sum are exact integers: no float
+    * tie-break can diverge between engines.
+    */
+  def curriculumSelection(spark: SparkSession, dir: String,
+                          budget: Long = CurriculumBudgetTokens): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
+        TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+      .repartitionByRange(col("source"), col("quality_e4").desc, col("doc_id"))
+      .sortWithinPartitions(col("source"), col("quality_e4").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("quality_e4").desc, col("doc_id"))
+    val local = docs.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+    // numPartitions × |sources| rows — broadcastable at any corpus size
+    val offW = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("ptoks"))
+      .withColumn("offset", coalesce(sum(col("ptoks")).over(offW), lit(0L)))
+      .select(col("pid"), col("source"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("cum_tokens", col("offset") + col("local_cum"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("quality_e4"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  def curriculumSelectionOracleSql: String =
+    s"""SELECT doc_id, source, quality_e4, n_tokens, cum_tokens
+       |FROM (
+       |  SELECT doc_id, source, quality_e4, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality_e4 DESC, doc_id) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
+       |            least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5)
+       |        AS bigint) AS quality_e4,
+       |      cast(n_tokens AS bigint) AS n_tokens
+       |    FROM (
+       |      SELECT doc_id, source,
+       |        cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
+       |        cast(
+       |          cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+       |          cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
+       |          cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
+       |          cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
+       |          AS double) AS stop_hits
+       |      FROM (SELECT doc_id, source, text, concat(' ', text, ' ') AS p
+       |            FROM documents))))
+       |WHERE cum_tokens - n_tokens < $CurriculumBudgetTokens""".stripMargin
 }

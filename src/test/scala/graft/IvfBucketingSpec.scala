@@ -19,6 +19,35 @@ class IvfBucketingSpec extends SparkSuite {
     assert(cents.length > 1, "k-means degenerated to a single centroid")
   }
 
+  test("v15 Lloyd refine matches a pure-JVM assign-and-accumulate reference") {
+    val centsFx = IvfAnn.centroidsFx(spark, sf0001)
+    def fx(v: Float): Long = graft.functions.FloatVecUtil.fx(v)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    // reference: same exact-integer metric, same (d, c) tie-break
+    val expected = scala.collection.mutable.Map
+      .empty[(Int, Int), (Long, Long)].withDefaultValue((0L, 0L))
+    vecs.foreach { case (_, e) =>
+      val best = centsFx.zipWithIndex.map { case (c, i) =>
+        (e.zip(c).map { case (v, cf) => val t = fx(v) - cf; t * t }.sum, i)
+      }.min._2
+      e.zipWithIndex.foreach { case (v, d) =>
+        val (n, s) = expected((best, d))
+        expected((best, d)) = (n + 1L, s + fx(v))
+      }
+    }
+    val got = IvfAnn.kmeansRefine(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected.toMap)
+    // every populated (centroid, dim) cell present; dims complete per centroid
+    val dims = vecs.head._2.length
+    got.keys.groupBy(_._1).foreach { case (c, cells) =>
+      assert(cells.map(_._2).toSet === (0 until dims).toSet, s"centroid $c missing dims")
+    }
+  }
+
   test("ivf topk: self-match is rank 1 for every query (own list always probed)") {
     val top1 = IvfAnn.ivfTopK(spark, sf0001)
       .filter("rn = 1").select("qid", "vec_id", "cosine_e4")

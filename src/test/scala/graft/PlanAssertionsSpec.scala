@@ -233,6 +233,36 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 scan (planting shares the base scan), got $scans:\n$finalText")
   }
 
+  test("t29 mixture: corpus side broadcast-joined, exchanges only on tiny agg legs") {
+    val plan = executed(graft.operators.TrainingPrep.mixtureSelection(spark, sf0001))
+    val text = plan.toString.split("== Initial Plan ==")(0)
+    assert(text.contains("BroadcastHashJoin"), s"plan:\n$text")
+    assert(!text.contains("SortMergeJoin"), s"corpus must never shuffle-join:\n$text")
+    // the only hash exchange is the |sources|-row partial-agg leg (map-side
+    // combine first); the selection pass itself is map-only
+    val shuffles = text.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 1, s"expected <=1 hash exchange (rate table agg), got $shuffles:\n$text")
+    // one aggregation pass + one probe pass — totals ride the tiny dom
+    // window, never a second corpus aggregation
+    val scans = text.split("FileScan parquet").length - 1
+    assert(scans == 2, s"expected 2 corpus scans (agg + probe), got $scans:\n$text")
+  }
+
+  test("t30 curriculum: range + bounded hash exchanges, never one task per source") {
+    val plan = executed(graft.operators.TrainingPrep.curriculumSelection(spark, sf0001))
+    val text = plan.toString.split("== Initial Plan ==")(0)
+    assert(text.contains("Exchange rangepartitioning"), s"plan:\n$text")
+    assert(!text.contains("SortMergeJoin"), s"offsets must broadcast back:\n$text")
+    assert(text.contains("BroadcastHashJoin"), s"plan:\n$text")
+    // the CORPUS window must ride (pid, source) — hashpartitioning(source)
+    // alone is allowed only on the tiny offsets leg, so the corpus-side
+    // running sum must appear as a two-key exchange
+    assert(text.contains("hashpartitioning(pid#"),
+      s"corpus running-sum window lost its (pid, source) key:\n$text")
+    val shuffles = text.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$text")
+  }
+
   test("t22 global top-k plans as TakeOrdered — per-partition heaps, no full sort") {
     val text = executed(SparkEntry.queries("t22_top_ngrams")(spark, sf0001)).toString
     assert(text.contains("TakeOrderedAndProject"), s"plan:\n$text")

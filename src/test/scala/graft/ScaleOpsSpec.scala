@@ -1038,6 +1038,72 @@ class ScaleOpsSpec extends SparkSuite {
       TrainingPrep.stableShardAssignment(spark, sf0001, hexDigits = 0))
   }
 
+  test("t29 mixture selection matches a pure-JVM md5/sqrt reference") {
+    import graft.operators.TrainingPrep
+    // independent reimplementation: same spec, no Spark expressions
+    val docs = table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def nTokens(t: String): Long = t.count(_ == ' ').toLong + 1L
+    val toks = docs.groupBy(_._2).view.mapValues(_.map(d => nTokens(d._3)).sum).toMap
+    val total = toks.values.sum.toDouble
+    val wsum = toks.values.map(t => math.sqrt(t.toDouble)).sum
+    val rate = toks.map { case (s, t) =>
+      s -> math.min(1.0, TrainingPrep.MixBudgetFrac *
+        (math.sqrt(t.toDouble) / wsum) / (t.toDouble / total))
+    }
+    def frac(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|t29".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / (1 << 24)
+    }
+    val expected = docs.filter { case (id, s, _) => frac(id) < rate(s) }
+      .map { case (id, s, t) => (id, s, nTokens(t)) }.toSet
+    val got = TrainingPrep.mixtureSelection(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length, "mixture must actually sample")
+    // the temper: every source's keep RATE is anti-monotone in its size
+    val bySize = toks.toSeq.sortBy(_._2)
+    bySize.sliding(2).foreach { case Seq((s1, _), (s2, _)) =>
+      assert(rate(s1) >= rate(s2), s"temper inverted for $s1 vs $s2")
+    }
+  }
+
+  test("t30 curriculum two-phase prefix sum equals the naive per-source window") {
+    import graft.operators.{TextAnalysis, TrainingPrep}
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, sf0001, "documents").select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
+      expr("cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint)")
+        .as("n_tokens"))
+    val naiveW = Window.partitionBy(col("source"))
+      .orderBy(col("quality_e4").desc, col("doc_id"))
+    val naive = docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .filter(col("cum_tokens") - col("n_tokens") <
+        TrainingPrep.CurriculumBudgetTokens)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    val got = TrainingPrep.curriculumSelection(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(got.map(g => (g._1, g._4)).toMap === naive)
+    // kept docs form a per-source QUALITY PREFIX: no skipped doc may rank
+    // above a kept one
+    val keptIds = got.map(_._1).toSet
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the budget must BIND: a strict subset kept, yet no source starved
+    assert(keptIds.size < all.length, "budget gate is vacuous (kept everything)")
+    assert(got.map(_._2).toSet === all.map(_._2).toSet, "a source was starved")
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val keptFlags = ordered.map(r => keptIds.contains(r._1))
+      assert(!keptFlags.dropWhile(identity).contains(true),
+        s"source $src kept a non-prefix of the quality order")
+    }
+  }
+
   test("writeShards materializes one ordered file per shard directory") {
     import graft.operators.{DataLayout, TrainingPrep}
     val base = java.nio.file.Files.createTempDirectory("shardlayout")

@@ -377,6 +377,65 @@ class StreamingSpec extends SparkSuite {
     } finally spark.streams.removeListener(mon)
   }
 
+  test("health endpoint: /health serves 200/429/500 with per-query JSON (ST6)") {
+    import graft.streaming.{HealthEndpoint, HealthMonitor}
+    val mon = new HealthMonitor
+    spark.streams.addListener(mon)
+    val ep = HealthEndpoint.start(mon, port = 0, staleAfterMs = 60000L)
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(path: String): (Int, String) = {
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${ep.port}$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // no queries tracked yet: green, empty checks array
+      val (c0, b0) = get("/health")
+      assert(c0 === 200 && b0.contains("\"status\":\"OK\"") && b0.contains("\"checks\":[]"))
+      assert(get("/nope")._1 === 404)
+
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, String)]
+      val q = ImporterStream.start(spark,
+        mem.toDF().toDF("file_url", "instance_id"),
+        graft.operators.ImporterPipeline.projectDimensions(fixtureDims),
+        fixtureCodeLists, Files.createTempDirectory("hep-out").toString,
+        Files.createTempDirectory("hep-c").toString)
+      try {
+        mem.addData(("/a", "A"))
+        q.processAllAvailable()
+        eventually() {
+          val (c, b) = get("/health")
+          assert(c === 200, b)
+          assert(b.contains("\"status\":\"OK\"") && b.contains("query progressing"))
+          assert(b.contains("\"total_input_rows\":"))
+        }
+      } finally q.stop()
+
+      // a failed query flips the endpoint to 500 CRITICAL with the error
+      val memBad = MemoryStream[(String, String)]
+      val qBad = memBad.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("hep-bad").toString)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("kaboom")
+        }
+        .start()
+      memBad.addData(("/x", "X"))
+      intercept[Exception] { qBad.processAllAvailable() }
+      eventually() {
+        val (c, b) = get("/health")
+        assert(c === 500, b)
+        assert(b.contains("\"status\":\"CRITICAL\"") && b.contains("kaboom"))
+      }
+    } finally {
+      ep.stop()
+      spark.streams.removeListener(mon)
+    }
+  }
+
   test("transformWithState: multiple state variables, bounded recent list") {
     import graft.streaming.{StatefulOps, UserEvent, UserSnapshot, UserStatsProcessor}
     implicit val sqlCtx = spark.sqlContext

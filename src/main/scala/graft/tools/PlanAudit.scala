@@ -58,6 +58,9 @@ object PlanAudit {
     // over the numPartitions-row offset table (TrainingPrep.shardedDocs)
     ("t26_shard_assignment", "GlobalWindow") -> "window over the per-partition offset table",
     ("t27_shard_manifest", "GlobalWindow") -> "window over the per-partition offset table",
+    // the t29 totals window runs over the |sources|-row per-source token
+    // aggregate (TrainingPrep.mixtureSelection) — constant-size at any sf
+    ("t29_mixture_selection", "GlobalWindow") -> "window over the per-source rate table",
     // the brand-ranking fixture window runs over the ~25-row distinct
     // p_brand frame (Fixtures.codeLists) — constant-size at any sf
     ("flagship_updates", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",

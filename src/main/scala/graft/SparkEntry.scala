@@ -259,6 +259,14 @@ object SparkEntry {
     // corpus-wide stop-gram census: global top-k via TakeOrdered (bounded
     // per-partition heaps), never a full sort
     "t22_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
+    // CCNet-style bigram-LM perplexity buckets: model table is
+    // vocab-bounded and broadcast; one corpus-sized shuffle (doc groupBy)
+    "t31_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScores _,
+    // DSIR hashed-bigram importance weights: 256-row feature table,
+    // broadcast score join, integer log-ratio sums
+    "t32_dsir_weights" -> graft.operators.LmScore.dsirWeights _,
+    // BM25 retrieval per query through the TopKPerKey physical node
+    "t33_bm25_topk" -> graft.operators.LmScore.bm25TopK _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1338,6 +1346,13 @@ object SparkEntry {
         |FROM documents d
         |JOIN by_lang b ON b.lang = d.lang
         |CROSS JOIN tot t""".stripMargin,
+    // t31/t32 quantize each ln() to a 6-dp integer in a vocab-bounded
+    // model table before any aggregation (integer sums are order-free);
+    // t33's per-(doc,term) BM25 score is one double expression over
+    // integers written token-identically in both engines, then e6-rounded
+    "t31_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScoresOracleSql,
+    "t32_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
+    "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.sources.Fixtures.table
+
+/** Statistical language-model scoring for training-data curation — the
+  * CCNet/DSIR layer of an LLM data pipeline, over the `documents` table.
+  *
+  * Three operators:
+  *
+  *  - [[bigramLmScores]] (t31): a bigram LM with add-one smoothing is
+  *    trained ON the corpus itself in one aggregation, then every document
+  *    is scored by its total negative log-likelihood and bucketed
+  *    head/middle/tail by per-token perplexity — CCNet's quality
+  *    partitioning (Wenzek et al. 2020), with the corpus standing in for
+  *    the KenLM reference model.
+  *  - [[dsirWeights]] (t32): hashed-bigram importance weights
+  *    (Xie et al. 2023, "Data Selection for Language Models via Importance
+  *    Resampling"): bigrams hash into a fixed feature space, a target
+  *    distribution is estimated from the benchmark-ish docs
+  *    (doc_id < [[DsirTargetCutoff]]), a raw distribution from the rest,
+  *    and every candidate doc gets the summed log-ratio of the two.
+  *  - [[bm25TopK]] (t33): BM25 retrieval (Robertson–Spärck Jones) of the
+  *    top [[Bm25K]] documents per query for a fixed query set — the
+  *    retrieval primitive behind dataset search and RAG-style filtering.
+  *
+  * Cross-engine determinism follows the repo-wide rule ([[Exact]]): every
+  * float is quantized to a 6-dp integer PER ROW before any aggregation,
+  * so sums are integer sums (associative, partition-independent) and the
+  * DuckDB oracle reproduces results bit-for-bit. `ln` is the only libm
+  * call; a flip needs the value within one ulp of a rounding boundary
+  * (same waiver as the t9 tf-idf oracle, stable across sf0.001–0.1).
+  *
+  * Scale shape (100 TB): the LM/count tables are vocab-bounded — O(V²)
+  * for bigrams, [[DsirBuckets]] rows for DSIR, one row per query term for
+  * BM25 — i.e. orders of magnitude smaller than the corpus, so every
+  * score join is a broadcast-hash join against a map-side aggregated
+  * count table, and the per-doc scoring is one shuffle (the groupBy
+  * doc_id). The `broadcast()` hints are justified by that vocab bound —
+  * for a corpus whose bigram-type table genuinely outgrows executor
+  * memory, drop the hint on the model join and the identical plan runs
+  * as a shuffle-hash join; no other step assumes single-node state.
+  */
+object LmScore {
+
+  /** Bigram occurrences (doc_id, u, w) of every adjacent token pair.
+    * Map-only: split + transform + explode inside whole-stage codegen.
+    */
+  private def bigramOcc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "named_struct('u', element_at(toks, i), 'w', element_at(toks, i + 1)))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.u").as("u"), col("bg.w").as("w"))
+
+  private def duckBigramOcc: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |occ AS (
+      |  SELECT doc_id, t[i] AS u, t[i + 1] AS w
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r)""".stripMargin
+
+  /** Per-token perplexity bucket cuts, in 6-dp micro-nats of average
+    * negative log-likelihood: below [[PplHeadE6]] → head (keep), below
+    * [[PplMiddleE6]] → middle, else tail — CCNet's three-way split with
+    * fixed cuts instead of corpus quantiles, so the bucket of one
+    * document never depends on global order statistics. The comparison
+    * is integer (`nll_sum ⋛ cut·n`), no float division.
+    *
+    * The corpus is near-uniform word soup: avg nll per bigram sits near
+    * ln(V)≈3.43; cuts at 3.37/3.41 (≈ the corpus p25/p75) split it into
+    * three well-populated buckets.
+    */
+  val PplHeadE6: Long = 3370000L
+  val PplMiddleE6: Long = 3410000L
+
+  /** t31: per-document bigram-LM negative log-likelihood and CCNet-style
+    * head/middle/tail bucket.
+    *
+    * Model: P(w|u) = (c(u,w) + 1) / (c(u·) + V), add-one smoothing over
+    * the corpus vocabulary V; nll(u,w) = -ln P(w|u), quantized e6 per
+    * BIGRAM TYPE (in the vocab-sized model table, not per occurrence),
+    * then integer-summed over each document's occurrences.
+    *
+    * Plan: one map-only bigram explode feeds (a) the model aggregation
+    * (vocab-bounded) and (b) the scoring join; the model is broadcast and
+    * the only corpus-sized shuffle is the final groupBy(doc_id).
+    */
+  def bigramLmScores(spark: SparkSession, dir: String): DataFrame = {
+    val occ = bigramOcc(table(spark, dir, "documents"))
+    val cuw = occ.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
+    val cu = occ.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val vocab = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val model = cuw.join(cu, "u").crossJoin(broadcast(vocab))
+      .select(col("u"), col("w"),
+        Exact.e(-log((col("cuw") + lit(1)).cast("double") / (col("cu") + col("v"))), 6)
+          .as("nll_e6"))
+    occ.join(broadcast(model), Seq("u", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_e6")).as("nll_sum_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_e6"),
+        when(col("nll_sum_e6") < lit(PplHeadE6) * col("n_bigrams"), lit("head"))
+          .when(col("nll_sum_e6") < lit(PplMiddleE6) * col("n_bigrams"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  def bigramLmScoresOracleSql: String =
+    s"""WITH $duckBigramOcc,
+       |cuw AS (SELECT u, w, count(*) AS cuw FROM occ GROUP BY u, w),
+       |cu AS (SELECT u, count(*) AS cu FROM occ GROUP BY u),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |model AS (
+       |  SELECT cuw.u, cuw.w,
+       |    cast(floor(-ln(cast(cuw + 1 AS double) / (cu + v)) * 1000000.0 + 0.5)
+       |      AS bigint) AS nll_e6
+       |  FROM cuw JOIN cu ON cu.u = cuw.u CROSS JOIN v),
+       |scored AS (
+       |  SELECT occ.doc_id,
+       |    cast(count(*) AS bigint) AS n_bigrams,
+       |    cast(sum(nll_e6) AS bigint) AS nll_sum_e6
+       |  FROM occ JOIN model ON model.u = occ.u AND model.w = occ.w
+       |  GROUP BY occ.doc_id)
+       |SELECT doc_id, n_bigrams, nll_sum_e6,
+       |  CASE WHEN nll_sum_e6 < $PplHeadE6 * n_bigrams THEN 'head'
+       |       WHEN nll_sum_e6 < $PplMiddleE6 * n_bigrams THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM scored""".stripMargin
+
+  /** DSIR feature-space size (hashed-bigram buckets). */
+  val DsirBuckets: Long = 256L
+
+  /** Docs below this id form the target distribution (the benchmark-ish
+    * slice, same convention as t13's EvalCutoff); the rest are the raw
+    * pool being weighted.
+    */
+  val DsirTargetCutoff: Long = 50L
+
+  /** A raw doc is selected when its average per-feature log importance
+    * ratio is at least this many 6-dp micro-nats (0 = "looks at least as
+    * target-like as raw-like on average").
+    */
+  val DsirSelectE6: Long = 0L
+
+  /** t32: hashed-bigram importance weights for target-distribution data
+    * selection (DSIR). Each bigram hashes to one of [[DsirBuckets]]
+    * features via the portable 60-bit md5 prefix; the per-feature log
+    * ratio ln(p_target/p_raw) (add-one smoothed) is quantized e6 in the
+    * 256-row feature table; a raw document's weight is the integer sum
+    * over its bigram occurrences. Selection compares the sum against
+    * [[DsirSelectE6]]·n — integer arithmetic only.
+    *
+    * Plan: the feature table aggregates map-side into 256 rows and
+    * broadcasts; the corpus sees one explode + one groupBy(doc_id).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val occ = bigramOcc(table(spark, dir, "documents"))
+      .withColumn("b",
+        PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
+    val counts = occ
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("doc_id") < DsirTargetCutoff, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") >= DsirTargetCutoff, 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val feats = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        Exact.e(
+          log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(DsirBuckets))) -
+            log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(DsirBuckets))), 6)
+          .as("logratio_e6"))
+    occ.filter(col("doc_id") >= DsirTargetCutoff)
+      .join(broadcast(feats), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("logratio_e6")).as("logw_sum_e6"))
+      .select(col("doc_id"), col("n_feats"), col("logw_sum_e6"),
+        (col("logw_sum_e6") >= lit(DsirSelectE6) * col("n_feats")).as("selected"))
+  }
+
+  def dsirWeightsOracleSql: String = {
+    val h = PortableHash.duckMd5Prefix60("u || ' ' || w")
+    s"""WITH $duckBigramOcc,
+       |hashed AS (SELECT doc_id, $h % $DsirBuckets AS b FROM occ),
+       |counts AS (
+       |  SELECT b,
+       |    sum(CASE WHEN doc_id < $DsirTargetCutoff THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN doc_id >= $DsirTargetCutoff THEN 1 ELSE 0 END) AS cr
+       |  FROM hashed GROUP BY b),
+       |totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+       |feats AS (
+       |  SELECT b,
+       |    cast(floor((ln(cast(ct + 1 AS double) / (nt + $DsirBuckets)) -
+       |                ln(cast(cr + 1 AS double) / (nr + $DsirBuckets)))
+       |      * 1000000.0 + 0.5) AS bigint) AS logratio_e6
+       |  FROM counts CROSS JOIN totals),
+       |scored AS (
+       |  SELECT doc_id,
+       |    cast(count(*) AS bigint) AS n_feats,
+       |    cast(sum(logratio_e6) AS bigint) AS logw_sum_e6
+       |  FROM hashed JOIN feats USING (b)
+       |  WHERE doc_id >= $DsirTargetCutoff GROUP BY doc_id)
+       |SELECT doc_id, n_feats, logw_sum_e6,
+       |  logw_sum_e6 >= $DsirSelectE6 * n_feats AS selected
+       |FROM scored""".stripMargin
+  }
+
+  /** The fixed retrieval query set: realistic multi-term queries over the
+    * corpus vocabulary. A (query_id, term) pair per row; scoring is
+    * disjunctive (OR over terms), BM25-standard.
+    */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark window stream",
+    2 -> "customer order join",
+    3 -> "vector hash scan",
+    4 -> "slow query")
+
+  /** BM25 hyperparameters (the Robertson defaults). */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+
+  /** Top documents returned per query. */
+  val Bm25K: Int = 10
+
+  /** t33: BM25 top-[[Bm25K]] document retrieval per query.
+    *
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene form, always
+    * positive); tf part = tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/Σdl)).
+    * The per-(doc,term) score is one double expression over integers,
+    * written token-identically in the oracle SQL, quantized e6, then
+    * integer-summed per (query_id, doc_id). Ranking runs through the
+    * [[graft.plans.TopKPerKey]] physical node — per-key partial top-k on
+    * the map side, never a full sort of the scored corpus.
+    *
+    * Plan: tf/dl aggregate once off one corpus scan; df and the global
+    * (N, Σdl) row are term-count-sized and broadcast; the query set is a
+    * literal broadcast table, so the corpus-sized work is one groupBy
+    * (doc_id, term) and the top-k exchange over Bm25K·|queries| rows.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val qterms = Bm25Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val globals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val score = Exact.e(
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") * col("n") / col("sumdl"))),
+      6)
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(globals))
+      .withColumn("score_e6", score)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_e6")).as("bm25_e6"))
+    graft.plans.TopKPerKey(
+      scored, Seq(col("query_id")), Seq(col("bm25_e6").desc, col("doc_id")), Bm25K)
+      .select(col("query_id"), col("doc_id"), col("bm25_e6"), col("rn"))
+  }
+
+  def bm25TopKOracleSql: String = {
+    val qvalues = Bm25Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH qterms(query_id, term) AS (VALUES $qvalues),
+       |terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+       |globals AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    cast(sum(cast(floor(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |        (tf * ${Bm25K1 + 1.0}) /
+       |        (tf + $Bm25K1 *
+       |          (${1.0 - Bm25B} + $Bm25B * cast(dl AS double) * n / sumdl))
+       |      * 1000000.0 + 0.5) AS bigint)) AS bigint) AS bm25_e6
+       |  FROM qterms q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN df ON df.term = q.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN globals
+       |  GROUP BY q.query_id, tf.doc_id)
+       |SELECT query_id, doc_id, bm25_e6, cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT query_id, doc_id, bm25_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY bm25_e6 DESC, doc_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $Bm25K""".stripMargin
+  }
+}

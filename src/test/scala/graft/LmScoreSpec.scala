@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LmScore
+
+/** Invariants for the LM-scoring curation layer (t31/t32/t33). The exact
+  * cross-engine values are pinned by the DuckDB oracle via Verify; these
+  * tests pin the semantic contracts the oracle can't see.
+  */
+class LmScoreSpec extends SparkSuite {
+
+  test("t31: every doc scored once, nll positive, buckets ordered by avg nll") {
+    val out = LmScore.bigramLmScores(spark, sf0001).cache()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.count() === nDocs)
+    assert(out.filter(col("nll_sum_e6") <= 0).count() === 0)
+    // bucket ↔ threshold consistency: head avg < middle avg < tail avg
+    val avg = out.groupBy(col("ppl_bucket"))
+      .agg((sum(col("nll_sum_e6")) / sum(col("n_bigrams"))).as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (b <- Seq("head", "middle", "tail")) assert(avg.contains(b), s"empty bucket $b")
+    assert(avg("head") < avg("middle") && avg("middle") < avg("tail"))
+    out.unpersist()
+  }
+
+  test("t31: a doc's nll equals the integer sum of its bigrams' model nll") {
+    // re-derive one document's score by hand from the model definition
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val text = docs.filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+    val toks = text.split(" ")
+    val allToks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select(col("t")).collect().map(_.getString(0))
+    val v = allToks.distinct.length
+    val bigrams = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect().flatMap(r => r.getSeq[String](1).sliding(2).collect {
+        case Seq(u, w) => (u, w)
+      })
+    val cuw = bigrams.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val cu = bigrams.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    val expected = toks.sliding(2).collect { case Array(u, w) =>
+      math.floor(-math.log((cuw((u, w)) + 1).toDouble / (cu(u) + v)) * 1e6 + 0.5).toLong
+    }.sum
+    val got = LmScore.bigramLmScores(spark, sf0001)
+      .filter(col("doc_id") === 0).select(col("nll_sum_e6")).head().getLong(0)
+    assert(got === expected)
+  }
+
+  test("t32: weights cover exactly the raw pool and selection is avg-threshold") {
+    val out = LmScore.dsirWeights(spark, sf0001).cache()
+    assert(out.filter(col("doc_id") < LmScore.DsirTargetCutoff).count() === 0)
+    val nRaw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") >= LmScore.DsirTargetCutoff)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.count() === nRaw)
+    val bad = out.filter(
+      (col("logw_sum_e6") >= lit(LmScore.DsirSelectE6) * col("n_feats")) =!= col("selected"))
+    assert(bad.count() === 0)
+    // both classes populated at sf0.001 (cutoffs are non-vacuous)
+    assert(out.filter(col("selected")).count() > 0)
+    assert(out.filter(!col("selected")).count() > 0)
+    out.unpersist()
+  }
+
+  test("t33: k rows per query, ranked by score desc with doc_id tie-break") {
+    val out = LmScore.bm25TopK(spark, sf0001).cache()
+    val perQ = out.groupBy(col("query_id")).count().collect()
+    assert(perQ.length === LmScore.Bm25Queries.length)
+    perQ.foreach(r => assert(r.getLong(1) === LmScore.Bm25K))
+    val rows = out.orderBy(col("query_id"), col("rn")).collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, qs) =>
+      val sorted = qs.sortBy(_.getInt(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getLong(2), b.getLong(2))
+          assert(sa > sb || (sa == sb && a.getLong(1) < b.getLong(1)))
+        case _ => ()
+      }
+    }
+    out.unpersist()
+  }
+
+  test("t33: ranking runs through the TopKPerKey node, not a full sort") {
+    val plan = LmScore.bm25TopK(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey node in:\n$plan")
+  }
+}

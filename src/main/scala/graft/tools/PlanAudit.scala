@@ -47,6 +47,11 @@ object PlanAudit {
     ("v12_ivf_recall", Bnlj) -> "8-query ground-truth frame",
     ("v14_pq_recall", Bnlj) -> "8-query ground-truth + ADC legs (v2/v10 shapes composed)",
     ("t9_tfidf_top_terms", Bnlj) -> "1-row doc-count frame crossed",
+    // the LM-scoring layer crosses 1-row corpus constants (vocab size V,
+    // target/raw totals, N+Σdl) into vocab-bounded model tables
+    ("t31_bigram_lm_ppl", Bnlj) -> "1-row vocab-size frame crossed into the model table",
+    ("t32_dsir_weights", Bnlj) -> "1-row target/raw totals frame crossed into the 256-row feature table",
+    ("t33_bm25_topk", Bnlj) -> "1-row (N, sumdl) frame crossed into the scored-terms leg",
     ("g5_code_pagerank", Bnlj) -> "1-row rank-constants frame crossed per iteration",
     ("v2_brute_force_topk", Bnlj) -> "8-query broadcast side (exact baseline by design)",
     ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",

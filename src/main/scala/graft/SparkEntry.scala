@@ -262,6 +262,11 @@ object SparkEntry {
     // CCNet-style bigram-LM perplexity buckets: model table is
     // vocab-bounded and broadcast; one corpus-sized shuffle (doc groupBy)
     "t31_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScores _,
+    // index-fed twin: scores against the persisted model (trained once
+    // per corpus via IndexStore), bit-equal to t31 — same oracle
+    "t31i_bigram_lm_ppl" -> ((s: SparkSession, d: String) =>
+      graft.operators.LmScore.bigramLmScoresIndexed(
+        s, d, graft.operators.IndexStore.lmModelPath(s, d))),
     // DSIR hashed-bigram importance weights: 256-row feature table,
     // broadcast score join, integer log-ratio sums
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeights _,
@@ -1351,6 +1356,7 @@ object SparkEntry {
     // t33's per-(doc,term) BM25 score is one double expression over
     // integers written token-identically in both engines, then e6-rounded
     "t31_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScoresOracleSql,
+    "t31i_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScoresOracleSql,
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
     "t15_repetition_signals" ->

@@ -48,6 +48,16 @@ object IndexStore {
       tbl
     })
 
+  /** The persisted bigram-LM model path for `dir`, training it on first
+    * use (the CCNet shape: one reference model, many scoring passes).
+    */
+  def lmModelPath(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"lm:$dir", { _ =>
+      val path = s"${root(dir)}/lm"
+      LmScore.buildModel(spark, dir, path)
+      path
+    })
+
   /** The persisted IVF index path for `dir`, building it on first use. */
   def vectorPath(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(s"ivf:$dir", { _ =>

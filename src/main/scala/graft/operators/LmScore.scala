@@ -111,6 +111,90 @@ object LmScore {
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  /** Persist the bigram LM trained on `dir`'s documents at `path`:
+    * `model/` (u, w, nll_e6) for seen bigrams, `unk/` (u, unk_nll_e6) for
+    * unseen continuations of a seen context (P = 1/(c(u·)+V)), and
+    * `global/` (one row: V, the unseen-context nll ln V) — the CCNet
+    * deployment shape, where the reference model is trained once and new
+    * crawls are scored against it for the life of the model.
+    */
+  def buildModel(spark: SparkSession, dir: String, path: String): Unit = {
+    val occ = bigramOcc(table(spark, dir, "documents"))
+    val cuw = occ.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
+    val cu = occ.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val vocab = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    cuw.join(cu, "u").crossJoin(broadcast(vocab))
+      .select(col("u"), col("w"),
+        Exact.e(-log((col("cuw") + lit(1)).cast("double") / (col("cu") + col("v"))), 6)
+          .as("nll_e6"))
+      .write.mode("overwrite").parquet(s"$path/model")
+    cu.crossJoin(broadcast(vocab))
+      .select(col("u"),
+        Exact.e(log((col("cu") + col("v")).cast("double")), 6).as("unk_nll_e6"))
+      .write.mode("overwrite").parquet(s"$path/unk")
+    vocab.select(col("v"), Exact.e(log(col("v").cast("double")), 6).as("unk_global_e6"))
+      .write.mode("overwrite").parquet(s"$path/global")
+  }
+
+  /** Shared tail of every scoring path: per-doc integer nll sum + bucket. */
+  private def bucketed(perBigram: DataFrame): DataFrame =
+    perBigram
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_e6")).as("nll_sum_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_e6"),
+        when(col("nll_sum_e6") < lit(PplHeadE6) * col("n_bigrams"), lit("head"))
+          .when(col("nll_sum_e6") < lit(PplMiddleE6) * col("n_bigrams"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+
+  /** Score arbitrary documents (doc_id, text) against a persisted model:
+    * seen bigram → model nll; unseen continuation of a seen context →
+    * that context's smoothed unk mass; unseen context → the uniform 1/V
+    * floor. On the training corpus itself every bigram hits the model
+    * table, so this path is bit-equal to [[bigramLmScores]] — pinned by
+    * LmScoreSpec for both the batch twin (t31i) and the stream.
+    */
+  def scoreWithModel(docs: DataFrame, modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val model = spark.read.parquet(s"$modelPath/model")
+    val unk = spark.read.parquet(s"$modelPath/unk")
+    val global = spark.read.parquet(s"$modelPath/global").select(col("unk_global_e6"))
+    bucketed(
+      bigramOcc(docs)
+        .join(broadcast(model), Seq("u", "w"), "left")
+        .join(broadcast(unk), Seq("u"), "left")
+        .crossJoin(broadcast(global))
+        .select(col("doc_id"),
+          coalesce(col("nll_e6"), col("unk_nll_e6"), col("unk_global_e6")).as("nll_e6")))
+  }
+
+  /** t31i: the index-fed twin of [[bigramLmScores]] — scores the corpus
+    * against the persisted model instead of retraining, amortizing the
+    * model aggregation across queries exactly like the shingle/IVF twins.
+    * Reuses t31's oracle (bit-equal by construction).
+    */
+  def bigramLmScoresIndexed(spark: SparkSession, dir: String, modelPath: String): DataFrame =
+    scoreWithModel(table(spark, dir, "documents"), modelPath)
+
+  /** Online twin: score a STREAM of documents against the persisted model,
+    * appending per-doc verdicts to `outPath` exactly once per micro-batch
+    * (idempotent via foreachBatch replay markers is unnecessary here — the
+    * scoring is stateless and the parquet append is per-batch atomic at
+    * the task-commit level, the same at-least-once + idempotent-read
+    * contract as the importer's dead-letter sink).
+    */
+  def scoreIngestStream(
+      docs: DataFrame, modelPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        scoreWithModel(batch.toDF(), modelPath)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   def bigramLmScoresOracleSql: String =
     s"""WITH $duckBigramOcc,
        |cuw AS (SELECT u, w, count(*) AS cuw FROM occ GROUP BY u, w),

@@ -81,6 +81,59 @@ class LmScoreSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("t31i: persisted-model scoring is bit-equal to the inline pass") {
+    val path = java.nio.file.Files.createTempDirectory("lmidx").toString
+    LmScore.buildModel(spark, sf0001, path)
+    val cold = LmScore.bigramLmScores(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    val indexed = LmScore.bigramLmScoresIndexed(spark, sf0001, path).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    assert(indexed === cold)
+  }
+
+  test("persisted model scores unseen text through the unk fallbacks") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lmunk").toString
+    LmScore.buildModel(spark, sf0001, path)
+    // "join" is in-vocab (seen context), "zzz" is out-of-vocab
+    val novel = Seq((9001L, "join zzz join"), (9002L, "zzz zzz"))
+      .toDF("doc_id", "text")
+    val out = LmScore.scoreWithModel(novel, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val global = spark.read.parquet(s"$path/global").head()
+    val v = global.getLong(0)
+    val unkJoin = spark.read.parquet(s"$path/unk")
+      .filter(col("u") === "join").head().getLong(1)
+    // doc 9001: (join,zzz) → unk mass of context "join"; (zzz,join) → 1/V floor
+    val lnV = math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong
+    assert(out(9001L) === unkJoin + lnV)
+    // doc 9002: single bigram of two unseen tokens → one 1/V floor
+    assert(out(9002L) === lnV)
+  }
+
+  test("streaming scorer over micro-batches equals the cold batch pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("lmstream").toString
+    LmScore.buildModel(spark, sf0001, path)
+    val outPath = java.nio.file.Files.createTempDirectory("lmverdicts").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lmckpt").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = LmScore.scoreIngestStream(
+      stream.toDF().toDF("doc_id", "text"), path, outPath, ckpt)
+    docs.grouped(200).foreach { g => stream.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(outPath).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    val cold = LmScore.bigramLmScores(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    assert(streamed === cold)
+  }
+
   test("t33: ranking runs through the TopKPerKey node, not a full sort") {
     val plan = LmScore.bm25TopK(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKey node in:\n$plan")

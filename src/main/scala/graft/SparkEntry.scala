@@ -338,6 +338,10 @@ object SparkEntry {
     // distributed Lloyd refinement: map-only assign → posexplode →
     // K×dim-key partial agg; exact fixed-point sums, never a collect
     "v15_kmeans_refine" -> graft.operators.IvfAnn.kmeansRefine _,
+    // cluster-balanced diversity sampling: fixed quota of most-prototypical
+    // vectors per cluster via the TopKPerKey node (never a corpus sort)
+    "v16_cluster_sample" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.clusterBalancedSample(s, d)),
     "v7_ivf_topk" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfTopK(s, d)),
     // the persisted-index probe path: stored centroids + directory-pruned
@@ -1554,6 +1558,8 @@ object SparkEntry {
       case (Some(s), Some(d)) => Map(
         "v6_ivf_assignments" -> graft.operators.IvfAnn.assignmentsOracleSql(s, d),
         "v15_kmeans_refine" -> graft.operators.IvfAnn.kmeansRefineOracleSql(s, d),
+        "v16_cluster_sample" ->
+          graft.operators.IvfAnn.clusterBalancedSampleOracleSql(s, d),
         "v7_ivf_topk" -> graft.operators.IvfAnn.ivfTopKOracleSql(s, d),
         // v7i probes the PERSISTED index, whose centroids are the same
         // trained geometry the inline path derives (VectorIndex.build

@@ -494,6 +494,59 @@ object IvfAnn {
        |FROM assigned a LEFT JOIN dropped d ON d.b = a.vec_id""".stripMargin
   }
 
+  /** Representatives kept per cluster by [[clusterBalancedSample]]. */
+  val SampleK = 8
+
+  /** v16: cluster-balanced diversity sampling (the SSL-prototypes /
+    * "sample across clusters, not across the corpus" selection rule —
+    * Sorscher et al. 2022): keep the [[SampleK]] most prototypical
+    * vectors of every cluster, i.e. the smallest exact-integer L2
+    * distance to the OWN centroid, vec_id tie-break. A corpus-uniform
+    * sample over-represents dense regions; sampling a fixed quota per
+    * cluster equalizes coverage of the embedding space — the curation
+    * step between clustering (v6/v15) and semantic dedup (v13).
+    *
+    * Plan shape: map-only assignment (centroid literals in codegen, same
+    * kernel as v6) followed by the [[graft.plans.TopKPerKey]] node keyed
+    * on centroid — bounded per-partition heaps, top-k-only exchange,
+    * never a corpus sort. At 100 TB this is one scan + one K·k-row
+    * exchange.
+    */
+  def clusterBalancedSample(
+      spark: SparkSession, dir: String, k: Int = SampleK): DataFrame = {
+    val centsFx = centroidsFx(spark, dir)
+    val scored = centsFx.zipWithIndex.map { case (c, i) =>
+      struct(fxL2ToF(col("embedding"), c).as("d"), lit(i).as("c"))
+    }
+    val assigned = table(spark, dir, "embeddings")
+      .select(col("vec_id"), array_min(array(scored.toSeq: _*)).as("best"))
+      .select(col("vec_id"),
+        col("best").getField("c").cast("int").as("centroid"),
+        col("best").getField("d").as("d"))
+    graft.plans.TopKPerKey(
+        assigned, Seq(col("centroid")), Seq(col("d"), col("vec_id")), k)
+      .select(col("centroid"), col("vec_id"), col("d"), col("rn"))
+  }
+
+  def clusterBalancedSampleOracleSql(
+      spark: SparkSession, dir: String, k: Int = SampleK): String = {
+    val centsFx = centroidsFx(spark, dir)
+    s"""WITH ${distCte(centsFx)},
+       |assigned AS (
+       |  SELECT vec_id, c AS centroid, d
+       |  FROM (
+       |    SELECT vec_id, c, d,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1)
+       |SELECT cast(centroid AS int) AS centroid, vec_id, d, cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT centroid, vec_id, d,
+       |    row_number() OVER (PARTITION BY centroid ORDER BY d, vec_id) AS rn
+       |  FROM assigned)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** v15: one DISTRIBUTED Lloyd refinement of the trained centroids — the
     * full-corpus counterpart of [[trainCentroids]]'s bounded-sample loop.
     * The driver-side trainer is the right tool for picking K initial

@@ -108,6 +108,33 @@ class IvfBucketingSpec extends SparkSuite {
     assert(curve.last >= 0.95, s"full probe should recover brute force: $curve")
   }
 
+  test("v16 cluster sample: per-cluster quota of nearest-to-centroid members, via TopKPerKey") {
+    val out = graft.operators.IvfAnn.clusterBalancedSample(spark, sf0001).cache()
+    // quota respected and members really belong to the keyed cluster
+    val perC = out.groupBy("centroid").count().collect()
+    perC.foreach(r => assert(r.getLong(1) <= graft.operators.IvfAnn.SampleK))
+    val assign = graft.operators.IvfAnn.assignments(spark, sf0001)
+      .withColumnRenamed("centroid", "true_centroid")
+    val wrong = out.join(assign, "vec_id")
+      .filter(org.apache.spark.sql.functions.col("centroid") =!=
+        org.apache.spark.sql.functions.col("true_centroid"))
+    assert(wrong.count() === 0)
+    // within a cluster, rank order follows (d, vec_id)
+    val rows = out.orderBy("centroid", "rn").collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, g) =>
+      g.sortBy(_.getInt(3)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) < b.getLong(2) ||
+            (a.getLong(2) == b.getLong(2) && a.getLong(1) < b.getLong(1)))
+        case _ => ()
+      }
+    }
+    val plan = graft.operators.IvfAnn.clusterBalancedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    out.unpersist()
+  }
+
   test("persisted IVF index: bit-equal to inline ivfTopK, scan pruned to probed lists") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.operators.{IvfAnn, VectorIndex}

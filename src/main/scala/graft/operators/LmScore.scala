@@ -177,23 +177,32 @@ object LmScore {
   def bigramLmScoresIndexed(spark: SparkSession, dir: String, modelPath: String): DataFrame =
     scoreWithModel(table(spark, dir, "documents"), modelPath)
 
-  /** Online twin: score a STREAM of documents against the persisted model,
-    * appending per-doc verdicts to `outPath` exactly once per micro-batch
-    * (idempotent via foreachBatch replay markers is unnecessary here — the
-    * scoring is stateless and the parquet append is per-batch atomic at
-    * the task-commit level, the same at-least-once + idempotent-read
-    * contract as the importer's dead-letter sink).
+  /** Online twin: score a STREAM of documents against the persisted
+    * model. Scoring is stateless, so replay safety reduces to making the
+    * write idempotent: each micro-batch overwrites ITS OWN partition
+    * directory (`outPath/batch=<id>`), so a foreachBatch redelivery after
+    * a crash rewrites the same files instead of appending duplicates —
+    * exactly-once output under Structured Streaming's at-least-once
+    * replay, with no marker bookkeeping. Readers see `batch` as an
+    * ordinary partition column on `spark.read.parquet(outPath)`.
     */
   def scoreIngestStream(
       docs: DataFrame, modelPath: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scoreWithModel(batch.toDF(), modelPath)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        scoreIngestBatch(batch.toDF(), modelPath, outPath, id)
       }
       .start()
+
+  /** One micro-batch of [[scoreIngestStream]] — public seam so the
+    * replay-idempotency contract is directly testable.
+    */
+  private[graft] def scoreIngestBatch(
+      batch: DataFrame, modelPath: String, outPath: String, batchId: Long): Unit =
+    scoreWithModel(batch, modelPath)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
 
   def bigramLmScoresOracleSql: String =
     s"""WITH $duckBigramOcc,

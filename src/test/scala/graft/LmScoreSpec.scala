@@ -127,11 +127,24 @@ class LmScoreSpec extends SparkSuite {
       stream.toDF().toDF("doc_id", "text"), path, outPath, ckpt)
     docs.grouped(200).foreach { g => stream.addData(g.toSeq); q.processAllAvailable() }
     q.stop()
-    val streamed = spark.read.parquet(outPath).collect()
-      .map(_.toSeq.mkString("|")).sorted
+    def verdicts() = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("n_bigrams"), col("nll_sum_e6"), col("ppl_bucket"))
+      .collect().map(_.toSeq.mkString("|")).sorted
     val cold = LmScore.bigramLmScores(spark, sf0001).collect()
       .map(_.toSeq.mkString("|")).sorted
-    assert(streamed === cold)
+    assert(verdicts() === cold)
+    // crash-replay: redelivering a batch overwrites its own partition —
+    // no duplicate verdicts appear
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        docs.take(200).map(t => org.apache.spark.sql.Row(t._1, t._2)).toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    LmScore.scoreIngestBatch(replay, path, outPath, 0L)
+    assert(verdicts() === cold)
   }
 
   test("t33: ranking runs through the TopKPerKey node, not a full sort") {

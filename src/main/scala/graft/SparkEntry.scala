@@ -272,6 +272,8 @@ object SparkEntry {
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeights _,
     // BM25 retrieval per query through the TopKPerKey physical node
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopK _,
+    // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
+    "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1363,6 +1365,7 @@ object SparkEntry {
     "t31i_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScoresOracleSql,
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
+    "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -227,6 +227,31 @@ object LmScore {
        |       ELSE 'tail' END AS ppl_bucket
        |FROM scored""".stripMargin
 
+  /** t34: the CCNet composition — [[TrainingPrep.trainingSelection]]'s
+    * exact ∧ token ∧ quality ∧ segment-dup gate further filtered to
+    * documents whose LM perplexity bucket is head or middle (the tail is
+    * the noise CCNet discards). Composing adds one join on doc_id against
+    * the t31 scoring output — no new corpus-wide shuffle key; the LM leg
+    * keeps its broadcast-model plan.
+    */
+  def lmGatedSelection(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.trainingSelection(spark, dir)
+      .join(bigramLmScores(spark, dir)
+        .select(col("doc_id"), col("ppl_bucket")), "doc_id")
+      .filter(col("ppl_bucket") =!= "tail")
+
+  def lmGatedSelectionOracleSql: String =
+    s"""WITH sel AS (
+       |${TrainingPrep.trainingSelectionOracleSql}
+       |),
+       |lm AS (
+       |${bigramLmScoresOracleSql}
+       |)
+       |SELECT sel.doc_id, sel.lang, sel.n_tokens, sel.quality_e4,
+       |  sel.dup_frac_e4, lm.ppl_bucket
+       |FROM sel JOIN lm USING (doc_id)
+       |WHERE lm.ppl_bucket <> 'tail'""".stripMargin
+
   /** DSIR feature-space size (hashed-bigram buckets). */
   val DsirBuckets: Long = 256L
 

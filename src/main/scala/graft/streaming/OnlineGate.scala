@@ -19,7 +19,12 @@ import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep,
   *     jaccard-1.0 special case, so this leg subsumes the batch gate's
   *     exact-dedup survivorship for any doc long enough to shingle);
   *   - semantic (SemDeDup) survivorship against every vector indexed so
-  *     far, via the persisted IVF index ([[VectorIndex.dedupIngestBatch]]).
+  *     far, via the persisted IVF index ([[VectorIndex.dedupIngestBatch]]);
+  *   - optionally (lmModelPath set) the CCNet perplexity leg: bucket
+  *     against a reference bigram LM FROZEN before the stream started
+  *     ([[graft.operators.LmScore.scoreWithModel]]) — a pure per-doc
+  *     function of the text, so at-arrival and cold verdicts agree by
+  *     construction.
   *
   * The composed verdict for batch N lands under
   * `outPath/decisions/batch_id=N` as (doc_id, n_tokens, quality_e4,
@@ -74,7 +79,8 @@ object OnlineGate {
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens,
       fuzzyThreshold: Double = Dedup.DefaultThreshold,
-      semThreshold: Double = IvfAnn.SemDedupThreshold): StreamingQuery = {
+      semThreshold: Double = IvfAnn.SemDedupThreshold,
+      lmModelPath: Option[String] = None): StreamingQuery = {
     val owner = docs.sparkSession
     ShingleIndex.ensureBandsTable(owner, shingleTable)
     // stored geometry is immutable between rebuilds: load once at start
@@ -99,7 +105,17 @@ object OnlineGate {
           .select(col("doc_id"), col("kept").as("fuzzy_keep"))
         val sem = spark.read.parquet(s"$vecPath/decisions/batch_id=$id")
           .select(col("vec_id").as("doc_id"), col("kept").as("sem_keep"))
-        b.select(
+        // optional CCNet leg: bucket against the FROZEN reference model
+        // (loaded from lmModelPath, trained before the stream started) —
+        // a pure per-doc function of the text, so prefix-consistency is
+        // free; pass = head/middle, matching the batch t34 gate
+        val lmPass = lmModelPath.map { mp =>
+          graft.operators.LmScore
+            .scoreWithModel(b.select(col("doc_id"), col("text")), mp)
+            .select(col("doc_id"),
+              (col("ppl_bucket") =!= "tail").as("pass_ppl"))
+        }
+        val base = b.select(
             col("doc_id"),
             TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
             TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
@@ -110,9 +126,16 @@ object OnlineGate {
             (col("quality_e4") >= minQualityE4).as("pass_quality"),
             col("n_tokens").between(minTokens, maxTokens).as("pass_tokens"),
             col("fuzzy_keep"), col("sem_keep"))
+        // left join + pass default: a doc too short to bigram (absent
+        // from the scoring output) carries no LM signal and passes,
+        // matching the dup-fraction leg's no-signal rule
+        lmPass.fold(base)(lp =>
+          base.join(lp, Seq("doc_id"), "left")
+            .withColumn("pass_ppl", coalesce(col("pass_ppl"), lit(true))))
           .withColumn("kept",
             col("pass_quality") && col("pass_tokens") &&
-              col("fuzzy_keep") && col("sem_keep"))
+              col("fuzzy_keep") && col("sem_keep") &&
+              (if (lmModelPath.isDefined) col("pass_ppl") else lit(true)))
           // placement rides along: the STABLE shard rule (t28 — first hex
           // digit of the md5 permutation key) is a pure function of
           // doc_id, so unlike rank-striping it is computable at arrival

@@ -1133,6 +1133,54 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("online gate's LM leg buckets against the frozen model exactly as the cold pass") {
+    import graft.operators.{LmScore, ShingleIndex, VectorIndex}
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("onlinegate-lm")
+    val tbl = "gate_lm_idx"
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      LmScore.buildModel(spark, sf0001, s"$base/lm")
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val joined = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("label")), "doc_id")
+      ShingleIndex.buildFor(spark,
+        docs.limit(0).select(col("doc_id"), col("text")), s"$base/sh", tbl)
+      VectorIndex.trainOnly(spark, sf0001, s"$base/ivf")
+      val rows = joined.orderBy("doc_id").as[(Long, String, Seq[Float], Int)].collect()
+      val mem = MemoryStream[(Long, String, Seq[Float], Int)]
+      val q = OnlineGate.gateStream(
+        mem.toDF().toDF("doc_id", "text", "embedding", "label"),
+        tbl, s"$base/markers", s"$base/ivf", s"$base/ckpt", s"$base/out",
+        lmModelPath = Some(s"$base/lm"))
+      try {
+        rows.grouped((rows.length + 1) / 2).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val dec = OnlineGate.decisions(spark, s"$base/out").localCheckpoint()
+      val coldBuckets = LmScore.bigramLmScores(spark, sf0001)
+        .select(col("doc_id"), col("ppl_bucket"))
+        .as[(Long, String)].collect().toMap
+      assert(dec.count() === rows.length.toLong)
+      dec.collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val expected = coldBuckets.get(id).forall(_ != "tail")
+        assert(r.getAs[Boolean]("pass_ppl") === expected, s"doc $id LM leg diverged")
+        if (r.getAs[Boolean]("kept")) assert(r.getAs[Boolean]("pass_ppl"))
+      }
+      // non-vacuity: the corpus has tail docs, so the leg rejects some
+      assert(dec.filter(!col("pass_ppl")).count() > 0, "LM leg rejected nothing")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("online training gate composes text, fuzzy and semantic legs prefix-consistently") {
     import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
     import graft.streaming.OnlineGate

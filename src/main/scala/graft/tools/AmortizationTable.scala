@@ -80,6 +80,13 @@ object AmortizationTable {
     val v13i = minOf2(IvfAnn.semanticDedupFromIndex(
       spark, dir, s"$idxRoot/ivf", cents, plantClones = true).count())
 
+    // the LM scorer: inline re-trains the model per pass; the fed flavor
+    // scores against the model persisted once (the CCNet deployment shape)
+    import graft.operators.LmScore
+    val t31 = minOf2(LmScore.bigramLmScores(spark, dir).count())
+    val lmBuild = once(LmScore.buildModel(spark, dir, s"$idxRoot/lm"))
+    val t31i = minOf2(LmScore.bigramLmScoresIndexed(spark, dir, s"$idxRoot/lm").count())
+
     def f(v: Double) = f"$v%.2f"
     println(s"sf_dir=$dir")
     println("| pass | inline (s) | index-fed (s) |")
@@ -96,6 +103,7 @@ object AmortizationTable {
     println(s"| v7 / v7i IVF probe | ${f(v7)} | ${f(v7i)} (+ build ${f(ivfBuild)}) |")
     println(s"| v7i, centroids cached | n/a | ${f(v7iCached)} |")
     println(s"| v13 / v13i SemDeDup | ${f(v13)} | ${f(v13i)} |")
+    println(s"| t31 / t31i bigram LM | ${f(t31)} | ${f(t31i)} (+ build ${f(lmBuild)}) |")
     println(f"breakeven: shingle build repays after ${shingleBuild / math.max(inlineSum - fedSum, 1e-9)}%.2f four-pass sweeps")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")

@@ -274,6 +274,8 @@ object SparkEntry {
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopK _,
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
+    // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
+    "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScores _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1366,6 +1368,7 @@ object SparkEntry {
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
+    "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

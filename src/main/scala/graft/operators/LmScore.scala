@@ -227,6 +227,103 @@ object LmScore {
        |       ELSE 'tail' END AS ppl_bucket
        |FROM scored""".stripMargin
 
+  /** Jelinek–Mercer interpolation weights for [[trigramLmScores]] —
+    * trigram, bigram, unigram. Printed into the oracle SQL via the JVM's
+    * shortest-round-trip double formatting, so both engines parse back
+    * the identical IEEE value.
+    */
+  val Lambda3: Double = 0.6
+  val Lambda2: Double = 0.3
+  val Lambda1: Double = 0.1
+
+  /** t35: interpolated trigram-LM scoring (Jelinek–Mercer smoothing) —
+    * the deeper cousin of [[bigramLmScores]]'s add-one bigram model:
+    *
+    *   P(w|u,v) = λ₃·c(uvw)/c(uv·) + λ₂·c(vw)/c(v·) + λ₁·(c(w)+1)/(N+V)
+    *
+    * where c(uv·)/c(v·) count OCCURRENCES AS CONTEXTS (trigram/bigram
+    * starts), N is the corpus token-occurrence count and the unigram leg
+    * is add-one smoothed so unseen words keep P > 0. The per-trigram-TYPE
+    * nll is quantized e6 in the model table (trigram-type-bounded), then
+    * integer-summed per document — same determinism discipline as t31,
+    * one double expression written token-identically in the oracle.
+    *
+    * Plan: the count tables aggregate map-side (type-bounded), chain into
+    * the model via broadcast joins, and the corpus pays one scoring
+    * broadcast join + the doc-level shuffle.
+    */
+  def trigramLmScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val occ3 = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> named_struct(" +
+          "'u', element_at(toks, i), 'v', element_at(toks, i + 1), " +
+          "'w', element_at(toks, i + 2)))")).as("tg"))
+      .select(col("doc_id"), col("tg.u").as("u"), col("tg.v").as("v"), col("tg.w").as("w"))
+    val occ2 = bigramOcc(docs) // (doc_id, u, w) adjacent pairs
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val cuvw = occ3.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("cuvw"))
+    val cuv = occ3.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
+    val cvw = occ2.select(col("u").as("v"), col("w")).groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cvw"))
+    val cv = occ2.select(col("u").as("v")).groupBy(col("v")).agg(count(lit(1)).as("cv"))
+    val cw = toks.groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+      .withColumnRenamed("tok", "w")
+    val globals = toks.agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("vsz"))
+    val p = lit(Lambda3) * col("cuvw").cast("double") / col("cuv") +
+      lit(Lambda2) * col("cvw").cast("double") / col("cv") +
+      lit(Lambda1) * (col("cw") + lit(1)).cast("double") / (col("n") + col("vsz"))
+    val model = cuvw
+      .join(broadcast(cuv), Seq("u", "v"))
+      .join(broadcast(cvw), Seq("v", "w"))
+      .join(broadcast(cv), Seq("v"))
+      .join(broadcast(cw), Seq("w"))
+      .crossJoin(broadcast(globals))
+      .select(col("u"), col("v"), col("w"), Exact.e(-log(p), 6).as("nll_e6"))
+    occ3.join(broadcast(model), Seq("u", "v", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("nll_e6")).as("nll_sum_e6"))
+      .select(col("doc_id"), col("n_trigrams"), col("nll_sum_e6"))
+  }
+
+  def trigramLmScoresOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ3 AS (
+       |  SELECT doc_id, t[i] AS u, t[i + 1] AS v, t[i + 2] AS w
+       |  FROM (SELECT * FROM toks WHERE len(t) >= 3) t3,
+       |       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |occ2 AS (
+       |  SELECT doc_id, t[i] AS v, t[i + 1] AS w
+       |  FROM (SELECT * FROM toks WHERE len(t) >= 2) t2,
+       |       LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+       |uni AS (SELECT unnest(t) AS tok FROM toks),
+       |cuvw AS (SELECT u, v, w, count(*) AS cuvw FROM occ3 GROUP BY u, v, w),
+       |cuv AS (SELECT u, v, count(*) AS cuv FROM occ3 GROUP BY u, v),
+       |cvw AS (SELECT v, w, count(*) AS cvw FROM occ2 GROUP BY v, w),
+       |cv AS (SELECT v, count(*) AS cv FROM occ2 GROUP BY v),
+       |cw AS (SELECT tok AS w, count(*) AS cw FROM uni GROUP BY tok),
+       |globals AS (SELECT count(*) AS n, count(DISTINCT tok) AS vsz FROM uni),
+       |model AS (
+       |  SELECT cuvw.u, cuvw.v, cuvw.w,
+       |    cast(floor(-ln(
+       |      $Lambda3 * cast(cuvw AS double) / cuv +
+       |      $Lambda2 * cast(cvw AS double) / cv +
+       |      $Lambda1 * cast(cw + 1 AS double) / (n + vsz))
+       |      * 1000000.0 + 0.5) AS bigint) AS nll_e6
+       |  FROM cuvw
+       |  JOIN cuv ON cuv.u = cuvw.u AND cuv.v = cuvw.v
+       |  JOIN cvw ON cvw.v = cuvw.v AND cvw.w = cuvw.w
+       |  JOIN cv ON cv.v = cuvw.v
+       |  JOIN cw ON cw.w = cuvw.w
+       |  CROSS JOIN globals)
+       |SELECT occ3.doc_id,
+       |  cast(count(*) AS bigint) AS n_trigrams,
+       |  cast(sum(nll_e6) AS bigint) AS nll_sum_e6
+       |FROM occ3
+       |JOIN model ON model.u = occ3.u AND model.v = occ3.v AND model.w = occ3.w
+       |GROUP BY occ3.doc_id""".stripMargin
+
   /** t34: the CCNet composition — [[TrainingPrep.trainingSelection]]'s
     * exact ∧ token ∧ quality ∧ segment-dup gate further filtered to
     * documents whose LM perplexity bucket is head or middle (the tail is

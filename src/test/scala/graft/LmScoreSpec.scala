@@ -47,6 +47,43 @@ class LmScoreSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("t35: trigram nll matches a pure-JVM interpolated-LM reference for one doc") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val all = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val tri = all.values.flatMap(_.sliding(3).filter(_.length == 3).map(a => (a(0), a(1), a(2))))
+      .toSeq
+    val bi = all.values.flatMap(_.sliding(2).filter(_.length == 2).map(a => (a(0), a(1)))).toSeq
+    val uni = all.values.flatten.toSeq
+    val cuvw = tri.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cuv = tri.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.size }
+    val cvw = bi.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cv = bi.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val cw = uni.groupBy(identity).map { case (k, v) => k -> v.size }
+    val n = uni.size
+    val vsz = uni.distinct.size
+    val target = 3L
+    val expected = all(target).sliding(3).filter(_.length == 3).map { a =>
+      val t = (a(0), a(1), a(2))
+      val p = LmScore.Lambda3 * cuvw(t).toDouble / cuv((a(0), a(1))) +
+        LmScore.Lambda2 * cvw((a(1), a(2))).toDouble / cv(a(1)) +
+        LmScore.Lambda1 * (cw(a(2)) + 1).toDouble / (n + vsz)
+      math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    }.sum
+    val got = LmScore.trigramLmScores(spark, sf0001)
+      .filter(col("doc_id") === target).select(col("nll_sum_e6")).head().getLong(0)
+    assert(got === expected)
+    // interpolation gives sharper (lower-nll) predictions than add-one
+    // bigram on this corpus for most docs — sanity that the model differs
+    val t31 = LmScore.bigramLmScores(spark, sf0001)
+      .select(col("doc_id"), col("nll_sum_e6").as("b6"), col("n_bigrams"))
+    val joined = LmScore.trigramLmScores(spark, sf0001).join(t31, "doc_id")
+      .select((col("nll_sum_e6") / col("n_trigrams") <
+        col("b6") / col("n_bigrams")).as("sharper"))
+      .collect()
+    assert(joined.count(_.getBoolean(0)) > joined.length / 2)
+  }
+
   test("t32: weights cover exactly the raw pool and selection is avg-threshold") {
     val out = LmScore.dsirWeights(spark, sf0001).cache()
     assert(out.filter(col("doc_id") < LmScore.DsirTargetCutoff).count() === 0)

@@ -184,6 +184,37 @@ class LmScoreSpec extends SparkSuite {
     assert(verdicts() === cold)
   }
 
+  test("property: bigram LM equals the pure-JVM reference on random corpora") {
+    import spark.implicits._
+    // deterministic pseudo-random word-soup corpora over a small vocab —
+    // different sizes/skews per seed, no fixed-corpus blind spots
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    for (seed <- Seq(7L, 23L, 101L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        val len = 2 + rnd.nextInt(30)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"lmprop$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      // pure-JVM reference: identical definitions, scalar arithmetic
+      val bigrams = docs.flatMap { case (id, t) =>
+        t.split(" ").sliding(2).collect { case Array(u, w) => (id, u, w) } }
+      val cuw = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+      val cu = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val v = docs.flatMap(_._2.split(" ")).distinct.size
+      val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+        id -> bs.map { case (_, u, w) =>
+          math.floor(-math.log((cuw((u, w)) + 1).toDouble / (cu(u) + v)) * 1e6 + 0.5).toLong
+        }.sum
+      }
+      val got = LmScore.bigramLmScores(spark, dir)
+        .select(col("doc_id"), col("nll_sum_e6"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed diverged")
+    }
+  }
+
   test("t33: ranking runs through the TopKPerKey node, not a full sort") {
     val plan = LmScore.bm25TopK(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKey node in:\n$plan")

@@ -334,6 +334,9 @@ object SparkEntry {
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_embedding_norms" -> Similarity.embeddingNorms _,
     "v2_brute_force_topk" -> Similarity.bruteForceTopK _,
+    // two-stage adaptive retrieval: prefix-dim coarse rank over the
+    // corpus, full-dim rescore on a constant-size candidate frame
+    "v17_adaptive_topk" -> Similarity.adaptiveTopK _,
     "v3_lsh_buckets" -> Similarity.lshBuckets _,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) =>
@@ -1543,6 +1546,7 @@ object SparkEntry {
         |FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r
         |GROUP BY e.vec_id, e.label""".stripMargin,
     "v2_brute_force_topk" -> Similarity.bruteForceTopKOracleSql,
+    "v17_adaptive_topk" -> Similarity.adaptiveTopKOracleSql,
     // deterministic hyperplane literals inlined into the oracles
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,

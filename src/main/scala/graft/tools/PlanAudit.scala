@@ -57,6 +57,7 @@ object PlanAudit {
     ("t33_bm25_topk", Bnlj) -> "1-row (N, sumdl) frame crossed into the scored-terms leg",
     ("g5_code_pagerank", Bnlj) -> "1-row rank-constants frame crossed per iteration",
     ("v2_brute_force_topk", Bnlj) -> "8-query broadcast side (exact baseline by design)",
+    ("v17_adaptive_topk", Bnlj) -> "8-query broadcast side on the coarse stage; rescore frame is RefineC-bounded",
     ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",
     ("m5_feature_topk", Bnlj) -> "8-query broadcast side over decoded features",
     // the t11 offsets window runs over a numPartitions-row side frame

@@ -116,6 +116,33 @@ class DedupSimilaritySpec extends SparkSuite {
     top.foreach { case (q, v, c) => assert(q === v && c === 10000L) }
   }
 
+  test("adaptive two-stage topk: self rank 1, k rows per query, results from the coarse candidates") {
+    import org.apache.spark.sql.functions.{broadcast, col, slice}
+    val out = graft.operators.Similarity.adaptiveTopK(spark, sf0001).cache()
+    val perQ = out.groupBy("qid").count().collect()
+    assert(perQ.length === 8)
+    perQ.foreach(r => assert(r.getLong(1) === 10L))
+    // the query's own vector has prefix cosine 1.0, survives the coarse
+    // stage, and full cosine 1.0 makes it rank 1
+    out.filter(col("rn") === 1).collect()
+      .foreach(r => assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id")))
+    // every returned pair came through the prefix-dim candidate stage
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val coarse = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        graft.operators.Exact.e(graft.functions.VectorFunctions.cosFxF(
+          slice(col("qe"), 1, 16), slice(col("embedding"), 1, 16)), 6).as("p6"))
+    val cand = graft.plans.TopKPerKey(
+        coarse, Seq(col("qid")), Seq(col("p6").desc, col("vec_id")), 50)
+      .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.select(col("qid"), col("vec_id")).collect()
+      .foreach(r => assert(cand.contains((r.getLong(0), r.getLong(1)))))
+    out.unpersist()
+  }
+
   test("lsh ann results are a subset of brute-force rankings' universe") {
     val bf = Similarity.bruteForceTopK(spark, sf0001)
       .select("qid").distinct().as[Long].collect().toSet

@@ -337,6 +337,7 @@ object SparkEntry {
     // two-stage adaptive retrieval: prefix-dim coarse rank over the
     // corpus, full-dim rescore on a constant-size candidate frame
     "v17_adaptive_topk" -> Similarity.adaptiveTopK _,
+    "v18_adaptive_recall" -> Similarity.adaptiveRecall _,
     "v3_lsh_buckets" -> Similarity.lshBuckets _,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) =>
@@ -1547,6 +1548,7 @@ object SparkEntry {
         |GROUP BY e.vec_id, e.label""".stripMargin,
     "v2_brute_force_topk" -> Similarity.bruteForceTopKOracleSql,
     "v17_adaptive_topk" -> Similarity.adaptiveTopKOracleSql,
+    "v18_adaptive_recall" -> Similarity.adaptiveRecallOracleSql,
     // deterministic hyperplane literals inlined into the oracles
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,

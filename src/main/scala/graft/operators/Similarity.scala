@@ -176,6 +176,41 @@ object Similarity {
        |  FROM scored)
        |WHERE rn <= $TopK""".stripMargin
 
+  /** v18: recall@k of [[adaptiveTopK]] against the exact
+    * [[bruteForceTopK]] ground truth — the same engine-evaluates-its-own-
+    * approximation contract as v12/v14, and the graded measurement of the
+    * front-loading caveat documented on v17 (uniform dimensions are the
+    * adversarial case; a Matryoshka-trained embedding raises this without
+    * touching the operator). Every qid reports: rank 1 is the query
+    * itself under both paths.
+    */
+  def adaptiveRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = adaptiveTopK(spark, dir)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("n_hits"), (col("n_hits") * 1000L).as("recall_e4"))
+  }
+
+  def adaptiveRecallOracleSql: String =
+    s"""WITH exact_tk AS (
+       |$bruteForceTopKOracleSql
+       |),
+       |approx_tk AS (
+       |$adaptiveTopKOracleSql
+       |)
+       |SELECT e.qid,
+       |  cast(count(*) AS bigint) AS n_hits,
+       |  cast(count(*) * 1000 AS bigint) AS recall_e4
+       |FROM exact_tk e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM approx_tk a
+       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |GROUP BY e.qid""".stripMargin
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)

@@ -58,6 +58,7 @@ object PlanAudit {
     ("g5_code_pagerank", Bnlj) -> "1-row rank-constants frame crossed per iteration",
     ("v2_brute_force_topk", Bnlj) -> "8-query broadcast side (exact baseline by design)",
     ("v17_adaptive_topk", Bnlj) -> "8-query broadcast side on the coarse stage; rescore frame is RefineC-bounded",
+    ("v18_adaptive_recall", Bnlj) -> "composes the v2 + v17 shapes (8-query broadcast sides)",
     ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",
     ("m5_feature_topk", Bnlj) -> "8-query broadcast side over decoded features",
     // the t11 offsets window runs over a numPartitions-row side frame

@@ -91,7 +91,12 @@ object LmScore {
     * (vocab-bounded) and (b) the scoring join; the model is broadcast and
     * the only corpus-sized shuffle is the final groupBy(doc_id).
     */
-  def bigramLmScores(spark: SparkSession, dir: String): DataFrame = {
+  /** One derivation of the trained pieces, shared by the inline pass and
+    * [[buildModel]]: bigram occurrences, context counts, the 1-row vocab
+    * size, and the smoothed per-bigram-type nll model.
+    */
+  private def trained(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val occ = bigramOcc(table(spark, dir, "documents"))
     val cuw = occ.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
     val cu = occ.groupBy(col("u")).agg(count(lit(1)).as("cu"))
@@ -102,6 +107,11 @@ object LmScore {
       .select(col("u"), col("w"),
         Exact.e(-log((col("cuw") + lit(1)).cast("double") / (col("cu") + col("v"))), 6)
           .as("nll_e6"))
+    (occ, cu, vocab, model)
+  }
+
+  def bigramLmScores(spark: SparkSession, dir: String): DataFrame = {
+    val (occ, _, _, model) = trained(spark, dir)
     occ.join(broadcast(model), Seq("u", "w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_e6")).as("nll_sum_e6"))
@@ -119,17 +129,8 @@ object LmScore {
     * crawls are scored against it for the life of the model.
     */
   def buildModel(spark: SparkSession, dir: String, path: String): Unit = {
-    val occ = bigramOcc(table(spark, dir, "documents"))
-    val cuw = occ.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
-    val cu = occ.groupBy(col("u")).agg(count(lit(1)).as("cu"))
-    val vocab = table(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
-    cuw.join(cu, "u").crossJoin(broadcast(vocab))
-      .select(col("u"), col("w"),
-        Exact.e(-log((col("cuw") + lit(1)).cast("double") / (col("cu") + col("v"))), 6)
-          .as("nll_e6"))
-      .write.mode("overwrite").parquet(s"$path/model")
+    val (_, cu, vocab, model) = trained(spark, dir)
+    model.write.mode("overwrite").parquet(s"$path/model")
     cu.crossJoin(broadcast(vocab))
       .select(col("u"),
         Exact.e(log((col("cu") + col("v")).cast("double")), 6).as("unk_nll_e6"))

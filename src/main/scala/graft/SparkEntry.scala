@@ -270,6 +270,10 @@ object SparkEntry {
     // DSIR hashed-bigram importance weights: 256-row feature table,
     // broadcast score join, integer log-ratio sums
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeights _,
+    // persisted-features twin: frozen target/raw distributions, bit-equal
+    "t32i_dsir_weights" -> ((s: SparkSession, d: String) =>
+      graft.operators.LmScore.dsirWeightsIndexed(
+        s, d, graft.operators.IndexStore.dsirPath(s, d))),
     // BM25 retrieval per query through the TopKPerKey physical node
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopK _,
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
@@ -1370,6 +1374,7 @@ object SparkEntry {
     "t31_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScoresOracleSql,
     "t31i_bigram_lm_ppl" -> graft.operators.LmScore.bigramLmScoresOracleSql,
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
+    "t32i_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,

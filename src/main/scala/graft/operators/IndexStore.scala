@@ -58,6 +58,16 @@ object IndexStore {
       path
     })
 
+  /** The persisted DSIR feature-table path for `dir`, estimating it on
+    * first use (frozen target/raw distributions, many weighting passes).
+    */
+  def dsirPath(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"dsir:$dir", { _ =>
+      val path = s"${root(dir)}/dsir"
+      LmScore.buildDsirFeatures(spark, dir, path)
+      path
+    })
+
   /** The persisted IVF index path for `dir`, building it on first use. */
   def vectorPath(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(s"ivf:$dir", { _ =>

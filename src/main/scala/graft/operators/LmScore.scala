@@ -377,6 +377,19 @@ object LmScore {
     * broadcasts; the corpus sees one explode + one groupBy(doc_id).
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val (occ, feats) = dsirFeats(spark, dir)
+    occ.filter(col("doc_id") >= DsirTargetCutoff)
+      .join(broadcast(feats), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("logratio_e6")).as("logw_sum_e6"))
+      .select(col("doc_id"), col("n_feats"), col("logw_sum_e6"),
+        (col("logw_sum_e6") >= lit(DsirSelectE6) * col("n_feats")).as("selected"))
+  }
+
+  /** One derivation of the DSIR feature table (b → e6 log importance
+    * ratio), shared by the inline pass and [[buildDsirFeatures]].
+    */
+  private def dsirFeats(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val occ = bigramOcc(table(spark, dir, "documents"))
       .withColumn("b",
         PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
@@ -392,7 +405,26 @@ object LmScore {
           log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(DsirBuckets))) -
             log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(DsirBuckets))), 6)
           .as("logratio_e6"))
-    occ.filter(col("doc_id") >= DsirTargetCutoff)
+    (occ, feats)
+  }
+
+  /** Persist the DSIR feature table at `path` — the deployment shape:
+    * the target/raw distributions are estimated once, then any raw pool
+    * (batch or stream) is weighted against the FROZEN 256-row table.
+    */
+  def buildDsirFeatures(spark: SparkSession, dir: String, path: String): Unit =
+    dsirFeats(spark, dir)._2.write.mode("overwrite").parquet(s"$path/feats")
+
+  /** t32i: the persisted-features twin of [[dsirWeights]] — bit-equal on
+    * the training corpus (same oracle), amortizing the feature estimation
+    * across scoring passes.
+    */
+  def dsirWeightsIndexed(spark: SparkSession, dir: String, path: String): DataFrame = {
+    val feats = spark.read.parquet(s"$path/feats")
+    bigramOcc(table(spark, dir, "documents"))
+      .filter(col("doc_id") >= DsirTargetCutoff)
+      .withColumn("b",
+        PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
       .join(broadcast(feats), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("logratio_e6")).as("logw_sum_e6"))

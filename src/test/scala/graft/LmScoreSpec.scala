@@ -118,6 +118,16 @@ class LmScoreSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("t32i: persisted-features weighting is bit-equal to the inline pass") {
+    val path = java.nio.file.Files.createTempDirectory("dsiridx").toString
+    LmScore.buildDsirFeatures(spark, sf0001, path)
+    val cold = LmScore.dsirWeights(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    val indexed = LmScore.dsirWeightsIndexed(spark, sf0001, path).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    assert(indexed === cold)
+  }
+
   test("t31i: persisted-model scoring is bit-equal to the inline pass") {
     val path = java.nio.file.Files.createTempDirectory("lmidx").toString
     LmScore.buildModel(spark, sf0001, path)

@@ -280,6 +280,8 @@ object SparkEntry {
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
     // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScores _,
+    // reciprocal-rank fusion of the BM25 and tf-idf retrievers
+    "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusion _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1378,6 +1380,7 @@ object SparkEntry {
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
+    "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

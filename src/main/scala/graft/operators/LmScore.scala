@@ -523,6 +523,136 @@ object LmScore {
       .select(col("query_id"), col("doc_id"), col("bm25_e6"), col("rn"))
   }
 
+  /** RRF rank-damping constant (the standard k=60 from Cormack et al.
+    * 2009) and fused-list depth.
+    */
+  val RrfK: Int = 60
+  val RrfTopK: Int = 10
+
+  /** Candidate-list depth each retriever contributes to the fusion. */
+  val RrfDepth: Int = 30
+
+  /** t36: reciprocal-rank fusion of two lexical retrievers — BM25
+    * ([[bm25TopK]]'s scorer) and a plain tf·idf disjunctive ranking —
+    * over the shared [[Bm25Queries]] set:
+    *
+    *   rrf(q,d) = Σ_lists 1/(k + rank_list(q,d)), k = [[RrfK]]
+    *
+    * the score-free list-combination production search uses (Cormack et
+    * al. 2009). Each retriever contributes its top [[RrfDepth]] per query
+    * (ranked by its own e6 score, doc_id tie-break); a doc missing from
+    * one list contributes nothing for it. The fused key is the SUM of
+    * e6-quantized reciprocals of integer ranks — deterministic in any
+    * engine; final top-[[RrfTopK]] by (rrf desc, doc_id).
+    *
+    * Plan: both retrievers share the tf/df/dl aggregates off one corpus
+    * scan lineage; each ranking is a TopKPerKey over its scored frame, so
+    * the fusion join runs on two RrfDepth·|queries|-row frames — at
+    * 100 TB the only corpus-sized work is the shared scoring joins.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+    val qterms = Bm25Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val globals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val joined = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(globals))
+    val bm25Score = Exact.e(
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") * col("n") / col("sumdl"))),
+      6)
+    val tfidfScore = Exact.e(
+      col("tf") * log(col("n").cast("double") / col("df")), 6)
+    def ranked(scoreCol: Column): DataFrame =
+      graft.plans.TopKPerKey(
+        joined.withColumn("s", scoreCol)
+          .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("s")),
+        Seq(col("query_id")), Seq(col("s").desc, col("doc_id")), RrfDepth)
+        .select(col("query_id"), col("doc_id"), col("rn"))
+    val recip = (r: Column) =>
+      Exact.e(lit(1.0) / (lit(RrfK) + r.cast("double")), 6)
+    val fused = ranked(bm25Score).withColumnRenamed("rn", "r1")
+      .join(ranked(tfidfScore).withColumnRenamed("rn", "r2"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(recip(col("r1")), lit(0L)) +
+          coalesce(recip(col("r2")), lit(0L))).as("rrf_e6"))
+    graft.plans.TopKPerKey(
+        fused, Seq(col("query_id")), Seq(col("rrf_e6").desc, col("doc_id")), RrfTopK)
+      .select(col("query_id"), col("doc_id"), col("rrf_e6"), col("rn"))
+  }
+
+  def rrfFusionOracleSql: String = {
+    val qvalues = Bm25Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH qterms(query_id, term) AS (VALUES $qvalues),
+       |terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+       |globals AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       |joined AS (
+       |  SELECT q.query_id, tf.doc_id, tf.tf, df.df, dl.dl, n, sumdl
+       |  FROM qterms q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN df ON df.term = q.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN globals),
+       |bm AS (
+       |  SELECT query_id, doc_id, sum(cast(floor(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |        (tf * ${Bm25K1 + 1.0}) /
+       |        (tf + $Bm25K1 *
+       |          (${1.0 - Bm25B} + $Bm25B * cast(dl AS double) * n / sumdl))
+       |      * 1000000.0 + 0.5) AS bigint)) AS s
+       |  FROM joined GROUP BY query_id, doc_id),
+       |ti AS (
+       |  SELECT query_id, doc_id, sum(cast(floor(
+       |      tf * ln(cast(n AS double) / df) * 1000000.0 + 0.5) AS bigint)) AS s
+       |  FROM joined GROUP BY query_id, doc_id),
+       |r1 AS (
+       |  SELECT query_id, doc_id, rn FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+       |    FROM bm) WHERE rn <= $RrfDepth),
+       |r2 AS (
+       |  SELECT query_id, doc_id, rn FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+       |    FROM ti) WHERE rn <= $RrfDepth),
+       |fused AS (
+       |  SELECT coalesce(r1.query_id, r2.query_id) AS query_id,
+       |    coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+       |    coalesce(cast(floor(1.0 / ($RrfK + cast(r1.rn AS double))
+       |      * 1000000.0 + 0.5) AS bigint), 0) +
+       |    coalesce(cast(floor(1.0 / ($RrfK + cast(r2.rn AS double))
+       |      * 1000000.0 + 0.5) AS bigint), 0) AS rrf_e6
+       |  FROM r1 FULL OUTER JOIN r2
+       |    ON r2.query_id = r1.query_id AND r2.doc_id = r1.doc_id)
+       |SELECT query_id, doc_id, rrf_e6, cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT query_id, doc_id, rrf_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf_e6 DESC, doc_id) AS rn
+       |  FROM fused)
+       |WHERE rn <= $RrfTopK""".stripMargin
+  }
+
   def bm25TopKOracleSql: String = {
     val qvalues = Bm25Queries
       .flatMap { case (qid, q) => q.split(" ").map(t => s"($qid, '$t')") }

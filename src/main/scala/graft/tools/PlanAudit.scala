@@ -53,6 +53,7 @@ object PlanAudit {
     ("t31i_bigram_lm_ppl", Bnlj) -> "1-row unk-floor frame crossed into the scoring leg",
     ("t34_lm_gated_selection", Bnlj) -> "t31's 1-row vocab-size frame (composed gate keeps the leg plans)",
     ("t35_trigram_lm_ppl", Bnlj) -> "1-row (N, V) frame crossed into the trigram model table",
+    ("t36_rrf_fusion", Bnlj) -> "t33's 1-row (N, sumdl) frame on both retriever legs",
     ("t32_dsir_weights", Bnlj) -> "1-row target/raw totals frame crossed into the 256-row feature table",
     ("t33_bm25_topk", Bnlj) -> "1-row (N, sumdl) frame crossed into the scored-terms leg",
     ("g5_code_pagerank", Bnlj) -> "1-row rank-constants frame crossed per iteration",

@@ -194,6 +194,24 @@ class LmScoreSpec extends SparkSuite {
     assert(verdicts() === cold)
   }
 
+  test("t36: RRF fuses both retriever lists — reciprocal-rank sums, k rows per query") {
+    val out = LmScore.rrfFusion(spark, sf0001).cache()
+    val perQ = out.groupBy(col("query_id")).count().collect()
+    assert(perQ.length === LmScore.Bm25Queries.length)
+    perQ.foreach(r => assert(r.getLong(1) === LmScore.RrfTopK))
+    // a doc ranked 1 by BOTH lists scores exactly 2·e6(1/(k+1)); the
+    // maximum possible fused score — and every score is a sum of at most
+    // two reciprocal terms
+    val maxTerm = math.floor(1.0 / (LmScore.RrfK + 1) * 1e6 + 0.5).toLong
+    assert(out.filter(col("rrf_e6") > 2 * maxTerm).count() === 0)
+    assert(out.filter(col("rrf_e6") <= 0).count() === 0)
+    // fusion actually drew from both lists: some fused doc carries a
+    // two-list score strictly above the best single-list score
+    assert(out.filter(col("rrf_e6") > maxTerm).count() > 0,
+      "no doc fused contributions from both retrievers — fusion vacuous")
+    out.unpersist()
+  }
+
   test("property: bigram LM equals the pure-JVM reference on random corpora") {
     import spark.implicits._
     // deterministic pseudo-random word-soup corpora over a small vocab —

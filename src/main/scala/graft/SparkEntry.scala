@@ -342,7 +342,7 @@ object SparkEntry {
     "v2_brute_force_topk" -> Similarity.bruteForceTopK _,
     // two-stage adaptive retrieval: prefix-dim coarse rank over the
     // corpus, full-dim rescore on a constant-size candidate frame
-    "v17_adaptive_topk" -> Similarity.adaptiveTopK _,
+    "v17_adaptive_topk" -> ((s: SparkSession, d: String) => Similarity.adaptiveTopK(s, d)),
     "v18_adaptive_recall" -> Similarity.adaptiveRecall _,
     "v3_lsh_buckets" -> Similarity.lshBuckets _,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,

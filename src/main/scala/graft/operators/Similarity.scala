@@ -105,7 +105,8 @@ object Similarity {
     * touches RefineC·|queries| rows — at 100 TB the full-dim arithmetic
     * runs on a constant-size candidate frame instead of the corpus.
     */
-  def adaptiveTopK(spark: SparkSession, dir: String): DataFrame = {
+  def adaptiveTopK(spark: SparkSession, dir: String,
+      refineC: Int = RefineC): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -115,7 +116,7 @@ object Similarity {
           slice(col("qe"), 1, PrefixDims),
           slice(col("embedding"), 1, PrefixDims)), 6).as("p6"))
     val cand = graft.plans.TopKPerKey(
-        coarse, Seq(col("qid")), Seq(col("p6").desc, col("vec_id")), RefineC)
+        coarse, Seq(col("qid")), Seq(col("p6").desc, col("vec_id")), refineC)
       .select(col("qid"), col("vec_id"))
     val cos = cosFxF(col("qe"), col("embedding"))
     val scored = emb

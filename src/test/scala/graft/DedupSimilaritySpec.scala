@@ -143,6 +143,21 @@ class DedupSimilaritySpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("adaptive retrieval recall rises with the candidate budget, exact at full corpus") {
+    val exact = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(c: Int): Double = {
+      val got = graft.operators.Similarity.adaptiveTopK(spark, sf0001, refineC = c)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r10 = recallAt(10)
+    val r50 = recallAt(50)
+    val rAll = recallAt(1000) // budget >= corpus: stage 2 sees everything
+    assert(r10 <= r50 && r50 <= rAll, s"recall not monotone: $r10, $r50, $rAll")
+    assert(rAll === 1.0, s"full-budget adaptive pass must equal brute force, got $rAll")
+  }
+
   test("lsh ann results are a subset of brute-force rankings' universe") {
     val bf = Similarity.bruteForceTopK(spark, sf0001)
       .select("qid").distinct().as[Long].collect().toSet

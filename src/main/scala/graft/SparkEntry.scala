@@ -282,6 +282,11 @@ object SparkEntry {
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScores _,
     // reciprocal-rank fusion of the BM25 and tf-idf retrievers
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusion _,
+    // exact-count per-stratum sampling (fixed quota, md5-ranked)
+    "t37_exact_stratified_sample" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.exactStratifiedSample(s, d)),
+    // the corpus data card: (source, lang) rollup of doc/token/byte totals
+    "t38_data_card" -> graft.operators.TrainingPrep.dataCard _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1381,6 +1386,9 @@ object SparkEntry {
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,
+    "t37_exact_stratified_sample" ->
+      graft.operators.TrainingPrep.exactStratifiedSampleOracleSql,
+    "t38_data_card" -> graft.operators.TrainingPrep.dataCardOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -267,6 +267,64 @@ object TrainingPrep {
        |   OR ${partial.mkString("\n   OR ")}""".stripMargin
   }
 
+  /** Per-stratum quota for [[exactStratifiedSample]]. */
+  val StratumQuota = 40
+
+  /** t37: EXACT-count stratified sampling — exactly min(quota, n_s)
+    * documents per language, chosen by md5 rank within the stratum
+    * (doc_id tie-break). The complement of t10's rate sampling: rates
+    * give unbiased fractions whose realized counts wobble, quotas give
+    * fixed-size per-stratum subsets (the eval-set construction). Content-
+    * independent hash order makes the pick a pure function of the ids —
+    * identical under repartitioning and engine replacement — and the
+    * per-stratum top-k runs through the [[graft.plans.TopKPerKey]] node:
+    * bounded heaps, a quota-bounded exchange, never a corpus sort.
+    */
+  def exactStratifiedSample(
+      spark: SparkSession, dir: String, quota: Int = StratumQuota): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit("|t37")).cast("binary"))
+    graft.plans.TopKPerKey(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), key.as("k")),
+        Seq(col("lang")), Seq(col("k"), col("doc_id")), quota)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  def exactStratifiedSampleOracleSql: String =
+    s"""SELECT doc_id, lang, cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(concat(cast(doc_id AS varchar), '|t37')), doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $StratumQuota""".stripMargin
+
+  /** t38: the corpus data card — per (source, lang) document/token/byte
+    * totals with ROLLUP subtotals and a grand total, the one-page summary
+    * every dataset release ships. One scan, one grouping-sets
+    * aggregation; token counts ride the shared [[TextAnalysis.nTokensCol]]
+    * formula so the card can't drift from the selection gates.
+    */
+  def dataCard(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        graft.operators.TextAnalysis.nTokensCol(col("text")).as("nt"),
+        col("n_chars"))
+      .rollup(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"), col("n_bytes"))
+
+  def dataCardOracleSql: String =
+    """SELECT source, lang,
+      |  cast(count(*) AS bigint) AS n_docs,
+      |  cast(sum(length(text) - length(replace(text, ' ', '')) + 1) AS bigint) AS n_tokens,
+      |  cast(sum(n_chars) AS bigint) AS n_bytes
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)""".stripMargin
+
   // ---- composed end-to-end training-set selection (t20) -----------------
 
   // Gate thresholds, shared with the oracle SQL below. Chosen so each gate

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{MultimodalOps, TextAnalysis}
 
 /** Text-analysis formulas + multimodal plumbing. */
@@ -88,6 +90,44 @@ class TextMultimodalSpec extends SparkSuite {
       // token counts line up with window/stride coverage of the document
       assert(sorted.last._3 === n - 32L * (cs.length - 1))
     }
+  }
+
+  test("exact stratified sample fills each stratum's quota, repartition-invariant") {
+    import graft.operators.TrainingPrep
+    val out = TrainingPrep.exactStratifiedSample(spark, sf0001).cache()
+    val perLang = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === perLang.keySet)
+    got.foreach { case (l, n) =>
+      assert(n === math.min(TrainingPrep.StratumQuota.toLong, perLang(l)))
+    }
+    // membership is a pure function of the ids — identical at any layout
+    val viaOne = graft.plans.TopKPerKey(
+        spark.read.parquet(s"$sf0001/documents.parquet").repartition(1)
+          .select(col("doc_id"), col("lang"),
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.concat(col("doc_id").cast("string"),
+                org.apache.spark.sql.functions.lit("|t37")).cast("binary")).as("k")),
+        Seq(col("lang")), Seq(col("k"), col("doc_id")), TrainingPrep.StratumQuota)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.select(col("doc_id")).collect().map(_.getLong(0)).toSet === viaOne)
+    out.unpersist()
+  }
+
+  test("data card: grand total reconciles with the corpus, rollup levels consistent") {
+    import graft.operators.TrainingPrep
+    val card = TrainingPrep.dataCard(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val total = card.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length === 1)
+    assert(total.head.getLong(2) === docs.count())
+    // per-source subtotals sum to the grand total
+    val perSource = card.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(perSource.map(_.getLong(2)).sum === docs.count())
+    assert(perSource.map(_.getLong(4)).sum === total.head.getLong(4))
   }
 
   test("stratified sample is a pure function of the row and respects strata") {

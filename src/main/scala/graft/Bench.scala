@@ -184,6 +184,27 @@ object Bench {
       // and fault its column pages in once so the first-visited consumers
       // are not charged the one-time cost
       SparkEntry.queries("a3_dedup_options")(spark, sfDir).count()
+      // Pre-build every memoized index artifact the *i twins read
+      // (shingle/segment tables, bigram-LM model, DSIR features, IVF+PQ
+      // vector index): IndexStore builds on FIRST USE, so without this
+      // the first index-fed query of pass 0 absorbs the whole build in
+      // its timed region — round 9 recorded d10i at 31.7x dispersion
+      // (min unaffected; the flag was pure first-touch). Build cost is
+      // real but belongs to the build queries' own amortization story
+      // (tools/AmortizationTable), not to a probe query's sample.
+      graft.operators.IndexStore.shingleTable(spark, sfDir)
+      graft.operators.IndexStore.lmModelPath(spark, sfDir)
+      graft.operators.IndexStore.dsirPath(spark, sfDir)
+      graft.operators.IndexStore.vectorPath(spark, sfDir)
+      // a metadata-only count() can satisfy from parquet footers without
+      // touching column pages — force one real columnar read per base
+      // table so the first wide query (w1 ran 9.5x dispersed in round 9)
+      // is not charged the corpus's first page-in
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .selectExpr("sum(xxhash64(struct(*)))").count()
+      }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 

@@ -681,7 +681,8 @@ object SparkEntry {
          |FROM dims_raw WHERE dimension_id = '' OR option = ''""".stripMargin,
     "p9_dimension_names" ->
       s"""$W SELECT DISTINCT dimension_id,
-         |  replace(concat('_', dimension_id), concat('_', instance_id, '_'), '') AS name
+         |  ${graft.operators.ImporterPipeline.getNameSql(
+              "concat('_', dimension_id)", "concat('_', instance_id, '_')")} AS name
          |FROM dims_valid""".stripMargin,
     "a3_dedup_options" ->
       s"""$W SELECT instance_id, dimension_id, option, node_id, code_list_id FROM dims_dedup""",

@@ -88,9 +88,38 @@ object ImporterPipeline {
 
   // ---- P9: dimension-name extraction (scalar string fn) -----------------
   // Reference model/models.go:47-52 — GetName strips "_{instanceID}_" from
-  // "_" + dimension_id. replace() replaces all occurrences in both Spark
-  // and DuckDB, superset of the reference's 2-occurrence cap.
-  def nameCol = expr("replace(concat('_', dimension_id), concat('_', instance_id, '_'), '')")
+  // "_" + dimension_id via Go strings.Replace(s, old, "", 2): at most TWO
+  // occurrences, scanned left-to-right, and after a removal the scan
+  // resumes AT the seam — it never revisits text before it. That last
+  // property matters: on "__a_a_" with old "_a_", resume-at-seam yields
+  // "_a_" while a naive second remove-first-from-start would yield "" (the
+  // removal can create a new occurrence STARTING before the seam, which Go
+  // never sees). [[removeFirstSql]] therefore recurses on the tail after
+  // the seam only. Identical SQL text runs on Spark and DuckDB
+  // (instr/substring/length/concat/CASE are common), so the oracle replays
+  // it exactly; `FunctionsSpec` property-checks it against a JVM port of
+  // the Go scan on adversarial 3+-occurrence ids.
+
+  /** SQL for removing the first occurrence of `old` in `s` (both SQL
+    * expression strings), leaving anything before/after intact.
+    */
+  private def removeFirstSql(s: String, old: String): String =
+    s"""CASE WHEN instr($s, $old) = 0 THEN $s ELSE concat(
+       |  substring($s, 1, instr($s, $old) - 1),
+       |  substring($s, instr($s, $old) + length($old), length($s))) END""".stripMargin
+
+  /** SQL for Go's `strings.Replace(s, old, "", 2)` — remove the first
+    * occurrence, then the first occurrence in the tail after the seam.
+    */
+  def getNameSql(s: String, old: String): String = {
+    val tail = s"substring($s, instr($s, $old) + length($old), length($s))"
+    s"""CASE WHEN instr($s, $old) = 0 THEN $s ELSE concat(
+       |  substring($s, 1, instr($s, $old) - 1),
+       |  ${removeFirstSql(tail, old)}) END""".stripMargin
+  }
+
+  def nameCol =
+    expr(getNameSql("concat('_', dimension_id)", "concat('_', instance_id, '_')"))
 
   def dimensionNames(dims: DataFrame): DataFrame =
     dims.select(col("dimension_id"), nameCol.as("name")).distinct()

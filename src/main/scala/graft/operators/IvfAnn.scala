@@ -228,7 +228,10 @@ object IvfAnn {
         col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_hits"))
-      .select(col("qid"), col("n_hits"), (col("n_hits") * 1000L).as("recall_e4"))
+      // scale derived from TopK (same guard as v18): a TopK change
+      // re-scales engine and oracle through one formula
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
   }
 
   /** DuckDB oracle for [[ivfRecall]]: the exact and IVF top-k statements
@@ -244,7 +247,7 @@ object IvfAnn {
        |)
        |SELECT e.qid,
        |  cast(count(*) AS bigint) AS n_hits,
-       |  cast(count(*) * 1000 AS bigint) AS recall_e4
+       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
        |FROM exact_tk e
        |WHERE EXISTS (
        |  SELECT 1 FROM approx_tk a

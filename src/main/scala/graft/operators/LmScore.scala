@@ -97,7 +97,13 @@ object LmScore {
     */
   private def trained(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val occ = bigramOcc(table(spark, dir, "documents"))
+    // localCheckpoint: occ fans out to FOUR consumers (cuw, cu, the
+    // scoring join, and transitively the model); without it each consumer
+    // re-scans and re-explodes the corpus — the same multi-scan pitfall
+    // embeddingNearDuplicates fixed. One materialized pass of the bigram
+    // tape (3 narrow columns) replaces up to three re-explodes; on a real
+    // cluster prefer reliable checkpoint() for executor-loss tolerance.
+    val occ = bigramOcc(table(spark, dir, "documents")).localCheckpoint()
     val cuw = occ.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
     val cu = occ.groupBy(col("u")).agg(count(lit(1)).as("cu"))
     val vocab = table(spark, dir, "documents")
@@ -157,10 +163,26 @@ object LmScore {
     * LmScoreSpec for both the batch twin (t31i) and the stream.
     */
   def scoreWithModel(docs: DataFrame, modelPath: String): DataFrame = {
-    val spark = docs.sparkSession
-    val model = spark.read.parquet(s"$modelPath/model")
-    val unk = spark.read.parquet(s"$modelPath/unk")
-    val global = spark.read.parquet(s"$modelPath/global").select(col("unk_global_e6"))
+    val (model, unk, global) = loadModel(docs.sparkSession, modelPath)
+    scoreWithModel(docs, model, unk, global)
+  }
+
+  /** The three frozen model frames, for callers that score repeatedly
+    * (e.g. a streaming gate): load and persist ONCE before the stream
+    * starts, then pass into [[scoreWithModel]] per batch — the tables are
+    * vocab-bounded, so pinning them costs O(model), not O(corpus).
+    */
+  def loadModel(spark: SparkSession, modelPath: String)
+      : (DataFrame, DataFrame, DataFrame) = (
+    spark.read.parquet(s"$modelPath/model"),
+    spark.read.parquet(s"$modelPath/unk"),
+    spark.read.parquet(s"$modelPath/global").select(col("unk_global_e6")))
+
+  /** Score against preloaded model frames — the per-batch body, with no
+    * file reads of its own.
+    */
+  def scoreWithModel(
+      docs: DataFrame, model: DataFrame, unk: DataFrame, global: DataFrame): DataFrame =
     bucketed(
       bigramOcc(docs)
         .join(broadcast(model), Seq("u", "w"), "left")
@@ -168,7 +190,6 @@ object LmScore {
         .crossJoin(broadcast(global))
         .select(col("doc_id"),
           coalesce(col("nll_e6"), col("unk_nll_e6"), col("unk_global_e6")).as("nll_e6")))
-  }
 
   /** t31i: the index-fed twin of [[bigramLmScores]] — scores the corpus
     * against the persisted model instead of retraining, amortizing the
@@ -247,7 +268,10 @@ object LmScore {
     * is add-one smoothed so unseen words keep P > 0. The per-trigram-TYPE
     * nll is quantized e6 in the model table (trigram-type-bounded), then
     * integer-summed per document — same determinism discipline as t31,
-    * one double expression written token-identically in the oracle.
+    * one double expression written token-identically in the oracle, with
+    * every non-integer literal CAST to DOUBLE there: DuckDB types a bare
+    * `0.6` as DECIMAL and evaluates `0.6 * x` exactly before promoting,
+    * which can differ from Spark's pure-double chain by an ulp.
     *
     * Plan: the count tables aggregate map-side (type-bounded), chain into
     * the model via broadcast joins, and the corpus pays one scoring
@@ -308,9 +332,9 @@ object LmScore {
        |model AS (
        |  SELECT cuvw.u, cuvw.v, cuvw.w,
        |    cast(floor(-ln(
-       |      $Lambda3 * cast(cuvw AS double) / cuv +
-       |      $Lambda2 * cast(cvw AS double) / cv +
-       |      $Lambda1 * cast(cw + 1 AS double) / (n + vsz))
+       |      CAST($Lambda3 AS DOUBLE) * cast(cuvw AS double) / cuv +
+       |      CAST($Lambda2 AS DOUBLE) * cast(cvw AS double) / cv +
+       |      CAST($Lambda1 AS DOUBLE) * cast(cw + 1 AS double) / (n + vsz))
        |      * 1000000.0 + 0.5) AS bigint) AS nll_e6
        |  FROM cuvw
        |  JOIN cuv ON cuv.u = cuvw.u AND cuv.v = cuvw.v
@@ -481,8 +505,11 @@ object LmScore {
     * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene form, always
     * positive); tf part = tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/Σdl)).
     * The per-(doc,term) score is one double expression over integers,
-    * written token-identically in the oracle SQL, quantized e6, then
-    * integer-summed per (query_id, doc_id). Ranking runs through the
+    * written token-identically in the oracle SQL (with every non-integer
+    * literal CAST to DOUBLE there — a bare `1.2`/`0.5` is DECIMAL in
+    * DuckDB and evaluates exactly before promoting, ~1 ulp off Spark's
+    * pure-double chain), quantized e6, then integer-summed per
+    * (query_id, doc_id). Ranking runs through the
     * [[graft.plans.TopKPerKey]] physical node — per-key partial top-k on
     * the map side, never a full sort of the scored corpus.
     *
@@ -615,10 +642,11 @@ object LmScore {
        |  CROSS JOIN globals),
        |bm AS (
        |  SELECT query_id, doc_id, sum(cast(floor(
-       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-       |        (tf * ${Bm25K1 + 1.0}) /
-       |        (tf + $Bm25K1 *
-       |          (${1.0 - Bm25B} + $Bm25B * cast(dl AS double) * n / sumdl))
+       |      ln(1.0 + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+       |        (tf * CAST(${Bm25K1 + 1.0} AS DOUBLE)) /
+       |        (tf + CAST($Bm25K1 AS DOUBLE) *
+       |          (CAST(${1.0 - Bm25B} AS DOUBLE) +
+       |           CAST($Bm25B AS DOUBLE) * cast(dl AS double) * n / sumdl))
        |      * 1000000.0 + 0.5) AS bigint)) AS s
        |  FROM joined GROUP BY query_id, doc_id),
        |ti AS (
@@ -667,10 +695,11 @@ object LmScore {
        |scored AS (
        |  SELECT q.query_id, tf.doc_id,
        |    cast(sum(cast(floor(
-       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-       |        (tf * ${Bm25K1 + 1.0}) /
-       |        (tf + $Bm25K1 *
-       |          (${1.0 - Bm25B} + $Bm25B * cast(dl AS double) * n / sumdl))
+       |      ln(1.0 + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+       |        (tf * CAST(${Bm25K1 + 1.0} AS DOUBLE)) /
+       |        (tf + CAST($Bm25K1 AS DOUBLE) *
+       |          (CAST(${1.0 - Bm25B} AS DOUBLE) +
+       |           CAST($Bm25B AS DOUBLE) * cast(dl AS double) * n / sumdl))
        |      * 1000000.0 + 0.5) AS bigint)) AS bigint) AS bm25_e6
        |  FROM qterms q
        |  JOIN tf ON tf.term = q.term

@@ -17,15 +17,37 @@ final case class MMFeatures(
     n_frames: Int,
     frame_checksum: Long)
 
+/** Per-image decode output of the REAL codec path ([[MultimodalOps.imageFeatures]]):
+  * luminance histogram features + dimensions, with in-band decode failure
+  * (`decode_ok=false`, zeroed fields) — the dead-letter discipline for a
+  * corpus where a fraction of payloads is always corrupt.
+  */
+final case class MMImageFeatures(
+    doc_id: Long,
+    decode_ok: Boolean,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    mean_lum_e4: Long,
+    feat: Seq[Float],
+    feat_norm_e4: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and partition-batched feature extraction.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * [[MultimodalOps.fakeDecode]] is a deterministic byte-histogram stand-in
-  * (clearly marked). Everything Spark-side is real and load-bearing:
-  * binary column construction, metadata struct schema, the
-  * `Dataset.mapPartitions` batch shape (one decoder init per partition, the
-  * same contract a JNI/FFmpeg decoder needs), and partition sizing.
+  * Two decode paths behind one seam:
+  *   - [[MultimodalOps.fakeDecode]] — the deterministic byte-histogram
+  *     stand-in the ORACLED m2 queries use (DuckDB can replay it through
+  *     `ord(substr(text))`, so the whole feature chain is hash-checked);
+  *   - [[MultimodalOps.imageioDecode]] — a REAL image codec on the
+  *     JDK-public `javax.imageio` (PNG/JPEG/BMP/GIF), producing the same
+  *     histogram/L2/mean feature shape from decoded luminance. Not
+  *     oracle-replayable (DuckDB has no codec), so it is pinned by a
+  *     fixture-based integration test (`TextMultimodalSpec`) instead.
+  * Everything Spark-side is shared and load-bearing: binary column
+  * construction, metadata struct schema, the `Dataset.mapPartitions`
+  * batch shape (one decoder init per partition, the same contract a
+  * JNI/FFmpeg decoder needs), and partition sizing.
   *
   * At 100 TB: payloads dominate row size, so the scan partitions by
   * `spark.sql.files.maxPartitionBytes`; feature extraction is map-only
@@ -78,6 +100,81 @@ object MultimodalOps {
     val norm = math.sqrt(n2)
     if (norm > 0) { j = 0; while (j < 16) { hist(j) = (hist(j) / norm).toFloat; j += 1 } }
     (hist, if (payload.length > 0) sum.toDouble / payload.length else 0.0)
+  }
+
+  /** REAL codec: decode an image payload (PNG/JPEG/BMP/GIF — whatever the
+    * JVM's registered ImageIO readers accept) and derive the same feature
+    * shape as [[fakeDecode]] over decoded LUMINANCE: a 16-bin histogram,
+    * L2-normalized, plus the mean. Luma is the integer ITU-R BT.601
+    * approximation `(77R + 150G + 29B) >> 8` — pure int arithmetic, so
+    * the features are bit-stable across platforms (no float luma chain).
+    * Returns None for undecodable bytes; callers surface that in-band
+    * rather than throwing (a 100 TB crawl always carries corrupt
+    * payloads, and one bad row must not kill a 10k-row task).
+    */
+  private[operators] def imageioDecode(
+      payload: Array[Byte]): Option[(Array[Float], Double, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](16)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+              29 * (rgb & 0xFF)) >> 8
+            hist(lum >> 4) += 1f
+            sum += lum
+            x += 1
+          }
+          y += 1
+        }
+        var n2 = 0.0
+        var j = 0
+        while (j < 16) { n2 += hist(j).toDouble * hist(j); j += 1 }
+        val norm = math.sqrt(n2)
+        if (norm > 0) { j = 0; while (j < 16) { hist(j) = (hist(j) / norm).toFloat; j += 1 } }
+        val n = w.toLong * h
+        Some((hist, if (n > 0) sum.toDouble / n else 0.0, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Feature extraction through the REAL codec over a `(doc_id, payload)`
+    * frame of actual image bytes — the production twin of
+    * [[decodeFeatures]], same mapPartitions batch shape (ImageIO reader
+    * registry is JVM-global; a stateful codec would init per partition
+    * here). Undecodable payloads come back `decode_ok=false` with zeroed
+    * features — never an exception.
+    */
+  def imageFeatures(images: DataFrame): Dataset[MMImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (ImageIO is stateless)
+        rows.map { case (id, payload) =>
+          imageioDecode(payload) match {
+            case Some((feat, meanLum, w, h)) =>
+              var fn = 0.0
+              var i = 0
+              while (i < feat.length) { fn += feat(i).toDouble * feat(i); i += 1 }
+              MMImageFeatures(
+                id, decode_ok = true, w, h, w.toLong * h,
+                math.floor(meanLum * 10000 + 0.5).toLong,
+                feat.toSeq,
+                math.floor(math.sqrt(fn) * 10000 + 0.5).toLong)
+            case None =>
+              MMImageFeatures(id, decode_ok = false, 0, 0, 0L, 0L, Seq.empty, 0L)
+          }
+        }
+      }
   }
 
   private val FrameStride = 32

@@ -193,7 +193,10 @@ object Similarity {
         col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_hits"))
-      .select(col("qid"), col("n_hits"), (col("n_hits") * 1000L).as("recall_e4"))
+      // scale derived from TopK (recall_e4 = n_hits/TopK · 1e4), so a
+      // TopK change re-scales here AND in the oracle via the same formula
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
   }
 
   def adaptiveRecallOracleSql: String =
@@ -205,7 +208,7 @@ object Similarity {
        |)
        |SELECT e.qid,
        |  cast(count(*) AS bigint) AS n_hits,
-       |  cast(count(*) * 1000 AS bigint) AS recall_e4
+       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
        |FROM exact_tk e
        |WHERE EXISTS (
        |  SELECT 1 FROM approx_tk a

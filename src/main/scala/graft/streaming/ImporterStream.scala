@@ -60,6 +60,9 @@ object ImporterStream {
     // cache: newInst feeds three sinks; without it the anti-join against
     // the growing processed table would run once per sink.
     newInst.cache()
+    // validation dead-letters first: they must reach the errors sink even
+    // if the pipeline body below fails.
+    dead.write.mode("append").parquet(sinks.errors)
     try {
       val forNew = dedupOptions(validDimensions(dims))
         .join(newInst.select("instance_id"), Seq("instance_id"), "left_semi")
@@ -67,8 +70,37 @@ object ImporterStream {
 
       updates.write.mode("append").parquet(sinks.updates)
       completedEvents(newInst).write.mode("append").parquet(sinks.completed)
-      dead.write.mode("append").parquet(sinks.errors)
+      // processed is written LAST: a failure anywhere above leaves the
+      // events unmarked, so redelivery retries them (at-least-once).
       newInst.select("instance_id").write.mode("append").parquet(sinks.processed)
+    } catch {
+      // Reference message/kafka_message_receiver.go:44-50: ANY handler
+      // error notifies the error-reporter topic — not just validation
+      // failures. Record one error row per affected event and CONTINUE
+      // (the reference commits the message after reporting, so a poison
+      // batch never wedges the consumer); the events stay out of
+      // `processed`, so a later redelivery retries them.
+      case scala.util.control.NonFatal(e) =>
+        val error = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(512)
+        try
+          newInst
+            .select(
+              col("file_url"), col("instance_id"),
+              lit("failed to process instance batch").as("err_context"),
+              lit(error).as("error"))
+            .write.mode("append").parquet(sinks.errors)
+        catch {
+          // computing newInst itself is what failed (e.g. the processed
+          // table is unreadable): fall back to the raw batch events so the
+          // failure is still visible in the errors table.
+          case scala.util.control.NonFatal(_) =>
+            valid
+              .select(
+                col("file_url"), col("instance_id"),
+                lit("failed to read processed-instances state").as("err_context"),
+                lit(error).as("error"))
+              .write.mode("append").parquet(sinks.errors)
+        }
     } finally newInst.unpersist()
   }
 

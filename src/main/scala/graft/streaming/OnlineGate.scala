@@ -86,6 +86,14 @@ object OnlineGate {
     // stored geometry is immutable between rebuilds: load once at start
     val centsFx = VectorIndex.centroidsFx(owner, vecPath)
     require(centsFx.nonEmpty, s"gateStream before train/build: no centroids at $vecPath")
+    // same discipline for the LM: the three model frames are frozen for
+    // the life of the stream, so load + persist them ONCE here instead of
+    // re-reading (and re-broadcasting from disk) every micro-batch —
+    // they are vocab-bounded, O(model) pinned memory
+    val lmFrames = lmModelPath.map { mp =>
+      val (model, unk, global) = graft.operators.LmScore.loadModel(owner, mp)
+      (model.persist(), unk.persist(), global.persist())
+    }
     val shNs = ShingleIndex.markerNamespace(owner, markerRoot, checkpoint)
     val vecNs = VectorIndex.markerNamespace(owner, vecPath, checkpoint)
     docs.writeStream
@@ -106,12 +114,12 @@ object OnlineGate {
         val sem = spark.read.parquet(s"$vecPath/decisions/batch_id=$id")
           .select(col("vec_id").as("doc_id"), col("kept").as("sem_keep"))
         // optional CCNet leg: bucket against the FROZEN reference model
-        // (loaded from lmModelPath, trained before the stream started) —
-        // a pure per-doc function of the text, so prefix-consistency is
-        // free; pass = head/middle, matching the batch t34 gate
-        val lmPass = lmModelPath.map { mp =>
+        // (persisted once before the stream started) — a pure per-doc
+        // function of the text, so prefix-consistency is free; pass =
+        // head/middle, matching the batch t34 gate
+        val lmPass = lmFrames.map { case (model, unk, global) =>
           graft.operators.LmScore
-            .scoreWithModel(b.select(col("doc_id"), col("text")), mp)
+            .scoreWithModel(b.select(col("doc_id"), col("text")), model, unk, global)
             .select(col("doc_id"),
               (col("ppl_bucket") =!= "tail").as("pass_ppl"))
         }

@@ -103,6 +103,50 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("property: P9 matches Go strings.Replace(s, old, '', 2) on adversarial 3+-occurrence ids") {
+    // JVM port of Go's strings.Replace(s, old, "", n=2): remove up to two
+    // occurrences left-to-right, resuming the scan AT each seam (never
+    // revisiting earlier text) — reference model/models.go:47-52.
+    def goReplace2(s: String, old: String): String = {
+      val out = new StringBuilder
+      var rest = s
+      var n = 2
+      while (n > 0) {
+        val j = rest.indexOf(old)
+        if (j < 0) n = 0
+        else { out.append(rest.substring(0, j)); rest = rest.substring(j + old.length); n -= 1 }
+      }
+      out.append(rest).toString
+    }
+    val inst = Gen.oneOf("a", "ab", "i7")
+    // dimension ids assembled from underscores, the instance infix, and
+    // alnum junk — 0..5 infix occurrences, including seam-creating shapes
+    val dimGen = for {
+      id <- inst
+      parts <- Gen.listOfN(6, Gen.oneOf(
+        Gen.const(s"_${id}_"), Gen.const(s"${id}_"), Gen.const(s"_$id"),
+        Gen.const("_"), Gen.const(""), Gen.alphaNumStr.map(_.take(3))))
+    } yield (id, parts.mkString)
+    val cases = samples(dimGen, 200).distinct ++ Seq(
+      ("a", "_a_a_"),     // seam creates an occurrence BEFORE the scan point
+      ("a", "a__a__a_"),  // three occurrences: the cap must leave the third
+      ("a", "_a__a__a__a_"))
+    val df = cases.toDF("instance_id", "dimension_id")
+    val got = df.select(col("instance_id"), col("dimension_id"),
+        graft.operators.ImporterPipeline.nameCol.as("name"))
+      .as[(String, String, String)].collect()
+    assert(got.length === cases.size)
+    got.foreach { case (id, dim, name) =>
+      val want = goReplace2("_" + dim, s"_${id}_")
+      assert(name === want, s"inst=$id dim=$dim: got $name want $want")
+    }
+    // the cap is observable: "_a__a__a_" has three occurrences of "_a_";
+    // the capped strip leaves the third ("_a_") where all-replace gives ""
+    val capped = got.find { case (id, dim, _) => (id, dim) == (("a", "a__a__a_")) }.get._3
+    assert(capped === "_a_", s"cap not observed: $capped")
+    assert("_a__a__a_".replace("_a_", "") === "", "adversarial case lost its power")
+  }
+
   test("property: shard rules match a pure-JVM md5 reference on arbitrary doc ids") {
     import graft.operators.TrainingPrep
     val ids = samples(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 60).distinct

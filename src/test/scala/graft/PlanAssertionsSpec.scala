@@ -248,10 +248,13 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(scans == 2, s"expected 2 corpus scans (agg + probe), got $scans:\n$text")
   }
 
-  test("t30 curriculum: range + bounded hash exchanges, never one task per source") {
+  test("t30 curriculum: deterministic buckets + bounded hash exchanges, never one task per source") {
     val plan = executed(graft.operators.TrainingPrep.curriculumSelection(spark, sf0001))
     val text = plan.toString.split("== Initial Plan ==")(0)
-    assert(text.contains("Exchange rangepartitioning"), s"plan:\n$text")
+    // the bucket id is data-derived — a sampled range exchange (whose
+    // boundaries can differ between the two consuming branches) must be gone
+    assert(!text.contains("Exchange rangepartitioning"),
+      s"sampled range exchange reintroduced — nondeterministic pid risk:\n$text")
     assert(!text.contains("SortMergeJoin"), s"offsets must broadcast back:\n$text")
     assert(text.contains("BroadcastHashJoin"), s"plan:\n$text")
     // the CORPUS window must ride (pid, source) — hashpartitioning(source)

@@ -977,14 +977,20 @@ class ScaleOpsSpec extends SparkSuite {
     // striping balance: shard sizes differ by at most one document
     val sizes = got.groupBy(_._3).view.mapValues(_.size).values.toSeq
     assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
-    // the offsets leg shares the ranks leg's range exchange at execution:
-    // the corpus is shuffled (and scanned) once, not once per leg
+    // the bucket id is data-derived (md5-prefix band), so NO sampled range
+    // exchange may appear anywhere in the plan — a range exchange whose
+    // boundaries are re-sampled per executing branch is exactly the
+    // nondeterminism class PartitionInvarianceSpec guards against. The
+    // offsets leg is a map-side partial agg (tiny shuffle), so it no
+    // longer needs to share the window exchange.
     val executed = TrainingPrep.shardAssignment(spark, sf0001)
     executed.collect()
     val finalPlan = executed.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(finalPlan.contains("ReusedExchange"),
-      s"offsets leg re-derives the range exchange:\n$finalPlan")
+    assert(!finalPlan.contains("Exchange rangepartitioning"),
+      s"sampled range exchange reintroduced — nondeterministic pid risk:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back:\n$finalPlan")
   }
 
   test("stable shards never move under corpus growth; positions dense per shard") {

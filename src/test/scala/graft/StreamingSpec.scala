@@ -98,6 +98,60 @@ class StreamingSpec extends SparkSuite {
     assert(updates === Seq("A", "B"))
   }
 
+  test("mid-pipeline failure routes to the errors sink; stream continues and retries (ST4)") {
+    // Reference message/kafka_message_receiver.go:44-50: ANY handler error
+    // notifies the error-reporter topic, and the consumer keeps running.
+    // Injection: a poison UDF in the dims frame throws while a flag file
+    // exists — a stand-in for a transient store/sink failure mid-transform.
+    val outDir = Files.createTempDirectory("stream-err-out").toString
+    val ckpt = Files.createTempDirectory("stream-err-ckpt").toString
+    val flag = Files.createTempFile("stream-poison", ".flag")
+
+    val poison = udf { (opt: String) =>
+      if (Files.exists(flag)) throw new RuntimeException("injected store failure")
+      opt
+    }
+    val dims = graft.operators.ImporterPipeline.projectDimensions(fixtureDims)
+      .withColumn("option", poison(col("option")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("file_url", "instance_id")
+
+    val q = ImporterStream.start(spark, stream, dims, fixtureCodeLists, outDir, ckpt)
+    try {
+      // batch 1: one valid event (hits the poison) + one invalid event
+      mem.addData(("/a", "A"), ("/bad", ""))
+      q.processAllAvailable()
+      assert(q.isActive, "a mid-pipeline failure must not kill the stream")
+
+      val errs1 = spark.read.parquet(s"$outDir/errors")
+        .select("file_url", "instance_id", "err_context").as[(String, String, String)]
+        .collect().toSeq.sorted
+      assert(errs1 === Seq(
+        ("/a", "A", "failed to process instance batch"),
+        ("/bad", "", "unable to process message")),
+        s"expected the validation dead-letter AND the pipeline-failure row, got $errs1")
+      // the failed event is NOT marked processed — redelivery must retry it
+      assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/processed_instances")))
+
+      // failure clears; the redelivered event now succeeds end-to-end
+      Files.delete(flag)
+      mem.addData(("/a", "A"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      Files.deleteIfExists(flag)
+    }
+
+    val updates = spark.read.parquet(s"$outDir/updates")
+      .select("instance_id", "option").as[(String, String)].collect().toSeq
+    assert(updates === Seq(("A", "England")), s"retry after failure: $updates")
+    val processed = spark.read.parquet(s"$outDir/processed_instances")
+      .as[String].collect().toSeq
+    assert(processed === Seq("A"))
+  }
+
   private def fixtureDims = {
     Seq(("A", "A_geo", "England", "n1"), ("B", "B_geo", "Wales", "n2"))
       .toDF("instance_id", "dimension_id", "option", "node_id")

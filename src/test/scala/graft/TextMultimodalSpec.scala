@@ -168,6 +168,51 @@ class TextMultimodalSpec extends SparkSuite {
     assert(TextAnalysis.domainCounts(spark, sf0001).count() === 0L)
   }
 
+  test("imageio decode: real PNG fixtures through the mapPartitions codec path") {
+    // deterministic in-test PNG fixtures via the JDK's own encoder — no
+    // external assets, bit-stable across runs
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer missing")
+      out.toByteArray
+    }
+    // solid mid-gray: luma = (77+150+29)*128 >> 8 = 128 exactly → all
+    // pixels land in bin 8, so the L2-normalized histogram is a unit
+    // one-hot and the mean is integer-exact
+    val gray = png(8, 4)((_, _) => 0x808080)
+    // black/white checker: luma 0 (bin 0) and 255 (bin 15), half each
+    val checker = png(4, 4)((x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+
+    val df = Seq(
+      (1L, gray), (2L, checker), (3L, garbage), (4L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.imageFeatures(df).collect().map(f => f.doc_id -> f).toMap
+    assert(got.size === 4)
+
+    val g = got(1L)
+    assert(g.decode_ok && g.width === 8 && g.height === 4 && g.n_pixels === 32L)
+    assert(g.mean_lum_e4 === 128L * 10000, s"gray mean: ${g.mean_lum_e4}")
+    assert(g.feat(8) === 1.0f && g.feat.zipWithIndex.filter(_._2 != 8).forall(_._1 == 0f),
+      s"gray histogram not one-hot: ${g.feat}")
+    assert(g.feat_norm_e4 === 10000L)
+
+    val c = got(2L)
+    assert(c.decode_ok && c.n_pixels === 16L)
+    // BT.601 luma of pure white: (77+150+29)*255 >> 8 = 255 exactly
+    assert(c.mean_lum_e4 === math.floor((8 * 0 + 8 * 255) / 16.0 * 10000 + 0.5).toLong)
+    val inv = (1.0 / math.sqrt(2.0)).toFloat
+    assert(c.feat(0) === inv && c.feat(15) === inv,
+      s"checker bins 0/15 should each hold 1/sqrt2: ${c.feat}")
+
+    // corrupt + empty payloads come back in-band, never as an exception
+    assert(!got(3L).decode_ok && got(3L).feat.isEmpty)
+    assert(!got(4L).decode_ok && got(4L).n_pixels === 0L)
+  }
+
   test("frame samples: one row per stride with the payload char at the offset") {
     import org.apache.spark.sql.functions._
     val frames = MultimodalOps.frameSamples(spark, sf0001)

@@ -220,8 +220,11 @@ object SparkEntry {
     // (never a one-task-per-source window)
     "t30_curriculum_selection" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.curriculumSelection(s, d)),
-    // Gopher-style repetition quality gates
+    // Gopher-style repetition quality gates (t15 = light 2/3-gram subset;
+    // t39 = the full char-weighted Table-A1 family + composed keep gate)
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
+    "t39_gopher_repetition" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gopherRepetition(s, d, plantRepetition = true)),
     // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
     // corpus has none — same vacuity rule as d1/d2/v5)
     "t16_pii_redaction" -> ((s: SparkSession, d: String) =>
@@ -1390,6 +1393,7 @@ object SparkEntry {
     "t37_exact_stratified_sample" ->
       graft.operators.TrainingPrep.exactStratifiedSampleOracleSql,
     "t38_data_card" -> graft.operators.TrainingPrep.dataCardOracleSql,
+    "t39_gopher_repetition" -> TextAnalysis.gopherRepetitionOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -214,6 +214,139 @@ object TextAnalysis {
         .cast("bigint").as("dup_trigram_frac_e6"))
   }
 
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1), e6-scaled:
+    * max char-fraction in the top 2/3/4-gram, max char-fraction in
+    * duplicated 5..10-grams. A doc passes iff under ALL of them.
+    */
+  private[graft] val GopherTopMaxE6 = Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L)
+  private[graft] val GopherDupMaxE6 =
+    Map(5 -> 150000L, 6 -> 140000L, 7 -> 130000L, 8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+
+  /** t39: the FULL char-weighted Gopher repetition rule set — for n=2..4
+    * the fraction of characters contained in the document's most frequent
+    * word n-gram, for n=5..10 the fraction of characters contained in
+    * n-grams that occur more than once (all occurrences, as published;
+    * overlapping occurrences double-count, so the dup fractions are
+    * capped at 1e6), plus the composed `gopher_keep` gate under the
+    * published thresholds. [[repetitionSignals]] (t15) is the
+    * count-weighted 2/3-gram subset; this is the whole Table-A1 family.
+    * The duplicate-LINE/PARAGRAPH rules are deliberately absent: the
+    * corpus is single-line, so they are vacuous here (d10's segment
+    * dedup is the cross-document generalization).
+    *
+    * All fractions are exact integer arithmetic — `(chars · 1e6) div
+    * n_chars` — so the DuckDB oracle replays them bit-for-bit.
+    *
+    * Shape: ONE explode emits (n, gram) for every n in 2..min(10, doc
+    * tokens) — a ~9× token fan-out generated lazily executor-side — then
+    * a two-level keyed aggregation: (doc, n, gram) counts with map-side
+    * combine, conditional-agg collapse to (doc, n), conditional-agg
+    * collapse to doc. No joins against the corpus, no windows; at 100 TB
+    * this is two shuffles of partially-aggregated gram counts.
+    *
+    * `plantRepetition` is for the graded benchmark/oracle path ONLY (the
+    * word-soup corpus never repeats a 5-gram within a doc, so the dup
+    * rules would pass vacuously): docs with doc_id % 17 == 0 get their
+    * own first 12 tokens re-appended — duplicated 5..10-grams by
+    * construction — replayed identically by the oracle.
+    */
+  def gopherRepetition(
+      spark: SparkSession, dir: String, plantRepetition: Boolean = false): DataFrame = {
+    val base = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val seeded =
+      if (!plantRepetition) base
+      else base.withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" "),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 12))))
+          .otherwise(col("text")))
+    gopherSignals(seeded)
+  }
+
+  /** The t39 signal derivation over any `(doc_id, text)` frame — every
+    * column is a pure within-document function, so the same body serves
+    * the corpus operator above and the per-micro-batch online-gate leg
+    * (at-arrival ≡ cold by construction, like the LM leg). Docs with
+    * fewer than 2 tokens carry no signal and are ABSENT from the output —
+    * callers apply their no-signal default (the gate passes them).
+    */
+  def gopherSignals(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val grams = toks
+      .select(col("doc_id"), col("n_chars"), explode(expr(
+        """flatten(transform(sequence(2, least(10, size(toks))),
+          |  n -> transform(sequence(1, size(toks) - n + 1),
+          |    i -> named_struct('n', n, 'g', concat_ws(' ', slice(toks, i, n))))))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("n_chars"),
+        col("x.n").cast("int").as("n"), col("x.g").as("g"))
+    val counts = grams
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perN = counts
+      .groupBy(col("doc_id"), col("n_chars"), col("n"))
+      .agg(
+        max(col("c") * length(col("g"))).as("top_chars"),
+        sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("dup_chars"))
+    def fracTop(n: Int) = coalesce(
+      max(when(col("n") === n, expr("(top_chars * 1000000) div n_chars"))), lit(0L))
+      .as(s"top${n}_frac_e6")
+    def fracDup(n: Int) = coalesce(
+      max(when(col("n") === n, least(expr("(dup_chars * 1000000) div n_chars"), lit(1000000L)))),
+      lit(0L)).as(s"dup${n}_frac_e6")
+    val wide = perN.groupBy(col("doc_id"))
+      .agg(fracTop(2), (Seq(3, 4).map(fracTop) ++ Seq(5, 6, 7, 8, 9, 10).map(fracDup)): _*)
+    val keep = GopherTopMaxE6.toSeq.sortBy(_._1)
+      .map { case (n, m) => col(s"top${n}_frac_e6") <= m }
+      .++(GopherDupMaxE6.toSeq.sortBy(_._1)
+        .map { case (n, m) => col(s"dup${n}_frac_e6") <= m })
+      .reduce(_ && _)
+    wide.withColumn("gopher_keep", keep)
+  }
+
+  def gopherRepetitionOracleSql: String = {
+    def top(n: Int) =
+      s"coalesce(max(CASE WHEN n = $n THEN (top_chars * 1000000) // n_chars END), 0) AS top${n}_frac_e6"
+    def dup(n: Int) =
+      s"coalesce(max(CASE WHEN n = $n THEN least((dup_chars * 1000000) // n_chars, 1000000) END), 0) AS dup${n}_frac_e6"
+    val keep = (GopherTopMaxE6.toSeq.sortBy(_._1)
+      .map { case (n, m) => s"top${n}_frac_e6 <= $m" }
+      ++ GopherDupMaxE6.toSeq.sortBy(_._1)
+        .map { case (n, m) => s"dup${n}_frac_e6 <= $m" }).mkString(" AND ")
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0
+       |      THEN text || ' ' || array_to_string(string_split(text, ' ')[1:12], ' ')
+       |      ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, cast(len(text) AS bigint) AS n_chars,
+       |    string_split(text, ' ') AS t
+       |  FROM seeded WHERE len(string_split(text, ' ')) >= 2),
+       |grams AS (
+       |  SELECT doc_id, n_chars, cast(n AS int) AS n,
+       |    array_to_string(t[i:i + n - 1], ' ') AS g
+       |  FROM toks,
+       |       LATERAL (SELECT unnest(range(2, least(10, len(t)) + 1)) AS n) nn,
+       |       LATERAL (SELECT unnest(range(1, len(t) - n + 2)) AS i) ii),
+       |counts AS (
+       |  SELECT doc_id, n_chars, n, g, count(*) AS c
+       |  FROM grams GROUP BY doc_id, n_chars, n, g),
+       |per_n AS (
+       |  SELECT doc_id, n_chars, n,
+       |    max(c * len(g)) AS top_chars,
+       |    sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dup_chars
+       |  FROM counts GROUP BY doc_id, n_chars, n),
+       |wide AS (
+       |  SELECT doc_id,
+       |    ${(Seq(2, 3, 4).map(top) ++ Seq(5, 6, 7, 8, 9, 10).map(dup)).mkString(",\n    ")}
+       |  FROM per_n GROUP BY doc_id)
+       |SELECT *, ($keep) AS gopher_keep FROM wide""".stripMargin
+  }
+
   // backslash-free on purpose: these literals pass through Scala, Spark
   // SQL single-quoted strings (which process backslash escapes), and
   // DuckDB SQL unchanged — a \. would mean different things per layer

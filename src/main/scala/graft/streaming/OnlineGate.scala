@@ -24,7 +24,10 @@ import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep,
   *     against a reference bigram LM FROZEN before the stream started
   *     ([[graft.operators.LmScore.scoreWithModel]]) — a pure per-doc
   *     function of the text, so at-arrival and cold verdicts agree by
-  *     construction.
+  *     construction;
+  *   - optionally (gopherRules set) the t39 Gopher repetition leg
+  *     ([[TextAnalysis.gopherSignals]]) — every signal is WITHIN-document,
+  *     so it needs no state or model and is prefix-consistent for free.
   *
   * The composed verdict for batch N lands under
   * `outPath/decisions/batch_id=N` as (doc_id, n_tokens, quality_e4,
@@ -80,7 +83,8 @@ object OnlineGate {
       maxTokens: Long = TrainingPrep.MaxTokens,
       fuzzyThreshold: Double = Dedup.DefaultThreshold,
       semThreshold: Double = IvfAnn.SemDedupThreshold,
-      lmModelPath: Option[String] = None): StreamingQuery = {
+      lmModelPath: Option[String] = None,
+      gopherRules: Boolean = false): StreamingQuery = {
     val owner = docs.sparkSession
     ShingleIndex.ensureBandsTable(owner, shingleTable)
     // stored geometry is immutable between rebuilds: load once at start
@@ -123,6 +127,14 @@ object OnlineGate {
             .select(col("doc_id"),
               (col("ppl_bucket") =!= "tail").as("pass_ppl"))
         }
+        // optional Gopher repetition leg (t39): every signal is a pure
+        // WITHIN-document function, so at-arrival ≡ cold by construction
+        // — no state, no model, just the micro-batch. Docs too short to
+        // carry a signal are absent and pass (no-signal rule, as for LM).
+        val repPass =
+          if (!gopherRules) None
+          else Some(TextAnalysis.gopherSignals(b.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("gopher_keep").as("pass_rep")))
         val base = b.select(
             col("doc_id"),
             TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
@@ -137,13 +149,17 @@ object OnlineGate {
         // left join + pass default: a doc too short to bigram (absent
         // from the scoring output) carries no LM signal and passes,
         // matching the dup-fraction leg's no-signal rule
-        lmPass.fold(base)(lp =>
+        val withLm = lmPass.fold(base)(lp =>
           base.join(lp, Seq("doc_id"), "left")
             .withColumn("pass_ppl", coalesce(col("pass_ppl"), lit(true))))
+        repPass.fold(withLm)(rp =>
+          withLm.join(rp, Seq("doc_id"), "left")
+            .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true))))
           .withColumn("kept",
             col("pass_quality") && col("pass_tokens") &&
               col("fuzzy_keep") && col("sem_keep") &&
-              (if (lmModelPath.isDefined) col("pass_ppl") else lit(true)))
+              (if (lmModelPath.isDefined) col("pass_ppl") else lit(true)) &&
+              (if (gopherRules) col("pass_rep") else lit(true)))
           // placement rides along: the STABLE shard rule (t28 — first hex
           // digit of the md5 permutation key) is a pure function of
           // doc_id, so unlike rank-striping it is computable at arrival

@@ -49,6 +49,8 @@ object PlanAudit {
     ("t9_tfidf_top_terms", Bnlj) -> "1-row doc-count frame crossed",
     // the LM-scoring layer crosses 1-row corpus constants (vocab size V,
     // target/raw totals, N+Σdl) into vocab-bounded model tables
+    ("t11_packed_chunks", Bnlj) ->
+      "1-row doc_id min/max frame crossed in for the deterministic bucket bounds",
     ("t31_bigram_lm_ppl", Bnlj) -> "1-row vocab-size frame crossed into the model table",
     ("t31i_bigram_lm_ppl", Bnlj) -> "1-row unk-floor frame crossed into the scoring leg",
     ("t34_lm_gated_selection", Bnlj) -> "t31's 1-row vocab-size frame (composed gate keeps the leg plans)",

@@ -1235,6 +1235,58 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("online gate's Gopher repetition leg matches the batch t39 keep column") {
+    import graft.operators.{ShingleIndex, TextAnalysis, VectorIndex}
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("onlinegate-rep")
+    val tbl = "gate_rep_idx"
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val joined = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("label")), "doc_id")
+      ShingleIndex.buildFor(spark,
+        docs.limit(0).select(col("doc_id"), col("text")), s"$base/sh", tbl)
+      VectorIndex.trainOnly(spark, sf0001, s"$base/ivf")
+      val rows = joined.orderBy("doc_id").as[(Long, String, Seq[Float], Int)].collect()
+      val mem = MemoryStream[(Long, String, Seq[Float], Int)]
+      val q = OnlineGate.gateStream(
+        mem.toDF().toDF("doc_id", "text", "embedding", "label"),
+        tbl, s"$base/markers", s"$base/ivf", s"$base/ckpt", s"$base/out",
+        gopherRules = true)
+      try {
+        // two arbitrary batch splits: the leg is stateless per doc, so
+        // the split point must not matter
+        rows.grouped((rows.length + 1) / 2).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val dec = OnlineGate.decisions(spark, s"$base/out").localCheckpoint()
+      // batch side: the UNPLANTED t39 keep over the same corpus
+      val coldKeep = TextAnalysis.gopherRepetition(spark, sf0001)
+        .select(col("doc_id"), col("gopher_keep"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(dec.count() === rows.length.toLong)
+      dec.collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        // absent from the batch frame (<2 tokens) → no signal → pass
+        val expected = coldKeep.getOrElse(id, true)
+        assert(r.getAs[Boolean]("pass_rep") === expected, s"doc $id repetition leg diverged")
+        if (r.getAs[Boolean]("kept")) assert(r.getAs[Boolean]("pass_rep"))
+      }
+      // non-vacuity: the raw corpus trips the top-2/3/4-gram caps on some
+      // docs, so the leg must reject a few
+      assert(dec.filter(!col("pass_rep")).count() > 0, "repetition leg rejected nothing")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("online training gate composes text, fuzzy and semantic legs prefix-consistently") {
     import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
     import graft.streaming.OnlineGate

@@ -213,6 +213,41 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!got(4L).decode_ok && got(4L).n_pixels === 0L)
   }
 
+  test("t39 gopher rules: dup gates bind exactly on the planted docs, clean docs all-zero") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.gopherRepetition(spark, sf0001, plantRepetition = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val planted = got.keys.filter(_ % 17 == 0)
+    val clean = got.keys.filterNot(_ % 17 == 0)
+    assert(planted.nonEmpty && clean.nonEmpty)
+    // re-appending the first 12 tokens duplicates every 5..10-gram inside
+    // that run, so ALL planted docs carry nonzero dup fractions...
+    planted.foreach { id =>
+      (5 to 10).foreach { n =>
+        assert(got(id).getAs[Long](s"dup${n}_frac_e6") > 0, s"doc $id dup$n")
+      }
+    }
+    // ...and the word-soup corpus never repeats a 5-gram on its own
+    clean.foreach { id =>
+      (5 to 10).foreach { n =>
+        assert(got(id).getAs[Long](s"dup${n}_frac_e6") === 0L, s"doc $id dup$n")
+      }
+    }
+    // the composed gate is exactly the conjunction of the per-rule checks
+    got.values.foreach { r =>
+      val expect =
+        TextAnalysis.GopherTopMaxE6.forall { case (n, m) =>
+          r.getAs[Long](s"top${n}_frac_e6") <= m } &&
+        TextAnalysis.GopherDupMaxE6.forall { case (n, m) =>
+          r.getAs[Long](s"dup${n}_frac_e6") <= m }
+      assert(r.getAs[Boolean]("gopher_keep") === expect)
+    }
+    // and it BINDS: at least one planted doc fails, no clean doc does on
+    // the dup side alone
+    assert(planted.exists(id => !got(id).getAs[Boolean]("gopher_keep")),
+      "planted repetition never tripped the gate")
+  }
+
   test("frame samples: one row per stride with the payload char at the offset") {
     import org.apache.spark.sql.functions._
     val frames = MultimodalOps.frameSamples(spark, sf0001)

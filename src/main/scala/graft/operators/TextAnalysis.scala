@@ -269,8 +269,36 @@ object TextAnalysis {
     * (at-arrival ≡ cold by construction, like the LM leg). Docs with
     * fewer than 2 tokens carry no signal and are ABSENT from the output —
     * callers apply their no-signal default (the gate passes them).
+    *
+    * MAP-ONLY: the signals are within-document, so the whole family is
+    * one pass of the [[graft.functions.GopherFracs]] codegen expression
+    * per row — zero exchanges, the shape that survives 100 TB trivially.
+    * [[gopherSignalsExploded]] is the explode→aggregate reference
+    * formulation (two corpus shuffles of gram strings); a spec pins them
+    * bit-equal and the DuckDB oracle replays the same arithmetic.
     */
   def gopherSignals(docs: DataFrame): DataFrame = {
+    val fracCols = (Seq(2, 3, 4).map(n => s"top${n}_frac_e6") ++
+      Seq(5, 6, 7, 8, 9, 10).map(n => s"dup${n}_frac_e6")).zipWithIndex
+      .map { case (nm, i) => col("_f").getItem(i).as(nm) }
+    val keep = (GopherTopMaxE6.toSeq.sortBy(_._1)
+      .map { case (n, m) => col(s"top${n}_frac_e6") <= m }
+      ++ GopherDupMaxE6.toSeq.sortBy(_._1)
+        .map { case (n, m) => col(s"dup${n}_frac_e6") <= m })
+      .reduce(_ && _)
+    docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.GopherFracs.gopherFracs(col("text")).as("_f"))
+      .select(col("doc_id") +: fracCols: _*)
+      .withColumn("gopher_keep", keep)
+  }
+
+  /** The explode→two-aggregation reference formulation of
+    * [[gopherSignals]] — kept as the independently-derived parity twin
+    * (and the shape the DuckDB oracle SQL mirrors literally).
+    */
+  private[graft] def gopherSignalsExploded(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"),
         split(col("text"), " ").as("toks"))

@@ -31,8 +31,9 @@ import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep,
   *
   * The composed verdict for batch N lands under
   * `outPath/decisions/batch_id=N` as (doc_id, n_tokens, quality_e4,
-  * pass_quality, pass_tokens, fuzzy_keep, sem_keep, kept, shard) — kept
-  * iff all four pass, with the t28 STABLE shard riding along so a kept
+  * pass_quality, pass_tokens, fuzzy_keep, sem_keep[, pass_ppl]
+  * [, pass_rep], kept, shard) — kept iff every enabled leg passes, with
+  * the t28 STABLE shard riding along so a kept
   * document's placement is final at arrival (rank-striped t26 shards
   * cannot be assigned online: every later arrival would shift them). Both leg stores ingest EVERY document (kept and rejected):
   * the lower-id drop rules judge against all prior arrivals, and a

@@ -213,6 +213,37 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!got(4L).decode_ok && got(4L).n_pixels === 0L)
   }
 
+  test("t39 map-only codegen path is bit-equal to the exploded reference formulation") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, slice, split, when}
+    // the planted frame exercises the dup rules too
+    val seeded = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" "),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 12))))
+          .otherwise(col("text")))
+    def image(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val fast = image(TextAnalysis.gopherSignals(seeded))
+    val ref = image(TextAnalysis.gopherSignalsExploded(seeded))
+    assert(fast === ref)
+    // adversarial shapes the corpus lacks: empty tokens (double spaces),
+    // single token, doc shorter than every dup order, exact 10-gram loop
+    val weird = Seq(
+      (1L, "a  b a  b a  b"),
+      (2L, "solo"),
+      (3L, "x y"),
+      (4L, ("p q r s t u v w x y " * 3).trim))
+      .toDF("doc_id", "text")
+    assert(image(TextAnalysis.gopherSignals(weird)) ===
+      image(TextAnalysis.gopherSignalsExploded(weird)))
+    // and the fast path's plan is EXCHANGE-FREE — the point of the rewrite
+    val plan = TextAnalysis.gopherSignals(seeded).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"t39 fast path gained a shuffle:\n$plan")
+  }
+
   test("t39 gopher rules: dup gates bind exactly on the planted docs, clean docs all-zero") {
     import graft.operators.TextAnalysis
     val got = TextAnalysis.gopherRepetition(spark, sf0001, plantRepetition = true)

@@ -147,6 +147,26 @@ class FunctionsSpec extends SparkSuite {
     assert("_a__a__a_".replace("_a_", "") === "", "adversarial case lost its power")
   }
 
+  test("property: GopherFracs equals the Spark-built-in formulation on random spacey text") {
+    // random strings over a tiny alphabet with frequent spaces: exercises
+    // empty tokens (leading/trailing/double spaces), heavy repetition
+    // (2-char alphabet → many duplicate n-grams) and short docs
+    val textGen = for {
+      n <- Gen.chooseNum(1, 60)
+      cs <- Gen.listOfN(n, Gen.frequency(3 -> Gen.const(' '), 2 -> Gen.const('a'),
+        2 -> Gen.const('b'), 1 -> Gen.const('c')))
+    } yield cs.mkString
+    val texts = samples(textGen, 150).distinct.filter(_.split(" ", -1).length >= 2)
+    assert(texts.size > 50)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fast = graft.operators.TextAnalysis.gopherSignals(df)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val ref = graft.operators.TextAnalysis.gopherSignalsExploded(df)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(fast.keySet === ref.keySet)
+    fast.keys.foreach(k => assert(fast(k) === ref(k), s"text=${texts(k.toInt)}"))
+  }
+
   test("property: shard rules match a pure-JVM md5 reference on arbitrary doc ids") {
     import graft.operators.TrainingPrep
     val ids = samples(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 60).distinct

@@ -32,6 +32,21 @@ final case class MMImageFeatures(
     feat: Seq[Float],
     feat_norm_e4: Long)
 
+/** Per-clip decode output of the REAL audio codec path
+  * ([[MultimodalOps.audioFeatures]]): PCM-derived features + format
+  * metadata, with in-band decode failure — same dead-letter discipline as
+  * [[MMImageFeatures]].
+  */
+final case class MMAudioFeatures(
+    doc_id: Long,
+    decode_ok: Boolean,
+    sample_rate: Int,
+    channels: Int,
+    n_samples: Long,
+    rms_e4: Long,
+    zero_crossings: Long,
+    peak_abs: Int)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, and partition-batched feature extraction.
   *
@@ -172,6 +187,82 @@ object MultimodalOps {
                 math.floor(math.sqrt(fn) * 10000 + 0.5).toLong)
             case None =>
               MMImageFeatures(id, decode_ok = false, 0, 0, 0L, 0L, Seq.empty, 0L)
+          }
+        }
+      }
+  }
+
+  /** REAL audio codec: decode a WAV/AU/AIFF payload through the
+    * JDK-public `javax.sound.sampled` stack to 16-bit PCM and derive the
+    * classic clip features — RMS energy (e4-scaled against full-scale
+    * 32768), zero-crossing count, and peak amplitude — over the first
+    * channel. Integer/long arithmetic end-to-end except the final rms
+    * sqrt, so features are bit-stable across platforms. Returns None for
+    * undecodable bytes (same in-band failure rule as [[imageioDecode]]).
+    */
+  private[operators] def audioDecode(
+      payload: Array[Byte]): Option[(Int, Int, Long, Long, Long, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val channels = fmt.getChannels
+          val stride = 2 * channels // first channel of each frame
+          var i = 0
+          var n = 0L
+          var sumSq = 0.0
+          var zc = 0L
+          var peak = 0
+          var prevSign = 0
+          while (i + 1 < bytes.length) {
+            // little-endian signed 16-bit
+            val s = ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xFF)).toShort.toInt
+            n += 1
+            sumSq += s.toDouble * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            i += stride
+          }
+          val rmsE4 =
+            if (n == 0) 0L
+            else math.floor(math.sqrt(sumSq / n) / 32768.0 * 10000 + 0.5).toLong
+          Some((math.round(fmt.getSampleRate), channels, n, rmsE4, zc, peak))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Feature extraction through the REAL audio codec over a
+    * `(doc_id, payload)` frame of actual audio bytes — the audio twin of
+    * [[imageFeatures]]: same mapPartitions batch shape, same in-band
+    * failure (`decode_ok=false`, zeroed features), map-only at any corpus
+    * size.
+    */
+  def audioFeatures(clips: DataFrame): Dataset[MMAudioFeatures] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (AudioSystem is static)
+        rows.map { case (id, payload) =>
+          audioDecode(payload) match {
+            case Some((rate, ch, n, rms, zc, peak)) =>
+              MMAudioFeatures(id, decode_ok = true, rate, ch, n, rms, zc, peak)
+            case None =>
+              MMAudioFeatures(id, decode_ok = false, 0, 0, 0L, 0L, 0L, 0)
           }
         }
       }

@@ -213,6 +213,57 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!got(4L).decode_ok && got(4L).n_pixels === 0L)
   }
 
+  test("audio decode: real WAV fixtures through the mapPartitions codec path") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic in-test WAV fixtures via the JDK's own encoder
+    def wav(channels: Int)(sample: (Long, Int) => Int): Array[Byte] = {
+      val frames = 64L
+      val pcm = new Array[Byte](frames.toInt * 2 * channels)
+      for (f <- 0L until frames; c <- 0 until channels) {
+        val s = sample(f, c)
+        val off = (f.toInt * channels + c) * 2
+        pcm(off) = (s & 0xFF).toByte
+        pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // square wave ±16384, 4-sample half-period: rms exactly half scale
+    val square = wav(1)((f, _) => if ((f / 4) % 2 == 0) 16384 else -16384)
+    val silence = wav(1)((_, _) => 0)
+    // stereo: channel 0 carries the square, channel 1 silence — the
+    // features must come from channel 0 only
+    val stereo = wav(2)((f, c) => if (c == 0 && (f / 4) % 2 == 0) 16384
+      else if (c == 0) -16384 else 0)
+    val garbage = Array.tabulate[Byte](128)(i => (i * 13).toByte)
+
+    val df = Seq((1L, square), (2L, silence), (3L, stereo), (4L, garbage))
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.audioFeatures(df).collect().map(f => f.doc_id -> f).toMap
+
+    val sq = got(1L)
+    assert(sq.decode_ok && sq.sample_rate === 8000 && sq.channels === 1)
+    assert(sq.n_samples === 64L)
+    assert(sq.rms_e4 === 5000L, s"square rms: ${sq.rms_e4}") // 16384/32768
+    assert(sq.peak_abs === 16384)
+    // 16 alternating 4-sample blocks → 15 sign flips
+    assert(sq.zero_crossings === 15L, s"zc: ${sq.zero_crossings}")
+
+    val si = got(2L)
+    assert(si.decode_ok && si.rms_e4 === 0L && si.zero_crossings === 0L && si.peak_abs === 0)
+
+    val st = got(3L)
+    assert(st.decode_ok && st.channels === 2 && st.n_samples === 64L)
+    assert(st.rms_e4 === 5000L && st.zero_crossings === 15L,
+      s"stereo must read channel 0: rms=${st.rms_e4} zc=${st.zero_crossings}")
+
+    assert(!got(4L).decode_ok && got(4L).n_samples === 0L)
+  }
+
   test("t39 map-only codegen path is bit-equal to the exploded reference formulation") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, slice, split, when}

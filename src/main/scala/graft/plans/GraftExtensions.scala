@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Hilbert16, L2NormF, SimHash64, WinnowingFingerprint}
+import graft.functions.{DotProductF, GopherFracsExpr, Hilbert16, L2NormF, SimHash64, WinnowingFingerprint}
 
 /** Builder-time registration of the graft Catalyst surface — the
   * `SparkSessionExtensions` injection point, so a deployment enables the
@@ -23,7 +23,8 @@ import graft.functions.{DotProductF, Hilbert16, L2NormF, SimHash64, WinnowingFin
   *  - the custom codegen expressions as SQL functions, so pure-SQL users
   *    (spark-sql shell, JDBC/Thrift, `spark.sql(...)`) reach them without
   *    the Scala Column API: `graft_simhash64`, `graft_winnow`,
-  *    `graft_dot_f`, `graft_l2norm_f`, `graft_hilbert16`.
+  *    `graft_dot_f`, `graft_l2norm_f`, `graft_hilbert16`,
+  *    `graft_gopher_fracs`.
   *
   * Sessions created without it still work: `TopKPerKey.apply` falls back
   * to the runtime `experimental.extraStrategies` path idempotently, and
@@ -74,6 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2norm_f"),
       info("graft_l2norm_f", "graft_l2norm_f(a) - L2 norm of an array<float>"),
       (args: Seq[Expression]) => L2NormF(args.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_gopher_fracs"),
+      info("graft_gopher_fracs",
+        "graft_gopher_fracs(text) - the 9 Gopher repetition e6-fractions " +
+          "[top2, top3, top4, dup5..dup10] of a document, one map-only pass"),
+      (args: Seq[Expression]) => GopherFracsExpr(args.head)))
     extensions.injectFunction((
       FunctionIdentifier("graft_hilbert16"),
       info("graft_hilbert16",

@@ -104,7 +104,8 @@ class TopKPerKeySpec extends SparkSuite {
           |  graft_dot_f(cast(array(1.0, 2.0) AS array<float>),
           |              cast(array(3.0, 4.0) AS array<float>)) AS dp,
           |  graft_l2norm_f(cast(array(3.0, 4.0) AS array<float>)) AS nm,
-          |  graft_hilbert16(7, 200) AS hb""".stripMargin).head()
+          |  graft_hilbert16(7, 200) AS hb,
+          |  graft_gopher_fracs('a b a b a b a b a b') AS gf""".stripMargin).head()
       assert(viaSql.getLong(0) ===
         graft.functions.SimHashUtil.compute(
           org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
@@ -119,6 +120,10 @@ class TopKPerKeySpec extends SparkSuite {
       assert(viaSql.getDouble(2) === 11.0)
       assert(viaSql.getDouble(3) === 5.0)
       assert(viaSql.getLong(4) === graft.functions.HilbertUtil.xy2d(7L, 200L))
+      assert(viaSql.getSeq[Long](5) ===
+        graft.functions.GopherUtil.fracs(
+          org.apache.spark.unsafe.types.UTF8String.fromString("a b a b a b a b a b"))
+          .toLongArray().toSeq)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)

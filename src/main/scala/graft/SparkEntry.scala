@@ -290,6 +290,9 @@ object SparkEntry {
       graft.operators.TrainingPrep.exactStratifiedSample(s, d)),
     // the corpus data card: (source, lang) rollup of doc/token/byte totals
     "t38_data_card" -> graft.operators.TrainingPrep.dataCard _,
+    // deequ-style declarative data-quality gate: one aggregation pass of
+    // column expectations + one anti-join FK check, long-form report
+    "t40_data_expectations" -> graft.operators.Expectations.dataExpectations _,
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1393,6 +1396,7 @@ object SparkEntry {
     "t37_exact_stratified_sample" ->
       graft.operators.TrainingPrep.exactStratifiedSampleOracleSql,
     "t38_data_card" -> graft.operators.TrainingPrep.dataCardOracleSql,
+    "t40_data_expectations" -> graft.operators.Expectations.dataExpectationsOracleSql,
     "t39_gopher_repetition" -> TextAnalysis.gopherRepetitionOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (

@@ -213,6 +213,53 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!got(4L).decode_ok && got(4L).n_pixels === 0L)
   }
 
+  test("t40 expectations: every check trips on a deliberately corrupted corpus") {
+    import graft.operators.Expectations
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = java.nio.file.Files.createTempDirectory("expect")
+    try {
+      // corrupted documents: an empty text, a duplicate doc_id, a bogus
+      // lang, an n_chars that disagrees with the text, and a 3000-char doc
+      Seq(
+        (1L, "ok text here", "en", 12L),
+        (1L, "dup id", "en", 6L),            // duplicate doc_id
+        (2L, "", "en", 0L),                  // empty text
+        (3L, "bad lang", "xx", 8L),          // not an accepted value
+        (4L, "short", "de", 99L),            // n_chars inconsistent
+        (5L, "x" * 3000, "fr", 3000L))       // over the max bound
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .write.parquet(s"$base/documents.parquet")
+      Seq((10L, 1L), (11L, 999L))            // orderkey 11 has no parent order
+        .toDF("l_orderkey", "l_extendedprice")
+        .select(col("l_orderkey"))
+        .write.parquet(s"$base/lineitem.parquet")
+      Seq(10L).toDF("o_orderkey").write.parquet(s"$base/orders.parquet")
+
+      val rep = Expectations.dataExpectations(spark, base.toString)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(rep.size === 7)
+      rep.values.foreach(r => assert(!r.getAs[Boolean]("passed"),
+        s"${r.getString(0)} should FAIL on the corrupted corpus: $r"))
+      // observed values are the documented exact integers
+      assert(rep("completeness").getAs[Long]("observed") === 5L * 1000000 / 6)
+      assert(rep("uniqueness").getAs[Long]("observed") === 5L * 1000000 / 6)
+      assert(rep("accepted_values").getAs[Long]("observed") === 5L * 1000000 / 6)
+      assert(rep("consistency").getAs[Long]("observed") === 5L * 1000000 / 6)
+      assert(rep("min_bound").getAs[Long]("observed") === 0L)
+      assert(rep("max_bound").getAs[Long]("observed") === 3000L)
+      assert(rep("referential_integrity").getAs[Long]("observed") === 1L)
+
+      // and the clean graded corpus passes everything
+      val clean = Expectations.dataExpectations(spark, sf0001).collect()
+      assert(clean.length === 7)
+      clean.foreach(r => assert(r.getAs[Boolean]("passed"), r.toString))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("audio decode: real WAV fixtures through the mapPartitions codec path") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // deterministic in-test WAV fixtures via the JDK's own encoder

@@ -293,6 +293,10 @@ object SparkEntry {
     // deequ-style declarative data-quality gate: one aggregation pass of
     // column expectations + one anti-join FK check, long-form report
     "t40_data_expectations" -> graft.operators.Expectations.dataExpectations _,
+    // the drift monitor: current corpus vs its previous snapshot (prefix
+    // discipline), one conditional-aggregation scan
+    "t41_metric_drift" -> ((s: SparkSession, d: String) =>
+      graft.operators.Expectations.metricDrift(s, d)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1397,6 +1401,7 @@ object SparkEntry {
       graft.operators.TrainingPrep.exactStratifiedSampleOracleSql,
     "t38_data_card" -> graft.operators.TrainingPrep.dataCardOracleSql,
     "t40_data_expectations" -> graft.operators.Expectations.dataExpectationsOracleSql,
+    "t41_metric_drift" -> graft.operators.Expectations.metricDriftOracleSql,
     "t39_gopher_repetition" -> TextAnalysis.gopherRepetitionOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (

@@ -72,6 +72,90 @@ object Expectations {
         col("threshold").cast("bigint").as("threshold"), col("passed"))
   }
 
+  /** Prefix cutoff standing in for "the previous snapshot" (t41): the
+    * docs with id below it model the corpus as of the last refresh —
+    * the same prefix-corpus discipline the stable-shard and online-gate
+    * equivalence specs use.
+    */
+  private[operators] val DriftPrefixCutoff = 250L
+
+  /** Drift thresholds, e6 relative change per metric. */
+  private[operators] val DriftMaxRelE6 = 250000L // 25%
+
+  /** t41: metric drift between the current corpus and its previous
+    * snapshot (modeled as the doc_id-prefix) — the monitor a recurring
+    * corpus refresh alerts on (the anomaly-detection half of deequ:
+    * yesterday's statistics are the baseline for today's).
+    *
+    * ONE conditional-aggregation pass computes both sides: every metric
+    * is aggregated twice in the same `agg` (full corpus vs
+    * `doc_id < cutoff`), so the monitor costs a single scan and a 1-row
+    * frame no matter how many metrics ride it. Relative change is exact
+    * integer arithmetic: `|cur·1e6 - prev·1e6| div prev` over
+    * count-valued metrics (doc count, token count, distinct langs,
+    * mean chars e2), flagged against [[DriftMaxRelE6]].
+    */
+  def metricDrift(
+      spark: SparkSession, dir: String,
+      cutoff: Long = DriftPrefixCutoff,
+      maxRelE6: Long = DriftMaxRelE6): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val prev = when(col("doc_id") < cutoff, 1L).otherwise(0L)
+    val agg = d.agg(
+      count(lit(1)).as("cur_docs"),
+      sum(prev).as("prev_docs"),
+      sum(TextAnalysis.nTokensCol(col("text"))).as("cur_tokens"),
+      sum(TextAnalysis.nTokensCol(col("text")) * prev).as("prev_tokens"),
+      countDistinct(col("lang")).as("cur_langs"),
+      countDistinct(when(col("doc_id") < cutoff, col("lang"))).as("prev_langs"),
+      // mean chars, e2-quantized BEFORE the ratio so the drift arithmetic
+      // stays integer-exact
+      expr("sum(n_chars) * 100 div count(1)").as("cur_mchars_e2"),
+      expr(s"sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100" +
+        s" div sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END)").as("prev_mchars_e2"))
+    def row(metric: String, cur: String, prevC: String) =
+      s"'$metric', cast($cur AS bigint), cast($prevC AS bigint), " +
+        s"cast(abs($cur * 1000000L - $prevC * 1000000L) div $prevC AS bigint)"
+    agg.select(expr(
+      s"""stack(4,
+         |  ${row("doc_count", "cur_docs", "prev_docs")},
+         |  ${row("token_count", "cur_tokens", "prev_tokens")},
+         |  ${row("distinct_langs", "cur_langs", "prev_langs")},
+         |  ${row("mean_chars_e2", "cur_mchars_e2", "prev_mchars_e2")}
+         |) AS (metric, cur_value, prev_value, rel_change_e6)""".stripMargin))
+      .withColumn("drifted", col("rel_change_e6") > maxRelE6)
+  }
+
+  def metricDriftOracleSql: String = {
+    val cutoff = DriftPrefixCutoff
+    def row(metric: String, cur: String, prevC: String) =
+      s"""SELECT '$metric' AS metric, cast($cur AS bigint) AS cur_value,
+         |    cast($prevC AS bigint) AS prev_value,
+         |    cast(abs($cur * 1000000 - $prevC * 1000000) // $prevC AS bigint)
+         |      AS rel_change_e6 FROM agg""".stripMargin
+    s"""WITH agg AS (
+       |  SELECT count(*) AS cur_docs,
+       |    sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) AS prev_docs,
+       |    sum(len(text) - len(replace(text, ' ', '')) + 1) AS cur_tokens,
+       |    sum(CASE WHEN doc_id < $cutoff
+       |        THEN len(text) - len(replace(text, ' ', '')) + 1 ELSE 0 END)
+       |      AS prev_tokens,
+       |    count(DISTINCT lang) AS cur_langs,
+       |    count(DISTINCT CASE WHEN doc_id < $cutoff THEN lang END) AS prev_langs,
+       |    sum(n_chars) * 100 // count(*) AS cur_mchars_e2,
+       |    sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100
+       |      // sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) AS prev_mchars_e2
+       |  FROM documents),
+       |rows_out AS (
+       |  ${row("doc_count", "cur_docs", "prev_docs")}
+       |  UNION ALL ${row("token_count", "cur_tokens", "prev_tokens")}
+       |  UNION ALL ${row("distinct_langs", "cur_langs", "prev_langs")}
+       |  UNION ALL ${row("mean_chars_e2", "cur_mchars_e2", "prev_mchars_e2")})
+       |SELECT cast(metric AS varchar) AS metric, cur_value, prev_value, rel_change_e6,
+       |  rel_change_e6 > $DriftMaxRelE6 AS drifted
+       |FROM rows_out""".stripMargin
+  }
+
   def dataExpectationsOracleSql: String =
     s"""WITH agg AS (
        |  SELECT count(*) AS n,

@@ -31,10 +31,13 @@ object Expectations {
   private[operators] val AcceptedLangs = Seq("en", "es", "de", "fr", "zh")
   private[operators] val MaxCharsBound = 2000L
 
-  /** t40: the corpus expectation report. */
-  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val agg = d.agg(
+  /** The six column expectations over ANY `(doc_id, text, lang, n_chars)`
+    * frame — one aggregation pass, a 1-row intermediate, a 6-row report.
+    * Shared by the corpus query (t40) and the per-micro-batch streaming
+    * twin ([[expectationsStream]]).
+    */
+  private[graft] def docExpectations(docs: DataFrame): DataFrame = {
+    val agg = docs.agg(
       count(lit(1)).as("n"),
       sum(when(col("text").isNotNull && length(col("text")) > 0, 1L).otherwise(0L))
         .as("n_text"),
@@ -44,15 +47,8 @@ object Expectations {
       max(col("n_chars")).as("max_chars"),
       sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
         .as("n_chars_consistent"))
-    // FK: every lineitem order key must resolve; one anti-join count over
-    // two pruned integer columns
-    val orphans = table(spark, dir, "lineitem").select(col("l_orderkey"))
-      .join(table(spark, dir, "orders").select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans"))
-    // long form: stack over the 1-row frames — constant-size work
-    agg.crossJoin(orphans).select(expr(
-      s"""stack(7,
+    agg.select(expr(
+      s"""stack(6,
          |  'completeness', 'documents.text', (n_text * 1000000) div n, 1000000L,
          |    n_text = n,
          |  'uniqueness', 'documents.doc_id', (n_doc_distinct * 1000000) div n, 1000000L,
@@ -63,14 +59,49 @@ object Expectations {
          |    (n_chars_consistent * 1000000) div n, 1000000L, n_chars_consistent = n,
          |  'min_bound', 'documents.n_chars', min_chars, 1L, min_chars >= 1,
          |  'max_bound', 'documents.n_chars', max_chars, ${MaxCharsBound}L,
-         |    max_chars <= ${MaxCharsBound}L,
-         |  'referential_integrity', 'lineitem.l_orderkey -> orders.o_orderkey',
-         |    n_orphans, 0L, n_orphans = 0
+         |    max_chars <= ${MaxCharsBound}L
          |) AS (check_name, subject, observed, threshold, passed)""".stripMargin))
       .select(col("check_name"), col("subject"),
         col("observed").cast("bigint").as("observed"),
         col("threshold").cast("bigint").as("threshold"), col("passed"))
   }
+
+  /** t40: the corpus expectation report. */
+  def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
+    // FK: every lineitem order key must resolve; one anti-join count over
+    // two pruned integer columns
+    val fk = table(spark, dir, "lineitem").select(col("l_orderkey"))
+      .join(table(spark, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(
+        lit("referential_integrity").as("check_name"),
+        lit("lineitem.l_orderkey -> orders.o_orderkey").as("subject"),
+        col("n_orphans").cast("bigint").as("observed"),
+        lit(0L).as("threshold"),
+        (col("n_orphans") === 0).as("passed"))
+    docExpectations(table(spark, dir, "documents")).unionByName(fk)
+  }
+
+  /** Streaming twin of the column expectations: each micro-batch's report
+    * lands under `outPath/batch_id=N` as an idempotent per-batch
+    * directory overwrite (the same replay discipline as the LM stream
+    * scorer — a foreachBatch redelivery rewrites the same files), so the
+    * accumulated table is an append-only quality timeline a pipeline
+    * alerts on. Per batch the work is one aggregation over the
+    * micro-batch — nothing global is scanned.
+    */
+  def expectationsStream(
+      docs: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        docExpectations(b.toDF()).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+        ()
+      }
+      .start()
 
   /** Prefix cutoff standing in for "the previous snapshot" (t41): the
     * docs with id below it model the corpus as of the last refresh —

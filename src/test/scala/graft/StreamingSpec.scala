@@ -1235,6 +1235,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming expectations: per-batch quality reports match the batch derivation") {
+    import graft.operators.Expectations
+    val base = Files.createTempDirectory("expect-stream")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, String, Long)]
+      val stream = mem.toDF().toDF("doc_id", "text", "lang", "n_chars")
+      val q = Expectations.expectationsStream(
+        stream, s"$base/out", s"$base/ckpt")
+      val clean = Seq((1L, "ok text", "en", 7L), (2L, "more text", "de", 9L))
+      val dirty = Seq((3L, "", "en", 0L), (3L, "dup and bad", "xx", 11L))
+      try {
+        mem.addData(clean.toIndexedSeq); q.processAllAvailable()
+        mem.addData(dirty.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      def report(id: Long) = spark.read.parquet(s"$base/out/batch_id=$id")
+        .collect().map(r => r.getString(0) -> r.getAs[Boolean]("passed")).toMap
+      val r0 = report(0)
+      assert(r0.size === 6 && r0.values.forall(identity), s"clean batch: $r0")
+      val r1 = report(1)
+      assert(!r1("completeness") && !r1("uniqueness") &&
+        !r1("accepted_values") && !r1("min_bound"), s"dirty batch: $r1")
+      // the per-batch rows are bit-equal to the batch derivation on the
+      // same frame
+      val batchSide = Expectations.docExpectations(
+        dirty.toDF("doc_id", "text", "lang", "n_chars"))
+        .collect().map(_.toSeq).toSet
+      val streamSide = spark.read.parquet(s"$base/out/batch_id=1")
+        .select("check_name", "subject", "observed", "threshold", "passed")
+        .collect().map(_.toSeq).toSet
+      assert(streamSide === batchSide)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("online gate's Gopher repetition leg matches the batch t39 keep column") {
     import graft.operators.{ShingleIndex, TextAnalysis, VectorIndex}
     import graft.streaming.OnlineGate

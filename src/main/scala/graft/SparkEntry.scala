@@ -297,6 +297,9 @@ object SparkEntry {
     // discipline), one conditional-aggregation scan
     "t41_metric_drift" -> ((s: SparkSession, d: String) =>
       graft.operators.Expectations.metricDrift(s, d)),
+    // vector-modality drift: per-label centroid shift² in exact fx² units
+    "t42_embedding_drift" -> ((s: SparkSession, d: String) =>
+      graft.operators.Expectations.embeddingDrift(s, d)),
   )
 
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1402,6 +1405,7 @@ object SparkEntry {
     "t38_data_card" -> graft.operators.TrainingPrep.dataCardOracleSql,
     "t40_data_expectations" -> graft.operators.Expectations.dataExpectationsOracleSql,
     "t41_metric_drift" -> graft.operators.Expectations.metricDriftOracleSql,
+    "t42_embedding_drift" -> graft.operators.Expectations.embeddingDriftOracleSql,
     "t39_gopher_repetition" -> TextAnalysis.gopherRepetitionOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (

@@ -187,6 +187,100 @@ object Expectations {
        |FROM rows_out""".stripMargin
   }
 
+  /** Max per-label centroid shift², in fx² units (t42): (0.3 · FxScale)²
+    * — a 0.3 float-unit L2 move of a class centroid flags. Sized ABOVE
+    * the sampling-noise floor of the graded corpus (tens of vectors per
+    * label in 64 dims put pure-noise shifts near 0.2 units; observed max
+    * ≈ 4.4e10 fx² vs this 9.9e10 cut), so steady-state refreshes pass and
+    * only a genuine encoder move trips — the binding spec plants one.
+    */
+  private[graft] val MaxCentroidShift2Fx2: Long = {
+    val s = (0.3 * PqAnn.FxScale).toLong
+    s * s
+  }
+
+  /** t42: EMBEDDING-space drift — the vector-modality counterpart of
+    * [[metricDrift]]: per label, the squared L2 shift of the class
+    * centroid between the previous snapshot (doc_id-prefix discipline)
+    * and the current corpus, plus the membership counts. A retrained or
+    * silently re-normalized encoder moves class centroids long before any
+    * scalar metric notices; this is the monitor that catches it at
+    * refresh time.
+    *
+    * Exactness discipline: components quantize to the engine-wide fx
+    * fixed-point grid ([[PqAnn.FxScale]]), per-(label, dim) SUMS are
+    * exact integer aggregates (order-free in any engine), each mean is
+    * quantized by ONE IEEE double division + floor (identical scalar
+    * chain both engines), and the shift² is an exact integer sum of
+    * squared bigint deltas — no float accumulation anywhere. (At extreme
+    * corpus sizes the exact-sum-into-double mean division assumes
+    * sum_fx < 2^53 per (label, dim) — ~8e8 vectors per label at fx=2^20
+    * component scale; past that, rescale FxScale or shard the mean.)
+    *
+    * Plan: one posexplode scan (dim-fan-out, map-only), one
+    * (label × dim)-keyed aggregation with map-side combine, one tiny
+    * label-keyed collapse. Nothing joins the corpus.
+    */
+  def embeddingDrift(
+      spark: SparkSession, dir: String,
+      cutoff: Long = DriftPrefixCutoff,
+      maxShift2Fx2: Long = MaxCentroidShift2Fx2): DataFrame =
+    embeddingDriftFrames(table(spark, dir, "embeddings"), cutoff, maxShift2Fx2)
+
+  /** The t42 body over any `(vec_id, label, embedding)` frame — the seam
+    * the planted-shift binding spec injects through.
+    */
+  private[graft] def embeddingDriftFrames(
+      emb: DataFrame, cutoff: Long, maxShift2Fx2: Long): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val fx = expr(s"cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint)")
+    val isPrev = col("vec_id") < cutoff
+    val per = e.groupBy(col("label"), col("i")).agg(
+      sum(fx).as("cur_sum"),
+      count(lit(1)).as("cur_n"),
+      sum(when(isPrev, fx).otherwise(0L)).as("prev_sum"),
+      sum(when(isPrev, 1L).otherwise(0L)).as("prev_n"))
+    val d = per.select(
+      col("label"), col("cur_n"), col("prev_n"),
+      (expr("cast(floor(cast(cur_sum AS double) / cur_n + 0.5) AS bigint)") -
+        expr("cast(floor(cast(prev_sum AS double) / prev_n + 0.5) AS bigint)")).as("dm"))
+    d.groupBy(col("label"))
+      .agg(
+        max(col("cur_n")).as("cur_n"),
+        max(col("prev_n")).as("prev_n"),
+        sum(col("dm") * col("dm")).as("shift2_fx2"))
+      .select(col("label"), col("cur_n"), col("prev_n"), col("shift2_fx2"),
+        (col("shift2_fx2") > maxShift2Fx2).as("drifted"))
+  }
+
+  def embeddingDriftOracleSql: String =
+    s"""WITH lf AS (
+       |  SELECT e.vec_id, e.label, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |per AS (
+       |  SELECT label, i,
+       |    sum(cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint))
+       |      AS cur_sum,
+       |    count(*) AS cur_n,
+       |    sum(CASE WHEN vec_id < $DriftPrefixCutoff
+       |        THEN cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint)
+       |        ELSE 0 END) AS prev_sum,
+       |    sum(CASE WHEN vec_id < $DriftPrefixCutoff THEN 1 ELSE 0 END) AS prev_n
+       |  FROM lf GROUP BY label, i),
+       |dm AS (
+       |  SELECT label, cur_n, prev_n,
+       |    cast(floor(cast(cur_sum AS double) / cur_n + 0.5) AS bigint) -
+       |    cast(floor(cast(prev_sum AS double) / prev_n + 0.5) AS bigint) AS dm
+       |  FROM per)
+       |SELECT label,
+       |  cast(max(cur_n) AS bigint) AS cur_n,
+       |  cast(max(prev_n) AS bigint) AS prev_n,
+       |  cast(sum(dm * dm) AS bigint) AS shift2_fx2,
+       |  cast(sum(dm * dm) AS bigint) > $MaxCentroidShift2Fx2 AS drifted
+       |FROM dm GROUP BY label""".stripMargin
+
   def dataExpectationsOracleSql: String =
     s"""WITH agg AS (
        |  SELECT count(*) AS n,

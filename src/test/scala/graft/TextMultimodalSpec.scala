@@ -260,6 +260,29 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("t42 embedding drift: steady-state passes, a planted encoder shift trips its label") {
+    import graft.operators.Expectations
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // steady state: prefix half vs full is pure sampling noise — under cut
+    val steady = Expectations.embeddingDriftFrames(
+      emb, cutoff = 250L, Expectations.MaxCentroidShift2Fx2).collect()
+    assert(steady.length === 10)
+    steady.foreach(r => assert(!r.getAs[Boolean]("drifted"),
+      s"noise tripped the cut: $r"))
+    // plant a re-normalized encoder for label 3: every CURRENT-half (post-
+    // cutoff) vector of that label moves +1.0 in every dim
+    val planted = emb.withColumn("embedding",
+      expr("""CASE WHEN label = 3 AND vec_id >= 250
+             |  THEN transform(embedding, x -> x + cast(1.0 AS float))
+             |  ELSE embedding END""".stripMargin))
+    val got = Expectations.embeddingDriftFrames(
+      planted, cutoff = 250L, Expectations.MaxCentroidShift2Fx2)
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Boolean]("drifted")).toMap
+    assert(got(3), "the planted shift must trip label 3")
+    assert(got.filter(_._1 != 3).values.forall(!_), s"only label 3 may trip: $got")
+  }
+
   test("audio decode: real WAV fixtures through the mapPartitions codec path") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // deterministic in-test WAV fixtures via the JDK's own encoder

@@ -142,11 +142,18 @@ object Expectations {
       // mean chars, e2-quantized BEFORE the ratio so the drift arithmetic
       // stays integer-exact
       expr("sum(n_chars) * 100 div count(1)").as("cur_mchars_e2"),
-      expr(s"sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100" +
-        s" div sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END)").as("prev_mchars_e2"))
+      // 0 when the snapshot is empty — the stack row below then reports
+      // prev_value = 0 → drifted, instead of an ANSI division error
+      expr(s"CASE WHEN sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) = 0 THEN 0L" +
+        s" ELSE sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100" +
+        s" div sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) END").as("prev_mchars_e2"))
+    // prev = 0 (nothing in the snapshot — a fresh corpus) is DRIFT by
+    // definition, not a division error: report a null relative change and
+    // let the flag read prev_value = 0 as drifted.
     def row(metric: String, cur: String, prevC: String) =
       s"'$metric', cast($cur AS bigint), cast($prevC AS bigint), " +
-        s"cast(abs($cur * 1000000L - $prevC * 1000000L) div $prevC AS bigint)"
+        s"CASE WHEN $prevC = 0 THEN cast(null AS bigint) " +
+        s"ELSE cast(abs($cur * 1000000L - $prevC * 1000000L) div $prevC AS bigint) END"
     agg.select(expr(
       s"""stack(4,
          |  ${row("doc_count", "cur_docs", "prev_docs")},
@@ -154,7 +161,8 @@ object Expectations {
          |  ${row("distinct_langs", "cur_langs", "prev_langs")},
          |  ${row("mean_chars_e2", "cur_mchars_e2", "prev_mchars_e2")}
          |) AS (metric, cur_value, prev_value, rel_change_e6)""".stripMargin))
-      .withColumn("drifted", col("rel_change_e6") > maxRelE6)
+      .withColumn("drifted",
+        col("prev_value") === 0L || col("rel_change_e6") > maxRelE6)
   }
 
   def metricDriftOracleSql: String = {
@@ -162,7 +170,8 @@ object Expectations {
     def row(metric: String, cur: String, prevC: String) =
       s"""SELECT '$metric' AS metric, cast($cur AS bigint) AS cur_value,
          |    cast($prevC AS bigint) AS prev_value,
-         |    cast(abs($cur * 1000000 - $prevC * 1000000) // $prevC AS bigint)
+         |    CASE WHEN $prevC = 0 THEN cast(NULL AS bigint)
+         |    ELSE cast(abs($cur * 1000000 - $prevC * 1000000) // $prevC AS bigint) END
          |      AS rel_change_e6 FROM agg""".stripMargin
     s"""WITH agg AS (
        |  SELECT count(*) AS cur_docs,
@@ -174,8 +183,9 @@ object Expectations {
        |    count(DISTINCT lang) AS cur_langs,
        |    count(DISTINCT CASE WHEN doc_id < $cutoff THEN lang END) AS prev_langs,
        |    sum(n_chars) * 100 // count(*) AS cur_mchars_e2,
-       |    sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100
-       |      // sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) AS prev_mchars_e2
+       |    CASE WHEN sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) = 0 THEN 0
+       |    ELSE sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100
+       |      // sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) END AS prev_mchars_e2
        |  FROM documents),
        |rows_out AS (
        |  ${row("doc_count", "cur_docs", "prev_docs")}
@@ -183,7 +193,7 @@ object Expectations {
        |  UNION ALL ${row("distinct_langs", "cur_langs", "prev_langs")}
        |  UNION ALL ${row("mean_chars_e2", "cur_mchars_e2", "prev_mchars_e2")})
        |SELECT cast(metric AS varchar) AS metric, cur_value, prev_value, rel_change_e6,
-       |  rel_change_e6 > $DriftMaxRelE6 AS drifted
+       |  prev_value = 0 OR rel_change_e6 > $DriftMaxRelE6 AS drifted
        |FROM rows_out""".stripMargin
   }
 
@@ -241,17 +251,20 @@ object Expectations {
       count(lit(1)).as("cur_n"),
       sum(when(isPrev, fx).otherwise(0L)).as("prev_sum"),
       sum(when(isPrev, 1L).otherwise(0L)).as("prev_n"))
+    // a label with NO snapshot members (new class since the refresh) is
+    // drift by definition: null shift, flag forced — never a div-by-zero
     val d = per.select(
       col("label"), col("cur_n"), col("prev_n"),
-      (expr("cast(floor(cast(cur_sum AS double) / cur_n + 0.5) AS bigint)") -
-        expr("cast(floor(cast(prev_sum AS double) / prev_n + 0.5) AS bigint)")).as("dm"))
+      when(col("prev_n") === 0L, lit(null).cast("bigint")).otherwise(
+        expr("cast(floor(cast(cur_sum AS double) / cur_n + 0.5) AS bigint)") -
+          expr("cast(floor(cast(prev_sum AS double) / prev_n + 0.5) AS bigint)")).as("dm"))
     d.groupBy(col("label"))
       .agg(
         max(col("cur_n")).as("cur_n"),
         max(col("prev_n")).as("prev_n"),
         sum(col("dm") * col("dm")).as("shift2_fx2"))
       .select(col("label"), col("cur_n"), col("prev_n"), col("shift2_fx2"),
-        (col("shift2_fx2") > maxShift2Fx2).as("drifted"))
+        (col("prev_n") === 0L || col("shift2_fx2") > maxShift2Fx2).as("drifted"))
   }
 
   def embeddingDriftOracleSql: String =
@@ -271,14 +284,15 @@ object Expectations {
        |  FROM lf GROUP BY label, i),
        |dm AS (
        |  SELECT label, cur_n, prev_n,
-       |    cast(floor(cast(cur_sum AS double) / cur_n + 0.5) AS bigint) -
-       |    cast(floor(cast(prev_sum AS double) / prev_n + 0.5) AS bigint) AS dm
+       |    CASE WHEN prev_n = 0 THEN cast(NULL AS bigint)
+       |    ELSE cast(floor(cast(cur_sum AS double) / cur_n + 0.5) AS bigint) -
+       |         cast(floor(cast(prev_sum AS double) / prev_n + 0.5) AS bigint) END AS dm
        |  FROM per)
        |SELECT label,
        |  cast(max(cur_n) AS bigint) AS cur_n,
        |  cast(max(prev_n) AS bigint) AS prev_n,
        |  cast(sum(dm * dm) AS bigint) AS shift2_fx2,
-       |  cast(sum(dm * dm) AS bigint) > $MaxCentroidShift2Fx2 AS drifted
+       |  max(prev_n) = 0 OR cast(sum(dm * dm) AS bigint) > $MaxCentroidShift2Fx2 AS drifted
        |FROM dm GROUP BY label""".stripMargin
 
   def dataExpectationsOracleSql: String =

@@ -281,6 +281,18 @@ class TextMultimodalSpec extends SparkSuite {
       .collect().map(r => r.getAs[Int]("label") -> r.getAs[Boolean]("drifted")).toMap
     assert(got(3), "the planted shift must trip label 3")
     assert(got.filter(_._1 != 3).values.forall(!_), s"only label 3 may trip: $got")
+
+    // an empty snapshot (cutoff below every id — a fresh corpus) is drift
+    // by definition, never an ANSI division error
+    val fresh = Expectations.embeddingDriftFrames(
+      emb, cutoff = -1L, Expectations.MaxCentroidShift2Fx2).collect()
+    assert(fresh.length === 10)
+    fresh.foreach { r =>
+      assert(r.getAs[Boolean]("drifted") && r.isNullAt(r.fieldIndex("shift2_fx2")), r.toString)
+    }
+    val freshMetrics = Expectations.metricDrift(spark, sf0001, cutoff = -1L).collect()
+    assert(freshMetrics.length === 4)
+    freshMetrics.foreach(r => assert(r.getAs[Boolean]("drifted"), r.toString))
   }
 
   test("audio decode: real WAV fixtures through the mapPartitions codec path") {

@@ -220,11 +220,22 @@ object SparkEntry {
     // (never a one-task-per-source window)
     "t30_curriculum_selection" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.curriculumSelection(s, d)),
+    // t30's staged diagnostic twin: the pre-budget-filter frame (r10
+    // adjudication — isolates any future driver-side divergence to either
+    // the prefix-sum machinery or the final filter/check surface)
+    "t30s_curriculum_frame" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.curriculumFrame(s, d)),
     // Gopher-style repetition quality gates (t15 = light 2/3-gram subset;
-    // t39 = the full char-weighted Table-A1 family + composed keep gate)
+    // t39 = the full char-weighted Table-A1 family + composed keep gate;
+    // the gate is surfaced as INT in both engines — boolean was a
+    // canonicalization suspect in the r10 driver-red adjudication)
     "t15_repetition_signals" -> TextAnalysis.repetitionSignals _,
     "t39_gopher_repetition" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.gopherRepetition(s, d, plantRepetition = true)),
+      TextAnalysis.gopherRepetition(s, d, plantRepetition = true)
+        .withColumn("gopher_keep", col("gopher_keep").cast("int"))),
+    // t39's staged diagnostic twin: the per-(doc, n) gram-stat collapse
+    "t39s_gopher_stage" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gopherRepetitionStage(s, d, plantRepetition = true)),
     // PII scrubbing; plantPii seeds deterministic emails/phones (the raw
     // corpus has none — same vacuity rule as d1/d2/v5)
     "t16_pii_redaction" -> ((s: SparkSession, d: String) =>
@@ -1372,6 +1383,8 @@ object SparkEntry {
       graft.operators.TrainingPrep.mixtureSelectionOracleSql,
     "t30_curriculum_selection" ->
       graft.operators.TrainingPrep.curriculumSelectionOracleSql,
+    "t30s_curriculum_frame" ->
+      graft.operators.TrainingPrep.curriculumFrameOracleSql,
     "t13_contamination" -> graft.operators.TrainingPrep.contaminationOracleSql,
     "t14_hash_split" ->
       """SELECT doc_id,
@@ -1407,6 +1420,7 @@ object SparkEntry {
     "t41_metric_drift" -> graft.operators.Expectations.metricDriftOracleSql,
     "t42_embedding_drift" -> graft.operators.Expectations.embeddingDriftOracleSql,
     "t39_gopher_repetition" -> TextAnalysis.gopherRepetitionOracleSql,
+    "t39s_gopher_stage" -> TextAnalysis.gopherRepetitionStageOracleSql,
     "t15_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -251,17 +251,35 @@ object TextAnalysis {
     * construction — replayed identically by the oracle.
     */
   def gopherRepetition(
-      spark: SparkSession, dir: String, plantRepetition: Boolean = false): DataFrame = {
+      spark: SparkSession, dir: String, plantRepetition: Boolean = false): DataFrame =
+    gopherSignals(gopherSeeded(spark, dir, plantRepetition))
+
+  private def gopherSeeded(
+      spark: SparkSession, dir: String, plantRepetition: Boolean): DataFrame = {
     val base = table(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val seeded =
-      if (!plantRepetition) base
-      else base.withColumn("text",
-        when(col("doc_id") % 17 === 0,
-          concat(col("text"), lit(" "),
-            concat_ws(" ", slice(split(col("text"), " "), 1, 12))))
-          .otherwise(col("text")))
-    gopherSignals(seeded)
+    if (!plantRepetition) base
+    else base.withColumn("text",
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" "),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 12))))
+        .otherwise(col("text")))
   }
+
+  /** t39 staged diagnostic twin (`t39s_gopher_stage`): the per-(doc, n)
+    * intermediate `(doc_id, n, top_chars, dup_chars)` of the exploded
+    * formulation, BEFORE the final collapse to per-doc fractions and the
+    * composed keep gate. Round-10 adjudication left t39 driver-red /
+    * judge-green with bit-stable engine output; this twin splits the query
+    * at its only interior barrier so a future red row names the stage:
+    * stage red → gram counting; stage green + t39 red → the final
+    * fraction/gate layer (or the check surface itself).
+    */
+  def gopherRepetitionStage(
+      spark: SparkSession, dir: String, plantRepetition: Boolean = false): DataFrame =
+    gopherPerN(gopherSeeded(spark, dir, plantRepetition))
+      .select(col("doc_id"), col("n"),
+        col("top_chars").cast("bigint").as("top_chars"),
+        col("dup_chars").cast("bigint").as("dup_chars"))
 
   /** The t39 signal derivation over any `(doc_id, text)` frame — every
     * column is a pure within-document function, so the same body serves
@@ -298,7 +316,9 @@ object TextAnalysis {
     * [[gopherSignals]] — kept as the independently-derived parity twin
     * (and the shape the DuckDB oracle SQL mirrors literally).
     */
-  private[graft] def gopherSignalsExploded(docs: DataFrame): DataFrame = {
+  /** The (doc, n)-level gram-count collapse shared by the exploded parity
+    * twin and the staged diagnostic twin. */
+  private[graft] def gopherPerN(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"),
         split(col("text"), " ").as("toks"))
@@ -314,11 +334,15 @@ object TextAnalysis {
     val counts = grams
       .groupBy(col("doc_id"), col("n_chars"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
-    val perN = counts
+    counts
       .groupBy(col("doc_id"), col("n_chars"), col("n"))
       .agg(
         max(col("c") * length(col("g"))).as("top_chars"),
         sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("dup_chars"))
+  }
+
+  private[graft] def gopherSignalsExploded(docs: DataFrame): DataFrame = {
+    val perN = gopherPerN(docs)
     def fracTop(n: Int) = coalesce(
       max(when(col("n") === n, expr("(top_chars * 1000000) div n_chars"))), lit(0L))
       .as(s"top${n}_frac_e6")
@@ -335,15 +359,9 @@ object TextAnalysis {
     wide.withColumn("gopher_keep", keep)
   }
 
-  def gopherRepetitionOracleSql: String = {
-    def top(n: Int) =
-      s"coalesce(max(CASE WHEN n = $n THEN (top_chars * 1000000) // n_chars END), 0) AS top${n}_frac_e6"
-    def dup(n: Int) =
-      s"coalesce(max(CASE WHEN n = $n THEN least((dup_chars * 1000000) // n_chars, 1000000) END), 0) AS dup${n}_frac_e6"
-    val keep = (GopherTopMaxE6.toSeq.sortBy(_._1)
-      .map { case (n, m) => s"top${n}_frac_e6 <= $m" }
-      ++ GopherDupMaxE6.toSeq.sortBy(_._1)
-        .map { case (n, m) => s"dup${n}_frac_e6 <= $m" }).mkString(" AND ")
+  /** Shared CTE chain (seeded corpus → per-(doc, n) gram stats) for the
+    * t39 oracle and its staged twin. */
+  private def gopherPerNCtes: String =
     s"""WITH seeded AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 17 = 0
@@ -367,13 +385,37 @@ object TextAnalysis {
        |  SELECT doc_id, n_chars, n,
        |    max(c * len(g)) AS top_chars,
        |    sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dup_chars
-       |  FROM counts GROUP BY doc_id, n_chars, n),
+       |  FROM counts GROUP BY doc_id, n_chars, n)""".stripMargin
+
+  // Oracle portability (round-11, same adjudication as t30): every output
+  // column is CAST to a named width. DuckDB's sum() yields HUGEINT
+  // (int128), which flowed uncast through `dup_chars` into all six
+  // dup*_frac_e6 outputs — with t30's cum_tokens, the suite's only
+  // HUGEINT-typed outputs, matching exactly the two driver-red rows. And
+  // `gopher_keep` (the suite's near-unique boolean output) is now INT in
+  // BOTH engines, removing the second canonicalization suspect.
+  def gopherRepetitionOracleSql: String = {
+    def top(n: Int) =
+      s"cast(coalesce(max(CASE WHEN n = $n THEN (top_chars * 1000000) // n_chars END), 0) AS bigint) AS top${n}_frac_e6"
+    def dup(n: Int) =
+      s"cast(coalesce(max(CASE WHEN n = $n THEN least((dup_chars * 1000000) // n_chars, 1000000) END), 0) AS bigint) AS dup${n}_frac_e6"
+    val keep = (GopherTopMaxE6.toSeq.sortBy(_._1)
+      .map { case (n, m) => s"top${n}_frac_e6 <= $m" }
+      ++ GopherDupMaxE6.toSeq.sortBy(_._1)
+        .map { case (n, m) => s"dup${n}_frac_e6 <= $m" }).mkString(" AND ")
+    s"""$gopherPerNCtes,
        |wide AS (
        |  SELECT doc_id,
        |    ${(Seq(2, 3, 4).map(top) ++ Seq(5, 6, 7, 8, 9, 10).map(dup)).mkString(",\n    ")}
        |  FROM per_n GROUP BY doc_id)
-       |SELECT *, ($keep) AS gopher_keep FROM wide""".stripMargin
+       |SELECT *, cast(($keep) AS int) AS gopher_keep FROM wide""".stripMargin
   }
+
+  def gopherRepetitionStageOracleSql: String =
+    s"""$gopherPerNCtes
+       |SELECT doc_id, n, cast(top_chars AS bigint) AS top_chars,
+       |  cast(dup_chars AS bigint) AS dup_chars
+       |FROM per_n""".stripMargin
 
   // backslash-free on purpose: these literals pass through Scala, Spark
   // SQL single-quoted strings (which process backslash escapes), and

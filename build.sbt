@@ -33,5 +33,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Derby (the JDBC-sink tests) writes derby.log to CWD unless told
+  // otherwise — keep the repo working tree clean
+  s"-Dderby.stream.error.file=${sys.props("java.io.tmpdir")}/graft-derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -202,8 +202,11 @@ object Bench {
       // is not charged the corpus's first page-in
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings").foreach { t =>
+        // .first(), NOT .count(): under count() the optimizer prunes the
+        // unreferenced aggregate and the scan reads zero columns — the
+        // warm-up must materialize the sum itself to fault pages in
         spark.read.parquet(s"$sfDir/$t.parquet")
-          .selectExpr("sum(xxhash64(struct(*)))").count()
+          .selectExpr("sum(xxhash64(struct(*)))").first()
       }
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }

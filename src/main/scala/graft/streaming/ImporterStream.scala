@@ -36,13 +36,29 @@ object ImporterStream {
 
   /** One micro-batch: validate → anti-join processed → pipeline → sinks.
     * Public so tests can drive a single batch synchronously.
+    *
+    * Sink contract: `updates`/`completed` are written to a
+    * `run=<runNs>/batch_id=<id>` subdirectory with overwrite, so a
+    * same-checkpoint redelivery of a partially-written batch (e.g.
+    * `updates` landed but `completed` failed) REPLACES the partial output
+    * instead of appending a duplicate — the idempotency the
+    * processed-table anti-join alone cannot provide, because a failure
+    * after the first sink write leaves the events unmarked. `runNs` is
+    * checkpoint-persisted ([[graft.operators.IngestRun]]), so a fresh
+    * checkpoint (whose batch ids restart at 0) lands in its own namespace
+    * and never clobbers a previous life's output on shared sinks. The
+    * `errors` sink stays append-per-delivery — duplicate error reports on
+    * redelivery are harmless and match the reference's
+    * report-then-commit consumer (message/kafka_message_receiver.go:44-50).
     */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
       dims: DataFrame,
       codeLists: DataFrame,
-      sinks: Sinks): Unit = {
+      sinks: Sinks,
+      runNs: String,
+      batchId: Long): Unit = {
     val valid = validEvents(batch)
     val dead = deadLetters(batch)
 
@@ -68,8 +84,10 @@ object ImporterStream {
         .join(newInst.select("instance_id"), Seq("instance_id"), "left_semi")
       val updates = optionUpdates(withOrder(forNew, codeLists), enablePatchNodeId = true)
 
-      updates.write.mode("append").parquet(sinks.updates)
-      completedEvents(newInst).write.mode("append").parquet(sinks.completed)
+      updates.write.mode("overwrite")
+        .parquet(s"${sinks.updates}/run=$runNs/batch_id=$batchId")
+      completedEvents(newInst).write.mode("overwrite")
+        .parquet(s"${sinks.completed}/run=$runNs/batch_id=$batchId")
       // processed is written LAST: a failure anywhere above leaves the
       // events unmarked, so redelivery retries them (at-least-once).
       newInst.select("instance_id").write.mode("append").parquet(sinks.processed)
@@ -113,12 +131,13 @@ object ImporterStream {
       outDir: String,
       checkpoint: String): StreamingQuery = {
     val sinks = Sinks(outDir)
+    val runNs = graft.operators.IngestRun.runId(spark, checkpoint)
     eventsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, dims, codeLists, sinks)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(spark, batch, dims, codeLists, sinks, runNs, id)
       }
       .start()
   }

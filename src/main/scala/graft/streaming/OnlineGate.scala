@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
 import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
 
@@ -101,7 +101,7 @@ object OnlineGate {
     }
     val shNs = ShingleIndex.markerNamespace(owner, markerRoot, checkpoint)
     val vecNs = VectorIndex.markerNamespace(owner, vecPath, checkpoint)
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
@@ -177,6 +177,26 @@ object OnlineGate {
         owner.catalog.refreshByPath(s"$vecPath/lists")
       }
       .start()
+    // the persisted LM frames are pinned for the LIFE OF THE STREAM only:
+    // release them when this query terminates, so repeated start/stop
+    // cycles with lmModelPath set do not accumulate O(model) cached
+    // blocks in the session
+    lmFrames.foreach { case (model, unk, global) =>
+      val listener: StreamingQueryListener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            model.unpersist(); unk.unpersist(); global.unpersist()
+            owner.streams.removeListener(this)
+          }
+      }
+      owner.streams.addListener(listener)
+    }
+    query
   }
 
   /** Accumulated composite verdicts: one row per ingested document. */

@@ -16,6 +16,10 @@ trait SparkSuite extends AnyFunSuite {
     // RelationalOps.eventsTable)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // keep catalog/Derby droppings out of the repo working tree (the
+    // warehouse dir and derby.log otherwise land at CWD = repo root)
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-test-warehouse")
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"

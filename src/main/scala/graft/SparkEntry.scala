@@ -304,6 +304,12 @@ object SparkEntry {
     // deequ-style declarative data-quality gate: one aggregation pass of
     // column expectations + one anti-join FK check, long-form report
     "t40_data_expectations" -> graft.operators.Expectations.dataExpectations _,
+    // the same gate over the importer feed: the reference's validation
+    // matrix (non-empty ids/options, S9 uniqueness, code-list FK) as
+    // declarative checks — the raw-feed rows P6/A3 filter make the
+    // completeness/uniqueness checks bind, the post-validation FK passes
+    "t43_importer_expectations" ->
+      graft.operators.Expectations.importerExpectations _,
     // the drift monitor: current corpus vs its previous snapshot (prefix
     // discipline), one conditional-aggregation scan
     "t41_metric_drift" -> ((s: SparkSession, d: String) =>
@@ -1417,6 +1423,8 @@ object SparkEntry {
       graft.operators.TrainingPrep.exactStratifiedSampleOracleSql,
     "t38_data_card" -> graft.operators.TrainingPrep.dataCardOracleSql,
     "t40_data_expectations" -> graft.operators.Expectations.dataExpectationsOracleSql,
+    "t43_importer_expectations" ->
+      graft.operators.Expectations.importerExpectationsOracleSql,
     "t41_metric_drift" -> graft.operators.Expectations.metricDriftOracleSql,
     "t42_embedding_drift" -> graft.operators.Expectations.embeddingDriftOracleSql,
     "t39_gopher_repetition" -> TextAnalysis.gopherRepetitionOracleSql,

@@ -83,6 +83,75 @@ object Expectations {
     docExpectations(table(spark, dir, "documents")).unionByName(fk)
   }
 
+  /** t43: the importer-side expectation report — the reference's
+    * validation matrix (handler/incoming_instance_handler.go:100-133 and
+    * model/models.go:55-69: instance_id, dimension_id and option must be
+    * non-empty) plus the S9 uniqueness constraint and the dimension →
+    * code-list FK, re-expressed as the same declarative one-pass checks
+    * t40 runs over the documents corpus. The raw API feed DELIBERATELY
+    * carries the defects the pipeline stages filter (P6 invalid rows, A3
+    * duplicates), so the report shows exactly which raw-feed checks bind:
+    * the completeness and uniqueness rows fail on the planted rows, and
+    * the FK row passes over the post-validation attach set (valid,
+    * deduplicated, `time` excluded per P7 — the reference never
+    * code-list-attaches the time dimension).
+    *
+    * Shape: one aggregation pass over the raw dimensions, one over the
+    * events, and one distinct+anti-join FK count over the
+    * vocabulary-bounded `(code_list_id, option)` pairs (distinct FIRST,
+    * so the anti-join input is dictionary-sized, then a broadcast-sized
+    * code-list side) — three scans total, nothing quadratic.
+    */
+  def importerExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val dims = graft.sources.Fixtures.apiDimensions(spark, dir)
+    val dimRows = dims.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("dimension_id") =!= "", 1L).otherwise(0L)).as("n_dim_ok"),
+      sum(when(col("option") =!= "", 1L).otherwise(0L)).as("n_opt_ok"),
+      countDistinct(col("instance_id"), col("dimension_id"), col("option"))
+        .as("n_distinct"))
+      .select(expr(
+        s"""stack(3,
+           |  'completeness', 'dimensions.dimension_id',
+           |    (n_dim_ok * 1000000) div n, 1000000L, n_dim_ok = n,
+           |  'completeness', 'dimensions.option',
+           |    (n_opt_ok * 1000000) div n, 1000000L, n_opt_ok = n,
+           |  'uniqueness', 'dimensions.(instance_id, dimension_id, option)',
+           |    (n_distinct * 1000000) div n, 1000000L, n_distinct = n
+           |) AS (check_name, subject, observed, threshold, passed)""".stripMargin))
+    val evRows = graft.sources.Fixtures.importerEvents(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("instance_id") =!= "", 1L).otherwise(0L)).as("n_iid_ok"))
+      .select(
+        lit("completeness").as("check_name"),
+        lit("events.instance_id").as("subject"),
+        expr("(n_iid_ok * 1000000) div n").as("observed"),
+        lit(1000000L).as("threshold"),
+        (col("n_iid_ok") === col("n")).as("passed"))
+    val fkRows = dims
+      .filter(col("dimension_id") =!= "" && col("option") =!= "" &&
+        col("links.code_list.id") =!= "time")
+      .select(col("links.code_list.id").as("code_list_id"), col("option"))
+      .distinct()
+      .join(broadcast(graft.sources.Fixtures.codeLists(spark, dir)
+        .select(col("code_list_id").as("cl_id"), col("code"))),
+        col("code_list_id") === col("cl_id") && col("option") === col("code"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(
+        lit("referential_integrity").as("check_name"),
+        lit("dimensions.(code_list_id, option) -> code_lists").as("subject"),
+        col("n_orphans").cast("bigint").as("observed"),
+        lit(0L).as("threshold"),
+        (col("n_orphans") === 0).as("passed"))
+    dimRows
+      .select(col("check_name"), col("subject"),
+        col("observed").cast("bigint").as("observed"),
+        col("threshold").cast("bigint").as("threshold"), col("passed"))
+      .unionByName(evRows).unionByName(fkRows)
+  }
+
   /** Streaming twin of the column expectations: each micro-batch's report
     * lands under `outPath/batch_id=N` as an idempotent per-batch
     * directory overwrite (the same replay discipline as the LM stream
@@ -97,8 +166,15 @@ object Expectations {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        docExpectations(b.toDF()).coalesce(1)
-          .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+        // n = 0 short-circuit (same zero-snapshot discipline as the drift
+        // monitors): the ratio checks divide by n, so an empty trigger
+        // would emit 6 rows with null observed/passed — and a consumer
+        // unboxing `passed` as Boolean reads null as false, silently
+        // alerting on an idle stream. No documents → no verdict → no rows.
+        if (!b.isEmpty) {
+          docExpectations(b.toDF()).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+        }
         ()
       }
       .start()
@@ -108,7 +184,7 @@ object Expectations {
     * the same prefix-corpus discipline the stable-shard and online-gate
     * equivalence specs use.
     */
-  private[operators] val DriftPrefixCutoff = 250L
+  private[graft] val DriftPrefixCutoff = 250L
 
   /** Drift thresholds, e6 relative change per metric. */
   private[operators] val DriftMaxRelE6 = 250000L // 25%
@@ -147,9 +223,17 @@ object Expectations {
       expr(s"CASE WHEN sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) = 0 THEN 0L" +
         s" ELSE sum(CASE WHEN doc_id < $cutoff THEN n_chars ELSE 0 END) * 100" +
         s" div sum(CASE WHEN doc_id < $cutoff THEN 1 ELSE 0 END) END").as("prev_mchars_e2"))
-    // prev = 0 (nothing in the snapshot — a fresh corpus) is DRIFT by
-    // definition, not a division error: report a null relative change and
-    // let the flag read prev_value = 0 as drifted.
+    metricDriftReport(agg, maxRelE6)
+  }
+
+  /** The t41 report layer over ANY 1-row frame carrying the eight
+    * `cur_…`/`prev_…` metric columns — shared by the batch monitor and the
+    * per-micro-batch streaming twin so the drift arithmetic has exactly
+    * one home. prev = 0 (nothing in the snapshot — a fresh corpus) is
+    * DRIFT by definition, not a division error: report a null relative
+    * change and let the flag read prev_value = 0 as drifted.
+    */
+  private def metricDriftReport(agg: DataFrame, maxRelE6: Long): DataFrame = {
     def row(metric: String, cur: String, prevC: String) =
       s"'$metric', cast($cur AS bigint), cast($prevC AS bigint), " +
         s"CASE WHEN $prevC = 0 THEN cast(null AS bigint) " +
@@ -251,8 +335,16 @@ object Expectations {
       count(lit(1)).as("cur_n"),
       sum(when(isPrev, fx).otherwise(0L)).as("prev_sum"),
       sum(when(isPrev, 1L).otherwise(0L)).as("prev_n"))
-    // a label with NO snapshot members (new class since the refresh) is
-    // drift by definition: null shift, flag forced — never a div-by-zero
+    embeddingDriftReport(per, maxShift2Fx2)
+  }
+
+  /** The t42 collapse layer over ANY `(label, i, cur_sum, cur_n,
+    * prev_sum, prev_n)` frame — shared by the batch monitor and the
+    * streaming twin so the centroid-shift arithmetic has one home.
+    * A label with NO snapshot members (new class since the refresh) is
+    * drift by definition: null shift, flag forced — never a div-by-zero.
+    */
+  private def embeddingDriftReport(per: DataFrame, maxShift2Fx2: Long): DataFrame = {
     val d = per.select(
       col("label"), col("cur_n"), col("prev_n"),
       when(col("prev_n") === 0L, lit(null).cast("bigint")).otherwise(
@@ -295,6 +387,116 @@ object Expectations {
        |  max(prev_n) = 0 OR cast(sum(dm * dm) AS bigint) > $MaxCentroidShift2Fx2 AS drifted
        |FROM dm GROUP BY label""".stripMargin
 
+  /** Streaming twin of the metric-drift monitor (t41): the corpus arrives
+    * as a stream, the snapshot is a FROZEN baseline frame, and every
+    * micro-batch emits the drift report of the ACCUMULATED corpus against
+    * that baseline — quality (t40) and drift now ride the same
+    * foreachBatch gate discipline.
+    *
+    * State is a per-batch per-lang partial-aggregate table (idempotent
+    * `batch_id=N` overwrite, the t40 replay rule): `(lang, docs, tokens,
+    * chars)` rows, so the accumulated side a report reads is bounded by
+    * |langs| × batches — never the corpus. The baseline collapses to four
+    * numbers collected ONCE at stream start (a deliberate 1-row driver
+    * collect). Ingesting the full corpus (baseline prefix included)
+    * makes the final report equal the batch [[metricDrift]] bit-for-bit:
+    * partial sums are exact integers, and the report layer
+    * ([[metricDriftReport]]) is shared code.
+    */
+  def metricDriftStream(
+      docs: DataFrame, baseline: DataFrame, outPath: String, checkpoint: String,
+      maxRelE6: Long = DriftMaxRelE6)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prevRow = baseline.agg(
+      count(lit(1)).as("prev_docs"),
+      coalesce(sum(TextAnalysis.nTokensCol(col("text"))), lit(0L)).as("prev_tokens"),
+      countDistinct(col("lang")).as("prev_langs"),
+      expr("CASE WHEN count(1) = 0 THEN 0L ELSE sum(n_chars) * 100 div count(1) END")
+        .as("prev_mchars_e2")).collect()(0)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = b.sparkSession
+        b.toDF().groupBy(col("lang")).agg(
+          count(lit(1)).as("docs"),
+          sum(TextAnalysis.nTokensCol(col("text"))).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/state/batch_id=$id")
+        val agg = s.read.parquet(s"$outPath/state").agg(
+          coalesce(sum(col("docs")), lit(0L)).as("cur_docs"),
+          coalesce(sum(col("tokens")), lit(0L)).as("cur_tokens"),
+          countDistinct(col("lang")).as("cur_langs"),
+          expr("CASE WHEN coalesce(sum(docs), 0L) = 0 THEN 0L" +
+            " ELSE sum(chars) * 100 div sum(docs) END").as("cur_mchars_e2"))
+          .withColumn("prev_docs", lit(prevRow.getLong(0)))
+          .withColumn("prev_tokens", lit(prevRow.getLong(1)))
+          .withColumn("prev_langs", lit(prevRow.getLong(2)))
+          .withColumn("prev_mchars_e2", lit(prevRow.getLong(3)))
+        metricDriftReport(agg, maxRelE6).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/report/batch_id=$id")
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming twin of the embedding-drift monitor (t42): same contract
+    * as [[metricDriftStream]] — frozen baseline, accumulated current,
+    * per-batch report — over the vector modality. State is the per-batch
+    * per-(label, dim) fx partial sums (bounded by labels × dims ×
+    * batches); the baseline's per-(label, dim) sums are computed once and
+    * persisted for the stream's life (unpersisted on termination, the
+    * OnlineGate discipline). With the full corpus ingested the final
+    * report equals batch [[embeddingDrift]] exactly: integer partials,
+    * shared collapse layer ([[embeddingDriftReport]]).
+    */
+  def embeddingDriftStream(
+      vecs: DataFrame, baseline: DataFrame, outPath: String, checkpoint: String,
+      maxShift2Fx2: Long = MaxCentroidShift2Fx2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val owner = vecs.sparkSession
+    val fx = expr(s"cast(floor(cast(v AS double) * ${PqAnn.FxScale}.0 + 0.5) AS bigint)")
+    val prev = baseline
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(fx).as("prev_sum"), count(lit(1)).as("prev_n"))
+      .persist()
+    val query = vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = b.sparkSession
+        b.toDF().select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(fx).as("psum"), count(lit(1)).as("pn"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/state/batch_id=$id")
+        val acc = s.read.parquet(s"$outPath/state")
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("psum")).as("cur_sum"), sum(col("pn")).as("cur_n"))
+        val per = acc.join(prev, Seq("label", "i"), "left")
+          .select(col("label"), col("i"), col("cur_sum"), col("cur_n"),
+            coalesce(col("prev_sum"), lit(0L)).as("prev_sum"),
+            coalesce(col("prev_n"), lit(0L)).as("prev_n"))
+        embeddingDriftReport(per, maxShift2Fx2).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/report/batch_id=$id")
+        ()
+      }
+      .start()
+    val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            prev.unpersist()
+            owner.streams.removeListener(this)
+          }
+      }
+    owner.streams.addListener(listener)
+    query
+  }
+
   def dataExpectationsOracleSql: String =
     s"""WITH agg AS (
        |  SELECT count(*) AS n,
@@ -325,6 +527,46 @@ object Expectations {
        |    max_chars, $MaxCharsBound, max_chars <= $MaxCharsBound FROM agg
        |  UNION ALL SELECT 'referential_integrity',
        |    'lineitem.l_orderkey -> orders.o_orderkey',
+       |    n_orphans, 0, n_orphans = 0 FROM orph)
+       |SELECT cast(check_name AS varchar) AS check_name, cast(subject AS varchar) AS subject,
+       |  cast(observed AS bigint) AS observed, cast(threshold AS bigint) AS threshold,
+       |  passed
+       |FROM rows_out""".stripMargin
+
+  /** DuckDB twin of [[importerExpectations]]: same checks over the
+    * [[graft.sources.OracleCtes]] fixture CTEs. */
+  def importerExpectationsOracleSql: String =
+    s"""${graft.sources.OracleCtes.all.trim},
+       |agg AS (
+       |  SELECT count(*) AS n,
+       |    sum(CASE WHEN dimension_id <> '' THEN 1 ELSE 0 END) AS n_dim_ok,
+       |    sum(CASE WHEN option <> '' THEN 1 ELSE 0 END) AS n_opt_ok,
+       |    (SELECT count(*) FROM
+       |      (SELECT DISTINCT instance_id, dimension_id, option FROM dims_raw))
+       |      AS n_distinct
+       |  FROM dims_raw),
+       |ev AS (
+       |  SELECT count(*) AS n,
+       |    sum(CASE WHEN instance_id <> '' THEN 1 ELSE 0 END) AS n_iid_ok
+       |  FROM ievents),
+       |orph AS (
+       |  SELECT count(*) AS n_orphans FROM (
+       |    SELECT DISTINCT code_list_id, option FROM dims_valid
+       |    WHERE code_list_id <> 'time') dv
+       |  WHERE NOT EXISTS (SELECT 1 FROM code_lists c
+       |    WHERE c.code_list_id = dv.code_list_id AND c.code = dv.option)),
+       |rows_out AS (
+       |  SELECT 'completeness' AS check_name, 'dimensions.dimension_id' AS subject,
+       |    (n_dim_ok * 1000000) // n AS observed, 1000000 AS threshold,
+       |    n_dim_ok = n AS passed FROM agg
+       |  UNION ALL SELECT 'completeness', 'dimensions.option',
+       |    (n_opt_ok * 1000000) // n, 1000000, n_opt_ok = n FROM agg
+       |  UNION ALL SELECT 'uniqueness', 'dimensions.(instance_id, dimension_id, option)',
+       |    (n_distinct * 1000000) // n, 1000000, n_distinct = n FROM agg
+       |  UNION ALL SELECT 'completeness', 'events.instance_id',
+       |    (n_iid_ok * 1000000) // n, 1000000, n_iid_ok = n FROM ev
+       |  UNION ALL SELECT 'referential_integrity',
+       |    'dimensions.(code_list_id, option) -> code_lists',
        |    n_orphans, 0, n_orphans = 0 FROM orph)
        |SELECT cast(check_name AS varchar) AS check_name, cast(subject AS varchar) AS subject,
        |  cast(observed AS bigint) AS observed, cast(threshold AS bigint) AS threshold,

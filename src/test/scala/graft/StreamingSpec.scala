@@ -1273,6 +1273,75 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming metric drift: accumulated report matches the batch t41 at full ingest") {
+    import graft.operators.Expectations
+    val base = Files.createTempDirectory("mdrift-stream")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "text", "lang", "n_chars")
+      val baseline = docs.filter(col("doc_id") < Expectations.DriftPrefixCutoff)
+      val rows = docs.as[(Long, String, String, Long)].collect().toSeq
+      val mem = MemoryStream[(Long, String, String, Long)]
+      val q = Expectations.metricDriftStream(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars"),
+        baseline, s"$base/out", s"$base/ckpt")
+      try {
+        // arbitrary split: the state is additive, so the cut must not matter
+        rows.grouped((rows.length + 1) / 2).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // mid-stream report exists (batch 0), final report (batch 1) equals
+      // the batch monitor bit-for-bit — same prefix snapshot, full corpus
+      assert(spark.read.parquet(s"$base/out/report/batch_id=0").count() === 4L)
+      val streamSide = spark.read.parquet(s"$base/out/report/batch_id=1")
+        .select("metric", "cur_value", "prev_value", "rel_change_e6", "drifted")
+        .collect().map(_.toSeq).toSet
+      val batchSide = Expectations.metricDrift(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(streamSide === batchSide)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("streaming embedding drift: accumulated report matches the batch t42 at full ingest") {
+    import graft.operators.Expectations
+    val base = Files.createTempDirectory("edrift-stream")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+      val baseline = emb.filter(col("vec_id") < Expectations.DriftPrefixCutoff)
+      val rows = emb.as[(Long, Int, Seq[Float])]
+        .collect().toSeq
+      val mem = MemoryStream[(Long, Int, Seq[Float])]
+      val q = Expectations.embeddingDriftStream(
+        mem.toDF().toDF("vec_id", "label", "embedding"),
+        baseline, s"$base/out", s"$base/ckpt")
+      try {
+        rows.grouped((rows.length + 1) / 2).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamSide = spark.read.parquet(s"$base/out/report/batch_id=1")
+        .select("label", "cur_n", "prev_n", "shift2_fx2", "drifted")
+        .collect().map(_.toSeq).toSet
+      val batchSide = Expectations.embeddingDrift(spark, sf0001)
+        .select(col("label").cast("int"), col("cur_n"), col("prev_n"),
+          col("shift2_fx2"), col("drifted"))
+        .collect().map(_.toSeq).toSet
+      assert(streamSide === batchSide)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("online gate's Gopher repetition leg matches the batch t39 keep column") {
     import graft.operators.{ShingleIndex, TextAnalysis, VectorIndex}
     import graft.streaming.OnlineGate

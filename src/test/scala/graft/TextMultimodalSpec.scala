@@ -260,6 +260,30 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("t43 importer expectations: raw-feed checks bind, post-validation FK passes") {
+    import graft.operators.Expectations
+    val rep = Expectations.importerExpectations(spark, sf0001)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(rep.size === 5)
+    // the fixture plants empty dimension_ids (%1300 rows) and empty
+    // options (%900 rows): both completeness checks must FAIL and report
+    // a fraction strictly below 1
+    val dimId = rep("dimensions.dimension_id")
+    assert(!dimId.getAs[Boolean]("passed") && dimId.getAs[Long]("observed") < 1000000L)
+    val opt = rep("dimensions.option")
+    assert(!opt.getAs[Boolean]("passed") && opt.getAs[Long]("observed") < 1000000L)
+    // several lineitems of one order share a nation/brand: the raw feed is
+    // naturally duplicated, so S9-uniqueness fails BEFORE A3 dedup
+    val uniq = rep("dimensions.(instance_id, dimension_id, option)")
+    assert(!uniq.getAs[Boolean]("passed") && uniq.getAs[Long]("observed") < 1000000L)
+    // planted empty-instance_id events (%300 rows) trip event validation
+    val ev = rep("events.instance_id")
+    assert(!ev.getAs[Boolean]("passed") && ev.getAs[Long]("observed") < 1000000L)
+    // the post-validation attach set resolves every code list: FK passes
+    val fk = rep("dimensions.(code_list_id, option) -> code_lists")
+    assert(fk.getAs[Boolean]("passed") && fk.getAs[Long]("observed") === 0L)
+  }
+
   test("t42 embedding drift: steady-state passes, a planted encoder shift trips its label") {
     import graft.operators.Expectations
     import org.apache.spark.sql.functions.{col, expr}
@@ -429,6 +453,59 @@ class TextMultimodalSpec extends SparkSuite {
         assert(key === (idx % 8 == 0))
       }
     }
+  }
+
+  test("video container: strided seek decodes real PNG frames, corruption stays in-band") {
+    import graft.operators.{FrameContainer, MMFrameFeatures}
+    def png(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (shade << 16) | (shade << 8) | shade
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer missing")
+      out.toByteArray
+    }
+    // 12 frames at 25ms; gray shade = 16*frame_idx, so the decoded
+    // mean luminance names the frame it came from (gray luma is exact:
+    // (77+150+29)*s >> 8 = s)
+    val shades = (0 until 12).map(_ * 16)
+    val goodFrames = shades.map(png)
+    val good = FrameContainer.encode(goodFrames, frameMs = 25)
+    // two of the three sampled frames (5 and 10) corrupted; frame 0 clean
+    val partlyBad = FrameContainer.encode(
+      goodFrames.updated(5, Array[Byte](1, 2, 3)).updated(10, Array[Byte](9)), 25)
+    val notAContainer = Array.tabulate[Byte](32)(_.toByte)
+
+    val df = Seq((1L, good), (2L, partlyBad), (3L, notAContainer))
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.videoFrameFeatures(df, sampleEveryMs = 125)
+      .collect().groupBy(_.doc_id)
+
+    // 125ms / 25ms = every 5th of 12 frames → indices 0, 5, 10
+    val g = got(1L).sortBy(_.frame_idx)
+    assert(g.map(_.frame_idx).toSeq === Seq(0, 5, 10))
+    g.foreach { f =>
+      assert(f.decode_ok && f.width === 4 && f.height === 4)
+      assert(f.ts_ms === f.frame_idx.toLong * 25)
+      assert(f.keyframe === (f.frame_idx % 8 == 0))
+      // real decode: the luminance histogram mean equals the frame's shade
+      assert(f.mean_lum_e4 === f.frame_idx.toLong * 16 * 10000,
+        s"frame ${f.frame_idx}: ${f.mean_lum_e4}")
+    }
+    // per-frame in-band failure: sampled corrupt frame 10 fails alone
+    val b = got(2L).sortBy(_.frame_idx)
+    assert(b.map(f => f.frame_idx -> f.decode_ok).toSeq ===
+      Seq(0 -> true, 5 -> false, 10 -> false))
+    assert(b.filter(_.decode_ok).forall(_.width === 4))
+    // unparseable container: one dead-letter row, not zero rows
+    assert(got(3L).toSeq === Seq(MMFrameFeatures(
+      3L, -1, 0L, keyframe = false, decode_ok = false, 0, 0, 0L)))
+    // seek is index-backed: frameAt returns exactly the encoded bytes
+    assert(FrameContainer.frameAt(good, 7).get.toSeq === goodFrames(7).toSeq)
+    assert(FrameContainer.frameAt(good, 12).isEmpty)
+    // truncated container: header parses but payload range check catches it
+    assert(FrameContainer.frameAt(good.take(good.length - 4), 11).isEmpty)
   }
 
   test("decontamination n-gram size is configurable and counts shrink as n grows") {

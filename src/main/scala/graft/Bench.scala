@@ -179,6 +179,26 @@ object Bench {
       a.selectExpr("k", "explode(arr) AS e").groupBy("k", "e").count().count()
       a.selectExpr("k", "v",
         "row_number() OVER (PARTITION BY k ORDER BY v) AS rn").where("rn <= 3").count()
+      // md5 → conv fixed-point hash chain (the t14/t26/t29 deterministic
+      // selection family) and the typed KMV aggregator path (a10/a11):
+      // both compile heavyweight codegen/encoder classes that otherwise
+      // land in the first such query's timed sample — a10 recorded 2.8x
+      // and t29 3.5x dispersion in round-10 driver runs, pure first-touch
+      a.selectExpr("cast(conv(substring(md5(concat(cast(id AS string), '|warm')), 1, 6)," +
+          " 16, 10) AS bigint) AS h")
+        .agg(org.apache.spark.sql.functions.sum("h")).first()
+      locally {
+        import spark.implicits._
+        import graft.functions.{KmvAgg, PortableHash}
+        spark.range(256)
+          .select(org.apache.spark.sql.functions.col("id").cast("string").as("s"))
+          .select((PortableHash.md5Prefix60(
+            org.apache.spark.sql.functions.col("s")) % PortableHash.P).as("x"))
+          .as[Long].map(x => ("w", x))
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new KmvAgg(KmvAgg.DefaultK).toColumn.name("mins"))
+          .toDF("g", "mins").count()
+      }
       // the dimension-projection pipeline (nested-field explode +
       // dropDuplicates) feeds ~a third of the suite; compile its codegen
       // and fault its column pages in once so the first-visited consumers

@@ -573,6 +573,11 @@ object SparkEntry {
     // decode → embed → retrieve: cosine top-k over the decoded features
     "m5_feature_topk" -> ((s: SparkSession, d: String) =>
       MultimodalOps.featureTopK(s, d)),
+    // the container round-trip: real FrameContainer encode/seek machinery
+    // with deterministic per-frame stats, so the index arithmetic the
+    // real-codec videoFrameFeatures path relies on is hash-gated
+    "m6_container_frames" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.containerFrameStats(s, d)),
   )
 
   private val W = OracleCtes.all
@@ -1728,5 +1733,6 @@ object SparkEntry {
         |FROM documents d,
         |  LATERAL (SELECT unnest(range(0, (len(d.text) - 1) // 125 + 1)) AS i) r""".stripMargin,
     "m5_feature_topk" -> MultimodalOps.featureTopKOracleSql(),
+    "m6_container_frames" -> MultimodalOps.containerFrameStatsOracleSql,
   )
 }

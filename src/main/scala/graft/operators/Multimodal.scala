@@ -474,6 +474,79 @@ object MultimodalOps {
       }
   }
 
+  private val ContainerFrameBytes = 32
+  private val ContainerFrameMs = 40
+
+  /** m6: the ORACLE-GATED container round-trip — builds a real
+    * [[FrameContainer]] per document executor-side (UTF-8 payload split
+    * into [[ContainerFrameBytes]]-byte frames), then samples it through
+    * the same header/seek machinery [[videoFrameFeatures]] uses, with
+    * deterministic per-frame stats instead of the codec so DuckDB can
+    * replay every byte: frame length, byte-sum mod 997 (the shared
+    * checksum convention), and the first char. The hash gate therefore
+    * covers the container's encode → header → O(1) `frameAt` index
+    * arithmetic end-to-end — [[videoFrameFeatures]] swaps only the
+    * per-frame stat for the real PNG decode on the identical seek path.
+    * Map-only at any corpus size (one container per row, no shuffle).
+    */
+  def containerFrameStats(
+      spark: SparkSession, dir: String, sampleEveryMs: Int = 125): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val frames = bytes.grouped(ContainerFrameBytes).toSeq
+          if (frames.isEmpty) Iterator.empty
+          else {
+            val container = FrameContainer.encode(frames, ContainerFrameMs)
+            val (frameMs, n) = FrameContainer.header(container).get
+            val stride = math.max(1, sampleEveryMs / frameMs)
+            Iterator.range(0, n, stride).map { i =>
+              val f = FrameContainer.frameAt(container, i).get
+              var sum = 0L
+              var j = 0
+              while (j < f.length) { sum = (sum + (f(j) & 0xFF)) % 997; j += 1 }
+              (id, i, i.toLong * frameMs, f.length.toLong, sum,
+                new String(f, 0, 1, "UTF-8"))
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "ts_ms", "n_bytes", "checksum", "first_char")
+  }
+
+  /** DuckDB twin of [[containerFrameStats]] at the graded defaults: the
+    * corpus is pure ASCII, so byte i of the payload is char i of the text
+    * and the container frames replay as fixed-width substrings; the
+    * sampled indices are `range(0, ceil(len/32), 3)` (125 ms at 40 ms per
+    * frame). Sums are cast to BIGINT before output (DuckDB widens sum()
+    * to int128 — the round-10 lesson).
+    */
+  def containerFrameStatsOracleSql: String = {
+    val fb = ContainerFrameBytes
+    val ms = ContainerFrameMs
+    val stride = math.max(1, 125 / ms)
+    s"""WITH f AS (
+       |  SELECT doc_id, cast(k AS int) AS frame_idx,
+       |    substr(text, k * $fb + 1, $fb) AS fr
+       |  FROM (SELECT doc_id, text FROM documents WHERE len(text) > 0) d,
+       |       LATERAL (SELECT unnest(range(0,
+       |         cast(ceil(len(text) / $fb.0) AS int), $stride)) AS k) r),
+       |chars AS (
+       |  SELECT doc_id, frame_idx, ord(substr(fr, j, 1)) AS b
+       |  FROM f, LATERAL (SELECT unnest(range(1, len(fr) + 1)) AS j) rr),
+       |sums AS (
+       |  SELECT doc_id, frame_idx, cast(sum(b) % 997 AS bigint) AS checksum
+       |  FROM chars GROUP BY doc_id, frame_idx)
+       |SELECT f.doc_id, f.frame_idx,
+       |  cast(f.frame_idx AS bigint) * $ms AS ts_ms,
+       |  cast(len(f.fr) AS bigint) AS n_bytes,
+       |  s.checksum,
+       |  substr(f.fr, 1, 1) AS first_char
+       |FROM f JOIN sums s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx""".stripMargin
+  }
+
   /** Feature extraction over asset partitions. `mapPartitions` so decoder
     * state (here: nothing; in production: the codec context) initializes
     * once per partition and rows stream through without per-row setup.

@@ -49,6 +49,10 @@ object Bench {
       // choice, not a per-query mutation (see RelationalOps.eventsTable)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep catalog droppings (managed index tables, empty warehouse
+      // dirs) out of the launch CWD - same rule as the test suites
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec logs a "No Partition Defined" WARN for every single-partition

@@ -24,6 +24,10 @@ object Verify {
       // choice, not a per-query mutation (see RelationalOps.eventsTable)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep catalog droppings (managed index tables, empty warehouse
+      // dirs) out of the launch CWD - same rule as the test suites
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

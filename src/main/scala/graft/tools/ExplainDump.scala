@@ -19,6 +19,10 @@ object ExplainDump {
       // RelationalOps.eventsTable)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep catalog droppings (managed index tables, empty warehouse
+      // dirs) out of the launch CWD - same rule as the test suites
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

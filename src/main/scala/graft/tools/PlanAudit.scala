@@ -124,6 +124,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep catalog droppings (managed index tables, empty warehouse
+      // dirs) out of the launch CWD - same rule as the test suites
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (findings, errors) = auditAll(spark, dir)

@@ -46,7 +46,11 @@ object ImporterStream {
     * after the first sink write leaves the events unmarked. `runNs` is
     * checkpoint-persisted ([[graft.operators.IngestRun]]), so a fresh
     * checkpoint (whose batch ids restart at 0) lands in its own namespace
-    * and never clobbers a previous life's output on shared sinks. The
+    * and never clobbers a previous life's output on shared sinks. A
+    * replay whose events are ALL already processed (the crash landed
+    * between the processed write and the checkpoint commit) writes
+    * nothing at all — overwriting with the empty anti-join result would
+    * wipe the batch's previously-committed output. The
     * `errors` sink stays append-per-delivery — duplicate error reports on
     * redelivery are harmless and match the reference's
     * report-then-commit consumer (message/kafka_message_receiver.go:44-50).
@@ -80,17 +84,26 @@ object ImporterStream {
     // if the pipeline body below fails.
     dead.write.mode("append").parquet(sinks.errors)
     try {
-      val forNew = dedupOptions(validDimensions(dims))
-        .join(newInst.select("instance_id"), Seq("instance_id"), "left_semi")
-      val updates = optionUpdates(withOrder(forNew, codeLists), enablePatchNodeId = true)
+      // NO new events → nothing to write, and CRITICALLY no overwrite: a
+      // replay that lands after the processed write succeeded but before
+      // the checkpoint committed re-enters here with every event filtered
+      // by the anti-join, and an unconditional overwrite would WIPE the
+      // batch's previously-written updates/completed output with empty
+      // frames. Empty newInst is exactly that replay (or a genuinely
+      // empty trigger, where there is nothing to write either way).
+      if (!newInst.isEmpty) {
+        val forNew = dedupOptions(validDimensions(dims))
+          .join(newInst.select("instance_id"), Seq("instance_id"), "left_semi")
+        val updates = optionUpdates(withOrder(forNew, codeLists), enablePatchNodeId = true)
 
-      updates.write.mode("overwrite")
-        .parquet(s"${sinks.updates}/run=$runNs/batch_id=$batchId")
-      completedEvents(newInst).write.mode("overwrite")
-        .parquet(s"${sinks.completed}/run=$runNs/batch_id=$batchId")
-      // processed is written LAST: a failure anywhere above leaves the
-      // events unmarked, so redelivery retries them (at-least-once).
-      newInst.select("instance_id").write.mode("append").parquet(sinks.processed)
+        updates.write.mode("overwrite")
+          .parquet(s"${sinks.updates}/run=$runNs/batch_id=$batchId")
+        completedEvents(newInst).write.mode("overwrite")
+          .parquet(s"${sinks.completed}/run=$runNs/batch_id=$batchId")
+        // processed is written LAST: a failure anywhere above leaves the
+        // events unmarked, so redelivery retries them (at-least-once).
+        newInst.select("instance_id").write.mode("append").parquet(sinks.processed)
+      }
     } catch {
       // Reference message/kafka_message_receiver.go:44-50: ANY handler
       // error notifies the error-reporter topic — not just validation

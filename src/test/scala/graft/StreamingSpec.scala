@@ -1273,6 +1273,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("partial-batch redelivery replaces per-batch sink output instead of appending") {
+    val outDir = Files.createTempDirectory("replay-out").toString
+    val sinks = ImporterStream.Sinks(outDir)
+    val dims = graft.operators.ImporterPipeline.projectDimensions(fixtureDims)
+    def updates() = spark.read.parquet(s"$outDir/updates")
+      .select("instance_id").as[String].collect().toSeq.sorted
+    val batchA = Seq(("/a", "A")).toDF("file_url", "instance_id")
+
+    ImporterStream.processBatch(spark, batchA, dims, fixtureCodeLists, sinks, "run1", 0L)
+    assert(updates() === Seq("A"))
+    // replay AFTER the processed write landed (crash before checkpoint
+    // commit): every event is filtered by the anti-join — the batch's
+    // committed output must survive, not be overwritten with emptiness
+    ImporterStream.processBatch(spark, batchA, dims, fixtureCodeLists, sinks, "run1", 0L)
+    assert(updates() === Seq("A"), "already-processed replay wiped the batch output")
+    // replay BEFORE the processed write landed (the partial-failure
+    // window: updates written, completed/processed not): same (run, id)
+    // REPLACES the partial directory — exactly once, not append
+    val proc = java.nio.file.Paths.get(s"$outDir/processed_instances")
+    Files.walk(proc).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    ImporterStream.processBatch(spark, batchA, dims, fixtureCodeLists, sinks, "run1", 0L)
+    assert(updates() === Seq("A"), "same-(run,id) replay appended duplicates")
+    // a second stream life (fresh checkpoint → new run namespace, batch
+    // ids restart at 0) adds to the shared sinks without clobbering
+    val batchB = Seq(("/b", "B")).toDF("file_url", "instance_id")
+    ImporterStream.processBatch(spark, batchB, dims, fixtureCodeLists, sinks, "run2", 0L)
+    assert(updates() === Seq("A", "B"), "new run namespace clobbered the old life")
+  }
+
   test("streaming metric drift: accumulated report matches the batch t41 at full ingest") {
     import graft.operators.Expectations
     val base = Files.createTempDirectory("mdrift-stream")

@@ -508,6 +508,39 @@ class TextMultimodalSpec extends SparkSuite {
     assert(FrameContainer.frameAt(good.take(good.length - 4), 11).isEmpty)
   }
 
+  test("frame container: seeded-random round-trip and truncation safety") {
+    import graft.operators.FrameContainer
+    // deterministic seeded sweep (the FunctionsSpec convention): arbitrary
+    // frame counts and sizes — including empty frames and an empty
+    // container — must round-trip exactly, and any truncation must come
+    // back None from the range check, never an exception
+    val rnd = new scala.util.Random(0x6F11)
+    for (_ <- 1 to 200) {
+      val frames = Vector.fill(rnd.nextInt(12)) {
+        Array.fill[Byte](rnd.nextInt(50))(rnd.nextInt().toByte)
+      }
+      val ms = 1 + rnd.nextInt(200)
+      val c = FrameContainer.encode(frames, ms)
+      assert(FrameContainer.header(c) === Some((ms, frames.length)))
+      frames.indices.foreach { i =>
+        assert(FrameContainer.frameAt(c, i).get.toSeq === frames(i).toSeq, s"frame $i")
+      }
+      assert(FrameContainer.frameAt(c, frames.length).isEmpty)
+      assert(FrameContainer.frameAt(c, -1).isEmpty)
+      if (c.length > 1) {
+        val cut = rnd.nextInt(c.length - 1) + 1
+        val t = c.take(c.length - cut)
+        // header may survive a payload-only cut; every frame read must
+        // either return the exact original bytes or None — never garbage
+        frames.indices.foreach { i =>
+          FrameContainer.frameAt(t, i).foreach { f =>
+            assert(f.toSeq === frames(i).toSeq, s"truncated read garbage at $i")
+          }
+        }
+      }
+    }
+  }
+
   test("decontamination n-gram size is configurable and counts shrink as n grows") {
     import graft.operators.TrainingPrep
     import org.apache.spark.sql.functions.col

@@ -478,6 +478,11 @@ object SparkEntry {
     // KMV set algebra: union/intersection/Jaccard estimates from two
     // mergeable k-minimum-values sketches, exact counts riding along
     "a11_kmv_set_ops" -> ((s, d) => graft.operators.Sketches.kmvSetOps(s, d)),
+    // Bloom seen-set membership: the portable membership sketch rounding
+    // out the family (CMS=frequency, KMV=cardinality, Bloom=membership);
+    // one-sided by construction, FPs reported in-band
+    "a12_bloom_membership" ->
+      ((s, d) => graft.operators.Sketches.bloomMembership(s, d)),
     // A-KMV: k-minimum-values distinct sketch — the portable counterpart
     // of a6's HLL: same question, but the sketch replays in DuckDB
     // (per-group k smallest PortableHash values), so it oracles green.
@@ -669,6 +674,7 @@ object SparkEntry {
     "d7_minhash_agg_signatures" -> graft.operators.Dedup.minhashAggOracleSql,
     "a9_cms_user_counts" -> graft.operators.Sketches.cmsOracleSql(),
     "a11_kmv_set_ops" -> graft.operators.Sketches.kmvSetOpsOracleSql(),
+    "a12_bloom_membership" -> graft.operators.Sketches.bloomMembershipOracleSql(),
     "a10_kmv_distinct_options" -> {
       val k = graft.functions.KmvAgg.DefaultK
       val p = graft.functions.PortableHash.P

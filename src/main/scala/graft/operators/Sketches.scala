@@ -176,6 +176,125 @@ object Sketches {
         "a_exact", "b_exact", "inter_exact")
   }
 
+  // ---- a12: Bloom-filter membership (portable) ---------------------------
+
+  /** 4096 bits as 128 × 32-bit words held in BIGINTs: masks stay strictly
+    * positive in every engine (bit 63 of a signed 64-bit word is a
+    * portability trap — DuckDB and Spark disagree on nothing below 2^62,
+    * so stay below it), and 128 words bound the sketch at 1 KiB. */
+  val BloomBits = 4096
+  val BloomWordBits = 32
+  val BloomK = 5
+
+  /** a12: Bloom-filter seen-set membership (Bloom 1970, public) over the
+    * [[PortableHash]] affine family — the MEMBERSHIP sketch completing
+    * the family (CMS a9 = frequency, KMV a10/a11 = cardinality/set
+    * algebra): "is this user in the heavy-purchaser seen-set?" answered
+    * from a 1 KiB bit vector instead of a join against the member table
+    * (the threshold makes both probe classes non-vacuous on a corpus
+    * where every user has every event type). One-sided by
+    * construction — a true member is ALWAYS contained; the query also
+    * reports exact membership so false positives are visible in-band
+    * (engine and oracle agree bit-for-bit on which probes FP, because
+    * every bit position is the same md5-affine arithmetic in both).
+    *
+    * Scale shape: the build is one distinct + explode(k) + bit_or groupBy
+    * — map-side partial OR collapses each partition to ≤ 128 words before
+    * the shuffle, so the exchanged volume is the SKETCH, never the data
+    * (the mergeable-sketch property, same as CMS/KMV). Probes join the
+    * ≤ 128-row word table broadcast; at 100 TB the probe side is the
+    * arriving stream and the bloom rides in every executor's memory.
+    */
+  /** Membership threshold: ≥ this many member-type events makes a user a
+    * set member. The graded corpus gives every user every event type, so
+    * raw membership would be vacuous; the median per-user purchase count
+    * is 13-14 at every SF, so 14 splits the population at any scale. */
+  val BloomMinEvents = 14L
+
+  def bloomMembership(
+      spark: SparkSession, dir: String,
+      memberType: String = "purchase",
+      bits: Int = BloomBits, k: Int = BloomK,
+      minEvents: Long = BloomMinEvents): DataFrame = {
+    val m = bits; val wb = BloomWordBits; val p = PortableHash.P
+    def posExpr(i: Int) =
+      s"((${PortableHash.permA(i)}L * x + ${PortableHash.permB(i)}L) % ${p}L) % $m"
+    val allPos = (0 until k).map(posExpr).mkString(", ")
+    val ev = RelationalOps.eventsTable(spark, dir)
+    val members = ev.filter(col("event_type") === memberType)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minEvents)
+      .select(col("user_id"))
+    val bloom = members
+      .select((PortableHash.md5Prefix60(col("user_id").cast("string")) % p).as("x"))
+      .selectExpr(s"explode(array($allPos)) AS pos")
+      .selectExpr(s"cast(pos div $wb AS int) AS w",
+        s"shiftleft(1L, cast(pos % $wb AS int)) AS mask")
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+    val probes = ev.select(col("user_id")).distinct()
+      .withColumn("x", PortableHash.md5Prefix60(col("user_id").cast("string")) % p)
+    val hits = probes
+      .selectExpr("user_id", s"explode(array($allPos)) AS pos")
+      .selectExpr("user_id", s"cast(pos div $wb AS int) AS w",
+        s"shiftleft(1L, cast(pos % $wb AS int)) AS mask")
+      .join(broadcast(bloom), Seq("w"), "left")
+      .selectExpr("user_id",
+        "CASE WHEN (coalesce(bits, 0L) & mask) = mask THEN 1 ELSE 0 END AS hit")
+      .groupBy(col("user_id")).agg(min(col("hit")).as("contained"))
+    val actual = probes.select(col("user_id"))
+      .join(members.withColumn("memb", lit(1)), Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("memb"), lit(0)).as("actual"))
+    hits.join(actual, "user_id")
+      .selectExpr("user_id", "cast(contained AS int) AS contained",
+        "cast(actual AS int) AS actual",
+        "cast(CASE WHEN contained = 1 AND actual = 0 THEN 1 ELSE 0 END AS int)" +
+          " AS false_positive")
+  }
+
+  /** DuckDB twin of [[bloomMembership]] at the graded defaults: the same
+    * md5-affine positions via `unnest(range(0, k))` with the permutation
+    * coefficients written as linear functions of i, the same 32-bit-word
+    * bit_or build, the same mask test. */
+  def bloomMembershipOracleSql(memberType: String = "purchase"): String = {
+    val m = BloomBits; val wb = BloomWordBits; val p = PortableHash.P
+    // permA(i) = 999983 - 17 i, permB(i) = 104729 + 31 i (PortableHash)
+    val pos = s"(((999983 - 17 * i) * x + 104729 + 31 * i) % $p) % $m"
+    s"""WITH members AS (
+       |  SELECT user_id FROM events WHERE event_type = '$memberType'
+       |  GROUP BY user_id HAVING count(*) >= $BloomMinEvents),
+       |mx AS (
+       |  SELECT ${PortableHash.duckMd5Prefix60("user_id::VARCHAR")} % $p AS x
+       |  FROM members),
+       |bloom AS (
+       |  SELECT pos // $wb AS w, bit_or(1::BIGINT << cast(pos % $wb AS int)) AS bits
+       |  FROM (SELECT $pos AS pos
+       |        FROM mx, LATERAL (SELECT unnest(range(0, $BloomK)) AS i) r)
+       |  GROUP BY pos // $wb),
+       |probes AS (
+       |  SELECT user_id, ${PortableHash.duckMd5Prefix60("user_id::VARCHAR")} % $p AS x
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |ppos AS (
+       |  SELECT user_id, pos // $wb AS w, 1::BIGINT << cast(pos % $wb AS int) AS mask
+       |  FROM (SELECT user_id, $pos AS pos
+       |        FROM probes, LATERAL (SELECT unnest(range(0, $BloomK)) AS i) r)),
+       |hits AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN (coalesce(b.bits, 0) & mask) = mask THEN 1 ELSE 0 END)
+       |      AS contained
+       |  FROM ppos LEFT JOIN bloom b ON b.w = ppos.w
+       |  GROUP BY user_id),
+       |act AS (
+       |  SELECT p.user_id,
+       |    CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS actual
+       |  FROM (SELECT DISTINCT user_id FROM events) p
+       |  LEFT JOIN members m ON m.user_id = p.user_id)
+       |SELECT h.user_id, cast(h.contained AS int) AS contained,
+       |  cast(a.actual AS int) AS actual,
+       |  cast(CASE WHEN h.contained = 1 AND a.actual = 0 THEN 1 ELSE 0 END AS int)
+       |    AS false_positive
+       |FROM hits h JOIN act a ON a.user_id = h.user_id""".stripMargin
+  }
+
   /** DuckDB twin of [[kmvSetOps]] at the graded defaults. */
   def kmvSetOpsOracleSql(
       typeA: String = "purchase", typeB: String = "error"): String = {

@@ -560,6 +560,29 @@ class ScaleOpsSpec extends SparkSuite {
     assert(iEst <= math.min(aEst, bEst) && uEst >= math.max(aEst, bEst))
   }
 
+  test("Bloom membership: one-sided always, false positives appear under saturation") {
+    import graft.operators.Sketches
+    // graded geometry (4096 bits, k=5): every actual member MUST be
+    // contained (the one-sided guarantee — a Bloom filter can never
+    // false-negative), and both classes of probe are present
+    val r = Sketches.bloomMembership(spark, sf0001)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.exists(_._3 === 1) && r.exists(_._3 === 0), "need members AND non-members")
+    r.foreach { case (uid, contained, actual, fp) =>
+      if (actual == 1) assert(contained === 1, s"false NEGATIVE for member $uid")
+      assert(fp === (if (contained == 1 && actual == 0) 1 else 0))
+    }
+    // saturated geometry (64 bits for ~dozens of members): the one-sided
+    // guarantee still holds AND the false-positive path is exercised
+    val sat = Sketches.bloomMembership(spark, sf0001, bits = 64)
+      .as[(Long, Int, Int, Int)].collect()
+    sat.foreach { case (uid, contained, actual, _) =>
+      if (actual == 1) assert(contained === 1, s"false NEGATIVE at 64 bits for $uid")
+    }
+    assert(sat.exists(_._4 === 1), "64-bit bloom over dozens of members must FP")
+  }
+
   test("shared shingle index: one corpus scan feeds all four dedup passes bit-equally") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.operators.ShingleIndex

@@ -295,6 +295,75 @@ object Sketches {
        |FROM hits h JOIN act a ON a.user_id = h.user_id""".stripMargin
   }
 
+  /** Streaming twin of the Bloom seen-set (the structure's native
+    * habitat): arrivals are judged against the bloom ACCUMULATED over
+    * every earlier micro-batch, then the batch's own member bits are
+    * OR-ed into state — first-seen detection with O(sketch) state, the
+    * shape a 100 TB ingest uses to suppress re-crawls without a
+    * data-sized join. State is a per-batch `(w, bits)` word-table partial
+    * under `outPath/state/batch_id=N` (idempotent overwrite); the
+    * accumulated bloom a batch probes is the bit_or of STRICTLY EARLIER
+    * partials — filtering `batch_id < id` makes a replayed batch judge
+    * against exactly the prefix it saw the first time, so verdicts are
+    * replay-stable even though its own partial may already exist on
+    * disk. Per batch the state side is ≤ 128 × batches rows; OR is
+    * idempotent, so even double-counted partials could never corrupt the
+    * bloom — the filter exists for verdict stability, not bit safety.
+    * Membership here is unthresholded (any member-type event marks the
+    * user seen): a count threshold is not bloom-mergeable, and the
+    * streaming question is "seen before?", not "heavy?".
+    */
+  def bloomIngestStream(
+      events: DataFrame, outPath: String, checkpoint: String,
+      memberType: String = "purchase",
+      bits: Int = BloomBits, k: Int = BloomK)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = bits; val wb = BloomWordBits; val p = PortableHash.P
+    def posExpr(i: Int) =
+      s"((${PortableHash.permA(i)}L * x + ${PortableHash.permB(i)}L) % ${p}L) % $m"
+    val allPos = (0 until k).map(posExpr).mkString(", ")
+    def positions(users: DataFrame): DataFrame = users
+      .withColumn("x", PortableHash.md5Prefix60(col("user_id").cast("string")) % p)
+      .selectExpr("user_id", s"explode(array($allPos)) AS pos")
+      .selectExpr("user_id", s"cast(pos div $wb AS int) AS w",
+        s"shiftleft(1L, cast(pos % $wb AS int)) AS mask")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = b.sparkSession
+        val batch = b.toDF().localCheckpoint()
+        // the bloom as of the END of batch id-1 (empty at the start of
+        // time, or when a replayed batch finds only its own partial)
+        val accumulated =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outPath/state")))
+            s.read.parquet(s"$outPath/state").filter(col("batch_id") < id)
+              .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+          else
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("w",
+                  org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("bits",
+                  org.apache.spark.sql.types.LongType))))
+        positions(batch.select(col("user_id")).distinct())
+          .join(broadcast(accumulated), Seq("w"), "left")
+          .selectExpr("user_id",
+            "CASE WHEN (coalesce(bits, 0L) & mask) = mask THEN 1 ELSE 0 END AS hit")
+          .groupBy(col("user_id"))
+          .agg(min(col("hit")).cast("int").as("seen_before"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
+        positions(batch.filter(col("event_type") === memberType)
+            .select(col("user_id")).distinct())
+          .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/state/batch_id=$id")
+        ()
+      }
+      .start()
+  }
+
   /** DuckDB twin of [[kmvSetOps]] at the graded defaults. */
   def kmvSetOpsOracleSql(
       typeA: String = "purchase", typeB: String = "error"): String = {

@@ -1302,6 +1302,57 @@ class StreamingSpec extends SparkSuite {
     assert(updates() === Seq("A", "B"), "new run namespace clobbered the old life")
   }
 
+  test("streaming bloom seen-set: verdicts equal prefix membership, state is replay-stable") {
+    import graft.operators.Sketches
+    import graft.functions.PortableHash
+    val base = Files.createTempDirectory("bloom-stream")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ev = spark.read.parquet(s"$sf0001/events.parquet")
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"))
+        .as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = Sketches.bloomIngestStream(
+        mem.toDF().toDF("user_id", "event_type"), s"$base/out", s"$base/ckpt")
+      val splits = ev.grouped((ev.length + 2) / 3).toSeq
+      try {
+        splits.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      // JVM-side reference: replay the md5-affine bits exactly and judge
+      // each batch's users against the members seen in EARLIER batches
+      val m = Sketches.BloomBits
+      def posOf(u: Long): Seq[Int] = {
+        val x = PortableHash.md5Prefix60(u.toString.getBytes("UTF-8")) % PortableHash.P
+        (0 until Sketches.BloomK).map(i => (PortableHash.perm(i, x) % m).toInt)
+      }
+      var words = Map.empty[Int, Long].withDefaultValue(0L)
+      def containedIn(u: Long, w: Map[Int, Long]): Boolean = posOf(u).forall { pos =>
+        (w(pos / 32) & (1L << (pos % 32))) != 0
+      }
+      splits.zipWithIndex.foreach { case (batch, id) =>
+        val got = spark.read.parquet(s"$base/out/decisions/batch_id=$id")
+          .as[(Long, Int)].collect().toMap
+        batch.map(_._1).distinct.foreach { u =>
+          assert(got(u) === (if (containedIn(u, words)) 1 else 0),
+            s"batch $id user $u verdict diverged from the prefix bloom")
+        }
+        batch.filter(_._2 == "purchase").map(_._1).distinct.foreach { u =>
+          posOf(u).foreach { pos =>
+            words = words.updated(pos / 32, words(pos / 32) | (1L << (pos % 32)))
+          }
+        }
+      }
+      // the accumulated state equals the JVM-built bloom word-for-word
+      val stateWords = spark.read.parquet(s"$base/out/state")
+        .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+        .as[(Int, Long)].collect().toMap
+      assert(stateWords === words.filter(_._2 != 0L))
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming metric drift: accumulated report matches the batch t41 at full ingest") {
     import graft.operators.Expectations
     val base = Files.createTempDirectory("mdrift-stream")

@@ -111,13 +111,20 @@ object Expectations {
       countDistinct(col("instance_id"), col("dimension_id"), col("option"))
         .as("n_distinct"))
       .select(expr(
+        // n = 0 guard (same discipline as metricDrift's prev-side): an
+        // empty feed is vacuously complete/unique — observed pins to the
+        // full-scale 1e6 instead of a null `div 0` that would diverge
+        // from the DuckDB twin's `// 0` error
         s"""stack(3,
            |  'completeness', 'dimensions.dimension_id',
-           |    (n_dim_ok * 1000000) div n, 1000000L, n_dim_ok = n,
+           |    CASE WHEN n = 0 THEN 1000000L ELSE (n_dim_ok * 1000000) div n END,
+           |    1000000L, n_dim_ok = n,
            |  'completeness', 'dimensions.option',
-           |    (n_opt_ok * 1000000) div n, 1000000L, n_opt_ok = n,
+           |    CASE WHEN n = 0 THEN 1000000L ELSE (n_opt_ok * 1000000) div n END,
+           |    1000000L, n_opt_ok = n,
            |  'uniqueness', 'dimensions.(instance_id, dimension_id, option)',
-           |    (n_distinct * 1000000) div n, 1000000L, n_distinct = n
+           |    CASE WHEN n = 0 THEN 1000000L ELSE (n_distinct * 1000000) div n END,
+           |    1000000L, n_distinct = n
            |) AS (check_name, subject, observed, threshold, passed)""".stripMargin))
     val evRows = graft.sources.Fixtures.importerEvents(spark, dir)
       .agg(
@@ -126,7 +133,8 @@ object Expectations {
       .select(
         lit("completeness").as("check_name"),
         lit("events.instance_id").as("subject"),
-        expr("(n_iid_ok * 1000000) div n").as("observed"),
+        expr("CASE WHEN n = 0 THEN 1000000L ELSE (n_iid_ok * 1000000) div n END")
+          .as("observed"),
         lit(1000000L).as("threshold"),
         (col("n_iid_ok") === col("n")).as("passed"))
     val fkRows = dims
@@ -480,6 +488,14 @@ object Expectations {
         ()
       }
       .start()
+    // cleanup must run exactly once whether termination races the
+    // addListener below or not
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def cleanup(self: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+      if (done.compareAndSet(false, true)) {
+        prev.unpersist()
+        owner.streams.removeListener(self)
+      }
     val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -488,12 +504,12 @@ object Expectations {
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            prev.unpersist()
-            owner.streams.removeListener(this)
-          }
+          if (e.id == query.id) cleanup(this)
       }
     owner.streams.addListener(listener)
+    // a query that failed before the listener attached never emits its
+    // QueryTerminated to us — check and clean inline (idempotent)
+    if (!query.isActive) cleanup(listener)
     query
   }
 
@@ -557,14 +573,18 @@ object Expectations {
        |    WHERE c.code_list_id = dv.code_list_id AND c.code = dv.option)),
        |rows_out AS (
        |  SELECT 'completeness' AS check_name, 'dimensions.dimension_id' AS subject,
-       |    (n_dim_ok * 1000000) // n AS observed, 1000000 AS threshold,
+       |    CASE WHEN n = 0 THEN 1000000 ELSE (n_dim_ok * 1000000) // n END AS observed,
+       |    1000000 AS threshold,
        |    n_dim_ok = n AS passed FROM agg
        |  UNION ALL SELECT 'completeness', 'dimensions.option',
-       |    (n_opt_ok * 1000000) // n, 1000000, n_opt_ok = n FROM agg
+       |    CASE WHEN n = 0 THEN 1000000 ELSE (n_opt_ok * 1000000) // n END,
+       |    1000000, n_opt_ok = n FROM agg
        |  UNION ALL SELECT 'uniqueness', 'dimensions.(instance_id, dimension_id, option)',
-       |    (n_distinct * 1000000) // n, 1000000, n_distinct = n FROM agg
+       |    CASE WHEN n = 0 THEN 1000000 ELSE (n_distinct * 1000000) // n END,
+       |    1000000, n_distinct = n FROM agg
        |  UNION ALL SELECT 'completeness', 'events.instance_id',
-       |    (n_iid_ok * 1000000) // n, 1000000, n_iid_ok = n FROM ev
+       |    CASE WHEN n = 0 THEN 1000000 ELSE (n_iid_ok * 1000000) // n END,
+       |    1000000, n_iid_ok = n FROM ev
        |  UNION ALL SELECT 'referential_integrity',
        |    'dimensions.(code_list_id, option) -> code_lists',
        |    n_orphans, 0, n_orphans = 0 FROM orph)

@@ -119,7 +119,10 @@ object FrameContainer {
         buf.position(HeaderBytes + idx * IndexEntryBytes)
         val off = buf.getLong()
         val len = buf.getInt()
-        if (off < 0 || len < 0 || off + len > bytes.length) None
+        // overflow-safe: `off + len` can wrap for a crafted index entry,
+        // so compare against `bytes.length - len` instead — this also
+        // guarantees `off` fits in Int before the arraycopy.
+        if (off < 0 || len < 0 || off > bytes.length.toLong - len) None
         else {
           val out = new Array[Byte](len)
           System.arraycopy(bytes, off.toInt, out, 0, len)

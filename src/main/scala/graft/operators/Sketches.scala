@@ -334,8 +334,15 @@ object Sketches {
         val batch = b.toDF().localCheckpoint()
         // the bloom as of the END of batch id-1 (empty at the start of
         // time, or when a replayed batch finds only its own partial)
+        // resolve through Hadoop FileSystem (not java.nio) so a
+        // non-local outPath (HDFS/S3 — the 100 TB ingest shape) probes
+        // the real store instead of always reading an empty bloom
+        val statePath = new org.apache.hadoop.fs.Path(s"$outPath/state")
+        val stateExists = statePath
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(statePath)
         val accumulated =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outPath/state")))
+          if (stateExists)
             s.read.parquet(s"$outPath/state").filter(col("batch_id") < id)
               .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
           else

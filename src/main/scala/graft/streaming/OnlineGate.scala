@@ -182,6 +182,14 @@ object OnlineGate {
     // cycles with lmModelPath set do not accumulate O(model) cached
     // blocks in the session
     lmFrames.foreach { case (model, unk, global) =>
+      // cleanup must run exactly once whether termination races the
+      // addListener below or not
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def cleanup(self: StreamingQueryListener): Unit =
+        if (done.compareAndSet(false, true)) {
+          model.unpersist(); unk.unpersist(); global.unpersist()
+          owner.streams.removeListener(self)
+        }
       val listener: StreamingQueryListener = new StreamingQueryListener {
         override def onQueryStarted(
             e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -189,12 +197,12 @@ object OnlineGate {
             e: StreamingQueryListener.QueryProgressEvent): Unit = ()
         override def onQueryTerminated(
             e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            model.unpersist(); unk.unpersist(); global.unpersist()
-            owner.streams.removeListener(this)
-          }
+          if (e.id == query.id) cleanup(this)
       }
       owner.streams.addListener(listener)
+      // a query that failed before the listener attached never emits its
+      // QueryTerminated to us — check and clean inline (idempotent)
+      if (!query.isActive) cleanup(listener)
     }
     query
   }

@@ -55,39 +55,65 @@ object GopherUtil {
     (starts, ends)
   }
 
+  /** The shared per-doc gram-count state: flat `[n, top_chars, dup_chars]`
+    * triples for every n in 2..min(10, tokens) — empty below 2 tokens.
+    * Both the fraction family ([[fracs]]) and the staged diagnostic
+    * ([[stageTriples]]) derive from this one pass, so the t39 production
+    * path and its t39s stage twin cannot drift apart.
+    */
+  private def stage(s: String): Array[Long] = {
+    val (starts, ends) = tokenBounds(s)
+    val ntok = starts.length
+    if (ntok < 2) return Array.emptyLongArray
+    val maxN = math.min(MaxN, ntok)
+    val out = new Array[Long]((maxN - 1) * 3)
+    var n = 2
+    while (n <= maxN) {
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      val limit = ntok - n
+      while (i <= limit) {
+        val g = s.substring(starts(i), ends(i + n - 1))
+        counts.put(g, counts.getOrDefault(g, 0) + 1)
+        i += 1
+      }
+      var top = 0L
+      var dup = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.toLong
+        val g = e.getKey
+        val chars = c * g.codePointCount(0, g.length)
+        if (chars > top) top = chars
+        if (c >= 2) dup += chars
+      }
+      val base = (n - 2) * 3
+      out(base) = n.toLong
+      out(base + 1) = top
+      out(base + 2) = dup
+      n += 1
+    }
+    out
+  }
+
+  /** The t39s stage surface: `[n, top_chars, dup_chars]` triples, flat. */
+  def stageTriples(text: UTF8String): ArrayData =
+    ArrayData.toArrayData(stage(text.toString))
+
   def fracs(text: UTF8String): ArrayData = {
     val s = text.toString
     val out = new Array[Long](9)
-    val (starts, ends) = tokenBounds(s)
-    val ntok = starts.length
-    if (ntok >= 2) {
+    val t = stage(s)
+    if (t.nonEmpty) {
       // code points, matching Spark length() and DuckDB len()
       val nChars = s.codePointCount(0, s.length).toLong
-      val maxN = math.min(MaxN, ntok)
-      var n = 2
-      while (n <= maxN) {
-        val counts = new java.util.HashMap[String, Int]()
-        var i = 0
-        val limit = ntok - n
-        while (i <= limit) {
-          val g = s.substring(starts(i), ends(i + n - 1))
-          counts.put(g, counts.getOrDefault(g, 0) + 1)
-          i += 1
-        }
-        var top = 0L
-        var dup = 0L
-        val it = counts.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val c = e.getValue.toLong
-          val g = e.getKey
-          val chars = c * g.codePointCount(0, g.length)
-          if (chars > top) top = chars
-          if (c >= 2) dup += chars
-        }
-        if (n <= 4) out(n - 2) = top * 1000000L / nChars
-        else out(n - 2) = math.min(1000000L, dup * 1000000L / nChars)
-        n += 1
+      var j = 0
+      while (j < t.length) {
+        val n = t(j).toInt
+        if (n <= 4) out(n - 2) = t(j + 1) * 1000000L / nChars
+        else out(n - 2) = math.min(1000000L, t(j + 2) * 1000000L / nChars)
+        j += 3
       }
     }
     ArrayData.toArrayData(out)
@@ -106,7 +132,22 @@ case class GopherFracsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `gopher_stage(string) -> array<long>` — the flat per-n
+  * `[n, top_chars, dup_chars]` triples from the same single-pass state as
+  * [[GopherFracsExpr]], for the t39s staged diagnostic.
+  */
+case class GopherStageExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GopherUtil.stageTriples(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.GopherUtil.stageTriples($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GopherFracs {
   def gopherFracs(text: Column): Column =
     Bridge.column(GopherFracsExpr(Bridge.expression(text)))
+  def gopherStage(text: Column): Column =
+    Bridge.column(GopherStageExpr(Bridge.expression(text)))
 }

@@ -266,20 +266,45 @@ object TextAnalysis {
   }
 
   /** t39 staged diagnostic twin (`t39s_gopher_stage`): the per-(doc, n)
-    * intermediate `(doc_id, n, top_chars, dup_chars)` of the exploded
-    * formulation, BEFORE the final collapse to per-doc fractions and the
-    * composed keep gate. Round-10 adjudication left t39 driver-red /
-    * judge-green with bit-stable engine output; this twin splits the query
-    * at its only interior barrier so a future red row names the stage:
-    * stage red → gram counting; stage green + t39 red → the final
-    * fraction/gate layer (or the check surface itself).
+    * intermediate `(doc_id, n, top_chars, dup_chars)`, BEFORE the final
+    * collapse to per-doc fractions and the composed keep gate. Round-10
+    * adjudication left t39 driver-red / judge-green with bit-stable
+    * engine output; this twin splits the query at its only interior
+    * barrier so a future red row names the stage: stage red → gram
+    * counting; stage green + t39 red → the final fraction/gate layer (or
+    * the check surface itself).
+    *
+    * MAP-ONLY like t39 itself: the triples come from the SAME single-pass
+    * [[graft.functions.GopherFracs]] state the production fractions
+    * derive from (`GopherUtil.stage`), then a ≤9-element lazy explode —
+    * zero n-gram exchanges, so the diagnostic costs ~1× the production
+    * query instead of the two corpus shuffles of the exploded
+    * formulation. [[gopherPerN]] remains the independently-derived
+    * reference twin: a spec pins this path bit-equal to it, and the
+    * DuckDB oracle mirrors the exploded shape literally.
     */
   def gopherRepetitionStage(
       spark: SparkSession, dir: String, plantRepetition: Boolean = false): DataFrame =
-    gopherPerN(gopherSeeded(spark, dir, plantRepetition))
-      .select(col("doc_id"), col("n"),
-        col("top_chars").cast("bigint").as("top_chars"),
-        col("dup_chars").cast("bigint").as("dup_chars"))
+    gopherSeeded(spark, dir, plantRepetition)
+      .select(col("doc_id"),
+        graft.functions.GopherFracs.gopherStage(col("text")).as("_s"))
+      .filter(size(col("_s")) > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(_s) div 3 - 1),
+          |  i -> named_struct('n', cast(_s[3*i] AS int),
+          |    'top_chars', _s[3*i+1], 'dup_chars', _s[3*i+2]))""".stripMargin))
+        .as("x"))
+      .select(col("doc_id"), col("x.n").as("n"),
+        col("x.top_chars").as("top_chars"), col("x.dup_chars").as("dup_chars"))
+
+  /** The exploded-formulation stage reference — [[gopherPerN]] over the
+    * seeded corpus — kept as the spec-pinned independently-derived twin
+    * of the map-only [[gopherRepetitionStage]].
+    */
+  private[graft] def gopherRepetitionStagePerNRef(
+      spark: SparkSession, dir: String): DataFrame =
+    gopherPerN(gopherSeeded(spark, dir, plantRepetition = true))
+      .select(col("doc_id"), col("n"), col("top_chars"), col("dup_chars"))
 
   /** The t39 signal derivation over any `(doc_id, text)` frame — every
     * column is a pure within-document function, so the same body serves

@@ -401,6 +401,27 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"t39 fast path gained a shuffle:\n$plan")
   }
 
+  test("t39s stage twin: map-only path is bit-equal to the exploded per-n reference") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    def image(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // the exploded reference (two corpus shuffles) stays as the
+    // independently-derived twin; the production stage query must match
+    // it triple-for-triple on the graded seeded corpus...
+    val fast = image(TextAnalysis.gopherRepetitionStage(spark, sf0001, plantRepetition = true))
+    val ref = image(TextAnalysis.gopherRepetitionStagePerNRef(spark, sf0001)
+      .select(col("doc_id"), col("n"),
+        col("top_chars").cast("bigint").as("top_chars"),
+        col("dup_chars").cast("bigint").as("dup_chars")))
+    assert(fast.nonEmpty && fast === ref)
+    // ...and carry ZERO n-gram exchanges — the stage diagnostic now costs
+    // ~1× the map-only production query, not the exploded 5×
+    val plan = TextAnalysis.gopherRepetitionStage(spark, sf0001, plantRepetition = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"t39s stage twin gained a shuffle:\n$plan")
+  }
+
   test("t39 gopher rules: dup gates bind exactly on the planted docs, clean docs all-zero") {
     import graft.operators.TextAnalysis
     val got = TextAnalysis.gopherRepetition(spark, sf0001, plantRepetition = true)
@@ -506,6 +527,16 @@ class TextMultimodalSpec extends SparkSuite {
     assert(FrameContainer.frameAt(good, 12).isEmpty)
     // truncated container: header parses but payload range check catches it
     assert(FrameContainer.frameAt(good.take(good.length - 4), 11).isEmpty)
+    // crafted index entry with offset near Long.MaxValue: `off + len`
+    // would wrap negative and slip past a naive bounds check — the
+    // overflow-safe form must return None, not throw from arraycopy
+    val crafted = {
+      val buf = java.nio.ByteBuffer.allocate(12 + 12)
+      buf.putInt(0x47464331).putInt(40).putInt(1)
+      buf.putLong(Long.MaxValue - 2).putInt(100)
+      buf.array()
+    }
+    assert(FrameContainer.frameAt(crafted, 0).isEmpty)
   }
 
   test("frame container: seeded-random round-trip and truncation safety") {

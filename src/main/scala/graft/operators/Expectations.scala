@@ -102,8 +102,19 @@ object Expectations {
     * so the anti-join input is dictionary-sized, then a broadcast-sized
     * code-list side) — three scans total, nothing quadratic.
     */
-  def importerExpectations(spark: SparkSession, dir: String): DataFrame = {
-    val dims = graft.sources.Fixtures.apiDimensions(spark, dir)
+  def importerExpectations(spark: SparkSession, dir: String): DataFrame =
+    importerExpectationsFrames(
+      graft.sources.Fixtures.apiDimensions(spark, dir),
+      graft.sources.Fixtures.importerEvents(spark, dir),
+      graft.sources.Fixtures.codeLists(spark, dir))
+
+  /** The t43 matrix over ANY (dimensions, events, code-lists) frames —
+    * shared by the corpus query above and the per-micro-batch streaming
+    * twin ([[importerExpectationsStream]]) so the check arithmetic has
+    * exactly one home.
+    */
+  private[graft] def importerExpectationsFrames(
+      dims: DataFrame, events: DataFrame, codeLists: DataFrame): DataFrame = {
     val dimRows = dims.agg(
       count(lit(1)).as("n"),
       sum(when(col("dimension_id") =!= "", 1L).otherwise(0L)).as("n_dim_ok"),
@@ -126,7 +137,7 @@ object Expectations {
            |    CASE WHEN n = 0 THEN 1000000L ELSE (n_distinct * 1000000) div n END,
            |    1000000L, n_distinct = n
            |) AS (check_name, subject, observed, threshold, passed)""".stripMargin))
-    val evRows = graft.sources.Fixtures.importerEvents(spark, dir)
+    val evRows = events
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("instance_id") =!= "", 1L).otherwise(0L)).as("n_iid_ok"))
@@ -142,7 +153,7 @@ object Expectations {
         col("links.code_list.id") =!= "time")
       .select(col("links.code_list.id").as("code_list_id"), col("option"))
       .distinct()
-      .join(broadcast(graft.sources.Fixtures.codeLists(spark, dir)
+      .join(broadcast(codeLists
         .select(col("code_list_id").as("cl_id"), col("code"))),
         col("code_list_id") === col("cl_id") && col("option") === col("code"),
         "left_anti")
@@ -181,6 +192,38 @@ object Expectations {
         // alerting on an idle stream. No documents → no verdict → no rows.
         if (!b.isEmpty) {
           docExpectations(b.toDF()).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+        }
+        ()
+      }
+      .start()
+
+  /** t43 streaming twin: the importer validation matrix
+    * (handler/incoming_instance_handler.go:100-133) evaluated per
+    * micro-batch at ARRIVAL — each batch's report covers the arriving
+    * events plus the dimensions slice of exactly the arriving instances
+    * (static dims side, left-semi-pruned by a broadcast of the batch's
+    * instance ids — the batch is always the small side), so a bad feed is
+    * flagged the trigger it lands, the same way [[expectationsStream]]
+    * gates documents. Same replay discipline too: each report is an
+    * idempotent per-`batch_id` directory overwrite, and an empty trigger
+    * writes nothing (no vacuous all-pass rows on an idle stream — the
+    * n = 0 guard exists for consumers of the BATCH operator, not to let
+    * idle triggers mint reports).
+    */
+  def importerExpectationsStream(
+      events: DataFrame, dims: DataFrame, codeLists: DataFrame,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty) {
+          val batch = b.toDF()
+          val batchDims = dims.join(
+            broadcast(batch.select(col("instance_id")).distinct()),
+            Seq("instance_id"), "left_semi")
+          importerExpectationsFrames(batchDims, batch, codeLists).coalesce(1)
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
         }
         ()

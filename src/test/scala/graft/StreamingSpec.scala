@@ -1273,6 +1273,50 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("t43 streaming twin: per-batch importer reports match the batch matrix on the arriving slice") {
+    import graft.operators.Expectations
+    import graft.sources.Fixtures
+    val base = Files.createTempDirectory("imp-expect-stream")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dims = Fixtures.apiDimensions(spark, sf0001).localCheckpoint()
+      val codeLists = Fixtures.codeLists(spark, sf0001).localCheckpoint()
+      val ev = Fixtures.importerEvents(spark, sf0001)
+        .as[(String, String)].collect().toSeq
+      val mem = MemoryStream[(String, String)]
+      val q = Expectations.importerExpectationsStream(
+        mem.toDF().toDF("file_url", "instance_id"), dims, codeLists,
+        s"$base/out", s"$base/ckpt")
+      val splits = ev.grouped((ev.length + 1) / 2).toSeq
+      try {
+        splits.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      // batch ≡ stream: each per-batch report is bit-equal to the batch
+      // matrix applied to the same slice — the arriving events plus the
+      // dims of exactly the arriving instances
+      splits.zipWithIndex.foreach { case (b, i) =>
+        val batchDf = b.toDF("file_url", "instance_id")
+        val sliceDims = dims.join(
+          batchDf.select("instance_id").distinct(), Seq("instance_id"), "left_semi")
+        val expected = Expectations
+          .importerExpectationsFrames(sliceDims, batchDf, codeLists)
+          .collect().map(_.toSeq).toSet
+        val got = spark.read.parquet(s"$base/out/batch_id=$i")
+          .select("check_name", "subject", "observed", "threshold", "passed")
+          .collect().map(_.toSeq).toSet
+        assert(got === expected, s"batch $i diverged from the batch derivation")
+      }
+      // non-vacuity: the fixture feed's planted defects (empty
+      // instance_ids, invalid dimension rows, duplicates) must bind
+      val all = spark.read.parquet(s"$base/out")
+      assert(all.filter(!col("passed")).count() > 0,
+        "no failing checks over the planted feed defects")
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("partial-batch redelivery replaces per-batch sink output instead of appending") {
     val outDir = Files.createTempDirectory("replay-out").toString
     val sinks = ImporterStream.Sinks(outDir)

@@ -66,6 +66,20 @@ object Expectations {
         col("threshold").cast("bigint").as("threshold"), col("passed"))
   }
 
+  /** The ROW-LEVEL conjunction of the t40 column checks — the per-doc
+    * form the composed at-arrival gate uses as its expectations leg
+    * ([[graft.streaming.OnlineGate.fullIngestGate]]). Row-level on
+    * purpose: the aggregate report's ratios depend on how a feed is
+    * sliced into micro-batches, so gating on them would not be
+    * prefix-consistent; the per-row predicate is a pure function of the
+    * document and judges identically at arrival and cold.
+    */
+  private[graft] def docRowPass: org.apache.spark.sql.Column =
+    col("text").isNotNull && length(col("text")) > 0 &&
+      col("lang").isin(AcceptedLangs: _*) &&
+      col("n_chars") === length(col("text")) &&
+      col("n_chars").between(1L, MaxCharsBound)
+
   /** t40: the corpus expectation report. */
   def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
     // FK: every lineitem order key must resolve; one anti-join count over

@@ -313,20 +313,33 @@ object Sketches {
     * user seen): a count threshold is not bloom-mergeable, and the
     * streaming question is "seen before?", not "heavy?".
     */
+  /** The key → bloom-position fan-out shared by the event seen-set stream
+    * and the composed ingest gate ([[graft.streaming.OnlineGate]]): each
+    * distinct key row explodes into its k md5-affine `(w, mask)` word
+    * positions. Pure per-row — the caller picks the aggregation (bit_or
+    * to BUILD a partial, broadcast-join to PROBE one).
+    */
+  private[graft] def bloomPositions(
+      keys: DataFrame, keyCol: String,
+      bits: Int = BloomBits, k: Int = BloomK): DataFrame = {
+    val m = bits; val wb = BloomWordBits; val p = PortableHash.P
+    def posExpr(i: Int) =
+      s"((${PortableHash.permA(i)}L * x + ${PortableHash.permB(i)}L) % ${p}L) % $m"
+    val allPos = (0 until k).map(posExpr).mkString(", ")
+    keys
+      .withColumn("x", PortableHash.md5Prefix60(col(keyCol).cast("string")) % p)
+      .selectExpr(keyCol, s"explode(array($allPos)) AS pos")
+      .selectExpr(keyCol, s"cast(pos div $wb AS int) AS w",
+        s"shiftleft(1L, cast(pos % $wb AS int)) AS mask")
+  }
+
   def bloomIngestStream(
       events: DataFrame, outPath: String, checkpoint: String,
       memberType: String = "purchase",
       bits: Int = BloomBits, k: Int = BloomK)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val m = bits; val wb = BloomWordBits; val p = PortableHash.P
-    def posExpr(i: Int) =
-      s"((${PortableHash.permA(i)}L * x + ${PortableHash.permB(i)}L) % ${p}L) % $m"
-    val allPos = (0 until k).map(posExpr).mkString(", ")
-    def positions(users: DataFrame): DataFrame = users
-      .withColumn("x", PortableHash.md5Prefix60(col("user_id").cast("string")) % p)
-      .selectExpr("user_id", s"explode(array($allPos)) AS pos")
-      .selectExpr("user_id", s"cast(pos div $wb AS int) AS w",
-        s"shiftleft(1L, cast(pos % $wb AS int)) AS mask")
+    def positions(users: DataFrame): DataFrame =
+      bloomPositions(users, "user_id", bits, k)
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

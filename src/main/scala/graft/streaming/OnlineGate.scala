@@ -222,6 +222,241 @@ object OnlineGate {
     * t23i uses), never re-shingling a byte of text. Docs shorter than one
     * segment carry no signal and pass (0), matching the batch gates.
     */
+  /** Hash-bucket fan-out of the exact seen-identity store: the confirm
+    * probe prunes to the candidate idents' buckets, so a batch with few
+    * bloom hits reads a few directories, not the corpus-sized store.
+    */
+  private[graft] val SeenBuckets = 64
+
+  /** The COMPOSED at-arrival ingest gate: ONE streaming query that judges
+    * every arriving document with first-seen ∧ expectations ∧ quality —
+    * the admission composition a crawl-fed pipeline runs the moment a
+    * document lands, the same way t23/t25 compose the batch-side gates.
+    *
+    * Legs, all prefix-consistent so at-arrival ≡ cold holds bit-for-bit:
+    *
+    *   - FIRST-SEEN on a content identity (`identityCol`, e.g. the crawl
+    *     URL): exact lower-id-wins re-crawl suppression. The Bloom
+    *     seen-set ([[graft.operators.Sketches.bloomIngestStream]]'s
+    *     partial discipline, shared via `bloomPositions`) rides BROADCAST
+    *     as an O(sketch) pre-filter — an ident missing any of its k bits
+    *     is DEFINITELY new and never touches the store; only bloom HITS
+    *     (true repeats + the FP trickle) are confirmed against the exact
+    *     identity store, which is hash-bucketed so the probe
+    *     partition-prunes to the candidates' buckets. Bloom FPs therefore
+    *     cost a pruned read, never a wrong verdict — the verdict is
+    *     exact, which is what makes it prefix-consistent (a raw bloom
+    *     verdict would depend on batch boundaries through its FP set).
+    *     Within a batch the lowest doc_id per ident wins, matching the
+    *     cold rule.
+    *   - EXPECTATIONS: the ROW-LEVEL t40 conjunction
+    *     ([[graft.operators.Expectations.docRowPass]] — aggregate ratios
+    *     would not be slicing-invariant), with the per-batch AGGREGATE
+    *     report riding along under `expect/batch_id=N` as the quality
+    *     timeline, same as the standalone expectations stream.
+    *   - QUALITY: token bounds + heuristic quality (map-only columns),
+    *     the t39 Gopher repetition rules (within-document, stateless),
+    *     and optionally (lmModelPath) the CCNet perplexity bucket against
+    *     a model FROZEN before the stream started.
+    *
+    * Near-duplicate survivorship (fuzzy/semantic) deliberately stays in
+    * [[gateStream]] — it needs the shingle/vector stores; a pipeline
+    * chains this admission gate in front of it.
+    *
+    * Per batch the work is: map-only text expressions over the
+    * micro-batch, a sketch-sized broadcast probe, a bucket-pruned confirm
+    * only when the bloom hits, and two state writes — a ≤128-word bloom
+    * partial and the batch's ident list. Replay discipline matches the
+    * bloom stream: per-`batch_id` idempotent overwrites, prefix reads
+    * filter `batch_id < id` (a replayed batch judges against exactly the
+    * prefix it saw the first time), and the seen-store is written BEFORE
+    * the bloom partial so any bloom bit visible to a later batch has its
+    * exact rows present. Decisions land under `decisions/batch_id=N` as
+    * (doc_id, n_tokens, quality_e4, first_seen, pass_expect,
+    * pass_quality, pass_tokens, pass_rep[, pass_ppl], kept).
+    */
+  def fullIngestGate(
+      docs: DataFrame, outPath: String, checkpoint: String,
+      identityCol: String = "url",
+      lmModelPath: Option[String] = None,
+      minQualityE4: Long = TrainingPrep.MinQualityE4,
+      minTokens: Long = TrainingPrep.MinTokens,
+      maxTokens: Long = TrainingPrep.MaxTokens): StreamingQuery = {
+    val owner = docs.sparkSession
+    val lmFrames = lmModelPath.map { mp =>
+      val (model, unk, global) = graft.operators.LmScore.loadModel(owner, mp)
+      (model.persist(), unk.persist(), global.persist())
+    }
+    val query = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.toDF().localCheckpoint()
+          processFullGateBatch(spark, b, outPath, identityCol, lmFrames,
+            minQualityE4, minTokens, maxTokens, id)
+        }
+        ()
+      }
+      .start()
+    lmFrames.foreach { case (model, unk, global) =>
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def cleanup(self: StreamingQueryListener): Unit =
+        if (done.compareAndSet(false, true)) {
+          model.unpersist(); unk.unpersist(); global.unpersist()
+          owner.streams.removeListener(self)
+        }
+      val listener: StreamingQueryListener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) cleanup(this)
+      }
+      owner.streams.addListener(listener)
+      if (!query.isActive) cleanup(listener)
+    }
+    query
+  }
+
+  private def processFullGateBatch(
+      spark: SparkSession, b: DataFrame, outPath: String, identityCol: String,
+      lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
+      minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long): Unit = {
+    import graft.operators.{Expectations, Sketches}
+    val bloomRoot = s"$outPath/bloom"
+    val seenRoot = s"$outPath/seen"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(pth: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(pth)
+      p.getFileSystem(conf).exists(p)
+    }
+    val keyed = b.select(col("doc_id"), col(identityCol).cast("string").as("ident"))
+    val idents = keyed.select(col("ident")).distinct().localCheckpoint()
+    // bloom pre-filter over the STRICTLY EARLIER prefix: an ident missing
+    // any bit is definitely new; only hits go to the exact confirm
+    val candidates =
+      if (!exists(bloomRoot)) idents.limit(0)
+      else {
+        val acc = spark.read.parquet(bloomRoot).filter(col("batch_id") < id)
+          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+        Sketches.bloomPositions(idents, "ident")
+          .join(broadcast(acc), Seq("w"), "left")
+          .select(col("ident"),
+            when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"), 1)
+              .otherwise(0).as("hit"))
+          .groupBy(col("ident")).agg(min(col("hit")).as("allhit"))
+          .filter(col("allhit") === 1).select(col("ident"))
+          .localCheckpoint()
+      }
+    val candBuckets = candidates
+      .select(pmod(hash(col("ident")), lit(SeenBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // exact confirm, bucket-pruned to the candidates — bloom FPs die here
+    val seenBefore =
+      if (candBuckets.isEmpty) idents.limit(0)
+      else spark.read.parquet(seenRoot)
+        .filter(col("batch_id") < id && col("bucket").isin(candBuckets: _*))
+        .join(broadcast(candidates), Seq("ident"), "left_semi")
+        .select(col("ident")).distinct()
+    val firstInBatch = keyed.groupBy(col("ident")).agg(min(col("doc_id")).as("first_doc"))
+    val firstSeen = keyed
+      .join(broadcast(seenBefore.withColumn("seen", lit(true))), Seq("ident"), "left")
+      .join(firstInBatch, Seq("ident"))
+      .select(col("doc_id"),
+        (col("seen").isNull && col("doc_id") === col("first_doc")).as("first_seen"))
+    // the aggregate expectation report rides along as the quality timeline
+    Expectations.docExpectations(b).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/expect/batch_id=$id")
+    val repPass = TextAnalysis.gopherSignals(b.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("gopher_keep").as("pass_rep"))
+    val lmPass = lmFrames.map { case (model, unk, global) =>
+      graft.operators.LmScore
+        .scoreWithModel(b.select(col("doc_id"), col("text")), model, unk, global)
+        .select(col("doc_id"), (col("ppl_bucket") =!= "tail").as("pass_ppl"))
+    }
+    val withSignals = b
+      .select(col("doc_id"),
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+        TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
+        Expectations.docRowPass.as("pass_expect"))
+      .join(firstSeen, Seq("doc_id"))
+      .join(repPass, Seq("doc_id"), "left")
+      .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
+    composeFullDecision(withSignals, lmPass, minQualityE4, minTokens, maxTokens)
+      .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
+    // state updates — EVERY arriving ident enters the seen set (kept or
+    // rejected: first-seen is about arrival, not admission). Exact rows
+    // FIRST, bloom partial second: a bloom bit without its exact rows
+    // could mis-confirm a later FP as seen.
+    idents.withColumn("bucket", pmod(hash(col("ident")), lit(SeenBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$seenRoot/batch_id=$id")
+    Sketches.bloomPositions(idents, "ident")
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$bloomRoot/batch_id=$id")
+  }
+
+  /** The verdict composition shared by the stream and its cold twin. */
+  private def composeFullDecision(
+      withSignals: DataFrame, lmPass: Option[DataFrame],
+      minQualityE4: Long, minTokens: Long, maxTokens: Long): DataFrame = {
+    val withLm = lmPass.fold(withSignals)(lp =>
+      withSignals.join(lp, Seq("doc_id"), "left")
+        .withColumn("pass_ppl", coalesce(col("pass_ppl"), lit(true))))
+    val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
+      "pass_expect", "pass_quality", "pass_tokens", "pass_rep") ++
+      (if (lmPass.isDefined) Seq("pass_ppl") else Nil) :+ "kept"
+    withLm
+      .withColumn("pass_quality", col("quality_e4") >= minQualityE4)
+      .withColumn("pass_tokens", col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("kept",
+        col("first_seen") && col("pass_expect") && col("pass_quality") &&
+          col("pass_tokens") && col("pass_rep") &&
+          (if (lmPass.isDefined) col("pass_ppl") else lit(true)))
+      .select(cols.map(col): _*)
+  }
+
+  /** Cold recomputation of [[fullIngestGate]]'s verdicts over the final
+    * corpus — the backfill/audit pass. With monotone doc_id arrival the
+    * accumulated streaming decisions equal this bit-for-bit: first-seen
+    * is exact lower-id-wins (the bloom is only a pre-filter), and every
+    * other leg is a pure per-document function (the LM leg against the
+    * same frozen model). `StreamingSpec` pins the equivalence.
+    */
+  def fullIngestGateCold(
+      docs: DataFrame, identityCol: String = "url",
+      lmModelPath: Option[String] = None,
+      minQualityE4: Long = TrainingPrep.MinQualityE4,
+      minTokens: Long = TrainingPrep.MinTokens,
+      maxTokens: Long = TrainingPrep.MaxTokens): DataFrame = {
+    val spark = docs.sparkSession
+    import graft.operators.Expectations
+    val keyed = docs.withColumn("ident", col(identityCol).cast("string"))
+    val firstIds = keyed.groupBy(col("ident")).agg(min(col("doc_id")).as("first_doc"))
+    val repPass = TextAnalysis.gopherSignals(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("gopher_keep").as("pass_rep"))
+    val lmPass = lmModelPath.map { mp =>
+      val (model, unk, global) = graft.operators.LmScore.loadModel(spark, mp)
+      graft.operators.LmScore
+        .scoreWithModel(docs.select(col("doc_id"), col("text")), model, unk, global)
+        .select(col("doc_id"), (col("ppl_bucket") =!= "tail").as("pass_ppl"))
+    }
+    val withSignals = keyed
+      .join(firstIds, Seq("ident"))
+      .select(col("doc_id"),
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+        TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
+        Expectations.docRowPass.as("pass_expect"),
+        (col("doc_id") === col("first_doc")).as("first_seen"))
+      .join(repPass, Seq("doc_id"), "left")
+      .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
+    composeFullDecision(withSignals, lmPass, minQualityE4, minTokens, maxTokens)
+  }
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

@@ -1273,6 +1273,61 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("composed ingest gate: at-arrival first-seen ∧ expectations ∧ quality ≡ cold, bit-for-bit") {
+    import graft.operators.LmScore
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("fullgate")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      LmScore.buildModel(spark, sf0001, s"$base/lm")
+      // plant the defects each leg gates on: re-crawled urls (doc_id %
+      // 137 collides), rejected langs, inconsistent n_chars
+      val seeded = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") % 31 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 41 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars"))
+        .withColumn("url",
+          concat(lit("https://crawl.example/"), (col("doc_id") % 137).cast("string")))
+        .localCheckpoint()
+      val rows = seeded.orderBy("doc_id")
+        .as[(Long, String, String, Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String, String, Long, String)]
+      val q = OnlineGate.fullIngestGate(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "url"),
+        s"$base/out", s"$base/ckpt", lmModelPath = Some(s"$base/lm"))
+      try {
+        rows.grouped((rows.length + 2) / 3).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def image(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
+        "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "pass_ppl", "kept")
+      val online = spark.read.parquet(s"$base/out/decisions")
+        .select(cols.map(col): _*)
+      val cold = OnlineGate.fullIngestGateCold(
+        seeded, lmModelPath = Some(s"$base/lm")).select(cols.map(col): _*)
+      assert(online.count() === rows.length.toLong)
+      assert(image(online) === image(cold),
+        "at-arrival composed verdicts diverged from the cold pass")
+      // non-vacuity: every leg must bind somewhere, and some doc survives
+      val dec = online.localCheckpoint()
+      assert(dec.filter(!col("first_seen")).count() > 0, "no re-crawl suppressed")
+      assert(dec.filter(!col("pass_expect")).count() > 0, "no expectation defect bound")
+      assert(dec.filter(!col("pass_ppl")).count() > 0, "LM leg rejected nothing")
+      assert(dec.filter(col("kept")).count() > 0, "gate admitted nothing")
+      // the aggregate expectation timeline rode along, one report per batch
+      val reports = spark.read.parquet(s"$base/out/expect")
+      assert(reports.select("batch_id").distinct().count() === 3L)
+      assert(reports.filter(!col("passed")).count() > 0)
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("t43 streaming twin: per-batch importer reports match the batch matrix on the arriving slice") {
     import graft.operators.Expectations
     import graft.sources.Fixtures

@@ -86,16 +86,20 @@ object Bench {
 
   /** Per-query record derived from its samples: min over successful
     * samples (contention only ever inflates, so min is the estimator),
-    * dispersion = max/min over successful samples (>~1 flags residual
-    * contention the extra pass could not bound), and the sentinel ratio
-    * of the window that produced the recorded min (how trustworthy the
-    * recorded number's admission conditions were). All-failed → -1. */
+    * dispersion = SECOND-BEST / best (do the two best observations agree
+    * — i.e. is the recorded floor reproducible). Max/min would punish a
+    * query precisely for having dodged a contended sample via the extra
+    * pass: the contaminated observation stays in the record forever even
+    * though the estimator never uses it; the sentinel column already
+    * records admission conditions mechanically. Also the sentinel ratio
+    * of the window that produced the recorded min. All-failed → -1. */
   private[graft] def estimate(samples: Seq[Sample]): (Double, Double, Double) = {
     val good = samples.filter(_.ok)
     if (good.isEmpty) (-1.0, 1.0, 1.0)
     else {
-      val best = good.minBy(_.t)
-      (best.t, good.map(_.t).max / best.t, best.sentinel)
+      val ts = good.map(_.t).sorted
+      val disp = if (ts.size < 2) 1.0 else ts(1) / ts(0)
+      (ts.head, disp, good.minBy(_.t).sentinel)
     }
   }
 
@@ -165,7 +169,11 @@ object Bench {
     // Warm the session (codegen compiler, parquet footer caches, broadcast
     // machinery) and touch EVERY base table once, so no timed query is
     // charged one-time scan/footer init (f1_json_props used to absorb the
-    // events-table first-touch cost).
+    // events-table first-touch cost). A warm-up failure must not kill the
+    // bench, but it must be VISIBLE: `warmup_ok` rides in the record so a
+    // swallowed abort (whose first-touch costs then land in pass-0
+    // samples) can't masquerade as a clean run.
+    var warmupOk = true
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -233,7 +241,7 @@ object Bench {
           .selectExpr("sum(xxhash64(struct(*)))").first()
       }
       spark.catalog.clearCache()
-    } catch { case _: Throwable => () }
+    } catch { case _: Throwable => warmupOk = false }
 
     // ~20-40 ms parallel CPU-bound probe: co-located load inflates it in
     // proportion to stolen cores, which is the contention mode that
@@ -276,6 +284,16 @@ object Bench {
     val retry = names.filter(n => needsExtraPass(samples(n)))
     for (name <- passOrder(retry, 2))
       samples(name) = samples(name) :+ runOne(name)
+    // third sample for still-disagreeing SUB-SECOND queries: at 30-900 ms
+    // one scheduler hiccup reads as 2x disagreement between two samples —
+    // a third observation pins the floor so the best-two dispersion
+    // reflects reproducibility, not a single stolen timeslice
+    val subSecond = names.filter { n =>
+      val (t, d, _) = estimate(samples(n))
+      t >= 0 && t < 1.0 && d > DispersionRatio && samples(n).size < 3
+    }
+    for (name <- passOrder(subSecond, 3))
+      samples(name) = samples(name) :+ runOne(name)
 
     val est = names.map(n => n -> estimate(samples(n)))
     val results = est.map { case (n, (t, _, _)) => n -> t }
@@ -307,7 +325,7 @@ object Bench {
     val maxDisp = disp.map(_._2).maxOption.getOrElse(1.0)
     val maxSent = sent.map(_._2).maxOption.getOrElse(1.0)
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
     // 90+ timings that don't fit the compact line
@@ -327,7 +345,7 @@ object Bench {
     val failedRef =
       if (failedNames.isEmpty) ""
       else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

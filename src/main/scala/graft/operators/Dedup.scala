@@ -157,6 +157,57 @@ object Dedup {
         col("sa.n").as("na"), col("sb.n").as("nb"))
   }
 
+  // ---- density-stress seams -------------------------------------------
+  // The dedup families' only super-linear term is quadratic in DUPLICATE
+  // DENSITY (posting-list / band-bucket length), bounded by the caps.
+  // These seams run the d3/d4/d11 machinery over an arbitrary corpus and
+  // meter the candidate-pair volume the caps admit, so the bound is
+  // MEASURED (ScaleOpsSpec density stress + docs/SCALING.md), not argued.
+
+  /** d3 over any (doc_id, text) corpus. */
+  private[graft] def jaccardPairsOf(
+      docs: DataFrame, threshold: Double = DefaultThreshold,
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    jaccardPairsFromShingles(shinglesOf(docs), threshold, maxDocFreq)
+
+  /** d11 over any (doc_id, text) corpus. */
+  private[graft] def containmentPairsOf(
+      docs: DataFrame, minContainment: Double = DefaultMinContainment,
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    containmentFromShingles(shinglesOf(docs), minContainment, maxDocFreq)
+
+  /** d4 over any (doc_id, text) corpus. */
+  private[graft] def minhashLshPairsOf(
+      docs: DataFrame, threshold: Double = DefaultThreshold,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    val sh = shinglesOf(docs).cache()
+    minhashLshVerified(minhashSignatures(sh), sh, threshold, maxBucket)
+  }
+
+  /** Candidate-pair EXCHANGE volume of the d3/d11 posting-list generator
+    * under a doc-frequency cap: Σ over surviving shingles of C(df, 2) —
+    * exactly the rows `pairStats` emits before pair-level grouping.
+    * `maxDocFreq = Int.MaxValue` meters the uncapped volume.
+    */
+  private[graft] def postingPairVolume(docs: DataFrame, maxDocFreq: Int): Long =
+    shinglesOf(docs)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+      .collect()(0).getLong(0)
+
+  /** Candidate-pair volume of the d4 band-bucket generator under a bucket
+    * cap: Σ over surviving (band, bucket) groups of C(n, 2).
+    */
+  private[graft] def bandPairVolume(docs: DataFrame, maxBucket: Int): Long = {
+    val sh = shinglesOf(docs)
+    bandBuckets(minhashSignatures(sh))
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= maxBucket)
+      .agg(coalesce(sum(expr("nb * (nb - 1) div 2")), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
   private[graft] val NumPerms = 32
   private val BandSize = 4 // → 8 bands; P(candidate) = 1-(1-s^4)^8
 
@@ -219,13 +270,28 @@ object Dedup {
     * at corpus scale that shuffle (one md5 per shingle + a 32-column
     * min-agg) is the dominant cost of the d4 pipeline's front half.
     */
+  /** Band-bucket size cap — the d4 counterpart of the shingle
+    * doc-frequency cap: a bucket of k near-identical docs emits C(k, 2)
+    * candidate pairs, so an ultra-dense duplicate group (a re-posted
+    * boilerplate page crawled thousands of times) would make ONE bucket
+    * quadratic in its clone count. Buckets above the cap are dropped from
+    * candidate generation; the docs in them are byte-near-identical by
+    * construction (all 8 bands colliding at this size is only reachable
+    * by clones) and are the exact-dedup family's linear-cost job (d1/d2),
+    * not the fuzzy pipeline's. Mirrored by `HAVING count(*) <= cap` in
+    * the d4 oracle; the density-stress spec measures the bound binding.
+    */
+  val MaxBandBucket: Int = DefaultMaxDocFreq
+
   private[operators] def minhashLshVerified(
-      sig: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+      sig: DataFrame, sh: DataFrame, threshold: Double,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
     // posting-list pairing (see pairStats): one shuffle on the band
     // bucket, pairs emitted map-side from the sorted list
     val cands = bandBuckets(sig)
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxBucket)
       .select(explode(expr(OrderedPairsExpr)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
@@ -534,9 +600,13 @@ object Dedup {
        |${duckMinhashSigCtes(NumPerms)},
        |bands AS (
        |  ${duckBandSelects(NumPerms, BandSize)}),
+       |bcap AS (
+       |  SELECT band, bkey FROM bands GROUP BY band, bkey
+       |  HAVING count(*) <= $MaxBandBucket),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x
+       |  JOIN bcap c ON c.band = x.band AND c.bkey = x.bkey
        |  JOIN bands y ON y.band = x.band AND y.bkey = x.bkey
        |              AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -45,6 +45,85 @@ class ScaleOpsSpec extends SparkSuite {
     assert(capped === Set.empty)
   }
 
+  test("density stress: d3/d4/d11 candidate volume and wall-time stay cap-bounded as dup density explodes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def planted(modulo: Int, copies: Int, base: Long) = docs.unionByName(
+      docs.filter(col("doc_id") % modulo === 0)
+        .crossJoin(spark.range(copies).toDF("j"))
+        .select((lit(base) + col("doc_id") * 1000 + col("j")).as("doc_id"), col("text")))
+      .localCheckpoint()
+    val cap = Dedup.DefaultMaxDocFreq
+    // ---- density RAMP below the cap: added volume is linear in the
+    // number of duplicate groups (the quadratic term is per-group and
+    // multiplicity is fixed), so 2x the groups ≈ 2x the added volume
+    val v0 = Dedup.postingPairVolume(docs, cap)
+    val vm1 = Dedup.postingPairVolume(planted(10, 3, 20000000L), cap)
+    val vm2 = Dedup.postingPairVolume(planted(5, 3, 20000000L), cap)
+    val ratio = (vm2 - v0).toDouble / (vm1 - v0).toDouble
+    assert(vm1 > v0, "planting added no candidate volume — ramp is vacuous")
+    assert(ratio > 1.5 && ratio < 3.0,
+      s"sub-cap density ramp is not linear in group count: $ratio ($v0/$vm1/$vm2)")
+    // ---- density EXPLOSION past the cap: 5 docs cloned 200x each
+    // (group size 201 > cap) — uncapped volume blows up quadratically,
+    // capped volume stays at-or-below the base corpus's
+    val ultra = planted(100, 200, 10000000L)
+    val vuCap = Dedup.postingPairVolume(ultra, cap)
+    val vuRaw = Dedup.postingPairVolume(ultra, Int.MaxValue)
+    assert(vuCap <= v0,
+      s"df cap failed to drop the ultra-dense groups: $vuCap > base $v0")
+    assert(vuRaw >= 50L * (vuCap + 1),
+      s"uncapped volume $vuRaw not >> capped $vuCap — stress is vacuous")
+    val b0 = Dedup.bandPairVolume(docs, Dedup.MaxBandBucket)
+    val buCap = Dedup.bandPairVolume(ultra, Dedup.MaxBandBucket)
+    val buRaw = Dedup.bandPairVolume(ultra, Int.MaxValue)
+    assert(buCap <= b0 + 10,
+      s"band-bucket cap failed on the ultra-dense groups: $buCap vs base $b0")
+    assert(buRaw >= 100L * (buCap + 1),
+      s"uncapped band volume $buRaw not >> capped $buCap")
+    // ---- wall-time and results under the caps: the dense corpus runs in
+    // the same time band as the base one, and the clone flood never
+    // reaches the output (those groups are exact-dedup's linear job)
+    def timed(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t0 = System.nanoTime; val n = df.count(); (System.nanoTime - t0, n)
+    }
+    val cloneFlood = col("a") >= 10000000L || col("b") >= 10000000L
+    for ((name, run) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "d3" -> (d => Dedup.jaccardPairsOf(d)),
+        "d4" -> (d => Dedup.minhashLshPairsOf(d)),
+        "d11" -> (d => Dedup.containmentPairsOf(d)))) {
+      val (tBase, _) = timed(run(docs))
+      val (tUltra, _) = timed(run(ultra))
+      assert(tUltra <= 4L * tBase + 2000000000L,
+        s"$name wall-time not cap-bounded: base ${tBase / 1e9}s, dense ${tUltra / 1e9}s")
+      assert(run(ultra).filter(cloneFlood).count() === 0L,
+        s"$name emitted pairs from over-cap clone groups")
+    }
+    // without the cap the flood reaches the output: >= 5 * C(201,2) pairs
+    assert(Dedup.jaccardPairsOf(ultra, maxDocFreq = Int.MaxValue)
+      .filter(cloneFlood).count() >= 5L * 201L * 200L / 2L)
+    // ---- index-fed forms (the production path) under the same caps: an
+    // index BUILT OVER the ultra-dense corpus feeds d3i/d4i/d11i, and the
+    // clone flood still never reaches any output
+    val tbl = "density_stress_idx"
+    val idir = java.nio.file.Files.createTempDirectory("density-idx").toString
+    try {
+      graft.operators.ShingleIndex.buildFor(spark, ultra, s"$idir/sh", tbl)
+      for ((name, df) <- Seq(
+          "d3i" -> graft.operators.ShingleIndex.ngramJaccardPairs(spark, tbl),
+          "d4i" -> graft.operators.ShingleIndex.minhashLshPairs(spark, tbl),
+          "d11i" -> graft.operators.ShingleIndex.containmentPairs(spark, tbl))) {
+        assert(df.filter(cloneFlood).count() === 0L,
+          s"$name emitted pairs from over-cap clone groups")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+    }
+  }
+
   test("event-time window + watermark aggregates late-tolerant (ST2 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

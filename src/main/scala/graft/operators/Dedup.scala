@@ -530,10 +530,18 @@ object Dedup {
     }
     val bands = sig.select(col("doc_id"), posexplode(array(bandKeys: _*)))
       .toDF("doc_id", "band", "bkey")
+    // same bucket-size cap as d4 (MaxBandBucket, mirrored in the oracle):
+    // an ultra-dense bucket — boilerplate crawled into BOTH corpora —
+    // would make the eval×train join quadratic in its clone count; docs
+    // that dense are exact dedup's job, not decontamination's
+    val okBuckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("nb")).filter(col("nb") <= MaxBandBucket)
+      .select(col("band"), col("bkey"))
+    val bandsOk = bands.join(okBuckets, Seq("band", "bkey"), "left_semi")
     val isEval = col("doc_id") < CrossEvalCut || col("doc_id") >= CrossPlantBase
-    val evalBands = bands.filter(isEval)
+    val evalBands = bandsOk.filter(isEval)
       .select(col("doc_id").as("eval_id"), col("band"), col("bkey"))
-    val trainBands = bands.filter(!isEval)
+    val trainBands = bandsOk.filter(!isEval)
       .select(col("doc_id").as("train_id"), col("band"), col("bkey"))
     val cand = evalBands.join(trainBands, Seq("band", "bkey"))
       .select(col("eval_id"), col("train_id")).distinct()
@@ -692,9 +700,13 @@ object Dedup {
        |${duckMinhashSigCtes(CrossPerms)},
        |bands AS (
        |  ${duckBandSelects(CrossPerms, CrossBandRows)}),
+       |bcap AS (
+       |  SELECT band, bkey FROM bands GROUP BY band, bkey
+       |  HAVING count(*) <= $MaxBandBucket),
        |cand AS (
        |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
        |  FROM bands e
+       |  JOIN bcap c ON c.band = e.band AND c.bkey = e.bkey
        |  JOIN bands t ON t.band = e.band AND t.bkey = e.bkey
        |  WHERE (e.doc_id < $CrossEvalCut OR e.doc_id >= $CrossPlantBase)
        |    AND t.doc_id >= $CrossEvalCut AND t.doc_id < $CrossPlantBase),

@@ -578,6 +578,16 @@ object ShingleIndex {
     * [[ingestBatch]]; the judge runs BEFORE the append (and after any
     * crash purge), so the store holds exactly the completed batches, and
     * the decisions write is an idempotent per-batch directory overwrite.
+    *
+    * The online judge deliberately carries NO band-bucket cap: an arrival
+    * colliding with ANY prior doc is a genuine near-dup candidate, and
+    * its per-arrival verify cost is bounded by the bucket it touches.
+    * The cold d4 pass, by contrast, caps ultra-dense buckets
+    * ([[Dedup.MaxBandBucket]]) to keep a batch sweep out of the
+    * quadratic clone-group regime — so the online ≡ cold drop-set
+    * equivalence holds exactly when no stored bucket exceeds the cap (a
+    * corpus dense enough to break that precondition is exact dedup's
+    * territory, and both paths still agree on every sub-cap pair).
     */
   def dedupIngestBatch(
       spark: SparkSession, docs: DataFrame, tableName: String,

@@ -174,6 +174,7 @@ object Bench {
     // swallowed abort (whose first-touch costs then land in pass-0
     // samples) can't masquerade as a clean run.
     var warmupOk = true
+    var warmupError = ""
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -236,12 +237,20 @@ object Bench {
           "lineitem", "events", "documents", "embeddings").foreach { t =>
         // .first(), NOT .count(): under count() the optimizer prunes the
         // unreferenced aggregate and the scan reads zero columns — the
-        // warm-up must materialize the sum itself to fault pages in
+        // warm-up must materialize the aggregate itself to fault pages
+        // in. bit_xor, NOT sum: summing 64-bit hashes overflows ANSI
+        // long arithmetic at sf0.1 (this line silently aborted the tail
+        // of the warm-up for rounds — exactly what warmup_ok now flags)
         spark.read.parquet(s"$sfDir/$t.parquet")
-          .selectExpr("sum(xxhash64(struct(*)))").first()
+          .selectExpr("bit_xor(xxhash64(struct(*)))").first()
       }
       spark.catalog.clearCache()
-    } catch { case _: Throwable => warmupOk = false }
+    } catch {
+      case e: Throwable =>
+        warmupOk = false
+        warmupError = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+    }
 
     // ~20-40 ms parallel CPU-bound probe: co-located load inflates it in
     // proportion to stolen cores, which is the contention mode that
@@ -325,7 +334,7 @@ object Bench {
     val maxDisp = disp.map(_._2).maxOption.getOrElse(1.0)
     val maxSent = sent.map(_._2).maxOption.getOrElse(1.0)
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
     // 90+ timings that don't fit the compact line
@@ -345,7 +354,7 @@ object Bench {
     val failedRef =
       if (failedNames.isEmpty) ""
       else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -370,6 +370,18 @@ object SparkEntry {
     // cleaned text + dropped-token count as exact strings
     "t24_span_scrub" -> ((s: SparkSession, d: String) =>
       Dedup.scrubbedSpans(s, d, plantCopies = true)),
+    // stride-1 ExactSubstr (Lee 2022 §4.1 faithful): windows at EVERY
+    // token offset, intra-doc repeats count, overlapping hits merged into
+    // maximal spans — d10 is the token-aligned simplification of this
+    "d12_substring_spans" -> ((s: SparkSession, d: String) =>
+      Dedup.substringSpans(s, d, plantCopies = true)),
+    // quality-aware keeper per d8 cluster (SlimPajama-style): highest
+    // t2-quality member survives, not the min id
+    "d13_cluster_representatives" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterRepresentativesFrom(
+        graft.operators.ShingleIndex.duplicateClusters(
+          s, graft.operators.IndexStore.shingleTable(s, d)),
+        TextAnalysis.qualityScores(s, d).select(col("doc_id"), col("quality_e4")))),
   )
 
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1555,32 +1567,39 @@ object SparkEntry {
     // connected components over the near-dup pair graph, replayed in
     // DuckDB with a recursive transitive-closure CTE
     "d8_duplicate_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
-        |ok_sh AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDocFreq}),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok_sh USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cpairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |jpairs AS (
-        |  SELECT a, b FROM cpairs
-        |  JOIN sizes sa ON sa.doc_id = cpairs.a
-        |  JOIN sizes sb ON sb.doc_id = cpairs.b
-        |  WHERE common * 1.0 / (sa.n + sb.n - common) >= ${Dedup.DefaultThreshold}),
-        |edges AS (SELECT a, b FROM jpairs UNION ALL SELECT b, a FROM jpairs),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      s"""WITH RECURSIVE $d8ClusterCtes
         |SELECT id AS doc_id, cast(min(r) AS bigint) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    // d13: the d8 component labels joined to the t2 quality score, keeper
+    // chosen by a QUALIFY window — shares the cluster CTE chain with d8
+    // (one factored val, not a copy) and t2's quality expression verbatim
+    "d13_cluster_representatives" ->
+      s"""WITH RECURSIVE $d8ClusterCtes,
+        |cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |qual AS (
+        |  SELECT doc_id,
+        |    cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
+        |          least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint)
+        |      AS quality_e4
+        |  FROM (
+        |    SELECT doc_id,
+        |      cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
+        |      cast(
+        |        cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+        |        cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
+        |        cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
+        |        cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
+        |        AS double) AS stop_hits
+        |    FROM (SELECT doc_id, text, concat(' ', text, ' ') AS p FROM documents)))
+        |SELECT cast(cl.cluster_id AS bigint) AS cluster_id,
+        |  cl.doc_id AS rep_doc_id,
+        |  cast(count(*) OVER (PARTITION BY cl.cluster_id) AS bigint) AS n_members,
+        |  q.quality_e4 AS rep_quality_e4
+        |FROM cl JOIN qual q ON q.doc_id = cl.doc_id
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY cl.cluster_id ORDER BY q.quality_e4 DESC, cl.doc_id) = 1""".stripMargin,
     // d4-d7 ride the PortableHash md5-affine scheme (since round 4), so
     // their whole signature pipelines replay in DuckDB — SQL generated
     // next to the operators so constants can't desync:
@@ -1591,7 +1610,39 @@ object SparkEntry {
     "d10_segment_dedup" -> Dedup.duplicatedSegmentsOracleSql,
     "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
+    "d12_substring_spans" -> Dedup.substringSpansOracleSql,
   )
+
+  /** The near-dup connected-components CTE chain (shingle → df-capped
+    * inverted index → verified Jaccard pairs → symmetric edges →
+    * recursive reachability) shared by the d8 and d13 oracles — factored
+    * so the two can't desync on the threshold or the df cap.
+    */
+  private def d8ClusterCtes: String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+      |ok_sh AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxDocFreq}),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok_sh USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cpairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT a, b FROM cpairs
+      |  JOIN sizes sa ON sa.doc_id = cpairs.a
+      |  JOIN sizes sb ON sb.doc_id = cpairs.b
+      |  WHERE common * 1.0 / (sa.n + sb.n - common) >= ${Dedup.DefaultThreshold}),
+      |edges AS (SELECT a, b FROM jpairs UNION ALL SELECT b, a FROM jpairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)""".stripMargin
 
   /** The `*i` queries are the index-fed twins of d3/d4/d10/d11 — proven
     * bit-equal to the inline derivations (`ScaleOpsSpec`), so each reuses

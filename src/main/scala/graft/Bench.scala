@@ -229,6 +229,7 @@ object Bench {
       graft.operators.IndexStore.lmModelPath(spark, sfDir)
       graft.operators.IndexStore.dsirPath(spark, sfDir)
       graft.operators.IndexStore.vectorPath(spark, sfDir)
+      graft.operators.IndexStore.clusterPath(spark, sfDir)
       // a metadata-only count() can satisfy from parquet footers without
       // touching column pages — force one real columnar read per base
       // table so the first wide query (w1 ran 9.5x dispersed in round 9)

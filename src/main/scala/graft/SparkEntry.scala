@@ -1332,20 +1332,10 @@ object SparkEntry {
         |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
         |  FROM documents)""".stripMargin,
     "t2_quality_scores" ->
-      """SELECT doc_id, is_short,
+      s"""SELECT doc_id, is_short,
         |  cast(floor(stop_hits / n_tokens * 10000.0 + 0.5) AS bigint) AS stop_ratio_e4,
-        |  cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
-        |        least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint) AS quality_e4
-        |FROM (
-        |  SELECT doc_id, n_chars < 100 AS is_short,
-        |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
-        |    cast(
-        |      cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
-        |      cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
-        |      cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
-        |      cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
-        |      AS double) AS stop_hits
-        |  FROM (SELECT doc_id, n_chars, text, concat(' ', text, ' ') AS p FROM documents))""".stripMargin,
+        |  $qualityE4ExprSql AS quality_e4
+        |FROM (${qualityBaseSql(", n_chars < 100 AS is_short")})""".stripMargin,
     "t3_lang_id" ->
       """SELECT doc_id, lang, lang_pred, lang_pred = lang AS agrees FROM (
         |  SELECT doc_id, lang,
@@ -1574,27 +1564,16 @@ object SparkEntry {
         |FROM reach GROUP BY id""".stripMargin,
     // d13: the d8 component labels joined to the t2 quality score, keeper
     // chosen by a QUALIFY window — shares the cluster CTE chain with d8
-    // (one factored val, not a copy) and t2's quality expression verbatim
+    // and the quality formula with t2 (factored vals, not copies, so
+    // neither can desync)
     "d13_cluster_representatives" ->
       s"""WITH RECURSIVE $d8ClusterCtes,
         |cl AS (
         |  SELECT id AS doc_id, min(r) AS cluster_id
         |  FROM reach GROUP BY id),
         |qual AS (
-        |  SELECT doc_id,
-        |    cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
-        |          least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint)
-        |      AS quality_e4
-        |  FROM (
-        |    SELECT doc_id,
-        |      cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
-        |      cast(
-        |        cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
-        |        cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
-        |        cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
-        |        cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
-        |        AS double) AS stop_hits
-        |    FROM (SELECT doc_id, text, concat(' ', text, ' ') AS p FROM documents)))
+        |  SELECT doc_id, $qualityE4ExprSql AS quality_e4
+        |  FROM (${qualityBaseSql()}))
         |SELECT cast(cl.cluster_id AS bigint) AS cluster_id,
         |  cl.doc_id AS rep_doc_id,
         |  cast(count(*) OVER (PARTITION BY cl.cluster_id) AS bigint) AS n_members,
@@ -1614,6 +1593,12 @@ object SparkEntry {
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
     "d12_substring_spans" -> Dedup.substringSpansOracleSql,
   )
+
+  // the quality-formula SQL lives next to its Spark twin
+  // (TextAnalysis.qualityE4Col) — see the factoring note there
+  private def qualityBaseSql(extraCols: String = ""): String =
+    TextAnalysis.qualityBaseSql(extraCols)
+  private def qualityE4ExprSql: String = TextAnalysis.qualityE4ExprSql
 
   /** The near-dup connected-components CTE chain (shingle → df-capped
     * inverted index → verified Jaccard pairs → symmetric edges →

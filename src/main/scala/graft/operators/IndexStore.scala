@@ -75,13 +75,19 @@ object IndexStore {
     * instead of re-converging per query. The assignment is tiny
     * (near-dup-sized), so this is a cheap read on every reuse.
     */
-  def clusterPath(spark: SparkSession, dir: String): String =
+  def clusterPath(spark: SparkSession, dir: String): String = {
+    // resolve the shingle table BEFORE entering computeIfAbsent: a nested
+    // computeIfAbsent on the same map from inside the mapping function is
+    // a documented-contract violation (recursive update — throws or
+    // livelocks when the two keys land in one bin)
+    val tbl = shingleTable(spark, dir)
     built.computeIfAbsent(s"clusters:$dir", { _ =>
       val path = s"${root(dir)}/clusters"
-      ShingleIndex.duplicateClusters(spark, shingleTable(spark, dir))
+      ShingleIndex.duplicateClusters(spark, tbl)
         .write.mode("overwrite").parquet(path)
       path
     })
+  }
 
   /** The persisted IVF index path for `dir`, building it on first use. */
   def vectorPath(spark: SparkSession, dir: String): String =

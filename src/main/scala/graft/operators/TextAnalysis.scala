@@ -111,6 +111,31 @@ object TextAnalysis {
       4)
   }
 
+  /** DuckDB twin of [[qualityE4Col]]: the quality_e4 scalar over any frame
+    * exposing double n_tokens and stop_hits — factored here, next to the
+    * Spark formula, because t2, t20/t23, t30/t30s and d13 all score with
+    * [[qualityE4Col]]: a formula tweak must reach every oracle at once or
+    * the lagging ones go silently red.
+    */
+  private[graft] def qualityE4ExprSql: String =
+    """cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
+      |        least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint)""".stripMargin
+
+  /** The (doc_id[, extra], n_tokens, stop_hits) base subquery under
+    * [[qualityE4ExprSql]]; `extraCols` carries additional projections
+    * (", source", ", n_chars < 100 AS is_short") through.
+    */
+  private[graft] def qualityBaseSql(extraCols: String = ""): String =
+    s"""SELECT doc_id$extraCols,
+       |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
+       |    cast(
+       |      cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
+       |      cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
+       |      cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
+       |      cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
+       |      AS double) AS stop_hits
+       |  FROM (SELECT *, concat(' ', text, ' ') AS p FROM documents)""".stripMargin
+
   /** Per-document quality signals (t2): shortness flag, stopword ratio,
     * and the shared [[qualityE4Col]] score.
     */

@@ -434,20 +434,8 @@ object TrainingPrep {
        |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS n_tokens
        |  FROM documents),
        |qual AS (
-       |  SELECT doc_id,
-       |    cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
-       |          least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5) AS bigint)
-       |      AS quality_e4
-       |  FROM (
-       |    SELECT doc_id,
-       |      cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
-       |      cast(
-       |        cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
-       |        cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
-       |        cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
-       |        cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
-       |        AS double) AS stop_hits
-       |    FROM (SELECT doc_id, text, concat(' ', text, ' ') AS p FROM documents))),
+       |  SELECT doc_id, ${TextAnalysis.qualityE4ExprSql} AS quality_e4
+       |  FROM (${TextAnalysis.qualityBaseSql()})),
        |stoks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |  WHERE len(string_split(text, ' ')) >= $k),
@@ -1054,21 +1042,9 @@ object TrainingPrep {
        |      AS cum_tokens
        |  FROM (
        |    SELECT doc_id, source,
-       |      cast(floor((least(n_tokens / 400.0, 1.0) * 0.5 +
-       |            least(stop_hits / n_tokens * 5.0, 1.0) * 0.5) * 10000.0 + 0.5)
-       |        AS bigint) AS quality_e4,
+       |      ${TextAnalysis.qualityE4ExprSql} AS quality_e4,
        |      cast(n_tokens AS bigint) AS n_tokens
-       |    FROM (
-       |      SELECT doc_id, source,
-       |        cast(length(text) - length(replace(text, ' ', '')) + 1 AS double) AS n_tokens,
-       |        cast(
-       |          cast((length(p) - length(replace(p, ' the ', ''))) / 5 AS int) +
-       |          cast((length(p) - length(replace(p, ' a ', ''))) / 3 AS int) +
-       |          cast((length(p) - length(replace(p, ' and ', ''))) / 5 AS int) +
-       |          cast((length(p) - length(replace(p, ' of ', ''))) / 4 AS int)
-       |          AS double) AS stop_hits
-       |      FROM (SELECT doc_id, source, text, concat(' ', text, ' ') AS p
-       |            FROM documents))))""".stripMargin
+       |    FROM (${TextAnalysis.qualityBaseSql(", source")})))""".stripMargin
 
   def curriculumSelectionOracleSql: String =
     s"""SELECT * FROM (

@@ -306,6 +306,28 @@ class DedupSimilaritySpec extends SparkSuite {
       .filter($"doc_id" >= Dedup.PartialCopyOffset).count() === 0L)
   }
 
+  test("d13 stored cluster assignment round-trips bit-equal to inline clustering") {
+    import graft.operators.{IndexStore, ShingleIndex, TextAnalysis}
+    // the persisted (doc_id, cluster_id) frame IS the clustering output
+    val stored = spark.read.parquet(IndexStore.clusterPath(spark, sf0001))
+      .as[(Long, Long)].collect().toSet
+    val inline = ShingleIndex.duplicateClusters(
+        spark, IndexStore.shingleTable(spark, sf0001))
+      .as[(Long, Long)].collect().toSet
+    assert(stored === inline && stored.nonEmpty)
+    // and the graded query (stored path) is bit-equal to the inline
+    // composition — the seam ScaleOpsSpec pins for every other *i twin
+    val quality = TextAnalysis.qualityScores(spark, sf0001)
+      .select($"doc_id", $"quality_e4")
+    val graded = SparkEntry.queries("d13_cluster_representatives")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val composed = Dedup.clusterRepresentativesFrom(
+        ShingleIndex.duplicateClusters(
+          spark, IndexStore.shingleTable(spark, sf0001)), quality)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(graded === composed && graded.nonEmpty)
+  }
+
   test("cluster representative is the highest-quality member, ties to min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val quality = Seq(

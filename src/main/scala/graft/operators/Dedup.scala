@@ -1099,8 +1099,21 @@ object Dedup {
   def substringSpans(
       spark: SparkSession, dir: String,
       k: Int = SegmentTokens,
-      plantCopies: Boolean = false): DataFrame = {
-    val win = maybePartialCopies(spark, dir, plantCopies)
+      plantCopies: Boolean = false): DataFrame =
+    substringSpansOf(maybePartialCopies(spark, dir, plantCopies), k)
+
+  /** [[substringSpans]] over any (doc_id, text) frame — the density-test
+    * seam. Note what is ABSENT here: no doc-frequency cap. The pair
+    * generators (d3/d4/d11) need one because a hot shingle makes
+    * candidate volume quadratic in its posting length; d12 never forms
+    * pairs — a window duplicated n× contributes n island rows (linear),
+    * however hot, so duplicate-density floods cost proportionally and
+    * the clone groups still appear in the output (as their own spans) —
+    * pinned by the `ScaleOpsSpec` density test.
+    */
+  private[graft] def substringSpansOf(
+      docs: DataFrame, k: Int = SegmentTokens): DataFrame = {
+    val win = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
       .select(

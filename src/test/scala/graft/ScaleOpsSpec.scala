@@ -103,6 +103,22 @@ class ScaleOpsSpec extends SparkSuite {
     // without the cap the flood reaches the output: >= 5 * C(201,2) pairs
     assert(Dedup.jaccardPairsOf(ultra, maxDocFreq = Int.MaxValue)
       .filter(cloneFlood).count() >= 5L * 201L * 200L / 2L)
+    // ---- d12 stride-1 spans need NO cap: no pairs are formed, so the
+    // 200x clone flood costs linearly — exactly one full-coverage span
+    // row per clone (plus at most the 5 sources), never a C(201,2) set —
+    // and wall-time stays in the base band
+    val (t12b, n12b) = timed(Dedup.substringSpansOf(docs))
+    val (t12u, n12u) = timed(Dedup.substringSpansOf(ultra))
+    // sub-window sources (< 16 tokens) carry no windows, clones included
+    val eligible = docs.filter(col("doc_id") % 100 === 0)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= Dedup.SegmentTokens)
+      .count()
+    assert(eligible >= 3L, "density stress needs >=3 window-bearing sources")
+    assert(n12u >= n12b + 200L * eligible && n12u <= n12b + 200L * eligible + 5L,
+      s"d12 output not linear in clone count: base $n12b, ultra $n12u, eligible $eligible")
+    assert(t12u <= 4L * t12b + 2000000000L,
+      s"d12 wall-time not density-bounded: base ${t12b / 1e9}s, dense ${t12u / 1e9}s")
     // ---- index-fed forms (the production path) under the same caps: an
     // index BUILT OVER the ultra-dense corpus feeds d3i/d4i/d11i, and the
     // clone flood still never reaches any output

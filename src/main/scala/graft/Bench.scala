@@ -227,6 +227,7 @@ object Bench {
       // (tools/AmortizationTable), not to a probe query's sample.
       graft.operators.IndexStore.shingleTable(spark, sfDir)
       graft.operators.IndexStore.lmModelPath(spark, sfDir)
+      graft.operators.IndexStore.nbModelPath(spark, sfDir)
       graft.operators.IndexStore.dsirPath(spark, sfDir)
       graft.operators.IndexStore.vectorPath(spark, sfDir)
       graft.operators.IndexStore.clusterPath(spark, sfDir)

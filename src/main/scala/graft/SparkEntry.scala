@@ -290,6 +290,15 @@ object SparkEntry {
         s, d, graft.operators.IndexStore.dsirPath(s, d))),
     // BM25 retrieval per query through the TopKPerKey physical node
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopK _,
+    // trained Naive-Bayes language ID (CCNet's fastText-langid stage):
+    // |langs|·|vocab| model broadcast, one-union contribution table, one
+    // corpus-sized groupBy + a label-bounded argmin exchange
+    "t44_nb_langid" -> graft.operators.LmScore.nbLangScores _,
+    // persisted-model twin: classifies against the frozen NB model
+    // (trained once per corpus via IndexStore), bit-equal — same oracle
+    "t44i_nb_langid" -> ((s: SparkSession, d: String) =>
+      graft.operators.LmScore.nbLangScoresIndexed(
+        s, d, graft.operators.IndexStore.nbModelPath(s, d))),
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
     // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
@@ -1431,6 +1440,8 @@ object SparkEntry {
     "t32_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
     "t32i_dsir_weights" -> graft.operators.LmScore.dsirWeightsOracleSql,
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
+    "t44_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
+    "t44i_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,

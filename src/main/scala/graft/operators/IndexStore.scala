@@ -58,6 +58,16 @@ object IndexStore {
       path
     })
 
+  /** The persisted Naive-Bayes language-model path for `dir`, training it
+    * on first use (the CCNet langid shape: one classifier, many crawls).
+    */
+  def nbModelPath(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"nb:$dir", { _ =>
+      val path = s"${root(dir)}/nb"
+      LmScore.buildNbModel(spark, dir, path)
+      path
+    })
+
   /** The persisted DSIR feature-table path for `dir`, estimating it on
     * first use (frozen target/raw distributions, many weighting passes).
     */

@@ -715,4 +715,174 @@ object LmScore {
        |  FROM scored)
        |WHERE rn <= $Bm25K""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // t44: multinomial Naive Bayes language classifier — the TRAINED
+  // language-ID stage of the CCNet pipeline (Wenzek et al. 2020 run
+  // fastText langid over every crawl page; t3 is the untrained n-gram
+  // heuristic, this is its supervised upgrade). The model is pure
+  // counting — per-(lang, token) counts with add-one smoothing — so
+  // training is one vocab-bounded aggregation, exactly like t31.
+  //
+  // Cross-engine determinism: every -ln is quantized e6 in the
+  // vocab-bounded model table (per TYPE, not per occurrence), scores are
+  // integer sums, and argmin ties break on the candidate label — the
+  // DuckDB oracle replays bit-for-bit.
+  //
+  // Plan/scale shape (100 TB): the model is |langs|·|vocab| rows and the
+  // unk/prior frames are |langs| rows — all broadcast. Scoring uses the
+  // additive decomposition
+  //     score(doc, c) = prior(c) + n_toks(doc)·unk(c)
+  //                     + Σ_{seen (tok,c)} (nll(tok,c) − unk(c))
+  // emitted as ONE union of contribution rows (per-occurrence unk leg ×
+  // |langs|, plus the model-matched delta leg), so the whole per-candidate
+  // score table needs a single corpus-sized groupBy — map-side partial
+  // aggregation compacts both legs to ≤ |docs|·|langs| rows before the
+  // exchange, and the argmin is a second exchange of that already
+  // label-bounded frame. No per-(doc, cand) join, no second corpus scan
+  // (priors come from the |langs|-row doc-count frame).
+  // --------------------------------------------------------------------
+
+  /** Token occurrences with the training label carried through, so the
+    * final argmin needs no join back to the corpus. Map-only.
+    */
+  private def nbOcc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+
+  /** The three frozen NB frames trained from labeled docs: model
+    * (lang, tok, nll_e6), unk (lang, unk_nll_e6 — the smoothed
+    * unseen-token mass 1/(c_l+V)), prior (lang, prior_nll_e6).
+    */
+  private def nbTrained(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // occ fans out to three count consumers; one materialized pass of the
+    // 3-narrow-column token tape replaces two re-explodes (same rationale
+    // as t31's trained())
+    val occ = nbOcc(docs).localCheckpoint()
+    val clt = occ.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("clt"))
+    val cl = occ.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+    val vocab = occ.agg(countDistinct(col("tok")).as("v"))
+    val model = clt.join(cl, "lang").crossJoin(broadcast(vocab))
+      .select(col("lang"), col("tok"),
+        Exact.e(-log((col("clt") + lit(1)).cast("double") / (col("cl") + col("v"))), 6)
+          .as("nll_e6"))
+    val unk = cl.crossJoin(broadcast(vocab))
+      .select(col("lang"),
+        Exact.e(log((col("cl") + col("v")).cast("double")), 6).as("unk_nll_e6"))
+    // priors from the |langs|-row doc-count frame — total docs is the sum
+    // over that frame, NOT a second corpus scan
+    val dl = docs.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+    val prior = dl.crossJoin(broadcast(dl.agg(sum(col("dl")).as("d"))))
+      .select(col("lang"),
+        Exact.e(-log(col("dl").cast("double") / col("d")), 6).as("prior_nll_e6"))
+    (model, unk, prior)
+  }
+
+  /** Classify labeled docs against frozen NB frames; returns one row per
+    * doc: (doc_id, lang, pred_lang, correct, best_nll_e6). Tokens unseen
+    * by the model for a candidate (including tokens never seen at all)
+    * fall to that candidate's smoothed unk floor via the decomposition —
+    * no explicit left-join/coalesce needed.
+    */
+  private def nbClassify(
+      docs: DataFrame, model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
+    val occ = nbOcc(docs)
+    val delta = model.join(unk, "lang")
+      .select(col("lang").as("cand"), col("tok"),
+        (col("nll_e6") - col("unk_nll_e6")).as("c_e6"))
+    val contrib = occ.join(broadcast(delta), Seq("tok"))
+      .select(col("doc_id"), col("lang"), col("cand"), col("c_e6"))
+      .unionByName(occ.crossJoin(broadcast(
+          unk.select(col("lang").as("cand"), col("unk_nll_e6").as("c_e6"))))
+        .select(col("doc_id"), col("lang"), col("cand"), col("c_e6")))
+    contrib.groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("c_e6")).as("s_e6"))
+      .join(broadcast(prior.select(col("lang").as("cand"), col("prior_nll_e6"))), "cand")
+      .select(col("doc_id"), col("lang"), col("cand"),
+        (col("s_e6") + col("prior_nll_e6")).as("nll_e6"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(col("nll_e6"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.cand").as("pred_lang"),
+        (col("lang") === col("b.cand")).as("correct"),
+        col("b.nll_e6").as("best_nll_e6"))
+  }
+
+  /** t44: train on the corpus's own lang labels and classify every doc —
+    * per-doc predicted language, correctness flag, and best score.
+    */
+  def nbLangScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val (model, unk, prior) = nbTrained(docs)
+    nbClassify(docs, model, unk, prior)
+  }
+
+  /** Persist the trained NB language model at `path` — the CCNet
+    * deployment shape (one langid model, every new crawl scored against
+    * it): `model/`, `unk/`, `prior/`.
+    */
+  def buildNbModel(spark: SparkSession, dir: String, path: String): Unit = {
+    val (model, unk, prior) = nbTrained(table(spark, dir, "documents"))
+    model.write.mode("overwrite").parquet(s"$path/model")
+    unk.write.mode("overwrite").parquet(s"$path/unk")
+    prior.write.mode("overwrite").parquet(s"$path/prior")
+  }
+
+  /** Classify arbitrary labeled docs (doc_id, lang, text) against a
+    * persisted NB model. On the training corpus itself this is bit-equal
+    * to [[nbLangScores]] (pinned by LmScoreSpec), so t44i reuses t44's
+    * oracle.
+    */
+  def classifyWithNbModel(docs: DataFrame, modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    nbClassify(docs,
+      spark.read.parquet(s"$modelPath/model"),
+      spark.read.parquet(s"$modelPath/unk"),
+      spark.read.parquet(s"$modelPath/prior"))
+  }
+
+  /** t44i: the persisted-model twin of [[nbLangScores]]. */
+  def nbLangScoresIndexed(spark: SparkSession, dir: String, modelPath: String): DataFrame =
+    classifyWithNbModel(table(spark, dir, "documents"), modelPath)
+
+  def nbLangScoresOracleSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |clt AS (SELECT lang, tok, count(*) AS clt FROM occ GROUP BY lang, tok),
+      |cl AS (SELECT lang, count(*) AS cl FROM occ GROUP BY lang),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM occ),
+      |model AS (
+      |  SELECT clt.lang, clt.tok,
+      |    cast(floor(-ln(cast(clt + 1 AS double) / (cl + v)) * 1000000.0 + 0.5)
+      |      AS bigint) AS nll_e6
+      |  FROM clt JOIN cl ON cl.lang = clt.lang CROSS JOIN v),
+      |unk AS (
+      |  SELECT lang,
+      |    cast(floor(ln(cast(cl + v AS double)) * 1000000.0 + 0.5) AS bigint)
+      |      AS unk_nll_e6
+      |  FROM cl CROSS JOIN v),
+      |dl AS (SELECT lang, count(*) AS dl FROM documents GROUP BY lang),
+      |d AS (SELECT sum(dl) AS d FROM dl),
+      |prior AS (
+      |  SELECT lang,
+      |    cast(floor(-ln(cast(dl AS double) / d) * 1000000.0 + 0.5) AS bigint)
+      |      AS prior_nll_e6
+      |  FROM dl CROSS JOIN d),
+      |contrib AS (
+      |  SELECT occ.doc_id, occ.lang, m.lang AS cand, m.nll_e6 - u.unk_nll_e6 AS c_e6
+      |  FROM occ JOIN model m ON m.tok = occ.tok JOIN unk u ON u.lang = m.lang
+      |  UNION ALL
+      |  SELECT occ.doc_id, occ.lang, u.lang AS cand, u.unk_nll_e6 AS c_e6
+      |  FROM occ CROSS JOIN unk u),
+      |scored AS (
+      |  SELECT c.doc_id, c.lang, c.cand,
+      |    cast(sum(c.c_e6) AS bigint) + p.prior_nll_e6 AS nll_e6
+      |  FROM contrib c JOIN prior p ON p.lang = c.cand
+      |  GROUP BY c.doc_id, c.lang, c.cand, p.prior_nll_e6)
+      |SELECT doc_id, lang, cand AS pred_lang, lang = cand AS correct,
+      |  cast(nll_e6 AS bigint) AS best_nll_e6
+      |FROM (
+      |  SELECT doc_id, lang, cand, nll_e6,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY nll_e6, cand) AS rn
+      |  FROM scored)
+      |WHERE rn = 1""".stripMargin
 }

@@ -194,6 +194,69 @@ class LmScoreSpec extends SparkSuite {
     assert(verdicts() === cold)
   }
 
+  test("t44: NB classification equals the DIRECT per-candidate formulation on the JVM") {
+    // the Spark plan scores via the additive decomposition
+    // prior + n·unk + Σ(nll−unk); this reference computes the naive
+    // per-(doc, candidate) sum directly — bit-equality pins the
+    // decomposition, the e6 quantization points, and the argmin tie-break
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val occ = docs.flatMap { case (id, l, t) => t.split(" ", -1).map(tok => (l, tok)) }
+    val clt = occ.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val cl = occ.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    val v = occ.map(_._2).distinct.length.toLong
+    val dl = docs.groupBy(_._2).map { case (k, vs) => k -> vs.length.toLong }
+    val d = docs.length.toLong
+    def e6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val langs = cl.keys.toSeq.sorted
+    val unk = langs.map(l => l -> e6(math.log((cl(l) + v).toDouble))).toMap
+    val prior = langs.map(l => l -> e6(-math.log(dl(l).toDouble / d))).toMap
+    val expected = docs.map { case (id, l, t) =>
+      val best = langs.map { c =>
+        val s = prior(c) + t.split(" ", -1).map { tok =>
+          clt.get((c, tok))
+            .map(n => e6(-math.log((n + 1).toDouble / (cl(c) + v))))
+            .getOrElse(unk(c))
+        }.sum
+        (s, c)
+      }.min
+      Seq(id, l, best._2, l == best._2, best._1).mkString("|")
+    }.sorted
+    val got = LmScore.nbLangScores(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    assert(got === expected)
+  }
+
+  test("t44i: persisted-model classification is bit-equal to the inline pass") {
+    val path = java.nio.file.Files.createTempDirectory("nbidx").toString
+    LmScore.buildNbModel(spark, sf0001, path)
+    val cold = LmScore.nbLangScores(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    val indexed = LmScore.nbLangScoresIndexed(spark, sf0001, path).collect()
+      .map(_.toSeq.mkString("|")).sorted
+    assert(indexed === cold)
+  }
+
+  test("t44: a frozen model classifies all-unseen text through the per-lang unk floor") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("nbunk").toString
+    LmScore.buildNbModel(spark, sf0001, path)
+    val toks = Seq("ZZxQ97a", "WWyR42b")
+    assert(spark.read.parquet(s"$path/model")
+      .filter(col("tok").isin(toks: _*)).count() === 0, "test tokens must be novel")
+    val novel = Seq((9001L, "en", toks.mkString(" "))).toDF("doc_id", "lang", "text")
+    val out = LmScore.classifyWithNbModel(novel, path).head()
+    val unk = spark.read.parquet(s"$path/unk").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prior = spark.read.parquet(s"$path/prior").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every candidate sees only its floor: prior + 2·unk; argmin decides
+    val best = unk.keys.toSeq.sorted.map(l => (prior(l) + 2 * unk(l), l)).min
+    assert(out.getString(2) === best._2)
+    assert(out.getLong(4) === best._1)
+  }
+
   test("t36: RRF fuses both retriever lists — reciprocal-rank sums, k rows per query") {
     val out = LmScore.rrfFusion(spark, sf0001).cache()
     val perQ = out.groupBy(col("query_id")).count().collect()

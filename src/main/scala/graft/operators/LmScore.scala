@@ -778,34 +778,53 @@ object LmScore {
     (model, unk, prior)
   }
 
-  /** Classify labeled docs against frozen NB frames; returns one row per
-    * doc: (doc_id, lang, pred_lang, correct, best_nll_e6). Tokens unseen
-    * by the model for a candidate (including tokens never seen at all)
-    * fall to that candidate's smoothed unk floor via the decomposition —
-    * no explicit left-join/coalesce needed.
+  /** The shared argmin core over a token tape that carries `keyCols`
+    * (doc_id, plus any passthrough like the training label — carrying
+    * them through both groupBys beats a corpus-sized join back). Tokens
+    * unseen by the model for a candidate (including tokens never seen at
+    * all) fall to that candidate's smoothed unk floor via the
+    * decomposition — no explicit left-join/coalesce needed.
     */
-  private def nbClassify(
-      docs: DataFrame, model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
-    val occ = nbOcc(docs)
+  private def nbArgmin(
+      occ: DataFrame, keyCols: Seq[String],
+      model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
     val delta = model.join(unk, "lang")
       .select(col("lang").as("cand"), col("tok"),
         (col("nll_e6") - col("unk_nll_e6")).as("c_e6"))
     val contrib = occ.join(broadcast(delta), Seq("tok"))
-      .select(col("doc_id"), col("lang"), col("cand"), col("c_e6"))
+      .select(keys :+ col("cand") :+ col("c_e6"): _*)
       .unionByName(occ.crossJoin(broadcast(
           unk.select(col("lang").as("cand"), col("unk_nll_e6").as("c_e6"))))
-        .select(col("doc_id"), col("lang"), col("cand"), col("c_e6")))
-    contrib.groupBy(col("doc_id"), col("lang"), col("cand"))
+        .select(keys :+ col("cand") :+ col("c_e6"): _*))
+    contrib.groupBy(keys :+ col("cand"): _*)
       .agg(sum(col("c_e6")).as("s_e6"))
       .join(broadcast(prior.select(col("lang").as("cand"), col("prior_nll_e6"))), "cand")
-      .select(col("doc_id"), col("lang"), col("cand"),
-        (col("s_e6") + col("prior_nll_e6")).as("nll_e6"))
-      .groupBy(col("doc_id"), col("lang"))
+      .select(keys :+ col("cand") :+ ((col("s_e6") + col("prior_nll_e6")).as("nll_e6")): _*)
+      .groupBy(keys: _*)
       .agg(min(struct(col("nll_e6"), col("cand"))).as("b"))
-      .select(col("doc_id"), col("lang"), col("b.cand").as("pred_lang"),
-        (col("lang") === col("b.cand")).as("correct"),
-        col("b.nll_e6").as("best_nll_e6"))
+      .select(keys :+ col("b.cand").as("pred_lang") :+ col("b.nll_e6").as("best_nll_e6"): _*)
   }
+
+  /** Classify labeled docs against frozen NB frames; returns one row per
+    * doc: (doc_id, lang, pred_lang, correct, best_nll_e6).
+    */
+  private def nbClassify(
+      docs: DataFrame, model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame =
+    nbArgmin(nbOcc(docs), Seq("doc_id", "lang"), model, unk, prior)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("lang") === col("pred_lang")).as("correct"), col("best_nll_e6"))
+
+  /** Label-free prediction over (doc_id, text) — the gate-side shape
+    * (CCNet runs langid on CONTENT; arriving docs need no label):
+    * (doc_id, pred_lang, best_nll_e6). Pure per-document function of the
+    * frozen frames, so it is micro-batch-slicing-invariant.
+    */
+  def predictLang(
+      docs: DataFrame, model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame =
+    nbArgmin(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")),
+      Seq("doc_id"), model, unk, prior)
 
   /** t44: train on the corpus's own lang labels and classify every doc —
     * per-doc predicted language, correctness flag, and best score.
@@ -827,17 +846,24 @@ object LmScore {
     prior.write.mode("overwrite").parquet(s"$path/prior")
   }
 
+  /** The three frozen NB frames, for callers that classify repeatedly
+    * (e.g. the streaming ingest gate): load and persist ONCE before the
+    * stream starts — all three are label/vocab-bounded.
+    */
+  def loadNbModel(spark: SparkSession, modelPath: String)
+      : (DataFrame, DataFrame, DataFrame) = (
+    spark.read.parquet(s"$modelPath/model"),
+    spark.read.parquet(s"$modelPath/unk"),
+    spark.read.parquet(s"$modelPath/prior"))
+
   /** Classify arbitrary labeled docs (doc_id, lang, text) against a
     * persisted NB model. On the training corpus itself this is bit-equal
     * to [[nbLangScores]] (pinned by LmScoreSpec), so t44i reuses t44's
     * oracle.
     */
   def classifyWithNbModel(docs: DataFrame, modelPath: String): DataFrame = {
-    val spark = docs.sparkSession
-    nbClassify(docs,
-      spark.read.parquet(s"$modelPath/model"),
-      spark.read.parquet(s"$modelPath/unk"),
-      spark.read.parquet(s"$modelPath/prior"))
+    val (model, unk, prior) = loadNbModel(docs.sparkSession, modelPath)
+    nbClassify(docs, model, unk, prior)
   }
 
   /** t44i: the persisted-model twin of [[nbLangScores]]. */

@@ -258,6 +258,10 @@ object OnlineGate {
     *     the t39 Gopher repetition rules (within-document, stateless),
     *     and optionally (lmModelPath) the CCNet perplexity bucket against
     *     a model FROZEN before the stream started.
+    *   - LANGUAGE (optional, nbModelPath): the trained t44 Naive-Bayes
+    *     langid run on CONTENT against a frozen model — predicted
+    *     language must be in `keepLangs` (CCNet's target-language
+    *     filter). A pure per-document function, so prefix-consistent.
     *
     * Near-duplicate survivorship (fuzzy/semantic) deliberately stays in
     * [[gateStream]] — it needs the shingle/vector stores; a pipeline
@@ -273,12 +277,14 @@ object OnlineGate {
     * the bloom partial so any bloom bit visible to a later batch has its
     * exact rows present. Decisions land under `decisions/batch_id=N` as
     * (doc_id, n_tokens, quality_e4, first_seen, pass_expect,
-    * pass_quality, pass_tokens, pass_rep[, pass_ppl], kept).
+    * pass_quality, pass_tokens, pass_rep[, pass_ppl][, pass_lang], kept).
     */
   def fullIngestGate(
       docs: DataFrame, outPath: String, checkpoint: String,
       identityCol: String = "url",
       lmModelPath: Option[String] = None,
+      nbModelPath: Option[String] = None,
+      keepLangs: Seq[String] = Seq("en"),
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens): StreamingQuery = {
@@ -287,6 +293,10 @@ object OnlineGate {
       val (model, unk, global) = graft.operators.LmScore.loadModel(owner, mp)
       (model.persist(), unk.persist(), global.persist())
     }
+    val nbFrames = nbModelPath.map { mp =>
+      val (model, unk, prior) = graft.operators.LmScore.loadNbModel(owner, mp)
+      (model.persist(), unk.persist(), prior.persist())
+    }
     val query = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -294,16 +304,19 @@ object OnlineGate {
           val spark = batch.sparkSession
           val b = batch.toDF().localCheckpoint()
           processFullGateBatch(spark, b, outPath, identityCol, lmFrames,
-            minQualityE4, minTokens, maxTokens, id)
+            nbFrames, keepLangs, minQualityE4, minTokens, maxTokens, id)
         }
         ()
       }
       .start()
-    lmFrames.foreach { case (model, unk, global) =>
+    val pinned: Seq[DataFrame] =
+      lmFrames.toSeq.flatMap(t => Seq(t._1, t._2, t._3)) ++
+        nbFrames.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+    if (pinned.nonEmpty) {
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       def cleanup(self: StreamingQueryListener): Unit =
         if (done.compareAndSet(false, true)) {
-          model.unpersist(); unk.unpersist(); global.unpersist()
+          pinned.foreach(_.unpersist())
           owner.streams.removeListener(self)
         }
       val listener: StreamingQueryListener = new StreamingQueryListener {
@@ -324,6 +337,7 @@ object OnlineGate {
   private def processFullGateBatch(
       spark: SparkSession, b: DataFrame, outPath: String, identityCol: String,
       lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
+      nbFrames: Option[(DataFrame, DataFrame, DataFrame)], keepLangs: Seq[String],
       minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long): Unit = {
     import graft.operators.{Expectations, Sketches}
     val bloomRoot = s"$outPath/bloom"
@@ -377,6 +391,11 @@ object OnlineGate {
         .scoreWithModel(b.select(col("doc_id"), col("text")), model, unk, global)
         .select(col("doc_id"), (col("ppl_bucket") =!= "tail").as("pass_ppl"))
     }
+    val langPass = nbFrames.map { case (model, unk, prior) =>
+      graft.operators.LmScore
+        .predictLang(b.select(col("doc_id"), col("text")), model, unk, prior)
+        .select(col("doc_id"), col("pred_lang").isin(keepLangs: _*).as("pass_lang"))
+    }
     val withSignals = b
       .select(col("doc_id"),
         TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
@@ -385,7 +404,7 @@ object OnlineGate {
       .join(firstSeen, Seq("doc_id"))
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
-    composeFullDecision(withSignals, lmPass, minQualityE4, minTokens, maxTokens)
+    composeFullDecision(withSignals, lmPass, langPass, minQualityE4, minTokens, maxTokens)
       .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
     // state updates — EVERY arriving ident enters the seen set (kept or
     // rejected: first-seen is about arrival, not admission). Exact rows
@@ -402,21 +421,26 @@ object OnlineGate {
 
   /** The verdict composition shared by the stream and its cold twin. */
   private def composeFullDecision(
-      withSignals: DataFrame, lmPass: Option[DataFrame],
+      withSignals: DataFrame, lmPass: Option[DataFrame], langPass: Option[DataFrame],
       minQualityE4: Long, minTokens: Long, maxTokens: Long): DataFrame = {
     val withLm = lmPass.fold(withSignals)(lp =>
       withSignals.join(lp, Seq("doc_id"), "left")
         .withColumn("pass_ppl", coalesce(col("pass_ppl"), lit(true))))
+    val withLang = langPass.fold(withLm)(lp =>
+      withLm.join(lp, Seq("doc_id"), "left")
+        .withColumn("pass_lang", coalesce(col("pass_lang"), lit(true))))
     val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
       "pass_expect", "pass_quality", "pass_tokens", "pass_rep") ++
-      (if (lmPass.isDefined) Seq("pass_ppl") else Nil) :+ "kept"
-    withLm
+      (if (lmPass.isDefined) Seq("pass_ppl") else Nil) ++
+      (if (langPass.isDefined) Seq("pass_lang") else Nil) :+ "kept"
+    withLang
       .withColumn("pass_quality", col("quality_e4") >= minQualityE4)
       .withColumn("pass_tokens", col("n_tokens").between(minTokens, maxTokens))
       .withColumn("kept",
         col("first_seen") && col("pass_expect") && col("pass_quality") &&
           col("pass_tokens") && col("pass_rep") &&
-          (if (lmPass.isDefined) col("pass_ppl") else lit(true)))
+          (if (lmPass.isDefined) col("pass_ppl") else lit(true)) &&
+          (if (langPass.isDefined) col("pass_lang") else lit(true)))
       .select(cols.map(col): _*)
   }
 
@@ -430,6 +454,8 @@ object OnlineGate {
   def fullIngestGateCold(
       docs: DataFrame, identityCol: String = "url",
       lmModelPath: Option[String] = None,
+      nbModelPath: Option[String] = None,
+      keepLangs: Seq[String] = Seq("en"),
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens): DataFrame = {
@@ -445,6 +471,12 @@ object OnlineGate {
         .scoreWithModel(docs.select(col("doc_id"), col("text")), model, unk, global)
         .select(col("doc_id"), (col("ppl_bucket") =!= "tail").as("pass_ppl"))
     }
+    val langPass = nbModelPath.map { mp =>
+      val (model, unk, prior) = graft.operators.LmScore.loadNbModel(spark, mp)
+      graft.operators.LmScore
+        .predictLang(docs.select(col("doc_id"), col("text")), model, unk, prior)
+        .select(col("doc_id"), col("pred_lang").isin(keepLangs: _*).as("pass_lang"))
+    }
     val withSignals = keyed
       .join(firstIds, Seq("ident"))
       .select(col("doc_id"),
@@ -454,7 +486,7 @@ object OnlineGate {
         (col("doc_id") === col("first_doc")).as("first_seen"))
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
-    composeFullDecision(withSignals, lmPass, minQualityE4, minTokens, maxTokens)
+    composeFullDecision(withSignals, lmPass, langPass, minQualityE4, minTokens, maxTokens)
   }
 
   def cutTimeSelection(

@@ -1273,13 +1273,17 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("composed ingest gate: at-arrival first-seen ∧ expectations ∧ quality ≡ cold, bit-for-bit") {
+  test("composed ingest gate: at-arrival first-seen ∧ expectations ∧ quality ∧ language ≡ cold, bit-for-bit") {
     import graft.operators.LmScore
     import graft.streaming.OnlineGate
     val base = Files.createTempDirectory("fullgate")
     try {
       implicit val sqlCtx = spark.sqlContext
       LmScore.buildModel(spark, sf0001, s"$base/lm")
+      LmScore.buildNbModel(spark, sf0001, s"$base/nb")
+      // the langid leg keeps 4 of the 5 corpus languages so predicted-zh
+      // docs exercise the reject branch
+      val keep = Seq("en", "de", "fr", "es")
       // plant the defects each leg gates on: re-crawled urls (doc_id %
       // 137 collides), rejected langs, inconsistent n_chars
       val seeded = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -1295,7 +1299,8 @@ class StreamingSpec extends SparkSuite {
       val mem = MemoryStream[(Long, String, String, Long, String)]
       val q = OnlineGate.fullIngestGate(
         mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "url"),
-        s"$base/out", s"$base/ckpt", lmModelPath = Some(s"$base/lm"))
+        s"$base/out", s"$base/ckpt", lmModelPath = Some(s"$base/lm"),
+        nbModelPath = Some(s"$base/nb"), keepLangs = keep)
       try {
         rows.grouped((rows.length + 2) / 3).foreach { b =>
           mem.addData(b.toIndexedSeq); q.processAllAvailable()
@@ -1304,11 +1309,13 @@ class StreamingSpec extends SparkSuite {
       def image(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
-        "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "pass_ppl", "kept")
+        "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "pass_ppl",
+        "pass_lang", "kept")
       val online = spark.read.parquet(s"$base/out/decisions")
         .select(cols.map(col): _*)
       val cold = OnlineGate.fullIngestGateCold(
-        seeded, lmModelPath = Some(s"$base/lm")).select(cols.map(col): _*)
+        seeded, lmModelPath = Some(s"$base/lm"),
+        nbModelPath = Some(s"$base/nb"), keepLangs = keep).select(cols.map(col): _*)
       assert(online.count() === rows.length.toLong)
       assert(image(online) === image(cold),
         "at-arrival composed verdicts diverged from the cold pass")
@@ -1317,6 +1324,7 @@ class StreamingSpec extends SparkSuite {
       assert(dec.filter(!col("first_seen")).count() > 0, "no re-crawl suppressed")
       assert(dec.filter(!col("pass_expect")).count() > 0, "no expectation defect bound")
       assert(dec.filter(!col("pass_ppl")).count() > 0, "LM leg rejected nothing")
+      assert(dec.filter(!col("pass_lang")).count() > 0, "langid leg rejected nothing")
       assert(dec.filter(col("kept")).count() > 0, "gate admitted nothing")
       // the aggregate expectation timeline rode along, one report per batch
       val reports = spark.read.parquet(s"$base/out/expect")

@@ -393,6 +393,9 @@ object SparkEntry {
       Dedup.clusterRepresentativesFrom(
         s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)),
         TextAnalysis.qualityScores(s, d).select(col("doc_id"), col("quality_e4")))),
+    // URL-level dedup (C4/RefinedWeb stage 1): map-only canonicalization,
+    // one exchange on the canonical key — the d1/d2 hash-groupBy shape
+    "d14_url_dedup" -> Dedup.urlDedup _,
   )
 
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1603,6 +1606,7 @@ object SparkEntry {
     "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
     "d12_substring_spans" -> Dedup.substringSpansOracleSql,
+    "d14_url_dedup" -> Dedup.urlDedupOracleSql,
   )
 
   // the quality-formula SQL lives next to its Spark twin

@@ -1230,4 +1230,109 @@ object Dedup {
         col("cluster_id"), col("doc_id").as("rep_doc_id"),
         col("n_members"), col("quality_e4").as("rep_quality_e4"))
   }
+
+  // ---- URL-level dedup (d14) ----
+
+  /** Canonicalize a crawl URL with the C4/RefinedWeb rules, as one chain
+    * of codegen string expressions (replayed token-identically by the
+    * DuckDB oracle): strip the fragment, drop the scheme, lowercase the
+    * host and strip a leading `www.`, strip trailing slashes from the
+    * path, drop `utm_*` tracking params and empty params, sort the
+    * remaining query params.
+    */
+  private[graft] def canonicalUrlCol(url: Column): Column = {
+    val sl = regexp_replace(regexp_replace(url, "#.*", ""), "^[a-zA-Z]+://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(sl, "^([^/?]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(sl, "^[^/?]+([^?]*)", 1), "/+$", "")
+    val qn = array_join(array_sort(filter(
+      split(regexp_extract(sl, "\\?(.*)", 1), "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    concat(host, path,
+      when(qn === "", lit("")).otherwise(concat(lit("?"), qn)))
+  }
+
+  /** URL-level dedup over any (doc_id, url) frame: one row per CANONICAL
+    * url with the lowest-id keeper, the member count, and how many
+    * distinct raw forms collapsed into it.
+    */
+  private[graft] def urlDedupOf(urls: DataFrame): DataFrame =
+    urls.select(col("doc_id"), col("url"),
+        canonicalUrlCol(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_forms"))
+
+  /** The deterministic messy crawl URL planted per document for the
+    * graded d14 path (the corpus has no URL column — same convention as
+    * the t16/t17/t21 planting seams; the oracle replays the identical
+    * rule). Canonical content varies on (doc_id % 5, % 7, % 3, % 5=0) —
+    * a 105-key space, so groups collapse several documents — while the
+    * mess (scheme, WWW casing, trailing slash, utm params, fragment)
+    * varies on moduli coprime to it, so every group sees multiple raw
+    * forms.
+    */
+  private[graft] def plantedCrawlUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+      when(col("doc_id") % 11 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (col("doc_id") % 5).cast("string"), lit(".Example.ORG/p/"),
+      (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&ref="))
+        .otherwise(lit("?ref=")),
+      (col("doc_id") % 3).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("&b=2&a=1")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit("#top")).otherwise(lit(""))).as("url"))
+
+  /** d14: URL-level deduplication — the FIRST dedup stage of the C4 /
+    * RefinedWeb pipelines (Raffel et al. 2020; Penedo et al. 2023 run URL
+    * dedup before any content dedup because it needs no text comparison
+    * at all).
+    *
+    * Plan/scale (100 TB): one map-only canonicalization pass (pure
+    * codegen string expressions, no UDF), one exchange on the canonical
+    * key with map-side partial aggregation — the d1/d2 hash-groupBy
+    * shape. Group aggregation is linear in group size, so no caps are
+    * needed; canonical-key cardinality, not document count, sizes the
+    * reduce side.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDedupOf(plantedCrawlUrls(table(spark, dir, "documents")))
+
+  def urlDedupOracleSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.ORG/p/' ||
+      |    CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' ELSE '?ref=' END) ||
+      |    CAST(doc_id % 3 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '&b=2&a=1' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 9 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM documents),
+      |sl AS (SELECT doc_id, url,
+      |    regexp_replace(regexp_replace(url, '#.*', ''), '^[a-zA-Z]+://', '') AS s
+      |  FROM urls),
+      |parts AS (SELECT doc_id, url,
+      |    regexp_replace(lower(regexp_extract(s, '^([^/?]+)', 1)), '^www\.', '') AS host,
+      |    regexp_replace(regexp_extract(s, '^[^/?]+([^?]*)', 1), '/+$', '') AS path,
+      |    regexp_extract(s, '\?(.*)', 1) AS q
+      |  FROM sl),
+      |canon AS (SELECT doc_id, url,
+      |    host || path ||
+      |    (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS canon_url
+      |  FROM (SELECT doc_id, url, host, path,
+      |      array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |        x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS qn
+      |    FROM parts))
+      |SELECT canon_url, cast(min(doc_id) AS bigint) AS keeper_doc_id,
+      |  cast(count(*) AS bigint) AS n_docs,
+      |  cast(count(DISTINCT url) AS bigint) AS n_raw_forms
+      |FROM canon GROUP BY canon_url""".stripMargin
 }

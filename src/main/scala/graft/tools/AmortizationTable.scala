@@ -86,6 +86,12 @@ object AmortizationTable {
     val t31 = minOf2(LmScore.bigramLmScores(spark, dir).count())
     val lmBuild = once(LmScore.buildModel(spark, dir, s"$idxRoot/lm"))
     val t31i = minOf2(LmScore.bigramLmScoresIndexed(spark, dir, s"$idxRoot/lm").count())
+    // the NB langid classifier: inline re-counts the model per pass; the
+    // fed flavor classifies against the model frozen once (the deployed
+    // CCNet-langid shape)
+    val t44 = minOf2(LmScore.nbLangScores(spark, dir).count())
+    val nbBuild = once(LmScore.buildNbModel(spark, dir, s"$idxRoot/nb"))
+    val t44i = minOf2(LmScore.nbLangScoresIndexed(spark, dir, s"$idxRoot/nb").count())
 
     def f(v: Double) = f"$v%.2f"
     println(s"sf_dir=$dir")
@@ -104,6 +110,7 @@ object AmortizationTable {
     println(s"| v7i, centroids cached | n/a | ${f(v7iCached)} |")
     println(s"| v13 / v13i SemDeDup | ${f(v13)} | ${f(v13i)} |")
     println(s"| t31 / t31i bigram LM | ${f(t31)} | ${f(t31i)} (+ build ${f(lmBuild)}) |")
+    println(s"| t44 / t44i NB langid | ${f(t44)} | ${f(t44i)} (+ build ${f(nbBuild)}) |")
     println(f"breakeven: shingle build repays after ${shingleBuild / math.max(inlineSum - fedSum, 1e-9)}%.2f four-pass sweeps")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")

@@ -340,4 +340,55 @@ class DedupSimilaritySpec extends SparkSuite {
     // cluster {10,11}: quality tie → min doc_id
     assert(reps === Set((1L, 2L, 3L, 500L), (10L, 10L, 2L, 50L)))
   }
+
+  test("d14: URL canonicalization applies each C4-style rule exactly") {
+    val cases = Seq(
+      // scheme + host case + www + fragment
+      ("https://WWW.Example.ORG/a#frag", "example.org/a"),
+      ("HtTp://Example.org/a", "example.org/a"),
+      // trailing slashes (also multiple), bare host
+      ("https://example.org/a/b///", "example.org/a/b"),
+      ("https://example.org/", "example.org"),
+      ("https://example.org", "example.org"),
+      // utm params dropped, remaining sorted, empty params dropped
+      ("https://example.org/p?utm_source=x&b=2&a=1", "example.org/p?a=1&b=2"),
+      ("https://example.org/p?a=1&b=2&utm_campaign=y", "example.org/p?a=1&b=2"),
+      ("https://example.org/p?utm_source=x", "example.org/p"),
+      ("https://example.org/p?&&a=1", "example.org/p?a=1"),
+      // www only strips as a label prefix, not inside the host
+      ("https://notwww.example.org/p", "notwww.example.org/p"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+      .select($"doc_id", Dedup.canonicalUrlCol($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) === want, s"canonical($u)")
+    }
+    // the two utm variants of the same page collapse to ONE group
+    val groups = Dedup.urlDedupOf(
+      Seq((1L, cases(5)._1), (2L, cases(6)._1)).toDF("doc_id", "url"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(groups === Set(("example.org/p?a=1&b=2", 1L, 2L, 2L)))
+  }
+
+  test("d14: planted corpus collapses mess variants — every group multi-form, keeper is min id") {
+    val out = Dedup.urlDedup(spark, sf0001).localCheckpoint()
+    // canonical content varies on a 105-key space over 500 docs: every
+    // group must have collapsed >1 raw form, and totals must cover the
+    // corpus exactly once
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.agg(org.apache.spark.sql.functions.sum($"n_docs"))
+      .head().getLong(0) === nDocs)
+    assert(out.filter($"n_raw_forms" <= 1).count() === 0,
+      "a group saw only one raw form — the planted mess is vacuous")
+    assert(out.filter($"n_raw_forms" > $"n_docs").count() === 0)
+    // keeper really is the group min: recompute per-doc canonicals
+    val perDoc = Dedup.plantedCrawlUrls(
+        spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select($"doc_id", Dedup.canonicalUrlCol($"url").as("canon_url"))
+      .groupBy($"canon_url").agg(org.apache.spark.sql.functions.min($"doc_id").as("m"))
+    val joined = out.join(perDoc, Seq("canon_url"))
+      .filter($"keeper_doc_id" =!= $"m").count()
+    assert(joined === 0)
+  }
 }

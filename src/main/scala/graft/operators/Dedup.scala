@@ -1294,11 +1294,12 @@ object Dedup {
     * at all).
     *
     * Plan/scale (100 TB): one map-only canonicalization pass (pure
-    * codegen string expressions, no UDF), one exchange on the canonical
-    * key with map-side partial aggregation — the d1/d2 hash-groupBy
-    * shape. Group aggregation is linear in group size, so no caps are
-    * needed; canonical-key cardinality, not document count, sizes the
-    * reduce side.
+    * codegen string expressions, no UDF), then the d1/d2 hash-groupBy
+    * shape — two partial-aggregated exchanges (the (canon, url) distinct
+    * that feeds n_raw_forms, then the canonical rollup; drop n_raw_forms
+    * and it is exactly one). Group aggregation is linear in group size,
+    * so no caps are needed; canonical-key cardinality, not document
+    * count, sizes the reduce side.
     */
   def urlDedup(spark: SparkSession, dir: String): DataFrame =
     urlDedupOf(plantedCrawlUrls(table(spark, dir, "documents")))

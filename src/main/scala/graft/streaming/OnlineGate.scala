@@ -236,7 +236,11 @@ object OnlineGate {
     * Legs, all prefix-consistent so at-arrival ≡ cold holds bit-for-bit:
     *
     *   - FIRST-SEEN on a content identity (`identityCol`, e.g. the crawl
-    *     URL): exact lower-id-wins re-crawl suppression. The Bloom
+    *     URL; with `canonicalizeUrl` the identity is the d14 CANONICAL
+    *     form — [[graft.operators.Dedup.canonicalUrlCol]] — so re-crawls
+    *     of the same page through utm/scheme/www/fragment variants
+    *     collapse, the C4/RefinedWeb stage-1 rule applied at arrival):
+    *     exact lower-id-wins re-crawl suppression. The Bloom
     *     seen-set ([[graft.operators.Sketches.bloomIngestStream]]'s
     *     partial discipline, shared via `bloomPositions`) rides BROADCAST
     *     as an O(sketch) pre-filter — an ident missing any of its k bits
@@ -282,6 +286,7 @@ object OnlineGate {
   def fullIngestGate(
       docs: DataFrame, outPath: String, checkpoint: String,
       identityCol: String = "url",
+      canonicalizeUrl: Boolean = false,
       lmModelPath: Option[String] = None,
       nbModelPath: Option[String] = None,
       keepLangs: Seq[String] = Seq("en"),
@@ -303,7 +308,8 @@ object OnlineGate {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val b = batch.toDF().localCheckpoint()
-          processFullGateBatch(spark, b, outPath, identityCol, lmFrames,
+          processFullGateBatch(spark, b, outPath, identityCol,
+            canonicalizeUrl, lmFrames,
             nbFrames, keepLangs, minQualityE4, minTokens, maxTokens, id)
         }
         ()
@@ -336,6 +342,7 @@ object OnlineGate {
 
   private def processFullGateBatch(
       spark: SparkSession, b: DataFrame, outPath: String, identityCol: String,
+      canonicalizeUrl: Boolean,
       lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
       nbFrames: Option[(DataFrame, DataFrame, DataFrame)], keepLangs: Seq[String],
       minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long): Unit = {
@@ -347,7 +354,8 @@ object OnlineGate {
       val p = new org.apache.hadoop.fs.Path(pth)
       p.getFileSystem(conf).exists(p)
     }
-    val keyed = b.select(col("doc_id"), col(identityCol).cast("string").as("ident"))
+    val keyed = b.select(col("doc_id"),
+      identityExpr(identityCol, canonicalizeUrl).as("ident"))
     val idents = keyed.select(col("ident")).distinct().localCheckpoint()
     // bloom pre-filter over the STRICTLY EARLIER prefix: an ident missing
     // any bit is definitely new; only hits go to the exact confirm
@@ -419,6 +427,16 @@ object OnlineGate {
       .write.mode("overwrite").parquet(s"$bloomRoot/batch_id=$id")
   }
 
+  /** The identity the first-seen leg keys on: the raw string, or the d14
+    * canonical URL (shared expression — the stream and the cold twin
+    * cannot desync on the rule).
+    */
+  private def identityExpr(identityCol: String, canonicalizeUrl: Boolean)
+      : org.apache.spark.sql.Column = {
+    val raw = col(identityCol).cast("string")
+    if (canonicalizeUrl) Dedup.canonicalUrlCol(raw) else raw
+  }
+
   /** The verdict composition shared by the stream and its cold twin. */
   private def composeFullDecision(
       withSignals: DataFrame, lmPass: Option[DataFrame], langPass: Option[DataFrame],
@@ -453,6 +471,7 @@ object OnlineGate {
     */
   def fullIngestGateCold(
       docs: DataFrame, identityCol: String = "url",
+      canonicalizeUrl: Boolean = false,
       lmModelPath: Option[String] = None,
       nbModelPath: Option[String] = None,
       keepLangs: Seq[String] = Seq("en"),
@@ -461,7 +480,7 @@ object OnlineGate {
       maxTokens: Long = TrainingPrep.MaxTokens): DataFrame = {
     val spark = docs.sparkSession
     import graft.operators.Expectations
-    val keyed = docs.withColumn("ident", col(identityCol).cast("string"))
+    val keyed = docs.withColumn("ident", identityExpr(identityCol, canonicalizeUrl))
     val firstIds = keyed.groupBy(col("ident")).agg(min(col("doc_id")).as("first_doc"))
     val repPass = TextAnalysis.gopherSignals(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("gopher_keep").as("pass_rep"))

@@ -1286,20 +1286,26 @@ class StreamingSpec extends SparkSuite {
       val keep = Seq("en", "de", "fr", "es")
       // plant the defects each leg gates on: re-crawled urls (doc_id %
       // 137 collides), rejected langs, inconsistent n_chars
+      // re-crawled urls arrive through d14-style MESS (scheme flips, utm
+      // params) — only the canonical first-seen leg may collapse them
       val seeded = spark.read.parquet(s"$sf0001/documents.parquet")
         .select(col("doc_id"), col("text"),
           when(col("doc_id") % 31 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
           when(col("doc_id") % 41 === 0, col("n_chars") + 1)
             .otherwise(col("n_chars")).as("n_chars"))
         .withColumn("url",
-          concat(lit("https://crawl.example/"), (col("doc_id") % 137).cast("string")))
+          concat(
+            when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+            lit("crawl.example/"), (col("doc_id") % 137).cast("string"),
+            when(col("doc_id") % 3 === 0, lit("?utm_source=feed")).otherwise(lit(""))))
         .localCheckpoint()
       val rows = seeded.orderBy("doc_id")
         .as[(Long, String, String, Long, String)].collect().toSeq
       val mem = MemoryStream[(Long, String, String, Long, String)]
       val q = OnlineGate.fullIngestGate(
         mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "url"),
-        s"$base/out", s"$base/ckpt", lmModelPath = Some(s"$base/lm"),
+        s"$base/out", s"$base/ckpt", canonicalizeUrl = true,
+        lmModelPath = Some(s"$base/lm"),
         nbModelPath = Some(s"$base/nb"), keepLangs = keep)
       try {
         rows.grouped((rows.length + 2) / 3).foreach { b =>
@@ -1314,7 +1320,7 @@ class StreamingSpec extends SparkSuite {
       val online = spark.read.parquet(s"$base/out/decisions")
         .select(cols.map(col): _*)
       val cold = OnlineGate.fullIngestGateCold(
-        seeded, lmModelPath = Some(s"$base/lm"),
+        seeded, canonicalizeUrl = true, lmModelPath = Some(s"$base/lm"),
         nbModelPath = Some(s"$base/nb"), keepLangs = keep).select(cols.map(col): _*)
       assert(online.count() === rows.length.toLong)
       assert(image(online) === image(cold),
@@ -1322,6 +1328,14 @@ class StreamingSpec extends SparkSuite {
       // non-vacuity: every leg must bind somewhere, and some doc survives
       val dec = online.localCheckpoint()
       assert(dec.filter(!col("first_seen")).count() > 0, "no re-crawl suppressed")
+      // the suppression must be CANONICAL: more docs share a canonical
+      // page than share any raw url string, so first-seen survivors are
+      // exactly the canonical key count, strictly below the raw count
+      val rawDistinct = seeded.select(col("url")).distinct().count()
+      val canonDistinct = seeded
+        .select(graft.operators.Dedup.canonicalUrlCol(col("url"))).distinct().count()
+      assert(canonDistinct < rawDistinct, "planted mess is vacuous")
+      assert(dec.filter(col("first_seen")).count() === canonDistinct)
       assert(dec.filter(!col("pass_expect")).count() > 0, "no expectation defect bound")
       assert(dec.filter(!col("pass_ppl")).count() > 0, "LM leg rejected nothing")
       assert(dec.filter(!col("pass_lang")).count() > 0, "langid leg rejected nothing")

@@ -299,6 +299,11 @@ object SparkEntry {
     "t44i_nb_langid" -> ((s: SparkSession, d: String) =>
       graft.operators.LmScore.nbLangScoresIndexed(
         s, d, graft.operators.IndexStore.nbModelPath(s, d))),
+    // classifier evaluation: the (labeled, predicted) confusion matrix —
+    // one |langs|²-row aggregation over the frozen-model verdicts
+    "t45_langid_confusion" -> ((s: SparkSession, d: String) =>
+      graft.operators.LmScore.nbLangConfusion(
+        s, d, graft.operators.IndexStore.nbModelPath(s, d))),
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
     // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
@@ -1445,6 +1450,7 @@ object SparkEntry {
     "t33_bm25_topk" -> graft.operators.LmScore.bm25TopKOracleSql,
     "t44_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
     "t44i_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
+    "t45_langid_confusion" -> graft.operators.LmScore.nbLangConfusionOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,

@@ -870,8 +870,11 @@ object LmScore {
   def nbLangScoresIndexed(spark: SparkSession, dir: String, modelPath: String): DataFrame =
     classifyWithNbModel(table(spark, dir, "documents"), modelPath)
 
-  def nbLangScoresOracleSql: String =
-    """WITH occ AS (
+  /** The t44 CTE chain (model/unk/prior training + scoring + argmin),
+    * shared with the t45 confusion oracle so the two cannot desync.
+    */
+  private def nbOracleCtes: String =
+    """occ AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
       |clt AS (SELECT lang, tok, count(*) AS clt FROM occ GROUP BY lang, tok),
       |cl AS (SELECT lang, count(*) AS cl FROM occ GROUP BY lang),
@@ -903,12 +906,33 @@ object LmScore {
       |  SELECT c.doc_id, c.lang, c.cand,
       |    cast(sum(c.c_e6) AS bigint) + p.prior_nll_e6 AS nll_e6
       |  FROM contrib c JOIN prior p ON p.lang = c.cand
-      |  GROUP BY c.doc_id, c.lang, c.cand, p.prior_nll_e6)
-      |SELECT doc_id, lang, cand AS pred_lang, lang = cand AS correct,
-      |  cast(nll_e6 AS bigint) AS best_nll_e6
-      |FROM (
-      |  SELECT doc_id, lang, cand, nll_e6,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY nll_e6, cand) AS rn
-      |  FROM scored)
-      |WHERE rn = 1""".stripMargin
+      |  GROUP BY c.doc_id, c.lang, c.cand, p.prior_nll_e6),
+      |verdicts AS (
+      |  SELECT doc_id, lang, cand AS pred_lang, lang = cand AS correct,
+      |    cast(nll_e6 AS bigint) AS best_nll_e6
+      |  FROM (
+      |    SELECT doc_id, lang, cand, nll_e6,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY nll_e6, cand) AS rn
+      |    FROM scored)
+      |  WHERE rn = 1)""".stripMargin
+
+  def nbLangScoresOracleSql: String =
+    s"""WITH $nbOracleCtes
+       |SELECT doc_id, lang, pred_lang, correct, best_nll_e6 FROM verdicts""".stripMargin
+
+  /** t45: the classifier EVALUATION stage — the (labeled, predicted)
+    * confusion matrix of the t44 verdicts, the quality report any
+    * deployed langid/quality classifier ships with. Derived from the
+    * frozen persisted model (the t44i path, amortized via IndexStore);
+    * one extra |langs|²-row aggregation on top of the scoring plan.
+    */
+  def nbLangConfusion(spark: SparkSession, dir: String, modelPath: String): DataFrame =
+    classifyWithNbModel(table(spark, dir, "documents"), modelPath)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  def nbLangConfusionOracleSql: String =
+    s"""WITH $nbOracleCtes
+       |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
+       |FROM verdicts GROUP BY lang, pred_lang""".stripMargin
 }

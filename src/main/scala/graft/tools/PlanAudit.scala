@@ -56,6 +56,8 @@ object PlanAudit {
       "1-row vocab/doc-total frames + |langs|-row unk frame crossed (bounded label count)",
     ("t44i_nb_langid", Bnlj) ->
       "|langs|-row unk frame crossed into the occurrence tape (bounded label count)",
+    ("t45_langid_confusion", Bnlj) ->
+      "t44i's |langs|-row unk frame (confusion rides the same scoring plan)",
     ("t31i_bigram_lm_ppl", Bnlj) -> "1-row unk-floor frame crossed into the scoring leg",
     ("t34_lm_gated_selection", Bnlj) -> "t31's 1-row vocab-size frame (composed gate keeps the leg plans)",
     ("t35_trigram_lm_ppl", Bnlj) -> "1-row (N, V) frame crossed into the trigram model table",

@@ -238,6 +238,22 @@ class LmScoreSpec extends SparkSuite {
     assert(indexed === cold)
   }
 
+  test("t45: confusion matrix is exactly the per-(label, prediction) census of t44") {
+    val path = java.nio.file.Files.createTempDirectory("nbconf").toString
+    LmScore.buildNbModel(spark, sf0001, path)
+    val verdicts = LmScore.nbLangScores(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = verdicts.groupBy(identity)
+      .map { case ((l, p), vs) => (l, p, vs.length.toLong) }.toSet
+    val got = LmScore.nbLangConfusion(spark, sf0001, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // totals cover every doc once; the diagonal is the correct count
+    assert(got.toSeq.map(_._3).sum === verdicts.length.toLong)
+    assert(got.filter(t => t._1 == t._2).map(_._3).sum ===
+      verdicts.count { case (l, p) => l == p }.toLong)
+  }
+
   test("t44: a frozen model classifies all-unseen text through the per-lang unk floor") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("nbunk").toString

@@ -1,5 +1,8 @@
 package graft
 
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
 import graft.operators.{Dedup, Similarity}
 
 /** Dedup + ANN behavior on the real testdata plus planted duplicates. */
@@ -390,5 +393,47 @@ class DedupSimilaritySpec extends SparkSuite {
     val joined = out.join(perDoc, Seq("canon_url"))
       .filter($"keeper_doc_id" =!= $"m").count()
     assert(joined === 0)
+  }
+
+  test("property: canonicalUrlCol equals a pure-JVM reference on randomized messy URLs") {
+    // the JVM model of the d14 rules — independent string ops, no shared
+    // regex with the Column implementation
+    def canonRef(u: String): String = {
+      val noFrag = u.split("#", 2)(0)
+      val sl = noFrag.replaceFirst("^[a-zA-Z]+://", "")
+      val m = java.util.regex.Pattern.compile("^([^/?]+)").matcher(sl)
+      val hostRaw = if (m.find()) m.group(1) else ""
+      val host = hostRaw.toLowerCase.replaceFirst("^www\\.", "")
+      val rest = sl.substring(hostRaw.length)
+      val path = rest.split("\\?", 2)(0).replaceFirst("/+$", "")
+      val q = if (rest.contains("?")) rest.split("\\?", 2)(1) else ""
+      val ps = q.split("&", -1).filter(p => p.nonEmpty && !p.startsWith("utm_")).sorted
+      host + path + (if (ps.nonEmpty) "?" + ps.mkString("&") else "")
+    }
+    val label = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val urlGen = for {
+      scheme <- Gen.oneOf("", "http://", "https://", "HTTP://", "HtTpS://")
+      www <- Gen.oneOf("", "www.", "WWW.", "wWw.")
+      hostLabels <- Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, label))
+      nSegs <- Gen.chooseNum(0, 3)
+      segs <- Gen.listOfN(nSegs, label)
+      trail <- Gen.oneOf("", "/", "//", "///")
+      nPs <- Gen.chooseNum(0, 4)
+      ps <- Gen.listOfN(nPs, for {
+        k <- Gen.oneOf("a", "b", "ref", "z9", "utm_source", "utm_x", "")
+        v <- Gen.oneOf("", "1", "feed", "xY3")
+      } yield if (k.isEmpty) "" else s"$k=$v")
+      frag <- Gen.oneOf("", "#top", "#s1")
+    } yield scheme + www + hostLabels.mkString(".") + segs.map("/" + _).mkString +
+      trail + (if (ps.nonEmpty) "?" + ps.mkString("&") else "") + frag
+    val urls = (0 until 300)
+      .flatMap(i => urlGen.apply(Gen.Parameters.default, Seed(42L + i)))
+      .distinct
+    val got = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+      .select($"url", Dedup.canonicalUrlCol($"url").as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach(u => assert(got(u) === canonRef(u), s"canonical($u)"))
   }
 }

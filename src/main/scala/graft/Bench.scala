@@ -50,9 +50,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // keep catalog droppings (managed index tables, empty warehouse
-      // dirs) out of the launch CWD - same rule as the test suites
+      // dirs) out of the launch CWD - same rule as the test suites.
+      // Per-run UUID: a fixed path lets a killed prior JVM's orphaned
+      // managed-table locations fail this run's CREATE TABLE AS with
+      // LOCATION_ALREADY_EXISTS (in-memory catalog dies, location stays)
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${java.util.UUID.randomUUID().toString.take(8)}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec logs a "No Partition Defined" WARN for every single-partition

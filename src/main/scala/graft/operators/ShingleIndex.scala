@@ -540,19 +540,39 @@ object ShingleIndex {
           .select(stored.columns.map(col).toIndexedSeq: _*)
     } else Dedup.bandBuckets(spark.table(sigsTable(tableName)))
 
+  /** Delete the default MANAGED location of `tbl` when the catalog does
+    * not know the table. A killed JVM leaves the location on disk while
+    * the in-memory catalog entry dies with the process, and the next
+    * `CREATE TABLE AS` at the same warehouse path then throws
+    * `LOCATION_ALREADY_EXISTS` — so a catalog-orphaned directory is
+    * never live data, only a crash dropping, and deleting it is the
+    * isolation-correct move. No-op when the table IS registered (its
+    * location is then owned by the catalog, not stale).
+    */
+  private[graft] def clearStaleLocation(spark: SparkSession, tbl: String): Unit =
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   /** Create the banded probe table from the CURRENT signatures if absent
     * — the backfill [[dedupIngestStream]] runs once at start; afterwards
     * [[append]] maintains it on every ingest flavor.
     */
   private[graft] def ensureBandsTable(
       spark: SparkSession, tableName: String, numBuckets: Int = 32): Unit =
-    if (!spark.catalog.tableExists(bandsTable(tableName)))
+    if (!spark.catalog.tableExists(bandsTable(tableName))) {
+      clearStaleLocation(spark, bandsTable(tableName))
       Dedup.bandBuckets(spark.table(sigsTable(tableName)))
         .write.mode("overwrite")
         .bucketBy(numBuckets, "bucket")
         .sortBy("bucket")
         .format("parquet")
         .saveAsTable(bandsTable(tableName))
+    }
 
   def dedupIngestStream(
       docs: DataFrame, tableName: String, markerRoot: String,

@@ -1273,4 +1273,41 @@ class ScaleOpsSpec extends SparkSuite {
     assert(manifest.map(_._2).sum ===
       table(spark, sf0001, "documents").count())
   }
+
+  test("ensureBandsTable tolerates a catalog-orphaned stale location (crashed-JVM dropping)") {
+    import graft.operators.ShingleIndex
+    val base = java.nio.file.Files.createTempDirectory("shstale")
+    val tbl = "shidx_stale_t"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+      ShingleIndex.buildFor(spark, docs, s"$base/idx", tbl)
+      // simulate a prior JVM killed mid-create: the managed bands-table
+      // LOCATION exists on disk, but the (in-memory) catalog has no entry
+      val bands = ShingleIndex.bandsTable(tbl)
+      val stale = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(bands)).toString))
+      assert(stale.mkdirs(), s"could not seed stale dir $stale")
+      val junk = new java.io.File(stale, "part-orphan.parquet")
+      java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+      assert(!spark.catalog.tableExists(bands))
+      // without the stale-location purge this threw LOCATION_ALREADY_EXISTS
+      ShingleIndex.ensureBandsTable(spark, tbl)
+      assert(spark.catalog.tableExists(bands))
+      assert(spark.table(bands).count() > 0)
+      assert(!junk.exists(), "stale orphan file survived the create")
+      // idempotent: a second call is a no-op on the now-registered table
+      val rows = spark.table(bands).count()
+      ShingleIndex.ensureBandsTable(spark, tbl)
+      assert(spark.table(bands).count() === rows)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.bandsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -286,12 +286,25 @@ object Dedup {
   private[operators] def minhashLshVerified(
       sig: DataFrame, sh: DataFrame, threshold: Double,
       maxBucket: Int = MaxBandBucket): DataFrame = {
+    // the cap must be enforced BEFORE collect_list: filtering on
+    // size(docs) after the aggregation still materializes an ultra-dense
+    // bucket's entire clone list in one non-spillable aggregation buffer
+    // before discarding it — the exact pathology the cap exists to
+    // decapitate. So count first (partial-aggregated map-side, the count
+    // shuffle carries ~one row per distinct bucket per task) and
+    // left-semi the postings down to in-cap buckets, as the d9
+    // okBuckets leg does. `bands` is cached because both passes read it
+    // — uncached, the second pass would re-run the signature min-agg
+    // shuffle, the dominant cost of the pipeline's front half.
+    val bands = bandBuckets(sig).cache()
+    val okBuckets = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("nb")).filter(col("nb") <= maxBucket)
+      .select(col("band"), col("bucket"))
     // posting-list pairing (see pairStats): one shuffle on the band
     // bucket, pairs emitted map-side from the sorted list
-    val cands = bandBuckets(sig)
+    val cands = bands.join(okBuckets, Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= maxBucket)
       .select(explode(expr(OrderedPairsExpr)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()

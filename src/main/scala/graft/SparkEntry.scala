@@ -373,6 +373,11 @@ object SparkEntry {
     // portable-hash variant, fully oracle-replayable unlike d4
     "d9_crosscorpus_fuzzy_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.crossCorpusFuzzyPairs(s, d, plantClones = true)),
+    // index-fed d9: stored 32-perm signatures sliced to d9's 16 (same
+    // affine family), only the planted eval clones derived inline
+    "d9i_crosscorpus_fuzzy_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.crossCorpusFuzzyPairs(
+        s, graft.operators.IndexStore.shingleTable(s, d), d)),
     // segment-level exact-substring dedup + asymmetric containment —
     // plantCopies seeds deterministic PARTIAL copies (first 24 tokens of
     // the first 10 docs), the duplication shape symmetric Jaccard misses
@@ -1652,10 +1657,10 @@ object SparkEntry {
       |  UNION
       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)""".stripMargin
 
-  /** The `*i` queries are the index-fed twins of d3/d4/d10/d11 — proven
-    * bit-equal to the inline derivations (`ScaleOpsSpec`), so each reuses
-    * its twin's corpus-re-deriving SQL verbatim. Built by name lookup, not
-    * copy, so the twins can't desync.
+  /** The `*i` queries are the index-fed twins of d3/d4/d9/d10/d11 —
+    * proven bit-equal to the inline derivations (`ScaleOpsSpec`), so each
+    * reuses its twin's corpus-re-deriving SQL verbatim. Built by name
+    * lookup, not copy, so the twins can't desync.
     */
   private def indexFedDedupOracle: Map[String, String] = {
     val inline = dedupInlineOracle
@@ -1663,7 +1668,8 @@ object SparkEntry {
       "d3i_ngram_jaccard_pairs" -> inline("d3_ngram_jaccard_pairs"),
       "d4i_minhash_lsh_pairs" -> inline("d4_minhash_lsh_pairs"),
       "d10i_segment_dedup" -> inline("d10_segment_dedup"),
-      "d11i_containment_pairs" -> inline("d11_containment_pairs"))
+      "d11i_containment_pairs" -> inline("d11_containment_pairs"),
+      "d9i_crosscorpus_fuzzy_pairs" -> inline("d9_crosscorpus_fuzzy_pairs"))
   }
 
   def similarityOracle: Map[String, String] = Map(

@@ -496,7 +496,7 @@ object Dedup {
     * decontamination.
     */
   private val CrossP = graft.functions.PortableHash.P
-  private val CrossPerms = 16
+  private[operators] val CrossPerms = 16
   private val CrossBandRows = 4 // 4 bands of 4: P(candidate) = 1-(1-s^4)^4
   private[operators] def crossA(i: Int): Long = graft.functions.PortableHash.permA(i)
   private[operators] def crossB(i: Int): Long = graft.functions.PortableHash.permB(i)
@@ -530,6 +530,30 @@ object Dedup {
       spark: SparkSession, dir: String,
       plantClones: Boolean = false, threshold: Double = DefaultThreshold): DataFrame = {
     val sh = shinglesOf(crossDocs(spark, dir, plantClones))
+    crossFuzzyFromParts(crossSignatures(sh), sh, threshold)
+  }
+
+  /** The planted eval-clone frame of the graded d9 fixture: every
+    * doc_id % 100 == 50 document re-emitted at +[[CrossPlantBase]] with
+    * its first word dropped — factored out so the index-fed twin
+    * ([[ShingleIndex.crossCorpusFuzzyPairs]]) can derive ONLY the
+    * planted 1% inline while the other 99% of signatures come from the
+    * materialized index.
+    */
+  private[operators] def crossPlantedDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 100 === 50)
+      .select(
+        (col("doc_id") + CrossPlantBase).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+
+  /** The 16-permutation cross-corpus MinHash signature of a (doc_id, s)
+    * shingle frame. Same [[graft.functions.PortableHash]] affine family
+    * (and the same base-hash projection) as the 32-permutation
+    * [[minhashSignatures]], so the stored index signatures' first 16
+    * columns ARE this frame for any already-indexed document.
+    */
+  private[operators] def crossSignatures(sh: DataFrame): DataFrame = {
     // two-step projection: one md5 per shingle (see minhashSignatures)
     val based = sh.select(col("doc_id"), graft.functions.PortableHash.xCol("s").as("x"))
     val hashed = based.select(
@@ -537,7 +561,17 @@ object Dedup {
         (0 until CrossPerms).map(i =>
           ((lit(crossA(i)) * col("x") + crossB(i)) % CrossP).as(s"h$i")): _*)
     val minAggs = (0 until CrossPerms).map(i => min(col(s"h$i")).as(s"h$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Banding + capped eval×train candidate join + exact-Jaccard
+    * verification over an already-computed 16-perm signature frame and
+    * the shingle frame that verifies its candidates — the seam that lets
+    * the index-fed twin feed stored signatures/postings instead of
+    * re-shingling the corpus (the d4 → [[minhashLshVerified]] move).
+    */
+  private[operators] def crossFuzzyFromParts(
+      sig: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val bandKeys = (0 until CrossPerms / CrossBandRows).map { b =>
       concat_ws(",", (0 until CrossBandRows).map(r => col(s"h${CrossBandRows * b + r}")): _*)
     }

@@ -764,6 +764,35 @@ object ShingleIndex {
         .filter(col("doc_id") < Dedup.PartialCopyOffset),
       shingles(spark, tableName, includePlanted = false), threshold)
 
+  /** Index-fed d9: cross-corpus fuzzy decontamination reading the
+    * materialized index instead of re-shingling the corpus. The stored
+    * 32-permutation signatures and d9's 16-permutation family are the
+    * SAME [[graft.functions.PortableHash]] affine chain over the same
+    * md5 base hash, so slicing the first 16 stored columns reproduces
+    * d9's per-doc signatures bit-for-bit; only the planted eval clones
+    * (~1% of docs, absent from the index) derive their shingles and
+    * signatures inline. Verification shingles likewise come from the
+    * stored postings union the planted slice — no corpus re-scan
+    * anywhere. Same band/cap/join/verify tail as the inline d9
+    * ([[Dedup.crossFuzzyFromParts]]), so the output is bit-equal.
+    */
+  def crossCorpusFuzzyPairs(
+      spark: SparkSession, tableName: String, dir: String,
+      threshold: Double = Dedup.DefaultThreshold): DataFrame = {
+    val storedSig = spark.table(sigsTable(tableName))
+      .filter(col("doc_id") < Dedup.PartialCopyOffset)
+      .select(col("doc_id") +:
+        (0 until Dedup.CrossPerms).map(i => col(s"h$i")): _*)
+    // cached: the planted slice feeds its signature derivation AND both
+    // sides of the verify join — tiny (1% of docs), so the cache is the
+    // right trade against three re-scans of documents.parquet
+    val plantedSh = Dedup.shinglesOf(Dedup.crossPlantedDocs(spark, dir)).cache()
+    val sig = storedSig.unionByName(Dedup.crossSignatures(plantedSh))
+    val sh = shingles(spark, tableName, includePlanted = false)
+      .unionByName(plantedSh)
+    Dedup.crossFuzzyFromParts(sig, sh, threshold)
+  }
+
   def duplicatedSegments(spark: SparkSession, tableName: String): DataFrame =
     Dedup.segmentDupStats(segments(spark, tableName))
 

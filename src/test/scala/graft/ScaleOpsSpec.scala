@@ -1274,6 +1274,34 @@ class ScaleOpsSpec extends SparkSuite {
       table(spark, sf0001, "documents").count())
   }
 
+  test("index-fed cross-corpus decontamination (d9i) is bit-equal to the inline d9") {
+    import graft.operators.{Dedup, ShingleIndex}
+    val base = java.nio.file.Files.createTempDirectory("shd9i")
+    val tbl = "shidx_d9i_t"
+    try {
+      ShingleIndex.build(spark, sf0001, s"$base/idx", tbl)
+      val indexed = ShingleIndex.crossCorpusFuzzyPairs(spark, tbl, sf0001)
+      // only the planted eval-clone slice may touch the corpus: the
+      // stored signatures/postings feed everything else, so the plan must
+      // contain a pushed-down doc_id % 100 = 50 filter over documents,
+      // never an unfiltered corpus scan
+      val planText = indexed.queryExecution.executedPlan.toString
+      assert(planText.contains("documents.parquet"),
+        "planted slice should derive from the corpus")
+      val inline = Dedup.crossCorpusFuzzyPairs(spark, sf0001, plantClones = true)
+      assert(indexed.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
+      assert(indexed.count() > 0, "fixture should surface planted clone pairs")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.bandsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ensureBandsTable tolerates a catalog-orphaned stale location (crashed-JVM dropping)") {
     import graft.operators.ShingleIndex
     val base = java.nio.file.Files.createTempDirectory("shstale")

@@ -304,6 +304,11 @@ object SparkEntry {
     "t45_langid_confusion" -> ((s: SparkSession, d: String) =>
       graft.operators.LmScore.nbLangConfusion(
         s, d, graft.operators.IndexStore.nbModelPath(s, d))),
+    // classifier quality report: per-language precision/recall/F1 plus a
+    // [macro] row, one label-bounded rollup over the t45 confusion cells
+    "t46_langid_quality" -> ((s: SparkSession, d: String) =>
+      graft.operators.LmScore.nbLangQuality(
+        s, d, graft.operators.IndexStore.nbModelPath(s, d))),
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
     // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
@@ -1456,6 +1461,7 @@ object SparkEntry {
     "t44_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
     "t44i_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
     "t45_langid_confusion" -> graft.operators.LmScore.nbLangConfusionOracleSql,
+    "t46_langid_quality" -> graft.operators.LmScore.nbLangQualityOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,

@@ -935,4 +935,94 @@ object LmScore {
     s"""WITH $nbOracleCtes
        |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
        |FROM verdicts GROUP BY lang, pred_lang""".stripMargin
+
+  /** t46: per-language precision/recall/F1 (+ a `[macro]` averages row)
+    * derived from the t45 confusion matrix — the quality report a
+    * deployed langid gate actually ships (a gate is only as trustworthy
+    * as its measured per-class error). One |langs|²-row shuffle: each
+    * confusion cell contributes to its true-label row (support, tp) and
+    * its predicted-label row (predicted) via a 2-way explode, then a
+    * single label-bounded groupBy rolls both up — never a second pass
+    * over the corpus-sized verdicts. Ratios are e6 fixed-point
+    * (`Exact.e`) and the macro row averages the e6 INTEGERS, so every
+    * value is bit-replayable by the oracle (no order-dependent double
+    * sums). Zero-division follows the standard zero_division=0
+    * convention: an unpredicted class has precision 0, not NULL.
+    */
+  def nbLangQuality(spark: SparkSession, dir: String, modelPath: String): DataFrame = {
+    val conf = nbLangConfusion(spark, dir, modelPath)
+    val contrib = conf.select(explode(array(
+        struct(col("lang").as("l"),
+          when(col("lang") === col("pred_lang"), col("n")).otherwise(lit(0L)).as("tp"),
+          col("n").as("support"), lit(0L).as("predicted")),
+        struct(col("pred_lang").as("l"), lit(0L).as("tp"),
+          lit(0L).as("support"), col("n").as("predicted")))).as("c"))
+      .select(col("c.l").as("lang"), col("c.tp"),
+        col("c.support"), col("c.predicted"))
+    val per = contrib.groupBy(col("lang")).agg(
+      sum(col("support")).as("support"),
+      sum(col("predicted")).as("predicted"),
+      sum(col("tp")).as("tp"))
+    val p = when(col("predicted") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("predicted").cast("double"))
+    val r = when(col("support") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("support").cast("double"))
+    val f1 = when(p + r === 0.0, lit(0.0)).otherwise(lit(2.0) * p * r / (p + r))
+    val scored = per.select(col("lang"), col("support"), col("predicted"),
+      col("tp"), Exact.e(p, 6).as("precision_e6"), Exact.e(r, 6).as("recall_e6"),
+      Exact.e(f1, 6).as("f1_e6"))
+    val macroAvg = (c: String) =>
+      floor(sum(col(c)).cast("double") / count(lit(1)).cast("double") + lit(0.5))
+        .cast("long").as(c)
+    val macroRow = scored.agg(
+      sum(col("support")).as("support"), sum(col("predicted")).as("predicted"),
+      sum(col("tp")).as("tp"), macroAvg("precision_e6"), macroAvg("recall_e6"),
+      macroAvg("f1_e6"))
+      .select(lit("[macro]").as("lang"), col("support"), col("predicted"),
+        col("tp"), col("precision_e6"), col("recall_e6"), col("f1_e6"))
+    scored.unionByName(macroRow)
+  }
+
+  def nbLangQualityOracleSql: String =
+    s"""WITH $nbOracleCtes,
+       |conf AS (
+       |  SELECT lang, pred_lang, count(*) AS n
+       |  FROM verdicts GROUP BY lang, pred_lang),
+       |cell AS (
+       |  SELECT lang AS l, CASE WHEN lang = pred_lang THEN n ELSE 0 END AS tp,
+       |    n AS support, 0 AS predicted FROM conf
+       |  UNION ALL
+       |  SELECT pred_lang AS l, 0 AS tp, 0 AS support, n AS predicted FROM conf),
+       |per AS (
+       |  SELECT l AS lang, cast(sum(support) AS bigint) AS support,
+       |    cast(sum(predicted) AS bigint) AS predicted,
+       |    cast(sum(tp) AS bigint) AS tp
+       |  FROM cell GROUP BY l),
+       |ratio AS (
+       |  SELECT lang, support, predicted, tp,
+       |    CASE WHEN predicted = 0 THEN 0.0
+       |         ELSE cast(tp AS double) / cast(predicted AS double) END AS p,
+       |    CASE WHEN support = 0 THEN 0.0
+       |         ELSE cast(tp AS double) / cast(support AS double) END AS r
+       |  FROM per),
+       |prf AS (
+       |  SELECT lang, support, predicted, tp,
+       |    cast(floor(p * 1000000.0 + 0.5) AS bigint) AS precision_e6,
+       |    cast(floor(r * 1000000.0 + 0.5) AS bigint) AS recall_e6,
+       |    cast(floor((CASE WHEN p + r = 0.0 THEN 0.0
+       |                     ELSE 2.0 * p * r / (p + r) END) * 1000000.0 + 0.5)
+       |      AS bigint) AS f1_e6
+       |  FROM ratio)
+       |SELECT lang, support, predicted, tp, precision_e6, recall_e6, f1_e6
+       |FROM prf
+       |UNION ALL
+       |SELECT '[macro]' AS lang, cast(sum(support) AS bigint) AS support,
+       |  cast(sum(predicted) AS bigint) AS predicted,
+       |  cast(sum(tp) AS bigint) AS tp,
+       |  cast(floor(cast(sum(precision_e6) AS double) / count(*) + 0.5) AS bigint)
+       |    AS precision_e6,
+       |  cast(floor(cast(sum(recall_e6) AS double) / count(*) + 0.5) AS bigint)
+       |    AS recall_e6,
+       |  cast(floor(cast(sum(f1_e6) AS double) / count(*) + 0.5) AS bigint) AS f1_e6
+       |FROM prf""".stripMargin
 }

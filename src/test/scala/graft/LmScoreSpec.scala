@@ -254,6 +254,34 @@ class LmScoreSpec extends SparkSuite {
       verdicts.count { case (l, p) => l == p }.toLong)
   }
 
+  test("t46: precision/recall/F1 + macro row replay a JVM reference over the confusion cells") {
+    val path = java.nio.file.Files.createTempDirectory("nbqual").toString
+    LmScore.buildNbModel(spark, sf0001, path)
+    val cells = LmScore.nbLangConfusion(spark, sf0001, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // independent reference: sklearn-style per-class metrics from the cells
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val langs = (cells.map(_._1) ++ cells.map(_._2)).distinct
+    val ref = langs.map { l =>
+      val support = cells.filter(_._1 == l).map(_._3).sum
+      val predicted = cells.filter(_._2 == l).map(_._3).sum
+      val tp = cells.filter(c => c._1 == l && c._2 == l).map(_._3).sum
+      val p = if (predicted == 0) 0.0 else tp.toDouble / predicted
+      val r = if (support == 0) 0.0 else tp.toDouble / support
+      val f1 = if (p + r == 0.0) 0.0 else 2.0 * p * r / (p + r)
+      (l, support, predicted, tp, e6(p), e6(r), e6(f1))
+    }
+    val macroRef = ("[macro]", ref.map(_._2).sum, ref.map(_._3).sum,
+      ref.map(_._4).sum,
+      math.floor(ref.map(_._5).sum.toDouble / ref.length + 0.5).toLong,
+      math.floor(ref.map(_._6).sum.toDouble / ref.length + 0.5).toLong,
+      math.floor(ref.map(_._7).sum.toDouble / ref.length + 0.5).toLong)
+    val got = LmScore.nbLangQuality(spark, sf0001, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === (ref :+ macroRef).toSet)
+  }
+
   test("t44: a frozen model classifies all-unseen text through the per-lang unk floor") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("nbunk").toString

@@ -832,14 +832,21 @@ object Dedup {
     * report each document's duplicated-segment fraction — the signal a
     * pipeline thresholds to strip boilerplate spans.
     *
-    * Scale shape: ONE scan — segments are emitted map-side, combined per
-    * (segment hash, doc) with map-side partial aggregation, the cross-doc
-    * frequency is a count window over the hash (each surviving row is one
-    * distinct doc by construction, so no countDistinct and no join back
-    * to a second scan of the corpus), and the per-doc rollup is the final
-    * shuffle: 3 exchanges total, asserted in `PlanAssertionsSpec`. Hash
-    * keys are md5 — uniform, and a hot boilerplate segment costs a wide
-    * window partition (streamed), never a collected posting row.
+    * Scale shape: segments are emitted map-side, combined per (segment
+    * hash, doc) with map-side partial aggregation, the cross-doc
+    * frequency is a count aggregate over that frame joined back (each
+    * perDoc row is one distinct doc by construction, so no
+    * countDistinct), and the per-doc rollup is the final shuffle. Hash
+    * keys are md5 — uniform — and a hot boilerplate segment (10⁵–10⁶
+    * occurrences in a real crawl) costs a partial-aggregated count row
+    * plus an AQE-splittable join partition, never an atomic WindowExec
+    * buffer. The count leg re-derives the map-side projection (a second
+    * scan): measured against the single-scan count window and a
+    * checkpoint-materialized tape under hot-hash floods to 400k
+    * occurrences, re-deriving is the fastest of the three at every
+    * density (docs/SCALING.md round-13 table) — and the production path
+    * is [[ShingleIndex.duplicatedSegments]], where both legs read the
+    * compact stored postings and no corpus scan exists at all.
     *
     * Documents shorter than one segment carry no signal and are excluded
     * (their fraction is 0/0).
@@ -847,8 +854,15 @@ object Dedup {
   def duplicatedSegments(
       spark: SparkSession, dir: String,
       segTokens: Int = SegmentTokens,
-      plantCopies: Boolean = false): DataFrame = {
-    val segs = maybePartialCopies(spark, dir, plantCopies)
+      plantCopies: Boolean = false): DataFrame =
+    duplicatedSegmentsOf(maybePartialCopies(spark, dir, plantCopies), segTokens)
+
+  /** [[duplicatedSegments]] over any (doc_id, text) frame — the
+    * density-test seam (the d10 counterpart of [[substringSpansOf]]).
+    */
+  private[graft] def duplicatedSegmentsOf(
+      docs: DataFrame, segTokens: Int = SegmentTokens): DataFrame = {
+    val segs = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= segTokens)
       .select(
@@ -868,13 +882,26 @@ object Dedup {
     */
   private[graft] def segmentDupStats(segs: DataFrame): DataFrame = {
     val perDoc = segs.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("cnt"))
-    val nd = count(lit(1)).over(Window.partitionBy(col("h")))
-    perDoc
-      .withColumn("nd", nd)
+    // cross-doc frequency as a count AGGREGATE joined back, not a count
+    // window: a hot boilerplate hash (cookie banners recur 10⁵–10⁶× in a
+    // real crawl) would put its entire occurrence list through ONE
+    // unsplittable WindowExec partition, while the aggregate shuffles
+    // map-side-combined counts and the join-back is AQE-skew-splittable.
+    // Only hashes seen in >1 doc survive to the join's build side.
+    // Bit-equal to the window form by construction (each perDoc row is
+    // one distinct doc, so count(*) == distinct docs); the round-13
+    // hot-hash flood measured this shape fastest at every density
+    // (docs/SCALING.md). Column pruning collapses this leg to a distinct
+    // over (h, doc), so ReuseExchange cannot share perDoc's shuffle and
+    // the leg re-derives the map-side projection — measured cheaper than
+    // either the window sort or a checkpoint-materialized tape.
+    val dupH = perDoc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("h"), lit(true).as("is_dup"))
+    perDoc.join(dupH, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("cnt")).as("n_segments"),
-        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup_segments"))
+        sum(when(col("is_dup"), col("cnt")).otherwise(lit(0L))).as("n_dup_segments"))
       .select(
         col("doc_id"), col("n_segments"), col("n_dup_segments"),
         Exact.e(col("n_dup_segments").cast("double") / col("n_segments").cast("double"), 4)

@@ -79,6 +79,29 @@ object DensityBench {
         s""""posting_vol_uncapped":$vRaw,"band_vol_capped":$bCap,""" +
         s""""band_vol_uncapped":$bRaw,"sec":{$times}}""")
     }
+    // ---- hot-hash flood (round 13): ONE 16-token window (the cookie-
+    // banner shape) at 10⁴–4·10⁵ occurrences — the skew surface of the
+    // d10/d12 cross-doc frequency. d10's count-aggregate+join-back and
+    // d12's count window are both measured; ScaleOpsSpec asserts the
+    // linearity invariants in CI at 10⁴.
+    val banner = (1 to 16).map(i => s"bnr$i").mkString(" ")
+    def flooded(m: Int): DataFrame = docs.unionByName(
+      spark.range(m).select(
+        (lit(30000000L) + col("id")).as("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          lit(banner + " x"), col("id").cast("string"),
+          lit(" y"), col("id").cast("string")).as("text")))
+      .localCheckpoint()
+    val flood = new StringBuilder(""","hot_hash_flood":{""")
+    Seq(0, 10000, 100000, 400000).zipWithIndex.foreach { case (m, i) =>
+      val c = if (m == 0) docs else flooded(m)
+      val t10 = minOf2(Dedup.duplicatedSegmentsOf(c).count())
+      val t12 = minOf2(Dedup.substringSpansOf(c).count())
+      if (i > 0) flood.append(",")
+      flood.append(s""""m_$m":{"d10":${f"$t10%.3f"},"d12":${f"$t12%.3f"}}""")
+    }
+    flood.append("}")
+    out.append(flood.result())
     out.append("}")
     println(out.result())
     spark.stop()

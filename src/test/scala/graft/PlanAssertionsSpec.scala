@@ -220,17 +220,26 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty)
   }
 
-  test("d10 is one corpus scan and three exchanges — no join back, no re-scan") {
+  test("d10: frequency is a partial-aggregated count joined back, never a count window") {
     val plan = executed(
       graft.operators.Dedup.duplicatedSegments(spark, sf0001, plantCopies = true))
     val finalText = plan.toString.split("== Initial Plan ==")(0)
+    // four exchanges at most: the (h, doc) partial-agg on each leg, the
+    // h-count rollup (map-side combined, ~one row per distinct hash), and
+    // the final per-doc rollup; the join-back is AQE-skew-splittable —
+    // the reason this shape replaced the atomic count window (a hot
+    // boilerplate hash streamed its whole occurrence list through ONE
+    // WindowExec task). Each leg derives the map-side projection itself
+    // (two scans): measured against the single-scan window and a
+    // checkpoint-materialized tape at sf0.001/sf0.1 under hot-hash
+    // floods to 400k occurrences, re-deriving is the fastest of the
+    // three at every density (docs/SCALING.md round-13 table).
     val shuffles = finalText.split("Exchange hashpartitioning").length - 1
-    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$finalText")
-    // single pass: planting emits the partial copies from the SAME scan
-    // (one projection, no union branch), and the frequency signal is a
-    // window, never a join back to a second corpus read
+    assert(shuffles <= 4, s"expected <=4 hash exchanges, got $shuffles:\n$finalText")
     val scans = finalText.split("FileScan parquet").length - 1
-    assert(scans == 1, s"expected 1 scan (planting shares the base scan), got $scans:\n$finalText")
+    assert(scans <= 2, s"expected <=2 scans, got $scans:\n$finalText")
+    assert(!finalText.contains("Window"),
+      s"d10 must not route the hot-hash frequency through a window:\n$finalText")
   }
 
   test("d12 stride-1 spans: one corpus scan, three exchanges, rollup reuses doc_id partitioning") {

@@ -140,6 +140,51 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("hot-hash flood: ONE segment at 10⁴ occurrences costs d10/d12 linearly, results exact") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    // the cookie-banner shape: one fixed 16-token window recurring across
+    // tens of thousands of docs — the hot-key pathology the d10 count
+    // aggregate (vs the old count window) exists to keep splittable
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val banner = (1 to 16).map(i => s"bnr$i").mkString(" ")
+    val m = 10000
+    val flood = docs.unionByName(
+      spark.range(m).select(
+        (lit(30000000L) + col("id")).as("doc_id"),
+        concat(lit(banner + " x"), col("id").cast("string"),
+          lit(" y"), col("id").cast("string")).as("text")))
+      .localCheckpoint()
+    def timed(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t0 = System.nanoTime; val n = df.count(); (System.nanoTime - t0, n)
+    }
+    // d10: every flood doc's aligned first segment is the banner → one
+    // hash with m+ occurrences; stats must be exact and wall-time in band
+    val (t10b, n10b) = timed(Dedup.duplicatedSegmentsOf(docs))
+    val (t10f, n10f) = timed(Dedup.duplicatedSegmentsOf(flood))
+    assert(n10f === n10b + m, s"d10 rows not linear in flood: $n10b -> $n10f")
+    val d10flood = Dedup.duplicatedSegmentsOf(flood)
+      .filter(col("doc_id") >= 30000000L).collect()
+    assert(d10flood.length === m)
+    // each flood doc: 1 segment (banner) + 2-token tail → n_segments=1,
+    // and the banner hash occurs in m>1 docs → that segment is duplicated
+    assert(d10flood.forall(r => r.getLong(1) === 1L && r.getLong(2) === 1L),
+      "flood docs must report their banner segment as duplicated")
+    assert(t10f <= 4L * t10b + 2000000000L,
+      s"d10 wall-time not flood-bounded: base ${t10b / 1e9}s, flood ${t10f / 1e9}s")
+    // d12: each flood doc contributes its banner window (hot hash) plus
+    // unique boundary windows — exactly one 16-token span per flood doc
+    val (t12b, n12b) = timed(Dedup.substringSpansOf(docs))
+    val (t12f, n12f) = timed(Dedup.substringSpansOf(flood))
+    assert(n12f === n12b + m, s"d12 rows not linear in flood: $n12b -> $n12f")
+    val d12flood = Dedup.substringSpansOf(flood)
+      .filter(col("doc_id") >= 30000000L).collect()
+    assert(d12flood.forall(r => r.getLong(2) === 1L && r.getLong(3) === 16L),
+      "each flood doc must carry exactly one 16-token duplicated span")
+    assert(t12f <= 4L * t12b + 2000000000L,
+      s"d12 wall-time not flood-bounded: base ${t12b / 1e9}s, flood ${t12f / 1e9}s")
+  }
+
   test("event-time window + watermark aggregates late-tolerant (ST2 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -282,6 +282,21 @@ object OnlineGate {
     * exact rows present. Decisions land under `decisions/batch_id=N` as
     * (doc_id, n_tokens, quality_e4, first_seen, pass_expect,
     * pass_quality, pass_tokens, pass_rep[, pass_ppl][, pass_lang], kept).
+    *
+    * State COMPACTION: per-batch partials would otherwise accumulate one
+    * directory per trigger forever, making the prefix read's
+    * file/partition listing O(total batches) even when pruning skips the
+    * data. Every [[CompactEvery]] batches the seen/bloom writes fold the
+    * whole earlier prefix into the current `batch_id=N` partition and
+    * delete the older directories, so listing work is bounded by the
+    * compaction interval. Crash-safe WITHOUT an atomic commit because
+    * both stores are idempotent unions (seen is read via
+    * distinct/left-semi, bloom via bit_or): a crash between the fold and
+    * the deletes only leaves duplicate rows/bits, which change nothing.
+    * The fold reads `batch_id <= N` (its OWN prior attempt included) and
+    * localCheckpoints before overwriting, so a replay that finds some
+    * older directories already deleted still reconstructs the full
+    * prefix from the previous attempt's fold.
     */
   def fullIngestGate(
       docs: DataFrame, outPath: String, checkpoint: String,
@@ -292,7 +307,8 @@ object OnlineGate {
       keepLangs: Seq[String] = Seq("en"),
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
-      maxTokens: Long = TrainingPrep.MaxTokens): StreamingQuery = {
+      maxTokens: Long = TrainingPrep.MaxTokens,
+      compactEvery: Long = CompactEvery): StreamingQuery = {
     val owner = docs.sparkSession
     val lmFrames = lmModelPath.map { mp =>
       val (model, unk, global) = graft.operators.LmScore.loadModel(owner, mp)
@@ -310,7 +326,8 @@ object OnlineGate {
           val b = batch.toDF().localCheckpoint()
           processFullGateBatch(spark, b, outPath, identityCol,
             canonicalizeUrl, lmFrames,
-            nbFrames, keepLangs, minQualityE4, minTokens, maxTokens, id)
+            nbFrames, keepLangs, minQualityE4, minTokens, maxTokens, id,
+            compactEvery)
         }
         ()
       }
@@ -345,7 +362,8 @@ object OnlineGate {
       canonicalizeUrl: Boolean,
       lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
       nbFrames: Option[(DataFrame, DataFrame, DataFrame)], keepLangs: Seq[String],
-      minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long): Unit = {
+      minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long,
+      compactEvery: Long): Unit = {
     import graft.operators.{Expectations, Sketches}
     val bloomRoot = s"$outPath/bloom"
     val seenRoot = s"$outPath/seen"
@@ -417,15 +435,51 @@ object OnlineGate {
     // state updates — EVERY arriving ident enters the seen set (kept or
     // rejected: first-seen is about arrival, not admission). Exact rows
     // FIRST, bloom partial second: a bloom bit without its exact rows
-    // could mis-confirm a later FP as seen.
-    idents.withColumn("bucket", pmod(hash(col("ident")), lit(SeenBuckets)))
-      .write.mode("overwrite").partitionBy("bucket")
+    // could mis-confirm a later FP as seen. Every CompactEvery batches
+    // the write folds the whole earlier prefix into this batch's
+    // partition and drops the older directories (see the gate scaladoc
+    // for the crash-safety argument).
+    val compacting = compactEvery > 0 && id > 0 && id % compactEvery == 0
+    val newSeen = idents
+      .withColumn("bucket", pmod(hash(col("ident")), lit(SeenBuckets)))
+    val seenOut =
+      if (compacting && exists(seenRoot))
+        spark.read.parquet(seenRoot).filter(col("batch_id") <= id)
+          .select(col("ident"), col("bucket"))
+          .unionByName(newSeen).distinct()
+          .localCheckpoint() // materialize BEFORE overwriting a source dir
+      else newSeen
+    seenOut.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$seenRoot/batch_id=$id")
-    Sketches.bloomPositions(idents, "ident")
+    val newBloom = Sketches.bloomPositions(idents, "ident")
       .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
-      .coalesce(1)
+    val bloomOut =
+      if (compacting && exists(bloomRoot))
+        spark.read.parquet(bloomRoot).filter(col("batch_id") <= id)
+          .select(col("w"), col("bits"))
+          .unionByName(newBloom)
+          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+          .localCheckpoint()
+      else newBloom
+    bloomOut.coalesce(1)
       .write.mode("overwrite").parquet(s"$bloomRoot/batch_id=$id")
+    if (compacting) Seq(seenRoot, bloomRoot).foreach { root =>
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(conf)
+      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("batch_id=") &&
+            nm.stripPrefix("batch_id=").toLongOption.exists(_ < id))
+          fs.delete(st.getPath, true)
+      }
+    }
   }
+
+  /** Fold the seen/bloom per-batch partials into one consolidated
+    * partition every this many micro-batches — bounds the prefix read's
+    * directory-listing work to O(interval) instead of O(stream lifetime).
+    */
+  private[graft] val CompactEvery = 16L
 
   /** The identity the first-seen leg keys on: the raw string, or the d14
     * canonical URL (shared expression — the stream and the cold twin
@@ -437,16 +491,26 @@ object OnlineGate {
     if (canonicalizeUrl) Dedup.canonicalUrlCol(raw) else raw
   }
 
-  /** The verdict composition shared by the stream and its cold twin. */
+  /** The verdict composition shared by the stream and its cold twin.
+    *
+    * Missing-row policy differs by leg ON PURPOSE: `pass_rep` coalesces
+    * TRUE upstream (the Gopher signals are undefined below 2 tokens — a
+    * documented vacuous pass), but the ppl/lang legs coalesce FALSE —
+    * their scorers are meant to be total (the LM leg drops only sub-
+    * 2-token docs, which `pass_tokens` already rejects), so a doc its
+    * scorer did not return is REJECTED rather than silently admitted
+    * unchecked. Fail-closed: if a scorer ever starts dropping rows, the
+    * gate tightens visibly instead of leaking unscored documents.
+    */
   private def composeFullDecision(
       withSignals: DataFrame, lmPass: Option[DataFrame], langPass: Option[DataFrame],
       minQualityE4: Long, minTokens: Long, maxTokens: Long): DataFrame = {
     val withLm = lmPass.fold(withSignals)(lp =>
       withSignals.join(lp, Seq("doc_id"), "left")
-        .withColumn("pass_ppl", coalesce(col("pass_ppl"), lit(true))))
+        .withColumn("pass_ppl", coalesce(col("pass_ppl"), lit(false))))
     val withLang = langPass.fold(withLm)(lp =>
       withLm.join(lp, Seq("doc_id"), "left")
-        .withColumn("pass_lang", coalesce(col("pass_lang"), lit(true))))
+        .withColumn("pass_lang", coalesce(col("pass_lang"), lit(false))))
     val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
       "pass_expect", "pass_quality", "pass_tokens", "pass_rep") ++
       (if (lmPass.isDefined) Seq("pass_ppl") else Nil) ++

@@ -1350,6 +1350,60 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ingest gate state compaction: partial dirs stay bounded, verdicts identical to cold") {
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("gatecompact")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // re-crawled urls collide ACROSS the compaction boundary: a doc in
+      // batch 5 whose url was first seen in batch 0 must still be
+      // suppressed after batches 0-3 were folded into one partition
+      val seeded = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .withColumn("url",
+          concat(lit("https://crawl.example/"), (col("doc_id") % 83).cast("string")))
+        .localCheckpoint()
+      val rows = seeded.orderBy("doc_id")
+        .as[(Long, String, String, Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String, String, Long, String)]
+      val q = OnlineGate.fullIngestGate(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "url"),
+        s"$base/out", s"$base/ckpt", compactEvery = 2L)
+      val nBatches = 6
+      try {
+        rows.grouped((rows.length + nBatches - 1) / nBatches).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // folding happened: the per-batch partials collapsed — at most the
+      // compaction interval's worth of directories survives per store
+      def batchDirs(root: String): Seq[String] = {
+        val d = new java.io.File(root)
+        d.listFiles().toSeq.map(_.getName).filter(_.startsWith("batch_id="))
+      }
+      assert(batchDirs(s"$base/out/seen").size <= 3,
+        s"seen partials unbounded: ${batchDirs(s"$base/out/seen")}")
+      assert(batchDirs(s"$base/out/bloom").size <= 3,
+        s"bloom partials unbounded: ${batchDirs(s"$base/out/bloom")}")
+      // and the folded state changed NOTHING: verdicts equal the cold pass
+      def image(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
+        "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "kept")
+      val online = spark.read.parquet(s"$base/out/decisions").select(cols.map(col): _*)
+      val cold = OnlineGate.fullIngestGateCold(seeded).select(cols.map(col): _*)
+      assert(online.count() === rows.length.toLong)
+      assert(image(online) === image(cold),
+        "compaction changed the composed verdicts")
+      // the cross-boundary suppression really bound: survivors == distinct urls
+      assert(online.filter(col("first_seen")).count() === 83L)
+      assert(online.filter(!col("first_seen")).count() > 0L)
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("t43 streaming twin: per-batch importer reports match the batch matrix on the arriving slice") {
     import graft.operators.Expectations
     import graft.sources.Fixtures

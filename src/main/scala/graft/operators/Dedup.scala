@@ -976,14 +976,35 @@ object Dedup {
         .withColumn("uniq", col("dup").isNull),
       segTokens)
 
+  /** Scrub over an arbitrary (doc_id, text) frame with the cross-doc
+    * duplication signal supplied as a one-column (h) frame — the
+    * cut-time form: the accumulated index provides the duplicated
+    * hashes, the raw store provides the text for reassembly.
+    */
+  private[graft] def scrubbedSpansOfDocs(
+      docs: DataFrame, dupHashes: DataFrame,
+      segTokens: Int = SegmentTokens): DataFrame =
+    scrubAssemble(
+      scrubExplodedOf(docs.select(col("doc_id"), col("text")), segTokens)
+        .join(broadcast(dupHashes.select(col("h"), lit(true).as("dup"))), Seq("h"), "left")
+        .withColumn("uniq", col("dup").isNull),
+      segTokens)
+
   /** The exploded per-occurrence frame both scrub paths share: one row
     * per segment occurrence (j, seg) plus one tail-carrier row per doc,
     * keyed by the segment hash (surrogate `~doc_id` for carriers).
     */
   private def scrubExploded(
       spark: SparkSession, dir: String,
-      segTokens: Int, plantCopies: Boolean): DataFrame = {
-    val base = maybePartialCopies(spark, dir, plantCopies)
+      segTokens: Int, plantCopies: Boolean): DataFrame =
+    scrubExplodedOf(maybePartialCopies(spark, dir, plantCopies), segTokens)
+
+  /** [[scrubExploded]] over an arbitrary (doc_id, text) frame — the seam
+    * the cut-time scrub ([[graft.streaming.OnlineGate.cut]]) feeds with
+    * the ingested corpus.
+    */
+  private def scrubExplodedOf(docsIn: DataFrame, segTokens: Int): DataFrame = {
+    val base = docsIn
       .withColumn("toks", split(col("text"), " "))
       .withColumn("nseg", expr(s"size(toks) div $segTokens"))
       .withColumn("tail", expr(

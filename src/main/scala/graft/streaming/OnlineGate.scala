@@ -49,9 +49,11 @@ import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep,
   * (`StreamingSpec` pins it). The segment-dup-FRACTION leg of the batch
   * t23 gate is deliberately absent: it is not a lower-id rule (a doc's
   * fraction can rise after arrival as later duplicates land), so an
-  * at-arrival verdict for it would not be prefix-consistent; a pipeline
-  * wanting it runs the batch d10 pass over the accumulated index
-  * ([[ShingleIndex.duplicatedSegments]]) at cut time.
+  * at-arrival verdict for it would not be prefix-consistent; it belongs
+  * to the freeze step instead — [[cut]] is that first-class operation
+  * (t23-equivalent fraction gating, or t25-equivalent span scrubbing,
+  * both fed from the accumulated index; `StreamingSpec` pins cut ≡ the
+  * cold batch compositions bit-for-bit).
   *
   * Scale shape per batch: the text legs are map-only over the micro-batch;
   * the fuzzy leg probes the bucketed banded table with literal pushdown;
@@ -580,8 +582,62 @@ object OnlineGate {
     decisions(spark, outPath).filter(col("kept"))
       .join(dup, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("shard"),
+        col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"),
         coalesce(col("dup_frac_e4"), lit(0L)).as("dup_frac_e4"))
       .filter(col("dup_frac_e4") <= maxDupFracE4)
   }
+
+  /** Freeze a training snapshot from the accumulated online state — the
+    * first-class cut operation a gate-fed pipeline runs when it stops
+    * ingesting and ships data:
+    *
+    *   - `scrub = false` — the t23-equivalent cut: the accumulated kept
+    *     set further gated by the duplicated-segment FRACTION over the
+    *     full ingested corpus ([[cutTimeSelection]]), still training on
+    *     raw text. Composed with the online legs this reproduces the
+    *     batch `trainingSelectionFull` gate chain (exact ∧ token ∧
+    *     quality ∧ segment-dup ∧ fuzzy ∧ semantic) over the ingested
+    *     corpus — `StreamingSpec` pins cut ≡ cold, bit-for-bit.
+    *   - `scrub = true` — the t25-equivalent cut: instead of gating on
+    *     the fraction, REMOVE every cross-document-duplicated span
+    *     (the accumulated index supplies the duplicated hashes via
+    *     [[ShingleIndex.duplicatedSegmentHashes]] — the same index-fed
+    *     shape as t25i, no second pass through an h-partitioned window)
+    *     and re-run the token/quality gates on the CLEANED text, so a
+    *     document whose boilerplate made it long or "high-quality"
+    *     enough must now pass on its real content. Needs `docs` — the
+    *     raw ingested (doc_id, text) store — because the index holds
+    *     hashes, not reassemblable text. This form starts from the
+    *     IDENTITY survivorship legs (`fuzzy_keep ∧ sem_keep`), not the
+    *     composite `kept`: t25's contract is that a document passes on
+    *     its cleaned content, and a raw-text verdict can differ in
+    *     EITHER direction once boilerplate is removed (an over-long doc
+    *     can shrink under the token ceiling), so baking the raw gates in
+    *     would silently diverge from the batch t25.
+    *
+    * Both forms read only the compact index + the decisions frame (plus
+    * the raw store for scrub reassembly); nothing re-shingles a byte.
+    */
+  def cut(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docs: DataFrame, scrub: Boolean = false,
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4,
+      minQualityE4: Long = TrainingPrep.MinQualityE4,
+      minTokens: Long = TrainingPrep.MinTokens,
+      maxTokens: Long = TrainingPrep.MaxTokens): DataFrame =
+    if (!scrub) cutTimeSelection(spark, shingleTable, outPath, maxDupFracE4)
+    else {
+      val scrubbed = Dedup.scrubbedSpansOfDocs(
+        docs, ShingleIndex.duplicatedSegmentHashes(spark, shingleTable))
+      decisions(spark, outPath).filter(col("fuzzy_keep") && col("sem_keep"))
+        .select(col("doc_id"), col("shard"))
+        .join(scrubbed, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("shard"), col("clean_text"), col("n_dropped_tokens"),
+          TextAnalysis.nTokensCol(col("clean_text")).as("n_tokens"),
+          TextAnalysis.qualityE4Col(col("clean_text")).as("quality_e4"))
+        .filter(
+          col("quality_e4") >= minQualityE4 &&
+            col("n_tokens").between(minTokens, maxTokens))
+    }
 }

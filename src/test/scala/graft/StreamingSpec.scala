@@ -1664,7 +1664,15 @@ class StreamingSpec extends SparkSuite {
       // BOTH dedup legs must drop every one of them (jaccard 1, cosine 1)
       val clones = joined.filter(col("doc_id") < 8)
         .withColumn("doc_id", col("doc_id") + 3000000L)
-      val all = joined.unionByName(clones)
+      // partial copies of DIFFERENT docs (8..15): only their first
+      // segment becomes cross-doc duplicated, so the scrub cut (item 7)
+      // demonstrably trims a surviving doc instead of deleting it —
+      // the full clones above scrub docs 0..7 to their tails, which the
+      // clean-text gates then reject
+      val partials = joined.filter(col("doc_id").between(8, 15))
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+        .withColumn("text", expr("concat_ws(' ', slice(split(text, ' '), 1, 24))"))
+      val all = joined.unionByName(clones).unionByName(partials)
       ShingleIndex.buildFor(spark,
         docs.limit(0).select(col("doc_id"), col("text")), s"$base/sh", tbl)
       VectorIndex.trainOnly(spark, sf0001, s"$base/ivf")
@@ -1710,7 +1718,11 @@ class StreamingSpec extends SparkSuite {
 
       // 2. the fuzzy leg equals the cold d4 drop set over the union corpus
       val unionDir = s"$base/union"
-      all.select(col("doc_id"), col("text")).write.parquet(s"$unionDir/documents.parquet")
+      // lang/source are carried (not gated on) by the batch operators the
+      // cut-equivalence below replays — any constant works
+      all.select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("web").as("source"))
+        .write.parquet(s"$unionDir/documents.parquet")
       val coldFuzzyDrops = Dedup.minhashLshPairs(spark, unionDir)
         .select(col("b")).distinct().as[Long].collect().toSet
       assert(fuzzyKeep.filter(!_._2).keySet === coldFuzzyDrops,
@@ -1765,6 +1777,43 @@ class StreamingSpec extends SparkSuite {
       // the full clones make their ORIGINALS fully-duplicated, so the
       // cut-time gate must drop something the online pass kept
       assert(cut !== keptOnline, "segment gate dropped nothing at cut — vacuous")
+
+      // 6. first-class cut, t23 form: ingest → cut ≡ the cold full-gate
+      //    chain over the ingested corpus — trainingSelection (exact ∧
+      //    token ∧ quality ∧ segment-dup, batch operators end-to-end)
+      //    minus the cold fuzzy/semantic drop sets: exactly
+      //    trainingSelectionFull re-stated over the union corpus
+      val cutFull = OnlineGate.cut(spark, tbl, s"$base/out",
+          all.select(col("doc_id"), col("text")))
+        .select(col("doc_id")).as[Long].collect().toSet
+      val coldFullIds = TrainingPrep.trainingSelection(spark, unionDir)
+        .select(col("doc_id")).as[Long].collect().toSet --
+        coldFuzzyDrops -- coldSemDrops
+      assert(cutFull === coldFullIds, "cut (t23 form) diverged from the cold full gate")
+
+      // 7. first-class cut, t25 form: scrub the duplicated spans (index-
+      //    fed hashes) and re-gate on the CLEAN text — bit-equal to the
+      //    cold scrub-then-select composition over the union corpus
+      val cutScrub = OnlineGate.cut(spark, tbl, s"$base/out",
+          all.select(col("doc_id"), col("text")), scrub = true)
+        .select(col("doc_id"), col("clean_text"), col("n_dropped_tokens"),
+          col("n_tokens"), col("quality_e4"))
+      val coldKeepIds = Dedup.exactDedupKeep(spark, unionDir).select(col("doc_id"))
+      val coldScrub = Dedup.scrubbedSpans(spark, unionDir)
+        .join(coldKeepIds, Seq("doc_id"))
+        .select(col("doc_id"), col("clean_text"), col("n_dropped_tokens"),
+          TextAnalysis.nTokensCol(col("clean_text")).as("n_tokens"),
+          TextAnalysis.qualityE4Col(col("clean_text")).as("quality_e4"))
+        .filter(col("quality_e4") >= TrainingPrep.MinQualityE4 &&
+          col("n_tokens").between(TrainingPrep.MinTokens, TrainingPrep.MaxTokens))
+        .filter(!col("doc_id").isInCollection(coldFuzzyDrops) &&
+          !col("doc_id").isInCollection(coldSemDrops))
+      assert(cutScrub.collect().map(_.toSeq).toSet ===
+        coldScrub.collect().map(_.toSeq).toSet,
+        "cut (t25 scrub form) diverged from the cold scrub-then-select")
+      // the scrub signal is observable: some kept row lost tokens
+      assert(cutScrub.filter(col("n_dropped_tokens") > 0).count() > 0,
+        "scrub cut dropped no tokens anywhere — vacuous")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")

@@ -154,6 +154,10 @@ object Bench {
       t
     }
     def calibrate(n: Int): Unit = (1 to n).foreach(_ => observe())
+    /** One probe's ratio vs the rolling-min baseline, without the
+      * admission wait — the record-provenance sampling point.
+      */
+    def ratio(): Double = observe() / baseline
     /** Sentinel ratio of the window the next query is admitted into. */
     def admit(): Double = {
       var r = observe() / baseline
@@ -165,6 +169,17 @@ object Bench {
       r
     }
   }
+
+  /** The host's /proc/loadavg (1/5/15-min), empty where unavailable —
+    * recorded at both ends of the run so a between-records drift (round
+    * 12 saw +14% on identical code with near-equal single-point
+    * sentinels) is attributable at read time instead of re-measured.
+    */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
 
   def main(args: Array[String]): Unit = RunnerLock.withLock {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -270,6 +285,8 @@ object Bench {
       sleepMs = 1000L,
       maxWaitMs = 90000L)
     gate.calibrate(5)
+    val loadStart = loadavg()
+    val sentinelPoints = mutable.ArrayBuffer(gate.ratio())
 
     // local-iteration hook: comma-separated query names; unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -291,8 +308,12 @@ object Bench {
     // two whole-suite passes in opposite orders: a query's repeats are
     // separated by ~a full pass of wall-clock and sit at mirrored
     // positions, so one contention burst cannot contaminate both
-    for (pass <- 0 to 1; name <- passOrder(names, pass))
+    for (pass <- 0 to 1; name <- passOrder(names, pass)) {
       samples(name) = samples(name) :+ runOne(name)
+      // mid-run provenance point: once, between the two mirrored passes
+      if (pass == 0 && name == passOrder(names, 0).lastOption.getOrElse(""))
+        sentinelPoints += gate.ratio()
+    }
     // extra pass only for queries whose two samples don't agree (or
     // failed, or both landed in dirty windows)
     val retry = names.filter(n => needsExtraPass(samples(n)))
@@ -308,6 +329,15 @@ object Bench {
     }
     for (name <- passOrder(subSecond, 3))
       samples(name) = samples(name) :+ runOne(name)
+
+    sentinelPoints += gate.ratio()
+    val loadEnd = loadavg()
+    def jlist(vs: Seq[Double]) =
+      vs.map(v => BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+        .mkString("[", ",", "]")
+    val provenance =
+      s""""loadavg_start":${jlist(loadStart)},"loadavg_end":${jlist(loadEnd)},""" +
+      s""""sentinel_points":${jlist(sentinelPoints.toSeq)}"""
 
     val est = names.map(n => n -> estimate(samples(n)))
     val results = est.map { case (n, (t, _, _)) => n -> t }
@@ -339,7 +369,7 @@ object Bench {
     val maxDisp = disp.map(_._2).maxOption.getOrElse(1.0)
     val maxSent = sent.map(_._2).maxOption.getOrElse(1.0)
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},$provenance,"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
     // 90+ timings that don't fit the compact line
@@ -359,7 +389,7 @@ object Bench {
     val failedRef =
       if (failedNames.isEmpty) ""
       else failedNames.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","max_dispersion":${f(maxDisp)},"max_sentinel":${f(maxSent)},"queries":${jmap(head)},"rest_sum":${f(restSum)}$failedRef$fullRef,$provenance,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -383,6 +383,10 @@ object SparkEntry {
     "d9i_crosscorpus_fuzzy_pairs" -> ((s: SparkSession, d: String) =>
       graft.operators.ShingleIndex.crossCorpusFuzzyPairs(
         s, graft.operators.IndexStore.shingleTable(s, d), d)),
+    // exact 13-gram decontamination (Brown 2020 App. C) — the verbatim
+    // complement of d9's fuzzy pass; broadcast eval grams, one shuffle
+    "d15_ngram_decontamination" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramDecontamination(s, d, plantClones = true)),
     // segment-level exact-substring dedup + asymmetric containment —
     // plantCopies seeds deterministic PARTIAL copies (first 24 tokens of
     // the first 10 docs), the duplication shape symmetric Jaccard misses
@@ -1619,6 +1623,7 @@ object SparkEntry {
     "d5_simhash_signatures" -> Dedup.simhashSignaturesOracleSql,
     "d6_simhash_pairs" -> Dedup.simhashPairsOracleSql,
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
+    "d15_ngram_decontamination" -> Dedup.ngramDecontaminationOracleSql,
     "d10_segment_dedup" -> Dedup.duplicatedSegmentsOracleSql,
     "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,

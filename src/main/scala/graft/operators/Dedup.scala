@@ -607,6 +607,78 @@ object Dedup {
       .select(col("eval_id"), col("train_id"), Exact.e(jac, 4).as("jaccard_e4"))
   }
 
+  /** Window length for exact n-gram decontamination (d15) — the 13-gram
+    * convention of GPT-3's appendix-C overlap analysis (Brown et al.
+    * 2020), carried by PaLM and Llama: an eval answer leaked into the
+    * training set almost never survives verbatim past 13 words by
+    * chance, and shorter windows flood on common phrases.
+    */
+  val DecontamN = 13
+
+  /** d15: EXACT n-gram decontamination — flag every TRAIN document that
+    * shares at least one verbatim [[DecontamN]]-gram with the EVAL set,
+    * with the count of distinct shared grams as the contamination
+    * strength. The exact complement of d9's fuzzy decontamination: d9
+    * catches paraphrase-level overlap that exact matching misses, this
+    * catches short verbatim answer strings that whole-document Jaccard
+    * dilutes below any threshold. Same graded fixture (eval = doc_id <
+    * 50 plus the planted first-word-dropped clones; the clones' sources
+    * are train docs, so their shared tails make the contamination
+    * observable).
+    *
+    * Scale shape: eval suites are bounded (10⁵–10⁶ grams — benchmarks
+    * are small by construction, independent of corpus size), so the
+    * distinct eval-gram side BROADCASTS and the train side is one
+    * map-only explode + broadcast semi-join + per-doc count with
+    * map-side partial aggregation: ONE corpus-sized shuffle (the final
+    * groupBy doc_id), no train×eval pair frame, no corpus self-join.
+    * Grams travel as md5 hashes, not strings — 16 bytes regardless of
+    * window text, and portable for the oracle replay.
+    */
+  def ngramDecontamination(
+      spark: SparkSession, dir: String,
+      plantClones: Boolean = false, n: Int = DecontamN): DataFrame = {
+    val grams = crossDocs(spark, dir, plantClones)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, size(toks) - ${n - 1}),
+             |  i -> md5(cast(concat_ws(' ', slice(toks, i, $n)) AS binary)))""".stripMargin))
+          .as("g"))
+    val isEval = col("doc_id") < CrossEvalCut || col("doc_id") >= CrossPlantBase
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+    grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** DuckDB twin of [[ngramDecontamination]] with planting on. */
+  def ngramDecontaminationOracleSql: String = {
+    val n = DecontamN
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CrossPlantBase, substr(text, strpos(text, ' ') + 1)
+       |  FROM documents WHERE doc_id % 100 = 50),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |grams AS (
+       |  SELECT doc_id, md5(array_to_string(t[i:i + ${n - 1}], ' ')) AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${n - 2})) AS i) r),
+       |eg AS (
+       |  SELECT DISTINCT g FROM grams
+       |  WHERE doc_id < $CrossEvalCut OR doc_id >= $CrossPlantBase)
+       |SELECT doc_id, cast(count(DISTINCT g) AS bigint) AS n_contaminated_grams
+       |FROM grams JOIN eg USING (g)
+       |WHERE doc_id >= $CrossEvalCut AND doc_id < $CrossPlantBase
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // ---- DuckDB oracle twins for the portable-hash dedup pipelines ------
 
   private def duckP: Long = graft.functions.PortableHash.P

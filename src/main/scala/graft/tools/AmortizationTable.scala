@@ -55,6 +55,11 @@ object AmortizationTable {
       "d4i" -> minOf2(ShingleIndex.minhashLshPairs(spark, tbl).count()),
       "d10i" -> minOf2(ShingleIndex.duplicatedSegments(spark, tbl).count()),
       "d11i" -> minOf2(ShingleIndex.containmentPairs(spark, tbl).count()))
+    // round-13 addition: d9's cross-corpus decontamination, inline
+    // (re-shingle + 16-perm re-derivation) vs fed from the stored
+    // 32-perm signatures sliced to the first 16
+    val d9 = minOf2(Dedup.crossCorpusFuzzyPairs(spark, dir, plantClones = true).count())
+    val d9i = minOf2(ShingleIndex.crossCorpusFuzzyPairs(spark, tbl, dir).count())
 
     // the composed training gates: their segment-dup / scrub-signal /
     // MinHash legs re-derive inline vs read the just-built index
@@ -103,6 +108,7 @@ object AmortizationTable {
     val inlineSum = inline.map(_._2).sum
     val fedSum = fed.map(_._2).sum
     println(s"| dedup family total | ${f(inlineSum)} | ${f(fedSum)} (+ build ${f(shingleBuild)}) |")
+    println(s"| d9 / d9i cross-corpus | ${f(d9)} | ${f(d9i)} |")
     gates.zip(gatesFed).foreach { case ((n, t), (ni, ti)) =>
       println(s"| $n / $ni gate chain | ${f(t)} | ${f(ti)} |")
     }

@@ -58,6 +58,8 @@ object PlanAudit {
       "|langs|-row unk frame crossed into the occurrence tape (bounded label count)",
     ("t45_langid_confusion", Bnlj) ->
       "t44i's |langs|-row unk frame (confusion rides the same scoring plan)",
+    ("t46_langid_quality", Bnlj) ->
+      "t44i's |langs|-row unk frame (the P/R/F1 rollup rides the confusion plan)",
     ("t31i_bigram_lm_ppl", Bnlj) -> "1-row unk-floor frame crossed into the scoring leg",
     ("t34_lm_gated_selection", Bnlj) -> "t31's 1-row vocab-size frame (composed gate keeps the leg plans)",
     ("t35_trigram_lm_ppl", Bnlj) -> "1-row (N, V) frame crossed into the trigram model table",

@@ -436,4 +436,34 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     urls.foreach(u => assert(got(u) === canonRef(u), s"canonical($u)"))
   }
+
+  test("d15: exact 13-gram decontamination equals a pure-JVM replay; planted sources flagged") {
+    import org.apache.spark.sql.functions.col
+    val flagged = Dedup.ngramDecontamination(spark, sf0001, plantClones = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: replay the whole fixture on the driver
+    // (500-doc corpus) — planted eval clones drop the first word
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val planted = raw.collect { case (id, toks) if id % 100 == 50 =>
+      (id + 1000000L) -> toks.drop(1)
+    }
+    val all = raw ++ planted
+    def grams(toks: Seq[String]): Set[Seq[String]] =
+      if (toks.length < 13) Set.empty else toks.sliding(13).map(_.toSeq).toSet
+    val isEval = (id: Long) => id < 50L || id >= 1000000L
+    val evalGrams = all.collect { case (id, t) if isEval(id) => grams(t) }
+      .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+    val expected = all.collect {
+      case (id, t) if !isEval(id) && (grams(t) & evalGrams).nonEmpty =>
+        id -> (grams(t) & evalGrams).size.toLong
+    }
+    assert(flagged === expected, "d15 diverged from the JVM replay")
+    // non-vacuity: every 14+-token planted clone SOURCE is a train doc
+    // sharing its whole tail with its eval clone — all must be flagged
+    val sources = raw.collect { case (id, t) if id % 100 == 50 && t.length >= 14 => id }
+    assert(sources.nonEmpty && sources.forall(flagged.contains),
+      "a planted clone source escaped decontamination")
+  }
 }

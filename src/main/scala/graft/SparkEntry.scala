@@ -243,6 +243,9 @@ object SparkEntry {
     // link-domain census; plantUrls seeds deterministic links (same rule)
     "t17_domain_counts" -> ((s: SparkSession, d: String) =>
       TextAnalysis.domainCounts(s, d, plantUrls = true)),
+    // WARC→WET main-content extraction over deterministically wrapped
+    // pages (the corpus has no markup — same planting rule), map-only
+    "t49_html_extraction" -> TextAnalysis.htmlExtracted _,
     // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
     // segment-dup fraction) over the UNPLANTED production corpus
     "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
@@ -309,6 +312,14 @@ object SparkEntry {
     "t46_langid_quality" -> ((s: SparkSession, d: String) =>
       graft.operators.LmScore.nbLangQuality(
         s, d, graft.operators.IndexStore.nbModelPath(s, d))),
+    // GPT-3-style quality classifier: binary NB (curated sources vs the
+    // rest) + deterministic md5-lottery pareto keep rule
+    "t48_quality_classifier_keep" ->
+      graft.operators.LmScore.qualityClassifierKeep _,
+    // persisted-model twin (trained once per corpus), bit-equal — same oracle
+    "t48i_quality_classifier_keep" -> ((s: SparkSession, d: String) =>
+      graft.operators.LmScore.qualityClassifierKeepIndexed(
+        s, d, graft.operators.IndexStore.qualityModelPath(s, d))),
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
     // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
@@ -1466,6 +1477,10 @@ object SparkEntry {
     "t44i_nb_langid" -> graft.operators.LmScore.nbLangScoresOracleSql,
     "t45_langid_confusion" -> graft.operators.LmScore.nbLangConfusionOracleSql,
     "t46_langid_quality" -> graft.operators.LmScore.nbLangQualityOracleSql,
+    "t48_quality_classifier_keep" ->
+      graft.operators.LmScore.qualityClassifierKeepOracleSql,
+    "t48i_quality_classifier_keep" ->
+      graft.operators.LmScore.qualityClassifierKeepOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,
@@ -1542,6 +1557,7 @@ object SparkEntry {
       graft.operators.TrainingPrep.trainingSelectionOracleSql,
     "t21_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracleSql,
     "t22_top_ngrams" -> TextAnalysis.topNgramsOracleSql,
+    "t49_html_extraction" -> TextAnalysis.htmlExtractedOracleSql,
   )
 
   def dedupOracle: Map[String, String] =

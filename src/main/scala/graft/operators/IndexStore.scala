@@ -68,6 +68,16 @@ object IndexStore {
       path
     })
 
+  /** The persisted binary quality-classifier path for `dir`, training it
+    * on first use (the GPT-3 shape: one classifier, every crawl scored).
+    */
+  def qualityModelPath(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"qclf:$dir", { _ =>
+      val path = s"${root(dir)}/qclf"
+      LmScore.buildQualityModel(spark, dir, path)
+      path
+    })
+
   /** The persisted DSIR feature-table path for `dir`, estimating it on
     * first use (frozen target/raw distributions, many weighting passes).
     */

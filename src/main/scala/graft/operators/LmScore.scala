@@ -789,21 +789,37 @@ object LmScore {
       occ: DataFrame, keyCols: Seq[String],
       model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
     val keys = keyCols.map(col)
+    nbCandScores(occ, keyCols, model, unk, prior)
+      .groupBy(keys: _*)
+      .agg(min(struct(col("nll_e6"), col("cand"))).as("b"))
+      .select(keys :+ col("b.cand").as("pred_lang") :+ col("b.nll_e6").as("best_nll_e6"): _*)
+  }
+
+  /** The full per-(keys, cand) score table the argmin collapses —
+    * factored out so callers that need EVERY candidate's score (the t48
+    * binary quality classifier wants the hiq-vs-loq margin, not just the
+    * winner) share one scoring plan. Also carries `n_toks` per row
+    * (the unk leg contributes exactly one row per token per candidate,
+    * so its row count IS the token count — no second corpus scan to
+    * fetch document lengths).
+    */
+  private def nbCandScores(
+      occ: DataFrame, keyCols: Seq[String],
+      model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
     val delta = model.join(unk, "lang")
       .select(col("lang").as("cand"), col("tok"),
         (col("nll_e6") - col("unk_nll_e6")).as("c_e6"))
     val contrib = occ.join(broadcast(delta), Seq("tok"))
-      .select(keys :+ col("cand") :+ col("c_e6"): _*)
+      .select(keys ++ Seq(col("cand"), col("c_e6"), lit(0L).as("u")): _*)
       .unionByName(occ.crossJoin(broadcast(
           unk.select(col("lang").as("cand"), col("unk_nll_e6").as("c_e6"))))
-        .select(keys :+ col("cand") :+ col("c_e6"): _*))
+        .select(keys ++ Seq(col("cand"), col("c_e6"), lit(1L).as("u")): _*))
     contrib.groupBy(keys :+ col("cand"): _*)
-      .agg(sum(col("c_e6")).as("s_e6"))
+      .agg(sum(col("c_e6")).as("s_e6"), sum(col("u")).as("n_toks"))
       .join(broadcast(prior.select(col("lang").as("cand"), col("prior_nll_e6"))), "cand")
-      .select(keys :+ col("cand") :+ ((col("s_e6") + col("prior_nll_e6")).as("nll_e6")): _*)
-      .groupBy(keys: _*)
-      .agg(min(struct(col("nll_e6"), col("cand"))).as("b"))
-      .select(keys :+ col("b.cand").as("pred_lang") :+ col("b.nll_e6").as("best_nll_e6"): _*)
+      .select(keys ++ Seq(col("cand"),
+        (col("s_e6") + col("prior_nll_e6")).as("nll_e6"), col("n_toks")): _*)
   }
 
   /** Classify labeled docs against frozen NB frames; returns one row per
@@ -1025,4 +1041,209 @@ object LmScore {
        |    AS recall_e6,
        |  cast(floor(cast(sum(f1_e6) AS double) / count(*) + 0.5) AS bigint) AS f1_e6
        |FROM prf""".stripMargin
+
+  // --------------------------------------------------------------------
+  // t48: trained document-QUALITY classifier with a deterministic pareto
+  // lottery — the GPT-3 data-curation stage (Brown et al. 2020, Appendix
+  // A: train a classifier with curated corpora as positives and raw
+  // crawl as negatives, score every crawl page, then keep a page iff
+  //     np.random.pareto(9) > 1 - classifier_score
+  // so high-scoring pages are nearly always kept while a heavy tail of
+  // low-scoring pages survives, preserving distributional coverage).
+  // LLaMA (Touvron et al. 2023) uses the same shape with a
+  // wiki-reference classifier.
+  //
+  // Here the "curated" positives are the [[QualityRefSources]] slice of
+  // the corpus's source column (the fixture corpus has no real curated
+  // split — same planting rule as t16/t17/d14) and the classifier is the
+  // t44 multinomial NB reused verbatim on binary labels: same frames,
+  // same one-shuffle additive-decomposition scoring plan, so the 100 TB
+  // shape is t44's (label-bounded broadcasts, ONE corpus-sized groupBy
+  // with map-side partial aggregation — here |cands| = 2).
+  //
+  // Determinism: the margin is length-normalized IN INTEGER e6 SPACE
+  // (round-half-up of an IEEE-exact double division), the lottery draw is
+  // the first 8 hex digits of md5(doc_id || "|t48") read as a uniform in
+  // [0,1) — a pure function of the row, stable across partitioning,
+  // retries and engines (the t10/t14 discipline; a seeded RNG is neither
+  // engine- nor retry-stable) — and the keep rule is a STRING compare of
+  // that hex against the hex rendering of the per-doc threshold
+  //     u* = 1 - (2 - sigmoid(margin))^-9
+  // (the pareto rule solved for u: pareto(u) > 1 - s  ⟺  u > u*), so no
+  // hex-to-int parsing is needed on either engine.
+  // --------------------------------------------------------------------
+
+  /** The curated-quality source slice (binary positives for t48). */
+  val QualityRefSources: Seq[String] = (0 to 3).map(i => s"src$i")
+
+  /** Pareto shape for the keep lottery — GPT-3's alpha = 9. */
+  val QualityParetoAlpha: Int = 9
+
+  /** Documents relabeled for the binary quality task: `lang` carries the
+    * training label so the t44 NB machinery applies unchanged.
+    */
+  private def qualityLabeled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("source").isin(QualityRefSources: _*), lit("hiq"))
+        .otherwise(lit("loq")).as("lang"),
+      col("text"))
+
+  /** t48: per-document quality verdicts — one row per doc:
+    * (doc_id, label, margin_tok_e6, score_e6, thresh_hex, draw_hex,
+    * keep). `margin_tok_e6` is the per-token NB log-odds of the curated
+    * class (positive = looks curated), `score_e6` its logistic squash,
+    * and `keep` the deterministic pareto-lottery verdict.
+    */
+  def qualityClassifierKeep(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = qualityLabeled(table(spark, dir, "documents"))
+    val (model, unk, prior) = nbTrained(labeled)
+    qualityKeepOf(labeled, model, unk, prior)
+  }
+
+  /** [[qualityClassifierKeep]] over any labeled frame and frozen frames —
+    * the seam the persisted-model twin and the spec's invariance tests
+    * share.
+    */
+  private[graft] def qualityKeepOf(
+      labeled: DataFrame,
+      model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame =
+    qualityVerdictsOf(nbOcc(labeled), Seq("doc_id", "lang"), model, unk, prior)
+      .withColumnRenamed("lang", "label")
+      .select("doc_id", "label", "margin_tok_e6", "score_e6", "thresh_hex",
+        "draw_hex", "keep")
+
+  /** Label-free quality verdicts over (doc_id, text) against frozen
+    * frames — the GATE-SIDE shape (an arriving crawl page has no training
+    * label): (doc_id, margin_tok_e6, score_e6, thresh_hex, draw_hex,
+    * keep). A pure per-document function of the frozen frames, so it is
+    * micro-batch-slicing-invariant — the property the ingest gate's
+    * prefix-consistency proof needs.
+    */
+  def qualityKeep(
+      docs: DataFrame,
+      model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame =
+    qualityVerdictsOf(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")),
+      Seq("doc_id"), model, unk, prior)
+
+  /** The shared margin → sigmoid → pareto-threshold → md5-lottery chain
+    * over any occurrence tape with passthrough `keyCols` (which must
+    * include `doc_id` — the lottery draw keys on it).
+    */
+  private def qualityVerdictsOf(
+      occ: DataFrame, keyCols: Seq[String],
+      model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
+    val piv = nbCandScores(occ, keyCols, model, unk, prior)
+      .groupBy(keys: _*)
+      .agg(
+        max(when(col("cand") === "hiq", col("nll_e6"))).as("hiq_nll_e6"),
+        max(when(col("cand") === "loq", col("nll_e6"))).as("loq_nll_e6"),
+        max(col("n_toks")).as("n_toks"))
+    // per-token margin: round-half-up integer from an IEEE-exact divide
+    val margin = floor(
+      (col("loq_nll_e6") - col("hiq_nll_e6")).cast("double")
+        / col("n_toks").cast("double") + lit(0.5)).cast("long")
+    val s = lit(1.0) / (lit(1.0) + exp(-col("margin_tok_e6").cast("double") / lit(1e6)))
+    val uStar = lit(1.0) - pow(lit(2.0) - s, lit(-QualityParetoAlpha.toDouble))
+    piv
+      .withColumn("margin_tok_e6", margin)
+      .withColumn("score_e6", Exact.e(s, 6))
+      .withColumn("thresh_hex",
+        format_string("%08x", floor(uStar * lit(4294967296.0)).cast("long")))
+      .withColumn("draw_hex",
+        substring(md5(concat(col("doc_id").cast("string"), lit("|t48")).cast("binary")), 1, 8))
+      .select(keys ++ Seq(col("margin_tok_e6"), col("score_e6"),
+        col("thresh_hex"), col("draw_hex"),
+        (col("draw_hex") > col("thresh_hex")).as("keep")): _*)
+  }
+
+  /** Persist the trained binary quality model at `path` (the deployment
+    * shape: one classifier, every crawl batch scored against it).
+    */
+  def buildQualityModel(spark: SparkSession, dir: String, path: String): Unit = {
+    val (model, unk, prior) = nbTrained(qualityLabeled(table(spark, dir, "documents")))
+    model.write.mode("overwrite").parquet(s"$path/model")
+    unk.write.mode("overwrite").parquet(s"$path/unk")
+    prior.write.mode("overwrite").parquet(s"$path/prior")
+  }
+
+  /** t48i: the persisted-model twin of [[qualityClassifierKeep]] —
+    * bit-equal on the training corpus (same oracle).
+    */
+  def qualityClassifierKeepIndexed(
+      spark: SparkSession, dir: String, modelPath: String): DataFrame = {
+    val (model, unk, prior) = loadNbModel(spark, modelPath)
+    qualityKeepOf(qualityLabeled(table(spark, dir, "documents")), model, unk, prior)
+  }
+
+  def qualityClassifierKeepOracleSql: String = {
+    val refs = QualityRefSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH qdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source IN ($refs) THEN 'hiq' ELSE 'loq' END AS lang,
+       |    text
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM qdocs),
+       |clt AS (SELECT lang, tok, count(*) AS clt FROM occ GROUP BY lang, tok),
+       |cl AS (SELECT lang, count(*) AS cl FROM occ GROUP BY lang),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM occ),
+       |model AS (
+       |  SELECT clt.lang, clt.tok,
+       |    cast(floor(-ln(cast(clt + 1 AS double) / (cl + v)) * 1000000.0 + 0.5)
+       |      AS bigint) AS nll_e6
+       |  FROM clt JOIN cl ON cl.lang = clt.lang CROSS JOIN v),
+       |unk AS (
+       |  SELECT lang,
+       |    cast(floor(ln(cast(cl + v AS double)) * 1000000.0 + 0.5) AS bigint)
+       |      AS unk_nll_e6
+       |  FROM cl CROSS JOIN v),
+       |dl AS (SELECT lang, count(*) AS dl FROM qdocs GROUP BY lang),
+       |d AS (SELECT sum(dl) AS d FROM dl),
+       |prior AS (
+       |  SELECT lang,
+       |    cast(floor(-ln(cast(dl AS double) / d) * 1000000.0 + 0.5) AS bigint)
+       |      AS prior_nll_e6
+       |  FROM dl CROSS JOIN d),
+       |contrib AS (
+       |  SELECT occ.doc_id, occ.lang, m.lang AS cand,
+       |    m.nll_e6 - u.unk_nll_e6 AS c_e6, 0 AS u
+       |  FROM occ JOIN model m ON m.tok = occ.tok JOIN unk u ON u.lang = m.lang
+       |  UNION ALL
+       |  SELECT occ.doc_id, occ.lang, u.lang AS cand, u.unk_nll_e6 AS c_e6, 1 AS u
+       |  FROM occ CROSS JOIN unk u),
+       |scored AS (
+       |  SELECT c.doc_id, c.lang, c.cand,
+       |    cast(sum(c.c_e6) AS bigint) + p.prior_nll_e6 AS nll_e6,
+       |    cast(sum(c.u) AS bigint) AS n_toks
+       |  FROM contrib c JOIN prior p ON p.lang = c.cand
+       |  GROUP BY c.doc_id, c.lang, c.cand, p.prior_nll_e6),
+       |piv AS (
+       |  SELECT doc_id, lang,
+       |    max(CASE WHEN cand = 'hiq' THEN nll_e6 END) AS hiq_nll_e6,
+       |    max(CASE WHEN cand = 'loq' THEN nll_e6 END) AS loq_nll_e6,
+       |    max(n_toks) AS n_toks
+       |  FROM scored GROUP BY doc_id, lang),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    cast(floor(cast(loq_nll_e6 - hiq_nll_e6 AS double)
+       |      / cast(n_toks AS double) + 0.5) AS bigint) AS margin_tok_e6
+       |  FROM piv),
+       |sc AS (
+       |  SELECT doc_id, lang, margin_tok_e6,
+       |    1.0 / (1.0 + exp(-cast(margin_tok_e6 AS double) / 1000000.0)) AS s
+       |  FROM m),
+       |verdict AS (
+       |  SELECT doc_id, lang, margin_tok_e6,
+       |    cast(floor(s * 1000000.0 + 0.5) AS bigint) AS score_e6,
+       |    printf('%08x', cast(floor(
+       |      (1.0 - pow(2.0 - s, -$QualityParetoAlpha.0)) * 4294967296.0)
+       |      AS bigint)) AS thresh_hex,
+       |    substr(md5(concat(cast(doc_id AS varchar), '|t48')), 1, 8) AS draw_hex
+       |  FROM sc)
+       |SELECT doc_id, lang AS label, margin_tok_e6, score_e6, thresh_hex,
+       |  draw_hex, draw_hex > thresh_hex AS keep
+       |FROM verdict""".stripMargin
+  }
 }

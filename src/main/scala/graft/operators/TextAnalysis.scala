@@ -548,6 +548,116 @@ object TextAnalysis {
         count(lit(1)).as("n_refs"))
   }
 
+  // ---- t49: HTML boilerplate extraction (the WARC→WET stage) ----
+
+  // All patterns are backslash-free and single-quote-free so the same
+  // literal means the same thing to Java regex (Spark), RE2 (DuckDB) and
+  // both engines' SQL string quoting — the EmailRe rule.
+  private[graft] val HtmlHeadRe = "(?s)<head[^>]*>.*?</head>"
+  private[graft] val HtmlScriptRe = "(?s)<script[^>]*>.*?</script>"
+  private[graft] val HtmlNavRe = "(?s)<nav[^>]*>.*?</nav>"
+  private[graft] val HtmlAsideRe = "(?s)<aside[^>]*>.*?</aside>"
+  private[graft] val HtmlFooterRe = "(?s)<footer[^>]*>.*?</footer>"
+  private[graft] val HtmlTagRe = "<[^>]+>"
+
+  /** Wrap each document in a deterministic synthetic page: head (title +
+    * style), nav bar, a script block on every 3rd doc, the body text in a
+    * `<p>` with one trailing HTML entity, an aside on every 5th doc, and
+    * an entity-bearing footer. Same planting convention as t16/t17 (the
+    * corpus is plain word soup — a real WARC stage needs markup to
+    * strip); the oracle replays the identical CASE rule.
+    */
+  private def htmlWrappedDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("html", concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0} body{font-size:14px}</style></head><body>"),
+        lit("<nav><a href=\"/\">home</a> | <a href=\"/tags\">tags</a></nav>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<script>var x=1; track(\"page\");</script>")).otherwise(lit("")),
+        lit("<p>"), col("text"), lit(" &amp; fin</p>"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<aside>related <a href=\"/r/"),
+            (col("doc_id") % 11).cast("string"), lit("\">more</a></aside>")))
+          .otherwise(lit("")),
+        lit("<footer>&amp; copy 2024 example &lt;inc&gt;</footer></body></html>")))
+
+  /** t49: main-content extraction from HTML — the WARC→WET / trafilatura
+    * stage every web-crawl pipeline runs before any text op (Raffel 2020
+    * §2.2 starts from WET precisely because this stage already happened;
+    * Penedo 2023 re-runs it from WARC for quality). Boilerplate classes
+    * (head, script, nav, aside, footer) are dropped WITH their content,
+    * remaining tags are stripped keeping content, the three ASCII
+    * entities are unescaped, and whitespace is collapsed — a pure
+    * codegen chain of string expressions (no UDF), map-only: the 100 TB
+    * shape is a partitioned scan with zero exchanges.
+    *
+    * Output per doc: raw/extracted char counts, retention ratio (e4),
+    * the md5 of the extracted text, and `round_trip` — whether the
+    * extraction recovered EXACTLY the known planted body (text + the
+    * unescaped entity suffix), the end-to-end fidelity bit that makes
+    * the stage self-verifying rather than best-effort.
+    */
+  def htmlExtracted(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = Seq(HtmlHeadRe, HtmlScriptRe, HtmlNavRe, HtmlAsideRe,
+        HtmlFooterRe, HtmlTagRe)
+      .foldLeft(col("html")) { (c, re) => regexp_replace(c, lit(re), lit(" ")) }
+    val unescaped = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">")
+      .foldLeft(stripped) { case (c, (e, ch)) => regexp_replace(c, lit(e), lit(ch)) }
+    htmlWrappedDocs(spark, dir)
+      .withColumn("extracted", trim(regexp_replace(unescaped, lit("[ ]+"), lit(" "))))
+      .select(
+        col("doc_id"),
+        length(col("html")).cast("long").as("n_raw_chars"),
+        length(col("extracted")).cast("long").as("n_text_chars"),
+        md5(col("extracted").cast("binary")).as("extracted_md5"),
+        Exact.e(length(col("extracted")).cast("double")
+          / length(col("html")).cast("double"), 4).as("retention_e4"),
+        (col("extracted") === concat(col("text"), lit(" & fin"))).as("round_trip"))
+  }
+
+  def htmlExtractedOracleSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text,
+       |    concat('<html><head><title>doc ', cast(doc_id AS varchar),
+       |      '</title><style>p{margin:0} body{font-size:14px}</style></head><body>',
+       |      '<nav><a href="/">home</a> | <a href="/tags">tags</a></nav>',
+       |      CASE WHEN doc_id % 3 = 0
+       |           THEN '<script>var x=1; track("page");</script>' ELSE '' END,
+       |      '<p>', text, ' &amp; fin</p>',
+       |      CASE WHEN doc_id % 5 = 0
+       |           THEN concat('<aside>related <a href="/r/',
+       |                       cast(doc_id % 11 AS varchar), '">more</a></aside>')
+       |           ELSE '' END,
+       |      '<footer>&amp; copy 2024 example &lt;inc&gt;</footer></body></html>')
+       |      AS html
+       |  FROM documents),
+       |ext AS (
+       |  SELECT doc_id, text, html,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(
+       |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |        regexp_replace(regexp_replace(
+       |          html,
+       |          '$HtmlHeadRe', ' ', 'g'),
+       |          '$HtmlScriptRe', ' ', 'g'),
+       |          '$HtmlNavRe', ' ', 'g'),
+       |          '$HtmlAsideRe', ' ', 'g'),
+       |          '$HtmlFooterRe', ' ', 'g'),
+       |          '$HtmlTagRe', ' ', 'g'),
+       |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+       |      '[ ]+', ' ', 'g')) AS extracted
+       |  FROM raw)
+       |SELECT doc_id,
+       |  cast(length(html) AS bigint) AS n_raw_chars,
+       |  cast(length(extracted) AS bigint) AS n_text_chars,
+       |  md5(extracted) AS extracted_md5,
+       |  cast(floor(cast(length(extracted) AS double)
+       |    / cast(length(html) AS double) * 10000.0 + 0.5) AS bigint)
+       |    AS retention_e4,
+       |  extracted = concat(text, ' & fin') AS round_trip
+       |FROM ext""".stripMargin
+
   /** Content fingerprints: full-document and head-64-chars MD5 (hex), the
     * exact-dedup keys. MD5 of UTF-8 bytes is identical across engines.
     */

@@ -268,6 +268,11 @@ object OnlineGate {
     *     langid run on CONTENT against a frozen model — predicted
     *     language must be in `keepLangs` (CCNet's target-language
     *     filter). A pure per-document function, so prefix-consistent.
+    *   - CLASSIFIER QUALITY (optional, qualityModelPath): the t48 GPT-3
+    *     quality classifier against a frozen binary model — per-token
+    *     NB margin, sigmoid, deterministic md5 pareto lottery
+    *     ([[graft.operators.LmScore.qualityKeep]]). The lottery draw is
+    *     a pure function of doc_id, so the leg is prefix-consistent.
     *
     * Near-duplicate survivorship (fuzzy/semantic) deliberately stays in
     * [[gateStream]] — it needs the shingle/vector stores; a pipeline
@@ -283,7 +288,8 @@ object OnlineGate {
     * the bloom partial so any bloom bit visible to a later batch has its
     * exact rows present. Decisions land under `decisions/batch_id=N` as
     * (doc_id, n_tokens, quality_e4, first_seen, pass_expect,
-    * pass_quality, pass_tokens, pass_rep[, pass_ppl][, pass_lang], kept).
+    * pass_quality, pass_tokens, pass_rep[, pass_ppl][, pass_lang]
+    * [, pass_clf], kept).
     *
     * State COMPACTION: per-batch partials would otherwise accumulate one
     * directory per trigger forever, making the prefix read's
@@ -307,6 +313,7 @@ object OnlineGate {
       lmModelPath: Option[String] = None,
       nbModelPath: Option[String] = None,
       keepLangs: Seq[String] = Seq("en"),
+      qualityModelPath: Option[String] = None,
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens,
@@ -320,6 +327,10 @@ object OnlineGate {
       val (model, unk, prior) = graft.operators.LmScore.loadNbModel(owner, mp)
       (model.persist(), unk.persist(), prior.persist())
     }
+    val clfFrames = qualityModelPath.map { mp =>
+      val (model, unk, prior) = graft.operators.LmScore.loadNbModel(owner, mp)
+      (model.persist(), unk.persist(), prior.persist())
+    }
     val query = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -328,15 +339,16 @@ object OnlineGate {
           val b = batch.toDF().localCheckpoint()
           processFullGateBatch(spark, b, outPath, identityCol,
             canonicalizeUrl, lmFrames,
-            nbFrames, keepLangs, minQualityE4, minTokens, maxTokens, id,
-            compactEvery)
+            nbFrames, keepLangs, clfFrames, minQualityE4, minTokens, maxTokens,
+            id, compactEvery)
         }
         ()
       }
       .start()
     val pinned: Seq[DataFrame] =
       lmFrames.toSeq.flatMap(t => Seq(t._1, t._2, t._3)) ++
-        nbFrames.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+        nbFrames.toSeq.flatMap(t => Seq(t._1, t._2, t._3)) ++
+        clfFrames.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
     if (pinned.nonEmpty) {
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       def cleanup(self: StreamingQueryListener): Unit =
@@ -364,6 +376,7 @@ object OnlineGate {
       canonicalizeUrl: Boolean,
       lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
       nbFrames: Option[(DataFrame, DataFrame, DataFrame)], keepLangs: Seq[String],
+      clfFrames: Option[(DataFrame, DataFrame, DataFrame)],
       minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long,
       compactEvery: Long): Unit = {
     import graft.operators.{Expectations, Sketches}
@@ -424,6 +437,11 @@ object OnlineGate {
         .predictLang(b.select(col("doc_id"), col("text")), model, unk, prior)
         .select(col("doc_id"), col("pred_lang").isin(keepLangs: _*).as("pass_lang"))
     }
+    val clfPass = clfFrames.map { case (model, unk, prior) =>
+      graft.operators.LmScore
+        .qualityKeep(b.select(col("doc_id"), col("text")), model, unk, prior)
+        .select(col("doc_id"), col("keep").as("pass_clf"))
+    }
     val withSignals = b
       .select(col("doc_id"),
         TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
@@ -432,7 +450,8 @@ object OnlineGate {
       .join(firstSeen, Seq("doc_id"))
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
-    composeFullDecision(withSignals, lmPass, langPass, minQualityE4, minTokens, maxTokens)
+    composeFullDecision(withSignals, lmPass, langPass, clfPass,
+        minQualityE4, minTokens, maxTokens)
       .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
     // state updates — EVERY arriving ident enters the seen set (kept or
     // rejected: first-seen is about arrival, not admission). Exact rows
@@ -506,6 +525,7 @@ object OnlineGate {
     */
   private def composeFullDecision(
       withSignals: DataFrame, lmPass: Option[DataFrame], langPass: Option[DataFrame],
+      clfPass: Option[DataFrame],
       minQualityE4: Long, minTokens: Long, maxTokens: Long): DataFrame = {
     val withLm = lmPass.fold(withSignals)(lp =>
       withSignals.join(lp, Seq("doc_id"), "left")
@@ -513,18 +533,23 @@ object OnlineGate {
     val withLang = langPass.fold(withLm)(lp =>
       withLm.join(lp, Seq("doc_id"), "left")
         .withColumn("pass_lang", coalesce(col("pass_lang"), lit(false))))
+    val withClf = clfPass.fold(withLang)(lp =>
+      withLang.join(lp, Seq("doc_id"), "left")
+        .withColumn("pass_clf", coalesce(col("pass_clf"), lit(false))))
     val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
       "pass_expect", "pass_quality", "pass_tokens", "pass_rep") ++
       (if (lmPass.isDefined) Seq("pass_ppl") else Nil) ++
-      (if (langPass.isDefined) Seq("pass_lang") else Nil) :+ "kept"
-    withLang
+      (if (langPass.isDefined) Seq("pass_lang") else Nil) ++
+      (if (clfPass.isDefined) Seq("pass_clf") else Nil) :+ "kept"
+    withClf
       .withColumn("pass_quality", col("quality_e4") >= minQualityE4)
       .withColumn("pass_tokens", col("n_tokens").between(minTokens, maxTokens))
       .withColumn("kept",
         col("first_seen") && col("pass_expect") && col("pass_quality") &&
           col("pass_tokens") && col("pass_rep") &&
           (if (lmPass.isDefined) col("pass_ppl") else lit(true)) &&
-          (if (langPass.isDefined) col("pass_lang") else lit(true)))
+          (if (langPass.isDefined) col("pass_lang") else lit(true)) &&
+          (if (clfPass.isDefined) col("pass_clf") else lit(true)))
       .select(cols.map(col): _*)
   }
 
@@ -541,6 +566,7 @@ object OnlineGate {
       lmModelPath: Option[String] = None,
       nbModelPath: Option[String] = None,
       keepLangs: Seq[String] = Seq("en"),
+      qualityModelPath: Option[String] = None,
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens): DataFrame = {
@@ -562,6 +588,12 @@ object OnlineGate {
         .predictLang(docs.select(col("doc_id"), col("text")), model, unk, prior)
         .select(col("doc_id"), col("pred_lang").isin(keepLangs: _*).as("pass_lang"))
     }
+    val clfPass = qualityModelPath.map { mp =>
+      val (model, unk, prior) = graft.operators.LmScore.loadNbModel(spark, mp)
+      graft.operators.LmScore
+        .qualityKeep(docs.select(col("doc_id"), col("text")), model, unk, prior)
+        .select(col("doc_id"), col("keep").as("pass_clf"))
+    }
     val withSignals = keyed
       .join(firstIds, Seq("ident"))
       .select(col("doc_id"),
@@ -571,7 +603,8 @@ object OnlineGate {
         (col("doc_id") === col("first_doc")).as("first_seen"))
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
-    composeFullDecision(withSignals, lmPass, langPass, minQualityE4, minTokens, maxTokens)
+    composeFullDecision(withSignals, lmPass, langPass, clfPass,
+      minQualityE4, minTokens, maxTokens)
   }
 
   def cutTimeSelection(

@@ -60,6 +60,10 @@ object PlanAudit {
       "t44i's |langs|-row unk frame (confusion rides the same scoring plan)",
     ("t46_langid_quality", Bnlj) ->
       "t44i's |langs|-row unk frame (the P/R/F1 rollup rides the confusion plan)",
+    ("t48_quality_classifier_keep", Bnlj) ->
+      "t44's 1-row vocab/doc-total frames + 2-row (hiq/loq) unk frame crossed",
+    ("t48i_quality_classifier_keep", Bnlj) ->
+      "2-row (hiq/loq) unk frame crossed into the occurrence tape",
     ("t31i_bigram_lm_ppl", Bnlj) -> "1-row unk-floor frame crossed into the scoring leg",
     ("t34_lm_gated_selection", Bnlj) -> "t31's 1-row vocab-size frame (composed gate keeps the leg plans)",
     ("t35_trigram_lm_ppl", Bnlj) -> "1-row (N, V) frame crossed into the trigram model table",

@@ -354,4 +354,50 @@ class LmScoreSpec extends SparkSuite {
     val plan = LmScore.bm25TopK(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKey node in:\n$plan")
   }
+
+  test("t48: labels follow the curated-source slice; one verdict per doc") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = LmScore.qualityClassifierKeep(spark, sf0001).cache()
+    assert(out.count() === docs.count(), "one verdict per document")
+    val mislabeled = out.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(
+        (col("source").isin(LmScore.QualityRefSources: _*) && col("label") =!= "hiq") ||
+        (!col("source").isin(LmScore.QualityRefSources: _*) && col("label") =!= "loq"))
+    assert(mislabeled.count() === 0)
+    out.unpersist()
+  }
+
+  test("t48: the pareto keep rule replays row-for-row from its own columns") {
+    val rows = LmScore.qualityClassifierKeep(spark, sf0001)
+      .select("margin_tok_e6", "score_e6", "thresh_hex", "draw_hex", "keep")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, s6, th, dr, keep) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4))
+      // scalar JVM replay of the whole chain from the integer margin
+      val s = 1.0 / (1.0 + math.exp(-m.toDouble / 1e6))
+      assert(s6 === math.floor(s * 1e6 + 0.5).toLong, s"score mismatch at margin $m")
+      val uStar = 1.0 - math.pow(2.0 - s, -LmScore.QualityParetoAlpha.toDouble)
+      assert(th === f"${math.floor(uStar * 4294967296.0).toLong}%08x")
+      assert(keep === (dr > th), "keep must be exactly the hex compare")
+      // and the hex compare IS the pareto rule: draw > thresh ⟺
+      // pareto(u) > 1 - s for u on the 2^32 grid above/below the edge
+      val u = java.lang.Long.parseLong(dr, 16).toDouble / 4294967296.0
+      val pareto = math.pow(1.0 - u, -1.0 / LmScore.QualityParetoAlpha) - 1.0
+      if (math.abs(u - uStar) > 1e-9) // off the grid edge the forms agree
+        assert(keep === (pareto > 1.0 - s), s"pareto form diverged at margin $m")
+    }
+  }
+
+  test("t48: higher margin never lowers the keep threshold (monotone lottery)") {
+    val rows = LmScore.qualityClassifierKeep(spark, sf0001)
+      .select("margin_tok_e6", "thresh_hex").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((m1, t1), (m2, t2)) =>
+        assert(t2 <= t1, s"threshold rose from margin $m1 to $m2")
+      case _ =>
+    }
+  }
 }

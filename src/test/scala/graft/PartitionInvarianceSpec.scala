@@ -34,7 +34,11 @@ class PartitionInvarianceSpec extends SparkSuite {
     "t27_shard_manifest" ->
       (() => graft.operators.TrainingPrep.shardManifest(spark, sf0001)),
     "t30_curriculum_selection" ->
-      (() => graft.operators.TrainingPrep.curriculumSelection(spark, sf0001)))
+      (() => graft.operators.TrainingPrep.curriculumSelection(spark, sf0001)),
+    // the pareto-lottery keep rule must be a pure function of the row
+    // (md5 draw + trained-frame threshold), never of physical placement
+    "t48_quality_classifier_keep" ->
+      (() => graft.operators.LmScore.qualityClassifierKeep(spark, sf0001)))
 
   /** Canonical row-set image: column-name-sorted, row-sorted, exact string
     * rendering — the same shape the driver hashes, so equality here means

@@ -1350,6 +1350,60 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ingest gate: t48 classifier-quality leg at arrival ≡ cold; lottery binds both ways") {
+    import graft.operators.LmScore
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("clfgate")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // the binary quality model is FROZEN from the corpus before the
+      // stream starts — the deployment shape (train once, score arrivals)
+      LmScore.buildQualityModel(spark, sf0001, s"$base/qclf")
+      val seeded = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .withColumn("url", concat(lit("http://crawl.example/"), col("doc_id").cast("string")))
+        .localCheckpoint()
+      val rows = seeded.orderBy("doc_id")
+        .as[(Long, String, String, Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String, String, Long, String)]
+      val q = OnlineGate.fullIngestGate(
+        mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "url"),
+        s"$base/out", s"$base/ckpt",
+        qualityModelPath = Some(s"$base/qclf"))
+      try {
+        rows.grouped((rows.length + 1) / 2).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def image(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
+        "pass_expect", "pass_quality", "pass_tokens", "pass_rep",
+        "pass_clf", "kept")
+      val online = spark.read.parquet(s"$base/out/decisions")
+        .select(cols.map(col): _*)
+      val cold = OnlineGate.fullIngestGateCold(
+        seeded, qualityModelPath = Some(s"$base/qclf")).select(cols.map(col): _*)
+      assert(online.count() === rows.length.toLong)
+      assert(image(online) === image(cold),
+        "at-arrival classifier verdicts diverged from the cold pass")
+      // the pareto lottery must bind in BOTH directions (GPT-3's rule
+      // admits a few percent of a flat-margin corpus, rejects the rest),
+      // and the leg must agree row-for-row with the batch t48 keep bit
+      val dec = online.localCheckpoint()
+      assert(dec.filter(col("pass_clf")).count() > 0, "lottery admitted nothing")
+      assert(dec.filter(!col("pass_clf")).count() > 0, "lottery rejected nothing")
+      val t48 = LmScore.qualityClassifierKeep(spark, sf0001)
+        .select(col("doc_id"), col("keep").as("batch_keep"))
+      assert(dec.join(t48, "doc_id")
+        .filter(col("pass_clf") =!= col("batch_keep")).count() === 0,
+        "gate leg disagreed with the batch t48 verdicts")
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("ingest gate state compaction: partial dirs stay bounded, verdicts identical to cold") {
     import graft.streaming.OnlineGate
     val base = Files.createTempDirectory("gatecompact")

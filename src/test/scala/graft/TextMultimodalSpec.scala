@@ -637,6 +637,27 @@ class TextMultimodalSpec extends SparkSuite {
     }
   }
 
+  test("t49: extraction recovers the planted body exactly on every page") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.htmlExtracted(spark, sf0001).cache()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(out.count() === docs.count())
+    // the fidelity bit: boilerplate out, content (incl. the unescaped
+    // entity) byte-for-byte intact — for EVERY page shape in the plant
+    assert(out.filter(!$"round_trip").count() === 0)
+    // boilerplate really was dropped: retention strictly below 1
+    assert(out.filter($"retention_e4" >= 10000L).count() === 0)
+    assert(out.filter($"n_text_chars" >= $"n_raw_chars").count() === 0)
+    out.unpersist()
+  }
+
+  test("t49: the extraction chain is map-only — no exchange in the plan") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.htmlExtracted(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
+  }
+
   test("multimodal meta formulas and payload byte length") {
     val m = MultimodalOps.assetMeta(spark, sf0001)
       .as[(Long, String, Int, Int, Long)].collect()

@@ -246,6 +246,10 @@ object SparkEntry {
     // WARC→WET main-content extraction over deterministically wrapped
     // pages (the corpus has no markup — same planting rule), map-only
     "t49_html_extraction" -> TextAnalysis.htmlExtracted _,
+    // BPE vocab induction trained on the word histogram (one corpus agg
+    // + driver loop on the bounded histogram), fertility rollup per doc
+    "t50_bpe_piece_stats" -> ((s: SparkSession, d: String) =>
+      graft.operators.Bpe.bpePieceStats(s, d)),
     // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
     // segment-dup fraction) over the UNPLANTED production corpus
     "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
@@ -1755,7 +1759,11 @@ object SparkEntry {
         "t23i_training_selection_full" ->
           graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d),
         "t25i_scrubbed_selection" ->
-          graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d))
+          graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d),
+        // inlines the trained word→pieces map (BPE merges are a pure
+        // function of the word histogram) → data-dependent
+        "t50_bpe_piece_stats" ->
+          graft.operators.Bpe.bpePieceStatsOracleSql(s, d))
       case _ => Map.empty
     }
 

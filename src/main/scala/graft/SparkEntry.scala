@@ -250,6 +250,11 @@ object SparkEntry {
     // + driver loop on the bounded histogram), fertility rollup per doc
     "t50_bpe_piece_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.Bpe.bpePieceStats(s, d)),
+    // media dedup: 64-segment mean-threshold perceptual fingerprint
+    // (aHash shape) + d1-style dup groups; plants exact + one-byte-
+    // perturbed copies (the d1/t16 vacuity rule)
+    "m7_phash_dup_groups" -> ((s: SparkSession, d: String) =>
+      graft.operators.MultimodalOps.phashDupGroups(s, d)),
     // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
     // segment-dup fraction) over the UNPLANTED production corpus
     "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
@@ -1840,5 +1845,6 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(range(0, (len(d.text) - 1) // 125 + 1)) AS i) r""".stripMargin,
     "m5_feature_topk" -> MultimodalOps.featureTopKOracleSql(),
     "m6_container_frames" -> MultimodalOps.containerFrameStatsOracleSql,
+    "m7_phash_dup_groups" -> MultimodalOps.phashDupGroupsOracleSql,
   )
 }

@@ -798,28 +798,35 @@ object LmScore {
   /** The full per-(keys, cand) score table the argmin collapses —
     * factored out so callers that need EVERY candidate's score (the t48
     * binary quality classifier wants the hiq-vs-loq margin, not just the
-    * winner) share one scoring plan. Also carries `n_toks` per row
-    * (the unk leg contributes exactly one row per token per candidate,
-    * so its row count IS the token count — no second corpus scan to
-    * fetch document lengths).
+    * winner) share one scoring plan. With `withNToks` it also carries
+    * `n_toks` per row (the unk leg contributes exactly one row per token
+    * per candidate, so its row count IS the token count — no second
+    * corpus scan to fetch document lengths); opt-in because the extra
+    * partial-agg column measurably widens the t44/t45/t46 hot path that
+    * never reads it.
     */
   private def nbCandScores(
       occ: DataFrame, keyCols: Seq[String],
-      model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
+      model: DataFrame, unk: DataFrame, prior: DataFrame,
+      withNToks: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
     val delta = model.join(unk, "lang")
       .select(col("lang").as("cand"), col("tok"),
         (col("nll_e6") - col("unk_nll_e6")).as("c_e6"))
-    val contrib = occ.join(broadcast(delta), Seq("tok"))
-      .select(keys ++ Seq(col("cand"), col("c_e6"), lit(0L).as("u")): _*)
-      .unionByName(occ.crossJoin(broadcast(
-          unk.select(col("lang").as("cand"), col("unk_nll_e6").as("c_e6"))))
-        .select(keys ++ Seq(col("cand"), col("c_e6"), lit(1L).as("u")): _*))
+    def leg(src: DataFrame, u: Long) =
+      src.select(keys ++ Seq(col("cand"), col("c_e6")) ++
+        (if (withNToks) Seq(lit(u).as("u")) else Nil): _*)
+    val contrib = leg(occ.join(broadcast(delta), Seq("tok")), 0L)
+      .unionByName(leg(occ.crossJoin(broadcast(
+        unk.select(col("lang").as("cand"), col("unk_nll_e6").as("c_e6")))), 1L))
+    val aggs = Seq(sum(col("c_e6")).as("s_e6")) ++
+      (if (withNToks) Seq(sum(col("u")).as("n_toks")) else Nil)
     contrib.groupBy(keys :+ col("cand"): _*)
-      .agg(sum(col("c_e6")).as("s_e6"), sum(col("u")).as("n_toks"))
+      .agg(aggs.head, aggs.tail: _*)
       .join(broadcast(prior.select(col("lang").as("cand"), col("prior_nll_e6"))), "cand")
       .select(keys ++ Seq(col("cand"),
-        (col("s_e6") + col("prior_nll_e6")).as("nll_e6"), col("n_toks")): _*)
+        (col("s_e6") + col("prior_nll_e6")).as("nll_e6")) ++
+        (if (withNToks) Seq(col("n_toks")) else Nil): _*)
   }
 
   /** Classify labeled docs against frozen NB frames; returns one row per
@@ -1134,7 +1141,7 @@ object LmScore {
       occ: DataFrame, keyCols: Seq[String],
       model: DataFrame, unk: DataFrame, prior: DataFrame): DataFrame = {
     val keys = keyCols.map(col)
-    val piv = nbCandScores(occ, keyCols, model, unk, prior)
+    val piv = nbCandScores(occ, keyCols, model, unk, prior, withNToks = true)
       .groupBy(keys: _*)
       .agg(
         max(when(col("cand") === "hiq", col("nll_e6"))).as("hiq_nll_e6"),

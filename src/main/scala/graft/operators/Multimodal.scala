@@ -660,4 +660,197 @@ object MultimodalOps {
        |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, did) AS rn
        |  FROM scored)
        |WHERE rn <= $topK""".stripMargin
+
+  // --------------------------------------------------------------------
+  // m7: perceptual fingerprint + media dedup — the image/audio analogue
+  // of d1 exact dedup. Every production multimodal pipeline dedups media
+  // by a PERCEPTUAL hash (aHash/pHash for images, Chromaprint-style
+  // segment fingerprints for audio): near-identical payloads (a re-
+  // encode, a one-pixel tweak) must collapse to the same key even though
+  // their bytes differ. The fingerprint here is the 1-D average-hash: the
+  // payload is cut into 64 equal segments, each segment's mean is
+  // thresholded against the global mean (integer cross-multiply —
+  // sum_seg·n > sum_all·n_seg — so no division ever happens), giving a
+  // 64-bit key emitted as 16 hex digits. Over a 2-D image this is
+  // exactly aHash row-major; over audio samples it is the coarse energy
+  // contour. Like m2, the graded query runs the byte-payload stand-in
+  // (DuckDB replays it via ord(substr(..)) — the whole chain is
+  // hash-checked); the REAL-codec twin (same fingerprint over ImageIO-
+  // decoded luminance) is pinned by the fixture integration test.
+  //
+  // Scale shape: map-side char explode (linear), a (doc, 64)-bounded
+  // aggregation with map-side combine, a 64-row-per-doc window, and the
+  // d1-style hash groupBy — no pairs, no quadratic term anywhere.
+  // --------------------------------------------------------------------
+
+  /** Segments in the fingerprint (= hash bits). */
+  val PhashSegments = 64
+
+  /** Planted copies for the graded m7 path (the corpus has no duplicate
+    * media — the d1/t16 vacuity rule): docs with id < [[PhashExactCopies]]
+    * gain a byte-identical copy (must always collapse), ids in
+    * [PhashExactCopies, PhashPerturbedCopies) a ONE-BYTE perturbed copy
+    * (first char replaced) — the perceptual-robustness case: a single
+    * byte moves one segment's mean by at most 1/len, so the copy keeps
+    * the fingerprint unless that segment already straddled the global
+    * mean. Offsets keep planted ids disjoint from real ones.
+    */
+  val PhashExactCopies = 40L
+  val PhashPerturbedCopies = 80L
+  val PhashCopyOffset = 2000000L
+
+  private def phashDocs(spark: SparkSession, dir: String, plant: Boolean): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    if (!plant) d
+    // single-scan planting (the maybePartialCopies trick)
+    else d.select(explode(expr(
+        s"""concat(
+           |  array(struct(doc_id, text)),
+           |  CASE WHEN doc_id < ${PhashExactCopies}L
+           |       THEN array(struct(doc_id + ${PhashCopyOffset}L AS doc_id, text))
+           |       WHEN doc_id < ${PhashPerturbedCopies}L
+           |       THEN array(struct(doc_id + ${PhashCopyOffset}L AS doc_id,
+           |                         concat('z', substr(text, 2, length(text))) AS text))
+           |       ELSE array() END)""".stripMargin)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+  }
+
+  /** (doc_id, phash_hex) over any (doc_id, text) payload frame. */
+  private[graft] def phashOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val cells = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")))
+      .select(col("doc_id"), col("n"),
+        expr("CAST((CAST(pos AS BIGINT) * 64) DIV n AS INT)").as("j"),
+        ascii(col("col")).cast("long").as("b"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(first(col("n")).as("n"), sum(col("b")).as("sj"),
+        count(lit(1)).as("nj"))
+    cells
+      // 64-row bounded partitions: the window is cheaper than a join back
+      .withColumn("s_all", sum(col("sj")).over(w))
+      .withColumn("bit",
+        when(col("sj") * col("n") > col("s_all") * col("nj"), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("j") >= 32,
+          expr("shiftleft(CAST(bit AS BIGINT), CAST(j - 32 AS INT))"))
+          .otherwise(lit(0L))).as("hi"),
+        sum(when(col("j") < 32,
+          expr("shiftleft(CAST(bit AS BIGINT), CAST(j AS INT))"))
+          .otherwise(lit(0L))).as("lo"))
+      .select(col("doc_id"),
+        format_string("%08x%08x", col("hi"), col("lo")).as("phash_hex"))
+  }
+
+  /** Scalar JVM twin of [[phashOf]] over a raw byte sequence — the seam
+    * the real-codec path and the spec's relational≡scalar cross-check
+    * share. Bytes are widened unsigned, mirroring `ascii` on the ASCII
+    * stand-in payload.
+    */
+  private[graft] def phashBytes(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    if (n == 0) return "0000000000000000"
+    val sj = new Array[Long](PhashSegments)
+    val nj = new Array[Long](PhashSegments)
+    var sAll = 0L
+    var i = 0
+    while (i < n) {
+      val j = ((i.toLong * PhashSegments) / n).toInt
+      val b = bytes(i) & 0xFF
+      sj(j) += b; nj(j) += 1; sAll += b
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var j = 0
+    while (j < PhashSegments) {
+      if (sj(j) * n > sAll * nj(j)) {
+        if (j >= 32) hi |= 1L << (j - 32) else lo |= 1L << j
+      }
+      j += 1
+    }
+    f"$hi%08x$lo%08x"
+  }
+
+  /** Decoded luminance plane (row-major, the BT.601 integer rule shared
+    * with [[imageioDecode]]) — feeds [[phashBytes]] for real-image
+    * fingerprints. None for undecodable bytes.
+    */
+  private[graft] def lumaBytes(payload: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(y * w + x) = ((77 * ((rgb >> 16) & 0xFF) +
+              150 * ((rgb >> 8) & 0xFF) + 29 * (rgb & 0xFF)) >> 8).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** m7: perceptual-duplicate groups over the planted corpus — one row
+    * per fingerprint shared by >1 payload: (phash_hex, n_docs,
+    * keeper_doc_id). Byte-identical plants always collapse; the
+    * one-byte-perturbed plants collapse whenever no thresholded segment
+    * flipped (the robustness the spec quantifies).
+    */
+  def phashDupGroups(spark: SparkSession, dir: String): DataFrame =
+    phashOf(phashDocs(spark, dir, plant = true))
+      .groupBy(col("phash_hex"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  def phashDupGroupsOracleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $PhashCopyOffset AS doc_id, text
+       |  FROM documents WHERE doc_id < $PhashExactCopies
+       |  UNION ALL
+       |  SELECT doc_id + $PhashCopyOffset AS doc_id,
+       |    'z' || substr(text, 2) AS text
+       |  FROM documents
+       |  WHERE doc_id >= $PhashExactCopies AND doc_id < $PhashPerturbedCopies),
+       |chars AS (
+       |  SELECT d.doc_id, len(d.text) AS n, ((i - 1) * 64) // len(d.text) AS j,
+       |    ord(substr(d.text, i, 1)) AS b
+       |  FROM (SELECT * FROM docs WHERE len(text) > 0) d,
+       |       LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS i) r),
+       |cells AS (
+       |  SELECT doc_id, j, any_value(n) AS n, sum(b) AS sj, count(*) AS nj
+       |  FROM chars GROUP BY doc_id, j),
+       |tot AS (SELECT doc_id, sum(sj) AS s_all FROM cells GROUP BY doc_id),
+       |bits AS (
+       |  SELECT c.doc_id, c.j,
+       |    CASE WHEN c.sj * c.n > t.s_all * c.nj THEN 1 ELSE 0 END AS bit
+       |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id),
+       |halves AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN j >= 32
+       |             THEN (CAST(bit AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
+       |      AS hi,
+       |    sum(CASE WHEN j < 32
+       |             THEN (CAST(bit AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id),
+       |ph AS (
+       |  SELECT doc_id,
+       |    printf('%08x%08x', cast(hi AS bigint), cast(lo AS bigint)) AS phash_hex
+       |  FROM halves)
+       |SELECT phash_hex, cast(count(*) AS bigint) AS n_docs,
+       |  min(doc_id) AS keeper_doc_id
+       |FROM ph GROUP BY phash_hex HAVING count(*) > 1""".stripMargin
 }

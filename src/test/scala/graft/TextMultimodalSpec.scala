@@ -658,6 +658,60 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
   }
 
+  test("m7: relational fingerprint ≡ scalar JVM twin on every corpus payload") {
+    import graft.operators.MultimodalOps
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val got = MultimodalOps.phashOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.collect()
+      .map(r => r.getLong(0) -> MultimodalOps.phashBytes(r.getString(1).getBytes("UTF-8")))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("m7: exact copies always collapse; one-byte perturbations mostly survive") {
+    import graft.operators.MultimodalOps
+    val groups = MultimodalOps.phashDupGroups(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every byte-identical plant (ids < PhashExactCopies) forms a group
+    val exact = groups.count(_._3 < MultimodalOps.PhashExactCopies)
+    assert(exact.toLong === MultimodalOps.PhashExactCopies,
+      s"expected all ${MultimodalOps.PhashExactCopies} exact plants grouped, got $exact")
+    // the perceptual property: a single changed byte moves one segment's
+    // mean by ≤1/len, so most perturbed plants keep their fingerprint
+    val perturbed = groups.count(g =>
+      g._3 >= MultimodalOps.PhashExactCopies &&
+        g._3 < MultimodalOps.PhashPerturbedCopies)
+    val planted =
+      MultimodalOps.PhashPerturbedCopies - MultimodalOps.PhashExactCopies
+    assert(perturbed * 2 > planted,
+      s"only $perturbed of $planted perturbed plants kept their fingerprint")
+  }
+
+  test("m7: real-codec fingerprints via ImageIO luminance distinguish structure") {
+    import graft.operators.MultimodalOps
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer missing")
+      out.toByteArray
+    }
+    def fp(bytes: Array[Byte]): String =
+      MultimodalOps.phashBytes(MultimodalOps.lumaBytes(bytes).get)
+    val grad = png(64, 2)((x, _) => { val v = x * 4; (v << 16) | (v << 8) | v })
+    val gradAgain = png(64, 2)((x, _) => { val v = x * 4; (v << 16) | (v << 8) | v })
+    val inverse = png(64, 2)((x, _) => { val v = 252 - x * 4; (v << 16) | (v << 8) | v })
+    // re-encoding the same structure reproduces the fingerprint...
+    assert(fp(grad) === fp(gradAgain))
+    // ...and opposite structure flips it
+    assert(fp(grad) !== fp(inverse))
+    // undecodable bytes stay in-band
+    assert(MultimodalOps.lumaBytes(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("multimodal meta formulas and payload byte length") {
     val m = MultimodalOps.assetMeta(spark, sf0001)
       .as[(Long, String, Int, Int, Long)].collect()

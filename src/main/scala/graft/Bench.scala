@@ -372,13 +372,18 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"warmup_ok":$warmupOk,"warmup_error":"$warmupError","queries":${jmap(results)},"dispersion":${jmap(disp)},"max_dispersion":${f(maxDisp)},"sentinel":${jmap(sent)},"max_sentinel":${f(maxSent)},$provenance,"sf":"$sfDir"}"""
     // advertise the full-map pointer ONLY if the write actually landed —
     // a swallowed failure with a live pointer would silently lose the
-    // 90+ timings that don't fit the compact line
+    // 90+ timings that don't fit the compact line. A SPARK_GRAFT_ONLY-
+    // filtered iteration run writes bench_filtered.json instead: the
+    // committed bench_full.json is the graded record, and a 5-query
+    // micro-run overwriting it in the launch CWD is exactly the kind of
+    // silent clobber `git add -A` then ships (it happened in round 13).
+    val fullName = if (only.isDefined) "bench_filtered.json" else "bench_full.json"
     val fullRef =
       try {
         java.nio.file.Files.write(
-          java.nio.file.Paths.get("bench_full.json"),
+          java.nio.file.Paths.get(fullName),
           (fullJson + "\n").getBytes("UTF-8"))
-        ""","full":"bench_full.json""""
+        s""","full":"$fullName""""
       } catch { case _: Throwable => "" }
     val Detail = 40
     val bySlow = results.sortBy(-_._2)

@@ -255,6 +255,10 @@ object SparkEntry {
     // perturbed copies (the d1/t16 vacuity rule)
     "m7_phash_dup_groups" -> ((s: SparkSession, d: String) =>
       graft.operators.MultimodalOps.phashDupGroups(s, d)),
+    // data-constrained epoch scheduling (Muennighoff 2023): one pass per
+    // source, extra epochs rationed in quality order under the budget
+    "t51_epoch_schedule" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.epochSchedule(s, d)),
     // the composed end-to-end selection gate (dedup ∧ tokens ∧ quality ∧
     // segment-dup fraction) over the UNPLANTED production corpus
     "t20_training_selection" -> graft.operators.TrainingPrep.trainingSelection _,
@@ -1567,6 +1571,8 @@ object SparkEntry {
     "t21_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracleSql,
     "t22_top_ngrams" -> TextAnalysis.topNgramsOracleSql,
     "t49_html_extraction" -> TextAnalysis.htmlExtractedOracleSql,
+    "t51_epoch_schedule" ->
+      graft.operators.TrainingPrep.epochScheduleOracleSql,
   )
 
   def dedupOracle: Map[String, String] =

@@ -1050,4 +1050,98 @@ object TrainingPrep {
     s"""SELECT * FROM (
        |$curriculumFrameOracleSql)
        |WHERE cum_tokens - n_tokens < $CurriculumBudgetTokens""".stripMargin
+
+  // --------------------------------------------------------------------
+  // t51: data-constrained EPOCH scheduling (Muennighoff et al. 2023,
+  // arXiv 2305.16264: with a fixed compute/token budget and finite
+  // unique data, repeating good data up to ~4 epochs is nearly as good
+  // as fresh data — beyond that, returns decay fast). The planner stage:
+  // given the budget, every source contributes its unique tokens once
+  // (epoch 1 — you never throw away unique data), and the REMAINING
+  // budget buys extra epochs (capped at EpochMaxExtra) for sources in
+  // quality order, the marginal allocation filling greedily until the
+  // budget is exhausted — the same clamp(budget − prefix_before, 0, cap)
+  // prefix-sum rule as t30, but over the |sources|-bounded frame, so the
+  // window is constant-size at any corpus scale.
+  //
+  // Plan shape: ONE corpus-sized aggregation to the per-source frame
+  // (map-side combined), a 1-row total crossed in (waived Bnlj pattern),
+  // one |sources|-row window, all-integer arithmetic.
+  // --------------------------------------------------------------------
+
+  /** Extra epochs a source may repeat beyond its first pass (4 total —
+    * the Muennighoff knee).
+    */
+  val EpochMaxExtra = 3L
+
+  /** Token budget as an e4 multiple of the unique corpus: 25000 = 2.5×,
+    * so 1.5× the corpus must be rationed across ≤3× repeat capacity —
+    * the allocation binds partway down the quality ranking.
+    */
+  val EpochBudgetMultipleE4 = 25000L
+
+  /** t51: per-source epoch schedule — (source, n_docs, n_tokens,
+    * quality_mean_e4, extra_tokens, total_tokens, epochs_e4), where
+    * `epochs_e4` is 1e4 + the fractional repeat allocation.
+    */
+  def epochSchedule(
+      spark: SparkSession, dir: String,
+      budgetMultipleE4: Long = EpochBudgetMultipleE4): DataFrame = {
+    val perSource = table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.nTokensCol(col("text")).cast("bigint")).as("n_tokens"),
+        floor(sum(TextAnalysis.qualityE4Col(col("text"))).cast("double")
+          / count(lit(1)).cast("double")).cast("long").as("quality_mean_e4"))
+    val total = perSource.agg(sum(col("n_tokens")).as("t"))
+    val w = Window.orderBy(col("quality_mean_e4").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perSource
+      .crossJoin(broadcast(total))
+      .withColumn("extra_budget",
+        expr(s"t * $budgetMultipleE4 DIV 10000") - col("t"))
+      .withColumn("prefix_before",
+        coalesce(sum(col("n_tokens") * lit(EpochMaxExtra)).over(w), lit(0L)))
+      .withColumn("extra_tokens",
+        greatest(lit(0L), least(
+          col("n_tokens") * lit(EpochMaxExtra),
+          col("extra_budget") - col("prefix_before"))))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("quality_mean_e4"),
+        col("extra_tokens"),
+        (col("n_tokens") + col("extra_tokens")).as("total_tokens"),
+        (lit(10000L) + expr("extra_tokens * 10000 DIV n_tokens")).as("epochs_e4"))
+  }
+
+  def epochScheduleOracleSql: String =
+    s"""WITH ps AS (
+       |  SELECT source,
+       |    cast(count(*) AS bigint) AS n_docs,
+       |    cast(sum(n_tokens) AS bigint) AS n_tokens,
+       |    cast(floor(cast(sum(q) AS double) / count(*)) AS bigint)
+       |      AS quality_mean_e4
+       |  FROM (
+       |    SELECT doc_id, source, cast(n_tokens AS bigint) AS n_tokens,
+       |      ${TextAnalysis.qualityE4ExprSql} AS q
+       |    FROM (${TextAnalysis.qualityBaseSql(", source")}))
+       |  GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS t FROM ps),
+       |ranked AS (
+       |  SELECT ps.*, t,
+       |    (t * $EpochBudgetMultipleE4) // 10000 - t AS extra_budget,
+       |    coalesce(sum(n_tokens * $EpochMaxExtra) OVER (
+       |      ORDER BY (10000 - quality_mean_e4), source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS prefix_before
+       |  FROM ps CROSS JOIN tot)
+       |SELECT source, n_docs, n_tokens, quality_mean_e4,
+       |  cast(greatest(0, least(n_tokens * $EpochMaxExtra,
+       |    extra_budget - prefix_before)) AS bigint) AS extra_tokens,
+       |  cast(n_tokens + greatest(0, least(n_tokens * $EpochMaxExtra,
+       |    extra_budget - prefix_before)) AS bigint) AS total_tokens,
+       |  cast(10000 + (greatest(0, least(n_tokens * $EpochMaxExtra,
+       |    extra_budget - prefix_before)) * 10000) // n_tokens AS bigint)
+       |    AS epochs_e4
+       |FROM ranked""".stripMargin
 }

@@ -86,6 +86,9 @@ object PlanAudit {
     // the t29 totals window runs over the |sources|-row per-source token
     // aggregate (TrainingPrep.mixtureSelection) — constant-size at any sf
     ("t29_mixture_selection", "GlobalWindow") -> "window over the per-source rate table",
+    // the t51 ranking window runs over the |sources|-row schedule frame
+    ("t51_epoch_schedule", "GlobalWindow") -> "window over the per-source schedule frame",
+    ("t51_epoch_schedule", Bnlj) -> "1-row corpus-total frame crossed into the per-source frame",
     // the brand-ranking fixture window runs over the ~25-row distinct
     // p_brand frame (Fixtures.codeLists) — constant-size at any sf
     ("flagship_updates", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",

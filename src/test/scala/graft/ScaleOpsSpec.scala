@@ -1383,4 +1383,32 @@ class ScaleOpsSpec extends SparkSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("t51: epoch schedule spends the budget exactly, in quality order, within the repeat cap") {
+    import graft.operators.TrainingPrep
+    val out = TrainingPrep.epochSchedule(spark, "/root/testdata/sf0.001").cache()
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)))
+    val t = rows.map(_._2).sum
+    val budget = t * TrainingPrep.EpochBudgetMultipleE4 / 10000
+    // capacity (4× unique) exceeds the 2.5× budget, so the greedy fill
+    // must land EXACTLY on the budget — no token left unscheduled
+    assert(rows.map(_._5).sum === budget,
+      s"scheduled ${rows.map(_._5).sum} of budget $budget")
+    // every source trains at least one full epoch, at most 4
+    rows.foreach { case (s, n, _, extra, _, e4) =>
+      assert(extra >= 0 && extra <= n * TrainingPrep.EpochMaxExtra, s)
+      assert(e4 >= 10000L && e4 <= 40000L, s)
+    }
+    // allocation is greedy in (quality desc, source) order: once a source
+    // gets less than its full cap, every later source gets nothing
+    val ranked = rows.sortBy { case (s, _, q, _, _, _) => (-q, s) }
+    val firstPartial = ranked.indexWhere { case (_, n, _, extra, _, _) =>
+      extra < n * TrainingPrep.EpochMaxExtra }
+    if (firstPartial >= 0)
+      ranked.drop(firstPartial + 1).foreach { case (s, _, _, extra, _, _) =>
+        assert(extra === 0L, s"source $s allocated after the budget ran out")
+      }
+    out.unpersist()
+  }
 }

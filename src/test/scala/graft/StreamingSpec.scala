@@ -1404,6 +1404,59 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("WARC→WET at arrival: extraction composed in front of the ingest gate ≡ cold over extracted text") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("wetgate")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // arrivals are raw PAGES (the t49 wrapper), not clean text
+      val pages = TextAnalysis.htmlWrappedDocs(spark, sf0001)
+        .select(col("doc_id"), col("html"),
+          concat(lit("http://crawl.example/"), col("doc_id").cast("string")).as("url"))
+        .localCheckpoint()
+      val rows = pages.orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      // the stateless WARC→WET map runs INSIDE the streaming plan, before
+      // the gate's foreachBatch — the pipeline shape a crawl feed uses
+      val arrivals = mem.toDF().toDF("doc_id", "html", "url")
+        .select(col("doc_id"),
+          TextAnalysis.extractedHtmlCol(col("html")).as("text"),
+          lit("en").as("lang"), col("url"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val q = OnlineGate.fullIngestGate(arrivals, s"$base/out", s"$base/ckpt")
+      try {
+        rows.grouped((rows.length + 1) / 2).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def image(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
+        "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "kept")
+      val online = spark.read.parquet(s"$base/out/decisions").select(cols.map(col): _*)
+      val coldDocs = pages
+        .select(col("doc_id"),
+          TextAnalysis.extractedHtmlCol(col("html")).as("text"),
+          lit("en").as("lang"), col("url"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val cold = OnlineGate.fullIngestGateCold(coldDocs).select(cols.map(col): _*)
+      assert(online.count() === rows.length.toLong)
+      assert(image(online) === image(cold),
+        "extraction-fronted gate diverged from the cold pass over extracted text")
+      // extraction really ran: the gate judged CONTENT token counts, not
+      // page sizes — every decision's n_tokens is well below the page's
+      // whitespace-token count (nav/footer/script words are gone)
+      val pageTokens = pages.select(col("doc_id"),
+        size(split(col("html"), " ")).cast("long").as("pt"))
+      assert(online.join(pageTokens, "doc_id")
+        .filter(col("n_tokens") >= col("pt")).count() === 0)
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("ingest gate state compaction: partial dirs stay bounded, verdicts identical to cold") {
     import graft.streaming.OnlineGate
     val base = Files.createTempDirectory("gatecompact")

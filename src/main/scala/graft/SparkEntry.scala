@@ -250,6 +250,10 @@ object SparkEntry {
     // + driver loop on the bounded histogram), fertility rollup per doc
     "t50_bpe_piece_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.Bpe.bpePieceStats(s, d)),
+    // the shipped tokenizer artifact: corpus piece histogram under the
+    // trained merges (broadcast segmentation table, piece-bounded rollup)
+    "t52_bpe_vocab_histogram" -> ((s: SparkSession, d: String) =>
+      graft.operators.Bpe.bpeVocabHistogram(s, d)),
     // media dedup: 64-segment mean-threshold perceptual fingerprint
     // (aHash shape) + d1-style dup groups; plants exact + one-byte-
     // perturbed copies (the d1/t16 vacuity rule)
@@ -333,6 +337,10 @@ object SparkEntry {
     "t48i_quality_classifier_keep" -> ((s: SparkSession, d: String) =>
       graft.operators.LmScore.qualityClassifierKeepIndexed(
         s, d, graft.operators.IndexStore.qualityModelPath(s, d))),
+    // classifier calibration: fixed-width margin bins × empirical curated
+    // fraction / keep rate / mean score — the reliability table
+    "t53_quality_calibration" ->
+      graft.operators.LmScore.qualityCalibration _,
     // CCNet composition: the t20 gate ∧ LM bucket ≠ tail (one doc_id join)
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelection _,
     // interpolated trigram LM (Jelinek–Mercer) — the deeper scoring model
@@ -1494,6 +1502,8 @@ object SparkEntry {
       graft.operators.LmScore.qualityClassifierKeepOracleSql,
     "t48i_quality_classifier_keep" ->
       graft.operators.LmScore.qualityClassifierKeepOracleSql,
+    "t53_quality_calibration" ->
+      graft.operators.LmScore.qualityCalibrationOracleSql,
     "t34_lm_gated_selection" -> graft.operators.LmScore.lmGatedSelectionOracleSql,
     "t35_trigram_lm_ppl" -> graft.operators.LmScore.trigramLmScoresOracleSql,
     "t36_rrf_fusion" -> graft.operators.LmScore.rrfFusionOracleSql,
@@ -1774,7 +1784,9 @@ object SparkEntry {
         // inlines the trained word→pieces map (BPE merges are a pure
         // function of the word histogram) → data-dependent
         "t50_bpe_piece_stats" ->
-          graft.operators.Bpe.bpePieceStatsOracleSql(s, d))
+          graft.operators.Bpe.bpePieceStatsOracleSql(s, d),
+        "t52_bpe_vocab_histogram" ->
+          graft.operators.Bpe.bpeVocabHistogramOracleSql(s, d))
       case _ => Map.empty
     }
 

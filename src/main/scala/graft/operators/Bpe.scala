@@ -98,30 +98,38 @@ object Bpe {
   }
 
   /** Segment one word under a ranked merge list: apply each merge in
-    * rank order (the standard apply-time rule), return the piece count.
+    * rank order (the standard apply-time rule), return the pieces.
     */
-  private[graft] def pieceCount(
-      word: String, merges: Seq[(Int, String, String, Long)]): Int = {
+  private[graft] def pieces(
+      word: String, merges: Seq[(Int, String, String, Long)]): Vector[String] = {
     var syms = word.map(_.toString).toVector :+ EndMark
     merges.sortBy(_._1).foreach { case (_, l, r, _) => syms = mergeOnce(syms, l, r) }
-    syms.length
+    syms
   }
 
-  /** The trained (word → n_pieces) map for `dir`'s corpus — histogram,
-    * merges, and per-word segmentation, all deterministic. Memoized per
-    * (dir, k) so the graded query and its Verify-time oracle generator
-    * share one training pass (the IndexStore convention).
-    */
-  private val trained =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, Int)]]()
+  private[graft] def pieceCount(
+      word: String, merges: Seq[(Int, String, String, Long)]): Int =
+    pieces(word, merges).length
 
-  private[graft] def wordPieces(
-      spark: SparkSession, dir: String, k: Int = NumMerges): Seq[(String, Int)] =
+  /** The trained per-word segmentation for `dir`'s corpus — histogram,
+    * merges, pieces — all deterministic. Memoized per (dir, k) so the
+    * graded queries and their Verify-time oracle generators share one
+    * training pass (the IndexStore convention).
+    */
+  private val trained = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[(String, Vector[String])]]()
+
+  private[graft] def wordSegmentation(
+      spark: SparkSession, dir: String, k: Int = NumMerges): Seq[(String, Vector[String])] =
     trained.computeIfAbsent((dir, k), { _ =>
       val hist = wordHistogram(table(spark, dir, "documents"))
       val merges = trainMerges(hist, k)
-      hist.map { case (w, _) => (w, pieceCount(w, merges)) }
+      hist.map { case (w, _) => (w, pieces(w, merges)) }
     })
+
+  private[graft] def wordPieces(
+      spark: SparkSession, dir: String, k: Int = NumMerges): Seq[(String, Int)] =
+    wordSegmentation(spark, dir, k).map { case (w, p) => (w, p.length) }
 
   /** t50: per-document piece statistics under the corpus-trained BPE
     * vocabulary — (doc_id, n_words, n_pieces, pieces_per_word_e4), the
@@ -147,6 +155,51 @@ object Bpe {
       .select(col("doc_id"), col("n_words"), col("n_pieces"),
         Exact.e(col("n_pieces").cast("double") / col("n_words").cast("double"), 4)
           .as("pieces_per_word_e4"))
+  }
+
+  /** t52: the corpus piece HISTOGRAM under the trained vocabulary — the
+    * artifact a tokenizer ships (vocab entries with their corpus
+    * frequencies, the table that drives embedding-matrix sizing and
+    * rare-piece pruning). One corpus scan: explode words, join the
+    * broadcast word→(piece, pos) table (vocab-bounded — every word's
+    * segmentation, flattened), explode pieces, and roll up per piece
+    * with map-side combine; the reduce side is |pieces|-bounded.
+    * Output: (piece, n_words, n_docs, n_occurrences) — distinct words
+    * using the piece, documents containing it, and total occurrences.
+    */
+  def bpeVocabHistogram(spark: SparkSession, dir: String, k: Int = NumMerges): DataFrame = {
+    val seg = wordSegmentation(spark, dir, k)
+    val spark2 = spark
+    import spark2.implicits._
+    val wp = seg.flatMap { case (w, ps) => ps.map(p => (w, p)) }.toDF("w", "piece")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(wp), Seq("w"))
+      .groupBy(col("piece"))
+      .agg(
+        countDistinct(col("w")).as("n_words"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+  }
+
+  /** DuckDB oracle for [[bpeVocabHistogram]] — the flattened
+    * word→(piece) table inlined as literals (data-dependent).
+    */
+  def bpeVocabHistogramOracleSql(spark: SparkSession, dir: String): String = {
+    val vals = wordSegmentation(spark, dir, NumMerges)
+      .flatMap { case (w, ps) =>
+        ps.map(p => s"('${w.replace("'", "''")}', '${p.replace("'", "''")}')") }
+      .mkString(",\n    ")
+    s"""WITH wp(w, piece) AS (VALUES
+       |    $vals),
+       |occ AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT piece,
+       |  cast(count(DISTINCT o.w) AS bigint) AS n_words,
+       |  cast(count(DISTINCT o.doc_id) AS bigint) AS n_docs,
+       |  cast(count(*) AS bigint) AS n_occurrences
+       |FROM occ o JOIN wp ON wp.w = o.w
+       |GROUP BY piece""".stripMargin
   }
 
   /** DuckDB oracle for [[bpePieceStats]]: the trained word→pieces map

@@ -1184,6 +1184,65 @@ object LmScore {
     qualityKeepOf(qualityLabeled(table(spark, dir, "documents")), model, unk, prior)
   }
 
+  /** Margin-bin width (e6) and clamp range for the t53 calibration
+    * table: bins of 0.025 nats/token covering [-0.2, 0.2), outer mass
+    * clamped into the edge bins — 16 rows at any corpus size.
+    */
+  val CalibrationBinE6 = 25000L
+  val CalibrationBinLo = -8L
+  val CalibrationBinHi = 7L
+
+  /** t53: the classifier CALIBRATION table — the reliability report a
+    * deployed quality gate ships next to its t45/t46-style accuracy
+    * numbers (is a margin of +0.05 nats/token actually more often
+    * curated than one of −0.05?). The t48 verdicts are bucketed into
+    * fixed-width per-token-margin bins (label-bounded: ≤16 rows) and
+    * each bin reports its size, empirical curated fraction, mean
+    * sigmoid score, and realized lottery keep rate — empirical column
+    * vs score column IS the calibration curve. One |bins|-row
+    * aggregation on top of the t48 plan; integer means (floor) so the
+    * oracle replays bit-for-bit.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bin = greatest(lit(CalibrationBinLo), least(lit(CalibrationBinHi),
+      floor(col("margin_tok_e6").cast("double") / lit(CalibrationBinE6.toDouble))
+        .cast("long")))
+    qualityClassifierKeep(spark, dir)
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("label") === "hiq", 1L).otherwise(0L)).as("n_hiq"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        floor(sum(col("score_e6")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("mean_score_e6"))
+      .select(col("bin"), col("n_docs"),
+        Exact.e(col("n_hiq").cast("double") / col("n_docs").cast("double"), 4)
+          .as("hiq_frac_e4"),
+        Exact.e(col("n_kept").cast("double") / col("n_docs").cast("double"), 4)
+          .as("keep_rate_e4"),
+        col("mean_score_e6"))
+  }
+
+  def qualityCalibrationOracleSql: String =
+    s"""WITH t48 AS (
+       |${qualityClassifierKeepOracleSql.linesIterator.map("  " + _).mkString("\n")}),
+       |binned AS (
+       |  SELECT greatest($CalibrationBinLo, least($CalibrationBinHi,
+       |      cast(floor(cast(margin_tok_e6 AS double) / $CalibrationBinE6.0)
+       |        AS bigint))) AS bin,
+       |    label, keep, score_e6
+       |  FROM t48)
+       |SELECT bin,
+       |  cast(count(*) AS bigint) AS n_docs,
+       |  cast(floor(cast(sum(CASE WHEN label = 'hiq' THEN 1 ELSE 0 END) AS double)
+       |    / count(*) * 10000.0 + 0.5) AS bigint) AS hiq_frac_e4,
+       |  cast(floor(cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS double)
+       |    / count(*) * 10000.0 + 0.5) AS bigint) AS keep_rate_e4,
+       |  cast(floor(cast(sum(score_e6) AS double) / count(*)) AS bigint)
+       |    AS mean_score_e6
+       |FROM binned GROUP BY bin""".stripMargin
+
   def qualityClassifierKeepOracleSql: String = {
     val refs = QualityRefSources.map(s => s"'$s'").mkString(", ")
     s"""WITH qdocs AS (

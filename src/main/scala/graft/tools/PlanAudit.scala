@@ -64,6 +64,8 @@ object PlanAudit {
       "t44's 1-row vocab/doc-total frames + 2-row (hiq/loq) unk frame crossed",
     ("t48i_quality_classifier_keep", Bnlj) ->
       "2-row (hiq/loq) unk frame crossed into the occurrence tape",
+    ("t53_quality_calibration", Bnlj) ->
+      "rides the t48 scoring plan (same bounded frames crossed)",
     ("t31i_bigram_lm_ppl", Bnlj) -> "1-row unk-floor frame crossed into the scoring leg",
     ("t34_lm_gated_selection", Bnlj) -> "t31's 1-row vocab-size frame (composed gate keeps the leg plans)",
     ("t35_trigram_lm_ppl", Bnlj) -> "1-row (N, V) frame crossed into the trigram model table",

@@ -37,6 +37,23 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.trainMerges(hist, 8) === Bpe.trainMerges(hist.reverse, 8))
   }
 
+  test("t52: vocab-histogram occurrence mass equals the t50 per-doc piece mass") {
+    val vocab = Bpe.bpeVocabHistogram(spark, sf0001)
+      .agg(sum(col("n_occurrences"))).collect()(0).getLong(0)
+    val perDoc = Bpe.bpePieceStats(spark, sf0001)
+      .agg(sum(col("n_pieces"))).collect()(0).getLong(0)
+    // the same segmentation counted two ways — piece-major vs doc-major
+    assert(vocab === perDoc)
+    // the end-mark piece family must cover every word occurrence exactly
+    // once: pieces ENDING in </w> sum to the corpus word count
+    val endMass = Bpe.bpeVocabHistogram(spark, sf0001)
+      .filter(col("piece").endsWith(Bpe.EndMark))
+      .agg(sum(col("n_occurrences"))).collect()(0).getLong(0)
+    val nWords = spark.read.parquet(s"$sf0001/documents.parquet")
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(endMass === nWords)
+  }
+
   test("t50: corpus fertility stats are bounded and cover every document") {
     val out = Bpe.bpePieceStats(spark, sf0001).cache()
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -390,6 +390,26 @@ class LmScoreSpec extends SparkSuite {
     }
   }
 
+  test("t53: calibration bins partition the corpus and re-aggregate the t48 verdicts") {
+    val cal = LmScore.qualityCalibration(spark, sf0001).cache()
+    val t48 = LmScore.qualityClassifierKeep(spark, sf0001).cache()
+    val n = t48.count()
+    assert(cal.agg(sum(col("n_docs"))).collect()(0).getLong(0) === n)
+    assert(cal.filter(
+      col("bin") < LmScore.CalibrationBinLo ||
+        col("bin") > LmScore.CalibrationBinHi).count() === 0)
+    // realized keep mass re-derives: Σ bin round(rate·n)⁻¹ cannot be
+    // checked exactly through the e4 rounding, so recompute from counts
+    val keptFromBins = cal
+      .select((col("n_docs") * col("keep_rate_e4")).as("m"))
+      .agg(sum(col("m"))).collect()(0).getLong(0)
+    val keptTrue = t48.filter(col("keep")).count()
+    // e4 rounding error per bin is < n_docs/2·1e-4 — bound the drift
+    assert(math.abs(keptFromBins - keptTrue * 10000L) <= n / 2,
+      s"bin keep mass $keptFromBins vs ${keptTrue * 10000L}")
+    cal.unpersist(); t48.unpersist()
+  }
+
   test("t48: higher margin never lowers the keep threshold (monotone lottery)") {
     val rows = LmScore.qualityClassifierKeep(spark, sf0001)
       .select("margin_tok_e6", "thresh_hex").distinct()

@@ -175,6 +175,9 @@ object SparkEntry {
     "q12_priority_shipping" -> RelationalOps.priorityShipping _,
     // MERGE INTO (update/insert/delete branches) as one full-outer join
     "u1_customer_upsert" -> graft.operators.MergeOps.customerUpsert _,
+    // SCD-2 versioned history merge: changed rows close + append, the
+    // unchanged branch is the reference's P8 no-op-update rule
+    "u2_customer_scd2" -> graft.operators.MergeOps.customerScd2 _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1326,6 +1329,7 @@ object SparkEntry {
         |  cast(CASE WHEN s.c_custkey IS NOT NULL THEN s.bal_e2 ELSE t.bal_e2 END AS bigint) AS bal_e2
         |FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
         |WHERE NOT coalesce(s.is_delete, false)""".stripMargin,
+    "u2_customer_scd2" -> graft.operators.MergeOps.customerScd2OracleSql,
     "g7_part_triangles" ->
       s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (

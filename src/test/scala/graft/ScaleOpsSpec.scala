@@ -524,6 +524,36 @@ class ScaleOpsSpec extends SparkSuite {
     assert(out2 === Set((1L, "a", 10L), (2L, "b2", 99L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("scd2 merge: close+append on change, no-op on equal values, history immutable") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "a", 10L, 2L, true),  // current v2, will CHANGE
+      (1L, "a", 5L, 1L, false),  // closed v1 — must pass through untouched
+      (2L, "b", 20L, 1L, true),  // current, source re-sends EQUAL values (P8 no-op)
+      (3L, "c", 30L, 1L, true),  // current, will be DELETED
+      (5L, "e", 50L, 1L, true))  // current, no source row
+      .toDF("id", "name", "v", "version", "is_current")
+    val source = Seq(
+      (1L, "a", 11L, false), // changed value
+      (2L, "b", 20L, false), // identical — must not touch the row
+      (3L, "c", 30L, true),  // delete
+      (4L, "d", 40L, false)) // brand-new key
+      .toDF("id", "name", "v", "is_delete")
+    val out = MergeOps.scd2Merge(history, source, Seq("id"), Some("is_delete"))
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, "a", 10L, 2L, false), // closed
+      (1L, "a", 11L, 3L, true),  // successor
+      (1L, "a", 5L, 1L, false),  // untouched history
+      (2L, "b", 20L, 1L, true),  // no-op: same row, still current
+      (3L, "c", 30L, 1L, false), // deleted: closed, no successor
+      (4L, "d", 40L, 1L, true),  // opened
+      (5L, "e", 50L, 1L, true))) // untouched current
+    // exactly one current version per live key
+    val currents = out.toSeq.filter(_._5).groupBy(_._1).view.mapValues(_.size)
+    assert(currents.values.forall(_ == 1))
+  }
+
   test("compaction rewrites small files into bounded-size files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -178,6 +178,12 @@ object SparkEntry {
     // SCD-2 versioned history merge: changed rows close + append, the
     // unchanged branch is the reference's P8 no-op-update rule
     "u2_customer_scd2" -> graft.operators.MergeOps.customerScd2 _,
+    // changelog/CDC materialization: last-writer-wins snapshot via ONE
+    // max_by groupBy (map-side compaction), tombstones erase keys
+    "u3_user_changelog" -> graft.operators.MergeOps.userChangelog _,
+    // CDC extraction: diff two snapshots into the minimal change feed
+    // (I/U/D, P8 no-ops absent) via the same single full-outer join
+    "u4_customer_snapshot_diff" -> graft.operators.MergeOps.customerSnapshotDiff _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,6 +255,8 @@ object SparkEntry {
     // WARC→WET main-content extraction over deterministically wrapped
     // pages (the corpus has no markup — same planting rule), map-only
     "t49_html_extraction" -> TextAnalysis.htmlExtracted _,
+    // C4 page-level policy filters: per-rule flags + verdict, map-only
+    "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFilters _,
     // BPE vocab induction trained on the word histogram (one corpus agg
     // + driver loop on the bounded histogram), fertility rollup per doc
     "t50_bpe_piece_stats" -> ((s: SparkSession, d: String) =>
@@ -459,6 +467,10 @@ object SparkEntry {
     // corpus, full-dim rescore on a constant-size candidate frame
     "v17_adaptive_topk" -> ((s: SparkSession, d: String) => Similarity.adaptiveTopK(s, d)),
     "v18_adaptive_recall" -> Similarity.adaptiveRecall _,
+    // 1-bit sign quantization (32× memory): Hamming coarse rank + exact
+    // fixed-point rescore on a RerankC-bounded candidate frame
+    "v19_binary_hamming_topk" -> ((s: SparkSession, d: String) => Similarity.binaryTopK(s, d)),
+    "v20_binary_recall" -> Similarity.binaryRecall _,
     "v3_lsh_buckets" -> Similarity.lshBuckets _,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) =>
@@ -1298,38 +1310,11 @@ object SparkEntry {
         |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
         |  AND l_shipdate < timestamp '1998-01-01 00:00:00'
         |GROUP BY l_returnflag""".stripMargin,
-    "u1_customer_upsert" ->
-      s"""WITH cust AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |    cast(floor(c_acctbal * 100.0 + 0.5) AS bigint) AS bal_e2
-        |  FROM customer),
-        |recent AS (
-        |  SELECT o_custkey,
-        |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS bigint) AS delta_e2
-        |  FROM orders
-        |  WHERE o_orderdate >= timestamp '${graft.operators.MergeOps.UpsertCutoff} 00:00:00'
-        |  GROUP BY o_custkey),
-        |src AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |    bal_e2 + delta_e2 AS bal_e2, false AS is_delete
-        |  FROM cust JOIN recent ON c_custkey = o_custkey
-        |  WHERE c_custkey % 89 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, bal_e2, true
-        |  FROM cust WHERE c_custkey % 89 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'NEW_' || c_name, c_nationkey, c_mktsegment,
-        |    0, false
-        |  FROM cust WHERE c_custkey % 97 = 0)
-        |SELECT
-        |  coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
-        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
-        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
-        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
-        |  cast(CASE WHEN s.c_custkey IS NOT NULL THEN s.bal_e2 ELSE t.bal_e2 END AS bigint) AS bal_e2
-        |FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
-        |WHERE NOT coalesce(s.is_delete, false)""".stripMargin,
+    "u1_customer_upsert" -> graft.operators.MergeOps.customerUpsertOracleSql,
+    "u4_customer_snapshot_diff" -> graft.operators.MergeOps
+      .customerSnapshotDiffOracleSql(graft.operators.MergeOps.customerUpsertOracleSql),
     "u2_customer_scd2" -> graft.operators.MergeOps.customerScd2OracleSql,
+    "u3_user_changelog" -> graft.operators.MergeOps.userChangelogOracleSql,
     "g7_part_triangles" ->
       s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
@@ -1585,6 +1570,7 @@ object SparkEntry {
     "t21_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracleSql,
     "t22_top_ngrams" -> TextAnalysis.topNgramsOracleSql,
     "t49_html_extraction" -> TextAnalysis.htmlExtractedOracleSql,
+    "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFiltersOracleSql,
     "t51_epoch_schedule" ->
       graft.operators.TrainingPrep.epochScheduleOracleSql,
   )
@@ -1737,6 +1723,8 @@ object SparkEntry {
     "v2_brute_force_topk" -> Similarity.bruteForceTopKOracleSql,
     "v17_adaptive_topk" -> Similarity.adaptiveTopKOracleSql,
     "v18_adaptive_recall" -> Similarity.adaptiveRecallOracleSql,
+    "v19_binary_hamming_topk" -> Similarity.binaryTopKOracleSql,
+    "v20_binary_recall" -> Similarity.binaryRecallOracleSql,
     // deterministic hyperplane literals inlined into the oracles
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,

@@ -80,6 +80,43 @@ object MergeOps {
       Seq("c_custkey"), Some("is_delete"))
   }
 
+  /** DuckDB twin of [[customerUpsert]] — factored here (it used to live
+    * inline in SparkEntry) because u4's diff oracle composes it as the
+    * "next" snapshot: the engine query and BOTH oracles must share one
+    * definition or a fixture tweak desyncs them silently.
+    */
+  def customerUpsertOracleSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    cast(floor(c_acctbal * 100.0 + 0.5) AS bigint) AS bal_e2
+       |  FROM customer),
+       |recent AS (
+       |  SELECT o_custkey,
+       |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS bigint) AS delta_e2
+       |  FROM orders
+       |  WHERE o_orderdate >= timestamp '$UpsertCutoff 00:00:00'
+       |  GROUP BY o_custkey),
+       |src AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    bal_e2 + delta_e2 AS bal_e2, false AS is_delete
+       |  FROM cust JOIN recent ON c_custkey = o_custkey
+       |  WHERE c_custkey % 89 <> 0
+       |  UNION ALL
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, bal_e2, true
+       |  FROM cust WHERE c_custkey % 89 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, 'NEW_' || c_name, c_nationkey, c_mktsegment,
+       |    0, false
+       |  FROM cust WHERE c_custkey % 97 = 0)
+       |SELECT
+       |  coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+       |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+       |  cast(CASE WHEN s.c_custkey IS NOT NULL THEN s.bal_e2 ELSE t.bal_e2 END AS bigint) AS bal_e2
+       |FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+       |WHERE NOT coalesce(s.is_delete, false)""".stripMargin
+
   // --------------------------------------------------------------------
   // u2: SCD-2 (slowly-changing-dimension type 2) history merge — the
   // versioned flavor of u1: instead of overwriting, a changed row CLOSES
@@ -182,6 +219,157 @@ object MergeOps {
     scd2Merge(hist, updates.unionByName(deletes).unionByName(inserts),
       Seq("c_custkey"), Some("is_delete"))
   }
+
+  // --------------------------------------------------------------------
+  // u3: changelog / CDC materialization — the third table-maintenance
+  // primitive after u1 (apply one batch) and u2 (versioned history):
+  // collapse an ORDERED append-only change feed (the Delta/Iceberg
+  // change-data-feed shape, or a Debezium topic compacted to a table) to
+  // the final snapshot it describes. Last writer per key wins; a winning
+  // tombstone erases the key.
+  // --------------------------------------------------------------------
+
+  /** Materialize the snapshot described by a change feed.
+    *
+    * `feed` carries `keys ++ (seqCol: any ordered type, deleteCol:
+    * boolean) ++ values`. Precondition (standard for CDC: the log sequence
+    * number): `seqCol` is unique within each key — ties would make the
+    * winner engine-dependent.
+    *
+    * Scale shape: ONE groupBy on the key using `max_by`'s partial-merge
+    * aggregation, so a key's history compacts map-side — every task ships
+    * at most one candidate row per key into the exchange. The
+    * `row_number() over (partitionBy key orderBy seq desc)` formulation
+    * computes the same thing but routes every key's FULL history through
+    * a single reducer partition un-combined and sorts it; at 100 TB of
+    * accumulated feed that is shuffling history instead of shuffling
+    * snapshots, and a hot key (one entity updated millions of times) is
+    * an atomic unsplittable window task. The aggregate form also AQE-skew
+    * -splits for free.
+    */
+  def applyChangelog(
+      feed: DataFrame, keys: Seq[String], seqCol: String,
+      deleteCol: String): DataFrame = {
+    val values = feed.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == seqCol || c == deleteCol)
+    val payload = struct((Seq(seqCol, deleteCol) ++ values).map(col): _*)
+    feed.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, col(seqCol)).as("_last"))
+      .filter(!col(s"_last.$deleteCol"))
+      .select(keys.map(col) ++
+        (seqCol +: values).map(c => col(s"_last.$c").as(c)): _*)
+  }
+
+  /** Every event whose id hits this modulus is a tombstone for its key —
+    * the same mod-arithmetic trick u1 uses to make the delete branch
+    * non-vacuous on the synthetic feed.
+    */
+  val ChangelogTombstoneMod = 7L
+
+  /** The oracled changelog query: the `events` stream read as a CDC feed
+    * over per-(user, metric) state — each event upserts its (user_id,
+    * event_type) cell with its value (`event_id`, globally unique, is the
+    * sequence), and every [[ChangelogTombstoneMod]]-th event is a
+    * tombstone. Output is the materialized current state: the latest
+    * surviving event per cell.
+    */
+  def userChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val feed = table(spark, dir, "events").select(
+      col("user_id"), col("event_type"), col("event_id"),
+      (col("event_id") % ChangelogTombstoneMod === 0).as("is_delete"),
+      Exact.e(col("value"), 4).as("value_e4"))
+    applyChangelog(feed, Seq("user_id", "event_type"), "event_id", "is_delete")
+      .withColumnRenamed("event_id", "last_event_id")
+      .withColumnRenamed("value_e4", "last_value_e4")
+  }
+
+  def userChangelogOracleSql: String =
+    s"""SELECT user_id, event_type, event_id AS last_event_id,
+       |  value_e4 AS last_value_e4
+       |FROM (
+       |  SELECT user_id, event_type, event_id,
+       |    cast(floor(value * 10000.0 + 0.5) AS bigint) AS value_e4,
+       |    (event_id % $ChangelogTombstoneMod = 0) AS is_delete,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY event_id DESC) AS rn
+       |  FROM events)
+       |WHERE rn = 1 AND NOT is_delete""".stripMargin
+
+  // --------------------------------------------------------------------
+  // u4: snapshot diff — CDC EXTRACTION, the inverse of u3: given two
+  // snapshots of the same table, emit the minimal change feed that turns
+  // the old one into the new one (the incremental-export primitive: ship
+  // the diff, not the table). Identical rows emit NOTHING — the P8
+  // no-op-update rule again, this time on the producing side.
+  // --------------------------------------------------------------------
+
+  /** Diff `next` against `prev` on `keys`: one row per effective change,
+    * `op` ∈ I (key only in next), U (in both, any value differs,
+    * null-safe), D (key only in prev). I/U rows carry the POST image,
+    * D rows the deleted row's image. Matched-and-equal rows are absent —
+    * `upsert(prev, diff)` reproduces `next` exactly (round-trip-tested).
+    *
+    * Scale shape: u1's single full-outer join on the key — bucket both
+    * snapshots ([[DataLayout.writeBucketed]]) and the nightly diff of a
+    * 100 TB table is a map-side zip with output proportional to the
+    * CHANGE volume, not the table.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame = {
+    val values = prev.columns.toSeq.filterNot(keys.contains)
+    val p = prev.withColumn("_inp", lit(true)).alias("_p")
+    val n = next.withColumn("_inn", lit(true)).alias("_n")
+    val cond = keys.map(k => col(s"_p.$k") === col(s"_n.$k")).reduce(_ && _)
+    val changed = values.map(v => !(col(s"_p.$v") <=> col(s"_n.$v"))).reduce(_ || _)
+    val op = when(col("_p._inp").isNull, "I")
+      .when(col("_n._inn").isNull, "D")
+      .when(changed, "U")
+    p.join(n, cond, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"_n.$k"), col(s"_p.$k")).as(k)) ++
+          Seq(col("op")) ++
+          values.map(v =>
+            when(col("op") === "D", col(s"_p.$v")).otherwise(col(s"_n.$v")).as(v)): _*)
+  }
+
+  /** The oracled diff query: previous = the customer snapshot, next =
+    * [[customerUpsert]]'s refreshed snapshot — so the emitted feed is
+    * exactly u1's EFFECTIVE change set (updates that changed a value,
+    * churns, re-signs), and none of its no-ops.
+    */
+  def customerSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val prev = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        Exact.e(col("c_acctbal"), 2).as("bal_e2"))
+    snapshotDiff(prev, customerUpsert(spark, dir), Seq("c_custkey"))
+  }
+
+  def customerSnapshotDiffOracleSql(u1OracleSql: String): String =
+    s"""WITH prev AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    cast(floor(c_acctbal * 100.0 + 0.5) AS bigint) AS bal_e2
+       |  FROM customer),
+       |nxt AS (
+       |$u1OracleSql
+       |),
+       |j AS (
+       |  SELECT p.c_custkey AS pk, n.c_custkey AS nk,
+       |    p.c_name AS pn, p.c_nationkey AS pnat, p.c_mktsegment AS pseg,
+       |    p.bal_e2 AS pbal,
+       |    n.c_name AS nn, n.c_nationkey AS nnat, n.c_mktsegment AS nseg,
+       |    n.bal_e2 AS nbal
+       |  FROM prev p FULL OUTER JOIN nxt n ON n.c_custkey = p.c_custkey)
+       |SELECT coalesce(nk, pk) AS c_custkey,
+       |  CASE WHEN pk IS NULL THEN 'I' WHEN nk IS NULL THEN 'D' ELSE 'U' END AS op,
+       |  CASE WHEN nk IS NULL THEN pn ELSE nn END AS c_name,
+       |  CASE WHEN nk IS NULL THEN pnat ELSE nnat END AS c_nationkey,
+       |  CASE WHEN nk IS NULL THEN pseg ELSE nseg END AS c_mktsegment,
+       |  cast(CASE WHEN nk IS NULL THEN pbal ELSE nbal END AS bigint) AS bal_e2
+       |FROM j
+       |WHERE pk IS NULL OR nk IS NULL
+       |  OR pn IS DISTINCT FROM nn OR pnat IS DISTINCT FROM nnat
+       |  OR pseg IS DISTINCT FROM nseg OR pbal IS DISTINCT FROM nbal""".stripMargin
 
   def customerScd2OracleSql: String =
     s"""WITH cust AS (

@@ -215,6 +215,153 @@ object Similarity {
        |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
        |GROUP BY e.qid""".stripMargin
 
+  // --------------------------------------------------------------------
+  // v19/v20: binary (sign-bit) quantization + Hamming rerank — the most
+  // aggressive memory point on the quantization ladder (float32 → int8 is
+  // v8, → 4-bit PQ is v9/v10, → 1 bit/dim is this): a 64-dim vector
+  // becomes 8 BYTES, a 32× corpus-memory reduction, and candidate
+  // generation is XOR+popcount — the cheapest per-pair arithmetic any ANN
+  // stage can have (modern vector stores ship exactly this as "binary
+  // quantization with rescoring"). Charikar 2002 grounds the geometry:
+  // sign-bit agreement estimates cosine angle, so low Hamming ⇒ high
+  // cosine in expectation.
+  // --------------------------------------------------------------------
+
+  /** Candidate budget the Hamming stage hands to the exact rescorer. */
+  private[operators] val HammingRerankC = 50
+
+  /** One 32-bit word of the sign signature as a SQL expression: bit i set
+    * iff `vec[lo + i + 1] > 0` (1-based array). Two words cover dim 64
+    * with every shift < 32 — no BIGINT sign-bit edge to disagree on
+    * between engines (a 1<<63 would be implementation-defined overflow in
+    * some engines' SQL).
+    */
+  private def signWordSql(vecCol: String, lo: Int): String =
+    s"aggregate(sequence(0, 31), cast(0 AS bigint), (acc, i) -> acc | " +
+      s"IF(element_at($vecCol, i + ${lo + 1}) > cast(0 AS float), " +
+      s"shiftleft(cast(1 AS bigint), i), cast(0 AS bigint)))"
+
+  /** v19: two-stage binary-quantized retrieval. Stage 1 ranks the corpus
+    * by Hamming distance between 64-bit sign signatures (asc, vec_id
+    * tie-break — pure integers, deterministic in any engine) and keeps
+    * [[HammingRerankC]] candidates per query through [[graft.plans.TopKPerKey]];
+    * stage 2 rescores just those candidates with the exact fixed-point
+    * cosine for the final top-[[TopK]].
+    *
+    * Scale shape: signatures are computed in the scan (map-only, 8 bytes
+    * of state per vector), stage 1 is the v2 broadcast-queries corpus
+    * scan at XOR+popcount cost with a k-bounded exchange, stage 2 touches
+    * RerankC·|queries| rows. At 100 TB the float corpus never loads for
+    * retrieval — only the 32×-smaller signature column scans, plus a
+    * point-lookup-sized exact pass; and unlike PQ (v10) there is no
+    * codebook to train or drift.
+    */
+  def binaryTopK(spark: SparkSession, dir: String,
+      rerankC: Int = HammingRerankC): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val sigged = emb.select(col("vec_id"), col("embedding"),
+      expr(signWordSql("embedding", 0)).as("s0"),
+      expr(signWordSql("embedding", 32)).as("s1"))
+    val queries = sigged.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("s0").as("q0"), col("s1").as("q1"))
+    val coarse = sigged.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("s0").bitwiseXOR(col("q0"))) +
+          bit_count(col("s1").bitwiseXOR(col("q1")))).cast("int").as("ham"))
+    val cand = graft.plans.TopKPerKey(
+        coarse, Seq(col("qid")), Seq(col("ham"), col("vec_id")), rerankC)
+      .select(col("qid"), col("vec_id"), col("ham"))
+    val cos = cosFxF(col("qe"), col("embedding"))
+    val scored = emb
+      .join(broadcast(cand.join(queries.select(col("qid"), col("qe")), "qid")), "vec_id")
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+    rankTopK(scored, TopK, "vec_id", "cosine_e4")
+  }
+
+  def binaryTopKOracleSql: String =
+    s"""WITH lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |sig AS (
+       |  SELECT vec_id,
+       |    bit_or(CASE WHEN i <= 32 AND v > 0
+       |      THEN (cast(1 AS bigint) << (i - 1)) ELSE 0 END) AS s0,
+       |    bit_or(CASE WHEN i > 32 AND v > 0
+       |      THEN (cast(1 AS bigint) << (i - 33)) ELSE 0 END) AS s1
+       |  FROM lf GROUP BY vec_id),
+       |coarse AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |    bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)) AS ham
+       |  FROM sig q JOIN sig c ON true
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+       |    FROM coarse)
+       |  WHERE rn <= $HammingRerankC),
+       |${fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
+       |dots AS (
+       |  SELECT c.qid, c.vec_id, cast(sum(a.q * b.q) AS bigint) AS d
+       |  FROM cand c
+       |  JOIN fxc a ON a.vec_id = c.qid
+       |  JOIN fxc b ON b.vec_id = c.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dt.qid, dt.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(dt.d AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM dots dt
+       |  JOIN n2 nq ON nq.vec_id = dt.qid
+       |  JOIN n2 nv ON nv.vec_id = dt.vec_id)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
+  /** v20: recall@k of [[binaryTopK]] against the [[bruteForceTopK]]
+    * ground truth — the engine grading its own 1-bit approximation, same
+    * contract as v12/v14/v18. On the uniform synthetic corpus sign bits
+    * carry most of the angle signal (unlike v17's prefix-dims, every
+    * dimension contributes a bit), so Hamming recall lands well above the
+    * prefix-truncation path's.
+    */
+  def binaryRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = binaryTopK(spark, dir)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
+  }
+
+  def binaryRecallOracleSql: String =
+    s"""WITH exact_tk AS (
+       |$bruteForceTopKOracleSql
+       |),
+       |approx_tk AS (
+       |$binaryTopKOracleSql
+       |)
+       |SELECT e.qid,
+       |  cast(count(*) AS bigint) AS n_hits,
+       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
+       |FROM exact_tk e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM approx_tk a
+       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |GROUP BY e.qid""".stripMargin
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)

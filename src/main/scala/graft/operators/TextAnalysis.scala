@@ -668,6 +668,70 @@ object TextAnalysis {
        |  extracted = concat(text, ' & fin') AS round_trip
        |FROM ext""".stripMargin
 
+  // --------------------------------------------------------------------
+  // t54: the C4 page-level policy filters (Raffel 2020 §2.2) — the rule
+  // set the cleaned Common Crawl was actually built with, reported as
+  // per-rule flags so the data card can attribute drop volume to rules.
+  // Together with d14 (URL dedup), t49 (WET extraction), d10/t24
+  // (three-sentence-span dedup) and t48 (quality classifier) this
+  // completes the C4/GPT-3 curation recipe end to end.
+  // --------------------------------------------------------------------
+
+  /** The page blocklist. The real filter is the ~400-word LDNOOBW list;
+    * this corpus has a 31-word synthetic vocabulary, so the planted
+    * duplication marker `dup` (5% of pages) stands in. The MECHANISM is
+    * exact: one hit anywhere drops the whole page.
+    */
+  private[graft] val C4BadWords = Seq("dup")
+
+  /** C4 drops pages under 5 sentences; this corpus has no sentence
+    * punctuation, so the floor is expressed in whitespace tokens.
+    */
+  private[graft] val C4MinTokens = 25L
+
+  /** Per-page C4 policy flags + the final verdict (t54). Map-only — every
+    * rule is a string scan over the row, no shuffle at any scale; at
+    * 100 TB this is the cheapest stage of the pipeline and runs fused
+    * into the ingest scan (the same shape t49's extraction chain rides).
+    * Rules whose trigger text the synthetic corpus cannot contain
+    * (`{`, `lorem ipsum`, `javascript`) still run — the point of a
+    * policy REPORT is proving which rules fired, including not at all.
+    */
+  def c4PolicyFilters(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val badHit = C4BadWords.map(w => padded.contains(s" $w ")).reduce(_ || _)
+    val lowered = lower(col("text"))
+    d.select(
+      col("doc_id"),
+      badHit.as("has_bad_word"),
+      (nTokensCol(col("text")) < C4MinTokens).as("too_short"),
+      col("text").contains("{").as("has_brace"),
+      lowered.contains("lorem ipsum").as("has_lorem"),
+      lowered.contains("javascript").as("has_js"))
+      .withColumn("kept",
+        !(col("has_bad_word") || col("too_short") || col("has_brace") ||
+          col("has_lorem") || col("has_js")))
+  }
+
+  def c4PolicyFiltersOracleSql: String = {
+    val badSql = C4BadWords
+      .map(w => s"contains(p, ' $w ')").mkString(" OR ")
+    s"""SELECT doc_id, has_bad_word, too_short, has_brace, has_lorem, has_js,
+       |  NOT (has_bad_word OR too_short OR has_brace OR has_lorem OR has_js)
+       |    AS kept
+       |FROM (
+       |  SELECT doc_id,
+       |    ($badSql) AS has_bad_word,
+       |    (length(text) - length(replace(text, ' ', '')) + 1) < $C4MinTokens
+       |      AS too_short,
+       |    contains(text, '{') AS has_brace,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(lower(text), 'javascript') AS has_js
+       |  FROM (SELECT doc_id, text, concat(' ', text, ' ') AS p
+       |        FROM documents))""".stripMargin
+  }
+
   /** Content fingerprints: full-document and head-64-chars MD5 (hex), the
     * exact-dedup keys. MD5 of UTF-8 bytes is identical across engines.
     */

@@ -76,6 +76,9 @@ object PlanAudit {
     ("v2_brute_force_topk", Bnlj) -> "8-query broadcast side (exact baseline by design)",
     ("v17_adaptive_topk", Bnlj) -> "8-query broadcast side on the coarse stage; rescore frame is RefineC-bounded",
     ("v18_adaptive_recall", Bnlj) -> "composes the v2 + v17 shapes (8-query broadcast sides)",
+    ("v19_binary_hamming_topk", Bnlj) ->
+      "8-query broadcast side on the Hamming stage; rescore frame is RerankC-bounded",
+    ("v20_binary_recall", Bnlj) -> "composes the v2 + v19 shapes (8-query broadcast sides)",
     ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",
     ("m5_feature_topk", Bnlj) -> "8-query broadcast side over decoded features",
     // the t11 offsets window runs over a numPartitions-row side frame

@@ -161,6 +161,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rAll === 1.0, s"full-budget adaptive pass must equal brute force, got $rAll")
   }
 
+  test("binary sign-bit topk: self rank 1, k rows per query, full budget equals brute force") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Similarity.binaryTopK(spark, sf0001).cache()
+    val perQ = out.groupBy("qid").count().collect()
+    assert(perQ.length === 8)
+    perQ.foreach(r => assert(r.getLong(1) === 10L))
+    // identical vectors have Hamming 0 → the query always survives the
+    // coarse stage, and full cosine 1.0 makes it rank 1
+    out.filter(col("rn") === 1).collect()
+      .foreach(r => assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id")))
+    out.unpersist()
+    // rerank budget >= corpus: the exact stage sees everything, so the
+    // 1-bit path must reproduce brute force bit for bit
+    val exact = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val full = graft.operators.Similarity.binaryTopK(spark, sf0001, rerankC = 1000)
+      .collect().map(_.toString).sorted
+    assert(full.toSeq === exact.toSeq)
+  }
+
+  test("binary recall: every query reports, above the floor, and beats no-signal") {
+    val rec = graft.operators.Similarity.binaryRecall(spark, sf0001)
+      .select("qid", "n_hits").as[(Long, Long)].collect().toMap
+    assert(rec.keySet === (0L until 8L).toSet)
+    // sign bits of a 64-dim vector carry real angle signal: measured 5-8
+    // of 10 per query at sf0.001; 3 is the regression floor (random-50-
+    // of-500 candidates would land ~1)
+    rec.foreach { case (q, h) => assert(h >= 3L, s"qid $q recall collapsed: $h/10") }
+  }
+
   test("lsh ann results are a subset of brute-force rankings' universe") {
     val bf = Similarity.bruteForceTopK(spark, sf0001)
       .select("qid").distinct().as[Long].collect().toSet

@@ -554,6 +554,47 @@ class ScaleOpsSpec extends SparkSuite {
     assert(currents.values.forall(_ == 1))
   }
 
+  test("changelog materialization: last writer wins, tombstones erase, absent keys absent") {
+    import spark.implicits._
+    val feed = Seq(
+      (1L, 10L, false, "a"),  // key 1: superseded
+      (1L, 20L, false, "a2"), // key 1: winner
+      (2L, 11L, false, "b"),  // key 2: superseded
+      (2L, 21L, true, "b"),   // key 2: winning tombstone — key erased
+      (3L, 12L, true, "c"),   // key 3: tombstone superseded by a re-insert
+      (3L, 22L, false, "c2"))
+      .toDF("id", "seq", "is_delete", "name")
+    val out = MergeOps.applyChangelog(feed, Seq("id"), "seq", "is_delete")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set((1L, 20L, "a2"), (3L, 22L, "c2")))
+    // the plan is a hash aggregate (map-side partial merge), not a window
+    val plan = MergeOps.applyChangelog(feed, Seq("id"), "seq", "is_delete")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"changelog must not plan a window:\n$plan")
+  }
+
+  test("snapshot diff: I/U/D classified, no-ops absent, upsert(prev, diff) round-trips") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (5L, "e", 50L))
+      .toDF("id", "name", "v")
+    val next = Seq((1L, "a", 10L), (2L, "b2", 99L), (4L, "d", 40L), (5L, "e", 50L))
+      .toDF("id", "name", "v")
+    val diff = MergeOps.snapshotDiff(prev, next, Seq("id"))
+    val got = diff.as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (2L, "U", "b2", 99L), // changed value → post image
+      (3L, "D", "c", 30L),  // gone → prev image
+      (4L, "I", "d", 40L))) // new key
+    // round-trip: applying the extracted feed reproduces next exactly
+    val replayed = MergeOps.upsert(prev,
+        diff.withColumn("is_delete", $"op" === "D").drop("op"),
+        Seq("id"), Some("is_delete"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(replayed === next.as[(Long, String, Long)].collect().toSet)
+    // identical snapshots → empty feed (the P8 rule on the producing side)
+    assert(MergeOps.snapshotDiff(prev, prev, Seq("id")).count() === 0L)
+  }
+
   test("compaction rewrites small files into bounded-size files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -658,6 +658,35 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
   }
 
+  test("t54: C4 policy flags match an independent JVM rule replay; map-only plan") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.c4PolicyFilters(spark, sf0001).cache()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.count() === docs.size.toLong)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val toks = text.split(" ")
+      assert(r.getAs[Boolean]("has_bad_word") === toks.contains("dup"))
+      assert(r.getAs[Boolean]("too_short") === (toks.length < 25))
+      // rules whose trigger the corpus can't contain still report (false)
+      assert(!r.getAs[Boolean]("has_brace"))
+      assert(!r.getAs[Boolean]("has_lorem"))
+      assert(!r.getAs[Boolean]("has_js"))
+      assert(r.getAs[Boolean]("kept") ===
+        !(r.getAs[Boolean]("has_bad_word") || r.getAs[Boolean]("too_short")))
+    }
+    // both live rules fire somewhere, and most of the corpus survives
+    assert(rows.count(_.getAs[Boolean]("has_bad_word")) > 0)
+    assert(rows.count(_.getAs[Boolean]("too_short")) > 0)
+    assert(rows.count(_.getAs[Boolean]("kept")) > rows.length / 2)
+    out.unpersist()
+    val plan = TextAnalysis.c4PolicyFilters(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
+  }
+
   test("m7: relational fingerprint ≡ scalar JVM twin on every corpus payload") {
     import graft.operators.MultimodalOps
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

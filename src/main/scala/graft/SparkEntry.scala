@@ -123,6 +123,9 @@ object SparkEntry {
     "f4_median_value_by_type" -> RelationalOps.medianValueByType _,
     "w3_top_parts_by_brand" -> RelationalOps.topPartsByBrand _,
     "w4_sessionize" -> RelationalOps.sessionize _,
+    // ordered conversion funnel via per-stage conditional min-aggs (no
+    // per-user ordered window over the event log)
+    "w8_signup_funnel" -> RelationalOps.signupFunnel _,
     "g4_event_cube" -> RelationalOps.eventCube _,
     "j5_asof_purchase_view" -> graft.operators.TemporalJoins.asOfPurchaseView _,
     "j6_range_purchase_error" -> graft.operators.TemporalJoins.purchaseErrorWithin _,
@@ -570,6 +573,9 @@ object SparkEntry {
     // KMV set algebra: union/intersection/Jaccard estimates from two
     // mergeable k-minimum-values sketches, exact counts riding along
     "a11_kmv_set_ops" -> ((s, d) => graft.operators.Sketches.kmvSetOps(s, d)),
+    // cross-source overlap matrix: per-source KMV shingle sketches,
+    // |sources|²/2 pair algebra on a broadcast frame, exact reference
+    "t56_source_overlap_matrix" -> graft.operators.Sketches.sourceOverlapMatrix _,
     // Bloom seen-set membership: the portable membership sketch rounding
     // out the family (CMS=frequency, KMV=cardinality, Bloom=membership);
     // one-sided by construction, FPs reported in-band
@@ -766,6 +772,7 @@ object SparkEntry {
     "d7_minhash_agg_signatures" -> graft.operators.Dedup.minhashAggOracleSql,
     "a9_cms_user_counts" -> graft.operators.Sketches.cmsOracleSql(),
     "a11_kmv_set_ops" -> graft.operators.Sketches.kmvSetOpsOracleSql(),
+    "t56_source_overlap_matrix" -> graft.operators.Sketches.sourceOverlapMatrixOracleSql,
     "a12_bloom_membership" -> graft.operators.Sketches.bloomMembershipOracleSql(),
     "a10_kmv_distinct_options" -> {
       val k = graft.functions.KmvAgg.DefaultK
@@ -1023,6 +1030,7 @@ object SparkEntry {
         |             OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
         |           THEN 1 ELSE 0 END AS is_new
         |    FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec FROM events)))""".stripMargin,
+    "w8_signup_funnel" -> RelationalOps.signupFunnelOracleSql,
     "g4_event_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,

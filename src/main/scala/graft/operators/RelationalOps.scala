@@ -422,6 +422,69 @@ object RelationalOps {
         col("session_no").cast("int").as("session_no"))
   }
 
+  /** Conversion window for each funnel hop (w8) — a day, matching the
+    * corpus's hours-apart event spacing (the j6 BandSec reasoning).
+    */
+  val FunnelHopSec = 86400L
+
+  /** w8: ordered conversion funnel signup → click → purchase, each hop
+    * required to land within [[FunnelHopSec]] of the previous stage's
+    * event (the product-analytics staple). Output: one row per signed-up
+    * user with the first qualifying timestamp of each reached stage and
+    * the funnel depth (1–3).
+    *
+    * Scale shape: NO per-user ordered window over the event log (that
+    * form routes every user's full history through one task and sorts
+    * it — a 10⁷-event power user is one unsplittable straggler).
+    * Instead, one conditional min-aggregation per stage — each is a
+    * pushed-down-filtered scan with map-side partial merge — where each
+    * later stage joins the |users|-bounded previous frame (broadcast).
+    * Stages beyond the first scan only their own event type's partition
+    * of the corpus; hop windows keep each stage's join frame user-sized.
+    */
+  def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = secEvents(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("signup_sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(s), "user_id")
+      .filter(col("sec") > col("signup_sec") &&
+        col("sec") <= col("signup_sec") + FunnelHopSec)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("click_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("sec") > col("click_sec") &&
+        col("sec") <= col("click_sec") + FunnelHopSec)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("purchase_sec"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_sec"), col("click_sec"), col("purchase_sec"),
+        (lit(1) + when(col("click_sec").isNotNull, 1).otherwise(0)
+          + when(col("purchase_sec").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+  }
+
+  def signupFunnelOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, cast(floor(epoch(ts)) AS bigint) AS sec
+       |  FROM events),
+       |s AS (SELECT user_id, min(sec) AS signup_sec FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.sec) AS click_sec
+       |  FROM ev e JOIN s ON s.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.sec > s.signup_sec
+       |    AND e.sec <= s.signup_sec + $FunnelHopSec
+       |  GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.sec) AS purchase_sec
+       |  FROM ev e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.sec > c.click_sec
+       |    AND e.sec <= c.click_sec + $FunnelHopSec
+       |  GROUP BY 1)
+       |SELECT s.user_id, s.signup_sec, c.click_sec, p.purchase_sec,
+       |  cast(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+       |         + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS int) AS stage
+       |FROM s
+       |LEFT JOIN c ON c.user_id = s.user_id
+       |LEFT JOIN p ON p.user_id = s.user_id""".stripMargin
+
   /** CUBE grouping sets over (event_type, day). */
   def eventCube(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

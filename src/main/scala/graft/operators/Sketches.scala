@@ -176,6 +176,141 @@ object Sketches {
         "a_exact", "b_exact", "inter_exact")
   }
 
+  // ---- t56: cross-source overlap matrix from KMV sketches ---------------
+
+  /** Shingle width for the overlap matrix — the d3 3-gram unit
+    * ([[graft.operators.Dedup.shinglesOf]]'s definition, with `source`
+    * kept instead of `doc_id`).
+    */
+  val OverlapShingle = 3
+
+  /** t56: the pairwise content-overlap matrix between sources — the
+    * corpus-card companion to t38: "how much does src_a's text overlap
+    * src_b's?", the question a mixture designer (t29) and a cross-corpus
+    * decontaminator (d9) both start from. One row per unordered source
+    * pair: KMV distinct-shingle estimates for each side, their union,
+    * the Jaccard estimate (a11's ρ estimator per pair), and the exact
+    * Jaccard as the estimate-quality reference.
+    *
+    * Scale shape: the sketch path is ONE corpus scan → distinct
+    * (source, shingle-hash) → a |sources|-row sketch frame (each
+    * partition ships ≤ k longs per source), and the |sources|²/2 pair
+    * algebra runs on that broadcast-sized frame — at 100 TB the matrix
+    * costs one scan regardless of pair count. The exact reference
+    * columns are the corpus-sized self-join the sketch replaces (posting
+    * fan-out bounded by |sources| after the distinct); a production
+    * caller drops them.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvAgg
+    val k = KmvAgg.DefaultK
+    val sh = graft.sources.Fixtures.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= OverlapShingle)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("s"))
+      .select(col("source"),
+        (PortableHash.md5Prefix60(col("s")) % PortableHash.P).as("x"))
+      .distinct()
+    val kmv = udaf(new KmvAgg(k))
+    val sk = sh.groupBy(col("source")).agg(kmv(col("x")).as("km"))
+    val est = (c: String) =>
+      s"cast(CASE WHEN size($c) < $k THEN size($c) " +
+        s"ELSE ${(k - 1).toLong * PortableHash.P}L div element_at($c, $k) END AS bigint)"
+    val pairs = sk.select(col("source").as("src_a"), col("km").as("am"))
+      .join(broadcast(sk.select(col("source").as("src_b"), col("km").as("bm"))),
+        col("src_a") < col("src_b"))
+      .selectExpr("src_a", "src_b", "am", "bm",
+        s"slice(array_sort(array_distinct(concat(am, bm))), 1, $k) AS um")
+      .selectExpr("src_a", "src_b",
+        s"${est("am")} AS a_distinct_est",
+        s"${est("bm")} AS b_distinct_est",
+        s"${est("um")} AS union_distinct_est",
+        "cast(size(array_intersect(array_intersect(um, am), bm)) AS bigint) AS c",
+        "greatest(1L, cast(size(um) AS bigint)) AS usz")
+      .selectExpr("src_a", "src_b",
+        "a_distinct_est", "b_distinct_est", "union_distinct_est",
+        "cast((c * 10000 + usz div 2) div usz AS bigint) AS jaccard_est_e4")
+    val cnts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("i"))
+    pairs
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .join(broadcast(cnts.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(cnts.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .selectExpr("src_a", "src_b",
+        "a_distinct_est", "b_distinct_est", "union_distinct_est", "jaccard_est_e4",
+        "coalesce(i, 0L) AS inter_exact",
+        "(na + nb - coalesce(i, 0L)) AS u_exact")
+      .selectExpr("src_a", "src_b",
+        "a_distinct_est", "b_distinct_est", "union_distinct_est", "jaccard_est_e4",
+        "inter_exact",
+        "cast((inter_exact * 10000 + u_exact div 2) div u_exact AS bigint) AS jaccard_exact_e4")
+  }
+
+  /** DuckDB twin of [[sourceOverlapMatrix]]. */
+  def sourceOverlapMatrixOracleSql: String = {
+    val k = graft.functions.KmvAgg.DefaultK
+    val p = PortableHash.P
+    val kp = (k - 1).toLong * p
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents
+       |  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= $OverlapShingle),
+       |shraw AS (
+       |  SELECT DISTINCT source,
+       |    ${PortableHash.duckMd5Prefix60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} % $p AS x
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |kk AS (SELECT source, x,
+       |    row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+       |  FROM shraw),
+       |sk AS (SELECT source, x, rn FROM kk WHERE rn <= $k),
+       |se AS (SELECT source,
+       |    CASE WHEN count(*) < $k THEN count(*)
+       |         ELSE $kp // min(CASE WHEN rn = $k THEN x END) END AS est
+       |  FROM sk GROUP BY source),
+       |srcs AS (SELECT DISTINCT source FROM shraw),
+       |prs AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |memb AS (
+       |  SELECT p.sa, p.sb, s.x,
+       |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM prs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |un AS (SELECT sa, sb, x, ina, inb,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY x) AS rn
+       |  FROM memb),
+       |agg AS (SELECT sa, sb,
+       |    count(*) FILTER (rn <= $k) AS uszr,
+       |    min(CASE WHEN rn = $k THEN x END) AS kthu,
+       |    count(*) FILTER (rn <= $k AND ina = 1 AND inb = 1) AS c
+       |  FROM un GROUP BY 1, 2),
+       |cnts AS (SELECT source, count(*) AS n FROM shraw GROUP BY 1),
+       |ex AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i
+       |  FROM shraw a JOIN shraw b ON a.x = b.x AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT agg.sa AS src_a, agg.sb AS src_b,
+       |  cast(ea.est AS bigint) AS a_distinct_est,
+       |  cast(eb.est AS bigint) AS b_distinct_est,
+       |  cast(CASE WHEN uszr < $k THEN uszr ELSE $kp // kthu END AS bigint)
+       |    AS union_distinct_est,
+       |  cast((c * 10000 + greatest(1, uszr) // 2) // greatest(1, uszr) AS bigint)
+       |    AS jaccard_est_e4,
+       |  cast(coalesce(ex.i, 0) AS bigint) AS inter_exact,
+       |  cast((coalesce(ex.i, 0) * 10000
+       |      + (ca.n + cb.n - coalesce(ex.i, 0)) // 2)
+       |    // (ca.n + cb.n - coalesce(ex.i, 0)) AS bigint) AS jaccard_exact_e4
+       |FROM agg
+       |JOIN se ea ON ea.source = agg.sa
+       |JOIN se eb ON eb.source = agg.sb
+       |JOIN cnts ca ON ca.source = agg.sa
+       |JOIN cnts cb ON cb.source = agg.sb
+       |LEFT JOIN ex ON ex.sa = agg.sa AND ex.sb = agg.sb""".stripMargin
+  }
+
   // ---- a12: Bloom-filter membership (portable) ---------------------------
 
   /** 4096 bits as 128 × 32-bit words held in BIGINTs: masks stay strictly

@@ -230,6 +230,65 @@ object StreamingGates {
       .as[GatedDoc]
   }
 }
+final case class ChangeRecord(key: Long, seq: Long, is_delete: Boolean, value: String)
+final case class ChangeWinner(seq: Long, isDelete: Boolean, value: String)
+
+/** Per-key last-writer-wins state for [[StreamingChangelog]]: the current
+  * winner (seq, tombstone flag, payload) — O(1) per key regardless of how
+  * many times the entity was updated.
+  */
+class ChangelogProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[Long, ChangeRecord, ChangeRecord] {
+
+  @transient private var st: ValueState[ChangeWinner] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[ChangeWinner](
+      "winner", Encoders.product[ChangeWinner], ttl)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[ChangeRecord], tv: TimerValues): Iterator[ChangeRecord] = {
+    val prev = if (st.exists()) Some(st.get()) else None
+    val best = rows.foldLeft(prev) { (acc, r) =>
+      if (acc.forall(_.seq < r.seq)) Some(ChangeWinner(r.seq, r.is_delete, r.value))
+      else acc
+    }
+    best match {
+      case Some(w) if prev.forall(_.seq < w.seq) =>
+        st.update(w)
+        Iterator.single(ChangeRecord(key, w.seq, w.isDelete, w.value))
+      case _ => Iterator.empty // batch brought only stale rows: no delta
+    }
+  }
+}
+
+/** Streaming counterpart of batch u3
+  * ([[graft.operators.MergeOps.applyChangelog]]): continuous CDC
+  * materialization — a change feed arrives in micro-batches, each key's
+  * rows fold into the stored winner by max seq, and the new winner is
+  * emitted ONLY when it changes (an Update-mode delta stream: exactly
+  * what a downstream materialized view consumes). Tombstone rows flow
+  * through flagged so the consumer can delete.
+  *
+  * Because max over seq is commutative and idempotent, the converged
+  * state is ORDER-INDEPENDENT: any arrival order, any batching, any
+  * replay converges to the batch u3 snapshot (asserted in
+  * `StreamingSpec` with deliberately shuffled batches) — a stronger
+  * replay property than the dedup judges' monotone-arrival
+  * prefix-consistency, and the reason a CDC consumer at 100 TB can read
+  * partitioned Kafka topics with no cross-partition ordering guarantee.
+  */
+object StreamingChangelog {
+  def materialize(
+      feed: Dataset[ChangeRecord],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[ChangeRecord] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.key)
+      .transformWithState(
+        new ChangelogProcessor(ttl), TimeMode.None(), OutputMode.Update())
+  }
+}
+
 final case class SegArrival(h: String, doc_id: Long)
 final case class SegDupDelta(doc_id: Long, dup_delta: Long)
 final case class SegHashState(announced: Boolean, doc0: Long, cnt0: Long)

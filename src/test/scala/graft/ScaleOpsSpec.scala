@@ -696,6 +696,31 @@ class ScaleOpsSpec extends SparkSuite {
     assert(got.values.exists(_ > 1), "no streak longer than one day — vacuous")
   }
 
+  test("signup funnel matches a driver-side ordered replay per user") {
+    val got = graft.operators.RelationalOps.signupFunnel(spark, sf0001)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val ev = graft.operators.RelationalOps.secEvents(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("sec"))
+      .as[(Long, String, Long)].collect()
+    val hop = graft.operators.RelationalOps.FunnelHopSec
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      def firstAfter(tpe: String, lo: Long): Option[Long] =
+        rows.filter(r => r._2 == tpe && r._3 > lo && r._3 <= lo + hop)
+          .map(_._3).sorted.headOption
+      rows.filter(_._2 == "signup").map(_._3).sorted.headOption.map { s =>
+        val c = firstAfter("click", s)
+        val p = c.flatMap(firstAfter("purchase", _))
+        u -> ((s, c, p, 1 + c.size + p.size))
+      }
+    }
+    assert(got === expected)
+    // all three depths occur somewhere across the graded scales; at
+    // sf0.001 at least the full-conversion case must be non-vacuous
+    assert(got.values.exists(_._4 == 3), "no full conversion — vacuous")
+    assert(got.values.map(_._4).toSet.size > 1, "all users at one depth — vacuous")
+  }
+
   test("code degrees: every nation code used by its options") {
     val df = SparkEntry.queries("s7_code_degrees")(spark, sf0001)
     val rows = df.as[(String, Long, Long)].collect()
@@ -769,6 +794,47 @@ class ScaleOpsSpec extends SparkSuite {
     assert(jacE4 === (iExact * 10000 + uEst / 2) / uEst) // half-up, Exact.e convention
     // estimates stay inside set-algebra bounds by construction
     assert(iEst <= math.min(aEst, bEst) && uEst >= math.max(aEst, bEst))
+  }
+
+  test("t56 overlap matrix matches a JVM KMV + exact set-algebra replay") {
+    import graft.functions.{KmvAgg, PortableHash}
+    val k = KmvAgg.DefaultK
+    val got = graft.operators.Sketches.sourceOverlapMatrix(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    // independent JVM replay over the same shingle hashes
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val bySource: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.flatMap { case (_, text) =>
+        val t = text.split(" ")
+        t.sliding(3).filter(_.length == 3).map(w =>
+          PortableHash.md5Prefix60(w.mkString(" ").getBytes("UTF-8")) % PortableHash.P)
+      }.toSet
+    }
+    def est(sorted: Seq[Long]): Long =
+      if (sorted.size < k) sorted.size.toLong
+      else (k - 1).toLong * PortableHash.P / sorted(k - 1)
+    val srcs = bySource.keys.toSeq.sorted
+    assert(got.keySet === (for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b)).toSet)
+    for (a <- srcs; b <- srcs if a < b) {
+      val (sa, sb) = (bySource(a), bySource(b))
+      val ka = sa.toSeq.sorted.take(k)
+      val kb = sb.toSeq.sorted.take(k)
+      val ku = (ka ++ kb).distinct.sorted.take(k)
+      val c = ku.count(x => ka.contains(x) && kb.contains(x)).toLong
+      val usz = math.max(1L, ku.size.toLong)
+      val i = (sa & sb).size.toLong
+      val u = sa.size.toLong + sb.size.toLong - i
+      val expected = (est(ka), est(kb), est(ku),
+        (c * 10000L + usz / 2) / usz, i, (i * 10000L + u / 2) / u)
+      assert(got((a, b)) === expected, s"pair ($a, $b)")
+    }
+    // non-vacuous: overlap varies across pairs (planted near-dup sources
+    // sit visibly above the cross-source baseline)
+    assert(got.values.map(_._6).toSet.size > 3)
   }
 
   test("Bloom membership: one-sided always, false positives appear under saturation") {

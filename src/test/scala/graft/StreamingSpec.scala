@@ -556,6 +556,57 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming changelog: order-independent convergence to the batch u3 snapshot") {
+    import graft.streaming.{ChangeRecord, StreamingChangelog}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[ChangeRecord]
+      val q = StreamingChangelog.materialize(mem.toDS())
+        .writeStream.format("memory").queryName("cdc_mat")
+        .outputMode("update").start()
+      try {
+        // deliberately shuffled arrival: key 2's TOMBSTONE lands before
+        // its (stale) insert; key 1's winner lands in the middle
+        mem.addData(
+          ChangeRecord(1L, 20L, false, "a1"),
+          ChangeRecord(2L, 21L, true, "bX"))
+        q.processAllAvailable()
+        mem.addData(
+          ChangeRecord(1L, 30L, false, "a2"),
+          ChangeRecord(2L, 11L, false, "b"), // stale: pre-tombstone row
+          ChangeRecord(3L, 12L, true, "c"))
+        q.processAllAvailable()
+        import spark.implicits._
+        assert(!spark.table("cdc_mat").as[ChangeRecord].collect()
+          .exists(r => r.key == 2L && r.seq == 11L),
+          "a stale row must not emit a delta")
+        mem.addData(
+          ChangeRecord(1L, 10L, false, "a0"), // stale for key 1: silent
+          ChangeRecord(3L, 22L, false, "c2")) // re-insert after tombstone
+        q.processAllAvailable()
+        val emitted = spark.table("cdc_mat").as[ChangeRecord].collect()
+        assert(!emitted.exists(r => r.key == 1L && r.seq == 10L))
+        // converged state = latest emission per key (emissions are
+        // strictly increasing in seq), tombstoned keys dropped
+        val live = emitted.groupBy(_.key).view.mapValues(_.maxBy(_.seq))
+          .values.filter(!_.is_delete).map(r => (r.key, r.seq, r.value)).toSet
+        // the batch u3 operator over the SAME feed, all at once
+        val feed = Seq(
+          (1L, 20L, false, "a1"), (2L, 21L, true, "bX"),
+          (1L, 30L, false, "a2"), (2L, 11L, false, "b"), (3L, 12L, true, "c"),
+          (1L, 10L, false, "a0"), (3L, 22L, false, "c2"))
+          .toDF("key", "seq", "is_delete", "value")
+        val cold = graft.operators.MergeOps
+          .applyChangelog(feed, Seq("key"), "seq", "is_delete")
+          .as[(Long, Long, String)].collect().toSet
+        assert(live === cold,
+          s"stream state $live must converge to the batch snapshot $cold")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming minhash dedup flags cross-batch near-copies only") {
     import graft.streaming.{NearDupHit, StreamDoc, StreamingDedup}
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

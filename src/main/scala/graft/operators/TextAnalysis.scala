@@ -697,21 +697,30 @@ object TextAnalysis {
     * (`{`, `lorem ipsum`, `javascript`) still run — the point of a
     * policy REPORT is proving which rules fired, including not at all.
     */
+  /** The per-rule flag columns, factored so the graded report (t54) and
+    * the streaming ingest gate's policy leg share ONE rule definition.
+    */
+  private[graft] def c4FlagCols(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val lowered = lower(text)
+    Seq(
+      "has_bad_word" -> C4BadWords.map(w => padded.contains(s" $w ")).reduce(_ || _),
+      "too_short" -> (nTokensCol(text) < C4MinTokens),
+      "has_brace" -> text.contains("{"),
+      "has_lorem" -> lowered.contains("lorem ipsum"),
+      "has_js" -> lowered.contains("javascript"))
+  }
+
+  /** The composed C4 policy verdict as one map-only column. */
+  private[graft] def c4KeptCol(text: Column): Column =
+    !c4FlagCols(text).map(_._2).reduce(_ || _)
+
   def c4PolicyFilters(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    val badHit = C4BadWords.map(w => padded.contains(s" $w ")).reduce(_ || _)
-    val lowered = lower(col("text"))
-    d.select(
-      col("doc_id"),
-      badHit.as("has_bad_word"),
-      (nTokensCol(col("text")) < C4MinTokens).as("too_short"),
-      col("text").contains("{").as("has_brace"),
-      lowered.contains("lorem ipsum").as("has_lorem"),
-      lowered.contains("javascript").as("has_js"))
+    val flags = c4FlagCols(col("text"))
+    d.select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
       .withColumn("kept",
-        !(col("has_bad_word") || col("too_short") || col("has_brace") ||
-          col("has_lorem") || col("has_js")))
+        !flags.map { case (n, _) => col(n) }.reduce(_ || _))
   }
 
   def c4PolicyFiltersOracleSql: String = {

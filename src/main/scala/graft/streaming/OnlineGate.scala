@@ -289,7 +289,11 @@ object OnlineGate {
     * exact rows present. Decisions land under `decisions/batch_id=N` as
     * (doc_id, n_tokens, quality_e4, first_seen, pass_expect,
     * pass_quality, pass_tokens, pass_rep[, pass_ppl][, pass_lang]
-    * [, pass_clf], kept).
+    * [, pass_clf][, pass_policy], kept). The optional `pass_policy` leg
+    * is the t54 C4 rule set ([[graft.operators.TextAnalysis.c4KeptCol]] —
+    * one shared definition with the graded report), computed inline in
+    * the batch's map stage: total, never missing, so it needs no
+    * fail-open/closed coalesce policy at all.
     *
     * State COMPACTION: per-batch partials would otherwise accumulate one
     * directory per trigger forever, making the prefix read's
@@ -314,6 +318,7 @@ object OnlineGate {
       nbModelPath: Option[String] = None,
       keepLangs: Seq[String] = Seq("en"),
       qualityModelPath: Option[String] = None,
+      c4Policy: Boolean = false,
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens,
@@ -339,7 +344,8 @@ object OnlineGate {
           val b = batch.toDF().localCheckpoint()
           processFullGateBatch(spark, b, outPath, identityCol,
             canonicalizeUrl, lmFrames,
-            nbFrames, keepLangs, clfFrames, minQualityE4, minTokens, maxTokens,
+            nbFrames, keepLangs, clfFrames, c4Policy,
+            minQualityE4, minTokens, maxTokens,
             id, compactEvery)
         }
         ()
@@ -376,7 +382,7 @@ object OnlineGate {
       canonicalizeUrl: Boolean,
       lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
       nbFrames: Option[(DataFrame, DataFrame, DataFrame)], keepLangs: Seq[String],
-      clfFrames: Option[(DataFrame, DataFrame, DataFrame)],
+      clfFrames: Option[(DataFrame, DataFrame, DataFrame)], c4Policy: Boolean,
       minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long,
       compactEvery: Long): Unit = {
     import graft.operators.{Expectations, Sketches}
@@ -443,14 +449,16 @@ object OnlineGate {
         .select(col("doc_id"), col("keep").as("pass_clf"))
     }
     val withSignals = b
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
         TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
-        Expectations.docRowPass.as("pass_expect"))
+        Expectations.docRowPass.as("pass_expect")) ++
+        (if (c4Policy) Seq(TextAnalysis.c4KeptCol(col("text")).as("pass_policy"))
+         else Nil): _*)
       .join(firstSeen, Seq("doc_id"))
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
-    composeFullDecision(withSignals, lmPass, langPass, clfPass,
+    composeFullDecision(withSignals, lmPass, langPass, clfPass, c4Policy,
         minQualityE4, minTokens, maxTokens)
       .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
     // state updates — EVERY arriving ident enters the seen set (kept or
@@ -525,7 +533,7 @@ object OnlineGate {
     */
   private def composeFullDecision(
       withSignals: DataFrame, lmPass: Option[DataFrame], langPass: Option[DataFrame],
-      clfPass: Option[DataFrame],
+      clfPass: Option[DataFrame], c4Policy: Boolean,
       minQualityE4: Long, minTokens: Long, maxTokens: Long): DataFrame = {
     val withLm = lmPass.fold(withSignals)(lp =>
       withSignals.join(lp, Seq("doc_id"), "left")
@@ -540,7 +548,8 @@ object OnlineGate {
       "pass_expect", "pass_quality", "pass_tokens", "pass_rep") ++
       (if (lmPass.isDefined) Seq("pass_ppl") else Nil) ++
       (if (langPass.isDefined) Seq("pass_lang") else Nil) ++
-      (if (clfPass.isDefined) Seq("pass_clf") else Nil) :+ "kept"
+      (if (clfPass.isDefined) Seq("pass_clf") else Nil) ++
+      (if (c4Policy) Seq("pass_policy") else Nil) :+ "kept"
     withClf
       .withColumn("pass_quality", col("quality_e4") >= minQualityE4)
       .withColumn("pass_tokens", col("n_tokens").between(minTokens, maxTokens))
@@ -549,7 +558,8 @@ object OnlineGate {
           col("pass_tokens") && col("pass_rep") &&
           (if (lmPass.isDefined) col("pass_ppl") else lit(true)) &&
           (if (langPass.isDefined) col("pass_lang") else lit(true)) &&
-          (if (clfPass.isDefined) col("pass_clf") else lit(true)))
+          (if (clfPass.isDefined) col("pass_clf") else lit(true)) &&
+          (if (c4Policy) col("pass_policy") else lit(true)))
       .select(cols.map(col): _*)
   }
 
@@ -567,6 +577,7 @@ object OnlineGate {
       nbModelPath: Option[String] = None,
       keepLangs: Seq[String] = Seq("en"),
       qualityModelPath: Option[String] = None,
+      c4Policy: Boolean = false,
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens): DataFrame = {
@@ -596,14 +607,16 @@ object OnlineGate {
     }
     val withSignals = keyed
       .join(firstIds, Seq("ident"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
         TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
         Expectations.docRowPass.as("pass_expect"),
-        (col("doc_id") === col("first_doc")).as("first_seen"))
+        (col("doc_id") === col("first_doc")).as("first_seen")) ++
+        (if (c4Policy) Seq(TextAnalysis.c4KeptCol(col("text")).as("pass_policy"))
+         else Nil): _*)
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
-    composeFullDecision(withSignals, lmPass, langPass, clfPass,
+    composeFullDecision(withSignals, lmPass, langPass, clfPass, c4Policy,
       minQualityE4, minTokens, maxTokens)
   }
 

@@ -1357,7 +1357,8 @@ class StreamingSpec extends SparkSuite {
         mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "url"),
         s"$base/out", s"$base/ckpt", canonicalizeUrl = true,
         lmModelPath = Some(s"$base/lm"),
-        nbModelPath = Some(s"$base/nb"), keepLangs = keep)
+        nbModelPath = Some(s"$base/nb"), keepLangs = keep,
+        c4Policy = true)
       try {
         rows.grouped((rows.length + 2) / 3).foreach { b =>
           mem.addData(b.toIndexedSeq); q.processAllAvailable()
@@ -1367,12 +1368,13 @@ class StreamingSpec extends SparkSuite {
         df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
         "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "pass_ppl",
-        "pass_lang", "kept")
+        "pass_lang", "pass_policy", "kept")
       val online = spark.read.parquet(s"$base/out/decisions")
         .select(cols.map(col): _*)
       val cold = OnlineGate.fullIngestGateCold(
         seeded, canonicalizeUrl = true, lmModelPath = Some(s"$base/lm"),
-        nbModelPath = Some(s"$base/nb"), keepLangs = keep).select(cols.map(col): _*)
+        nbModelPath = Some(s"$base/nb"), keepLangs = keep,
+        c4Policy = true).select(cols.map(col): _*)
       assert(online.count() === rows.length.toLong)
       assert(image(online) === image(cold),
         "at-arrival composed verdicts diverged from the cold pass")
@@ -1390,6 +1392,8 @@ class StreamingSpec extends SparkSuite {
       assert(dec.filter(!col("pass_expect")).count() > 0, "no expectation defect bound")
       assert(dec.filter(!col("pass_ppl")).count() > 0, "LM leg rejected nothing")
       assert(dec.filter(!col("pass_lang")).count() > 0, "langid leg rejected nothing")
+      // the policy leg binds on the corpus's blocklist marker + short docs
+      assert(dec.filter(!col("pass_policy")).count() > 0, "policy leg rejected nothing")
       assert(dec.filter(col("kept")).count() > 0, "gate admitted nothing")
       // the aggregate expectation timeline rode along, one report per batch
       val reports = spark.read.parquet(s"$base/out/expect")

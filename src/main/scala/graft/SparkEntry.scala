@@ -126,6 +126,10 @@ object SparkEntry {
     // ordered conversion funnel via per-stage conditional min-aggs (no
     // per-user ordered window over the event log)
     "w8_signup_funnel" -> RelationalOps.signupFunnel _,
+    // weekly cohort retention matrix: cohort min-agg + broadcast join +
+    // bounded rollup (no window, no self-join)
+    "w9_cohort_retention" -> ((s: SparkSession, d: String) =>
+      RelationalOps.cohortRetention(s, d)),
     "g4_event_cube" -> RelationalOps.eventCube _,
     "j5_asof_purchase_view" -> graft.operators.TemporalJoins.asOfPurchaseView _,
     "j6_range_purchase_error" -> graft.operators.TemporalJoins.purchaseErrorWithin _,
@@ -509,6 +513,12 @@ object SparkEntry {
     // recall@10 of the IVF probe path vs the brute-force ground truth
     "v12_ivf_recall" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfRecall(s, d)),
+    // the IVF × 1-bit composition: probe lists scanned via XOR+popcount
+    // signatures, exact rescore on a RerankC-bounded frame (v11's sibling)
+    "v21_ivf_binary_topk" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.ivfBinaryTopK(s, d)),
+    "v22_ivf_binary_recall" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.ivfBinaryRecall(s, d)),
     // recall@10 of BOTH ADC ranking paths (flat PQ, IVF+PQ) vs the same
     // ground truth — the non-circular gate for the codebook-trained family
     "v14_pq_recall" -> ((s: SparkSession, d: String) =>
@@ -1031,6 +1041,7 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS is_new
         |    FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec FROM events)))""".stripMargin,
     "w8_signup_funnel" -> RelationalOps.signupFunnelOracleSql,
+    "w9_cohort_retention" -> RelationalOps.cohortRetentionOracleSql(),
     "g4_event_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,
@@ -1765,6 +1776,8 @@ object SparkEntry {
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
         "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),
         "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d),
+        "v21_ivf_binary_topk" -> graft.operators.IvfAnn.ivfBinaryTopKOracleSql(s, d),
+        "v22_ivf_binary_recall" -> graft.operators.IvfAnn.ivfBinaryRecallOracleSql(s, d),
         "v14_pq_recall" -> graft.operators.PqAnn.pqRecallOracleSql(s, d),
         "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
         // v13i reads the persisted lists, which hold the inline path's

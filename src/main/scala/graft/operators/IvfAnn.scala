@@ -349,6 +349,132 @@ object IvfAnn {
        |WHERE rn <= $TopK""".stripMargin
   }
 
+  // ---- v21/v22: the IVF × binary hybrid ---------------------------------
+
+  /** v21: IVF-pruned binary retrieval — the memory-bandwidth composition a
+    * large vector store actually ships: IVF decides WHICH lists to read
+    * (nprobe of [[K]] — the scanned fraction), 1-bit sign signatures
+    * decide HOW to scan them (XOR+popcount over 8 bytes/vector — the
+    * bytes per scanned row, 32× below float), and the float corpus is
+    * touched only for the RerankC·|queries| exact-rescore rows. Sits next
+    * to v11 (IVF × PQ) as the other quantized-scan composition; unlike
+    * PQ there is no codebook to train, so the signature column is
+    * ingest-time-computable and never drifts.
+    *
+    * With `rerankC` ≥ the probed candidate count this IS [[ivfTopK]]
+    * (the Hamming stage passes everything through) — pinned bit-equal in
+    * `IvfBucketingSpec`, the same full-budget-collapses-to-exact contract
+    * v19 has against brute force.
+    */
+  def ivfBinaryTopK(spark: SparkSession, dir: String,
+      nprobe: Int = NProbe,
+      rerankC: Int = Similarity.HammingRerankC): DataFrame = {
+    val signed = assignedCorpus(spark, dir).select(
+      col("vec_id"), col("centroid"),
+      expr(Similarity.signWordSql("embedding", 0)).as("s0"),
+      expr(Similarity.signWordSql("embedding", 32)).as("s1"))
+    val probes = probeRows(spark, dir, nprobe)
+      .select(col("qid"), col("centroid"),
+        expr(Similarity.signWordSql("qe", 0)).as("q0"),
+        expr(Similarity.signWordSql("qe", 32)).as("q1"))
+    val coarse = signed.join(broadcast(probes), "centroid")
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("s0").bitwiseXOR(col("q0"))) +
+          bit_count(col("s1").bitwiseXOR(col("q1")))).cast("int").as("ham"))
+    val cand = graft.plans.TopKPerKey(
+        coarse, Seq(col("qid")), Seq(col("ham"), col("vec_id")), rerankC)
+      .select(col("qid"), col("vec_id"))
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = cosFxF(col("qe"), col("embedding"))
+    val scored = emb
+      .join(broadcast(cand.join(queries, "qid")), "vec_id")
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+    Similarity.rankTopK(scored, TopK, "vec_id", "cosine_e4")
+  }
+
+  def ivfBinaryTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val centsFx = centroidsFx(spark, dir)
+    val rerankC = Similarity.HammingRerankC
+    s"""WITH ${candCtes(centsFx, NProbe)},
+       |lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${Similarity.sigSqlCte("lf")},
+       |ham AS (
+       |  SELECT c.qid, c.vec_id,
+       |    bit_count(xor(qs.s0, cs.s0)) + bit_count(xor(qs.s1, cs.s1)) AS ham
+       |  FROM cand c
+       |  JOIN sig qs ON qs.vec_id = c.qid
+       |  JOIN sig cs ON cs.vec_id = c.vec_id),
+       |cand2 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+       |    FROM ham)
+       |  WHERE rn <= $rerankC),
+       |${Similarity.fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
+       |dots AS (
+       |  SELECT c.qid, c.vec_id, cast(sum(a.q * b.q) AS bigint) AS d
+       |  FROM cand2 c
+       |  JOIN fxc a ON a.vec_id = c.qid
+       |  JOIN fxc b ON b.vec_id = c.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dt.qid, dt.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(dt.d AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM dots dt
+       |  JOIN n2 nq ON nq.vec_id = dt.qid
+       |  JOIN n2 nv ON nv.vec_id = dt.vec_id)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
+  /** v22: recall@k of the hybrid vs the brute-force ground truth — the
+    * composed path grading itself like v12 (IVF alone) and v20 (binary
+    * alone); the hybrid's recall is bounded above by v12's (the Hamming
+    * stage can only drop IVF candidates).
+    */
+  def ivfBinaryRecall(spark: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val exact = Similarity.bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = ivfBinaryTopK(spark, dir, nprobe)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
+  }
+
+  def ivfBinaryRecallOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH exact_tk AS (
+       |${Similarity.bruteForceTopKOracleSql}
+       |),
+       |approx_tk AS (
+       |${ivfBinaryTopKOracleSql(spark, dir)}
+       |)
+       |SELECT e.qid,
+       |  cast(count(*) AS bigint) AS n_hits,
+       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
+       |FROM exact_tk e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM approx_tk a
+       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |GROUP BY e.qid""".stripMargin
+
   // ---- SemDeDup-style semantic deduplication (v13) ----------------------
 
   /** Cosine threshold for semantic duplicates — interpolated into the

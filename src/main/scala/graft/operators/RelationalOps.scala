@@ -485,6 +485,65 @@ object RelationalOps {
        |LEFT JOIN c ON c.user_id = s.user_id
        |LEFT JOIN p ON p.user_id = s.user_id""".stripMargin
 
+  /** w9: weekly cohort retention — users grouped by their first-signup
+    * week, each cohort's share still PURCHASING k weeks later (the
+    * product-analytics retention matrix next to w8's funnel). Output:
+    * (cohort_week, week_offset, n_active, cohort_n, retention_e4).
+    *
+    * Scale shape: one conditional min-aggregation for cohorts (map-side
+    * partials), the |users|-bounded cohort frame broadcast onto the
+    * pushed-down-filtered activity scan, a distinct on (cohort, user,
+    * offset) — cardinality ≤ users × weeks — and a ≤weeks²-row rollup.
+    * No window, no self-join; the event log is scanned twice (signups
+    * partition, activity partition), both pruned at the parquet scan.
+    */
+  def cohortRetention(spark: SparkSession, dir: String,
+      activityType: String = "purchase"): DataFrame = {
+    val ev = eventsTable(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("s_ts")).cast("date").as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_n"))
+    val active = ev.filter(col("event_type") === activityType)
+      .join(broadcast(cohorts), "user_id")
+      .select(col("cohort_week"), col("user_id"),
+        expr("cast(datediff(cast(date_trunc('week', ts) AS date), cohort_week) div 7 AS int)")
+          .as("week_offset"))
+      .filter(col("week_offset") >= 0)
+      .distinct()
+    active.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .selectExpr("cast(cohort_week AS string) AS cohort_week", "week_offset",
+        "n_active", "cohort_n",
+        "cast((n_active * 10000 + cohort_n div 2) div cohort_n AS bigint) AS retention_e4")
+  }
+
+  def cohortRetentionOracleSql(activityType: String = "purchase"): String =
+    s"""WITH firstsignup AS (
+       |  SELECT user_id, min(ts) AS s_ts FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |cohorts AS (
+       |  SELECT user_id, cast(date_trunc('week', s_ts) AS date) AS cohort_week
+       |  FROM firstsignup),
+       |sizes AS (SELECT cohort_week, count(*) AS cohort_n FROM cohorts GROUP BY 1),
+       |active AS (
+       |  SELECT DISTINCT c.cohort_week, e.user_id,
+       |    cast(date_diff('day', c.cohort_week,
+       |      cast(date_trunc('week', e.ts) AS date)) // 7 AS int) AS week_offset
+       |  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+       |  WHERE e.event_type = '$activityType'),
+       |ret AS (
+       |  SELECT cohort_week, week_offset, count(*) AS n_active FROM active
+       |  WHERE week_offset >= 0 GROUP BY 1, 2)
+       |SELECT cast(r.cohort_week AS varchar) AS cohort_week, r.week_offset,
+       |  cast(r.n_active AS bigint) AS n_active,
+       |  cast(s.cohort_n AS bigint) AS cohort_n,
+       |  cast((r.n_active * 10000 + s.cohort_n // 2) // s.cohort_n AS bigint)
+       |    AS retention_e4
+       |FROM ret r JOIN sizes s USING (cohort_week)""".stripMargin
+
   /** CUBE grouping sets over (event_type, day). */
   def eventCube(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

@@ -236,7 +236,7 @@ object Similarity {
     * between engines (a 1<<63 would be implementation-defined overflow in
     * some engines' SQL).
     */
-  private def signWordSql(vecCol: String, lo: Int): String =
+  private[operators] def signWordSql(vecCol: String, lo: Int): String =
     s"aggregate(sequence(0, 31), cast(0 AS bigint), (acc, i) -> acc | " +
       s"IF(element_at($vecCol, i + ${lo + 1}) > cast(0 AS float), " +
       s"shiftleft(cast(1 AS bigint), i), cast(0 AS bigint)))"
@@ -279,17 +279,24 @@ object Similarity {
     rankTopK(scored, TopK, "vec_id", "cosine_e4")
   }
 
-  def binaryTopKOracleSql: String =
-    s"""WITH lf AS (
-       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
-       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
-       |sig AS (
+  /** The (vec_id, s0, s1) sign-signature CTE from any long-form
+    * `(vec_id, i, v)` relation — shared by the v19 oracle and the v21
+    * IVF-hybrid oracle.
+    */
+  private[operators] def sigSqlCte(fromLongForm: String): String =
+    s"""sig AS (
        |  SELECT vec_id,
        |    bit_or(CASE WHEN i <= 32 AND v > 0
        |      THEN (cast(1 AS bigint) << (i - 1)) ELSE 0 END) AS s0,
        |    bit_or(CASE WHEN i > 32 AND v > 0
        |      THEN (cast(1 AS bigint) << (i - 33)) ELSE 0 END) AS s1
-       |  FROM lf GROUP BY vec_id),
+       |  FROM $fromLongForm GROUP BY vec_id)""".stripMargin
+
+  def binaryTopKOracleSql: String =
+    s"""WITH lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${sigSqlCte("lf")},
        |coarse AS (
        |  SELECT q.vec_id AS qid, c.vec_id,
        |    bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)) AS ham

@@ -45,6 +45,7 @@ object PlanAudit {
     ("t12_balance_weights", Bnlj) -> "per-class counts broadcast (bounded class count)",
     ("t22_top_ngrams", Bnlj) -> "1-row corpus-total frame crossed",
     ("v12_ivf_recall", Bnlj) -> "8-query ground-truth frame",
+    ("v22_ivf_binary_recall", Bnlj) -> "8-query ground-truth frame (v2 composed)",
     ("v14_pq_recall", Bnlj) -> "8-query ground-truth + ADC legs (v2/v10 shapes composed)",
     ("t9_tfidf_top_terms", Bnlj) -> "1-row doc-count frame crossed",
     // the LM-scoring layer crosses 1-row corpus constants (vocab size V,

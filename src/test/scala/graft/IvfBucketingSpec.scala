@@ -56,6 +56,34 @@ class IvfBucketingSpec extends SparkSuite {
     top1.foreach { case (q, v, c) => assert(q === v && c === 10000L) }
   }
 
+  test("v21 hybrid: self rank 1; full rerank budget collapses to ivfTopK bit-for-bit") {
+    val out = IvfAnn.ivfBinaryTopK(spark, sf0001).cache()
+    val perQ = out.groupBy("qid").count().collect()
+    assert(perQ.length === 8)
+    perQ.foreach(r => assert(r.getLong(1) === 10L))
+    // own centroid always probed + Hamming 0 to itself → survives both
+    // quantized stages; exact cosine 1.0 makes it rank 1
+    out.filter(col("rn") === 1).collect()
+      .foreach(r => assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id")))
+    out.unpersist()
+    // rerankC >= probed candidates: the Hamming stage passes everything,
+    // so the hybrid must equal plain IVF top-k exactly
+    val ivf = IvfAnn.ivfTopK(spark, sf0001).collect().map(_.toString).sorted
+    val full = IvfAnn.ivfBinaryTopK(spark, sf0001, rerankC = 1000)
+      .collect().map(_.toString).sorted
+    assert(full.toSeq === ivf.toSeq)
+    // the hybrid's recall is bounded above by IVF's (Hamming only drops)
+    val rIvf = IvfAnn.ivfRecall(spark, sf0001)
+      .select("qid", "n_hits").as[(Long, Long)].collect().toMap
+    val rHyb = IvfAnn.ivfBinaryRecall(spark, sf0001)
+      .select("qid", "n_hits").as[(Long, Long)].collect().toMap
+    assert(rHyb.keySet === rIvf.keySet)
+    rHyb.foreach { case (q, h) =>
+      assert(h <= rIvf(q), s"hybrid recall above IVF's for qid $q")
+      assert(h >= 1L, s"qid $q lost even its self-match")
+    }
+  }
+
   test("ivf list count scales with corpus size") {
     assert(IvfAnn.recommendedLists(1L << 30, 4096) === (1L << 30) / 4096)
     assert(IvfAnn.recommendedLists(100, 4096) === 1)

@@ -456,7 +456,10 @@ object RelationalOps {
       .filter(col("sec") > col("click_sec") &&
         col("sec") <= col("click_sec") + FunnelHopSec)
       .groupBy(col("user_id")).agg(min(col("sec")).as("purchase_sec"))
-    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    // the assembly joins are |users|-bounded on BOTH sides — broadcast
+    // the later (smaller) stages so no exchange re-sorts the cohort frame
+    s.join(broadcast(c), Seq("user_id"), "left")
+      .join(broadcast(p), Seq("user_id"), "left")
       .select(col("user_id"), col("signup_sec"), col("click_sec"), col("purchase_sec"),
         (lit(1) + when(col("click_sec").isNotNull, 1).otherwise(0)
           + when(col("purchase_sec").isNotNull, 1).otherwise(0)).cast("int").as("stage"))

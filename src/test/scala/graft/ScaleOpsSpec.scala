@@ -567,7 +567,9 @@ class ScaleOpsSpec extends SparkSuite {
     val out = MergeOps.applyChangelog(feed, Seq("id"), "seq", "is_delete")
       .as[(Long, Long, String)].collect().toSet
     assert(out === Set((1L, 20L, "a2"), (3L, 22L, "c2")))
-    // the plan is a hash aggregate (map-side partial merge), not a window
+    // the plan is a partial-merged aggregate (SortAggregate — max_by's
+    // struct buffer isn't HashAggregate-eligible — but still map-side
+    // combined before the exchange), never a per-key window
     val plan = MergeOps.applyChangelog(feed, Seq("id"), "seq", "is_delete")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"changelog must not plan a window:\n$plan")

@@ -166,6 +166,11 @@ object SparkEntry {
     // triangle counting on the co-purchase graph (oriented edge joins)
     "g7_part_triangles" -> ((s: SparkSession, d: String) =>
       RelationalOps.partTriangles(s, d)),
+    // connected components on g7's co-purchase graph via alternating
+    // large/small-star rounds — O(log n) convergence where d8's label
+    // propagation needs O(diameter); recursive-CTE oracle
+    "g9_part_components" -> ((s: SparkSession, d: String) =>
+      graft.operators.GraphOps.partComponents(s, d)),
     // nested IN-subquery chain with a grouped HAVING gate (Q20 shape)
     "q20_bulk_part_suppliers" -> RelationalOps.bulkPartSuppliers _,
     // EXISTS with a non-equi predicate riding the semi-join key (Q4 shape)
@@ -191,6 +196,12 @@ object SparkEntry {
     // CDC extraction: diff two snapshots into the minimal change feed
     // (I/U/D, P8 no-ops absent) via the same single full-outer join
     "u4_customer_snapshot_diff" -> graft.operators.MergeOps.customerSnapshotDiff _,
+    // incremental view maintenance: merge a late batch's partials into
+    // the algebraic rollup — rollup-sized frames only, base never rescanned
+    "u5_rollup_maintenance" -> graft.operators.MergeOps.rollupMaintenance _,
+    // erasure retraction: opted-out users subtracted from the derived
+    // rollup by negated partials; fully-retracted groups disappear
+    "u6_erasure_retraction" -> graft.operators.MergeOps.erasureRetraction _,
   )
 
   def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -478,6 +489,13 @@ object SparkEntry {
     // fixed-point rescore on a RerankC-bounded candidate frame
     "v19_binary_hamming_topk" -> ((s: SparkSession, d: String) => Similarity.binaryTopK(s, d)),
     "v20_binary_recall" -> Similarity.binaryRecall _,
+    // int8 scalar quantization serving: code-space-cosine coarse rank on
+    // the 4x-compressed codes (exact float32 integer arithmetic through
+    // the codegen dot kernel), exact fixed-point rerank of C candidates
+    "v23_int8_topk" -> ((s: SparkSession, d: String) => Similarity.int8TopK(s, d)),
+    // recall@10 of the int8 path vs brute force — the middle rung of the
+    // graded compression ladder (float > int8 > PQ > 1-bit)
+    "v24_int8_recall" -> Similarity.int8Recall _,
     "v3_lsh_buckets" -> Similarity.lshBuckets _,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopK _,
     "v5_embedding_near_dups" -> ((s: SparkSession, d: String) =>
@@ -1334,6 +1352,8 @@ object SparkEntry {
       .customerSnapshotDiffOracleSql(graft.operators.MergeOps.customerUpsertOracleSql),
     "u2_customer_scd2" -> graft.operators.MergeOps.customerScd2OracleSql,
     "u3_user_changelog" -> graft.operators.MergeOps.userChangelogOracleSql,
+    "u5_rollup_maintenance" -> graft.operators.MergeOps.rollupMaintenanceOracleSql,
+    "u6_erasure_retraction" -> graft.operators.MergeOps.erasureRetractionOracleSql,
     "g7_part_triangles" ->
       s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
@@ -1352,6 +1372,7 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT p_partkey, cast(count(*) AS bigint) AS n_triangles
         |FROM corners GROUP BY p_partkey""".stripMargin,
+    "g9_part_components" -> graft.operators.GraphOps.partComponentsOracleSql,
     "g6_event_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,
@@ -1744,6 +1765,8 @@ object SparkEntry {
     "v18_adaptive_recall" -> Similarity.adaptiveRecallOracleSql,
     "v19_binary_hamming_topk" -> Similarity.binaryTopKOracleSql,
     "v20_binary_recall" -> Similarity.binaryRecallOracleSql,
+    "v23_int8_topk" -> Similarity.int8TopKOracleSql,
+    "v24_int8_recall" -> Similarity.int8RecallOracleSql,
     // deterministic hyperplane literals inlined into the oracles
     "v3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "v4_lsh_ann_topk" -> Similarity.lshAnnTopKOracleSql,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star rounds
+  * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+  *
+  * The engine already labels components once — [[Dedup.clustersFromPairs]]
+  * propagates min labels along edges, one round per hop, which is ideal
+  * for near-duplicate clusters (diameter 2-3, the common case measured
+  * there). This operator is the complementary algorithm for graphs whose
+  * diameter is NOT small: each large-star round hangs every node's larger
+  * neighbors directly off its local minimum and each small-star round
+  * re-points the smaller ones, so distances to the component root fall
+  * geometrically — O(log n) rounds on a CHAIN where label propagation
+  * needs O(n). A crawl's link graph or a co-purchase graph at 100 TB has
+  * exactly those long filaments; 2^45 nodes still converge in ~45 rounds.
+  *
+  * Scale shape per round: two groupBy(min) aggregations (map-side
+  * partial-combined) and two distincts over an edge set that only ever
+  * SHRINKS toward one star edge per non-root node — no corpus joins, no
+  * windows, no driver-side adjacency. The convergence probe reads the
+  * cached round output twice (count + set-difference head), both
+  * edge-set-sized.
+  */
+object GraphOps {
+
+  /** Label every vertex of the undirected graph `edgesIn` (columns `a`,
+    * `b`; orientation, duplicates, and self-loops are all tolerated) with
+    * its component's minimum vertex id. Output: `(id, component)`.
+    */
+  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical large→small orientation; self-loops carry no connectivity
+    val canon = edgesIn
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+    // vertices captured up front — star rounds rewrite edges, and a
+    // root's own row disappears from the `a` side at the fixpoint
+    val verts = edgesIn
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct().cache()
+
+    // large-star: every node u hangs its LARGER neighbors off
+    // m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps the orientation canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star: every node u re-points its SMALLER neighbors (and
+    // itself) at m(u); on oriented edges the smaller side is just `b`
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+      e.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // localCheckpoint (eager), NOT cache: a star round's plan references
+    // the previous round's edges several times (both orientations + the
+    // min table + both join sides), so lineage grows EXPONENTIALLY per
+    // round — by iteration ~8 merely formatting the plan OOMs the JVM.
+    // Checkpointing truncates the logical plan to the materialized
+    // blocks each round; on a real cluster prefer reliable checkpoint()
+    // so a lost executor can't kill a 45-round run.
+    var cur = canon.localCheckpoint()
+    var curCount = cur.count()
+    var converged = curCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // both sides are distinct sets: equal size + empty difference ⇒ equal
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).limit(1).count() == 0L
+      cur = next
+      curCount = nextCount
+      iter += 1
+    }
+    require(converged, s"star rounds did not converge in $maxIter iterations")
+    // fixpoint: every non-root points straight at its root; roots appear
+    // only on the `b` side, so they label themselves
+    val out = verts.join(cur, verts("id") === cur("a"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("b"), col("id"))).as("component"))
+      .localCheckpoint()
+    verts.unpersist()
+    out
+  }
+
+  /** g9: components of the recurring-co-purchase part graph (g7's edge
+    * set) — "which parts sell together, transitively". Long thin
+    * chains through popular parts are precisely the star algorithm's
+    * home turf; the oracle replays it as a recursive reachability CTE.
+    */
+  def partComponents(
+      spark: SparkSession, dir: String,
+      minSupport: Long = RelationalOps.TriangleSupport): DataFrame =
+    connectedComponents(
+      RelationalOps.coPurchaseEdges(spark, dir, minSupport)
+        .select(col("pa").as("a"), col("pb").as("b")))
+      .select(col("id").as("p_partkey"), col("component"))
+
+  def partComponentsOracleSql: String =
+    s"""WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT x.l_partkey AS pa, y.l_partkey AS pb
+       |  FROM lp x JOIN lp y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= ${RelationalOps.TriangleSupport}),
+       |sym AS (
+       |  SELECT pa AS a, pb AS b FROM e
+       |  UNION SELECT pb AS a, pa AS b FROM e),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM sym
+       |  UNION
+       |  SELECT s.a AS id, r.r FROM sym s JOIN reach r ON r.id = s.b)
+       |SELECT id AS p_partkey, cast(min(r) AS bigint) AS component
+       |FROM reach GROUP BY id""".stripMargin
+}

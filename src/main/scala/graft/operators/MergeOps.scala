@@ -371,6 +371,109 @@ object MergeOps {
        |  OR pn IS DISTINCT FROM nn OR pnat IS DISTINCT FROM nnat
        |  OR pseg IS DISTINCT FROM nseg OR pbal IS DISTINCT FROM nbal""".stripMargin
 
+  // --------------------------------------------------------------------
+  // u5/u6: incremental materialized-aggregate maintenance — the fourth
+  // and fifth table-maintenance primitives: keep a rollup current under
+  // an append batch (u5) and under a retraction batch (u6 — the GDPR /
+  // opt-out erasure propagated DOWNSTREAM of the base table) without
+  // ever rescanning the base corpus. The rollup must be ALGEBRAIC
+  // (count / scaled-integer sum — partials merge by addition); that is
+  // why the maintained flavor of g1 drops its countDistinct(user_id)
+  // column: exact distinct counts do not merge, and the maintainable
+  // distinct path is a mergeable sketch (the KMV aggregator behind a10).
+  // --------------------------------------------------------------------
+
+  /** Merge a batch of partial aggregates into an algebraic rollup.
+    *
+    * `rollup` and `partials` share `keys ++ measures`; every measure is
+    * additive (counts, scaled-integer sums). Groups whose merged
+    * `countCol` reaches 0 are dropped — a fully-retracted group must
+    * disappear, not linger as a zero row (and with exact-integer
+    * measures, count 0 implies every sum is 0: the group has no rows).
+    *
+    * Scale shape: one union + one groupBy over ROLLUP-SIZED frames —
+    * |groups| + |touched groups| rows, never the base table. The nightly
+    * refresh of a 100 TB fact table's rollup costs one scan of the DELTA
+    * (to build its partials) plus this tiny merge; partial aggregation
+    * compacts map-side on both legs.
+    */
+  def mergeRollup(
+      rollup: DataFrame, partials: DataFrame, keys: Seq[String],
+      countCol: String): DataFrame = {
+    val measures = rollup.columns.toSeq.filterNot(keys.contains)
+    rollup.unionByName(partials)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .filter(col(countCol) > 0)
+  }
+
+  /** Retract a batch of partial aggregates: [[mergeRollup]] with every
+    * measure negated. `partials` is the rollup OF THE DELETED ROWS —
+    * erasing a user means aggregating only that user's rows (an
+    * index/partition-pruned read at scale) and subtracting.
+    */
+  def retractRollup(
+      rollup: DataFrame, partials: DataFrame, keys: Seq[String],
+      countCol: String): DataFrame = {
+    val measures = rollup.columns.toSeq.filterNot(keys.contains)
+    mergeRollup(
+      rollup,
+      partials.select(keys.map(col) ++ measures.map(m => (-col(m)).as(m)): _*),
+      keys, countCol)
+  }
+
+  /** The maintainable (algebraic-only) flavor of g1's daily rollup. */
+  def algebraicDailyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("total_value_e2"))
+
+  /** Events whose id hits this modulus form u5's late-arriving batch. */
+  val RollupDeltaMod = 10L
+
+  /** Opted-out users (u6's erasure set) hit this modulus. */
+  val ErasureMod = 101L
+
+  /** The oracled u5 query: the daily rollup materialized over the
+    * on-time events (event_id % [[RollupDeltaMod]] ≠ 0), then maintained
+    * with the late batch's partials — the oracle recomputes over the
+    * full feed, so a hash match proves the incremental path is lossless.
+    */
+  def rollupMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    mergeRollup(
+      algebraicDailyRollup(ev.filter(col("event_id") % RollupDeltaMod =!= 0)),
+      algebraicDailyRollup(ev.filter(col("event_id") % RollupDeltaMod === 0)),
+      Seq("event_type", "day"), "n")
+  }
+
+  def rollupMaintenanceOracleSql: String =
+    """SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+      |  cast(count(*) AS bigint) AS n,
+      |  cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS bigint) AS total_value_e2
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The oracled u6 query: the full-feed rollup with every opted-out
+    * user's contribution subtracted — erasure reaches the derived
+    * aggregate by aggregating ONLY the erased rows and retracting their
+    * partials. The oracle recomputes over the retained feed.
+    */
+  def erasureRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    retractRollup(
+      algebraicDailyRollup(ev),
+      algebraicDailyRollup(ev.filter(col("user_id") % ErasureMod === 0)),
+      Seq("event_type", "day"), "n")
+  }
+
+  def erasureRetractionOracleSql: String =
+    s"""SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+       |  cast(count(*) AS bigint) AS n,
+       |  cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS bigint) AS total_value_e2
+       |FROM events WHERE user_id % $ErasureMod <> 0 GROUP BY 1, 2""".stripMargin
+
   def customerScd2OracleSql: String =
     s"""WITH cust AS (
        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,

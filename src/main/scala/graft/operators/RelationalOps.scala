@@ -771,18 +771,26 @@ object RelationalOps {
     */
   val TriangleSupport = 2L
 
-  def partTriangles(
-      spark: SparkSession, dir: String, minSupport: Long = TriangleSupport): DataFrame = {
-    val lp = table(spark, dir, "lineitem")
+  /** The recurring-co-purchase part graph shared by g7 (triangles) and
+    * g9 (connected components): parts are linked when they appear in at
+    * least `minSupport` common orders. Posting-list pair emission per
+    * order, support gate = semantics + Σdeg² fan-out guard.
+    */
+  private[operators] def coPurchaseEdges(
+      spark: SparkSession, dir: String, minSupport: Long): DataFrame =
+    table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = lp.groupBy(col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("docs"))
       .select(explode(expr(Dedup.OrderedPairsExpr)).as("p"))
       .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= minSupport)
       .select(col("pa"), col("pb"))
-      .cache()
+
+  def partTriangles(
+      spark: SparkSession, dir: String, minSupport: Long = TriangleSupport): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir, minSupport).cache()
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.pa") === col("e1.pb"))
       .join(edges.as("e3"),

@@ -369,6 +369,177 @@ object Similarity {
        |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
        |GROUP BY e.qid""".stripMargin
 
+  // --------------------------------------------------------------------
+  // v23/v24: int8 scalar-quantized retrieval — the MIDDLE rung of the
+  // compression ladder the engine now covers end to end:
+  //   float32 (256 B/vec, v2 exact) → int8 (64 B, 4×, this) →
+  //   PQ (8 B trained, v10/v11) → 1-bit signs (8 B training-free, v19).
+  // The Faiss SQ8 serving recipe: v8's symmetric per-vector codes ARE the
+  // stored corpus; stage 1 ranks by code-space cosine, stage 2 rescores
+  // a constant candidate set exactly. Unlike PQ there is no codebook to
+  // train or drift; unlike signs, magnitudes survive, so the coarse rank
+  // is already near-exact and the rerank budget can shrink.
+  // --------------------------------------------------------------------
+
+  /** Candidate budget the int8 stage hands to the exact rescorer. */
+  private[operators] val Int8RerankC = 50
+
+  /** v8's symmetric int8 code vector, carried as array<float>: every code
+    * is an integer in [-127, 127] and every code dot-product partial sum
+    * is an integer below 64·127² ≪ 2²⁴, so float32 arithmetic on them is
+    * EXACT — which lets stage 1 ride the same [[dotF]] codegen kernel as
+    * the float path while the oracle replays the identical integers in
+    * SQL.
+    */
+  private def int8CodesF(vec: Column): Column = {
+    val amax = array_max(transform(vec, x => abs(x.cast("double"))))
+    transform(vec, x =>
+      when(amax === 0.0, lit(0.0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / (amax / lit(127.0)) + lit(0.5)))))
+        .cast("float"))
+  }
+
+  /** v23: two-stage int8-quantized retrieval. Stage 1 ranks the corpus by
+    * code-space cosine — integer dot / integer norms, one identical scalar
+    * chain in both engines, e6-quantized with vec_id tie-break — and keeps
+    * [[Int8RerankC]] candidates per query through
+    * [[graft.plans.TopKPerKey]]; stage 2 rescores those candidates with
+    * the exact fixed-point cosine for the final top-[[TopK]].
+    *
+    * Scale shape: codes are computed in the scan (map-only; at serving
+    * scale they ARE the stored column — 4× smaller than the floats, which
+    * never load for stage 1); the coarse pass is v2's broadcast-queries
+    * corpus scan on the codegen dot kernel with a k-bounded exchange;
+    * stage 2 touches RerankC·|queries| rows.
+    */
+  def int8TopK(spark: SparkSession, dir: String,
+      rerankC: Int = Int8RerankC): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      int8CodesF(col("embedding")).as("codes"))
+    val queries = coded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("codes").as("qc"))
+    val dq = dotF(col("codes"), col("qc")).cast("double")
+    val na = dotF(col("qc"), col("qc")).cast("double")
+    val nb = dotF(col("codes"), col("codes")).cast("double")
+    val cosq = when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dq / (sqrt(na) * sqrt(nb)))
+    val coarse = coded.crossJoin(broadcast(queries.select(col("qid"), col("qc"))))
+      .select(col("qid"), col("vec_id"), Exact.e(cosq, 6).as("cq6"))
+    val cand = graft.plans.TopKPerKey(
+        coarse, Seq(col("qid")), Seq(col("cq6").desc, col("vec_id")), rerankC)
+      .select(col("qid"), col("vec_id"))
+    val cos = cosFxF(col("qe"), col("embedding"))
+    val scored = emb
+      .join(broadcast(cand.join(queries.select(col("qid"), col("qe")), "qid")), "vec_id")
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+    rankTopK(scored, TopK, "vec_id", "cosine_e4")
+  }
+
+  /** The `(vec_id, i, c)` int8-code CTE from any long-form `(vec_id, i, v)`
+    * relation — v8's quantizer as pure integer SQL.
+    */
+  private[operators] def int8SqlCte(fromLongForm: String): String =
+    s"""im AS (
+       |  SELECT vec_id, max(abs(cast(v AS double))) AS amax
+       |  FROM $fromLongForm GROUP BY vec_id),
+       |icodes AS (
+       |  SELECT l.vec_id, l.i,
+       |    CASE WHEN im.amax = 0 THEN 0
+       |         ELSE greatest(-127, least(127,
+       |           cast(floor(cast(l.v AS double) / (im.amax / 127.0) + 0.5) AS bigint)))
+       |    END AS c
+       |  FROM $fromLongForm l JOIN im ON im.vec_id = l.vec_id)""".stripMargin
+
+  def int8TopKOracleSql: String =
+    s"""WITH lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${int8SqlCte("lf")},
+       |in2 AS (SELECT vec_id, cast(sum(c * c) AS bigint) AS n2 FROM icodes GROUP BY vec_id),
+       |idots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id, cast(sum(a.c * b.c) AS bigint) AS d
+       |  FROM icodes a JOIN icodes b ON b.i = a.i
+       |  WHERE a.vec_id < $NumQueries
+       |  GROUP BY 1, 2),
+       |coarse AS (
+       |  SELECT dt.qid, dt.vec_id,
+       |    cast(floor(
+       |      CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |           ELSE cast(dt.d AS double)
+       |             / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END
+       |      * 1000000.0 + 0.5) AS bigint) AS cq6
+       |  FROM idots dt
+       |  JOIN in2 nq ON nq.vec_id = dt.qid
+       |  JOIN in2 nv ON nv.vec_id = dt.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cq6 DESC, vec_id) AS rn
+       |    FROM coarse)
+       |  WHERE rn <= $Int8RerankC),
+       |${fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
+       |dots AS (
+       |  SELECT c.qid, c.vec_id, cast(sum(a.q * b.q) AS bigint) AS d
+       |  FROM cand c
+       |  JOIN fxc a ON a.vec_id = c.qid
+       |  JOIN fxc b ON b.vec_id = c.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dt.qid, dt.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(dt.d AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM dots dt
+       |  JOIN n2 nq ON nq.vec_id = dt.qid
+       |  JOIN n2 nv ON nv.vec_id = dt.vec_id)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
+  /** v24: recall@k of [[int8TopK]] against the [[bruteForceTopK]] ground
+    * truth — on any corpus int8 codes preserve magnitudes the sign bits
+    * discard, so this should dominate v20's 1-bit recall; the three
+    * graded recall rows (v24 ≥ v20, v14) ARE the compression-ladder
+    * accuracy/size trade documented.
+    */
+  def int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = int8TopK(spark, dir)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
+  }
+
+  def int8RecallOracleSql: String =
+    s"""WITH exact_tk AS (
+       |$bruteForceTopKOracleSql
+       |),
+       |approx_tk AS (
+       |$int8TopKOracleSql
+       |)
+       |SELECT e.qid,
+       |  cast(count(*) AS bigint) AS n_hits,
+       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
+       |FROM exact_tk e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM approx_tk a
+       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |GROUP BY e.qid""".stripMargin
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < NumQueries)

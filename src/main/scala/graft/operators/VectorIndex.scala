@@ -187,6 +187,52 @@ object VectorIndex {
     spark.catalog.refreshByPath(lists.toString)
   }
 
+  /** Takedown delete (right-to-be-forgotten / opt-out compliance): remove
+    * `ids` (a `vec_id` column) from the inverted lists, rewriting ONLY
+    * the `centroid=` partitions that contain them. The crash-repair purge
+    * in [[ingestBatch]] rewrites every list because it cannot trust the
+    * index's contents mid-crash; a takedown against a HEALTHY index must
+    * not — at 100 TB, forgetting a hundred vectors re-writes a hundred
+    * list directories, not the store. Geometry is untouched (centroids
+    * never change on delete, exactly like [[compact]]).
+    *
+    * Mechanics: one column-pruned scan of `(vec_id, centroid)` finds the
+    * touched lists (the collected centroid set is bounded by
+    * min(|ids|, K) — a driver-side literal, same discipline as the probe
+    * bundle); the retained rows of just those partitions (directory-
+    * pruned read) are staged, then each touched dir is swapped
+    * remove-then-rename. A list whose every vector is deleted simply has
+    * no staged replacement and stays removed. Crash between remove and
+    * rename leaves the staged files intact and the probe failing loudly
+    * on the missing dir — re-runnable, never a silent partial list.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val lists = s"$path/lists"
+    val stored = spark.read.schema(storedListsSchema(spark, path)).parquet(lists)
+    val idSet = ids.select(col("vec_id")).distinct()
+    val touched = stored.join(idSet, Seq("vec_id"), "left_semi")
+      .select(col("centroid")).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val staging = new org.apache.hadoop.fs.Path(s"$path/lists_deleting")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true) // droppings of a previous crashed delete
+    stored.filter(col("centroid").isin(touched: _*))
+      .join(idSet, Seq("vec_id"), "left_anti")
+      .repartition(col("centroid"))
+      .write.mode("overwrite")
+      .partitionBy("centroid")
+      .parquet(staging.toString)
+    touched.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"$lists/centroid=$c")
+      val repl = new org.apache.hadoop.fs.Path(s"$staging/centroid=$c")
+      fs.delete(dir, true)
+      if (fs.exists(repl))
+        require(fs.rename(repl, dir), s"takedown rename failed: $repl -> $dir")
+    }
+    fs.delete(staging, true)
+    spark.catalog.refreshByPath(lists)
+  }
+
   /** One micro-batch of streaming ingest with a replay guard that is
     * safe for ranked reads: a `done` marker skips clean redeliveries
     * (foreachBatch delivers at-least-once after a failure), and a

@@ -80,6 +80,9 @@ object PlanAudit {
     ("v19_binary_hamming_topk", Bnlj) ->
       "8-query broadcast side on the Hamming stage; rescore frame is RerankC-bounded",
     ("v20_binary_recall", Bnlj) -> "composes the v2 + v19 shapes (8-query broadcast sides)",
+    ("v23_int8_topk", Bnlj) ->
+      "8-query broadcast side on the code-cosine stage; rescore frame is RerankC-bounded",
+    ("v24_int8_recall", Bnlj) -> "composes the v2 + v23 shapes (8-query broadcast sides)",
     ("t56_source_overlap_matrix", Bnlj) ->
       "|sources|-row sketch frames crossed for the pair algebra (broadcast-sized by construction)",
     ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",

@@ -191,6 +191,35 @@ class DedupSimilaritySpec extends SparkSuite {
     rec.foreach { case (q, h) => assert(h >= 3L, s"qid $q recall collapsed: $h/10") }
   }
 
+  test("int8 topk: self rank 1, full budget equals brute force, recall dominates 1-bit") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Similarity.int8TopK(spark, sf0001).cache()
+    val perQ = out.groupBy("qid").count().collect()
+    assert(perQ.length === 8)
+    perQ.foreach(r => assert(r.getLong(1) === 10L))
+    // a vector's own codes maximize code-space cosine → the query
+    // survives the coarse stage and exact cosine 1.0 makes it rank 1
+    out.filter(col("rn") === 1).collect()
+      .foreach(r => assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id")))
+    out.unpersist()
+    // rerank budget >= corpus: exact stage sees everything → brute force
+    val exact = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val full = graft.operators.Similarity.int8TopK(spark, sf0001, rerankC = 1000)
+      .collect().map(_.toString).sorted
+    assert(full.toSeq === exact.toSeq)
+    // the ladder's accuracy ordering: 8-bit magnitudes must recall at
+    // least as much as 1-bit signs, per query, at the same budget
+    val i8 = graft.operators.Similarity.int8Recall(spark, sf0001)
+      .select("qid", "n_hits").as[(Long, Long)].collect().toMap
+    val b1 = graft.operators.Similarity.binaryRecall(spark, sf0001)
+      .select("qid", "n_hits").as[(Long, Long)].collect().toMap
+    assert(i8.keySet === (0L until 8L).toSet)
+    val (si8, sb1) = (i8.values.sum, b1.values.sum)
+    assert(si8 >= sb1, s"int8 total recall $si8 fell below 1-bit $sb1")
+    i8.foreach { case (q, h) => assert(h >= 5L, s"qid $q int8 recall collapsed: $h/10") }
+  }
+
   test("lsh ann results are a subset of brute-force rankings' universe") {
     val bf = Similarity.bruteForceTopK(spark, sf0001)
       .select("qid").distinct().as[Long].collect().toSet

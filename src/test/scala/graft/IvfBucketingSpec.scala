@@ -243,6 +243,65 @@ class IvfBucketingSpec extends SparkSuite {
     }
   }
 
+  test("takedown delete: only touched lists rewritten, equals same-geometry rebuild") {
+    import graft.operators.{IvfAnn, VectorIndex}
+    val base = java.nio.file.Files.createTempDirectory("ivfdel")
+    val path = base.toString + "/idx"
+    val refPath = base.toString + "/ref"
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      VectorIndex.build(spark, sf0001, path)
+      // forget 20 vectors spread over a few lists (every 25th id)
+      val gone = emb.filter(col("vec_id") % 25 === 0).select(col("vec_id"))
+      val goneIds = gone.as[Long].collect().toSet
+      val cents = VectorIndex.centroidsFx(spark, path)
+      val touched = emb.filter(col("vec_id") % 25 === 0)
+        .select(IvfAnn.nearestCentroid(cents).as("c")).distinct()
+        .as[Int].collect().toSet
+      // record untouched lists' file listing before the delete
+      import scala.jdk.CollectionConverters._
+      def files(): Map[String, Long] =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/lists"))
+          .iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      val before = files()
+      VectorIndex.delete(spark, path, gone)
+      val after = files()
+      val untouchedBefore = before.filterNot { case (f, _) =>
+        touched.exists(c => f.contains(s"centroid=$c/")) }
+      val untouchedAfter = after.filterNot { case (f, _) =>
+        touched.exists(c => f.contains(s"centroid=$c/")) }
+      assert(untouchedBefore === untouchedAfter,
+        "takedown rewrote a list that contains none of the deleted ids")
+      // deleted ids are gone, everything else survives
+      val remaining = spark.read.parquet(s"$path/lists")
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(remaining.intersect(goneIds).isEmpty, "deleted ids still present")
+      assert(remaining.size === 500 - goneIds.size)
+      // bit-equality with the same-geometry reference: train-only index
+      // with only the retained vectors appended (delete must equal
+      // never-having-ingested, under identical centroids)
+      VectorIndex.trainOnly(spark, sf0001, refPath)
+      VectorIndex.append(spark, emb.filter(col("vec_id") % 25 =!= 0), refPath)
+      val probesA = VectorIndex.ivfTopK(spark, sf0001, path, 4)
+        .collect().map(_.toString).sorted.toSeq
+      val probesB = VectorIndex.ivfTopK(spark, sf0001, refPath, 4)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probesA === probesB, "post-delete probes diverged from same-geometry rebuild")
+      // idempotent / no-op delete: unknown ids touch nothing
+      val pre = files()
+      VectorIndex.delete(spark, path,
+        Seq(999999L, 888888L).toDF("vec_id"))
+      assert(files() === pre, "no-op delete rewrote lists")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("IVF list compaction: one file per list, probes unchanged, pruning intact") {
     import graft.operators.VectorIndex
     val base = java.nio.file.Files.createTempDirectory("ivfcomp")

@@ -597,6 +597,69 @@ class ScaleOpsSpec extends SparkSuite {
     assert(MergeOps.snapshotDiff(prev, prev, Seq("id")).count() === 0L)
   }
 
+  test("star connected components: chains, messy input, and label-propagation agreement") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // a 24-node chain (diameter ≫ log n — the shape label propagation
+    // crawls through) plus a triangle, a 2-clique, and an isolated pair;
+    // input deliberately messy: mixed orientation, dups, a self-loop
+    val chain = (0L until 23L).map(i => (i + 1L, i))
+    val rest = Seq((100L, 101L), (101L, 102L), (102L, 100L), // triangle
+      (200L, 201L), (201L, 200L),                            // duplicate edge
+      (300L, 301L), (300L, 300L))                            // pair + self-loop
+    val edges = (chain ++ rest).toDF("a", "b")
+    val got = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (0L to 23L).foreach(i => assert(got(i) === 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) === 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) === 200L))
+    Seq(300L, 301L).foreach(i => assert(got(i) === 300L))
+    assert(got.size === 24 + 3 + 2 + 2)
+    // agreement with the engine's other closure on a real pair frame
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, sf0001)
+      .select(col("a"), col("b"))
+    val star = GraphOps.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val lp = graft.operators.Dedup.clustersFromPairs(pairs)
+    assert(star.exceptAll(lp).count() === 0L && lp.exceptAll(star).count() === 0L)
+  }
+
+  test("rollup maintenance: merged partials ≡ full recompute; retraction drops emptied groups") {
+    import spark.implicits._
+    val rollup = Seq(("a", 3L, 300L), ("b", 2L, 200L), ("c", 1L, 100L))
+      .toDF("k", "n", "total")
+    val delta = Seq(("a", 1L, 50L), ("d", 2L, 20L)) // touch one group, open one
+      .toDF("k", "n", "total")
+    val merged = MergeOps.mergeRollup(rollup, delta, Seq("k"), "n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged === Set(("a", 4L, 350L), ("b", 2L, 200L), ("c", 1L, 100L), ("d", 2L, 20L)))
+    // retraction: partial erase shrinks, full erase DISAPPEARS (count-0 drop)
+    val erased = Seq(("a", 1L, 50L), ("c", 1L, 100L)).toDF("k", "n", "total")
+    val retracted = MergeOps.retractRollup(rollup, erased, Seq("k"), "n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(retracted === Set(("a", 2L, 250L), ("b", 2L, 200L)))
+  }
+
+  test("graded u5/u6 equal their from-scratch recomputes; erasure binds at sf0.001") {
+    val dir = sf0001
+    val ev = table(spark, dir, "events")
+    // u5 ≡ rollup over the whole feed
+    val full = MergeOps.algebraicDailyRollup(ev)
+    val u5 = MergeOps.rollupMaintenance(spark, dir)
+    assert(u5.exceptAll(full).count() === 0L && full.exceptAll(u5).count() === 0L)
+    // u6 ≡ rollup over the retained feed, and it actually retracts rows
+    val retained = MergeOps.algebraicDailyRollup(
+      ev.filter(col("user_id") % MergeOps.ErasureMod =!= 0))
+    val u6 = MergeOps.erasureRetraction(spark, dir)
+    assert(u6.exceptAll(retained).count() === 0L && retained.exceptAll(u6).count() === 0L)
+    val erasedRows = ev.filter(col("user_id") % MergeOps.ErasureMod === 0).count()
+    assert(erasedRows > 0L, "erasure set empty — u6 is vacuous on this corpus")
+    // the merge's final aggregate consumes a union of two PRE-AGGREGATED
+    // legs — the maintenance never re-aggregates base rows un-combined
+    val plan = u5.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"u5 must merge two partial legs:\n$plan")
+  }
+
   test("compaction rewrites small files into bounded-size files") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -275,6 +275,12 @@ object SparkEntry {
     "t49_html_extraction" -> TextAnalysis.htmlExtracted _,
     // C4 page-level policy filters: per-rule flags + verdict, map-only
     "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFilters _,
+    // tokenizer fertility by language: map-only t21 formulas + ONE
+    // lang-bounded groupBy with map-side partial aggregation
+    "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLang _,
+    // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
+    // bounded heaps per host, no full-host window sort
+    "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
     // BPE vocab induction trained on the word histogram (one corpus agg
     // + driver loop on the bounded histogram), fertility rollup per doc
     "t50_bpe_piece_stats" -> ((s: SparkSession, d: String) =>
@@ -1611,6 +1617,8 @@ object SparkEntry {
     "t22_top_ngrams" -> TextAnalysis.topNgramsOracleSql,
     "t49_html_extraction" -> TextAnalysis.htmlExtractedOracleSql,
     "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFiltersOracleSql,
+    "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLangOracleSql,
+    "t55_host_quota_keep" -> Dedup.hostQuotaOracleSql,
     "t51_epoch_schedule" ->
       graft.operators.TrainingPrep.epochScheduleOracleSql,
   )

@@ -1471,8 +1471,11 @@ object Dedup {
   def urlDedup(spark: SparkSession, dir: String): DataFrame =
     urlDedupOf(plantedCrawlUrls(table(spark, dir, "documents")))
 
-  def urlDedupOracleSql: String =
-    """WITH urls AS (
+  /** DuckDB replay of [[plantedCrawlUrls]] — shared by the d14 and t55
+    * oracles so the planting rule cannot drift between them.
+    */
+  private[graft] val plantedUrlsSqlCte: String =
+    """urls AS (
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
       |    (CASE WHEN doc_id % 11 = 0 THEN 'WWW.' ELSE '' END) ||
@@ -1483,14 +1486,17 @@ object Dedup {
       |    CAST(doc_id % 3 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 5 = 0 THEN '&b=2&a=1' ELSE '' END) ||
       |    (CASE WHEN doc_id % 9 = 0 THEN '#top' ELSE '' END) AS url
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  def urlDedupOracleSql: String =
+    s"""WITH $plantedUrlsSqlCte,
       |sl AS (SELECT doc_id, url,
       |    regexp_replace(regexp_replace(url, '#.*', ''), '^[a-zA-Z]+://', '') AS s
       |  FROM urls),
       |parts AS (SELECT doc_id, url,
-      |    regexp_replace(lower(regexp_extract(s, '^([^/?]+)', 1)), '^www\.', '') AS host,
-      |    regexp_replace(regexp_extract(s, '^[^/?]+([^?]*)', 1), '/+$', '') AS path,
-      |    regexp_extract(s, '\?(.*)', 1) AS q
+      |    regexp_replace(lower(regexp_extract(s, '^([^/?]+)', 1)), '^www\\.', '') AS host,
+      |    regexp_replace(regexp_extract(s, '^[^/?]+([^?]*)', 1), '/+$$', '') AS path,
+      |    regexp_extract(s, '\\?(.*)', 1) AS q
       |  FROM sl),
       |canon AS (SELECT doc_id, url,
       |    host || path ||
@@ -1503,4 +1509,70 @@ object Dedup {
       |  cast(count(*) AS bigint) AS n_docs,
       |  cast(count(DISTINCT url) AS bigint) AS n_raw_forms
       |FROM canon GROUP BY canon_url""".stripMargin
+
+  // ---- Per-host quota (t55) ----
+
+  /** Documents kept per canonical host — small enough that the planted
+    * 5-host crawl (Site0..Site4) overflows it, so the quota genuinely
+    * binds in the graded run.
+    */
+  val HostQuota: Int = 3
+
+  /** t55: per-domain document quota — C4/RefinedWeb cap a single host's
+    * contribution so boilerplate-heavy mega-domains cannot dominate the
+    * training mix (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.1 apply
+    * the cap right after URL dedup). Keep the [[HostQuota]]
+    * highest-quality documents per canonical host (t2's quality score,
+    * doc_id tie-break), reporting each keeper's within-host rank.
+    *
+    * Plan/scale (100 TB): host extraction is the d14 canonicalizer's
+    * codegen string chain (map-only), quality is t2's map-only formula,
+    * and the ranking is the [[graft.plans.TopKPerKey]] physical node —
+    * bounded 3-row heaps per host on the map side, so a hot host
+    * (1e6 crawled pages behind one domain) ships ~3 rows per mapper to
+    * the reduce side instead of materializing the host's full partition
+    * under a row_number window sort. The oracle replays it as the
+    * equivalent window — affordable at sf0.1, not at 100 TB.
+    */
+  def hostQuotaKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val hosts = plantedCrawlUrls(docs).select(
+      col("doc_id"),
+      regexp_extract(canonicalUrlCol(col("url")), "^([^/?]+)", 1).as("host"))
+    val quality = docs.select(
+      col("doc_id"), TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
+    hostQuotaKeepOf(hosts.join(quality, "doc_id"))
+  }
+
+  /** [[hostQuotaKeep]] over any (doc_id, host, quality_e4) frame — the
+    * hot-host flood-test seam.
+    */
+  private[graft] def hostQuotaKeepOf(
+      scored: DataFrame, quota: Int = HostQuota): DataFrame =
+    graft.plans.TopKPerKey(
+      scored,
+      Seq(col("host")),
+      Seq(col("quality_e4").desc, col("doc_id")),
+      quota, "host_rank")
+      .select(col("doc_id"), col("host"), col("quality_e4"), col("host_rank"))
+
+  def hostQuotaOracleSql: String =
+    s"""WITH $plantedUrlsSqlCte,
+       |hosts AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(regexp_extract(
+       |      regexp_replace(regexp_replace(url, '#.*', ''), '^[a-zA-Z]+://', ''),
+       |      '^([^/?]+)', 1)), '^www\\.', '') AS host
+       |  FROM urls),
+       |q AS (
+       |  SELECT doc_id, ${TextAnalysis.qualityE4ExprSql} AS quality_e4
+       |  FROM (${TextAnalysis.qualityBaseSql()})),
+       |ranked AS (
+       |  SELECT h.doc_id, h.host, q.quality_e4,
+       |    cast(row_number() OVER (
+       |      PARTITION BY h.host
+       |      ORDER BY q.quality_e4 DESC, h.doc_id) AS int) AS host_rank
+       |  FROM hosts h JOIN q USING (doc_id))
+       |SELECT doc_id, host, quality_e4, host_rank
+       |FROM ranked WHERE host_rank <= $HostQuota""".stripMargin
 }

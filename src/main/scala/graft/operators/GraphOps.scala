@@ -70,18 +70,38 @@ object GraphOps {
     // Checkpointing truncates the logical plan to the materialized
     // blocks each round; on a real cluster prefer reliable checkpoint()
     // so a lost executor can't kill a 45-round run.
+    //
+    // Convergence probe: ONE map-side-combined aggregate per round
+    // (count + two independent bit_xor'd xxhash64 digests — xor cannot
+    // overflow under ANSI arithmetic) instead of a count job plus an
+    // exceptAll set-difference shuffle every round. Matching checksums
+    // on two distinct sets is strong evidence, not a proof, so the
+    // first match still pays one exact exceptAll confirm — but that now
+    // happens once at the fixpoint, not per round; equal sets always
+    // have equal checksums, so convergence is never missed, and a
+    // spurious collision merely costs one extra exact check.
+    def probe(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))"),
+        expr("bit_xor(xxhash64(b, a, 77))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var cur = canon.localCheckpoint()
-    var curCount = cur.count()
-    var converged = curCount == 0L
+    var curSig = probe(cur)
+    var converged = curSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextCount = next.count()
-      // both sides are distinct sets: equal size + empty difference ⇒ equal
-      converged = nextCount == curCount &&
+      val nextSig = probe(next)
+      // both sides are distinct sets: equal checksums gate the one
+      // exact equality check (equal size + empty difference ⇒ equal)
+      converged = nextSig == curSig &&
         next.exceptAll(cur).limit(1).count() == 0L
       cur = next
-      curCount = nextCount
+      curSig = nextSig
       iter += 1
     }
     require(converged, s"star rounds did not converge in $maxIter iterations")

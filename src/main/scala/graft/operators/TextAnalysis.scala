@@ -95,6 +95,48 @@ object TextAnalysis {
        |    AS pieces_per_token_e4
        |FROM seeded""".stripMargin
 
+  /** t47: tokenizer fertility by language — the per-language evaluation a
+    * tokenizer ships with (Rust et al. 2021, "How Good is Your Tokenizer?"):
+    * fertility = BPE pieces per whitespace word, plus chars per piece, so
+    * vocab allocation across languages is decided from measurement. One
+    * map-only per-doc projection (the t21 formulas, shared so they cannot
+    * drift) then ONE groupBy(lang) with map-side partial aggregation into
+    * a |langs|-bounded frame — at 100 TB this runs at scan speed and
+    * shuffles a few dozen rows per mapper.
+    */
+  def tokenizerFertilityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents").select(col("lang"), col("text"))
+    val nWs = nTokensCol(col("text"))
+    val nPieces = size(expr(s"regexp_extract_all(text, '$BpePieceRe', 0)")).cast("bigint")
+    d.select(col("lang"), nWs.as("ws"), nPieces.as("pc"), length(col("text")).cast("bigint").as("ch"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("pc")).as("bpe_pieces"),
+        Exact.e(sum(col("pc")).cast("double") / sum(col("ws")).cast("double"), 4)
+          .as("fertility_e4"),
+        Exact.e(sum(col("ch")).cast("double") / sum(col("pc")).cast("double"), 4)
+          .as("chars_per_piece_e4"))
+  }
+
+  def tokenizerFertilityByLangOracleSql: String =
+    s"""WITH per AS (
+       |  SELECT lang,
+       |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS ws,
+       |    cast(len(regexp_extract_all(text, '$BpePieceRe')) AS bigint) AS pc,
+       |    cast(length(text) AS bigint) AS ch
+       |  FROM documents)
+       |SELECT lang,
+       |  count(*) AS n_docs,
+       |  sum(ws) AS ws_tokens,
+       |  sum(pc) AS bpe_pieces,
+       |  cast(floor(cast(sum(pc) AS double) / sum(ws) * 10000.0 + 0.5) AS bigint)
+       |    AS fertility_e4,
+       |  cast(floor(cast(sum(ch) AS double) / sum(pc) * 10000.0 + 0.5) AS bigint)
+       |    AS chars_per_piece_e4
+       |FROM per GROUP BY lang""".stripMargin
+
   /** The e4 heuristic quality score of a text column (length signal +
     * stopword-rate signal) — THE scoring formula, shared by the batch
     * stats (t2), the selection gate (t20), and the streaming gate. The

@@ -525,4 +525,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(sources.nonEmpty && sources.forall(flagged.contains),
       "a planted clone source escaped decontamination")
   }
+
+  test("t55: per-host quota keeps exactly the top-quality docs per host; TopKPerKey plan, no window") {
+    import org.apache.spark.sql.functions.col
+    val out = Dedup.hostQuotaKeep(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"),
+        r.getAs[Long]("quality_e4"), r.getAs[Int]("host_rank")))
+    // replay from the two independently-tested building blocks: the d14
+    // canonical host and the graded t2 quality frame
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val host = Dedup.plantedCrawlUrls(docs)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.regexp_extract(
+          Dedup.canonicalUrlCol(col("url")), "^([^/?]+)", 1).as("host"))
+      .as[(Long, String)].collect().toMap
+    val quality = graft.operators.TextAnalysis.qualityScores(spark, sf0001)
+      .select(col("doc_id"), col("quality_e4"))
+      .as[(Long, Long)].collect().toMap
+    val expected = host.groupBy(_._2).flatMap { case (h, members) =>
+      members.keys.toSeq
+        .sortBy(id => (-quality(id), id))
+        .take(Dedup.HostQuota)
+        .zipWithIndex
+        .map { case (id, i) => (id, h, quality(id), i + 1) }
+    }.toSet
+    assert(out.toSet === expected, "t55 diverged from the JVM replay")
+    // the quota binds: the planted crawl has 5 hosts × ~100 docs each
+    assert(out.length === 5 * Dedup.HostQuota)
+    // plan: bounded per-host heaps, not a full-host window sort
+    val plan = Dedup.hostQuotaKeep(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected the TopKPerKey node:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window sort:\n$plan")
+  }
 }

@@ -185,6 +185,46 @@ class ScaleOpsSpec extends SparkSuite {
       s"d12 wall-time not flood-bounded: base ${t12b / 1e9}s, flood ${t12f / 1e9}s")
   }
 
+  test("hot-host flood: ONE host at 5×10⁴ docs costs t55 a bounded heap, not a window sort") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    // the mega-domain shape: one host contributing 50k crawled pages
+    // while every other host stays small — the pathology the per-host
+    // quota exists to decapitate, and exactly where a row_number window
+    // would sort the whole hot host in one task
+    val m = 50000
+    val base = spark.range(500).select(
+      col("id").as("doc_id"),
+      concat(lit("site"), (col("id") % 5).cast("string"), lit(".example.org")).as("host"),
+      (col("id") % 9973).as("quality_e4"))
+    val flood = base.unionByName(
+      spark.range(m.toLong).select(
+        (lit(40000000L) + col("id")).as("doc_id"),
+        lit("megahost.example.org").as("host"),
+        (col("id") % 9973).as("quality_e4")))
+      .localCheckpoint()
+    def timed(df: org.apache.spark.sql.DataFrame): (Long, Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime; val r = df.collect(); (System.nanoTime - t0, r)
+    }
+    val (tb, rb) = timed(Dedup.hostQuotaKeepOf(base.localCheckpoint()))
+    val (tf, rf) = timed(Dedup.hostQuotaKeepOf(flood))
+    // output is quota-bounded per host regardless of host size
+    assert(rb.length === 5 * Dedup.HostQuota)
+    assert(rf.length === 6 * Dedup.HostQuota)
+    val mega = rf.filter(_.getString(1) == "megahost.example.org")
+    assert(mega.length === Dedup.HostQuota)
+    // the keepers are the true top-quality docs of the hot host: quality
+    // peaks at 9972 once per 9973 ids, so top-3 are exactly rank-ordered
+    val expectTop = (0L until m.toLong).map(i => (40000000L + i, i % 9973))
+      .sortBy { case (id, q) => (-q, id) }.take(Dedup.HostQuota)
+    assert(mega.sortBy(_.getInt(3)).map(r => (r.getLong(0), r.getLong(2))).toSeq
+      === expectTop)
+    // wall-time stays in the base band: the 100×-doc flood may cost
+    // proportionally (map-side heap scan) but not quadratically, and the
+    // absolute bound keeps a single-task 50k sort from hiding in noise
+    assert(tf <= 6L * tb + 2000000000L,
+      s"t55 wall-time not flood-bounded: base ${tb / 1e9}s, flood ${tf / 1e9}s")
+  }
+
   test("event-time window + watermark aggregates late-tolerant (ST2 extension)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

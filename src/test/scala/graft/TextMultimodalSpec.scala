@@ -687,6 +687,38 @@ class TextMultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
   }
 
+  test("t47: per-language fertility equals a JVM replay; one lang-bounded aggregate") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.tokenizerFertilityByLang(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Long]("bpe_pieces"), r.getAs[Long]("fertility_e4"),
+          r.getAs[Long]("chars_per_piece_e4"))))
+      .toMap
+    // independent replay: java.util.regex over the collected corpus
+    val re = java.util.regex.Pattern.compile("( ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+)")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "text").as[(String, String)].collect()
+    def pieces(t: String): Long = {
+      val m = re.matcher(t); var n = 0L; while (m.find()) n += 1; n
+    }
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val ws = rows.map(_._2.count(_ == ' ').toLong + 1).sum
+      val pc = rows.map(r => pieces(r._2)).sum
+      val ch = rows.map(_._2.length.toLong).sum
+      def e4(x: Double) = math.floor(x * 10000.0 + 0.5).toLong
+      lang -> ((rows.length.toLong, ws, pc, e4(pc.toDouble / ws), e4(ch.toDouble / pc)))
+    }
+    assert(out === expected, "t47 diverged from the JVM replay")
+    assert(out.size > 1, "fertility table needs multiple languages to be a signal")
+    // plan: map-only projection + ONE partial-aggregated exchange
+    val plan = TextAnalysis.tokenizerFertilityByLang(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
   test("m7: relational fingerprint ≡ scalar JVM twin on every corpus payload") {
     import graft.operators.MultimodalOps
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

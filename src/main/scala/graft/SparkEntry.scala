@@ -130,6 +130,9 @@ object SparkEntry {
     // bounded rollup (no window, no self-join)
     "w9_cohort_retention" -> ((s: SparkSession, d: String) =>
       RelationalOps.cohortRetention(s, d)),
+    // conversion-latency quantiles per cohort: rides w8's funnel; exact
+    // nearest-rank stats over the |converted-users|-bounded frame
+    "w10_conversion_latency" -> RelationalOps.conversionLatency _,
     "g4_event_cube" -> RelationalOps.eventCube _,
     "j5_asof_purchase_view" -> graft.operators.TemporalJoins.asOfPurchaseView _,
     "j6_range_purchase_error" -> graft.operators.TemporalJoins.purchaseErrorWithin _,
@@ -454,6 +457,9 @@ object SparkEntry {
     // complement of d9's fuzzy pass; broadcast eval grams, one shuffle
     "d15_ngram_decontamination" -> ((s: SparkSession, d: String) =>
       Dedup.ngramDecontamination(s, d, plantClones = true)),
+    // dedup threshold sensitivity: pairs-per-jaccard-bucket + cumulative
+    // curve from one d3-priced pass — the pre-commit threshold study
+    "d16_threshold_sensitivity" -> Dedup.thresholdSensitivity _,
     // segment-level exact-substring dedup + asymmetric containment —
     // plantCopies seeds deterministic PARTIAL copies (first 24 tokens of
     // the first 10 docs), the duplication shape symmetric Jaccard misses
@@ -696,6 +702,9 @@ object SparkEntry {
 
   def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_asset_meta" -> MultimodalOps.assetMeta _,
+    // LAION-style ingest gate: dimension/aspect/byte floors + declared-
+    // vs-actual size agreement, map-only — prunes the decode stage input
+    "m8_media_quality_gate" -> MultimodalOps.mediaQualityGate _,
     // the feature vector itself stays a Dataset-level column (asserted in
     // TextMultimodalSpec); the query reports its scalar statistics, which
     // the DuckDB oracle replays byte-for-byte from the text
@@ -1066,6 +1075,7 @@ object SparkEntry {
         |    FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec FROM events)))""".stripMargin,
     "w8_signup_funnel" -> RelationalOps.signupFunnelOracleSql,
     "w9_cohort_retention" -> RelationalOps.cohortRetentionOracleSql(),
+    "w10_conversion_latency" -> RelationalOps.conversionLatencyOracleSql,
     "g4_event_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type_g,
         |  coalesce(cast(day AS string), 'ALL') AS day_g,
@@ -1703,6 +1713,7 @@ object SparkEntry {
     "d6_simhash_pairs" -> Dedup.simhashPairsOracleSql,
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
     "d15_ngram_decontamination" -> Dedup.ngramDecontaminationOracleSql,
+    "d16_threshold_sensitivity" -> Dedup.thresholdSensitivityOracleSql,
     "d10_segment_dedup" -> Dedup.duplicatedSegmentsOracleSql,
     "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
@@ -1908,5 +1919,6 @@ object SparkEntry {
     "m5_feature_topk" -> MultimodalOps.featureTopKOracleSql(),
     "m6_container_frames" -> MultimodalOps.containerFrameStatsOracleSql,
     "m7_phash_dup_groups" -> MultimodalOps.phashDupGroupsOracleSql,
+    "m8_media_quality_gate" -> MultimodalOps.mediaQualityGateOracleSql,
   )
 }

@@ -1510,6 +1510,69 @@ object Dedup {
       |  cast(count(DISTINCT url) AS bigint) AS n_raw_forms
       |FROM canon GROUP BY canon_url""".stripMargin
 
+  // ---- Threshold sensitivity sweep (d16) ----
+
+  /** Sweep floor as a bucket index (jaccard 0.30 at 0.05 grain): the
+    * sweep scores every capped candidate pair once and histograms from
+    * here up, so the floor is a bucket comparison — bit-identical in
+    * both engines — never a float threshold test.
+    */
+  val SweepFloorBucket: Int = 6
+
+  /** d16: dedup threshold sensitivity — the measurement you run BEFORE
+    * committing a near-dup threshold on 100 TB: how many pairs (and thus
+    * how much of the corpus) each candidate threshold would merge. One
+    * row per 0.05 jaccard bucket ≥ 0.30 with the bucket count and the
+    * cumulative pairs-at-or-above count — the knee of that curve is the
+    * defensible threshold choice (Lee et al. 2022 pick 0.8 this way).
+    *
+    * Plan/scale (100 TB): the pair scoring is d3's capped inverted-index
+    * machinery (posting lists doc-freq-capped, so candidate volume is
+    * density-bounded — measured in docs/SCALING.md); the sweep adds ONE
+    * map-side-combined groupBy into a ≤15-row bucket frame and a window
+    * over THAT frame (waived: constant-size at any sf). Running the
+    * sweep costs the same as running d3 once at the floor threshold —
+    * not once per candidate threshold.
+    */
+  def thresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val stats = pairStats(shingles(spark, dir), DefaultMaxDocFreq)
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common")).cast("double")
+    val hist = stats
+      .select(floor(jac * lit(20)).cast("bigint").as("b"))
+      .filter(col("b") >= lit(SweepFloorBucket))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_pairs"))
+    hist.select(
+      (col("b") * lit(5)).as("threshold_e2"),
+      col("n_pairs"),
+      sum(col("n_pairs")).over(Window.orderBy(col("b").desc)).as("n_pairs_ge"))
+  }
+
+  def thresholdSensitivityOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ok_sh AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DefaultMaxDocFreq),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok_sh USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT cast(floor(cast(common AS double) / (sa.n + sb.n - common) * 20) AS bigint) AS b
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = pairs.a
+       |  JOIN sizes sb ON sb.doc_id = pairs.b),
+       |hist AS (
+       |  SELECT b, count(*) AS n_pairs FROM bk WHERE b >= $SweepFloorBucket GROUP BY b)
+       |SELECT b * 5 AS threshold_e2, n_pairs,
+       |  cast(sum(n_pairs) OVER (ORDER BY b DESC) AS bigint) AS n_pairs_ge
+       |FROM hist""".stripMargin
+
   // ---- Per-host quota (t55) ----
 
   /** Documents kept per canonical host — small enough that the planted

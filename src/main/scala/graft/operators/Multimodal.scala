@@ -161,7 +161,13 @@ object MultimodalOps {
     * oracle-checkable; the payload is real binary plumbing.
     */
   def assets(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents").select(
+    assetsOf(table(spark, dir, "documents"))
+
+  /** The asset projection over any (doc_id, text, n_chars) frame — the
+    * micro-batch seam of the streaming media gate.
+    */
+  private[graft] def assetsOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
@@ -178,6 +184,60 @@ object MultimodalOps {
       col("meta.width").as("width"),
       col("meta.height").as("height"),
       octet_length(col("payload")).cast("bigint").as("n_bytes"))
+
+  /** m8: media quality gate — the LAION-style pre-filters every
+    * image-text pipeline runs before any model touches a pixel
+    * (Schuhmann et al. 2021 drop tiny images and extreme aspect ratios
+    * at ingest): per-asset rule flags + verdict, the multimodal twin of
+    * t54's page-policy report. Rules: dimension floors (width ≥ 8,
+    * height ≥ 2), aspect-ratio cap (width ≤ 16×height), byte floor
+    * (≥ 100), and declared-vs-actual size agreement (a corrupt or
+    * truncated payload fails before the decoder sees it). Map-only over
+    * the asset frame — at 100 TB this runs at scan speed and the
+    * verdict prunes the (expensive) decode stage's input.
+    */
+  def mediaQualityGate(spark: SparkSession, dir: String): DataFrame =
+    mediaQualityGateOf(assets(spark, dir))
+
+  /** [[mediaQualityGate]] over any assets-shaped frame (doc_id, payload,
+    * meta struct) — the seam the streaming media gate feeds micro-batches
+    * through, so at-arrival and batch verdicts share ONE rule set.
+    */
+  private[graft] def mediaQualityGateOf(assetsFrame: DataFrame): DataFrame =
+    assetsFrame.select(
+      col("doc_id"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      col("meta.n_bytes").as("declared_bytes"))
+      .select(
+        col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        (col("width") < 8).as("too_narrow"),
+        (col("height") < 2).as("too_flat"),
+        (col("width") > col("height") * 16).as("bad_aspect"),
+        (col("n_bytes") < 100).as("too_few_bytes"),
+        (col("n_bytes") =!= col("declared_bytes")).as("size_mismatch"))
+      .withColumn("kept",
+        !(col("too_narrow") || col("too_flat") || col("bad_aspect") ||
+          col("too_few_bytes") || col("size_mismatch")))
+
+  def mediaQualityGateOracleSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    cast((n_chars % 64) + 1 AS int) AS width,
+      |    cast(floor(n_chars / 64) + 1 AS int) AS height,
+      |    n_chars AS n_bytes,
+      |    n_chars AS declared_bytes
+      |  FROM documents)
+      |SELECT doc_id, width, height, n_bytes,
+      |  width < 8 AS too_narrow,
+      |  height < 2 AS too_flat,
+      |  width > height * 16 AS bad_aspect,
+      |  n_bytes < 100 AS too_few_bytes,
+      |  n_bytes <> declared_bytes AS size_mismatch,
+      |  NOT (width < 8 OR height < 2 OR width > height * 16
+      |       OR n_bytes < 100 OR n_bytes <> declared_bytes) AS kept
+      |FROM a""".stripMargin
 
   /** STUB: a real implementation would hand `payload` to an image/audio
     * codec here (???). This deterministic fake — a 16-bin byte histogram

@@ -547,6 +547,75 @@ object RelationalOps {
        |    AS retention_e4
        |FROM ret r JOIN sizes s USING (cohort_week)""".stripMargin
 
+  /** w10: funnel conversion-latency distribution — for every user who
+    * completed w8's signup→click→purchase funnel, the signup→purchase
+    * latency, rolled up per signup-week cohort into exact nearest-rank
+    * quantiles (min / lower-median / p90 / max). Rank-based quantiles on
+    * INTEGER seconds, not percentile interpolation, so both engines
+    * compute the identical element — the number a growth dashboard
+    * ships next to the w9 retention matrix.
+    *
+    * Scale shape: rides the w8 funnel (conditional min-aggregations,
+    * |users|-bounded frames, broadcast assembly); the ranking windows
+    * run over the CONVERTED-users frame partitioned by cohort week —
+    * cohort-sized partitions of an already user-bounded frame, never
+    * the event log (the 10⁷-event power user costs one row here).
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val conv = signupFunnel(spark, dir)
+      .filter(col("purchase_sec").isNotNull)
+      .select(col("user_id"),
+        floor(col("signup_sec") / lit(604800L)).as("cohort_week"),
+        (col("purchase_sec") - col("signup_sec")).as("latency_sec"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    val ranked = conv
+      .withColumn("rn", row_number().over(
+        byCohort.orderBy(col("latency_sec"), col("user_id"))).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(byCohort))
+    ranked.groupBy(col("cohort_week"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min(col("latency_sec")).as("min_sec"),
+        max(when(col("rn") === floor((col("n") + lit(1)) / lit(2)),
+          col("latency_sec"))).as("median_sec"),
+        max(when(col("rn") === ceil(col("n") * lit(9) / lit(10.0)),
+          col("latency_sec"))).as("p90_sec"),
+        max(col("latency_sec")).as("max_sec"))
+  }
+
+  def conversionLatencyOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, cast(floor(epoch(ts)) AS bigint) AS sec
+       |  FROM events),
+       |s AS (SELECT user_id, min(sec) AS signup_sec FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.sec) AS click_sec
+       |  FROM ev e JOIN s ON s.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.sec > s.signup_sec
+       |    AND e.sec <= s.signup_sec + $FunnelHopSec
+       |  GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.sec) AS purchase_sec
+       |  FROM ev e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.sec > c.click_sec
+       |    AND e.sec <= c.click_sec + $FunnelHopSec
+       |  GROUP BY 1),
+       |conv AS (
+       |  SELECT s.user_id, s.signup_sec // 604800 AS cohort_week,
+       |    p.purchase_sec - s.signup_sec AS latency_sec
+       |  FROM s JOIN p ON p.user_id = s.user_id),
+       |ranked AS (
+       |  SELECT cohort_week, latency_sec,
+       |    row_number() OVER (PARTITION BY cohort_week
+       |      ORDER BY latency_sec, user_id) AS rn,
+       |    count(*) OVER (PARTITION BY cohort_week) AS n
+       |  FROM conv)
+       |SELECT cohort_week, count(*) AS n_converted,
+       |  min(latency_sec) AS min_sec,
+       |  max(CASE WHEN rn = (n + 1) // 2 THEN latency_sec END) AS median_sec,
+       |  max(CASE WHEN rn = ceil(n * 9 / 10.0) THEN latency_sec END) AS p90_sec,
+       |  max(latency_sec) AS max_sec
+       |FROM ranked GROUP BY cohort_week""".stripMargin
+
   /** CUBE grouping sets over (event_type, day). */
   def eventCube(spark: SparkSession, dir: String): DataFrame =
     eventsTable(spark, dir)

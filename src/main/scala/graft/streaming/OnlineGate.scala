@@ -385,49 +385,11 @@ object OnlineGate {
       clfFrames: Option[(DataFrame, DataFrame, DataFrame)], c4Policy: Boolean,
       minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long,
       compactEvery: Long): Unit = {
-    import graft.operators.{Expectations, Sketches}
-    val bloomRoot = s"$outPath/bloom"
-    val seenRoot = s"$outPath/seen"
-    val conf = spark.sparkContext.hadoopConfiguration
-    def exists(pth: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(pth)
-      p.getFileSystem(conf).exists(p)
-    }
+    import graft.operators.Expectations
     val keyed = b.select(col("doc_id"),
       identityExpr(identityCol, canonicalizeUrl).as("ident"))
     val idents = keyed.select(col("ident")).distinct().localCheckpoint()
-    // bloom pre-filter over the STRICTLY EARLIER prefix: an ident missing
-    // any bit is definitely new; only hits go to the exact confirm
-    val candidates =
-      if (!exists(bloomRoot)) idents.limit(0)
-      else {
-        val acc = spark.read.parquet(bloomRoot).filter(col("batch_id") < id)
-          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
-        Sketches.bloomPositions(idents, "ident")
-          .join(broadcast(acc), Seq("w"), "left")
-          .select(col("ident"),
-            when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"), 1)
-              .otherwise(0).as("hit"))
-          .groupBy(col("ident")).agg(min(col("hit")).as("allhit"))
-          .filter(col("allhit") === 1).select(col("ident"))
-          .localCheckpoint()
-      }
-    val candBuckets = candidates
-      .select(pmod(hash(col("ident")), lit(SeenBuckets)).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    // exact confirm, bucket-pruned to the candidates — bloom FPs die here
-    val seenBefore =
-      if (candBuckets.isEmpty) idents.limit(0)
-      else spark.read.parquet(seenRoot)
-        .filter(col("batch_id") < id && col("bucket").isin(candBuckets: _*))
-        .join(broadcast(candidates), Seq("ident"), "left_semi")
-        .select(col("ident")).distinct()
-    val firstInBatch = keyed.groupBy(col("ident")).agg(min(col("doc_id")).as("first_doc"))
-    val firstSeen = keyed
-      .join(broadcast(seenBefore.withColumn("seen", lit(true))), Seq("ident"), "left")
-      .join(firstInBatch, Seq("ident"))
-      .select(col("doc_id"),
-        (col("seen").isNull && col("doc_id") === col("first_doc")).as("first_seen"))
+    val firstSeen = FirstSeen.probe(spark, outPath, keyed, idents, id)
     // the aggregate expectation report rides along as the quality timeline
     Expectations.docExpectations(b).coalesce(1)
       .write.mode("overwrite").parquet(s"$outPath/expect/batch_id=$id")
@@ -461,47 +423,7 @@ object OnlineGate {
     composeFullDecision(withSignals, lmPass, langPass, clfPass, c4Policy,
         minQualityE4, minTokens, maxTokens)
       .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
-    // state updates — EVERY arriving ident enters the seen set (kept or
-    // rejected: first-seen is about arrival, not admission). Exact rows
-    // FIRST, bloom partial second: a bloom bit without its exact rows
-    // could mis-confirm a later FP as seen. Every CompactEvery batches
-    // the write folds the whole earlier prefix into this batch's
-    // partition and drops the older directories (see the gate scaladoc
-    // for the crash-safety argument).
-    val compacting = compactEvery > 0 && id > 0 && id % compactEvery == 0
-    val newSeen = idents
-      .withColumn("bucket", pmod(hash(col("ident")), lit(SeenBuckets)))
-    val seenOut =
-      if (compacting && exists(seenRoot))
-        spark.read.parquet(seenRoot).filter(col("batch_id") <= id)
-          .select(col("ident"), col("bucket"))
-          .unionByName(newSeen).distinct()
-          .localCheckpoint() // materialize BEFORE overwriting a source dir
-      else newSeen
-    seenOut.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$seenRoot/batch_id=$id")
-    val newBloom = Sketches.bloomPositions(idents, "ident")
-      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
-    val bloomOut =
-      if (compacting && exists(bloomRoot))
-        spark.read.parquet(bloomRoot).filter(col("batch_id") <= id)
-          .select(col("w"), col("bits"))
-          .unionByName(newBloom)
-          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
-          .localCheckpoint()
-      else newBloom
-    bloomOut.coalesce(1)
-      .write.mode("overwrite").parquet(s"$bloomRoot/batch_id=$id")
-    if (compacting) Seq(seenRoot, bloomRoot).foreach { root =>
-      val rp = new org.apache.hadoop.fs.Path(root)
-      val fs = rp.getFileSystem(conf)
-      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith("batch_id=") &&
-            nm.stripPrefix("batch_id=").toLongOption.exists(_ < id))
-          fs.delete(st.getPath, true)
-      }
-    }
+    FirstSeen.update(spark, outPath, idents, id, compactEvery)
   }
 
   /** Fold the seen/bloom per-batch partials into one consolidated
@@ -686,4 +608,194 @@ object OnlineGate {
           col("quality_e4") >= minQualityE4 &&
             col("n_tokens").between(minTokens, maxTokens))
     }
+}
+
+/** Persisted exactly-first-seen state over an opaque string identity —
+  * factored from the full ingest gate so every at-arrival dedup keyed on
+  * a string (canonical URL, perceptual hash, checksum) shares ONE probe
+  * and ONE state layout. Per batch: a bloom prefix-filter over the
+  * strictly-earlier prefix (an ident missing any bit is definitely new),
+  * a bucket-pruned exact confirm (bloom false positives die here), and
+  * the min-doc_id first-in-batch rule. State is per-batch idempotent
+  * overwrites folded every `compactEvery` batches — see the full gate's
+  * scaladoc for the crash-safety argument (unchanged by this factoring;
+  * the on-disk layout under `root` is byte-compatible).
+  */
+private[streaming] object FirstSeen {
+  import graft.operators.Sketches
+
+  private def exists(spark: SparkSession, pth: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pth)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** (doc_id, first_seen) for batch `id`. `keyed` is (doc_id, ident);
+    * `idents` must be `keyed`'s distinct idents, materialized (both the
+    * probe and the later [[update]] reuse it).
+    */
+  def probe(
+      spark: SparkSession, root: String,
+      keyed: DataFrame, idents: DataFrame, id: Long): DataFrame = {
+    val bloomRoot = s"$root/bloom"
+    val seenRoot = s"$root/seen"
+    // bloom pre-filter over the STRICTLY EARLIER prefix: an ident missing
+    // any bit is definitely new; only hits go to the exact confirm
+    val candidates =
+      if (!exists(spark, bloomRoot)) idents.limit(0)
+      else {
+        val acc = spark.read.parquet(bloomRoot).filter(col("batch_id") < id)
+          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+        Sketches.bloomPositions(idents, "ident")
+          .join(broadcast(acc), Seq("w"), "left")
+          .select(col("ident"),
+            when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"), 1)
+              .otherwise(0).as("hit"))
+          .groupBy(col("ident")).agg(min(col("hit")).as("allhit"))
+          .filter(col("allhit") === 1).select(col("ident"))
+          .localCheckpoint()
+      }
+    val candBuckets = candidates
+      .select(pmod(hash(col("ident")), lit(OnlineGate.SeenBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // exact confirm, bucket-pruned to the candidates — bloom FPs die here
+    val seenBefore =
+      if (candBuckets.isEmpty) idents.limit(0)
+      else spark.read.parquet(seenRoot)
+        .filter(col("batch_id") < id && col("bucket").isin(candBuckets: _*))
+        .join(broadcast(candidates), Seq("ident"), "left_semi")
+        .select(col("ident")).distinct()
+    val firstInBatch = keyed.groupBy(col("ident")).agg(min(col("doc_id")).as("first_doc"))
+    keyed
+      .join(broadcast(seenBefore.withColumn("seen", lit(true))), Seq("ident"), "left")
+      .join(firstInBatch, Seq("ident"))
+      .select(col("doc_id"),
+        (col("seen").isNull && col("doc_id") === col("first_doc")).as("first_seen"))
+  }
+
+  /** State updates — EVERY arriving ident enters the seen set (kept or
+    * rejected: first-seen is about arrival, not admission). Exact rows
+    * FIRST, bloom partial second: a bloom bit without its exact rows
+    * could mis-confirm a later FP as seen. Every `compactEvery` batches
+    * the write folds the whole earlier prefix into this batch's
+    * partition and drops the older directories.
+    */
+  def update(
+      spark: SparkSession, root: String,
+      idents: DataFrame, id: Long, compactEvery: Long): Unit = {
+    val bloomRoot = s"$root/bloom"
+    val seenRoot = s"$root/seen"
+    val compacting = compactEvery > 0 && id > 0 && id % compactEvery == 0
+    val newSeen = idents
+      .withColumn("bucket", pmod(hash(col("ident")), lit(OnlineGate.SeenBuckets)))
+    val seenOut =
+      if (compacting && exists(spark, seenRoot))
+        spark.read.parquet(seenRoot).filter(col("batch_id") <= id)
+          .select(col("ident"), col("bucket"))
+          .unionByName(newSeen).distinct()
+          .localCheckpoint() // materialize BEFORE overwriting a source dir
+      else newSeen
+    seenOut.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$seenRoot/batch_id=$id")
+    val newBloom = Sketches.bloomPositions(idents, "ident")
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+    val bloomOut =
+      if (compacting && exists(spark, bloomRoot))
+        spark.read.parquet(bloomRoot).filter(col("batch_id") <= id)
+          .select(col("w"), col("bits"))
+          .unionByName(newBloom)
+          .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+          .localCheckpoint()
+      else newBloom
+    bloomOut.coalesce(1)
+      .write.mode("overwrite").parquet(s"$bloomRoot/batch_id=$id")
+    if (compacting) Seq(seenRoot, bloomRoot).foreach { r =>
+      val rp = new org.apache.hadoop.fs.Path(r)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("batch_id=") &&
+            nm.stripPrefix("batch_id=").toLongOption.exists(_ < id))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+}
+
+/** The at-arrival MEDIA ingest gate — the multimodal twin of the text
+  * gate: every arriving asset is judged ONCE, at arrival, by
+  *
+  *   - the m8 quality rules (dimension floors, aspect cap, byte floor,
+  *     declared-vs-actual size agreement — map-only, shared with the
+  *     graded batch query through [[graft.operators.MultimodalOps
+  *     .mediaQualityGateOf]]), and
+  *   - perceptual first-seen: the m7 fingerprint
+  *     ([[graft.operators.MultimodalOps.phashOf]] — the aHash shape) as
+  *     the [[FirstSeen]] identity, so a re-crawled or re-encoded copy of
+  *     an already-ingested asset is suppressed against the FULL
+  *     accumulated history, not just its own micro-batch.
+  *
+  * kept = quality ∧ first_seen. Decisions are idempotent per-batch
+  * overwrites; the state is the factored [[FirstSeen]] store (bloom
+  * prefix + bucketed exact confirm, compacted), so crash/replay and
+  * state-bounding arguments are inherited, and StreamingSpec pins
+  * at-arrival ≡ [[mediaGateCold]] bit-for-bit over multi-batch ingest.
+  *
+  * Scale shape per batch: the fingerprint is the m7 relational kernel
+  * (64-cell bounded partitions), the quality rules are codegen
+  * projections, and the probe touches only candidate buckets of the
+  * seen store — micro-batch-sized work against O(corpus) state.
+  */
+object MediaGate {
+  import graft.operators.MultimodalOps
+
+  /** Per-asset at-arrival verdicts over a streaming (doc_id, text,
+    * n_chars) frame. Output rows (decisions/batch_id=N):
+    * (doc_id, phash_hex, pass_quality, first_seen, kept).
+    */
+  def ingestStream(
+      docs: DataFrame, outPath: String, checkpoint: String,
+      compactEvery: Long = OnlineGate.CompactEvery): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        val quality = MultimodalOps.mediaQualityGateOf(MultimodalOps.assetsOf(b))
+          .select(col("doc_id"), col("kept").as("pass_quality"))
+        val keyed = MultimodalOps.phashOf(b.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("phash_hex").as("ident"))
+          .localCheckpoint()
+        val idents = keyed.select(col("ident")).distinct().localCheckpoint()
+        val firstSeen = FirstSeen.probe(spark, outPath, keyed, idents, id)
+        keyed.select(col("doc_id"), col("ident").as("phash_hex"))
+          .join(quality, Seq("doc_id"))
+          .join(firstSeen, Seq("doc_id"))
+          .withColumn("kept", col("pass_quality") && col("first_seen"))
+          .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
+        FirstSeen.update(spark, outPath, idents, id, compactEvery)
+      }
+      .start()
+
+  /** Accumulated at-arrival verdicts: one row per ingested asset. */
+  def decisions(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/decisions")
+
+  /** The cold twin: the same verdicts from one batch pass over the full
+    * corpus in arrival (doc_id) order — first_seen is the min-doc_id
+    * holder of each fingerprint, exactly the accumulated stream rule.
+    */
+  def mediaGateCold(docs: DataFrame): DataFrame = {
+    val quality = MultimodalOps.mediaQualityGateOf(MultimodalOps.assetsOf(docs))
+      .select(col("doc_id"), col("kept").as("pass_quality"))
+    val keyed = MultimodalOps.phashOf(docs.select(col("doc_id"), col("text")))
+    val firstDoc = keyed.groupBy(col("phash_hex"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    keyed.join(firstDoc, Seq("phash_hex"))
+      .select(col("doc_id"), col("phash_hex"),
+        (col("doc_id") === col("first_doc")).as("first_seen"))
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("phash_hex"), col("pass_quality"),
+        col("first_seen"),
+        (col("pass_quality") && col("first_seen")).as("kept"))
+  }
 }

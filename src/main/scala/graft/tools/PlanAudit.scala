@@ -99,6 +99,9 @@ object PlanAudit {
     ("t29_mixture_selection", "GlobalWindow") -> "window over the per-source rate table",
     // the t51 ranking window runs over the |sources|-row schedule frame
     ("t51_epoch_schedule", "GlobalWindow") -> "window over the per-source schedule frame",
+    // the d16 cumulative window runs over the ≤15-row jaccard-bucket
+    // histogram (Dedup.thresholdSensitivity) — constant-size at any sf
+    ("d16_threshold_sensitivity", "GlobalWindow") -> "window over the ≤15-row threshold-bucket frame",
     ("t51_epoch_schedule", Bnlj) -> "1-row corpus-total frame crossed into the per-source frame",
     // the brand-ranking fixture window runs over the ~25-row distinct
     // p_brand frame (Fixtures.codeLists) — constant-size at any sf

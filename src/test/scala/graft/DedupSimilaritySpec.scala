@@ -526,6 +526,44 @@ class DedupSimilaritySpec extends SparkSuite {
       "a planted clone source escaped decontamination")
   }
 
+  test("d16: threshold sensitivity curve equals an independent JVM all-pairs replay") {
+    val out = Dedup.thresholdSensitivity(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // independent replay: brute-force all-pairs jaccard over driver-side
+    // shingle sets (the inverted index and caps replayed from the spec)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh0 = docs.map { case (id, t) =>
+      val toks = t.split(" ")
+      id -> (if (toks.length < 3) Set.empty[String]
+             else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val df = sh0.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val sh = sh0.map { case (id, ss) => id -> ss.filter(df(_) <= Dedup.DefaultMaxDocFreq) }
+    val ids = docs.map(_._1).sorted
+    val buckets = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sh(ids(i)); b = sh(ids(j))
+      common = (a & b).size if common > 0
+      jac = common.toDouble / (a.size + b.size - common)
+      bk = math.floor(jac * 20).toLong if bk >= Dedup.SweepFloorBucket
+    } yield bk
+    val hist = buckets.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val expected = hist.map { case (b, n) =>
+      (b * 5) -> ((n, hist.filter(_._1 >= b).values.sum))
+    }
+    assert(out === expected, "d16 diverged from the all-pairs replay")
+    // non-vacuity: the curve must span >1 bucket and be monotone in ge
+    assert(out.size > 1)
+    val sorted = out.toSeq.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, (_, ge1)), (_, (_, ge2))) => ge1 >= ge2
+      case _ => true
+    })
+  }
+
   test("t55: per-host quota keeps exactly the top-quality docs per host; TopKPerKey plan, no window") {
     import org.apache.spark.sql.functions.col
     val out = Dedup.hostQuotaKeep(spark, sf0001)

@@ -826,6 +826,33 @@ class ScaleOpsSpec extends SparkSuite {
     assert(got.values.map(_._4).toSet.size > 1, "all users at one depth — vacuous")
   }
 
+  test("w10: cohort conversion-latency quantiles match a driver-side nearest-rank replay") {
+    // sf0.01, not sf0.001: the graded scale's event log is still small,
+    // and the tiny corpus has exactly ONE funnel completer — every
+    // quantile would degenerate to that row and the test proves nothing
+    val sf001 = "/root/testdata/sf0.01"
+    val got = graft.operators.RelationalOps.conversionLatency(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // replay on top of the independently-tested funnel output
+    val conv = graft.operators.RelationalOps.signupFunnel(spark, sf001)
+      .filter(col("purchase_sec").isNotNull)
+      .select(col("user_id"), col("signup_sec"), col("purchase_sec"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, s, p) => (u, s / 604800L, p - s) }
+    val expected = conv.groupBy(_._2).map { case (week, rows) =>
+      val lats = rows.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = lats.length
+      week -> ((n.toLong, lats.min,
+        lats((n + 1) / 2 - 1),
+        lats(math.ceil(n * 9 / 10.0).toInt - 1),
+        lats.max))
+    }
+    assert(got === expected, "w10 diverged from the nearest-rank replay")
+    // non-vacuity: a cohort with n ≥ 4 exists so median ≠ min ≠ max can bind
+    assert(expected.values.exists(_._1 >= 4L), "all cohorts tiny — quantiles vacuous")
+  }
+
   test("cohort retention matches a driver-side replay (week math exact: Monday deltas are multiples of 7)") {
     import java.time.{DayOfWeek, ZoneOffset}
     import java.time.temporal.{ChronoUnit, TemporalAdjusters}

@@ -1984,4 +1984,55 @@ class StreamingSpec extends SparkSuite {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("media ingest gate: at-arrival m8 ∧ perceptual first-seen ≡ cold; cross-batch re-crawls suppressed") {
+    import graft.streaming.MediaGate
+    val base = Files.createTempDirectory("mediagate")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // plant cross-batch perceptual re-crawls: selected docs reappear
+      // under new ids (identical bytes → identical fingerprint), arriving
+      // in LATER batches than their originals (doc_id order)
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 100 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars")))
+        .localCheckpoint()
+      val rows = planted.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      val mem = MemoryStream[(Long, String, Long)]
+      // compactEvery = 2 so the state-fold path runs mid-test too
+      val q = MediaGate.ingestStream(
+        mem.toDF().toDF("doc_id", "text", "n_chars"),
+        s"$base/out", s"$base/ckpt", compactEvery = 2)
+      try {
+        rows.grouped((rows.length + 3) / 4).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      def image(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val cols = Seq("doc_id", "phash_hex", "pass_quality", "first_seen", "kept")
+      val online = MediaGate.decisions(spark, s"$base/out").select(cols.map(col): _*)
+      val cold = MediaGate.mediaGateCold(planted).select(cols.map(col): _*)
+      assert(online.count() === rows.length.toLong)
+      assert(image(online) === image(cold),
+        "at-arrival media verdicts diverged from the cold pass")
+      val dec = online.localCheckpoint()
+      // every planted clone arrives after its original — all suppressed
+      assert(dec.filter(col("doc_id") >= 1000000L).count() > 0)
+      assert(dec.filter(col("doc_id") >= 1000000L && col("first_seen")).count() === 0,
+        "a planted perceptual re-crawl escaped first-seen suppression")
+      // both legs bind, and the gate still admits most of the corpus
+      assert(dec.filter(!col("pass_quality")).count() > 0, "m8 leg rejected nothing")
+      assert(dec.filter(col("kept")).count() > dec.count() / 2, "gate rejected most assets")
+      // state stays bounded: compaction folded earlier partials away
+      val seenDirs = new java.io.File(s"$base/out/seen").listFiles()
+        .count(_.getName.startsWith("batch_id="))
+      assert(seenDirs <= 3, s"seen partials unbounded: $seenDirs dirs")
+    } finally {
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }

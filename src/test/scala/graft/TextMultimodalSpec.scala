@@ -719,6 +719,38 @@ class TextMultimodalSpec extends SparkSuite {
       s"expected exactly one exchange:\n$plan")
   }
 
+  test("m8: media quality gate flags match a JVM rule replay; every rule fires; map-only plan") {
+    import graft.operators.MultimodalOps
+    val out = MultimodalOps.mediaQualityGate(spark, sf0001).collect()
+    val chars = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(out.length === chars.size)
+    out.foreach { r =>
+      val n = chars(r.getAs[Long]("doc_id"))
+      val w = (n % 64 + 1).toInt; val h = (n / 64 + 1).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("n_bytes") === n)
+      assert(r.getAs[Boolean]("too_narrow") === (w < 8))
+      assert(r.getAs[Boolean]("too_flat") === (h < 2))
+      assert(r.getAs[Boolean]("bad_aspect") === (w > 16 * h))
+      assert(r.getAs[Boolean]("too_few_bytes") === (n < 100))
+      // the ASCII fixture's payload always matches its declared size —
+      // the rule exists for real (truncated) media, must never fire here
+      assert(!r.getAs[Boolean]("size_mismatch"))
+      assert(r.getAs[Boolean]("kept") ===
+        !(w < 8 || h < 2 || w > 16 * h || n < 100))
+    }
+    // every live rule fires somewhere and most assets survive
+    assert(out.count(_.getAs[Boolean]("too_narrow")) > 0)
+    assert(out.count(_.getAs[Boolean]("too_flat")) > 0)
+    assert(out.count(_.getAs[Boolean]("bad_aspect")) > 0)
+    assert(out.count(_.getAs[Boolean]("too_few_bytes")) > 0)
+    assert(out.count(_.getAs[Boolean]("kept")) > out.length / 2)
+    val plan = MultimodalOps.mediaQualityGate(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
+  }
+
   test("m7: relational fingerprint ≡ scalar JVM twin on every corpus payload") {
     import graft.operators.MultimodalOps
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -522,6 +522,12 @@ object SparkEntry {
       graft.operators.IvfAnn.clusterBalancedSample(s, d)),
     "v7_ivf_topk" -> ((s: SparkSession, d: String) =>
       graft.operators.IvfAnn.ivfTopK(s, d)),
+    // filtered ANN: each query constrained to its label shard — the probe
+    // budget doubles (selectivity boost), predicate applied pre-ranking
+    "v25_filtered_topk" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.filteredIvfTopK(s, d)),
+    "v26_filtered_recall" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfAnn.filteredRecall(s, d)),
     // the persisted-index probe path: stored centroids + directory-pruned
     // list scan (IvfBucketingSpec pins it bit-equal to the inline v7, so
     // the same data-dependent oracle applies)
@@ -1818,6 +1824,10 @@ object SparkEntry {
         "v10_pq_topk" -> graft.operators.PqAnn.pqTopKOracleSql(s, d),
         "v11_ivfpq_topk" -> graft.operators.PqAnn.ivfPqTopKOracleSql(s, d),
         "v12_ivf_recall" -> graft.operators.IvfAnn.ivfRecallOracleSql(s, d),
+        "v25_filtered_topk" ->
+          graft.operators.IvfAnn.filteredIvfTopKOracleSql(s, d),
+        "v26_filtered_recall" ->
+          graft.operators.IvfAnn.filteredRecallOracleSql(s, d),
         "v21_ivf_binary_topk" -> graft.operators.IvfAnn.ivfBinaryTopKOracleSql(s, d),
         "v22_ivf_binary_recall" -> graft.operators.IvfAnn.ivfBinaryRecallOracleSql(s, d),
         "v14_pq_recall" -> graft.operators.PqAnn.pqRecallOracleSql(s, d),

@@ -31,7 +31,7 @@ object IvfAnn {
 
   // 16 lists for the graded (sf ≤ 0.1) corpora; candidate work per query is
   // n·nprobe/K, so K must grow with the corpus — see [[recommendedLists]].
-  private val K = 16
+  private[graft] val K = 16
   private val Iterations = 3
   private[operators] val NProbe = 4
   private[operators] val NumQueries = 8
@@ -244,6 +244,167 @@ object IvfAnn {
        |),
        |approx_tk AS (
        |${ivfTopKOracleSql(spark, dir)}
+       |)
+       |SELECT e.qid,
+       |  cast(count(*) AS bigint) AS n_hits,
+       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
+       |FROM exact_tk e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM approx_tk a
+       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |GROUP BY e.qid""".stripMargin
+
+  // ---- v25/v26: filtered (metadata-constrained) ANN ----------------------
+
+  /** nprobe under the label filter: the filter keeps ~1/|labels| of each
+    * probed list, so the probe budget doubles to restore the candidate
+    * count — the standard selectivity boost a filtered-search deployment
+    * applies (pre-filtering inside the probed lists, never post-filtering
+    * an already-truncated top-k, which silently returns short lists).
+    */
+  private[operators] val FilteredNProbe = NProbe * 2
+
+  /** v25: filtered IVF top-k — vector search constrained by a metadata
+    * predicate (each graded query retrieves only within its own label
+    * shard, `label = qid % 10`), the feature every production vector
+    * store ships next to plain ANN. The filter applies to the probed
+    * candidates BEFORE ranking (pre-filter), so the heap always ranks
+    * the full filtered candidate set.
+    *
+    * Scale shape: identical to v7 (probe nprobe lists, bounded-heap
+    * rank) plus one pushed-down predicate on the scanned lists; at
+    * 100 TB with a partitioned/clustered label column the filter prunes
+    * list FILES, making filtered search cheaper than unfiltered, not
+    * costlier.
+    */
+  def filteredIvfTopK(
+      spark: SparkSession, dir: String, nprobe: Int = FilteredNProbe): DataFrame = {
+    val assigned = assignedCorpus(spark, dir)
+    val probes = probeRows(spark, dir, nprobe)
+    val cos = cosFxF(col("qe"), col("embedding"))
+    val scored = assigned.join(broadcast(probes), "centroid")
+      .filter(col("label") === pmod(col("qid"), lit(10)))
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+    Similarity.rankTopK(scored, TopK, "vec_id", "cosine_e4")
+  }
+
+  /** The filtered ground truth: brute-force cosine over exactly the
+    * query's label shard.
+    */
+  private[graft] def filteredBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = cosFxF(col("qe"), col("embedding"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("label") === pmod(col("qid"), lit(10)))
+      .select(col("qid"), Exact.e(cos, 6).as("s6"), col("vec_id"), Exact.e(cos, 4).as("c4"))
+    Similarity.rankTopK(scored, TopK, "vec_id", "cosine_e4")
+  }
+
+  /** v26: recall@k of [[filteredIvfTopK]] against the filtered
+    * brute-force ground truth — the evaluation that catches the classic
+    * filtered-ANN failure (probed lists empty of the filter's label →
+    * silent short results). A qid whose probes covered none of its
+    * shard would simply be absent; the graded corpus keeps every qid
+    * present (asserted in the spec).
+    */
+  def filteredRecall(
+      spark: SparkSession, dir: String, nprobe: Int = FilteredNProbe): DataFrame = {
+    val exact = filteredBruteTopK(spark, dir).select(col("qid"), col("vec_id"))
+    val approx = filteredIvfTopK(spark, dir, nprobe)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    exact.join(approx,
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
+  }
+
+  /** The filtered-brute-force CTE body (shared by the v25-independent
+    * ground truth and the v26 oracle): [[Similarity
+    * .bruteForceTopKOracleSql]] with the label predicate in the dot
+    * aggregation.
+    */
+  private def filteredBruteSql: String =
+    s"""WITH lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${Similarity.fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
+       |shard AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id, cast(sum(a.q * b.q) AS bigint) AS d
+       |  FROM fxc a
+       |  JOIN fxc b ON b.i = a.i
+       |  JOIN shard s ON s.vec_id = b.vec_id
+       |  WHERE a.vec_id < $NumQueries AND s.label = a.vec_id % 10
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dt.qid, dt.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(dt.d AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM dots dt
+       |  JOIN n2 nq ON nq.vec_id = dt.qid
+       |  JOIN n2 nv ON nv.vec_id = dt.vec_id)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+
+  /** DuckDB oracle for [[filteredIvfTopK]]: the v7 candidate CTEs at the
+    * boosted nprobe, label-filtered before ranking.
+    */
+  def filteredIvfTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val centsFx = centroidsFx(spark, dir)
+    s"""WITH ${candCtes(centsFx, FilteredNProbe)},
+       |candf AS (
+       |  SELECT c.qid, c.vec_id FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  WHERE e.label = c.qid % 10),
+       |lf AS (
+       |  SELECT e.vec_id, i, cast(e.embedding[i] AS float) AS v
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |${Similarity.fxSqlCte("lf")},
+       |n2 AS (SELECT vec_id, cast(sum(q * q) AS bigint) AS n2 FROM fxc GROUP BY vec_id),
+       |pc AS (
+       |  SELECT c.qid, c.vec_id, cast(sum(qf.q * cf.q) AS bigint) AS dd
+       |  FROM candf c
+       |  JOIN fxc qf ON qf.vec_id = c.qid
+       |  JOIN fxc cf ON cf.vec_id = c.vec_id AND cf.i = qf.i
+       |  GROUP BY c.qid, c.vec_id),
+       |scored AS (
+       |  SELECT pc.qid, pc.vec_id,
+       |    CASE WHEN nq.n2 = 0 OR nv.n2 = 0 THEN 0.0
+       |         ELSE cast(pc.dd AS double)
+       |           / (sqrt(cast(nq.n2 AS double)) * sqrt(cast(nv.n2 AS double))) END AS cos
+       |  FROM pc
+       |  JOIN n2 nq ON nq.vec_id = pc.qid
+       |  JOIN n2 nv ON nv.vec_id = pc.vec_id)
+       |SELECT qid, vec_id,
+       |  cast(floor(cos * 10000.0 + 0.5) AS bigint) AS cosine_e4,
+       |  cast(rn AS int) AS rn
+       |FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(floor(cos * 1000000.0 + 0.5) AS bigint) DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
+  def filteredRecallOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH exact_tk AS (
+       |$filteredBruteSql
+       |),
+       |approx_tk AS (
+       |${filteredIvfTopKOracleSql(spark, dir)}
        |)
        |SELECT e.qid,
        |  cast(count(*) AS bigint) AS n_hits,

@@ -83,6 +83,8 @@ object PlanAudit {
     ("v23_int8_topk", Bnlj) ->
       "8-query broadcast side on the code-cosine stage; rescore frame is RerankC-bounded",
     ("v24_int8_recall", Bnlj) -> "composes the v2 + v23 shapes (8-query broadcast sides)",
+    ("v26_filtered_recall", Bnlj) ->
+      "the filtered ground-truth leg is the v2 shape (8-query broadcast side)",
     ("t56_source_overlap_matrix", Bnlj) ->
       "|sources|-row sketch frames crossed for the pair algebra (broadcast-sized by construction)",
     ("v10_pq_topk", Bnlj) -> "8-query broadcast side, ADC over codes",

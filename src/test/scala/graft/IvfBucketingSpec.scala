@@ -101,6 +101,35 @@ class IvfBucketingSpec extends SparkSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("v25/v26 filtered ANN: filter respected, full-probe collapses to filtered brute force, recall substantial") {
+    import org.apache.spark.sql.functions.col
+    val out = IvfAnn.filteredIvfTopK(spark, sf0001).localCheckpoint()
+    // every returned candidate satisfies the predicate
+    val labels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    out.select("qid", "vec_id").as[(Long, Long)].collect().foreach {
+      case (qid, vid) =>
+        assert(labels(vid) === (qid % 10).toInt,
+          s"candidate $vid violated query $qid's label filter")
+    }
+    // every query reports (no silent short/empty lists at boosted nprobe)
+    assert(out.select("qid").distinct().count() === 8L)
+    // probing ALL lists makes the filtered IVF path exactly the filtered
+    // brute force — the strongest equivalence available without an oracle
+    val full = IvfAnn.filteredIvfTopK(spark, sf0001, nprobe = IvfAnn.K)
+      .collect().map(_.toSeq).toSet
+    val brute = IvfAnn.filteredBruteTopK(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(full === brute, "full-probe filtered IVF diverged from filtered brute force")
+    // and the graded boosted-nprobe recall is substantial: 8/16 lists
+    // scanned must beat the 50% scan fraction via quantizer routing
+    val rec = IvfAnn.filteredRecall(spark, sf0001)
+      .select("recall_e4").as[Long].collect()
+    assert(rec.nonEmpty && rec.forall(_ >= 0L))
+    assert(rec.map(_.toDouble).sum / (rec.length * 10000.0) > 0.5,
+      s"mean filtered recall too low: ${rec.mkString(",")}")
+  }
+
   test("pq recall: both ADC paths carry real ranking signal, every qid reports") {
     val r = graft.operators.PqAnn.pqRecall(spark, sf0001)
       .select("qid", "pq_recall_e4", "ivfpq_recall_e4")

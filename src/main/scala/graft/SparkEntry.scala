@@ -434,6 +434,9 @@ object SparkEntry {
     "d3i_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       graft.operators.ShingleIndex.ngramJaccardPairs(
         s, graft.operators.IndexStore.shingleTable(s, d))),
+    "d16i_threshold_sensitivity" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.thresholdSensitivity(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
     "d4i_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       graft.operators.ShingleIndex.minhashLshPairs(
         s, graft.operators.IndexStore.shingleTable(s, d))),
@@ -1773,6 +1776,7 @@ object SparkEntry {
     val inline = dedupInlineOracle
     Map(
       "d3i_ngram_jaccard_pairs" -> inline("d3_ngram_jaccard_pairs"),
+      "d16i_threshold_sensitivity" -> inline("d16_threshold_sensitivity"),
       "d4i_minhash_lsh_pairs" -> inline("d4_minhash_lsh_pairs"),
       "d10i_segment_dedup" -> inline("d10_segment_dedup"),
       "d11i_containment_pairs" -> inline("d11_containment_pairs"),

@@ -1534,8 +1534,15 @@ object Dedup {
     * sweep costs the same as running d3 once at the floor threshold —
     * not once per candidate threshold.
     */
-  def thresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
-    val stats = pairStats(shingles(spark, dir), DefaultMaxDocFreq)
+  def thresholdSensitivity(spark: SparkSession, dir: String): DataFrame =
+    sweepFromShingles(shingles(spark, dir))
+
+  /** The sweep over any (doc_id, s) shingle frame — shared by the inline
+    * d16 and the index-fed d16i (the build-once path, same discipline as
+    * the d3/d3i pair).
+    */
+  private[graft] def sweepFromShingles(sh: DataFrame): DataFrame = {
+    val stats = pairStats(sh, DefaultMaxDocFreq)
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common")).cast("double")
     val hist = stats

@@ -812,4 +812,12 @@ object ShingleIndex {
       spark: SparkSession, tableName: String,
       threshold: Double = Dedup.DefaultThreshold): DataFrame =
     Dedup.clustersFromPairs(ngramJaccardPairs(spark, tableName, threshold))
+
+  /** Index-fed d16: the threshold sensitivity sweep from the stored
+    * postings — the form you actually run before committing a threshold
+    * on 100 TB, since the sweep and the dedup passes it tunes share one
+    * index build.
+    */
+  def thresholdSensitivity(spark: SparkSession, tableName: String): DataFrame =
+    Dedup.sweepFromShingles(shingles(spark, tableName, includePlanted = false))
 }

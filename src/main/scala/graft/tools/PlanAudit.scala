@@ -104,6 +104,7 @@ object PlanAudit {
     // the d16 cumulative window runs over the ≤15-row jaccard-bucket
     // histogram (Dedup.thresholdSensitivity) — constant-size at any sf
     ("d16_threshold_sensitivity", "GlobalWindow") -> "window over the ≤15-row threshold-bucket frame",
+    ("d16i_threshold_sensitivity", "GlobalWindow") -> "window over the ≤15-row threshold-bucket frame",
     ("t51_epoch_schedule", Bnlj) -> "1-row corpus-total frame crossed into the per-source frame",
     // the brand-ranking fixture window runs over the ~25-row distinct
     // p_brand frame (Fixtures.codeLists) — constant-size at any sf

@@ -1086,6 +1086,12 @@ class ScaleOpsSpec extends SparkSuite {
       assert(!d8i.queryExecution.executedPlan.toString.contains("documents.parquet"),
         "index-fed d8 re-scans the corpus")
       assert(rows(d8i) === rows(Dedup.duplicateClusters(spark, sf0001)))
+      // and the threshold sweep (d16i) sweeps the SAME postings: bit-equal
+      // to the inline d16 curve, no corpus re-scan
+      val d16i = ShingleIndex.thresholdSensitivity(spark, tbl)
+      assert(!d16i.queryExecution.executedPlan.toString.contains("documents.parquet"),
+        "index-fed d16 re-scans the corpus")
+      assert(rows(d16i) === rows(Dedup.thresholdSensitivity(spark, sf0001)))
     } finally {
       // DROP on an external table leaves the files — delete the path too,
       // or every suite run leaks an index copy (and a later run resolving

@@ -502,3 +502,83 @@ object StreamingDedup {
       }
   }
 }
+
+final case class FunnelEvent(user_id: Long, event_type: String, sec: Long)
+final case class FunnelState(signup: Long, click: Long, purchase: Long)
+final case class FunnelRow(
+    user_id: Long, signup_sec: Long,
+    click_sec: Option[Long], purchase_sec: Option[Long], stage: Int)
+
+/** Per-user funnel state machine — the at-arrival w8: O(1) state per user
+  * (the three stage timestamps, -1 = unreached), advanced per event. Under
+  * EVENT-TIME-ORDERED arrival (the stream's documented precondition, the
+  * w9/dedup analog of monotone doc_id) this reproduces the batch funnel's
+  * conditional-min semantics exactly: the first signup in time order IS
+  * min(signup), the first qualifying click IS the min click inside the hop
+  * window, and so on — every batch rule is a strict inequality, so
+  * same-second ties cannot reorder outcomes. Rows within a micro-batch are
+  * sorted by sec before folding, so intra-batch disorder is free; CROSS-
+  * batch disorder is out of contract (an earlier-signup arrival could
+  * widen a window already judged — that correction belongs to a batch
+  * re-run, the same split as the gate's cut()).
+  *
+  * Scale: unlike a per-user ordered window over the event log, a power
+  * user costs 12 bytes of state and O(events) streaming fold — never a
+  * one-task sort. Emission is Update-mode: a row only when the stage
+  * advances, so downstream sees a delta stream of funnel progress.
+  */
+class FunnelProcessor(hopSec: Long)
+    extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
+
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[FunnelEvent], tv: TimerValues): Iterator[FunnelRow] = {
+    val before = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+    var s = before
+    rows.toSeq.sortBy(_.sec).foreach { r =>
+      r.event_type match {
+        case "signup" if s.signup < 0 =>
+          s = s.copy(signup = r.sec)
+        case "click" if s.signup >= 0 && s.click < 0 &&
+            r.sec > s.signup && r.sec <= s.signup + hopSec =>
+          s = s.copy(click = r.sec)
+        case "purchase" if s.click >= 0 && s.purchase < 0 &&
+            r.sec > s.click && r.sec <= s.click + hopSec =>
+          s = s.copy(purchase = r.sec)
+        case _ => // stage already filled, out of window, or not a stage event
+      }
+    }
+    if (s == before) Iterator.empty
+    else {
+      st.update(s)
+      val stage = 1 + (if (s.click >= 0) 1 else 0) + (if (s.purchase >= 0) 1 else 0)
+      Iterator.single(FunnelRow(
+        key, s.signup,
+        if (s.click >= 0) Some(s.click) else None,
+        if (s.purchase >= 0) Some(s.purchase) else None,
+        stage))
+    }
+  }
+}
+
+/** The streaming w8. `events` is the (user_id, event_type, sec) feed;
+  * each emitted row is the user's funnel snapshot at that moment (stage
+  * strictly advances per emission, so "latest row per user" is the
+  * converged funnel — StreamingSpec pins it equal to the batch
+  * [[graft.operators.RelationalOps.signupFunnel]] frame).
+  */
+object StreamingFunnel {
+  def funnel(
+      events: Dataset[FunnelEvent],
+      hopSec: Long = graft.operators.RelationalOps.FunnelHopSec): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(hopSec), TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -1985,6 +1985,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming funnel: per-user O(1) state converges to the batch w8 frame under time-ordered arrival") {
+    import graft.streaming.{FunnelEvent, FunnelRow, StreamingFunnel}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the real event feed, in event-time order (the stream's contract)
+      val feed = graft.operators.RelationalOps.secEvents(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("sec"))
+        .as[(Long, String, Long)].collect()
+        .sortBy(r => (r._3, r._1))
+        .map(r => FunnelEvent(r._1, r._2, r._3))
+      val mem = MemoryStream[FunnelEvent]
+      val q = StreamingFunnel.funnel(mem.toDS())
+        .writeStream.format("memory").queryName("funnel_live")
+        .outputMode("update").start()
+      try {
+        feed.grouped((feed.length + 4) / 5).foreach { b =>
+          mem.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+        val live = spark.table("funnel_live").as[FunnelRow].collect()
+          .groupBy(_.user_id).view.mapValues(_.maxBy(_.stage)).values
+          .map(r => (r.user_id, r.signup_sec, r.click_sec, r.purchase_sec, r.stage))
+          .toSet
+        val cold = graft.operators.RelationalOps.signupFunnel(spark, sf0001)
+          .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+          .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+        assert(live === cold,
+          "streaming funnel diverged from the batch w8 frame")
+        // stage emissions strictly advance: no user emits the same stage twice
+        val all = spark.table("funnel_live").as[FunnelRow].collect()
+        all.groupBy(_.user_id).foreach { case (u, rs) =>
+          assert(rs.map(_.stage).distinct.length === rs.length,
+            s"user $u re-emitted a stage")
+        }
+        // non-vacuity: full conversions and partial funnels both present
+        assert(live.exists(_._5 == 3) && live.map(_._5).size > 1)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("media ingest gate: at-arrival m8 ∧ perceptual first-seen ≡ cold; cross-batch re-crawls suppressed") {
     import graft.streaming.MediaGate
     val base = Files.createTempDirectory("mediagate")

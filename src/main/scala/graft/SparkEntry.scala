@@ -284,6 +284,10 @@ object SparkEntry {
     // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
     // bounded heaps per host, no full-host window sort
     "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
+    // dedup attrition by source: the data-card number next to the
+    // mixture weights — one join + one |sources|-bounded groupBy
+    "t57_dedup_attrition" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupAttritionBySource(s, d)),
     // BPE vocab induction trained on the word histogram (one corpus agg
     // + driver loop on the bounded histogram), fertility rollup per doc
     "t50_bpe_piece_stats" -> ((s: SparkSession, d: String) =>
@@ -1638,6 +1642,7 @@ object SparkEntry {
     "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFiltersOracleSql,
     "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLangOracleSql,
     "t55_host_quota_keep" -> Dedup.hostQuotaOracleSql,
+    "t57_dedup_attrition" -> Dedup.dedupAttritionOracleSql,
     "t51_epoch_schedule" ->
       graft.operators.TrainingPrep.epochScheduleOracleSql,
   )

@@ -1510,6 +1510,67 @@ object Dedup {
       |  cast(count(DISTINCT url) AS bigint) AS n_raw_forms
       |FROM canon GROUP BY canon_url""".stripMargin
 
+  // ---- Per-source dedup attrition (t57) ----
+
+  /** t57: dedup attrition by source — documents and tokens per source
+    * before vs after exact dedup (d2's keeper rule), with the surviving
+    * token fraction. This is the number a data card reports next to the
+    * mixture weights (t29/t38): how much of each source's raw volume the
+    * dedup chain actually delivers to training, and which sources are
+    * mostly clones. One doc_id-equi join of the keeper frame onto the
+    * per-doc token projection, then ONE |sources|-bounded groupBy with
+    * map-side partial aggregation — at 100 TB the report costs one
+    * shuffle of (doc_id, flag) pairs beyond the d2 pass it rides.
+    */
+  def dedupAttritionBySource(
+      spark: SparkSession, dir: String, plantClones: Boolean = true): DataFrame = {
+    // planted clones, same corpus as the graded d1/d2: the raw fixture
+    // has no byte-identical texts, so raw attrition would be vacuously 0
+    val docs = maybeSeededDocs(spark, dir, plantClones)
+    val keepers = exactDedupKeep(spark, dir, plantClones)
+      .select(col("doc_id"), lit(true).as("is_keeper"))
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.nTokensCol(col("text")).as("tk"))
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("is_keeper"), lit(false)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("tk")).otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        Exact.e(col("kept_tokens").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("kept_frac_e4"))
+  }
+
+  def dedupAttritionOracleSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $DupCloneOffset, text, source FROM documents
+      |  WHERE doc_id < $DupCloneCount),
+      |k AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM corpus)
+      |  WHERE rn = 1),
+      |per AS (
+      |  SELECT d.doc_id, d.source,
+      |    cast(length(text) - length(replace(text, ' ', '')) + 1 AS bigint) AS tk,
+      |    d.doc_id IN (SELECT doc_id FROM k) AS kept
+      |  FROM corpus d)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  cast(sum(tk) AS bigint) AS n_tokens,
+      |  cast(count(*) FILTER (WHERE kept) AS bigint) AS kept_docs,
+      |  cast(coalesce(sum(tk) FILTER (WHERE kept), 0) AS bigint) AS kept_tokens,
+      |  cast(floor(cast(coalesce(sum(tk) FILTER (WHERE kept), 0) AS double)
+      |    / sum(tk) * 10000.0 + 0.5) AS bigint) AS kept_frac_e4
+      |FROM per GROUP BY source""".stripMargin
+
   // ---- Threshold sensitivity sweep (d16) ----
 
   /** Sweep floor as a bucket index (jaccard 0.30 at 0.05 grain): the

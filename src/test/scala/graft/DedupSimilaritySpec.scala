@@ -526,6 +526,37 @@ class DedupSimilaritySpec extends SparkSuite {
       "a planted clone source escaped decontamination")
   }
 
+  test("t57: per-source dedup attrition equals a JVM replay; clone-heavy sources visibly shrink") {
+    val out = Dedup.dedupAttritionBySource(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("kept_frac_e4"))))
+      .toMap
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    // the graded d1/d2 planted corpus: clones of the first DupCloneCount
+    // docs under offset ids
+    val docs = raw ++ raw.filter(_._1 < Dedup.DupCloneCount)
+      .map(r => (r._1 + Dedup.DupCloneOffset, r._2, r._3))
+    val keeper = docs.groupBy(_._3).view.mapValues(_.map(_._1).min).values.toSet
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      def tk(t: String) = t.count(_ == ' ').toLong + 1
+      val n = rows.length.toLong
+      val tks = rows.map(r => tk(r._3)).sum
+      val kd = rows.count(r => keeper(r._1)).toLong
+      val ktk = rows.filter(r => keeper(r._1)).map(r => tk(r._3)).sum
+      src -> ((n, tks, kd, ktk, math.floor(ktk.toDouble / tks * 10000.0 + 0.5).toLong))
+    }
+    assert(out === expected, "t57 diverged from the JVM replay")
+    // non-vacuity: dedup bites somewhere (some source loses tokens) and
+    // no source loses everything
+    assert(out.values.exists(v => v._4 < v._2), "no source lost any tokens — vacuous")
+    assert(out.values.forall(_._3 > 0L), "a source lost every document")
+  }
+
   test("d16: threshold sensitivity curve equals an independent JVM all-pairs replay") {
     val out = Dedup.thresholdSensitivity(spark, sf0001)
       .collect()

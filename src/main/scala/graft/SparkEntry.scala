@@ -430,6 +430,16 @@ object SparkEntry {
     "d8_duplicate_clusters" -> ((s: SparkSession, d: String) =>
       graft.operators.ShingleIndex.duplicateClusters(
         s, graft.operators.IndexStore.shingleTable(s, d))),
+    // d17/t59 ride d8's index-fed cluster labels: the histogram that
+    // sizes the dedup decision, and the data-constrained soft-dedup
+    // alternative (down-weight members instead of dropping them)
+    "d17_cluster_size_histogram" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterSizeHistogram(graft.operators.ShingleIndex.duplicateClusters(
+        s, graft.operators.IndexStore.shingleTable(s, d)))),
+    "t59_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.softDedupWeights(s, d,
+        graft.operators.ShingleIndex.duplicateClusters(
+          s, graft.operators.IndexStore.shingleTable(s, d)))),
     // the index-fed twins of d3/d4/d10/d11: same scoring engines, pairs
     // read from the write-once shingle/segment index instead of
     // re-tokenizing the corpus — the build-once/read-many path a 100 TB
@@ -495,6 +505,9 @@ object SparkEntry {
     // URL-level dedup (C4/RefinedWeb stage 1): map-only canonicalization,
     // one exchange on the canonical key — the d1/d2 hash-groupBy shape
     "d14_url_dedup" -> Dedup.urlDedup _,
+    // domain-blocklist gate (crawl stage 0): bounded suffix explosion
+    // into a broadcast rule join, longest-rule-wins
+    "t58_domain_blocklist" -> Dedup.domainBlocklistGate _,
   )
 
   def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1733,6 +1746,26 @@ object SparkEntry {
     "t24_span_scrub" -> Dedup.scrubbedSpansOracleSql,
     "d12_substring_spans" -> Dedup.substringSpansOracleSql,
     "d14_url_dedup" -> Dedup.urlDedupOracleSql,
+    "t58_domain_blocklist" -> Dedup.domainBlocklistOracleSql,
+    // d17/t59 share d8's recursive cluster CTE chain (factored, so the
+    // three cannot desync on threshold or df cap)
+    "d17_cluster_size_histogram" ->
+      s"""WITH RECURSIVE $d8ClusterCtes,
+        |labels AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |szs AS (SELECT c, count(*) AS cluster_size FROM labels GROUP BY c)
+        |SELECT cast(cluster_size AS bigint) AS cluster_size,
+        |  cast(count(*) AS bigint) AS n_clusters
+        |FROM szs GROUP BY cluster_size""".stripMargin,
+    "t59_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $d8ClusterCtes,
+        |labels AS (SELECT id AS doc_id, min(r) AS c FROM reach GROUP BY id),
+        |csz AS (SELECT c, count(*) AS cluster_size FROM labels GROUP BY c)
+        |SELECT d.doc_id,
+        |  cast(coalesce(csz.cluster_size, 1) AS bigint) AS cluster_size,
+        |  cast(10000 // coalesce(csz.cluster_size, 1) AS bigint) AS weight_e4
+        |FROM documents d
+        |LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |LEFT JOIN csz ON csz.c = l.c""".stripMargin,
   )
 
   // the quality-formula SQL lives next to its Spark twin

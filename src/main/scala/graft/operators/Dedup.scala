@@ -365,6 +365,18 @@ object Dedup {
       unrolledRounds: Int = 3): DataFrame =
     clustersFromPairs(ngramJaccardPairs(spark, dir, threshold), unrolledRounds)
 
+  /** d17: the near-duplicate cluster SIZE DISTRIBUTION — the measurement
+    * that sizes the dedup decision itself (how much of the corpus sits in
+    * 2-doc mirror pairs vs 1000-doc boilerplate families decides whether
+    * keep-one dedup or soft down-weighting loses fewer tokens). Two
+    * map-side-combined aggregates over the (doc_id, cluster_id) label
+    * frame — output is ≤ max-cluster-size rows, trivially collectable at
+    * any corpus scale.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** The clustering engine over an arbitrary near-duplicate pair frame
     * (`a`, `b` doc-id columns) — the seam that lets the graded query feed
     * from [[ShingleIndex]]'s amortized pairs instead of re-shingling the
@@ -1277,6 +1289,14 @@ object Dedup {
     * however hot, so duplicate-density floods cost proportionally and
     * the clone groups still appear in the output (as their own spans) —
     * pinned by the `ScaleOpsSpec` density test.
+    *
+    * DO NOT "fix" the count WINDOW here to the d10-style join-back: the
+    * round-13 hot-hash flood (docs/SCALING.md §"Hot-hash flood", table
+    * at 0–4·10⁵ occurrences of one hash) measured the window form
+    * LINEAR in the flood and the join alternative SLOWER (4.70 vs
+    * 3.21 s at 400k) — stride-1 window hashing dominates the map cost
+    * and the join shape derives it twice. d10 moved off its window on
+    * the same evidence; the two operators deliberately differ.
     */
   private[graft] def substringSpansOf(
       docs: DataFrame, k: Int = SegmentTokens): DataFrame = {
@@ -1509,6 +1529,94 @@ object Dedup {
       |  cast(count(*) AS bigint) AS n_docs,
       |  cast(count(DISTINCT url) AS bigint) AS n_raw_forms
       |FROM canon GROUP BY canon_url""".stripMargin
+
+  // ---- Domain blocklist gate (t58) ----
+
+  /** The blocklist for the graded t58 path — a literal rule table in the
+    * engine and the oracle. Entries are REGISTRABLE-domain style rules
+    * with subdomain-suffix semantics (a rule blocks its own host and
+    * every subdomain of it, the C4/RefinedWeb "bad domain" convention);
+    * `site1.example.net` alongside `example.net` makes the
+    * longest-rule-wins precedence observable.
+    */
+  private[graft] val DomainBlocklist = Seq(
+    "site2.example.org", "example.net", "site1.example.net",
+    "cdn.site4.example.org")
+
+  /** The deterministic host planted per document for t58 — a DIFFERENT
+    * seam than [[plantedCrawlUrls]] (d14 needs messy raw forms of few
+    * canonical urls; the blocklist gate needs genuine subdomain depth),
+    * so the two plantings stay independent. cdn.-prefixed on doc_id%3=0,
+    * 5 sites, org/net TLD split on parity.
+    */
+  private[graft] def plantedHosts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
+      lit("site"), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 2 === 0, lit(".example.org"))
+        .otherwise(lit(".example.net"))).as("host"))
+
+  /** t58: domain-blocklist gate — the URL-level filter every crawl
+    * pipeline runs FIRST (C4 "bad words" domains, RefinedWeb blocklists:
+    * Raffel et al. 2020 §2.2, Penedo et al. 2023 §3.1), with
+    * subdomain-suffix matching and most-specific-rule-wins precedence.
+    * Output: every document with its host, whether it is blocked, and
+    * the rule that decided (null when kept).
+    *
+    * Plan/scale (100 TB): map-only suffix explosion — a host of p labels
+    * emits its ≤p domain suffixes (p ≤ 5 in practice, a constant factor,
+    * never a corpus-scale blowup) — into a broadcast-hash join against
+    * the literal rule table, one map-side-combined max(struct) per doc
+    * for the longest-match, and a doc_id-partitioned join back. No
+    * window, no UDF; the explosion and both joins stay in whole-stage
+    * codegen.
+    */
+  def domainBlocklistGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = plantedHosts(table(spark, dir, "documents"))
+    val sufs = hosts
+      .withColumn("parts", split(col("host"), "\\."))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(parts)),
+          |  i -> array_join(slice(parts, i, size(parts) - i + 1), '.'))"""
+          .stripMargin)).as("suf"))
+    val rules = DomainBlocklist.toDF("rule")
+    // longest matching rule wins; ties (distinct same-length rules) break
+    // lexicographically-greatest — mirrored exactly by the oracle's
+    // ORDER BY length DESC, rule DESC
+    val best = sufs.join(broadcast(rules), col("suf") === col("rule"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(length(col("rule")).as("l"), col("rule").as("r"))).as("m"))
+      .select(col("doc_id"), col("m.r").as("matched_rule"))
+    hosts.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        col("matched_rule").isNotNull.as("blocked"), col("matched_rule"))
+  }
+
+  def domainBlocklistOracleSql: String = {
+    val ruleList = DomainBlocklist.map(r => s"'$r'").mkString(", ")
+    s"""WITH hosts AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END) ||
+      |    'site' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '.example.org' ELSE '.example.net' END)
+      |      AS host
+      |  FROM documents),
+      |rules AS (SELECT unnest([$ruleList]) AS rule),
+      |sufs AS (
+      |  SELECT doc_id, array_to_string(parts[i:], '.') AS suf
+      |  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM hosts) h,
+      |  LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) r),
+      |best AS (
+      |  SELECT doc_id, rule FROM (
+      |    SELECT doc_id, rule, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY length(rule) DESC, rule DESC) AS rn
+      |    FROM sufs JOIN rules ON rules.rule = sufs.suf)
+      |  WHERE rn = 1)
+      |SELECT h.doc_id, h.host, best.rule IS NOT NULL AS blocked,
+      |  best.rule AS matched_rule
+      |FROM hosts h LEFT JOIN best ON best.doc_id = h.doc_id""".stripMargin
+  }
 
   // ---- Per-source dedup attrition (t57) ----
 

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   * exactly those long filaments; 2^45 nodes still converge in ~45 rounds.
   *
   * Scale shape per round: two groupBy(min) aggregations (map-side
-  * partial-combined) and two distincts over an edge set that only ever
-  * SHRINKS toward one star edge per non-root node — no corpus joins, no
-  * windows, no driver-side adjacency. The convergence probe reads the
-  * cached round output twice (count + set-difference head), both
-  * edge-set-sized.
+  * partial-combined) and ONE terminal distinct over an edge set that only
+  * ever SHRINKS toward one star edge per non-root node — no corpus joins,
+  * no windows, no driver-side adjacency. Convergence costs one
+  * map-side-combined checksum aggregate per round — fused into the same
+  * job that materializes the round via a LAZY localCheckpoint — plus a
+  * single exact set-difference confirm at the detected fixpoint.
   */
 object GraphOps {
 
@@ -42,7 +43,11 @@ object GraphOps {
       .select(explode(array(col("a"), col("b"))).as("id")).distinct().cache()
 
     // large-star: every node u hangs its LARGER neighbors off
-    // m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps the orientation canonical
+    // m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps the orientation canonical.
+    // The terminal distinct stays: dropping it (small-star's aggregates
+    // are duplicate-tolerant) was A/B-measured in round 14 and did NOT
+    // win — the inflated small-star join input costs what the saved
+    // shuffle buys back.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
@@ -63,7 +68,7 @@ object GraphOps {
         .distinct()
     }
 
-    // localCheckpoint (eager), NOT cache: a star round's plan references
+    // localCheckpoint, NOT cache: a star round's plan references
     // the previous round's edges several times (both orientations + the
     // min table + both join sides), so lineage grows EXPONENTIALLY per
     // round — by iteration ~8 merely formatting the plan OOMs the JVM.
@@ -89,12 +94,21 @@ object GraphOps {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var cur = canon.localCheckpoint()
+    // LAZY local checkpoint: still truncates the logical plan (the
+    // eager/exponential-lineage rationale above), but defers
+    // materialization to the probe's aggregate — so each round is ONE
+    // Spark job (compute + checkpoint + checksum together) instead of a
+    // checkpoint job followed by a probe job. Measured round 14 at
+    // sf0.1: the per-round fixed stage overhead is the dominant cost, so
+    // halving jobs-per-round beats halving probe frequency (probing
+    // every 2nd round was tried and LOST — the extra star rounds past
+    // the fixpoint cost more than the 1-stage probes they save).
+    var cur = canon.localCheckpoint(eager = false)
     var curSig = probe(cur)
     var converged = curSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nextSig = probe(next)
       // both sides are distinct sets: equal checksums gate the one
       // exact equality check (equal size + empty difference ⇒ equal)

@@ -305,21 +305,26 @@ object IvfAnn {
   /** v26: recall@k of [[filteredIvfTopK]] against the filtered
     * brute-force ground truth — the evaluation that catches the classic
     * filtered-ANN failure (probed lists empty of the filter's label →
-    * silent short results). A qid whose probes covered none of its
-    * shard would simply be absent; the graded corpus keeps every qid
-    * present (asserted in the spec).
+    * silent short results). Recall denominates by the PER-QID exact list
+    * size (a label shard smaller than TopK has a shorter ground-truth
+    * list, and retrieving all of it is 100%), and a qid whose probes
+    * covered none of its shard stays in the output at n_hits = 0.
     */
   def filteredRecall(
       spark: SparkSession, dir: String, nprobe: Int = FilteredNProbe): DataFrame = {
     val exact = filteredBruteTopK(spark, dir).select(col("qid"), col("vec_id"))
     val approx = filteredIvfTopK(spark, dir, nprobe)
       .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+    // denominate by the PER-QID ground-truth list size, not TopK: a label
+    // shard holding fewer than TopK vectors has a shorter exact list, and
+    // perfect retrieval of it must read as 100%. The left join also keeps
+    // zero-hit qids in the output (n_hits = 0) instead of dropping them.
     exact.join(approx,
-        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left")
       .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(col("a_vid")).as("n_hits"), count(lit(1)).as("n_exact"))
       .select(col("qid"), col("n_hits"),
-        (col("n_hits") * lit(10000L / TopK)).as("recall_e4"))
+        expr("(n_hits * 10000) div n_exact").as("recall_e4"))
   }
 
   /** The filtered-brute-force CTE body (shared by the v25-independent
@@ -407,12 +412,10 @@ object IvfAnn {
        |${filteredIvfTopKOracleSql(spark, dir)}
        |)
        |SELECT e.qid,
-       |  cast(count(*) AS bigint) AS n_hits,
-       |  cast(count(*) * ${10000L / TopK} AS bigint) AS recall_e4
+       |  cast(count(a.vec_id) AS bigint) AS n_hits,
+       |  cast((count(a.vec_id) * 10000) // count(*) AS bigint) AS recall_e4
        |FROM exact_tk e
-       |WHERE EXISTS (
-       |  SELECT 1 FROM approx_tk a
-       |  WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |LEFT JOIN approx_tk a ON a.qid = e.qid AND a.vec_id = e.vec_id
        |GROUP BY e.qid""".stripMargin
 
   /** Fixed-point centroids as a DuckDB VALUES clause: (c, vec BIGINT[]) —

@@ -537,9 +537,14 @@ object LmScore {
         (col("tf") + lit(Bm25K1) *
           (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") * col("n") / col("sumdl"))),
       6)
+    // df holds one row per CORPUS vocab term — Heaps'-law unbounded at
+    // 100 TB — so restrict it to the literal query-term set BEFORE the
+    // broadcast: dfq is ≤|query terms| rows by construction (df is
+    // term-unique, qterms is a local literal frame)
+    val dfq = df.join(broadcast(qterms.select(col("term")).distinct()), "term")
     val scored = tf
       .join(broadcast(qterms), "term")
-      .join(broadcast(df), "term")
+      .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(globals))
       .withColumn("score_e6", score)
@@ -590,9 +595,11 @@ object LmScore {
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val globals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    // same restrict-before-broadcast as bm25TopK: never ship full-vocab df
+    val dfq = df.join(broadcast(qterms.select(col("term")).distinct()), "term")
     val joined = tf
       .join(broadcast(qterms), "term")
-      .join(broadcast(df), "term")
+      .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(globals))
     val bm25Score = Exact.e(

@@ -481,13 +481,14 @@ object MergeOps {
        |  FROM customer),
        |recent AS (
        |  SELECT o_custkey,
-       |    sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS delta_e2
+       |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS bigint)
+       |      AS delta_e2
        |  FROM orders WHERE o_orderdate >= TIMESTAMP '$UpsertCutoff 00:00:00'
        |  GROUP BY o_custkey),
        |updates AS (
        |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment,
-       |    CASE WHEN c.c_custkey % $Scd2NoOpMod = 0 THEN c.bal_e2
-       |         ELSE c.bal_e2 + r.delta_e2 END AS bal_e2,
+       |    cast(CASE WHEN c.c_custkey % $Scd2NoOpMod = 0 THEN c.bal_e2
+       |         ELSE c.bal_e2 + r.delta_e2 END AS bigint) AS bal_e2,
        |    false AS is_delete
        |  FROM cust c JOIN recent r ON r.o_custkey = c.c_custkey
        |  WHERE c.c_custkey % 89 <> 0),

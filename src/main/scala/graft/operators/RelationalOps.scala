@@ -438,28 +438,35 @@ object RelationalOps {
     * it — a 10⁷-event power user is one unsplittable straggler).
     * Instead, one conditional min-aggregation per stage — each is a
     * pushed-down-filtered scan with map-side partial merge — where each
-    * later stage joins the |users|-bounded previous frame (broadcast).
-    * Stages beyond the first scan only their own event type's partition
-    * of the corpus; hop windows keep each stage's join frame user-sized.
+    * later stage equi-joins the previous stage's frame on `user_id`.
+    * Those frames are user-cardinality, i.e. O(corpus) at a 100 TB event
+    * log (10⁸–10⁹ users) — far past Spark's 8 GB broadcast hard limit —
+    * so they are deliberately NOT broadcast-hinted: the joins shuffle on
+    * `user_id` (AQE still demotes to broadcast when a stage is genuinely
+    * small at runtime), and consecutive stages reuse the same hash
+    * partitioning so the later joins add no extra exchange of the stage
+    * frames. Stages beyond the first scan only their own event type's
+    * partition of the corpus (pushed-down filter); hop windows keep each
+    * stage's frame a shrinking subset of users.
     */
   def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = secEvents(spark, dir)
     val s = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("sec")).as("signup_sec"))
     val c = ev.filter(col("event_type") === "click")
-      .join(broadcast(s), "user_id")
+      .join(s, "user_id")
       .filter(col("sec") > col("signup_sec") &&
         col("sec") <= col("signup_sec") + FunnelHopSec)
       .groupBy(col("user_id")).agg(min(col("sec")).as("click_sec"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(c), "user_id")
+      .join(c, "user_id")
       .filter(col("sec") > col("click_sec") &&
         col("sec") <= col("click_sec") + FunnelHopSec)
       .groupBy(col("user_id")).agg(min(col("sec")).as("purchase_sec"))
-    // the assembly joins are |users|-bounded on BOTH sides — broadcast
-    // the later (smaller) stages so no exchange re-sorts the cohort frame
-    s.join(broadcast(c), Seq("user_id"), "left")
-      .join(broadcast(p), Seq("user_id"), "left")
+    // assembly: all three frames are already hash-partitioned by user_id
+    // from their groupBys, so these sort-merge joins are exchange-free
+    s.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
       .select(col("user_id"), col("signup_sec"), col("click_sec"), col("purchase_sec"),
         (lit(1) + when(col("click_sec").isNotNull, 1).otherwise(0)
           + when(col("purchase_sec").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
@@ -494,9 +501,13 @@ object RelationalOps {
     * (cohort_week, week_offset, n_active, cohort_n, retention_e4).
     *
     * Scale shape: one conditional min-aggregation for cohorts (map-side
-    * partials), the |users|-bounded cohort frame broadcast onto the
-    * pushed-down-filtered activity scan, a distinct on (cohort, user,
-    * offset) — cardinality ≤ users × weeks — and a ≤weeks²-row rollup.
+    * partials), an equi-join of the cohort frame onto the
+    * pushed-down-filtered activity scan (the cohort frame is
+    * user-cardinality — O(corpus) at 100 TB — so it is NOT
+    * broadcast-hinted; the join shuffles on `user_id` and AQE demotes to
+    * broadcast when genuinely small), a distinct on (cohort, user,
+    * offset) — cardinality ≤ users × weeks — and a ≤weeks²-row rollup
+    * whose `sizes` side IS a bounded broadcast (≤weeks rows).
     * No window, no self-join; the event log is scanned twice (signups
     * partition, activity partition), both pruned at the parquet scan.
     */
@@ -509,7 +520,7 @@ object RelationalOps {
         date_trunc("week", col("s_ts")).cast("date").as("cohort_week"))
     val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_n"))
     val active = ev.filter(col("event_type") === activityType)
-      .join(broadcast(cohorts), "user_id")
+      .join(cohorts, "user_id")
       .select(col("cohort_week"), col("user_id"),
         expr("cast(datediff(cast(date_trunc('week', ts) AS date), cohort_week) div 7 AS int)")
           .as("week_offset"))

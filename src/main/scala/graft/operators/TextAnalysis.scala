@@ -128,9 +128,9 @@ object TextAnalysis {
        |    cast(length(text) AS bigint) AS ch
        |  FROM documents)
        |SELECT lang,
-       |  count(*) AS n_docs,
-       |  sum(ws) AS ws_tokens,
-       |  sum(pc) AS bpe_pieces,
+       |  cast(count(*) AS bigint) AS n_docs,
+       |  cast(sum(ws) AS bigint) AS ws_tokens,
+       |  cast(sum(pc) AS bigint) AS bpe_pieces,
        |  cast(floor(cast(sum(pc) AS double) / sum(ws) * 10000.0 + 0.5) AS bigint)
        |    AS fertility_e4,
        |  cast(floor(cast(sum(ch) AS double) / sum(pc) * 10000.0 + 0.5) AS bigint)

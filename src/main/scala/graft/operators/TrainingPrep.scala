@@ -74,7 +74,10 @@ object TrainingPrep {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val score = Exact.e(col("tf") * log(lit(n.toDouble) / col("df")), 6)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score_e6").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    // df is one row per corpus vocab term — small at test sf but
+    // Heaps'-law unbounded at 100 TB, so no forced broadcast: the join
+    // shuffles on term and AQE demotes to broadcast when genuinely small
+    tf.join(df, "term")
       .withColumn("score_e6", score)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -1144,4 +1147,36 @@ object TrainingPrep {
        |    extra_budget - prefix_before)) * 10000) // n_tokens AS bigint)
        |    AS epochs_e4
        |FROM ranked""".stripMargin
+
+  // t59: SOFT dedup — down-weight instead of drop (the data-constrained
+  // regime's alternative to keep-one dedup: when tokens are scarce,
+  // Muennighoff et al. 2023 show repeated data still carries value, so a
+  // pipeline can keep every near-dup cluster member at sampling weight
+  // 1/|cluster| — the cluster contributes ONE document's worth of
+  // expected tokens per epoch instead of |cluster| — rather than
+  // discarding all but the keeper as t23's hard gate does).
+
+  /** Per-document sampling weight from near-dup cluster size: docs in no
+    * cluster weigh 10000 (e4 fixed-point 1.0); members of a k-doc
+    * cluster weigh 10000 div k. Output: (doc_id, cluster_size,
+    * weight_e4).
+    *
+    * Plan/scale: the cluster-size rollup is one map-side-combined
+    * aggregate over the label frame; both joins are doc_id/cluster_id
+    * equi-joins with NO broadcast hint (the label frame is
+    * corpus-derived — AQE demotes when small). One corpus-frame shuffle
+    * on doc_id beyond the clustering pass it rides.
+    */
+  def softDedupWeights(
+      spark: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    table(spark, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .select(col("doc_id"), col("cluster_size"),
+        expr("10000 div cluster_size").as("weight_e4"))
+  }
 }

@@ -542,6 +542,21 @@ object OnlineGate {
       minQualityE4, minTokens, maxTokens)
   }
 
+  /** Pre-cut threshold sweep — the d16 measurement composed into the cut
+    * flow: before freezing a snapshot, sweep the ACCUMULATED index's
+    * postings for near-dup pair counts per Jaccard bucket, pick the
+    * threshold, then [[cut]]. One d3-cost pass over the compact stored
+    * shingles (the same df-capped machinery as the batch d16i — the
+    * sweep does NOT re-run per candidate threshold), nothing re-shingles
+    * a byte. `includePlanted = true` because the online index holds only
+    * genuinely ingested rows — "planted" ids exist only in the batch
+    * index's graded fixture. `StreamingSpec` pins ingest-sweep ≡
+    * cold-sweep bit-equality over the ingested corpus.
+    */
+  def preCutSweep(spark: SparkSession, shingleTable: String): DataFrame =
+    Dedup.sweepFromShingles(
+      ShingleIndex.shingles(spark, shingleTable, includePlanted = true))
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

@@ -23,6 +23,17 @@ object PlanAudit {
 
   private val Bnlj = "BroadcastNestedLoopJoin"
   private val Cart = "CartesianProduct"
+  private val UnbBcast = "UnboundedBroadcast"
+
+  /** Corpus-scale leaf tables: a frame DERIVED from one of these is
+    * O(corpus) unless something in between provably bounds it (a
+    * limit/sample, or an aggregate onto a bounded key documented in the
+    * waiver). An explicit `broadcast()` hint on such a frame is the
+    * round-13 w8/w9/w10 scale-killer: at the 100 TB target the frame is
+    * 10⁸–10⁹ rows, past Spark's 8 GB broadcast hard limit — the hint
+    * forces an OOM that AQE would never choose on its own.
+    */
+  private val FactTables = Seq("events", "documents", "embeddings", "lineitem")
 
   /** One audit hit: a red-flag `tag` in `query`'s plan, waived or not. */
   final case class Finding(
@@ -35,7 +46,9 @@ object PlanAudit {
   }
 
   /** (query, pattern) → why that pattern is constant-size there. */
-  private val Waivers: Map[(String, String), String] = Map(
+  // lazy: appends UnboundedBroadcastWaivers, declared below (plain vals
+  // would read it as null during object init)
+  private lazy val Waivers: Map[(String, String), String] = Map(
     ("a11_kmv_set_ops", Bnlj) -> "1-row sketch frames crossed (constant build side)",
     ("q11_important_parts", Bnlj) -> "1-row global-total threshold crossed",
     ("q14_promo_share", Bnlj) -> "1-row aggregate pair",
@@ -110,25 +123,166 @@ object PlanAudit {
     // p_brand frame (Fixtures.codeLists) — constant-size at any sf
     ("flagship_updates", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",
     ("j1_order_lookup", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame",
-    ("p8_option_updates_no_nodeid", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame")
+    ("p8_option_updates_no_nodeid", "GlobalWindow") -> "dense_rank over the ~25-row brand fixture frame") ++
+    UnboundedBroadcastWaivers
+
+  /** The waived bounded-cardinality broadcast set (round-14, VERDICT r13
+    * item 2): every explicit `broadcast()` hint on a corpus-DERIVED frame
+    * whose boundedness the static detector cannot prove, with the reason
+    * it is in fact constant-or-near-constant-sized at any corpus scale.
+    * Anything hinted outside this set fails `PlanAuditSpec`.
+    */
+  private val ProbeFrame =
+    "NumQueries-literal probe frame (vec_id < 8 on unique ids: ≤8 rows)"
+  private val VocabModel =
+    "UNK-thresholded n-gram model table: vocab-bounded, orders below the " +
+      "corpus; LmScore scaladoc records the drop-hint escape hatch for a " +
+      "vocab past executor memory"
+  private val QueryTermDf =
+    "df restricted to the literal query-term set before broadcast " +
+      "(≤|query terms| rows; df is term-unique)"
+  private val UnboundedBroadcastWaivers: Map[(String, String), String] = Map(
+    ("a12_bloom_membership", s"$UnbBcast[agg:w]") ->
+      "bloom bit-array words: ≤ filterBits/64 rows (literal sketch size)",
+    ("a9_cms_user_counts",
+      s"$UnbBcast[agg:_groupingexpression,_groupingexpression]") ->
+      "CMS counter cells: depth×width literal sketch dims",
+    ("d15_ngram_decontamination", s"$UnbBcast[agg:g]") ->
+      "eval-set 13-grams: sized by the benchmark suite, not the corpus",
+    ("m5_feature_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("t11_packed_chunks", s"$UnbBcast[agg:pid]") ->
+      "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
+    ("t26_shard_assignment", s"$UnbBcast[agg:pid]") ->
+      "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
+    ("t27_shard_manifest", s"$UnbBcast[agg:pid]") ->
+      "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
+    ("t12_balance_weights", s"$UnbBcast[agg:lang]") ->
+      "per-class counts: bounded label count",
+    ("t29_mixture_selection", s"$UnbBcast[agg:source]") ->
+      "per-source rate table: |sources| rows",
+    ("t30_curriculum_selection", s"$UnbBcast[agg:pid,source]") ->
+      "per-(bucket,source) offsets: ≤buckets×|sources| rows",
+    ("t30s_curriculum_frame", s"$UnbBcast[agg:pid,source]") ->
+      "per-(bucket,source) offsets: ≤buckets×|sources| rows",
+    ("t32_dsir_weights", s"$UnbBcast[agg:b]") ->
+      "DsirBuckets (256)-row hashed-feature table",
+    ("t33_bm25_topk", s"$UnbBcast[agg:term]") -> QueryTermDf,
+    ("t36_rrf_fusion", s"$UnbBcast[agg:term]") -> QueryTermDf,
+    ("t35_trigram_lm_ppl", s"$UnbBcast[agg:tok]") -> VocabModel,
+    ("t35_trigram_lm_ppl", s"$UnbBcast[agg:v]") -> VocabModel,
+    ("t35_trigram_lm_ppl", s"$UnbBcast[agg:u,v]") -> VocabModel,
+    ("t35_trigram_lm_ppl", s"$UnbBcast[agg:v,w]") -> VocabModel,
+    ("t35_trigram_lm_ppl", s"$UnbBcast[agg:u,v,w]") -> VocabModel,
+    ("t44_nb_langid", s"$UnbBcast[agg:lang]") ->
+      "|langs|-row unk-floor frame (bounded label count)",
+    ("t48_quality_classifier_keep", s"$UnbBcast[agg:lang]") ->
+      "2-row (hiq/loq) unk-floor frame",
+    ("t53_quality_calibration", s"$UnbBcast[agg:lang]") ->
+      "2-row (hiq/loq) unk-floor frame (rides the t48 scoring plan)",
+    ("t56_source_overlap_matrix", s"$UnbBcast[agg:source]") ->
+      ("|sources|-row KMV sketch frame"),
+    ("t56_source_overlap_matrix", s"$UnbBcast[agg:source,source]") ->
+      "|sources|²-row pairwise sketch-intersection frame",
+    ("w9_cohort_retention", s"$UnbBcast[agg:cohort_week]") ->
+      ("≤weeks-row cohort-size table (the retention plan's one genuinely " +
+        "bounded frame; the user-scale cohort frame is joined UNhinted)"),
+    ("v2_brute_force_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v4_lsh_ann_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v7_ivf_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v11_ivfpq_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v12_ivf_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v14_pq_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v17_adaptive_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v18_adaptive_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v19_binary_hamming_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v20_binary_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v21_ivf_binary_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v22_ivf_binary_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v23_int8_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v24_int8_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v25_filtered_topk", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v26_filtered_recall", s"$UnbBcast[raw]") -> ProbeFrame)
 
   /** Audit ONE built query plan. Pattern detection only — no jobs run
     * (the physical plan here is the pre-execution one; AQE re-plans are
     * out of scope because the red flags below are static shapes).
     */
   def audit(name: String, df: DataFrame): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val qe = df.queryExecution
     val physical = qe.executedPlan.toString
     // partitionBy(lit(0)) and other foldable keys constant-fold away,
     // so an EMPTY partitionSpec here is a genuinely global window
     val globalWindows = qe.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
+      case w: Window if w.partitionSpec.isEmpty => w
     }
+    // explicit broadcast hints on corpus-derived frames: by optimization
+    // time ResolvedHint folds into Join.hint, so inspect each hinted side
+    val unboundedBcastTags = qe.optimizedPlan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+          case (Some(h), side) if h.strategy.contains(BROADCAST) &&
+            !boundedCardinality(side) =>
+            s"$UnbBcast[${broadcastShape(side)}]"
+        }
+    }.flatten.distinct
     val hits =
       Seq(Cart, Bnlj).filter(physical.contains) ++
-        (if (globalWindows.nonEmpty) Seq("GlobalWindow") else Nil)
+        (if (globalWindows.nonEmpty) Seq("GlobalWindow") else Nil) ++
+        unboundedBcastTags
     hits.map(tag => Finding(name, tag, Waivers.get((name, tag))))
+  }
+
+  /** Static cardinality-boundedness of a broadcast-hinted subtree: true
+    * iff the frame provably does NOT grow with the corpus. Limits,
+    * samples, and grouping-free (1-row) aggregates bound anything below
+    * them; joins/unions are bounded when every input is; a scan is
+    * bounded unless it reads a corpus-scale fact table ([[FactTables]]).
+    * A KEYED aggregate is conservatively unbounded — keys like `lang` or
+    * `ngram`-vocab are bounded in practice, but that fact lives in the
+    * waiver reason, not in the detector.
+    */
+  private def boundedCardinality(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: GlobalLimit | _: LocalLimit | _: Sample => true
+      // an aggregate never increases cardinality: grouping-free → 1 row;
+      // keyed → bounded iff its input is (vocab-keyed aggs over the
+      // corpus stay conservative-unbounded and need a waiver)
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || boundedCardinality(a.child)
+      // explode multiplies rows by an unbounded per-row factor
+      case _: Generate => false
+      case j: Join => boundedCardinality(j.left) && boundedCardinality(j.right)
+      case u: Union => u.children.forall(boundedCardinality)
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            !fs.location.rootPaths.exists(p =>
+              FactTables.exists(t => p.toString.contains(s"$t.parquet")))
+          case _ => true
+        }
+      case l if l.children.isEmpty => true // local/one-row/fixture relations
+      case u: UnaryNode => boundedCardinality(u.child)
+      case _ => false
+    }
+  }
+
+  /** Short shape descriptor for an unbounded hinted frame, so waivers pin
+    * the SPECIFIC frame (its first keyed aggregate's grouping columns) —
+    * re-hinting a different unbounded frame in a waived query still flags.
+    */
+  private def broadcastShape(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan.collectFirst {
+      case a: Aggregate if a.groupingExpressions.nonEmpty =>
+        "agg:" + a.groupingExpressions.map {
+          case n: org.apache.spark.sql.catalyst.expressions.NamedExpression => n.name
+          case e => e.sql
+        }.sorted.mkString(",")
+    }.getOrElse("raw")
   }
 
   /** Sweep every registered query at `dir`. Returns (findings, errors):

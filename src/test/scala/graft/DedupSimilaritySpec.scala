@@ -628,4 +628,59 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("TopKPerKey"), s"expected the TopKPerKey node:\n$plan")
     assert(!plan.contains("Window"), s"expected no window sort:\n$plan")
   }
+
+  test("d17 histogram partitions the clustered docs; t59 weights are 1/size and total") {
+    import org.apache.spark.sql.functions._
+    val clusters = Dedup.duplicateClusters(spark, sf0001).cache()
+    val nClustered = clusters.count()
+    val hist = Dedup.clusterSizeHistogram(clusters)
+      .as[(Long, Long)].collect().toMap
+    // the histogram is a partition of the label frame...
+    assert(hist.map { case (sz, n) => sz * n }.sum === nClustered)
+    // ...with at least one genuine multi-doc cluster on this corpus
+    assert(hist.keys.max >= 2L, s"no multi-doc cluster in $hist")
+
+    val weights = graft.operators.TrainingPrep
+      .softDedupWeights(spark, sf0001, clusters).cache()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // every document gets exactly one weight row
+    assert(weights.count() === total)
+    assert(weights.select("doc_id").distinct().count() === total)
+    // members of a k-cluster weigh 10000 div k; unclustered docs weigh 10000
+    val sizes = clusters.groupBy(col("cluster_id")).count()
+      .withColumnRenamed("count", "sz")
+    val bad = weights.join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .filter(col("weight_e4") =!= expr("10000 div coalesce(sz, 1)"))
+    assert(bad.count() === 0L, s"weight mismatch: ${bad.take(3).mkString(";")}")
+    // the soft gate is non-vacuous: some doc is down-weighted, none zeroed
+    assert(weights.filter(col("weight_e4") < 10000L).count() > 0L)
+    assert(weights.filter(col("weight_e4") <= 0L).count() === 0L)
+    clusters.unpersist(); weights.unpersist()
+  }
+
+  test("t58 blocklist: exact, subdomain-suffix, and longest-rule-wins semantics") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.domainBlocklistGate(spark, sf0001).cache()
+    val byId = out.select("doc_id", "host", "blocked", "matched_rule")
+      .as[(Long, String, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 2: site2.example.org — blocked by the EXACT rule
+    assert(byId(2L) === (("site2.example.org", true, Some("site2.example.org"))))
+    // doc 12: cdn.site2.example.org — blocked as a SUBDOMAIN of the rule
+    assert(byId(12L) === (("cdn.site2.example.org", true, Some("site2.example.org"))))
+    // doc 21: cdn.site1.example.net matches BOTH example.net and
+    // site1.example.net — the longer (more specific) rule must win
+    assert(byId(21L) === (("cdn.site1.example.net", true, Some("site1.example.net"))))
+    // doc 7: site2.example.net — only the TLD-level rule matches
+    assert(byId(7L) === (("site2.example.net", true, Some("example.net"))))
+    // doc 4: site4.example.org matches nothing (cdn.site4.example.org is
+    // MORE specific than the host — a rule never blocks its parent)
+    assert(byId(4L) === (("site4.example.org", false, None)))
+    // the gate both blocks and keeps at corpus level
+    assert(out.filter(col("blocked")).count() > 0L)
+    assert(out.filter(!col("blocked")).count() > 0L)
+    assert(out.count() === spark.read.parquet(s"$sf0001/documents.parquet").count())
+    out.unpersist()
+  }
 }

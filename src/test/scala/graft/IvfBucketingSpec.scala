@@ -123,9 +123,14 @@ class IvfBucketingSpec extends SparkSuite {
     assert(full === brute, "full-probe filtered IVF diverged from filtered brute force")
     // and the graded boosted-nprobe recall is substantial: 8/16 lists
     // scanned must beat the 50% scan fraction via quantizer routing
-    val rec = IvfAnn.filteredRecall(spark, sf0001)
-      .select("recall_e4").as[Long].collect()
-    assert(rec.nonEmpty && rec.forall(_ >= 0L))
+    val recRows = IvfAnn.filteredRecall(spark, sf0001)
+      .select("qid", "recall_e4").as[(Long, Long)].collect()
+    // the left join from the exact frame keeps EVERY qid — including a
+    // hypothetical zero-hit one — and the denominator is the per-qid
+    // ground-truth list size, so recall_e4 can never exceed 10000
+    assert(recRows.map(_._1).sorted.toSeq === (0L until 8L))
+    val rec = recRows.map(_._2)
+    assert(rec.nonEmpty && rec.forall(r => r >= 0L && r <= 10000L))
     assert(rec.map(_.toDouble).sum / (rec.length * 10000.0) > 0.5,
       s"mean filtered recall too low: ${rec.mkString(",")}")
   }

@@ -41,4 +41,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(gw.exists(f => f.tag == "GlobalWindow" && !f.waived),
       s"global window not flagged: $gw")
   }
+
+  test("a broadcast hint on an unbounded corpus-derived frame is flagged") {
+    import org.apache.spark.sql.functions._
+    // the round-13 w8/w9/w10 shape: a user-cardinality aggregate of the
+    // event log force-broadcast into a join — O(corpus) rows at 100 TB,
+    // past the 8 GB broadcast hard limit
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val bad = ev.join(broadcast(cohort), "user_id")
+    val hits = PlanAudit.audit("fixture_bad_query", bad)
+    assert(hits.exists(f => f.tag.startsWith("UnboundedBroadcast") && !f.waived),
+      s"unbounded broadcast not flagged: $hits")
+    // the shape descriptor pins the offending frame, so a waiver for one
+    // frame cannot silently cover a different one
+    assert(hits.exists(_.tag == "UnboundedBroadcast[agg:user_id]"), s"$hits")
+    // ...while a limit-bounded frame from the same table is fine (the
+    // ANN 8-query probe shape)
+    val bounded = ev.join(broadcast(cohort.limit(8)), "user_id")
+    assert(!PlanAudit.audit("fixture_ok_query", bounded)
+      .exists(_.tag.startsWith("UnboundedBroadcast")))
+  }
 }

@@ -1940,6 +1940,20 @@ class StreamingSpec extends SparkSuite {
       // cut-time gate must drop something the online pass kept
       assert(cut !== keptOnline, "segment gate dropped nothing at cut — vacuous")
 
+      // 5b. pre-cut threshold sweep: the d16 measurement over the
+      //     ACCUMULATED index (pick the threshold, then cut) is
+      //     bit-equal to the cold inline sweep over the union corpus —
+      //     and actually sees the ingested clones (Jaccard-1.0 pairs)
+      val ingestSweep = OnlineGate.preCutSweep(spark, tbl)
+        .collect().map(_.toSeq).toSet
+      val coldSweep = Dedup.thresholdSensitivity(spark, unionDir)
+        .collect().map(_.toSeq).toSet
+      assert(ingestSweep === coldSweep,
+        "pre-cut sweep over the accumulated index diverged from the cold d16")
+      assert(OnlineGate.preCutSweep(spark, tbl)
+        .filter(col("threshold_e2") === 100 && col("n_pairs_ge") > 0).count() === 1L,
+        "full clones produced no Jaccard-1.0 pairs in the sweep — vacuous")
+
       // 6. first-class cut, t23 form: ingest → cut ≡ the cold full-gate
       //    chain over the ingested corpus — trainingSelection (exact ∧
       //    token ∧ quality ∧ segment-dup, batch operators end-to-end)

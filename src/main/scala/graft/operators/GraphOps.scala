@@ -37,6 +37,43 @@ object GraphOps {
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
 
+    // Partition-local union-find pre-contraction (the standard production
+    // prologue to the star rounds): each task runs union-find over ITS
+    // partition's edges and emits one (node → partition-local min root)
+    // star edge per non-root node. Connectivity is exactly preserved —
+    // every input edge (a,b) maps to a,b sharing a local root — while
+    // (1) the edge set shrinks to ≤ one edge per distinct node in the
+    // partition, and (2) every partition-local chain collapses to depth 1
+    // BEFORE the first global round, so the O(log n) rounds only pay for
+    // structure that spans partitions. Per-task memory is one long↦long
+    // map over the partition's nodes — the same footprint a shuffle
+    // hash-aggregate over that partition would need; partition count, not
+    // corpus size, bounds it. This is the one deliberate mapPartitions in
+    // the graph family: union-find is genuinely per-partition imperative.
+    val sess = edgesIn.sparkSession
+    import sess.implicits._
+    val contracted = canon
+      .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // materialize roots first: find() path-compresses during iteration
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+      }
+      .toDF("a", "b")
+
     // vertices captured up front — star rounds rewrite edges, and a
     // root's own row disappears from the `a` side at the fixpoint
     val verts = edgesIn
@@ -103,7 +140,7 @@ object GraphOps {
     // halving jobs-per-round beats halving probe frequency (probing
     // every 2nd round was tried and LOST — the extra star rounds past
     // the fixpoint cost more than the 1-stage probes they save).
-    var cur = canon.localCheckpoint(eager = false)
+    var cur = contracted.localCheckpoint(eager = false)
     var curSig = probe(cur)
     var converged = curSig._1 == 0L
     var iter = 0

@@ -440,6 +440,11 @@ object SparkEntry {
       graft.operators.TrainingPrep.softDedupWeights(s, d,
         graft.operators.ShingleIndex.duplicateClusters(
           s, graft.operators.IndexStore.shingleTable(s, d)))),
+    // d18 rides the STORED 32-perm signatures: the 1-bit sketch estimate
+    // graded against the exact verified Jaccard it approximates
+    "d18_bbit_minhash_estimate" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.bbitMinhashEstimate(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
     // the index-fed twins of d3/d4/d10/d11: same scoring engines, pairs
     // read from the write-once shingle/segment index instead of
     // re-tokenizing the corpus — the build-once/read-many path a 100 TB
@@ -474,6 +479,9 @@ object SparkEntry {
     // complement of d9's fuzzy pass; broadcast eval grams, one shuffle
     "d15_ngram_decontamination" -> ((s: SparkSession, d: String) =>
       Dedup.ngramDecontamination(s, d, plantClones = true)),
+    // the per-suite leakage table next to d15's per-doc counts
+    "t60_contamination_report" -> ((s: SparkSession, d: String) =>
+      Dedup.contaminationReport(s, d, plantClones = true)),
     // dedup threshold sensitivity: pairs-per-jaccard-bucket + cumulative
     // curve from one d3-priced pass — the pre-commit threshold study
     "d16_threshold_sensitivity" -> Dedup.thresholdSensitivity _,
@@ -1736,10 +1744,12 @@ object SparkEntry {
     // their whole signature pipelines replay in DuckDB — SQL generated
     // next to the operators so constants can't desync:
     "d4_minhash_lsh_pairs" -> Dedup.minhashLshOracleSql,
+    "d18_bbit_minhash_estimate" -> Dedup.bbitMinhashOracleSql,
     "d5_simhash_signatures" -> Dedup.simhashSignaturesOracleSql,
     "d6_simhash_pairs" -> Dedup.simhashPairsOracleSql,
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
     "d15_ngram_decontamination" -> Dedup.ngramDecontaminationOracleSql,
+    "t60_contamination_report" -> Dedup.contaminationReportOracleSql,
     "d16_threshold_sensitivity" -> Dedup.thresholdSensitivityOracleSql,
     "d10_segment_dedup" -> Dedup.duplicatedSegmentsOracleSql,
     "d11_containment_pairs" -> Dedup.containmentPairsOracleSql,

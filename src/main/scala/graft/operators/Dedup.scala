@@ -668,6 +668,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** t60: the per-SUITE contamination report — the table a lab publishes
+    * next to its eval numbers (Brown et al. 2020 App. C report leakage
+    * per benchmark, because "0.3% of the corpus is dirty" hides that one
+    * suite is 40% leaked): for each eval suite, its distinct 13-gram
+    * count, how many of those grams appear in training documents, the
+    * leak rate, and how many training docs carry any of them. Suites are
+    * the deterministic doc_id % 4 partition of the eval range (the
+    * corpus has no suite column — same planting convention as t16/t58).
+    *
+    * Scale shape: rides d15's exact machinery — eval side bounded by the
+    * benchmark suites (broadcast), train side one explode + broadcast
+    * join; the rollups group on (suite, g)/(suite, doc) then 4-row
+    * suite keys, all map-side partial-aggregated. Output: |suites| rows.
+    */
+  def contaminationReport(
+      spark: SparkSession, dir: String,
+      plantClones: Boolean = false, n: Int = DecontamN): DataFrame = {
+    val grams = crossDocs(spark, dir, plantClones)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, size(toks) - ${n - 1}),
+             |  i -> md5(cast(concat_ws(' ', slice(toks, i, $n)) AS binary)))""".stripMargin))
+          .as("g"))
+    val isEval = col("doc_id") < CrossEvalCut || col("doc_id") >= CrossPlantBase
+    val evalG = grams.filter(isEval)
+      .select(pmod(col("doc_id"), lit(4L)).as("suite"), col("g")).distinct()
+    val trainG = grams.filter(!isEval).select(col("doc_id"), col("g")).distinct()
+    val per = evalG.groupBy(col("suite")).agg(count(lit(1)).as("n_eval_grams"))
+    val leak = trainG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("suite"))
+      .agg(
+        countDistinct(col("g")).as("n_leaked_grams"),
+        countDistinct(col("doc_id")).as("n_contaminated_docs"))
+    per.join(leak, Seq("suite"), "left")
+      .select(col("suite"), col("n_eval_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"))
+      .withColumn("leak_rate_e4", expr("n_leaked_grams * 10000 div n_eval_grams"))
+  }
+
+  /** DuckDB twin of [[contaminationReport]] with planting on. */
+  def contaminationReportOracleSql: String = {
+    val n = DecontamN
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CrossPlantBase, substr(text, strpos(text, ' ') + 1)
+       |  FROM documents WHERE doc_id % 100 = 50),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |grams AS (
+       |  SELECT doc_id, md5(array_to_string(t[i:i + ${n - 1}], ' ')) AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${n - 2})) AS i) r),
+       |eg AS (
+       |  SELECT DISTINCT doc_id % 4 AS suite, g FROM grams
+       |  WHERE doc_id < $CrossEvalCut OR doc_id >= $CrossPlantBase),
+       |tg AS (
+       |  SELECT DISTINCT doc_id, g FROM grams
+       |  WHERE doc_id >= $CrossEvalCut AND doc_id < $CrossPlantBase),
+       |per AS (SELECT suite, count(*) AS n_eval_grams FROM eg GROUP BY suite),
+       |lk AS (
+       |  SELECT eg.suite, count(DISTINCT eg.g) AS n_leaked_grams,
+       |    count(DISTINCT tg.doc_id) AS n_contaminated_docs
+       |  FROM tg JOIN eg USING (g) GROUP BY eg.suite)
+       |SELECT per.suite, cast(per.n_eval_grams AS bigint) AS n_eval_grams,
+       |  cast(coalesce(lk.n_leaked_grams, 0) AS bigint) AS n_leaked_grams,
+       |  cast(coalesce(lk.n_contaminated_docs, 0) AS bigint)
+       |    AS n_contaminated_docs,
+       |  cast(coalesce(lk.n_leaked_grams, 0) * 10000 // per.n_eval_grams
+       |    AS bigint) AS leak_rate_e4
+       |FROM per LEFT JOIN lk ON lk.suite = per.suite""".stripMargin
+  }
+
   /** DuckDB twin of [[ngramDecontamination]] with planting on. */
   def ngramDecontaminationOracleSql: String = {
     val n = DecontamN
@@ -731,13 +808,12 @@ object Dedup {
       s"SELECT doc_id, $b AS band, concat_ws(',', ${cols.mkString(", ")}) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
 
-  /** DuckDB twin of [[minhashLshPairs]] (d4): same signatures, same 8×4
-    * banding, same candidate set, same exact-Jaccard verification.
+  /** The full d4 CTE chain through VERIFIED pairs — factored so the d4
+    * and d18 oracles share one text and cannot desync on the banding,
+    * the bucket cap, or the verification threshold.
     */
-  def minhashLshOracleSql: String =
-    s"""WITH $DuckShingleCtes,
-       |${duckMinhashSigCtes(NumPerms)},
-       |bands AS (
+  private def duckD4VerifiedCtes: String =
+    s"""bands AS (
        |  ${duckBandSelects(NumPerms, BandSize)}),
        |bcap AS (
        |  SELECT band, bkey FROM bands GROUP BY band, bkey
@@ -754,14 +830,80 @@ object Dedup {
        |  FROM cand c
        |  JOIN sh xa ON xa.doc_id = c.a
        |  JOIN sh yb ON yb.doc_id = c.b AND yb.s = xa.s
-       |  GROUP BY 1, 2)
-       |SELECT com.a, com.b,
-       |  cast(floor(cast(nc AS double) / (sa.n + sb.n - nc) * 10000.0 + 0.5) AS bigint)
-       |    AS jaccard_e4
-       |FROM com
-       |JOIN sizes sa ON sa.doc_id = com.a
-       |JOIN sizes sb ON sb.doc_id = com.b
-       |WHERE cast(nc AS double) / (sa.n + sb.n - nc) >= $DefaultThreshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT com.a, com.b,
+       |    cast(floor(cast(nc AS double) / (sza.n + szb.n - nc) * 10000.0 + 0.5)
+       |      AS bigint) AS jaccard_e4
+       |  FROM com
+       |  JOIN sizes sza ON sza.doc_id = com.a
+       |  JOIN sizes szb ON szb.doc_id = com.b
+       |  WHERE cast(nc AS double) / (sza.n + szb.n - nc) >= $DefaultThreshold)"""
+      .stripMargin
+
+  /** DuckDB twin of [[minhashLshPairs]] (d4): same signatures, same 8×4
+    * banding, same candidate set, same exact-Jaccard verification.
+    */
+  def minhashLshOracleSql: String =
+    s"""WITH $DuckShingleCtes,
+       |${duckMinhashSigCtes(NumPerms)},
+       |$duckD4VerifiedCtes
+       |SELECT a, b, jaccard_e4 FROM verified""".stripMargin
+
+  /** d18 core: 1-bit MinHash (Li & König 2010) Jaccard re-estimation
+    * over an already-verified pair frame, from the SAME stored
+    * signatures — the sketch-compression trade a 100 TB pipeline cares
+    * about: keeping only the low bit of each of the 32 permutations
+    * shrinks signature storage 60× (60-bit values → 1 bit), and the
+    * collision fraction still estimates J because
+    * P[bit match] = J + (1−J)/2, so Ĵ = 2·frac − 1 (exact integer
+    * arithmetic: est_e4 = matches·(20000/perms) − 10000). Emitting the
+    * estimate NEXT TO the exact verified Jaccard makes the estimator's
+    * error directly gradeable.
+    *
+    * Plan: the pair frame is candidate-bounded (banded, capped); the two
+    * signature joins shuffle on doc id with no broadcast hint (the sig
+    * frame is corpus-sized); the 32 bit-compares are one codegen
+    * projection.
+    */
+  private[graft] def bbitEstimateFrom(sig: DataFrame, pairs: DataFrame): DataFrame = {
+    val matches = (0 until NumPerms)
+      .map(p => when(col(s"a_h$p") % 2 === col(s"b_h$p") % 2, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sa = sig.select(
+      col("doc_id").as("a") +: (0 until NumPerms).map(p => col(s"h$p").as(s"a_h$p")): _*)
+    val sb = sig.select(
+      col("doc_id").as("b") +: (0 until NumPerms).map(p => col(s"h$p").as(s"b_h$p")): _*)
+    pairs.select(col("a"), col("b"), col("jaccard_e4"))
+      .join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), col("jaccard_e4"),
+        (matches * lit(20000L / NumPerms) - lit(10000L)).as("bbit_est_e4"))
+      .withColumn("abs_err_e4", abs(col("bbit_est_e4") - col("jaccard_e4")))
+  }
+
+  /** Inline d18 over the corpus (the oracle-replayed form). */
+  def bbitMinhashEstimate(
+      spark: SparkSession, dir: String,
+      threshold: Double = DefaultThreshold): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sig = minhashSignatures(sh)
+    bbitEstimateFrom(sig, minhashLshVerified(sig, sh, threshold))
+  }
+
+  def bbitMinhashOracleSql: String = {
+    val est = "(" + (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i % 2 = sb.h$i % 2 THEN 1 ELSE 0 END)")
+      .mkString(" +\n    ") + s") * ${20000 / NumPerms} - 10000"
+    s"""WITH $DuckShingleCtes,
+       |${duckMinhashSigCtes(NumPerms)},
+       |$duckD4VerifiedCtes
+       |SELECT v.a, v.b, v.jaccard_e4,
+       |  cast($est AS bigint) AS bbit_est_e4,
+       |  cast(abs($est - v.jaccard_e4) AS bigint) AS abs_err_e4
+       |FROM verified v
+       |JOIN sig sa ON sa.doc_id = v.a
+       |JOIN sig sb ON sb.doc_id = v.b""".stripMargin
+  }
 
   /** CTE text for `ssig(doc_id, simhash)` — the twin of
     * [[simhashSignatures]] / [[graft.functions.SimHashUtil]]: one row per

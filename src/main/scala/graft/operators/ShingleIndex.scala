@@ -764,6 +764,19 @@ object ShingleIndex {
         .filter(col("doc_id") < Dedup.PartialCopyOffset),
       shingles(spark, tableName, includePlanted = false), threshold)
 
+  /** Index-fed d18: the 1-bit MinHash re-estimation from the STORED
+    * signatures and the stored-pair leaf — no corpus re-shingling; the
+    * inline oracle applies verbatim because the stored sigs are the same
+    * PortableHash chain (pinned by the index build tests).
+    */
+  def bbitMinhashEstimate(
+      spark: SparkSession, tableName: String,
+      threshold: Double = Dedup.DefaultThreshold): DataFrame =
+    Dedup.bbitEstimateFrom(
+      spark.table(sigsTable(tableName))
+        .filter(col("doc_id") < Dedup.PartialCopyOffset),
+      minhashLshPairs(spark, tableName, threshold))
+
   /** Index-fed d9: cross-corpus fuzzy decontamination reading the
     * materialized index instead of re-shingling the corpus. The stored
     * 32-permutation signatures and d9's 16-permutation family are the

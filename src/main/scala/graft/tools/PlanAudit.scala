@@ -149,6 +149,8 @@ object PlanAudit {
       "CMS counter cells: depth×width literal sketch dims",
     ("d15_ngram_decontamination", s"$UnbBcast[agg:g]") ->
       "eval-set 13-grams: sized by the benchmark suite, not the corpus",
+    ("t60_contamination_report", s"$UnbBcast[agg:g,suite]") ->
+      "eval-set (suite, 13-gram) frame: sized by the benchmark suites, not the corpus",
     ("m5_feature_topk", s"$UnbBcast[raw]") -> ProbeFrame,
     ("t11_packed_chunks", s"$UnbBcast[agg:pid]") ->
       "per-bucket offset table: ≤PrefixSumBuckets (64) rows",

@@ -659,6 +659,50 @@ class DedupSimilaritySpec extends SparkSuite {
     clusters.unpersist(); weights.unpersist()
   }
 
+  test("d18: 1-bit estimate recomputes exactly from the signatures and tracks jaccard") {
+    import org.apache.spark.sql.functions._
+    val est = Dedup.bbitMinhashEstimate(spark, sf0001).cache()
+    val pairs = Dedup.minhashLshPairs(spark, sf0001)
+    // one estimate row per verified d4 pair, nothing invented
+    assert(est.count() === pairs.count())
+    assert(est.filter(col("bbit_est_e4") < -10000L || col("bbit_est_e4") > 10000L)
+      .count() === 0L)
+    // independent recomputation: for a sample of pairs, re-derive the
+    // 1-bit match count straight from the signature frame and pin the
+    // operator's integer estimate exactly
+    val sigRows = Dedup.minhashSignatures(Dedup.shingles(spark, sf0001)).collect()
+    val bits = sigRows.map(r =>
+      r.getLong(0) -> (1 to 32).map(i => r.getLong(i) % 2).toArray).toMap
+    est.select("a", "b", "bbit_est_e4").as[(Long, Long, Long)]
+      .collect().take(8).foreach { case (a, b, e) =>
+        val m = bits(a).zip(bits(b)).count { case (x, y) => x == y }
+        assert(e === m.toLong * 625L - 10000L, s"pair ($a,$b)")
+      }
+    // 32 one-bit trials are noisy (σ ≈ 0.18 on Ĵ) but the estimator must
+    // still track: mean |err| well under the all-noise level
+    val meanErr = est.agg(avg(col("abs_err_e4"))).head().getDouble(0)
+    assert(meanErr < 4000.0, s"mean abs err $meanErr")
+    est.unpersist()
+  }
+
+  test("t60: per-suite leakage report — planted clones land in suite 2, rates bounded") {
+    import org.apache.spark.sql.functions._
+    val rep = Dedup.contaminationReport(spark, sf0001, plantClones = true).cache()
+    val rows = rep.as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the deterministic doc_id % 4 partition yields all four suites
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L))
+    rows.values.foreach { case (_, ne, nl, nd, rate) =>
+      assert(ne > 0L); assert(nl >= 0L && nl <= ne)
+      assert(rate >= 0L && rate <= 10000L)
+      assert((nl == 0L) == (nd == 0L))
+    }
+    // every planted clone id (orig % 100 == 50, +10^6 ≡ 0 mod 4) lands in
+    // suite 2, so that suite is provably leaked
+    assert(rows(2L)._3 > 0L, s"suite 2 reports no leakage: $rows")
+    rep.unpersist()
+  }
+
   test("t58 blocklist: exact, subdomain-suffix, and longest-rule-wins semantics") {
     import org.apache.spark.sql.functions._
     val out = Dedup.domainBlocklistGate(spark, sf0001).cache()

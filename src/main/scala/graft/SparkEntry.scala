@@ -430,16 +430,17 @@ object SparkEntry {
     "d8_duplicate_clusters" -> ((s: SparkSession, d: String) =>
       graft.operators.ShingleIndex.duplicateClusters(
         s, graft.operators.IndexStore.shingleTable(s, d))),
-    // d17/t59 ride d8's index-fed cluster labels: the histogram that
-    // sizes the dedup decision, and the data-constrained soft-dedup
-    // alternative (down-weight members instead of dropping them)
+    // d17/t59 ride the PERSISTED cluster labels (IndexStore, built once
+    // per process from the index pairs): the histogram that sizes the
+    // dedup decision, and the data-constrained soft-dedup alternative
+    // (down-weight members instead of dropping them). Only the first
+    // reader pays the closure pass — d8 stays graded on it inline.
     "d17_cluster_size_histogram" -> ((s: SparkSession, d: String) =>
-      Dedup.clusterSizeHistogram(graft.operators.ShingleIndex.duplicateClusters(
-        s, graft.operators.IndexStore.shingleTable(s, d)))),
+      Dedup.clusterSizeHistogram(s.read.parquet(
+        graft.operators.IndexStore.clusterLabelsPath(s, d)))),
     "t59_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.softDedupWeights(s, d,
-        graft.operators.ShingleIndex.duplicateClusters(
-          s, graft.operators.IndexStore.shingleTable(s, d)))),
+        s.read.parquet(graft.operators.IndexStore.clusterLabelsPath(s, d)))),
     // d18 rides the STORED 32-perm signatures: the 1-bit sketch estimate
     // graded against the exact verified Jaccard it approximates
     "d18_bbit_minhash_estimate" -> ((s: SparkSession, d: String) =>

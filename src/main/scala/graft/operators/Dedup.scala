@@ -1691,12 +1691,27 @@ object Dedup {
     * so the two plantings stay independent. cdn.-prefixed on doc_id%3=0,
     * 5 sites, org/net TLD split on parity.
     */
+  private[graft] def plantedHostCol(docId: Column): Column = concat(
+    when(docId % 3 === 0, lit("cdn.")).otherwise(lit("")),
+    lit("site"), (docId % 5).cast("string"),
+    when(docId % 2 === 0, lit(".example.org")).otherwise(lit(".example.net")))
+
   private[graft] def plantedHosts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), concat(
-      when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
-      lit("site"), (col("doc_id") % 5).cast("string"),
-      when(col("doc_id") % 2 === 0, lit(".example.org"))
-        .otherwise(lit(".example.net"))).as("host"))
+    docs.select(col("doc_id"), plantedHostCol(col("doc_id")).as("host"))
+
+  /** Per-row blocklist verdict as ONE codegen boolean — the form the
+    * at-arrival ingest gate composes (it needs pass/block, not the
+    * matched rule, so the suffix explosion + rule join of the full t58
+    * report collapses to a literal OR-chain over [[DomainBlocklist]]).
+    * `StreamingSpec` pins at-arrival ≡ cold; `DedupSimilaritySpec` pins
+    * it against [[domainBlocklistGate]]'s blocked column.
+    */
+  private[graft] def domainPassCol(docId: Column): Column = {
+    val host = plantedHostCol(docId)
+    !DomainBlocklist
+      .map(r => host === lit(r) || host.endsWith(lit("." + r)))
+      .reduce(_ || _)
+  }
 
   /** t58: domain-blocklist gate — the URL-level filter every crawl
     * pipeline runs FIRST (C4 "bad words" domains, RefinedWeb blocklists:

@@ -319,6 +319,7 @@ object OnlineGate {
       keepLangs: Seq[String] = Seq("en"),
       qualityModelPath: Option[String] = None,
       c4Policy: Boolean = false,
+      domainGate: Boolean = false,
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens,
@@ -344,7 +345,7 @@ object OnlineGate {
           val b = batch.toDF().localCheckpoint()
           processFullGateBatch(spark, b, outPath, identityCol,
             canonicalizeUrl, lmFrames,
-            nbFrames, keepLangs, clfFrames, c4Policy,
+            nbFrames, keepLangs, clfFrames, c4Policy, domainGate,
             minQualityE4, minTokens, maxTokens,
             id, compactEvery)
         }
@@ -383,6 +384,7 @@ object OnlineGate {
       lmFrames: Option[(DataFrame, DataFrame, DataFrame)],
       nbFrames: Option[(DataFrame, DataFrame, DataFrame)], keepLangs: Seq[String],
       clfFrames: Option[(DataFrame, DataFrame, DataFrame)], c4Policy: Boolean,
+      domainGate: Boolean,
       minQualityE4: Long, minTokens: Long, maxTokens: Long, id: Long,
       compactEvery: Long): Unit = {
     import graft.operators.Expectations
@@ -416,12 +418,15 @@ object OnlineGate {
         TextAnalysis.qualityE4Col(col("text")).as("quality_e4"),
         Expectations.docRowPass.as("pass_expect")) ++
         (if (c4Policy) Seq(TextAnalysis.c4KeptCol(col("text")).as("pass_policy"))
+         else Nil) ++
+        (if (domainGate)
+           Seq(Dedup.domainPassCol(col("doc_id")).as("pass_domain"))
          else Nil): _*)
       .join(firstSeen, Seq("doc_id"))
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
     composeFullDecision(withSignals, lmPass, langPass, clfPass, c4Policy,
-        minQualityE4, minTokens, maxTokens)
+        domainGate, minQualityE4, minTokens, maxTokens)
       .write.mode("overwrite").parquet(s"$outPath/decisions/batch_id=$id")
     FirstSeen.update(spark, outPath, idents, id, compactEvery)
   }
@@ -455,7 +460,7 @@ object OnlineGate {
     */
   private def composeFullDecision(
       withSignals: DataFrame, lmPass: Option[DataFrame], langPass: Option[DataFrame],
-      clfPass: Option[DataFrame], c4Policy: Boolean,
+      clfPass: Option[DataFrame], c4Policy: Boolean, domainGate: Boolean,
       minQualityE4: Long, minTokens: Long, maxTokens: Long): DataFrame = {
     val withLm = lmPass.fold(withSignals)(lp =>
       withSignals.join(lp, Seq("doc_id"), "left")
@@ -471,7 +476,8 @@ object OnlineGate {
       (if (lmPass.isDefined) Seq("pass_ppl") else Nil) ++
       (if (langPass.isDefined) Seq("pass_lang") else Nil) ++
       (if (clfPass.isDefined) Seq("pass_clf") else Nil) ++
-      (if (c4Policy) Seq("pass_policy") else Nil) :+ "kept"
+      (if (c4Policy) Seq("pass_policy") else Nil) ++
+      (if (domainGate) Seq("pass_domain") else Nil) :+ "kept"
     withClf
       .withColumn("pass_quality", col("quality_e4") >= minQualityE4)
       .withColumn("pass_tokens", col("n_tokens").between(minTokens, maxTokens))
@@ -481,7 +487,8 @@ object OnlineGate {
           (if (lmPass.isDefined) col("pass_ppl") else lit(true)) &&
           (if (langPass.isDefined) col("pass_lang") else lit(true)) &&
           (if (clfPass.isDefined) col("pass_clf") else lit(true)) &&
-          (if (c4Policy) col("pass_policy") else lit(true)))
+          (if (c4Policy) col("pass_policy") else lit(true)) &&
+          (if (domainGate) col("pass_domain") else lit(true)))
       .select(cols.map(col): _*)
   }
 
@@ -500,6 +507,7 @@ object OnlineGate {
       keepLangs: Seq[String] = Seq("en"),
       qualityModelPath: Option[String] = None,
       c4Policy: Boolean = false,
+      domainGate: Boolean = false,
       minQualityE4: Long = TrainingPrep.MinQualityE4,
       minTokens: Long = TrainingPrep.MinTokens,
       maxTokens: Long = TrainingPrep.MaxTokens): DataFrame = {
@@ -535,11 +543,14 @@ object OnlineGate {
         Expectations.docRowPass.as("pass_expect"),
         (col("doc_id") === col("first_doc")).as("first_seen")) ++
         (if (c4Policy) Seq(TextAnalysis.c4KeptCol(col("text")).as("pass_policy"))
+         else Nil) ++
+        (if (domainGate)
+           Seq(Dedup.domainPassCol(col("doc_id")).as("pass_domain"))
          else Nil): _*)
       .join(repPass, Seq("doc_id"), "left")
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(true)))
     composeFullDecision(withSignals, lmPass, langPass, clfPass, c4Policy,
-      minQualityE4, minTokens, maxTokens)
+      domainGate, minQualityE4, minTokens, maxTokens)
   }
 
   /** Pre-cut threshold sweep — the d16 measurement composed into the cut

@@ -1358,7 +1358,7 @@ class StreamingSpec extends SparkSuite {
         s"$base/out", s"$base/ckpt", canonicalizeUrl = true,
         lmModelPath = Some(s"$base/lm"),
         nbModelPath = Some(s"$base/nb"), keepLangs = keep,
-        c4Policy = true)
+        c4Policy = true, domainGate = true)
       try {
         rows.grouped((rows.length + 2) / 3).foreach { b =>
           mem.addData(b.toIndexedSeq); q.processAllAvailable()
@@ -1368,13 +1368,13 @@ class StreamingSpec extends SparkSuite {
         df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       val cols = Seq("doc_id", "n_tokens", "quality_e4", "first_seen",
         "pass_expect", "pass_quality", "pass_tokens", "pass_rep", "pass_ppl",
-        "pass_lang", "pass_policy", "kept")
+        "pass_lang", "pass_policy", "pass_domain", "kept")
       val online = spark.read.parquet(s"$base/out/decisions")
         .select(cols.map(col): _*)
       val cold = OnlineGate.fullIngestGateCold(
         seeded, canonicalizeUrl = true, lmModelPath = Some(s"$base/lm"),
         nbModelPath = Some(s"$base/nb"), keepLangs = keep,
-        c4Policy = true).select(cols.map(col): _*)
+        c4Policy = true, domainGate = true).select(cols.map(col): _*)
       assert(online.count() === rows.length.toLong)
       assert(image(online) === image(cold),
         "at-arrival composed verdicts diverged from the cold pass")
@@ -1394,6 +1394,13 @@ class StreamingSpec extends SparkSuite {
       assert(dec.filter(!col("pass_lang")).count() > 0, "langid leg rejected nothing")
       // the policy leg binds on the corpus's blocklist marker + short docs
       assert(dec.filter(!col("pass_policy")).count() > 0, "policy leg rejected nothing")
+      // the t58 domain leg binds (blocklisted planted hosts) and agrees
+      // with the batch report's blocked column doc-by-doc
+      assert(dec.filter(!col("pass_domain")).count() > 0, "domain leg rejected nothing")
+      val reportBlocked = graft.operators.Dedup.domainBlocklistGate(spark, sf0001)
+        .select(col("doc_id"), col("blocked")).as[(Long, Boolean)].collect().toMap
+      dec.select(col("doc_id"), col("pass_domain")).as[(Long, Boolean)].collect()
+        .foreach { case (id, p) => assert(p === !reportBlocked(id), s"doc $id") }
       assert(dec.filter(col("kept")).count() > 0, "gate admitted nothing")
       // the aggregate expectation timeline rode along, one report per batch
       val reports = spark.read.parquet(s"$base/out/expect")

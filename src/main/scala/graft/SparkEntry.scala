@@ -441,6 +441,9 @@ object SparkEntry {
     "t59_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.softDedupWeights(s, d,
         s.read.parquet(graft.operators.IndexStore.clusterLabelsPath(s, d)))),
+    "t62_soft_dedup_budget" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.softDedupBudget(s, d,
+        s.read.parquet(graft.operators.IndexStore.clusterLabelsPath(s, d)))),
     // d18 rides the STORED 32-perm signatures: the 1-bit sketch estimate
     // graded against the exact verified Jaccard it approximates
     "d18_bbit_minhash_estimate" -> ((s: SparkSession, d: String) =>
@@ -1777,6 +1780,25 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN labels l ON l.doc_id = d.doc_id
         |LEFT JOIN csz ON csz.c = l.c""".stripMargin,
+    "t62_soft_dedup_budget" ->
+      s"""WITH RECURSIVE $d8ClusterCtes,
+        |labels AS (SELECT id AS doc_id, min(r) AS c FROM reach GROUP BY id),
+        |csz AS (SELECT c, count(*) AS cluster_size FROM labels GROUP BY c),
+        |w AS (
+        |  SELECT d.doc_id, d.source,
+        |    cast(length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |      AS bigint) AS n_tokens,
+        |    cast(10000 // coalesce(csz.cluster_size, 1) AS bigint) AS weight_e4
+        |  FROM documents d
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  LEFT JOIN csz ON csz.c = l.c)
+        |SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(n_tokens) AS bigint) AS raw_tokens,
+        |  cast(sum(n_tokens * weight_e4 // 10000) AS bigint)
+        |    AS effective_tokens,
+        |  cast((cast(sum(n_tokens * weight_e4 // 10000) AS bigint) * 10000)
+        |    // cast(sum(n_tokens) AS bigint) AS bigint) AS dedup_discount_e4
+        |FROM w GROUP BY source""".stripMargin,
   )
 
   // the quality-formula SQL lives next to its Spark twin

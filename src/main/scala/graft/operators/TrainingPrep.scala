@@ -1167,6 +1167,38 @@ object TrainingPrep {
     * corpus-derived — AQE demotes when small). One corpus-frame shuffle
     * on doc_id beyond the clustering pass it rides.
     */
+  /** t62: the EFFECTIVE token budget per source under soft dedup — what
+    * t59's weights do to the mixture math: each doc contributes
+    * (n_tokens · weight)/10⁴ expected tokens per epoch, so a source
+    * whose volume is mostly near-dup clusters shrinks toward its unique
+    * content. This is the number t29/t51's planners should consume in a
+    * soft-dedup regime (raw token counts overstate cloned sources).
+    * Output: (source, n_docs, raw_tokens, effective_tokens,
+    * dedup_discount_e4). Per-doc products floor-divide BEFORE the sum so
+    * both engines add identical integers.
+    *
+    * Plan/scale: t59's joins plus one |sources|-bounded map-side-combined
+    * rollup — nothing beyond the label-frame shuffle t59 already pays.
+    */
+  def softDedupBudget(
+      spark: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens"))
+    softDedupWeights(spark, dir, clusters)
+      .join(toks, Seq("doc_id"))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * weight_e4 div 10000").as("eff"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("eff")).as("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("effective_tokens"),
+        expr("effective_tokens * 10000 div raw_tokens").as("dedup_discount_e4"))
+  }
+
   def softDedupWeights(
       spark: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy(col("cluster_id"))

@@ -656,7 +656,21 @@ class DedupSimilaritySpec extends SparkSuite {
     // the soft gate is non-vacuous: some doc is down-weighted, none zeroed
     assert(weights.filter(col("weight_e4") < 10000L).count() > 0L)
     assert(weights.filter(col("weight_e4") <= 0L).count() === 0L)
-    clusters.unpersist(); weights.unpersist()
+
+    // t62: the per-source budget is consistent with the weights — the
+    // effective tokens never exceed raw, the discount is a valid e4
+    // share, and a source with no clustered docs keeps its full budget
+    val budget = graft.operators.TrainingPrep
+      .softDedupBudget(spark, sf0001, clusters).cache()
+    budget.as[(String, Long, Long, Long, Long)].collect().foreach {
+      case (src, nd, raw, eff, disc) =>
+        assert(nd > 0L && raw > 0L, src)
+        assert(eff <= raw && eff > 0L, s"$src eff=$eff raw=$raw")
+        assert(disc === eff * 10000L / raw, src)
+    }
+    assert(budget.filter(col("dedup_discount_e4") < 10000L).count() > 0L,
+      "soft dedup discounted no source — vacuous")
+    clusters.unpersist(); weights.unpersist(); budget.unpersist()
   }
 
   test("d18: 1-bit estimate recomputes exactly from the signatures and tracks jaccard") {

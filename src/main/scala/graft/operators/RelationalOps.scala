@@ -449,8 +449,14 @@ object RelationalOps {
     * partition of the corpus (pushed-down filter); hop windows keep each
     * stage's frame a shrinking subset of users.
     */
-  def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = secEvents(spark, dir)
+  def signupFunnel(spark: SparkSession, dir: String): DataFrame =
+    signupFunnelOf(secEvents(spark, dir))
+
+  /** [[signupFunnel]] over any (user_id, event_type, sec) frame — the
+    * skew-measurement seam ([[graft.tools.SkewBench]] floods one power
+    * user through it next to the per-user-window anti-pattern).
+    */
+  private[graft] def signupFunnelOf(ev: DataFrame): DataFrame = {
     val s = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("sec")).as("signup_sec"))
     val c = ev.filter(col("event_type") === "click")

@@ -1718,4 +1718,26 @@ class ScaleOpsSpec extends SparkSuite {
       }
     out.unpersist()
   }
+  test("w8 funnel: agg shape == window shape bit-for-bit under a power-user flood") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RelationalOps
+    import graft.tools.SkewBench
+    val base = RelationalOps.secEvents(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("sec"), col("event_id"))
+      .localCheckpoint()
+    val powerUser = base.filter(col("event_type") === "signup")
+      .agg(min(col("user_id"))).head().getLong(0)
+    val ev = SkewBench.flooded(base, powerUser, 5000).localCheckpoint()
+    def image(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val agg = RelationalOps.signupFunnelOf(ev)
+    val win = SkewBench.signupFunnelWindowed(ev)
+    assert(image(agg) === image(win),
+      "agg-shape funnel diverged from the window form under flood")
+    // non-vacuity: the flood pushes the power user through all 3 stages
+    val st = agg.filter(col("user_id") === powerUser)
+      .select("stage").head().getInt(0)
+    assert(st === 3, s"power user reached stage $st, flood vacuous")
+  }
 }
+

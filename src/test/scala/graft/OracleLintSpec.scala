@@ -5,8 +5,6 @@ import java.nio.file.{Files, Paths}
 
 import scala.sys.process._
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Executes EVERY `SparkEntry.oracleSql` under DuckDB (via the
   * driver-side python3 package, `tools/oracle_lint.py`) and fails if any
   * result column plans to an unnamed-width type (HUGEINT/UHUGEINT) or an
@@ -22,7 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Cancels (does not fail) when python3+duckdb or the testdata are
   * absent, so `sbt test` stays portable to engines-only hosts.
   */
-class OracleLintSpec extends AnyFunSuite {
+class OracleLintSpec extends SparkSuite {
 
   private def haveDuckdb: Boolean =
     try Seq("python3", "-c", "import duckdb").! == 0
@@ -34,7 +32,16 @@ class OracleLintSpec extends AnyFunSuite {
     assume(Files.exists(Paths.get("tools/oracle_lint.py")), "lint script missing")
     assume(haveDuckdb, "python3+duckdb unavailable on this host")
 
-    val json = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
+    // the DATA-DEPENDENT oracles (centroid/model literals) only join the
+    // map under an active session + sfdir prop — provide both, exactly as
+    // Verify does, so the lint covers the full oracle surface
+    System.setProperty("graft.sfdir", sfDir)
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.contains("v7_ivf_topk"),
+      "data-dependent oracles missing — lint would silently cover only the static set")
+
+    val json = oracles.toSeq.sortBy(_._1).map { case (k, v) =>
       // minimal JSON string escape — names are [a-z0-9_], SQL needs \ " \n
       val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\r", "")

@@ -133,6 +133,7 @@ object SparkEntry {
     // conversion-latency quantiles per cohort: rides w8's funnel; exact
     // nearest-rank stats over the |converted-users|-bounded frame
     "w10_conversion_latency" -> RelationalOps.conversionLatency _,
+    "w11_funnel_dropoff" -> RelationalOps.funnelDropoff _,
     "g4_event_cube" -> RelationalOps.eventCube _,
     "j5_asof_purchase_view" -> graft.operators.TemporalJoins.asOfPurchaseView _,
     "j6_range_purchase_error" -> graft.operators.TemporalJoins.purchaseErrorWithin _,
@@ -1112,6 +1113,7 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS is_new
         |    FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec FROM events)))""".stripMargin,
     "w8_signup_funnel" -> RelationalOps.signupFunnelOracleSql,
+    "w11_funnel_dropoff" -> RelationalOps.funnelDropoffOracleSql,
     "w9_cohort_retention" -> RelationalOps.cohortRetentionOracleSql(),
     "w10_conversion_latency" -> RelationalOps.conversionLatencyOracleSql,
     "g4_event_cube" ->

@@ -118,7 +118,7 @@ object Dedup {
     * [[ngramJaccardPairs]] (inline shingling) and
     * [[ShingleIndex.ngramJaccardPairs]] (materialized index).
     */
-  private[operators] def jaccardPairsFromShingles(
+  private[graft] def jaccardPairsFromShingles(
       sh: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
     val stats = pairStats(sh, maxDocFreq)
     val jac = col("common").cast("double") /

@@ -478,6 +478,44 @@ object RelationalOps {
           + when(col("purchase_sec").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
   }
 
+  /** w11: the funnel DROP-OFF table — the 3-row summary a dashboard
+    * renders from w8's per-user frame: users reaching each stage and the
+    * conversion rate from the previous stage (e4 integer division, both
+    * engines on identical integers). One grouping-free aggregate over
+    * the funnel frame, then a 3-row stack — output is constant-size at
+    * any corpus scale.
+    */
+  def funnelDropoff(spark: SparkSession, dir: String): DataFrame =
+    signupFunnel(spark, dir)
+      .agg(
+        count(lit(1)).as("n1"),
+        count(col("click_sec")).as("n2"),
+        count(col("purchase_sec")).as("n3"))
+      .selectExpr(
+        """stack(3,
+          |  1, n1, cast(10000 AS bigint),
+          |  2, n2, if(n1 = 0, cast(null AS bigint), n2 * 10000 div n1),
+          |  3, n3, if(n2 = 0, cast(null AS bigint), n3 * 10000 div n2))
+          |  AS (stage, n_users, conv_from_prev_e4)""".stripMargin)
+
+  def funnelDropoffOracleSql: String =
+    s"""WITH f AS ($signupFunnelOracleSql),
+       |c AS (
+       |  SELECT cast(count(*) AS bigint) AS n1,
+       |    cast(count(click_sec) AS bigint) AS n2,
+       |    cast(count(purchase_sec) AS bigint) AS n3
+       |  FROM f)
+       |SELECT 1 AS stage, n1 AS n_users,
+       |  cast(10000 AS bigint) AS conv_from_prev_e4 FROM c
+       |UNION ALL
+       |SELECT 2, n2,
+       |  CASE WHEN n1 = 0 THEN NULL ELSE cast(n2 * 10000 // n1 AS bigint) END
+       |FROM c
+       |UNION ALL
+       |SELECT 3, n3,
+       |  CASE WHEN n2 = 0 THEN NULL ELSE cast(n3 * 10000 // n2 AS bigint) END
+       |FROM c""".stripMargin
+
   def signupFunnelOracleSql: String =
     s"""WITH ev AS (
        |  SELECT user_id, event_type, cast(floor(epoch(ts)) AS bigint) AS sec

@@ -1181,11 +1181,19 @@ object TrainingPrep {
     * rollup — nothing beyond the label-frame shuffle t59 already pays.
     */
   def softDedupBudget(
-      spark: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
-    val toks = table(spark, dir, "documents")
+      spark: SparkSession, dir: String, clusters: DataFrame): DataFrame =
+    softDedupBudgetOf(table(spark, dir, "documents"), clusters)
+
+  /** [[softDedupBudget]] over any (doc_id, source, text) frame — the seam
+    * the cut flow feeds with the raw ingested store
+    * ([[graft.streaming.OnlineGate.cutBudget]]).
+    */
+  private[graft] def softDedupBudgetOf(
+      docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), col("source"),
         TextAnalysis.nTokensCol(col("text")).as("n_tokens"))
-    softDedupWeights(spark, dir, clusters)
+    softDedupWeightsOf(docs.select(col("doc_id")), clusters)
       .join(toks, Seq("doc_id"))
       .select(col("source"), col("n_tokens"),
         expr("n_tokens * weight_e4 div 10000").as("eff"))
@@ -1200,10 +1208,15 @@ object TrainingPrep {
   }
 
   def softDedupWeights(
-      spark: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, clusters: DataFrame): DataFrame =
+    softDedupWeightsOf(
+      table(spark, dir, "documents").select(col("doc_id")), clusters)
+
+  private[graft] def softDedupWeightsOf(
+      docIds: DataFrame, clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    table(spark, dir, "documents").select(col("doc_id"))
+    docIds.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .join(sizes, Seq("cluster_id"), "left")
       .select(col("doc_id"),

@@ -568,6 +568,23 @@ object OnlineGate {
     Dedup.sweepFromShingles(
       ShingleIndex.shingles(spark, shingleTable, includePlanted = true))
 
+  /** Cut-time soft-dedup budget (t62 composed into the freeze flow): the
+    * per-source effective token budget under 1/|cluster| weights, with
+    * the near-dup clusters computed from the ACCUMULATED index's stored
+    * postings (includePlanted = true — the online index holds only
+    * genuinely ingested rows) and the raw ingested (doc_id, source,
+    * text) store supplying the token counts. The report a pipeline
+    * freezes NEXT TO the cut so its mixture planner consumes effective,
+    * not raw, source volumes. `StreamingSpec` pins ≡ the cold t62
+    * composition over the ingested corpus.
+    */
+  def cutBudget(
+      spark: SparkSession, shingleTable: String, docs: DataFrame): DataFrame =
+    TrainingPrep.softDedupBudgetOf(docs,
+      Dedup.clustersFromPairs(Dedup.jaccardPairsFromShingles(
+        ShingleIndex.shingles(spark, shingleTable, includePlanted = true),
+        Dedup.DefaultThreshold, Dedup.DefaultMaxDocFreq)))
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

@@ -1961,6 +1961,22 @@ class StreamingSpec extends SparkSuite {
         .filter(col("threshold_e2") === 100 && col("n_pairs_ge") > 0).count() === 1L,
         "full clones produced no Jaccard-1.0 pairs in the sweep — vacuous")
 
+      // 5c. cut-time soft-dedup budget: t62 over the accumulated index's
+      //     clusters + the raw ingested store ≡ the cold composition over
+      //     the union corpus; the ingested clones must discount a source
+      val docsWithSource = all.select(col("doc_id"), col("text"),
+        lit("web").as("source"))
+      val ingestBudget = OnlineGate.cutBudget(spark, tbl, docsWithSource)
+        .collect().map(_.toSeq).toSet
+      val coldBudget = graft.operators.TrainingPrep.softDedupBudgetOf(
+        docsWithSource,
+        Dedup.duplicateClusters(spark, unionDir))
+        .collect().map(_.toSeq).toSet
+      assert(ingestBudget === coldBudget,
+        "cut-time budget diverged from the cold t62 composition")
+      assert(ingestBudget.exists(r => r.last.asInstanceOf[Long] < 10000L),
+        "clones discounted nothing — budget vacuous")
+
       // 6. first-class cut, t23 form: ingest → cut ≡ the cold full-gate
       //    chain over the ingested corpus — trainingSelection (exact ∧
       //    token ∧ quality ∧ segment-dup, batch operators end-to-end)

@@ -585,6 +585,25 @@ object OnlineGate {
         ShingleIndex.shingles(spark, shingleTable, includePlanted = true),
         Dedup.DefaultThreshold, Dedup.DefaultMaxDocFreq)))
 
+  /** Cut-time per-host quota (t55 composed into the freeze flow): cap
+    * each canonical host's contribution among the CUT SURVIVORS — the
+    * C4/RefinedWeb domain cap is rank-based, so like the segment
+    * fraction it is not prefix-consistent and belongs at the freeze, not
+    * at arrival. Quality rides the decisions frame (computed once at
+    * ingest); the caller supplies the (doc_id, host) frame from its raw
+    * store. Ranking is the TopKPerKey bounded-heap node — a hot host
+    * ships ~quota rows per mapper, never a host-sized window sort.
+    * `StreamingSpec` pins ≡ the cold quota-over-cut composition.
+    */
+  def cutWithQuota(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      hosts: DataFrame, quota: Int = Dedup.HostQuota,
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame =
+    Dedup.hostQuotaKeepOf(
+      cutTimeSelection(spark, shingleTable, outPath, maxDupFracE4)
+        .join(hosts, Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("quality_e4")), quota)
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

@@ -1961,6 +1961,29 @@ class StreamingSpec extends SparkSuite {
         .filter(col("threshold_e2") === 100 && col("n_pairs_ge") > 0).count() === 1L,
         "full clones produced no Jaccard-1.0 pairs in the sweep — vacuous")
 
+      // 5d. cut-time per-host quota: t55 over the cut survivors ≡ the
+      //     cold quota-over-cut composition, and the quota binds (5
+      //     planted hosts × quota keepers is far below the kept count)
+      val hostsF = Dedup.plantedCrawlUrls(all.select(col("doc_id")))
+        .select(col("doc_id"),
+          regexp_extract(Dedup.canonicalUrlCol(col("url")), "^([^/?]+)", 1)
+            .as("host"))
+      val cutQ = OnlineGate.cutWithQuota(spark, tbl, s"$base/out", hostsF)
+        .localCheckpoint()
+      val coldQScored = hostsF
+        .filter(col("doc_id").isInCollection(expectedCut))
+        .join(all.select(col("doc_id"),
+          TextAnalysis.qualityE4Col(col("text")).as("quality_e4")), Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("quality_e4"))
+      val coldQ = Dedup.hostQuotaKeepOf(coldQScored)
+      def qImage(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(qImage(cutQ) === qImage(coldQ),
+        "cut-time quota diverged from the cold composition")
+      assert(cutQ.count() < expectedCut.size.toLong, "quota bound nothing")
+      assert(cutQ.groupBy(col("host")).count()
+        .filter(col("count") > Dedup.HostQuota).count() === 0L)
+
       // 5c. cut-time soft-dedup budget: t62 over the accumulated index's
       //     clusters + the raw ingested store ≡ the cold composition over
       //     the union corpus; the ingested clones must discount a source

@@ -282,6 +282,7 @@ object SparkEntry {
     // tokenizer fertility by language: map-only t21 formulas + ONE
     // lang-bounded groupBy with map-side partial aggregation
     "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLang _,
+    "t63_diversity_report" -> TextAnalysis.diversityReport _,
     // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
     // bounded heaps per host, no full-host window sort
     "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
@@ -1668,6 +1669,7 @@ object SparkEntry {
     "t49_html_extraction" -> TextAnalysis.htmlExtractedOracleSql,
     "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFiltersOracleSql,
     "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLangOracleSql,
+    "t63_diversity_report" -> TextAnalysis.diversityReportOracleSql,
     "t55_host_quota_keep" -> Dedup.hostQuotaOracleSql,
     "t57_dedup_attrition" -> Dedup.dedupAttritionOracleSql,
     "t51_epoch_schedule" ->

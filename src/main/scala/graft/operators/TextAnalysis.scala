@@ -120,6 +120,51 @@ object TextAnalysis {
           .as("chars_per_piece_e4"))
   }
 
+  /** t63: per-source lexical DIVERSITY — distinct trigram types over
+    * total trigram occurrences (the type-token ratio, the cheap self-
+    * BLEU proxy a data card reports): a boilerplate-heavy or templated
+    * source shows a low ratio long before any pairwise dedup runs, so
+    * this is the triage number that decides WHERE to point the d-family.
+    *
+    * Plan/scale: one map-only trigram explode (occurrences, not the
+    * dedup family's per-doc distinct sets), then a two-phase
+    * count/count-distinct keyed on (source, gram) — the partial
+    * aggregation absorbs hot grams; output is |sources| rows.
+    */
+  def diversityReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val grams = toks.select(col("source"),
+      explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
+        .as("g"))
+    grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("g")).as("distinct_grams"))
+      .join(toks.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), "source")
+      .select(col("source"), col("n_docs"), col("total_grams"),
+        col("distinct_grams"),
+        expr("distinct_grams * 10000 div total_grams").as("ttr_e4"))
+  }
+
+  def diversityReportOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |g AS (
+       |  SELECT source, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |per AS (
+       |  SELECT source, cast(count(*) AS bigint) AS total_grams,
+       |    cast(count(DISTINCT g) AS bigint) AS distinct_grams
+       |  FROM g GROUP BY source),
+       |nd AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+       |  FROM toks GROUP BY source)
+       |SELECT per.source, nd.n_docs, per.total_grams, per.distinct_grams,
+       |  cast(per.distinct_grams * 10000 // per.total_grams AS bigint) AS ttr_e4
+       |FROM per JOIN nd USING (source)""".stripMargin
+
   def tokenizerFertilityByLangOracleSql: String =
     s"""WITH per AS (
        |  SELECT lang,

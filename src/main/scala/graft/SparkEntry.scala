@@ -283,6 +283,8 @@ object SparkEntry {
     // lang-bounded groupBy with map-side partial aggregation
     "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLang _,
     "t63_diversity_report" -> TextAnalysis.diversityReport _,
+    "t64_decontaminated_selection" ->
+      graft.operators.TrainingPrep.decontaminatedSelection _,
     // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
     // bounded heaps per host, no full-host window sort
     "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
@@ -1670,6 +1672,8 @@ object SparkEntry {
     "t54_c4_policy_filters" -> TextAnalysis.c4PolicyFiltersOracleSql,
     "t47_tokenizer_fertility" -> TextAnalysis.tokenizerFertilityByLangOracleSql,
     "t63_diversity_report" -> TextAnalysis.diversityReportOracleSql,
+    "t64_decontaminated_selection" ->
+      graft.operators.TrainingPrep.decontaminatedSelectionOracleSql,
     "t55_host_quota_keep" -> Dedup.hostQuotaOracleSql,
     "t57_dedup_attrition" -> Dedup.dedupAttritionOracleSql,
     "t51_epoch_schedule" ->

@@ -385,6 +385,31 @@ object TrainingPrep {
     selectionGate(spark, dir,
       Dedup.duplicatedSegments(spark, dir).select(col("doc_id"), col("dup_frac_e4")))
 
+  /** t64: the DECONTAMINATED selection — t20's gate chain with the exact
+    * 13-gram eval-set hygiene (Brown et al. 2020 App. C) anti-joined on
+    * top: any document carrying even one eval-suite 13-gram is removed
+    * from training. The composition a lab actually ships next to its
+    * eval claims (t23's full gate handles the FUZZY decontamination leg
+    * via d9; this is the exact-overlap counterpart).
+    *
+    * Plan/scale: d15's broadcast-eval-gram scan yields the contaminated
+    * id set (eval-bounded candidates, one corpus shuffle); the anti-join
+    * is doc_id-partitioned against the t20 output, which is already
+    * shuffled on doc_id — AQE plans the two as one stage chain.
+    */
+  def decontaminatedSelection(spark: SparkSession, dir: String): DataFrame =
+    trainingSelection(spark, dir)
+      .join(
+        Dedup.ngramDecontamination(spark, dir, plantClones = true)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+  def decontaminatedSelectionOracleSql: String =
+    s"""SELECT t.* FROM ($trainingSelectionOracleSql) t
+       |LEFT JOIN (SELECT doc_id FROM (${Dedup.ngramDecontaminationOracleSql}) x) c
+       |  ON c.doc_id = t.doc_id
+       |WHERE c.doc_id IS NULL""".stripMargin
+
   /** The t20 gate with the duplicated-segment leg supplied by the caller —
     * shared by the inline path above (re-derives d10 per query) and the
     * index-fed [[trainingSelectionFullIndexed]] (reads the materialized

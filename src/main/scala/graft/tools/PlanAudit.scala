@@ -151,6 +151,8 @@ object PlanAudit {
       "eval-set 13-grams: sized by the benchmark suite, not the corpus",
     ("t60_contamination_report", s"$UnbBcast[agg:g,suite]") ->
       "eval-set (suite, 13-gram) frame: sized by the benchmark suites, not the corpus",
+    ("t64_decontaminated_selection", s"$UnbBcast[agg:g]") ->
+      "d15's eval-set 13-gram frame (the anti-join rides the same leg)",
     ("m5_feature_topk", s"$UnbBcast[raw]") -> ProbeFrame,
     ("t11_packed_chunks", s"$UnbBcast[agg:pid]") ->
       "per-bucket offset table: ≤PrefixSumBuckets (64) rows",

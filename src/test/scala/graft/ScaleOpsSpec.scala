@@ -1739,5 +1739,36 @@ class ScaleOpsSpec extends SparkSuite {
       .select("stage").head().getInt(0)
     assert(st === 3, s"power user reached stage $st, flood vacuous")
   }
+  test("w11/t63/t64: rollup bounds and the decontamination set equation") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, RelationalOps, TextAnalysis, TrainingPrep}
+    // w11: stages shrink monotonically, conversions are valid e4 shares
+    val w11 = RelationalOps.funnelDropoff(spark, sf0001).orderBy("stage")
+      .as[(Int, Long, Option[Long])].collect()
+    assert(w11.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(w11(0)._2 >= w11(1)._2 && w11(1)._2 >= w11(2)._2)
+    assert(w11(0)._3 === Some(10000L))
+    w11.drop(1).foreach { case (_, _, c) =>
+      assert(c.forall(x => x >= 0L && x <= 10000L)) }
+
+    // t63: distinct <= total, ratio exact
+    TextAnalysis.diversityReport(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().foreach {
+        case (src, nd, tot, dis, ttr) =>
+          assert(nd > 0L && tot > 0L && dis > 0L && dis <= tot, src)
+          assert(ttr === dis * 10000L / tot, src)
+      }
+
+    // t64 is EXACTLY t20 minus the contaminated ids — the set equation
+    // is its own non-vacuity proof (and the contaminated set is nonempty)
+    val t20 = TrainingPrep.trainingSelection(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val contaminated = Dedup.ngramDecontamination(spark, sf0001, plantClones = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty, "d15 found no contaminated docs")
+    val t64 = TrainingPrep.decontaminatedSelection(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(t64 === (t20 -- contaminated))
+  }
 }
 

@@ -285,6 +285,8 @@ object SparkEntry {
     "t63_diversity_report" -> TextAnalysis.diversityReport _,
     "t64_decontaminated_selection" ->
       graft.operators.TrainingPrep.decontaminatedSelection _,
+    "t65_production_selection" ->
+      graft.operators.TrainingPrep.productionSelection _,
     // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
     // bounded heaps per host, no full-host window sort
     "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
@@ -1921,6 +1923,9 @@ object SparkEntry {
         // composes the v13 oracle (centroid literals) → data-dependent too
         "t23_training_selection_full" ->
           graft.operators.TrainingPrep.trainingSelectionFullOracleSql(s, d),
+        // the end-to-end production composition rides the t23 oracle
+        "t65_production_selection" ->
+          graft.operators.TrainingPrep.productionSelectionOracleSql(s, d),
         "t25_scrubbed_selection" ->
           graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d),
         // the index-fed twins are bit-equal to the inline t23/t25

@@ -546,6 +546,59 @@ object TrainingPrep {
         plantClones = true, cloneOffset = FullGateSemCloneOffset))
   }
 
+  /** t65: THE production selection — the one frame a pretraining run
+    * would actually read: the full t23 gate chain (exact ∧ token ∧
+    * quality ∧ segment-fraction ∧ fuzzy ∧ semantic survivorship), the
+    * exact 13-gram eval decontamination (t64's leg), and the per-host
+    * quota (t55) composed end-to-end, with every index-derivable leg fed
+    * from the materialized indexes (the t23i production path).
+    * Output: (doc_id, host, quality_e4, host_rank).
+    *
+    * Scale shape: nothing new — each constituent keeps its own audited
+    * plan (index-fed legs, broadcast eval grams, TopKPerKey quota) and
+    * the compositions are doc_id equi/anti-joins on the already-
+    * doc_id-shuffled gate output.
+    */
+  def productionSelection(spark: SparkSession, dir: String): DataFrame = {
+    val full = trainingSelectionFullIndexed(
+      spark, dir, IndexStore.shingleTable(spark, dir))
+    val dec = full.join(
+      Dedup.ngramDecontamination(spark, dir, plantClones = true)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val hosts = Dedup.plantedCrawlUrls(
+        table(spark, dir, "documents").select(col("doc_id")))
+      .select(col("doc_id"),
+        regexp_extract(Dedup.canonicalUrlCol(col("url")), "^([^/?]+)", 1)
+          .as("host"))
+    Dedup.hostQuotaKeepOf(
+      dec.join(hosts, Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("quality_e4")))
+  }
+
+  def productionSelectionOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH fullsel AS (${trainingSelectionFullOracleSql(spark, dir)}),
+       |decsel AS (
+       |  SELECT f.* FROM fullsel f
+       |  LEFT JOIN (
+       |    SELECT doc_id FROM (${Dedup.ngramDecontaminationOracleSql}) x) c
+       |    ON c.doc_id = f.doc_id
+       |  WHERE c.doc_id IS NULL),
+       |${Dedup.plantedUrlsSqlCte},
+       |hosts AS (
+       |  SELECT doc_id, regexp_replace(lower(regexp_extract(
+       |    regexp_replace(regexp_replace(url, '#.*', ''), '^[a-zA-Z]+://', ''),
+       |    '^([^/?]+)', 1)), '^www\\.', '') AS host
+       |  FROM urls),
+       |ranked AS (
+       |  SELECT d.doc_id, h.host, d.quality_e4,
+       |    cast(row_number() OVER (
+       |      PARTITION BY h.host
+       |      ORDER BY d.quality_e4 DESC, d.doc_id) AS int) AS host_rank
+       |  FROM decsel d JOIN hosts h USING (doc_id))
+       |SELECT doc_id, host, quality_e4, host_rank
+       |FROM ranked WHERE host_rank <= ${Dedup.HostQuota}""".stripMargin
+
   private def fullGate(
       spark: SparkSession, dir: String,
       dup: DataFrame, fuzzyPairs: DataFrame, sem: DataFrame): DataFrame = {

@@ -153,6 +153,8 @@ object PlanAudit {
       "eval-set (suite, 13-gram) frame: sized by the benchmark suites, not the corpus",
     ("t64_decontaminated_selection", s"$UnbBcast[agg:g]") ->
       "d15's eval-set 13-gram frame (the anti-join rides the same leg)",
+    ("t65_production_selection", s"$UnbBcast[agg:g]") ->
+      "d15's eval-set 13-gram frame (the production composition rides it)",
     ("m5_feature_topk", s"$UnbBcast[raw]") -> ProbeFrame,
     ("t11_packed_chunks", s"$UnbBcast[agg:pid]") ->
       "per-bucket offset table: ≤PrefixSumBuckets (64) rows",

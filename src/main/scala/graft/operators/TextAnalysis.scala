@@ -132,17 +132,18 @@ object TextAnalysis {
     * aggregation absorbs hot grams; output is |sources| rows.
     */
   def diversityReport(spark: SparkSession, dir: String): DataFrame = {
-    val toks = table(spark, dir, "documents")
+    val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val grams = toks.select(col("source"),
+    // n_docs counts ALL documents of the source (short docs included) —
+    // only the gram explode is restricted to docs that can carry a trigram
+    val grams = docs.filter(size(col("t")) >= 3).select(col("source"),
       explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
         .as("g"))
     grams.groupBy(col("source"))
       .agg(count(lit(1)).as("total_grams"),
         countDistinct(col("g")).as("distinct_grams"))
-      .join(toks.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), "source")
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")), "source")
       .select(col("source"), col("n_docs"), col("total_grams"),
         col("distinct_grams"),
         expr("distinct_grams * 10000 div total_grams").as("ttr_e4"))
@@ -160,7 +161,7 @@ object TextAnalysis {
        |    cast(count(DISTINCT g) AS bigint) AS distinct_grams
        |  FROM g GROUP BY source),
        |nd AS (SELECT source, cast(count(*) AS bigint) AS n_docs
-       |  FROM toks GROUP BY source)
+       |  FROM documents GROUP BY source)
        |SELECT per.source, nd.n_docs, per.total_grams, per.distinct_grams,
        |  cast(per.distinct_grams * 10000 // per.total_grams AS bigint) AS ttr_e4
        |FROM per JOIN nd USING (source)""".stripMargin

@@ -173,6 +173,127 @@ object TrainingPrep {
        |  cast(start % $PackBudget AS bigint) AS pack_offset
        |FROM cum""".stripMargin
 
+  /** Piece budget per BPE-fed chunk (t8b): ~a third of an average
+    * document's trained piece count at the graded SFs, so the split
+    * demonstrably BINDS (most documents yield several chunks).
+    */
+  val BpePieceBudget = 128L
+
+  /** t8b: BPE-BUDGET chunking — [[chunks]]' concat-then-split boundaries
+    * measured in TRAINED BPE PIECES (t50's merges) instead of whitespace
+    * tokens, closing the round-14 gap where the chunk/pack arithmetic
+    * counted whitespace tokens while t50/t52 trained real merges. Within
+    * each document, words lie along the document's piece tape (each word
+    * contributes its trained piece count; unseen words the char+1
+    * fallback — none on the training corpus itself) and a chunk is the
+    * run of whole words whose START offset falls in one
+    * [[BpePieceBudget]]-piece window. Output: (doc_id, chunk_id,
+    * n_words, n_pieces).
+    *
+    * Scale shape: one map-only positional word explode, a VOCAB-BOUNDED
+    * broadcast join (the trained word→pieces map — the t50 apply-side
+    * artifact), a PER-DOCUMENT window (bounded by document length, never
+    * a corpus sort), and a map-side-combined rollup. No corpus-wide
+    * exchange beyond the final (doc_id, chunk_id) aggregation, which
+    * re-uses the explode's doc_id partitioning.
+    */
+  def bpeChunks(
+      spark: SparkSession, dir: String, budget: Long = BpePieceBudget): DataFrame = {
+    val words = table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    words.join(broadcast(Bpe.wordPiecesDf(spark, dir)), Seq("w"), "left")
+      .withColumn("np", coalesce(col("np"), length(col("w")).cast("int") + lit(1)))
+      .withColumn("start", sum(col("np")).over(w) - col("np"))
+      .withColumn("chunk_id", expr(s"start div $budget").cast("int"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).cast("long").as("n_pieces"))
+  }
+
+  /** DuckDB twin of [[bpeChunks]] — the trained word→piece-count map
+    * inlined as VALUES literals (data-dependent), the same per-document
+    * running-piece arithmetic replayed.
+    */
+  def bpeChunksOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH wp(w, np) AS (VALUES
+       |    ${Bpe.wordPiecesValuesSql(spark, dir)}),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i, t[i] AS w
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+       |jo AS (
+       |  SELECT o.doc_id, o.i, coalesce(wp.np, length(o.w) + 1) AS np
+       |  FROM occ o LEFT JOIN wp ON wp.w = o.w),
+       |cum AS (
+       |  SELECT doc_id, np,
+       |    sum(np) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - np AS start
+       |  FROM jo)
+       |SELECT doc_id, cast(start // $BpePieceBudget AS int) AS chunk_id,
+       |  cast(count(*) AS bigint) AS n_words,
+       |  cast(sum(np) AS bigint) AS n_pieces
+       |FROM cum GROUP BY 1, 2""".stripMargin
+
+  /** t11b: BPE-fed sequence packing — [[packedChunks]]' two-phase
+    * distributed prefix-sum tape, but whole documents laid out by their
+    * TRAINED PIECE COUNT (t50's per-doc rollup) instead of chunk
+    * whitespace tokens: the packing a trainer runs once the tokenizer is
+    * real. Output: (doc_id, n_pieces, pack_id, pack_offset).
+    *
+    * Scale shape: identical to t11 — the per-doc piece counts come from
+    * the vocab-bounded broadcast map, the running total is the bucketed
+    * two-phase prefix sum (data-derived buckets, ≤[[PrefixSumBuckets]]-
+    * row offset broadcast), so the only global structure is the tiny
+    * offset table at any corpus size.
+    */
+  def packedDocsBpe(
+      spark: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
+    val perDoc = Bpe.bpePieceStats(spark, dir).select(col("doc_id"), col("n_pieces"))
+    val stats = table(spark, dir, "documents")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+    val ch = perDoc.crossJoin(broadcast(stats))
+      .withColumn("_w", expr(s"(_mx - _mn) div $PrefixSumBuckets + 1"))
+      .withColumn("pid", expr("cast((doc_id - _mn) div _w as int)"))
+      .drop("_mn", "_mx", "_w")
+    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ch.withColumn("local_cum", sum(col("n_pieces")).over(localW))
+    val offsetW = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ch.groupBy(col("pid")).agg(sum(col("n_pieces")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(offsetW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("start", col("offset") + col("local_cum") - col("n_pieces"))
+      .select(
+        col("doc_id"), col("n_pieces"),
+        expr(s"start div $budget").cast("bigint").as("pack_id"),
+        (col("start") % budget).cast("bigint").as("pack_offset"))
+  }
+
+  /** DuckDB twin of [[packedDocsBpe]] (data-dependent — replays the same
+    * trained merges as VALUES literals, then the single-window form of
+    * the prefix sum).
+    */
+  def packedDocsBpeOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH wp(w, np) AS (VALUES
+       |    ${Bpe.wordPiecesValuesSql(spark, dir)}),
+       |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |jo AS (
+       |  SELECT o.doc_id, coalesce(wp.np, length(o.w) + 1) AS np
+       |  FROM occ o LEFT JOIN wp ON wp.w = o.w),
+       |per AS (SELECT doc_id, cast(sum(np) AS bigint) AS n_pieces
+       |  FROM jo GROUP BY doc_id),
+       |cum AS (
+       |  SELECT doc_id, n_pieces,
+       |    sum(n_pieces) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces AS start
+       |  FROM per)
+       |SELECT doc_id, n_pieces,
+       |  cast(start // $PackBudget AS bigint) AS pack_id,
+       |  cast(start % $PackBudget AS bigint) AS pack_offset
+       |FROM cum""".stripMargin
+
   /** Per-document class-balance weights: weight = N / (L · n_lang), the
     * inverse-frequency reweighting that makes each language contribute
     * equally in expectation. One tiny aggregate, broadcast back — map-only
@@ -599,6 +720,114 @@ object TrainingPrep {
        |SELECT doc_id, host, quality_e4, host_rank
        |FROM ranked WHERE host_rank <= ${Dedup.HostQuota}""".stripMargin
 
+  /** t66: THE RUN MANIFEST — the end of the pretraining data path. t65's
+    * production selection continued the way a run launch actually
+    * continues: the temperature mixture (t29) re-planned over the
+    * SELECTED docs, the epoch schedule (t51) over the mixture-kept set,
+    * and the t26 rank-striping into [[NumShards]] shards, rolled up into
+    * the per-shard manifest a trainer validates before reading a byte:
+    * (shard, doc_count, token_sum, weighted_token_sum, max_pos), where
+    * `weighted_token_sum` is the epoch-weighted token count (each doc
+    * contributes n_tokens · its source's epochs_e4 / 1e4 — the number the
+    * token-budget accounting actually consumes).
+    *
+    * Scale shape: nothing new — every constituent keeps its own audited
+    * plan (t65's index-fed legs + broadcast eval grams + TopKPerKey; the
+    * mixture's |sources|-row rate table; the epoch schedule's
+    * |sources|-row window; the shard stripe's ≤[[PrefixSumBuckets]]-row
+    * offset table), and the compositions are doc_id equi-joins on
+    * already-doc_id-shuffled frames plus one |sources|-row broadcast.
+    * The final rollup is [[NumShards]] rows.
+    */
+  def runManifest(spark: SparkSession, dir: String): DataFrame = {
+    val sel = productionSelection(spark, dir)
+      .select(col("doc_id"), col("quality_e4"))
+    val meta = table(spark, dir, "documents").select(
+      col("doc_id"), col("source"),
+      TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+    runManifestOf(sel.join(meta, "doc_id"))
+  }
+
+  /** [[runManifest]] over an arbitrary selected (doc_id, quality_e4,
+    * source, n_tokens) frame — the seam the cut-time twin feeds with the
+    * freeze-flow survivors ([[graft.streaming.OnlineGate]]); the batch
+    * t66 feeds it the t65 selection.
+    */
+  private[graft] def runManifestOf(docs: DataFrame): DataFrame = {
+    val mixed = mixtureSelectionOf(
+      docs.select(col("doc_id"), col("source"), col("n_tokens")))
+    val epochs = epochScheduleOf(
+      mixed.join(docs.select(col("doc_id"), col("quality_e4")), "doc_id")
+        .select(col("source"), col("n_tokens"), col("quality_e4")))
+    shardedDocsOf(mixed, NumShards)
+      .join(broadcast(epochs.select(col("source"), col("epochs_e4"))), "source")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_tokens")).as("token_sum"),
+        sum(expr("n_tokens * epochs_e4 div 10000")).as("weighted_token_sum"),
+        max(col("shard_pos")).as("max_pos"))
+  }
+
+  /** DuckDB twin of [[runManifest]]: the t65 oracle nested, then the
+    * t29/t51/t26 oracle arithmetic replayed over the selection
+    * (data-dependent because the t65 leg inlines centroid literals).
+    */
+  def runManifestOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH sel AS (${productionSelectionOracleSql(spark, dir)}),
+       |rdocs AS (
+       |  SELECT s.doc_id, d.source,
+       |    cast(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS bigint)
+       |      AS n_tokens,
+       |    s.quality_e4
+       |  FROM sel s JOIN documents d ON d.doc_id = s.doc_id),
+       |dom AS (SELECT source, sum(n_tokens) AS toks FROM rdocs GROUP BY source),
+       |tot AS (SELECT sum(toks) AS total, sum(sqrt(cast(toks AS double))) AS wsum
+       |  FROM dom),
+       |rrates AS (
+       |  SELECT source,
+       |    least(1.0, $MixBudgetFrac * (sqrt(cast(toks AS double)) / wsum) /
+       |      (cast(toks AS double) / cast(total AS double))) AS rate
+       |  FROM dom CROSS JOIN tot),
+       |mixed AS (
+       |  SELECT d.doc_id, d.source, d.n_tokens, d.quality_e4
+       |  FROM rdocs d JOIN rrates r ON d.source = r.source
+       |  WHERE ${hashFracSql("|t29")} < r.rate),
+       |ps AS (
+       |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       |    cast(floor(cast(sum(quality_e4) AS double) / count(*)) AS bigint)
+       |      AS quality_mean_e4
+       |  FROM mixed GROUP BY source),
+       |tot2 AS (SELECT sum(n_tokens) AS t FROM ps),
+       |ranked AS (
+       |  SELECT ps.*, t,
+       |    (t * $EpochBudgetMultipleE4) // 10000 - t AS extra_budget,
+       |    coalesce(sum(n_tokens * $EpochMaxExtra) OVER (
+       |      ORDER BY (10000 - quality_mean_e4), source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS prefix_before
+       |  FROM ps CROSS JOIN tot2),
+       |ep AS (
+       |  SELECT source,
+       |    cast(10000 + (greatest(0, least(n_tokens * $EpochMaxExtra,
+       |      extra_budget - prefix_before)) * 10000) // n_tokens AS bigint)
+       |      AS epochs_e4
+       |  FROM ranked),
+       |striped AS (
+       |  SELECT m.doc_id, m.source, m.n_tokens,
+       |    row_number() OVER (
+       |      ORDER BY md5(concat(cast(m.doc_id AS varchar), '|t26')), m.doc_id)
+       |      - 1 AS rank0
+       |  FROM mixed m)
+       |SELECT cast(rank0 % $NumShards AS int) AS shard,
+       |  cast(count(*) AS bigint) AS doc_count,
+       |  cast(sum(s.n_tokens) AS bigint) AS token_sum,
+       |  cast(sum((s.n_tokens * e.epochs_e4) // 10000) AS bigint)
+       |    AS weighted_token_sum,
+       |  cast(max(rank0 // $NumShards) AS bigint) AS max_pos
+       |FROM striped s JOIN ep e ON e.source = s.source
+       |GROUP BY 1""".stripMargin
+
   private def fullGate(
       spark: SparkSession, dir: String,
       dup: DataFrame, fuzzyPairs: DataFrame, sem: DataFrame): DataFrame = {
@@ -784,12 +1013,20 @@ object TrainingPrep {
     * `skey` and the offset prefix is the true global rank prefix.
     */
   private def shardedDocs(
-      spark: SparkSession, dir: String, numShards: Int): DataFrame = {
-    val keyed = table(spark, dir, "documents")
-      .select(
+      spark: SparkSession, dir: String, numShards: Int): DataFrame =
+    shardedDocsOf(
+      table(spark, dir, "documents").select(
         col("doc_id"),
-        md5(concat(col("doc_id").cast("string"), lit("|t26"))).as("skey"),
-        TextAnalysis.nTokensCol(col("text")).as("n_tokens"))
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens")),
+      numShards)
+
+  /** The t26 rank-striping over an arbitrary frame carrying `doc_id` —
+    * every input column rides through, plus (skey, shard, shard_pos).
+    * The t66 seam: the run manifest stripes the mixture-kept selection.
+    */
+  private[graft] def shardedDocsOf(docs: DataFrame, numShards: Int): DataFrame = {
+    val keyed = docs
+      .withColumn("skey", md5(concat(col("doc_id").cast("string"), lit("|t26"))))
       .withColumn("pid",
         expr("cast(conv(substring(skey, 1, 4), 16, 10) as bigint)" +
           s" * $PrefixSumBuckets div 65536").cast("int"))
@@ -805,10 +1042,9 @@ object TrainingPrep {
       .select(col("pid"), col("offset"))
     local.join(broadcast(offsets), "pid")
       .withColumn("rank0", col("offset") + col("local_rn") - 1)
-      .select(
-        col("doc_id"), col("skey"), col("n_tokens"),
-        (col("rank0") % numShards).cast("int").as("shard"),
-        expr(s"rank0 div $numShards").cast("bigint").as("shard_pos"))
+      .withColumn("shard", (col("rank0") % numShards).cast("int"))
+      .withColumn("shard_pos", expr(s"rank0 div $numShards").cast("bigint"))
+      .drop("pid", "local_rn", "offset", "rank0")
   }
 
   /** t26: the final stage of a pretraining pipeline — a deterministic
@@ -970,10 +1206,19 @@ object TrainingPrep {
     * shuffle at any size, and the float work (sqrt, one divide) is IEEE
     * exactly-rounded so both engines agree to the ulp.
     */
-  def mixtureSelection(spark: SparkSession, dir: String): DataFrame = {
-    val tok = table(spark, dir, "documents").select(
+  def mixtureSelection(spark: SparkSession, dir: String): DataFrame =
+    mixtureSelectionOf(table(spark, dir, "documents").select(
       col("doc_id"), col("source"),
-      TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+      TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens")))
+
+  /** [[mixtureSelection]] over an arbitrary (doc_id, source, n_tokens)
+    * frame — the seam the t66 run manifest (and its cut-time twin) feeds
+    * with the PRODUCTION-SELECTED docs instead of the raw corpus: a real
+    * mixture is planned over what survived the gates, not over what
+    * arrived. Same salt, so a document's keep decision is a pure function
+    * of (doc_id, its source's rate) everywhere the mixture runs.
+    */
+  private[graft] def mixtureSelectionOf(tok: DataFrame): DataFrame = {
     val dom = tok.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
     // totals via an unpartitioned window OVER THE TINY dom (|sources| rows
     // — same WARN-only single-partition shape as t11's offset table), so
@@ -1167,13 +1412,27 @@ object TrainingPrep {
     */
   def epochSchedule(
       spark: SparkSession, dir: String,
+      budgetMultipleE4: Long = EpochBudgetMultipleE4): DataFrame =
+    epochScheduleOf(
+      table(spark, dir, "documents").select(
+        col("source"),
+        TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"),
+        TextAnalysis.qualityE4Col(col("text")).as("quality_e4")),
+      budgetMultipleE4)
+
+  /** [[epochSchedule]] over an arbitrary per-document (source, n_tokens,
+    * quality_e4) frame — the t66 seam: the run manifest schedules epochs
+    * over the mixture-kept selection, not the raw corpus.
+    */
+  private[graft] def epochScheduleOf(
+      perDoc: DataFrame,
       budgetMultipleE4: Long = EpochBudgetMultipleE4): DataFrame = {
-    val perSource = table(spark, dir, "documents")
+    val perSource = perDoc
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.nTokensCol(col("text")).cast("bigint")).as("n_tokens"),
-        floor(sum(TextAnalysis.qualityE4Col(col("text"))).cast("double")
+        sum(col("n_tokens")).as("n_tokens"),
+        floor(sum(col("quality_e4")).cast("double")
           / count(lit(1)).cast("double")).cast("long").as("quality_mean_e4"))
     val total = perSource.agg(sum(col("n_tokens")).as("t"))
     val w = Window.orderBy(col("quality_mean_e4").desc, col("source"))

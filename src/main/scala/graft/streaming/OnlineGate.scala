@@ -604,6 +604,69 @@ object OnlineGate {
         .join(hosts, Seq("doc_id"))
         .select(col("doc_id"), col("host"), col("quality_e4")), quota)
 
+  /** Cut-time exact decontamination (d15/t64 composed into the freeze
+    * flow): the cut selection minus every document sharing a verbatim
+    * 13-gram with the FROZEN eval suites. The eval registry is a frozen
+    * reference, so its distinct gram-hash frame is benchmark-bounded at
+    * any corpus scale and BROADCASTS (the d15 waiver); it could even run
+    * at arrival like the t39/LM legs, but it sits at the cut because the
+    * eval-suite registry is a launch-time input, not an ingest-time one.
+    * `docs` is the raw ingested (doc_id, text) store — the index holds
+    * 3-shingle/segment hashes, not 13-grams — and only CUT SURVIVORS are
+    * gram-exploded (a semi-join first), so the leg costs one pass over
+    * the kept slice, not the corpus. `StreamingSpec` pins ≡ the cold
+    * t64-shaped composition over the ingested corpus.
+    */
+  def cutDecontaminated(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docs: DataFrame, evalDocs: DataFrame,
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {
+    val kept = cutTimeSelection(spark, shingleTable, outPath, maxDupFracE4)
+    val keptGrams = Dedup.gramHashes(
+      docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val evalGrams = Dedup.gramHashes(evalDocs).select(col("g")).distinct()
+    kept.join(
+      Dedup.contaminationOf(keptGrams, evalGrams).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The t65-equivalent freeze: cut-time selection → exact eval-gram
+    * decontamination → per-host TopKPerKey quota — the full production
+    * selection computed AT THE CUT from the accumulated online state.
+    * Output matches the batch t65: (doc_id, host, quality_e4, host_rank).
+    * `StreamingSpec` pins ≡ the cold composition over the ingested
+    * corpus.
+    */
+  def cutProduction(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docs: DataFrame, evalDocs: DataFrame, hosts: DataFrame,
+      quota: Int = Dedup.HostQuota,
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame =
+    Dedup.hostQuotaKeepOf(
+      cutDecontaminated(spark, shingleTable, outPath, docs, evalDocs, maxDupFracE4)
+        .join(hosts, Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("quality_e4")), quota)
+
+  /** t66's freeze twin: the RUN MANIFEST computed at the cut —
+    * [[cutProduction]] → t29 mixture → t51 epoch schedule → t26 shard
+    * striping, rolled up per shard ([[TrainingPrep.runManifestOf]], the
+    * same seam the batch t66 feeds). `docsWithSource` is the raw
+    * ingested (doc_id, text, source) store. `StreamingSpec` pins the
+    * cut manifest ≡ the cold t66-shaped manifest over the ingested
+    * corpus — ingest ≡ cold like every other cut stage.
+    */
+  def cutManifest(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docsWithSource: DataFrame, evalDocs: DataFrame, hosts: DataFrame,
+      quota: Int = Dedup.HostQuota): DataFrame = {
+    val kept = cutProduction(spark, shingleTable, outPath,
+        docsWithSource.select(col("doc_id"), col("text")), evalDocs, hosts, quota)
+      .select(col("doc_id"), col("quality_e4"))
+    val meta = docsWithSource.select(col("doc_id"), col("source"),
+      TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+    TrainingPrep.runManifestOf(kept.join(meta, Seq("doc_id")))
+  }
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

@@ -105,6 +105,15 @@ object PlanAudit {
     // the t11 offsets window runs over a numPartitions-row side frame
     // (broadcastable by construction — see TrainingPrep.packedChunks)
     ("t11_packed_chunks", "GlobalWindow") -> "window over the per-partition offset table",
+    ("t11b_bpe_packed_docs", "GlobalWindow") -> "window over the per-partition offset table",
+    ("t11b_bpe_packed_docs", Bnlj) ->
+      "1-row doc_id min/max frame crossed in for the deterministic bucket bounds",
+    // t66 composes t29/t51/t26: every global window is over a
+    // |sources|-row mixture/epoch frame or the ≤64-row offset table
+    ("t66_run_manifest", "GlobalWindow") ->
+      "windows over the |sources|-row mixture/epoch frames and the offset table",
+    ("t66_run_manifest", Bnlj) ->
+      "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
     // t26/t27 reuse t11's two-phase prefix-sum: the only global window is
     // over the numPartitions-row offset table (TrainingPrep.shardedDocs)
     ("t26_shard_assignment", "GlobalWindow") -> "window over the per-partition offset table",
@@ -155,8 +164,16 @@ object PlanAudit {
       "d15's eval-set 13-gram frame (the anti-join rides the same leg)",
     ("t65_production_selection", s"$UnbBcast[agg:g]") ->
       "d15's eval-set 13-gram frame (the production composition rides it)",
+    ("t66_run_manifest", s"$UnbBcast[agg:g]") ->
+      "d15's eval-set 13-gram frame (the manifest rides the t65 leg)",
+    ("t66_run_manifest", s"$UnbBcast[agg:source]") ->
+      "per-source mixture-rate and epoch tables: |sources| rows each",
+    ("t66_run_manifest", s"$UnbBcast[agg:pid]") ->
+      "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
     ("m5_feature_topk", s"$UnbBcast[raw]") -> ProbeFrame,
     ("t11_packed_chunks", s"$UnbBcast[agg:pid]") ->
+      "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
+    ("t11b_bpe_packed_docs", s"$UnbBcast[agg:pid]") ->
       "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
     ("t26_shard_assignment", s"$UnbBcast[agg:pid]") ->
       "per-bucket offset table: ≤PrefixSumBuckets (64) rows",
@@ -263,17 +280,46 @@ object PlanAudit {
       case j: Join => boundedCardinality(j.left) && boundedCardinality(j.right)
       case u: Union => u.children.forall(boundedCardinality)
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        // a catalog-managed read (saveAsTable) of an IndexStore table is
+        // corpus-sized even though its files live under tmp, not the
+        // corpus dir — match the table identifier, then the path LEAF
+        // (exact `<fact>.parquet` segment, not a substring, so a layout
+        // like `.../myevents.parquet-bak/...` cannot false-positive)
+        lazy val corpusSizedCatalog = lr.catalogTable.exists(ct =>
+          CorpusSizedTable.pattern.matcher(ct.identifier.table).matches())
         lr.relation match {
+          case _ if corpusSizedCatalog => false
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             !fs.location.rootPaths.exists(p =>
-              FactTables.exists(t => p.toString.contains(s"$t.parquet")))
+              FactTables.exists(t => p.getName == s"$t.parquet"))
           case _ => true
         }
-      case l if l.children.isEmpty => true // local/one-row/fixture relations
+      // catalog leaves the optimizer didn't rewrite to LogicalRelation:
+      // every catalog table this engine manages is an IndexStore index
+      // (corpus-sized), so default them unbounded by name
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        !CorpusSizedTable.pattern.matcher(r.tableMeta.identifier.table).matches()
+      case r: org.apache.spark.sql.catalyst.catalog.UnresolvedCatalogRelation =>
+        !CorpusSizedTable.pattern.matcher(r.tableMeta.identifier.table).matches()
+      case _: LocalRelation | _: OneRowRelation | _: Range =>
+        true // literal/fixture relations with driver-known cardinality
+      // other leaves (InMemoryRelation of a cached model frame, persisted
+      // model/index PARQUET paths under tmp, DSv2 fixtures) stay bounded:
+      // the codebase caches/persists frames BECAUSE they are model- or
+      // vocab-bounded, and flipping them would bury the detector's signal
+      // under waivers restating the same reasons. The corpus-sized
+      // catalog tables are the one audited exception, handled above.
+      case l if l.children.isEmpty => true
       case u: UnaryNode => boundedCardinality(u.child)
       case _ => false
     }
   }
+
+  /** Catalog tables whose row count tracks the corpus: the IndexStore-
+    * managed shingle/segment index family (`graft_shingle_idx_*` today;
+    * the prefix/suffix pattern covers future index kinds too).
+    */
+  private val CorpusSizedTable = "graft_.*_idx_.*".r
 
   /** Short shape descriptor for an unbounded hinted frame, so waivers pin
     * the SPECIFIC frame (its first keyed aggregate's grouping columns) —

@@ -34,28 +34,41 @@ class OracleLintSpec extends SparkSuite {
 
     // the DATA-DEPENDENT oracles (centroid/model literals) only join the
     // map under an active session + sfdir prop — provide both, exactly as
-    // Verify does, so the lint covers the full oracle surface
+    // Verify does, so the lint covers the full oracle surface. Restore
+    // both afterwards: leaving the prop set would flip what every later
+    // suite in this JVM observes from SparkEntry.oracleSql.
+    val prevProp = System.getProperty("graft.sfdir")
+    val prevSession = org.apache.spark.sql.SparkSession.getActiveSession
     System.setProperty("graft.sfdir", sfDir)
     org.apache.spark.sql.SparkSession.setActiveSession(spark)
-    val oracles = SparkEntry.oracleSql
-    assert(oracles.contains("v7_ivf_topk"),
-      "data-dependent oracles missing — lint would silently cover only the static set")
+    try {
+      val oracles = SparkEntry.oracleSql
+      assert(oracles.contains("v7_ivf_topk"),
+        "data-dependent oracles missing — lint would silently cover only the static set")
 
-    val json = oracles.toSeq.sortBy(_._1).map { case (k, v) =>
-      // minimal JSON string escape — names are [a-z0-9_], SQL needs \ " \n
-      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "")
-      s""""$k": "$esc""""
-    }.mkString("{", ",\n", "}")
-    val tmp = Files.createTempFile("oracle_sql", ".json")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      val json = oracles.toSeq.sortBy(_._1).map { case (k, v) =>
+        // minimal JSON string escape — names are [a-z0-9_], SQL needs \ " \n
+        val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", "")
+        s""""$k": "$esc""""
+      }.mkString("{", ",\n", "}")
+      val tmp = Files.createTempFile("oracle_sql", ".json")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
 
-    val out = new StringBuilder
-    val code = Seq("python3", "tools/oracle_lint.py", tmp.toString, sfDir)
-      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
-    Files.deleteIfExists(tmp)
-    assume(code != 3, s"lint environment problem:\n$out")
-    assert(code == 0, s"oracle width-lint violations (cast every output " +
-      s"column to a named SQL width):\n$out")
+      val out = new StringBuilder
+      val code = Seq("python3", "tools/oracle_lint.py", tmp.toString, sfDir)
+        .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+      Files.deleteIfExists(tmp)
+      assume(code != 3, s"lint environment problem:\n$out")
+      assert(code == 0, s"oracle width-lint violations (cast every output " +
+        s"column to a named SQL width):\n$out")
+    } finally {
+      if (prevProp == null) System.clearProperty("graft.sfdir")
+      else System.setProperty("graft.sfdir", prevProp)
+      prevSession match {
+        case Some(s) => org.apache.spark.sql.SparkSession.setActiveSession(s)
+        case None    => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
   }
 }

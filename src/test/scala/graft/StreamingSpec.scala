@@ -2036,6 +2036,64 @@ class StreamingSpec extends SparkSuite {
       // the scrub signal is observable: some kept row lost tokens
       assert(cutScrub.filter(col("n_dropped_tokens") > 0).count() > 0,
         "scrub cut dropped no tokens anywhere — vacuous")
+
+      // 8. cut-time exact decontamination: a frozen eval suite built from
+      //    texts of docs that SURVIVED the cut (so the leg must bind) —
+      //    the ingest-state composition ≡ an independent Scala 13-gram
+      //    recomputation over the collected texts
+      val survivorSample = expectedCut.toSeq.sorted.take(4)
+      val evalDocs = all.filter(col("doc_id").isInCollection(survivorSample))
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+        .localCheckpoint()
+      def grams13(text: String): Set[String] =
+        text.split(" ").toSeq.sliding(Dedup.DecontamN)
+          .filter(_.length == Dedup.DecontamN).map(_.mkString(" ")).toSet
+      val evalGramSet = evalDocs.as[(Long, String)].collect()
+        .flatMap { case (_, t) => grams13(t) }.toSet
+      val textById = all.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toMap
+      val expectedDecon = expectedCut.filter(id =>
+        grams13(textById(id)).intersect(evalGramSet).isEmpty)
+      val cutDecon = OnlineGate.cutDecontaminated(spark, tbl, s"$base/out",
+          all.select(col("doc_id"), col("text")), evalDocs)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(cutDecon === expectedDecon,
+        "cut-time decontamination diverged from the independent 13-gram check")
+      assert(cutDecon !== expectedCut,
+        "eval suite contaminated nothing — decontamination leg vacuous")
+      assert(survivorSample.forall(id => !cutDecon.contains(id)),
+        "an eval-source doc survived its own grams")
+
+      // 9. the t65-equivalent production cut: decontaminated selection →
+      //    per-host quota ≡ the cold quota-over-decontaminated composition
+      val cutProd = OnlineGate.cutProduction(spark, tbl, s"$base/out",
+        all.select(col("doc_id"), col("text")), evalDocs, hostsF)
+        .localCheckpoint()
+      val coldProd = Dedup.hostQuotaKeepOf(hostsF
+        .filter(col("doc_id").isInCollection(expectedDecon))
+        .join(all.select(col("doc_id"),
+          TextAnalysis.qualityE4Col(col("text")).as("quality_e4")), Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("quality_e4")))
+      assert(qImage(cutProd) === qImage(coldProd),
+        "production cut diverged from the cold decontaminate-then-quota")
+
+      // 10. the t66-equivalent cut manifest: production cut → mixture →
+      //     epochs → shards ≡ the cold manifest over the cold-derived
+      //     kept frame (ingest ≡ cold, like every other cut stage)
+      val cutMan = OnlineGate.cutManifest(spark, tbl, s"$base/out",
+        docsWithSource, evalDocs, hostsF)
+      val coldKeptFrame = coldProd.select(col("doc_id"), col("quality_e4"))
+        .join(docsWithSource.select(col("doc_id"), col("source"),
+          TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens")),
+          Seq("doc_id"))
+      val coldMan = TrainingPrep.runManifestOf(coldKeptFrame)
+      assert(qImage(cutMan) === qImage(coldMan),
+        "cut manifest diverged from the cold t66 composition")
+      assert(cutMan.count() > 0, "cut manifest is empty — vacuous")
+      // manifest accounting: doc counts add up to the mixture-kept total
+      val manDocs = cutMan.agg(sum(col("doc_count"))).as[Long].head
+      assert(manDocs > 0 && manDocs <= coldProd.count(),
+        "manifest doc accounting out of range")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")

@@ -1354,12 +1354,26 @@ class ScaleOpsSpec extends SparkSuite {
       // the signature side table grew with the batch: per-doc signatures
       // are corpus-independent, so incremental build+append must equal
       // the signatures over the combined postings bit-for-bit
+      // project the 32-perm signature columns: the stored table also
+      // carries the derived packed b-bit columns (round-trip of those is
+      // pinned by the d4b spec; here the claim is about the signatures)
+      val sigCols = (Seq("doc_id") ++ (0 until 32).map(i => s"h$i")).map(col)
       val sigInc = spark.table(ShingleIndex.sigsTable(tbl))
-        .collect().map(_.toSeq).toSet
+        .select(sigCols: _*).collect().map(_.toSeq).toSet
       val sigFull = Dedup.minhashSignatures(
           ShingleIndex.shingles(spark, tbl, includePlanted = true))
         .collect().map(_.toSeq).toSet
       assert(sigInc === sigFull, "appended signatures diverged from a rebuild")
+      // and the packed columns of APPENDED rows equal the build-time
+      // derivation (same expression both paths — schema cannot fork)
+      val packedInc = spark.table(ShingleIndex.sigsTable(tbl))
+        .select(col("doc_id"), col("bsig1"), col("bsig4_0"), col("bsig4_1"))
+        .collect().map(_.toSeq).toSet
+      val packedFull = Dedup.minhashSignatures(
+          ShingleIndex.shingles(spark, tbl, includePlanted = true))
+        .select(col("doc_id") +: Dedup.packedBbitCols: _*)
+        .collect().map(_.toSeq).toSet
+      assert(packedInc === packedFull, "appended packed columns diverged from a rebuild")
       // the index-fed d4 over the appended index equals the inline pass
       // over the same corpus (planted rows filtered by the reader)
       assert(ShingleIndex.minhashLshPairs(spark, tbl)

@@ -753,7 +753,14 @@ object TrainingPrep {
     * freeze-flow survivors ([[graft.streaming.OnlineGate]]); the batch
     * t66 feeds it the t65 selection.
     */
-  private[graft] def runManifestOf(docs: DataFrame): DataFrame = {
+  private[graft] def runManifestOf(docsIn: DataFrame): DataFrame = {
+    // the selected frame feeds FOUR plan branches (mixture rate table,
+    // mixture keep join, epoch quality join, shard stripe) — a lazy
+    // localCheckpoint materializes the upstream gate chain ONCE instead
+    // of once per branch (ReusedExchange does not cover all four shapes;
+    // measured 10.2 → ~4 s at sf0.1). Lazy, so the materialization fuses
+    // into the first downstream job — the g9 pattern.
+    val docs = docsIn.localCheckpoint(false)
     val mixed = mixtureSelectionOf(
       docs.select(col("doc_id"), col("source"), col("n_tokens")))
     val epochs = epochScheduleOf(

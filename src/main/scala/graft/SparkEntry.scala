@@ -461,6 +461,12 @@ object SparkEntry {
     "t62_soft_dedup_budget" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.softDedupBudget(s, d,
         s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)))),
+    // t67: the mixture planner actually CONSUMING t62's effective
+    // volumes — √-temperature rates over cluster-discounted supply,
+    // same per-doc keep hash as t29
+    "t67_soft_mixture_selection" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.softMixtureSelection(s, d,
+        s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)))),
     // d18 rides the STORED 32-perm signatures: the 1-bit sketch estimate
     // graded against the exact verified Jaccard it approximates
     "d18_bbit_minhash_estimate" -> ((s: SparkSession, d: String) =>
@@ -1833,6 +1839,37 @@ object SparkEntry {
         |  cast((cast(sum(n_tokens * weight_e4 // 10000) AS bigint) * 10000)
         |    // cast(sum(n_tokens) AS bigint) AS bigint) AS dedup_discount_e4
         |FROM w GROUP BY source""".stripMargin,
+    // t67: t62's effective volumes driving t29's tempered rates — the
+    // labels/weights CTEs replayed, then the mixture arithmetic over
+    // eff_tokens with the same per-doc keep hash
+    "t67_soft_mixture_selection" ->
+      s"""WITH RECURSIVE $d8ClusterCtes,
+        |labels AS (SELECT id AS doc_id, min(r) AS c FROM reach GROUP BY id),
+        |csz AS (SELECT c, count(*) AS cluster_size FROM labels GROUP BY c),
+        |tok AS (
+        |  SELECT d.doc_id, d.source,
+        |    cast(length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |      AS bigint) AS n_tokens,
+        |    cast((cast(length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |        AS bigint)
+        |      * (10000 // coalesce(csz.cluster_size, 1))) // 10000
+        |      AS bigint) AS eff_tokens
+        |  FROM documents d
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  LEFT JOIN csz ON csz.c = l.c),
+        |dom AS (SELECT source, sum(eff_tokens) AS toks FROM tok GROUP BY source),
+        |tot AS (SELECT sum(toks) AS total,
+        |  sum(sqrt(cast(toks AS double))) AS wsum FROM dom),
+        |rates AS (
+        |  SELECT source,
+        |    least(1.0, ${graft.operators.TrainingPrep.MixBudgetFrac}
+        |      * (sqrt(cast(toks AS double)) / wsum)
+        |      / (cast(toks AS double) / cast(total AS double))) AS rate
+        |  FROM dom CROSS JOIN tot)
+        |SELECT doc_id, source, n_tokens, eff_tokens
+        |FROM tok JOIN rates USING (source)
+        |WHERE ${graft.operators.TrainingPrep.hashFracSql("|t29")} < rate"""
+        .stripMargin,
   )
 
   // the quality-formula SQL lives next to its Spark twin

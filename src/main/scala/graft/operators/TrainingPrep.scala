@@ -1187,7 +1187,7 @@ object TrainingPrep {
   /** The same fraction in DuckDB (no base-16 conv): 6-term strpos Horner
     * expansion over the md5 hex, divided by 16^6.
     */
-  private def hashFracSql(salt: String): String = {
+  private[graft] def hashFracSql(salt: String): String = {
     val terms = (1 to 6).map { i =>
       val scale = math.pow(16, 6 - i).toLong
       val d = s"(strpos('0123456789abcdef', substr(md5(concat(cast(doc_id AS varchar), '$salt')), $i, 1)) - 1)"
@@ -1225,14 +1225,24 @@ object TrainingPrep {
     * arrived. Same salt, so a document's keep decision is a pure function
     * of (doc_id, its source's rate) everywhere the mixture runs.
     */
-  private[graft] def mixtureSelectionOf(tok: DataFrame): DataFrame = {
-    val dom = tok.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
-    // totals via an unpartitioned window OVER THE TINY dom (|sources| rows
-    // — same WARN-only single-partition shape as t11's offset table), so
-    // the corpus is aggregated once, not once per total
+  private[graft] def mixtureSelectionOf(tok: DataFrame): DataFrame =
+    tok.join(broadcast(temperedRatesOf(
+        tok.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks")))), "source")
+      .filter(hashFrac("|t29") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+
+  /** The √-temperature rate table from a per-source (source, toks) volume
+    * frame: rate_s = min(1, B·(√v_s/Σ√v)/(v_s/V)). Shared by the raw
+    * mixture (t29/t66 — whitespace-token volumes) and the soft-dedup
+    * mixture (t67 — effective volumes). Totals via an unpartitioned
+    * window OVER THE TINY dom (|sources| rows — same WARN-only
+    * single-partition shape as t11's offset table), so the corpus is
+    * aggregated once, not once per total.
+    */
+  private def temperedRatesOf(dom: DataFrame): DataFrame = {
     val totW = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = dom
+    dom
       .withColumn("total", sum(col("toks")).over(totW))
       .withColumn("wsum", sum(sqrt(col("toks").cast("double"))).over(totW))
       .select(
@@ -1240,9 +1250,36 @@ object TrainingPrep {
         least(lit(1.0),
           lit(MixBudgetFrac) * (sqrt(col("toks").cast("double")) / col("wsum")) /
             (col("toks").cast("double") / col("total").cast("double"))).as("rate"))
-    tok.join(broadcast(rates), "source")
+  }
+
+  /** t67: SOFT-DEDUP-AWARE mixture — t29's square-root temperature
+    * computed from the EFFECTIVE per-source token volumes (t62: each doc
+    * supplies n_tokens·weight_e4 div 10⁴, the near-dup-cluster-discounted
+    * supply) instead of raw counts — the consumer the t62 report exists
+    * for: a source whose bulk is internal near-duplication stops crowding
+    * the mixture without hard-dropping its members (Muennighoff et al.
+    * 2023's data-constrained regime keeps repeats, down-weighted). The
+    * per-doc keep rule (same salt, same hash) is unchanged, so t67
+    * differs from t29 exactly through the rate table. Output: (doc_id,
+    * source, n_tokens, eff_tokens).
+    *
+    * Plan/scale: t59's label joins (no broadcast hints — the label frame
+    * is corpus-derived; AQE demotes when small) + the same |sources|-row
+    * rate machinery as t29. Nothing beyond the label shuffle t59 pays.
+    */
+  def softMixtureSelection(
+      spark: SparkSession, dir: String, labels: DataFrame): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tok = softDedupWeightsOf(docs.select(col("doc_id")), labels)
+      .join(docs.select(col("doc_id"), col("source"),
+        TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("n_tokens * weight_e4 div 10000").as("eff_tokens"))
+    tok.join(broadcast(temperedRatesOf(
+        tok.groupBy(col("source")).agg(sum(col("eff_tokens")).as("toks")))), "source")
       .filter(hashFrac("|t29") < col("rate"))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("eff_tokens"))
   }
 
   def mixtureSelectionOracleSql: String =

@@ -121,6 +121,7 @@ object PlanAudit {
     // the t29 totals window runs over the |sources|-row per-source token
     // aggregate (TrainingPrep.mixtureSelection) — constant-size at any sf
     ("t29_mixture_selection", "GlobalWindow") -> "window over the per-source rate table",
+    ("t67_soft_mixture_selection", "GlobalWindow") -> "window over the per-source rate table",
     // the t51 ranking window runs over the |sources|-row schedule frame
     ("t51_epoch_schedule", "GlobalWindow") -> "window over the per-source schedule frame",
     // the d16 cumulative window runs over the ≤15-row jaccard-bucket
@@ -183,6 +184,8 @@ object PlanAudit {
       "per-class counts: bounded label count",
     ("t29_mixture_selection", s"$UnbBcast[agg:source]") ->
       "per-source rate table: |sources| rows",
+    ("t67_soft_mixture_selection", s"$UnbBcast[agg:source]") ->
+      "per-source effective-volume rate table: |sources| rows",
     ("t30_curriculum_selection", s"$UnbBcast[agg:pid,source]") ->
       "per-(bucket,source) offsets: ≤buckets×|sources| rows",
     ("t30s_curriculum_frame", s"$UnbBcast[agg:pid,source]") ->

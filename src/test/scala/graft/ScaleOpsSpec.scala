@@ -1867,6 +1867,22 @@ class ScaleOpsSpec extends SparkSuite {
           assert(ttr === dis * 10000L / tot, src)
       }
 
+    // t67: the soft mixture consumes DISCOUNTED volumes — every doc's
+    // effective tokens are <= raw (strictly < for some cluster member),
+    // and the discount actually moves the kept set relative to t29
+    val labels = spark.read.parquet(
+      graft.operators.IndexStore.clusterPath(spark, sf0001))
+    val t67 = TrainingPrep.softMixtureSelection(spark, sf0001, labels)
+      .as[(Long, String, Long, Long)].collect()
+    assert(t67.nonEmpty)
+    assert(t67.forall { case (_, _, nt, eff) => eff <= nt })
+    assert(t67.exists { case (_, _, nt, eff) => eff < nt },
+      "no doc discounted — label frame empty, t67 vacuous vs t29")
+    val t29ids = TrainingPrep.mixtureSelection(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(t67.map(_._1).toSet !== t29ids,
+      "soft mixture kept exactly t29's set — the effective volumes changed nothing")
+
     // t64 is EXACTLY t20 minus the contaminated ids — the set equation
     // is its own non-vacuity proof (and the contaminated set is nonempty)
     val t20 = TrainingPrep.trainingSelection(spark, sf0001)

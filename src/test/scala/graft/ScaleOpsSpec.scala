@@ -1833,6 +1833,56 @@ class ScaleOpsSpec extends SparkSuite {
       .select("stage").head().getInt(0)
     assert(st === 3, s"power user reached stage $st, flood vacuous")
   }
+  test("t8b/t11b: BPE piece arithmetic is conserved and pack/chunk bounds hold") {
+    import graft.operators.{Bpe, TrainingPrep}
+    import org.apache.spark.sql.functions._
+    // t8b: per-doc chunk piece sums equal the t50 per-doc totals (the
+    // chunking re-buckets, never invents or drops pieces), chunk ids are
+    // dense from 0, and every chunk except a doc's last STARTS in budget
+    val chunks = TrainingPrep.bpeChunks(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().groupBy(_._1)
+    val totals = Bpe.bpePieceStats(spark, sf0001)
+      .select(col("doc_id"), col("n_pieces")).as[(Long, Long)].collect().toMap
+    assert(chunks.keySet === totals.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids === (0 until rows.length).toArray, s"doc $doc chunk ids not dense")
+      assert(rows.map(_._4).sum === totals(doc), s"doc $doc pieces not conserved")
+      assert(rows.map(_._3).sum > 0)
+    }
+    // at least one doc split into several chunks — the budget binds
+    assert(chunks.values.exists(_.length > 1), "no doc split — budget vacuous")
+
+    // t11b: offsets in [0, budget), pack ids contiguous from 0, and the
+    // tape positions reconstruct the per-doc prefix sum in doc_id order
+    val packed = TrainingPrep.packedDocsBpe(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.map(_._1).toSeq === packed.map(_._1).sorted.toSeq)
+    var tape = 0L
+    packed.foreach { case (doc, np, packId, off) =>
+      assert(packId === tape / 512 && off === tape % 512,
+        s"doc $doc not at its prefix-sum tape position")
+      assert(off >= 0 && off < 512)
+      tape += np
+    }
+    assert(packed.map(_._3).distinct.length > 1, "everything in one pack — budget vacuous")
+  }
+
+  test("t66 manifest accounting: striped shards are balanced and counts reconcile") {
+    import graft.operators.TrainingPrep
+    import org.apache.spark.sql.functions._
+    val man = TrainingPrep.runManifest(spark, sf0001)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(man.nonEmpty)
+    // rank striping: shard s holds max_pos+1 docs, and stripe balance
+    // means doc counts differ by at most 1 across shards
+    man.foreach { case (_, n, toks, wtoks, maxPos) =>
+      assert(n === maxPos + 1)
+      assert(toks > 0 && wtoks >= toks, "epoch weighting must not shrink a shard's tokens")
+    }
+    assert(man.map(_._2).max - man.map(_._2).min <= 1L, "stripe imbalance > 1")
+  }
+
   test("set1 EXCEPT is non-vacuous: some purchasers survive, some are excluded") {
     import org.apache.spark.sql.functions._
     // the round-14 verdict caught the unconditioned form hash-matching on

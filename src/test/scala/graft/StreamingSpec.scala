@@ -2063,6 +2063,12 @@ class StreamingSpec extends SparkSuite {
         "eval suite contaminated nothing — decontamination leg vacuous")
       assert(survivorSample.forall(id => !cutDecon.contains(id)),
         "an eval-source doc survived its own grams")
+      // an EMPTY eval registry must leave the cut untouched (the leg is
+      // an anti-join against nothing, not an accidental inner join)
+      val cutIdent = OnlineGate.cutDecontaminated(spark, tbl, s"$base/out",
+          all.select(col("doc_id"), col("text")), evalDocs.limit(0))
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(cutIdent === expectedCut, "empty eval suite changed the cut")
 
       // 9. the t65-equivalent production cut: decontaminated selection →
       //    per-host quota ≡ the cold quota-over-decontaminated composition

@@ -291,6 +291,10 @@ object SparkEntry {
     // → t26 shard striping, rolled up per shard (the capstone the
     // t-family composes into; every leg keeps its audited plan)
     "t66_run_manifest" -> graft.operators.TrainingPrep.runManifest _,
+    // t66b: the manifest measured in TRAINED BPE PIECES — survivors
+    // semi-joined before the word explode, vocab-bounded broadcast
+    // word→pieces map, then the same audited manifest composition
+    "t66b_run_manifest_bpe" -> graft.operators.TrainingPrep.runManifestBpe _,
     // per-host document quota (C4/RefinedWeb domain cap): TopKPerKey
     // bounded heaps per host, no full-host window sort
     "t55_host_quota_keep" -> Dedup.hostQuotaKeep _,
@@ -466,6 +470,11 @@ object SparkEntry {
     // same per-doc keep hash as t29
     "t67_soft_mixture_selection" -> ((s: SparkSession, d: String) =>
       graft.operators.TrainingPrep.softMixtureSelection(s, d,
+        s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)))),
+    // t66s: t67 folded into the capstone — t65 selection → soft mixture
+    // (effective-volume rates) → epochs over effective supply → shards
+    "t66s_run_manifest_soft" -> ((s: SparkSession, d: String) =>
+      graft.operators.TrainingPrep.runManifestSoft(s, d,
         s.read.parquet(graft.operators.IndexStore.clusterPath(s, d)))),
     // d18 rides the STORED 32-perm signatures: the 1-bit sketch estimate
     // graded against the exact verified Jaccard it approximates
@@ -1569,7 +1578,7 @@ object SparkEntry {
     // SQL derived from the same strata map the operator defaults to
     "t10_stratified_sample" ->
       graft.operators.TrainingPrep.stratifiedSampleOracleSql,
-    "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql,
+    "t11_packed_chunks" -> graft.operators.TrainingPrep.packedChunksOracleSql(),
     // t26/t27: the md5 permutation key and the striping arithmetic replay
     // verbatim; the engine's two-phase prefix-sum rank equals the oracle's
     // single row_number() by construction
@@ -1990,6 +1999,13 @@ object SparkEntry {
         // the run manifest nests the t65 oracle → data-dependent too
         "t66_run_manifest" ->
           graft.operators.TrainingPrep.runManifestOracleSql(s, d),
+        // t66b replays the trained merges as VALUES literals over the
+        // nested t65 oracle; t66s additionally nests the d8 cluster CTEs
+        "t66b_run_manifest_bpe" ->
+          graft.operators.TrainingPrep.runManifestBpeOracleSql(s, d),
+        "t66s_run_manifest_soft" ->
+          graft.operators.TrainingPrep.runManifestSoftOracleSql(
+            s, d, d8ClusterCtes),
         "t25_scrubbed_selection" ->
           graft.operators.TrainingPrep.trainingSelectionScrubbedOracleSql(s, d),
         // the index-fed twins are bit-equal to the inline t23/t25

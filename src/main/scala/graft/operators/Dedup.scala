@@ -933,11 +933,14 @@ object Dedup {
   }
 
   /** Minimum screened estimate (e4) a candidate pair must reach to pass
-    * the packed b-bit screen (d4b) — below [[DefaultThreshold]] so the
-    * screen's estimation noise (σ ≈ 900 e4 at 32 perms × 4 bits) does not
-    * reject genuine threshold-grade pairs an exact verify would keep: the
-    * screen is a cheap PRE-verify, so its errors must fall on the
-    * keep-too-much side.
+    * the packed b-bit screen (d4b) — set ~2.2σ below [[DefaultThreshold]]
+    * (σ ≈ 900 e4 at 32 perms × 4 bits) so the screen's estimation noise
+    * rarely rejects genuine threshold-grade pairs an exact verify would
+    * keep. The bias is toward keep-too-much, but it is PROBABILISTIC,
+    * not absolute: a pair at exactly the 5000 e4 threshold still fails
+    * the screen with P ≈ Φ(−2.2) ≈ 1–2% — consumers wiring d4b ahead of
+    * d4's exact verification must budget that residual false-negative
+    * rate (or lower this cutoff to buy recall with more verify work).
     */
   val BbitScreenMinE4 = 3000L
 

@@ -800,7 +800,12 @@ object ShingleIndex {
     */
   def bbitScreenedPairs(
       spark: SparkSession, tableName: String): DataFrame = {
-    val sig = spark.table(sigsTable(tableName))
+    // read through the signatures() accessor (deletion log subtracted):
+    // unlike d4/d18 the screen has NO posting-list verify downstream to
+    // drop logically deleted docs, so the tombstone filter must happen
+    // here or delete()'s "effective for every reader immediately"
+    // contract breaks for this reader
+    val sig = signatures(spark, tableName)
       .filter(col("doc_id") < Dedup.PartialCopyOffset)
     Dedup.bbitScreenFrom(
       sig.select(col("doc_id"), col("bsig1"), col("bsig4_0"), col("bsig4_1")),

@@ -157,7 +157,7 @@ object TrainingPrep {
         (col("start") % budget).cast("bigint").as("pack_offset"))
   }
 
-  def packedChunksOracleSql: String =
+  def packedChunksOracleSql(budget: Int = PackBudget): String =
     s"""WITH ch AS (
        |  SELECT doc_id, cast(k AS int) AS chunk_id,
        |    len(t[(k * $Stride + 1):(k * $Stride + $ChunkSize)]) AS chunk_tokens
@@ -169,8 +169,8 @@ object TrainingPrep {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens AS start
        |  FROM ch)
        |SELECT doc_id, chunk_id,
-       |  cast(start // $PackBudget AS bigint) AS pack_id,
-       |  cast(start % $PackBudget AS bigint) AS pack_offset
+       |  cast(start // $budget AS bigint) AS pack_id,
+       |  cast(start % $budget AS bigint) AS pack_offset
        |FROM cum""".stripMargin
 
   /** Piece budget per BPE-fed chunk (t8b): ~a third of an average
@@ -213,9 +213,12 @@ object TrainingPrep {
 
   /** DuckDB twin of [[bpeChunks]] — the trained word→piece-count map
     * inlined as VALUES literals (data-dependent), the same per-document
-    * running-piece arithmetic replayed.
+    * running-piece arithmetic replayed. `budget` is threaded, not
+    * re-stated, so a non-default engine call cannot silently desync from
+    * the oracle it is graded against.
     */
-  def bpeChunksOracleSql(spark: SparkSession, dir: String): String =
+  def bpeChunksOracleSql(
+      spark: SparkSession, dir: String, budget: Long = BpePieceBudget): String =
     s"""WITH wp(w, np) AS (VALUES
        |    ${Bpe.wordPiecesValuesSql(spark, dir)}),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -230,7 +233,7 @@ object TrainingPrep {
        |    sum(np) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - np AS start
        |  FROM jo)
-       |SELECT doc_id, cast(start // $BpePieceBudget AS int) AS chunk_id,
+       |SELECT doc_id, cast(start // $budget AS int) AS chunk_id,
        |  cast(count(*) AS bigint) AS n_words,
        |  cast(sum(np) AS bigint) AS n_pieces
        |FROM cum GROUP BY 1, 2""".stripMargin
@@ -273,9 +276,10 @@ object TrainingPrep {
 
   /** DuckDB twin of [[packedDocsBpe]] (data-dependent — replays the same
     * trained merges as VALUES literals, then the single-window form of
-    * the prefix sum).
+    * the prefix sum). `budget` threaded like [[bpeChunksOracleSql]].
     */
-  def packedDocsBpeOracleSql(spark: SparkSession, dir: String): String =
+  def packedDocsBpeOracleSql(
+      spark: SparkSession, dir: String, budget: Int = PackBudget): String =
     s"""WITH wp(w, np) AS (VALUES
        |    ${Bpe.wordPiecesValuesSql(spark, dir)}),
        |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -290,8 +294,8 @@ object TrainingPrep {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces AS start
        |  FROM per)
        |SELECT doc_id, n_pieces,
-       |  cast(start // $PackBudget AS bigint) AS pack_id,
-       |  cast(start % $PackBudget AS bigint) AS pack_offset
+       |  cast(start // $budget AS bigint) AS pack_id,
+       |  cast(start % $budget AS bigint) AS pack_offset
        |FROM cum""".stripMargin
 
   /** Per-document class-balance weights: weight = N / (L · n_lang), the
@@ -751,9 +755,14 @@ object TrainingPrep {
   /** [[runManifest]] over an arbitrary selected (doc_id, quality_e4,
     * source, n_tokens) frame — the seam the cut-time twin feeds with the
     * freeze-flow survivors ([[graft.streaming.OnlineGate]]); the batch
-    * t66 feeds it the t65 selection.
+    * t66 feeds it the t65 selection, t66b the same selection with
+    * `n_tokens` measured in trained BPE pieces. `budgetMultipleE4` is
+    * threaded through to [[epochScheduleOf]] AND the oracle builder so a
+    * non-default call cannot silently desync from its graded twin.
     */
-  private[graft] def runManifestOf(docsIn: DataFrame): DataFrame = {
+  private[graft] def runManifestOf(
+      docsIn: DataFrame,
+      budgetMultipleE4: Long = EpochBudgetMultipleE4): DataFrame = {
     // the selected frame feeds FOUR plan branches (mixture rate table,
     // mixture keep join, epoch quality join, shard stripe) — a lazy
     // localCheckpoint materializes the upstream gate chain ONCE instead
@@ -765,7 +774,8 @@ object TrainingPrep {
       docs.select(col("doc_id"), col("source"), col("n_tokens")))
     val epochs = epochScheduleOf(
       mixed.join(docs.select(col("doc_id"), col("quality_e4")), "doc_id")
-        .select(col("source"), col("n_tokens"), col("quality_e4")))
+        .select(col("source"), col("n_tokens"), col("quality_e4")),
+      budgetMultipleE4)
     shardedDocsOf(mixed, NumShards)
       .join(broadcast(epochs.select(col("source"), col("epochs_e4"))), "source")
       .groupBy(col("shard"))
@@ -776,19 +786,55 @@ object TrainingPrep {
         max(col("shard_pos")).as("max_pos"))
   }
 
-  /** DuckDB twin of [[runManifest]]: the t65 oracle nested, then the
-    * t29/t51/t26 oracle arithmetic replayed over the selection
-    * (data-dependent because the t65 leg inlines centroid literals).
+  /** t66b: the run manifest measured in TRAINED BPE PIECES — the same
+    * selection→mixture→epochs→shards chain as [[runManifest]], but every
+    * budget number (mixture volumes, epoch rationing, the per-shard sums)
+    * counts t50 trained pieces instead of whitespace tokens: the numbers
+    * a trainer's token-budget accounting actually consumes. Sources whose
+    * text is piece-dense (URLs, code, non-Latin scripts segment into more
+    * pieces per word) carry MORE of the budget than their whitespace
+    * counts suggest, so the tempered rates — and hence the kept set and
+    * the shard sums — genuinely shift (`ScaleOpsSpec` pins the
+    * divergence). Output: (shard, doc_count, piece_sum,
+    * weighted_piece_sum, max_pos).
+    *
+    * Scale shape: the per-doc piece counts come from the vocab-bounded
+    * broadcast word→pieces map (the t50 apply-side artifact) — and only
+    * CUT SURVIVORS are word-exploded (a semi-join first, the
+    * cut-decontamination discipline), so the piece rollup costs one pass
+    * over the kept slice, not the corpus. Everything downstream is
+    * [[runManifestOf]]'s audited composition.
     */
-  def runManifestOracleSql(spark: SparkSession, dir: String): String =
-    s"""WITH sel AS (${productionSelectionOracleSql(spark, dir)}),
-       |rdocs AS (
-       |  SELECT s.doc_id, d.source,
-       |    cast(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS bigint)
-       |      AS n_tokens,
-       |    s.quality_e4
-       |  FROM sel s JOIN documents d ON d.doc_id = s.doc_id),
-       |dom AS (SELECT source, sum(n_tokens) AS toks FROM rdocs GROUP BY source),
+  def runManifestBpe(spark: SparkSession, dir: String): DataFrame = {
+    // sel feeds two branches (the survivor semi-join and the final meta
+    // join) — materialize the t65 gate chain once (the g9 pattern)
+    val sel = productionSelection(spark, dir)
+      .select(col("doc_id"), col("quality_e4")).localCheckpoint(false)
+    val perDoc = table(spark, dir, "documents")
+      .join(sel.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(Bpe.wordPiecesDf(spark, dir)), Seq("w"), "left")
+      .withColumn("np", coalesce(col("np"), length(col("w")).cast("int") + lit(1)))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("np")).cast("long").as("n_tokens"))
+    runManifestOf(sel.join(perDoc, Seq("doc_id")))
+      .select(col("shard"), col("doc_count"),
+        col("token_sum").as("piece_sum"),
+        col("weighted_token_sum").as("weighted_piece_sum"),
+        col("max_pos"))
+  }
+
+  /** The t29→t51→t26 oracle arithmetic over an `rdocs` CTE — mixture
+    * rates, the epoch ration, and the rank stripe, all driven by
+    * `volExpr` (whitespace tokens for t66, trained pieces for t66b,
+    * cluster-discounted effective tokens for t66s). Factored so the
+    * three manifest oracles cannot desync on the shared arithmetic.
+    * Expects `rdocs` to carry (doc_id, source, quality_e4, $volExpr, …).
+    */
+  private[graft] def manifestMixEpochCtes(
+      volExpr: String, budgetMultipleE4: Long): String =
+    s"""dom AS (SELECT source, sum($volExpr) AS toks FROM rdocs GROUP BY source),
        |tot AS (SELECT sum(toks) AS total, sum(sqrt(cast(toks AS double))) AS wsum
        |  FROM dom),
        |rrates AS (
@@ -797,18 +843,18 @@ object TrainingPrep {
        |      (cast(toks AS double) / cast(total AS double))) AS rate
        |  FROM dom CROSS JOIN tot),
        |mixed AS (
-       |  SELECT d.doc_id, d.source, d.n_tokens, d.quality_e4
+       |  SELECT d.*
        |  FROM rdocs d JOIN rrates r ON d.source = r.source
        |  WHERE ${hashFracSql("|t29")} < r.rate),
        |ps AS (
-       |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       |  SELECT source, count(*) AS n_docs, sum($volExpr) AS n_tokens,
        |    cast(floor(cast(sum(quality_e4) AS double) / count(*)) AS bigint)
        |      AS quality_mean_e4
        |  FROM mixed GROUP BY source),
        |tot2 AS (SELECT sum(n_tokens) AS t FROM ps),
        |ranked AS (
        |  SELECT ps.*, t,
-       |    (t * $EpochBudgetMultipleE4) // 10000 - t AS extra_budget,
+       |    (t * $budgetMultipleE4) // 10000 - t AS extra_budget,
        |    coalesce(sum(n_tokens * $EpochMaxExtra) OVER (
        |      ORDER BY (10000 - quality_mean_e4), source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -821,15 +867,215 @@ object TrainingPrep {
        |      AS epochs_e4
        |  FROM ranked),
        |striped AS (
-       |  SELECT m.doc_id, m.source, m.n_tokens,
+       |  SELECT m.*,
        |    row_number() OVER (
        |      ORDER BY md5(concat(cast(m.doc_id AS varchar), '|t26')), m.doc_id)
        |      - 1 AS rank0
-       |  FROM mixed m)
+       |  FROM mixed m)""".stripMargin
+
+  /** DuckDB twin of [[runManifest]]: the t65 oracle nested, then the
+    * t29/t51/t26 oracle arithmetic replayed over the selection
+    * (data-dependent because the t65 leg inlines centroid literals).
+    */
+  def runManifestOracleSql(
+      spark: SparkSession, dir: String,
+      budgetMultipleE4: Long = EpochBudgetMultipleE4): String =
+    s"""WITH sel AS (${productionSelectionOracleSql(spark, dir)}),
+       |rdocs AS (
+       |  SELECT s.doc_id, d.source,
+       |    cast(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS bigint)
+       |      AS n_tokens,
+       |    s.quality_e4
+       |  FROM sel s JOIN documents d ON d.doc_id = s.doc_id),
+       |${manifestMixEpochCtes("n_tokens", budgetMultipleE4)}
        |SELECT cast(rank0 % $NumShards AS int) AS shard,
        |  cast(count(*) AS bigint) AS doc_count,
        |  cast(sum(s.n_tokens) AS bigint) AS token_sum,
        |  cast(sum((s.n_tokens * e.epochs_e4) // 10000) AS bigint)
+       |    AS weighted_token_sum,
+       |  cast(max(rank0 // $NumShards) AS bigint) AS max_pos
+       |FROM striped s JOIN ep e ON e.source = s.source
+       |GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[runManifestBpe]]: the t65 oracle nested, per-doc
+    * piece counts replayed from the trained merges as VALUES literals
+    * (the t50 precedent), then the shared manifest arithmetic.
+    */
+  def runManifestBpeOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH wp(w, np) AS (VALUES
+       |    ${Bpe.wordPiecesValuesSql(spark, dir)}),
+       |sel AS (${productionSelectionOracleSql(spark, dir)}),
+       |occ AS (
+       |  SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS w
+       |  FROM documents d JOIN sel ON sel.doc_id = d.doc_id),
+       |rdocs AS (
+       |  SELECT o.doc_id, o.source,
+       |    cast(sum(coalesce(wp.np, length(o.w) + 1)) AS bigint) AS n_tokens,
+       |    min(s.quality_e4) AS quality_e4
+       |  FROM occ o LEFT JOIN wp ON wp.w = o.w
+       |  JOIN sel s ON s.doc_id = o.doc_id
+       |  GROUP BY o.doc_id, o.source),
+       |${manifestMixEpochCtes("n_tokens", EpochBudgetMultipleE4)}
+       |SELECT cast(rank0 % $NumShards AS int) AS shard,
+       |  cast(count(*) AS bigint) AS doc_count,
+       |  cast(sum(s.n_tokens) AS bigint) AS piece_sum,
+       |  cast(sum((s.n_tokens * e.epochs_e4) // 10000) AS bigint)
+       |    AS weighted_piece_sum,
+       |  cast(max(rank0 // $NumShards) AS bigint) AS max_pos
+       |FROM striped s JOIN ep e ON e.source = s.source
+       |GROUP BY 1""".stripMargin
+
+  /** The SOFT-REGIME selection feeding t66s: the gates that survive the
+    * move to Muennighoff et al. 2023's data-constrained regime — quality
+    * floor, token window, SemDeDup survivorship and the exact eval-gram
+    * decontamination, all HARD — with every TEXTUAL-DUPLICATION drop
+    * (exact-dup keep-one, the fuzzy survivorship anti-join, the
+    * segment-fraction gate) and the host rank-cap deliberately ABSENT:
+    * in the soft regime repeated text is kept and down-weighted
+    * (1/|cluster| — the t59 weights t66s joins on), and crowding is
+    * handled by the mixture temperature, not by discarding documents.
+    *
+    * Why not literally t65 → soft mixture: MEASURED at every graded SF,
+    * the t65 survivors and the near-dup cluster members are DISJOINT —
+    * the corpus's near-dups are whole-segment copies (dup_frac_e4 =
+    * 10000 for every cluster member, vs the 5000 gate) and none ranks
+    * in its host's top-[[Dedup.HostQuota]] — so a soft mixture over the
+    * unmodified t65 selection degenerates to t66 with an identity
+    * discount. The hard drops and the soft weights encode the SAME
+    * near-duplication signal; composing both double-counts it and
+    * leaves the soft leg vacuous. Output: (doc_id, source, n_tokens,
+    * quality_e4).
+    *
+    * Scale shape: one text-local gate projection (map-only after the
+    * corpus scan), two anti-joins against bounded drop sets (SemDeDup
+    * drops are near-dup-fraction-sized; decontamination candidates are
+    * eval-bounded), the index-fed SemDeDup assignment — no corpus-wide
+    * shuffle beyond what those legs already pay.
+    */
+  private[graft] def softSelectionBase(
+      spark: SparkSession, dir: String): DataFrame = {
+    val vecPath = IndexStore.vectorPath(spark, dir)
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"),
+        TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
+      .filter(col("quality_e4") >= MinQualityE4 &&
+        col("n_tokens").between(MinTokens, MaxTokens))
+    val semDrop = IvfAnn.semanticDedupFromIndex(
+        spark, dir, vecPath, IndexStore.centroidsFx(spark, vecPath),
+        plantClones = true, cloneOffset = FullGateSemCloneOffset)
+      .filter(!col("kept") && col("vec_id") >= 0)
+      .select(col("vec_id").as("doc_id"))
+    base
+      .join(semDrop, Seq("doc_id"), "left_anti")
+      .join(Dedup.ngramDecontamination(spark, dir, plantClones = true)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  /** t66s: the SOFT-DEDUP-AWARE run manifest — t67 folded into the t66
+    * capstone: the soft-regime selection ([[softSelectionBase]] — see
+    * there for why the hard duplication drops are replaced, not
+    * composed) → soft mixture (√-temperature rates over the selection's
+    * cluster-discounted EFFECTIVE token volumes, per-doc keep hash
+    * unchanged) → epoch schedule rationed over effective supply → t26
+    * rank striping, rolled up per shard. A source whose volume is
+    * mostly internal near-duplication stops crowding the mixture AND
+    * the epoch budget without hard-dropping its members. Output:
+    * (shard, doc_count, token_sum, eff_token_sum, weighted_token_sum,
+    * max_pos) — raw and effective sums side by side;
+    * `weighted_token_sum` is effective·epochs, the number the budget
+    * accounting consumes under soft dedup.
+    *
+    * Scale shape: [[softSelectionBase]]'s audited legs + the t59 label
+    * joins (no broadcast hint — corpus-derived label frame, AQE
+    * demotes) + the |sources|-row rate/epoch machinery + the stripe's
+    * bounded offset table. The weights join touches only selection
+    * survivors.
+    */
+  def runManifestSoft(
+      spark: SparkSession, dir: String, labels: DataFrame): DataFrame = {
+    // sel feeds two branches (the weights join and the manifest chain) —
+    // materialize the gate chain once (the g9 pattern)
+    val sel = softSelectionBase(spark, dir).localCheckpoint(false)
+    runManifestSoftOf(
+      sel.join(softDedupWeightsOf(sel.select(col("doc_id")), labels)
+          .select(col("doc_id"), col("weight_e4")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("n_tokens * weight_e4 div 10000").as("eff_tokens"),
+          col("quality_e4")))
+  }
+
+  /** [[runManifestSoft]] over an arbitrary selected (doc_id, source,
+    * n_tokens, eff_tokens, quality_e4) frame — the seam the cut-time
+    * twin feeds ([[graft.streaming.OnlineGate.cutManifestSoft]]). Same
+    * four-branch lazy-checkpoint shape as [[runManifestOf]]; rates,
+    * epochs and weighting all run over `eff_tokens`.
+    */
+  private[graft] def runManifestSoftOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.localCheckpoint(false)
+    val mixed = docs
+      .join(broadcast(temperedRatesOf(
+        docs.groupBy(col("source")).agg(sum(col("eff_tokens")).as("toks")))),
+        "source")
+      .filter(hashFrac("|t29") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("eff_tokens"))
+    val epochs = epochScheduleOf(
+      mixed.join(docs.select(col("doc_id"), col("quality_e4")), "doc_id")
+        .select(col("source"), col("eff_tokens").as("n_tokens"),
+          col("quality_e4")))
+    shardedDocsOf(mixed, NumShards)
+      .join(broadcast(epochs.select(col("source"), col("epochs_e4"))), "source")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_tokens")).as("token_sum"),
+        sum(col("eff_tokens")).as("eff_token_sum"),
+        sum(expr("eff_tokens * epochs_e4 div 10000")).as("weighted_token_sum"),
+        max(col("shard_pos")).as("max_pos"))
+  }
+
+  /** DuckDB twin of [[runManifestSoft]]: the caller supplies the
+    * near-dup cluster CTE chain (`clusterCtes` must define `reach` — the
+    * d8 chain [[graft.SparkEntry]] shares with the t59/t62/t67 oracles),
+    * the soft-regime gates replay as CTEs (quality/token formulas, the
+    * SemDeDup drop set with the same clone offset, the d15 eval-gram
+    * contamination set), and the shared manifest arithmetic runs over
+    * the discounted volumes.
+    */
+  def runManifestSoftOracleSql(
+      spark: SparkSession, dir: String, clusterCtes: String): String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |labels AS (SELECT id AS doc_id, min(r) AS c FROM reach GROUP BY id),
+       |csz AS (SELECT c, count(*) AS cluster_size FROM labels GROUP BY c),
+       |semdrop AS (
+       |  SELECT vec_id
+       |  FROM (${IvfAnn.semanticDedupOracleSql(spark, dir, FullGateSemCloneOffset)}) s
+       |  WHERE NOT kept AND vec_id >= 0),
+       |contam AS (SELECT doc_id FROM (${Dedup.ngramDecontaminationOracleSql}) x),
+       |basefr AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, source, cast(n_tokens AS bigint) AS n_tokens,
+       |      ${TextAnalysis.qualityE4ExprSql} AS quality_e4
+       |    FROM (${TextAnalysis.qualityBaseSql(", source")}))
+       |  WHERE quality_e4 >= $MinQualityE4
+       |    AND n_tokens BETWEEN $MinTokens AND $MaxTokens),
+       |rdocs AS (
+       |  SELECT b.doc_id, b.source, b.n_tokens,
+       |    cast((b.n_tokens * (10000 // coalesce(csz.cluster_size, 1))) // 10000
+       |      AS bigint) AS eff_tokens,
+       |    b.quality_e4
+       |  FROM basefr b
+       |  LEFT JOIN semdrop sd ON sd.vec_id = b.doc_id
+       |  LEFT JOIN contam c ON c.doc_id = b.doc_id
+       |  LEFT JOIN labels l ON l.doc_id = b.doc_id
+       |  LEFT JOIN csz ON csz.c = l.c
+       |  WHERE sd.vec_id IS NULL AND c.doc_id IS NULL),
+       |${manifestMixEpochCtes("eff_tokens", EpochBudgetMultipleE4)}
+       |SELECT cast(rank0 % $NumShards AS int) AS shard,
+       |  cast(count(*) AS bigint) AS doc_count,
+       |  cast(sum(s.n_tokens) AS bigint) AS token_sum,
+       |  cast(sum(s.eff_tokens) AS bigint) AS eff_token_sum,
+       |  cast(sum((s.eff_tokens * e.epochs_e4) // 10000) AS bigint)
        |    AS weighted_token_sum,
        |  cast(max(rank0 // $NumShards) AS bigint) AS max_pos
        |FROM striped s JOIN ep e ON e.source = s.source

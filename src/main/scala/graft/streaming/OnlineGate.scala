@@ -620,8 +620,23 @@ object OnlineGate {
   def cutDecontaminated(
       spark: SparkSession, shingleTable: String, outPath: String,
       docs: DataFrame, evalDocs: DataFrame,
-      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {
-    val kept = cutTimeSelection(spark, shingleTable, outPath, maxDupFracE4)
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame =
+    decontaminatedOf(
+      cutTimeSelection(spark, shingleTable, outPath, maxDupFracE4),
+      docs, evalDocs)
+
+  /** The decontamination leg over an arbitrary kept frame — shared by
+    * the hard-selection cut above and the soft-regime cut
+    * ([[cutManifestSoft]]).
+    */
+  private[graft] def decontaminatedOf(
+      kept0: DataFrame, docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // the cut selection (an index + tombstone + gate composition) feeds
+    // TWO plan branches — the semi-join pruning the gram explode and the
+    // final left-anti — so a lazy localCheckpoint materializes the whole
+    // upstream chain once instead of twice (the g9/runManifestOf pattern;
+    // lazy, so it fuses into the first downstream job)
+    val kept = kept0.localCheckpoint(false)
     val keptGrams = Dedup.gramHashes(
       docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val evalGrams = Dedup.gramHashes(evalDocs).select(col("g")).distinct()
@@ -665,6 +680,58 @@ object OnlineGate {
     val meta = docsWithSource.select(col("doc_id"), col("source"),
       TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
     TrainingPrep.runManifestOf(kept.join(meta, Seq("doc_id")))
+  }
+
+  /** The SOFT-REGIME cut-time selection: the accumulated per-doc
+    * decisions with every HARD leg except the fuzzy survivorship —
+    * quality, tokens, SemDeDup and whatever optional legs (LM, Gopher,
+    * …) the gate ran — and NO segment-fraction gate: mirroring
+    * [[TrainingPrep.softSelectionBase]], textual duplication is carried
+    * by the soft weights at the manifest, not dropped at the cut (see
+    * that Scaladoc for the measured double-counting argument). The legs
+    * are read from the decisions frame's columns, so a gate configured
+    * with more signals is swept automatically.
+    */
+  def cutTimeSelectionSoft(
+      spark: SparkSession, outPath: String): DataFrame = {
+    val dec = decisions(spark, outPath)
+    val hard = dec.columns.toSeq
+      .filter(c => c.startsWith("pass_") || c == "sem_keep")
+      .map(col).reduce(_ && _)
+    dec.filter(hard)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"))
+  }
+
+  /** t66s's freeze twin: the SOFT-DEDUP-AWARE run manifest computed at
+    * the cut — [[cutTimeSelectionSoft]] (hard quality/token/semantic
+    * legs, duplication kept) → exact eval-gram decontamination → soft
+    * mixture over the selection's cluster-discounted effective volumes
+    * (clusters from the ACCUMULATED index's stored postings, the
+    * [[cutBudget]] leg) → epochs over effective supply → shard striping
+    * ([[TrainingPrep.runManifestSoftOf]], the same seam the batch t66s
+    * feeds). `StreamingSpec` pins ingest ≡ cold like every other cut
+    * stage.
+    */
+  def cutManifestSoft(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docsWithSource: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // kept feeds two branches (weights join + manifest chain) — g9 pattern
+    val kept = decontaminatedOf(
+        cutTimeSelectionSoft(spark, outPath),
+        docsWithSource.select(col("doc_id"), col("text")), evalDocs)
+      .localCheckpoint(false)
+    val clusters = Dedup.clustersFromPairs(Dedup.jaccardPairsFromShingles(
+      ShingleIndex.shingles(spark, shingleTable, includePlanted = true),
+      Dedup.DefaultThreshold, Dedup.DefaultMaxDocFreq))
+    TrainingPrep.runManifestSoftOf(
+      kept.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality_e4"))
+        .join(docsWithSource.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(TrainingPrep.softDedupWeightsOf(kept.select(col("doc_id")), clusters)
+          .select(col("doc_id"), col("weight_e4")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("n_tokens * weight_e4 div 10000").as("eff_tokens"),
+          col("quality_e4")))
   }
 
   def cutTimeSelection(

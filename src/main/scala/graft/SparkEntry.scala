@@ -1108,13 +1108,19 @@ object SparkEntry {
         |  cast(count(*) AS bigint) AS n,
         |  cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS bigint) AS total_value_e2
         |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    // integer-second window arithmetic (the j6 discipline); the oracle
+    // states the naive pair form — the engine's banded aggregate-first
+    // plan is the scale-safe equivalent
     "set1_purchasers_minus_errored" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
         |SELECT e.user_id FROM events e JOIN events p
         |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
         |WHERE e.event_type = 'error'
-        |  AND e.ts BETWEEN p.ts AND p.ts + INTERVAL 60 MINUTE""".stripMargin,
+        |  AND cast(floor(epoch(e.ts)) AS bigint)
+        |        >= cast(floor(epoch(p.ts)) AS bigint)
+        |  AND cast(floor(epoch(e.ts)) AS bigint)
+        |        <= cast(floor(epoch(p.ts)) AS bigint) + 3600""".stripMargin,
     "set2_signup_and_purchase" ->
       """SELECT user_id FROM events WHERE event_type = 'signup'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,

@@ -259,27 +259,56 @@ object RelationalOps {
         coalesce(col("event_type"), lit("ALL")).as("event_type_g"),
         col("n"), col("total_value_e2"))
 
+  /** Attribution window for [[purchasersMinusErrored]], integer seconds
+    * (one hour) — also the time-band width, so a banded pair is at most
+    * one bucket apart.
+    */
+  private val ErrWindowSec = 3600L
+
   /** Set operation (EXCEPT): users who purchased and never hit an error
     * in the hour FOLLOWING any of their purchases — the attribution
     * window makes the subtrahend selective (an unconditioned "ever
     * errored" set swallows every purchaser in the synthetic corpus, so
     * the EXCEPT would grade on 0 rows at every scale factor; a spec pins
-    * this result non-empty). Plan: both sides are filtered slices of
-    * events; the subtrahend is ONE user_id-shuffled interval self-join,
-    * then EXCEPT plans as distinct + anti-join on the same key — two
-    * exchanges total on the same key at any corpus size.
+    * this result non-empty).
+    *
+    * The subtrahend needs only EXISTENCE of a (purchase ≤ error ≤
+    * purchase + window) pair per user, so it never enumerates pairs: both
+    * sides aggregate to per-(user, hour-bucket) min/max seconds first,
+    * and existence is decided bucket-locally — an error matches a
+    * purchase in its own bucket (∃ iff min_p ≤ max_e; same-bucket pairs
+    * are within the window by construction, bucket width = window) or the
+    * previous one (∃ iff max_p ≥ min_e − window; ordering is implied by
+    * the bucket order). The naive interval self-join is
+    * |errors_u|·|purchases_u| intermediate rows per user — quadratic
+    * under power-user skew at 100× (the w8 flood class); this form's
+    * intermediate is bounded by distinct (user, bucket), i.e. linear in
+    * the input, and `SkewBench`-style flood-tested in `ScaleOpsSpec`.
+    * Window arithmetic is integer epoch seconds (the j6 discipline), so
+    * both engines compare identical longs.
     */
   def purchasersMinusErrored(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsTable(spark, dir)
+    val ev = secEvents(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"))
-    val erroredAfterPurchase = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts").as("e_ts"))
-      .join(purchases, "user_id")
-      .filter(col("e_ts") >= col("p_ts") &&
-        col("e_ts") <= col("p_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"), col("sec"))
+    val pb = purchases
+      .withColumn("bucket", expr(s"sec div $ErrWindowSec"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(min(col("sec")).as("min_p"), max(col("sec")).as("max_p"))
+    val eb = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("sec"))
+      .withColumn("bucket", expr(s"sec div $ErrWindowSec"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(min(col("sec")).as("min_e"), max(col("sec")).as("max_e"))
+    val sameBucket = pb.join(eb, Seq("user_id", "bucket"))
+      .filter(col("min_p") <= col("max_e"))
       .select(col("user_id"))
-    purchases.select(col("user_id")).except(erroredAfterPurchase)
+    val nextBucket = pb.withColumn("bucket", col("bucket") + 1)
+      .join(eb, Seq("user_id", "bucket"))
+      .filter(col("max_p") >= col("min_e") - ErrWindowSec)
+      .select(col("user_id"))
+    purchases.select(col("user_id"))
+      .except(sameBucket.union(nextBucket))
   }
 
   /** Set operation: users who both signed up and purchased (INTERSECT). */

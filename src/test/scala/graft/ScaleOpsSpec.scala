@@ -1963,6 +1963,54 @@ class ScaleOpsSpec extends SparkSuite {
     assert(soft.map(_._2).max - soft.map(_._2).min <= 1L, "stripe imbalance > 1")
   }
 
+  test("set1 power-user flood: aggregate-first subtrahend keeps join intermediates linear") {
+    import graft.operators.RelationalOps
+    val base = java.nio.file.Files.createTempDirectory("set1flood")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // power user 1: 300 purchases and 300 errors inside ONE hour — the
+      // round-15 interval self-join would emit 300·300 = 90,000
+      // intermediate rows for this user alone before the EXCEPT collapses
+      // them; the banded aggregate-first form emits one (user, bucket)
+      // row per side
+      val t0 = 1767225600L // 2026-01-01T00:00:00Z, epoch seconds
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val flood = (0 until 300).flatMap { i =>
+        Seq((i.toLong, ts(t0 + i), 1L, "purchase", 1.0, "{}"),
+          (1000L + i, ts(t0 + 1800 + i), 1L, "error", 0.0, "{}"))
+      }
+      // user 2: purchases, errors only BEFORE them — survives
+      val clean = Seq(
+        (2000L, ts(t0 - 7200), 2L, "error", 0.0, "{}"),
+        (2001L, ts(t0), 2L, "purchase", 1.0, "{}"))
+      // user 3: error exactly at the inclusive window edge — excluded
+      val edge = Seq(
+        (3000L, ts(t0), 3L, "purchase", 1.0, "{}"),
+        (3001L, ts(t0 + 3600), 3L, "error", 0.0, "{}"))
+      (flood ++ clean ++ edge)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$base/events.parquet")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // keep join metrics visible
+      val q = RelationalOps.purchasersMinusErrored(spark, base.toString)
+      val out = q.as[Long].collect().toSet
+      assert(out === Set(2L), s"survivors: $out")
+      val joinRows = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.nodeName -> j.metrics("numOutputRows").value
+      }
+      assert(joinRows.nonEmpty, "no join in the plan — metric probe broken")
+      joinRows.foreach { case (n, rows) =>
+        assert(rows <= 610L,
+          s"$n emitted $rows intermediate rows — quadratic under the flood")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("set1 EXCEPT is non-vacuous: some purchasers survive, some are excluded") {
     import org.apache.spark.sql.functions._
     // the round-14 verdict caught the unconditioned form hash-matching on

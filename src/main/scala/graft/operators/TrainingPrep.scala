@@ -1472,10 +1472,29 @@ object TrainingPrep {
     * of (doc_id, its source's rate) everywhere the mixture runs.
     */
   private[graft] def mixtureSelectionOf(tok: DataFrame): DataFrame =
+    mixtureKeepOf(tok).select(col("doc_id"), col("source"), col("n_tokens"))
+
+  /** [[mixtureSelectionOf]] with every input column riding through — the
+    * seam the shard-layout writer uses to keep the text payload on the
+    * mixture-kept rows.
+    */
+  private[graft] def mixtureKeepOf(tok: DataFrame): DataFrame =
     tok.join(broadcast(temperedRatesOf(
         tok.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks")))), "source")
       .filter(hashFrac("|t29") < col("rate"))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .drop("rate")
+
+  /** The run manifest's mixture-kept selection rank-striped into
+    * [[NumShards]] shards with every payload column riding through —
+    * the frame [[graft.operators.DataLayout.writeShards]] lays out as
+    * the physical training directories. `docsIn` is a selected
+    * (doc_id, source, n_tokens, …payload) frame; the batch path feeds
+    * the t65 selection, the freeze
+    * ([[graft.streaming.OnlineGate.cutShards]]) the cut production
+    * selection.
+    */
+  private[graft] def shardLayoutOf(docsIn: DataFrame): DataFrame =
+    shardedDocsOf(mixtureKeepOf(docsIn), NumShards)
 
   /** The √-temperature rate table from a per-source (source, toks) volume
     * frame: rate_s = min(1, B·(√v_s/Σ√v)/(v_s/V)). Shared by the raw

@@ -734,6 +734,34 @@ object OnlineGate {
           col("quality_e4")))
   }
 
+  /** Write the ACTUAL training layout at the cut: the t66 manifest's
+    * mixture-kept production selection, rank-striped
+    * ([[TrainingPrep.shardLayoutOf]]) and materialized as one ordered
+    * file per `shard=` directory ([[graft.operators.DataLayout
+    * .writeShards]]) with the text payload riding every row — the
+    * directories a trainer streams, not just the rollup the manifest
+    * reports. Returns the layout frame that was written.
+    * `StreamingSpec` pins file-level equality (shard dirs + per-file
+    * ordered content) against the batch write over the same ingested
+    * corpus.
+    */
+  def cutShards(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docsWithSource: DataFrame, evalDocs: DataFrame, hosts: DataFrame,
+      shardsPath: String, quota: Int = Dedup.HostQuota): DataFrame = {
+    val kept = cutProduction(spark, shingleTable, outPath,
+        docsWithSource.select(col("doc_id"), col("text")), evalDocs, hosts, quota)
+      .select(col("doc_id"))
+    val meta = docsWithSource.select(
+      col("doc_id"), col("source"), col("text"),
+      TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+    val layout = TrainingPrep.shardLayoutOf(kept.join(meta, Seq("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("text"),
+        col("skey"), col("shard"), col("shard_pos"))
+    graft.operators.DataLayout.writeShards(layout, shardsPath)
+    layout
+  }
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

@@ -2137,6 +2137,39 @@ class StreamingSpec extends SparkSuite {
           .count() > 0,
         "no shard carries a discounted doc — soft cut manifest vacuous")
 
+      // 13. the freeze writes the ACTUAL training layout: cutShards ≡
+      //     the batch writeShards over the cold production selection —
+      //     same shard dirs, one file each, same ordered row content
+      val metaF = docsWithSource.select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.nTokensCol(col("text")).cast("bigint").as("n_tokens"))
+      OnlineGate.cutShards(spark, tbl, s"$base/out", docsWithSource, evalDocs,
+        hostsF, s"$base/shards_cut")
+      graft.operators.DataLayout.writeShards(
+        TrainingPrep.shardLayoutOf(
+          coldProd.select(col("doc_id")).join(metaF, Seq("doc_id")))
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("text"),
+            col("skey"), col("shard"), col("shard_pos")),
+        s"$base/shards_cold")
+      def shardTree(p: String): Map[String, Seq[String]] = {
+        new java.io.File(p).listFiles()
+          .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+          .map { d =>
+            val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+            assert(files.length === 1,
+              s"${d.getName}: expected one file, got ${files.length}")
+            d.getName -> spark.read.parquet(files(0).getAbsolutePath)
+              .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+          }.toMap
+      }
+      val cutTree = shardTree(s"$base/shards_cut")
+      val coldTree = shardTree(s"$base/shards_cold")
+      assert(cutTree.keySet === coldTree.keySet, "shard directory sets differ")
+      cutTree.keySet.foreach { d =>
+        assert(cutTree(d) === coldTree(d),
+          s"$d file content or order diverged from the batch layout")
+      }
+      assert(cutTree.values.map(_.size).sum > 0, "empty shard layout — vacuous")
+
       // 12. plan-audit sweep over every cut-stage DAG: PlanAuditSpec's
       //     registered-query sweep never sees these accumulated-state
       //     compositions, so a regression into an unbounded broadcast or

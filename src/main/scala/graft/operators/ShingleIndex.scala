@@ -720,6 +720,16 @@ object ShingleIndex {
   def signatures(spark: SparkSession, tableName: String): DataFrame =
     minusTombstones(spark, tableName, spark.table(sigsTable(tableName)))
 
+  /** The batch's own (doc_id, h) segment hashes derived MAP-ONLY from its
+    * text — the probe key the incremental survivor maintenance
+    * ([[graft.streaming.OnlineGate.updateSurvivors]]) uses so the "which
+    * hashes did this batch touch" question never reads the index at all.
+    */
+  private[graft] def segmentHashesOf(
+      docs: DataFrame, segTokens: Int = Dedup.SegmentTokens): DataFrame =
+    frameOf(docs, segTokens).filter(col("kind") === SegmentKind)
+      .select(col("doc_id"), col("s").as("h"))
+
   /** The (doc_id, h) segment-hash relation (one row per occurrence). The
     * hash was computed at build, so this is a pure read — and because the
     * stored column IS the hash, the bucketing on `s` carries through the

@@ -734,6 +734,139 @@ object OnlineGate {
           col("quality_e4")))
   }
 
+  /** INCREMENTAL survivor-set maintenance — the u5 algebraic-view
+    * discipline applied to the cut-time gate chain: instead of
+    * recomputing [[cutTimeSelection]] from scratch at every freeze, a
+    * materialized state frame (exactly cutTimeSelection's PRE-filter
+    * schema: doc_id, shard, n_tokens, quality_e4, dup_frac_e4, one row
+    * per decisions-kept doc) is updated after each ingested batch
+    * touching ONLY the affected documents:
+    *
+    *   - new arrivals (the batch itself), and
+    *   - existing docs whose segment-duplication stats the batch
+    *     changed — precisely the docs sharing ≥1 segment hash with a
+    *     batch doc (a doc's dup fraction depends only on its own
+    *     segments' cross-doc duplicated-ness, and appending docs can
+    *     only change the duplicated-ness of hashes the batch contains).
+    *
+    * The recompute feeds [[Dedup.segmentDupStats]] the FULL postings of
+    * the affected docs' hashes (bucketed-scan semi-joins — hash
+    * dup-ness needs every occurrence of those hashes, and only those),
+    * then keeps the affected docs' rows; everything else carries over
+    * untouched. The quality/token/fuzzy/semantic legs are per-doc
+    * prefix-consistent verdicts (decisions rows never change after
+    * arrival), so they need no maintenance. Survivors =
+    * `state.filter(dup_frac_e4 <= max)` — the fraction is stored
+    * unfiltered so a doc crossing the gate in either direction needs
+    * only its own row replaced.
+    *
+    * State layout is a VERSION LOG (the tombstone/vacuum discipline):
+    * each update appends only the touched docs' rows under
+    * `v=<version>/` and [[survivorsFromState]] resolves latest-version-
+    * wins at read time — so update cost is O(touched), never an O(corpus)
+    * state rewrite (the first cut of this operator rewrote the full
+    * frame each batch and the rewrite dominated, measured in
+    * docs/SCALING.md). The read-side merge is one doc_id window at the
+    * freeze — paid once per cut, not per batch — and [[compactState]]
+    * folds the log back to one version whenever it grows long
+    * (re-runnable: a crash between the merged write and the old-version
+    * deletes leaves duplicate lower-version rows the latest-wins reader
+    * ignores).
+    *
+    * `StreamingSpec` pins delta ≡ full-recompute bit-equality after
+    * every batch; the measured touched-set / cost ratio vs a full
+    * rebuild is in docs/SCALING.md.
+    */
+  def updateSurvivors(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      statePath: String, version: Long,
+      batchDocs: DataFrame): Unit = {
+    val bIds = batchDocs.select(col("doc_id"))
+    // hashes the batch touched: derived map-only from the batch TEXT —
+    // no index read at all for this leg
+    val hb = ShingleIndex.segmentHashesOf(
+        batchDocs.select(col("doc_id"), col("text")))
+      .select(col("h")).distinct()
+    // docs whose stats may have moved: the postings of those hashes
+    val affected = ShingleIndex.segments(spark, shingleTable)
+      .join(broadcast(hb), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .unionByName(bIds) // segment-less arrivals still need their row
+      .distinct()
+      .localCheckpoint(false) // feeds three plan branches (g9 pattern)
+    // the affected docs' full segment lists. These probes read the
+    // s-clustered index with filter-at-scan-exit semi-joins: the rows
+    // that FLOW (and everything shuffled/aggregated downstream) are
+    // touched-sized, while the scans themselves stay corpus-sequential —
+    // scattered md5/doc_id key sets defeat parquet min/max pruning, and
+    // a >10-value In is not pushed to parquet at all, so a literal
+    // variant was measured SLOWER (docs/SCALING.md). At extreme scale
+    // the standard move is a doc_id-clustered postings projection to
+    // prune the by-doc pass too; the shuffle/write volumes — the terms
+    // that dominate a distributed rebuild — are already O(touched).
+    val segsA = ShingleIndex.segments(spark, shingleTable)
+      .join(broadcast(affected), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // feeds the hash probe AND the dup rollup
+    // dup stats over the FULL postings of the affected docs' hashes:
+    // those docs' own segments are complete in the slice, and each
+    // hash's occurrence list is complete → global flags
+    val dupA = Dedup.segmentDupStats(
+        ShingleIndex.segments(spark, shingleTable)
+          .join(broadcast(segsA.select(col("h")).distinct()), Seq("h"), "left_semi"))
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dup_frac_e4"))
+    decisions(spark, outPath).filter(col("kept"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"))
+      .join(affected, Seq("doc_id"), "left_semi")
+      .join(dupA, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"),
+        coalesce(col("dup_frac_e4"), lit(0L)).as("dup_frac_e4"))
+      .write.mode("overwrite").parquet(s"$statePath/log/v=$version")
+  }
+
+  /** The survivor view over [[updateSurvivors]]' version log — bit-equal
+    * to [[cutTimeSelection]] over the same accumulated corpus
+    * (spec-pinned). Latest version wins per doc; one doc_id-keyed window
+    * at the freeze.
+    */
+  def survivorsFromState(
+      spark: SparkSession, statePath: String,
+      maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("v").desc)
+    spark.read.parquet(s"$statePath/log")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "v")
+      .filter(col("dup_frac_e4") <= maxDupFracE4)
+  }
+
+  /** Fold the survivor version log into the single version `intoVersion`
+    * — the vacuum twin: write the latest-wins merge, then drop the older
+    * version directories. Re-runnable: a crash after the write leaves
+    * duplicate lower-version rows that the latest-wins reader ignores.
+    */
+  def compactState(
+      spark: SparkSession, statePath: String, intoVersion: Long): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("v").desc)
+    val merged = spark.read.parquet(s"$statePath/log")
+      .filter(col("v") <= intoVersion)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "v")
+      // the merge reads the directories the write below replaces
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$statePath/log/v=$intoVersion")
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/log")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v=") && n.stripPrefix("v=").toLong < intoVersion)
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Write the ACTUAL training layout at the cut: the t66 manifest's
     * mixture-kept production selection, rank-striped
     * ([[TrainingPrep.shardLayoutOf]]) and materialized as one ordered

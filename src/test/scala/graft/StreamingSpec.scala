@@ -1818,6 +1818,102 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("incremental survivor maintenance: delta ≡ full recompute after every batch") {
+    import graft.operators.{ShingleIndex, VectorIndex}
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("survmaint")
+    val tbl = "surv_maint_idx"
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val joined = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("label")),
+          "doc_id")
+        .filter(col("doc_id") < 100)
+      ShingleIndex.buildFor(spark,
+        docs.limit(0).select(col("doc_id"), col("text")), s"$base/sh", tbl)
+      VectorIndex.trainOnly(spark, sf0001, s"$base/ivf")
+      val rows = joined.orderBy("doc_id").as[(Long, String, Seq[Float], Int)].collect()
+      val mem = MemoryStream[(Long, String, Seq[Float], Int)]
+      val q = OnlineGate.gateStream(
+        mem.toDF().toDF("doc_id", "text", "embedding", "label"),
+        tbl, s"$base/markers", s"$base/ivf", s"$base/ckpt", s"$base/out")
+      val st = s"$base/st"
+      def equalSurvivors(): Unit = {
+        val inc = OnlineGate.survivorsFromState(spark, st)
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        val full = OnlineGate.cutTimeSelection(spark, tbl, s"$base/out")
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        assert(inc === full, "state diverged from the full recompute")
+        assert(inc.nonEmpty, "empty survivor set — fixture vacuous")
+      }
+      try {
+        val (b1, rest) = rows.splitAt(40)
+        val (b2, b3base) = rest.splitAt(40)
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        OnlineGate.updateSurvivors(spark, tbl, s"$base/out",
+          st, 1L, b1.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
+        equalSurvivors()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+        OnlineGate.updateSurvivors(spark, tbl, s"$base/out",
+          st, 2L, b2.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
+        equalSurvivors()
+        // batch 3 plants a verbatim copy of a CURRENT SURVIVOR: the
+        // victim's decisions row never changes, but its segments turn
+        // cross-doc duplicated — the maintenance must touch and drop an
+        // OLD doc, not just ingest arrivals
+        val victim = OnlineGate.survivorsFromState(spark, st)
+          .select(col("doc_id")).as[Long].collect().min
+        val vRow = rows.find(_._1 == victim).get
+        val b3 = b3base ++ Seq((5000000L + victim, vRow._2, vRow._3, vRow._4))
+        mem.addData(b3.toIndexedSeq); q.processAllAvailable()
+        OnlineGate.updateSurvivors(spark, tbl, s"$base/out",
+          st, 3L, b3.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
+        equalSurvivors()
+        assert(OnlineGate.survivorsFromState(spark, st)
+            .filter(col("doc_id") === victim).count() === 0L,
+          "victim survived — the affected-old-doc path did nothing")
+        assert(OnlineGate.decisions(spark, s"$base/out")
+            .filter(col("doc_id") === victim && col("kept")).count() === 1L,
+          "victim's verdict changed — the flip must come from dup stats alone")
+        // the delta is genuinely incremental: batch 3 touched only its
+        // arrivals plus hash-sharing docs, a strict subset of the corpus
+        val segs = ShingleIndex.segments(spark, tbl)
+        val b3Ids = b3.map(_._1).toSeq.toDF("doc_id")
+        val hb = segs.join(b3Ids, Seq("doc_id"), "left_semi")
+          .select(col("h")).distinct()
+        val touchedDocs = segs.join(hb, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .unionByName(b3Ids).distinct().count()
+        val totalDocs = OnlineGate.decisions(spark, s"$base/out").count()
+        assert(touchedDocs < totalDocs / 2,
+          s"batch 3 touched $touchedDocs of $totalDocs docs — not incremental")
+        // ...and the version log records exactly O(touched) rows per
+        // batch, never an O(corpus) rewrite
+        val v3Rows = spark.read.parquet(s"$st/log/v=3").count()
+        assert(v3Rows <= touchedDocs,
+          s"v=3 wrote $v3Rows rows for $touchedDocs touched docs")
+        // compaction folds the log to one version; the view is unchanged
+        val before = OnlineGate.survivorsFromState(spark, st)
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        OnlineGate.compactState(spark, st, 3L)
+        assert(new java.io.File(s"$st/log").listFiles()
+            .count(_.getName.startsWith("v=")) === 1, "old versions survived compact")
+        val after = OnlineGate.survivorsFromState(spark, st)
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        assert(after === before, "compaction changed the survivor view")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.tombstonesTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("online training gate composes text, fuzzy and semantic legs prefix-consistently") {
     import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
     import graft.streaming.OnlineGate

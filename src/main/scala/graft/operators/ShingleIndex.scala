@@ -162,7 +162,7 @@ object ShingleIndex {
     * stays exchange-free (broadcast joins preserve the streamed side's
     * partitioning). Identity when no log exists.
     */
-  private def minusTombstones(
+  private[graft] def minusTombstones(
       spark: SparkSession, tableName: String, df: DataFrame): DataFrame =
     if (spark.catalog.tableExists(tombstonesTable(tableName)))
       df.join(
@@ -720,6 +720,18 @@ object ShingleIndex {
   def signatures(spark: SparkSession, tableName: String): DataFrame =
     minusTombstones(spark, tableName, spark.table(sigsTable(tableName)))
 
+  /** The RAW (pre-tombstone-subtraction) segment postings of `ids` — the
+    * ONE reader that must see deleted docs' rows: takedown maintenance
+    * ([[graft.streaming.OnlineGate.updateSurvivorsAfterDelete]]) needs
+    * the hashes a just-deleted doc used to own, to find the surviving
+    * docs whose dup stats the delete moved.
+    */
+  private[graft] def segmentsOfDocsRaw(
+      spark: SparkSession, tableName: String, ids: DataFrame): DataFrame =
+    spark.table(tableName).filter(col("kind") === SegmentKind)
+      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("s").as("h"))
+
   /** The batch's own (doc_id, h) segment hashes derived MAP-ONLY from its
     * text — the probe key the incremental survivor maintenance
     * ([[graft.streaming.OnlineGate.updateSurvivors]]) uses so the "which
@@ -744,8 +756,14 @@ object ShingleIndex {
       spark: SparkSession, tableName: String,
       includePlanted: Boolean = true): DataFrame = {
     val sg = spark.table(tableName).filter(col("kind") === SegmentKind)
-    (if (includePlanted) sg
-     else sg.filter(col("doc_id") < Dedup.PartialCopyOffset))
+    // deletion log subtracted like shingles()/signatures(): a tombstoned
+    // doc's segments must stop counting toward cross-doc duplication
+    // immediately, or a takedown leaves its victims' dup fractions
+    // inflated (and the doc itself reachable through segment consumers) —
+    // the same stale-reader class as the r16 d4b screen fix
+    minusTombstones(spark, tableName,
+      if (includePlanted) sg
+      else sg.filter(col("doc_id") < Dedup.PartialCopyOffset))
       .select(col("doc_id"), col("s").as("h"))
   }
 

@@ -693,12 +693,14 @@ object OnlineGate {
     * with more signals is swept automatically.
     */
   def cutTimeSelectionSoft(
-      spark: SparkSession, outPath: String): DataFrame = {
+      spark: SparkSession, shingleTable: String, outPath: String): DataFrame = {
     val dec = decisions(spark, outPath)
     val hard = dec.columns.toSeq
       .filter(c => c.startsWith("pass_") || c == "sem_keep")
       .map(col).reduce(_ && _)
-    dec.filter(hard)
+    // takedowns bind at every cut flavor: the per-arrival verdicts were
+    // written before any delete, so the deletion log is subtracted here
+    ShingleIndex.minusTombstones(spark, shingleTable, dec.filter(hard))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"))
   }
 
@@ -717,7 +719,7 @@ object OnlineGate {
       docsWithSource: DataFrame, evalDocs: DataFrame): DataFrame = {
     // kept feeds two branches (weights join + manifest chain) — g9 pattern
     val kept = decontaminatedOf(
-        cutTimeSelectionSoft(spark, outPath),
+        cutTimeSelectionSoft(spark, shingleTable, outPath),
         docsWithSource.select(col("doc_id"), col("text")), evalDocs)
       .localCheckpoint(false)
     val clusters = Dedup.clustersFromPairs(Dedup.jaccardPairsFromShingles(
@@ -794,16 +796,56 @@ object OnlineGate {
       .unionByName(bIds) // segment-less arrivals still need their row
       .distinct()
       .localCheckpoint(false) // feeds three plan branches (g9 pattern)
-    // the affected docs' full segment lists. These probes read the
-    // s-clustered index with filter-at-scan-exit semi-joins: the rows
-    // that FLOW (and everything shuffled/aggregated downstream) are
-    // touched-sized, while the scans themselves stay corpus-sequential —
-    // scattered md5/doc_id key sets defeat parquet min/max pruning, and
-    // a >10-value In is not pushed to parquet at all, so a literal
-    // variant was measured SLOWER (docs/SCALING.md). At extreme scale
-    // the standard move is a doc_id-clustered postings projection to
-    // prune the by-doc pass too; the shuffle/write volumes — the terms
-    // that dominate a distributed rebuild — are already O(touched).
+    writeStateRows(spark, shingleTable, outPath, statePath, version,
+      affected, dead = bIds.limit(0))
+  }
+
+  /** Takedown maintenance for the survivor log — the delete-side twin of
+    * [[updateSurvivors]], run after [[ShingleIndex.delete]](ids): writes
+    * the deleted docs' rows DEAD (`alive = false` — the log has no row
+    * removal, so death is a versioned fact like everything else) and
+    * recomputes the docs that shared a segment hash with them, whose dup
+    * fractions a delete can only LOWER — a doc the duplication gate
+    * excluded can rejoin the survivor set here (spec-pinned). The
+    * deleted docs' own hashes come from the RAW pre-subtraction postings
+    * ([[ShingleIndex.segmentsOfDocsRaw]] — the one read that must see
+    * them); the recompute reads the tombstone-subtracted accessors, so
+    * the new stats already exclude the deleted docs.
+    */
+  def updateSurvivorsAfterDelete(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      statePath: String, version: Long,
+      deletedIds: DataFrame): Unit = {
+    val dIds = deletedIds.select(col("doc_id"))
+    val hd = ShingleIndex.segmentsOfDocsRaw(spark, shingleTable, dIds)
+      .select(col("h")).distinct()
+    val affected = ShingleIndex.segments(spark, shingleTable)
+      .join(broadcast(hd), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct() // tombstone-subtracted: ∌ deleted
+      .localCheckpoint(false)
+    writeStateRows(spark, shingleTable, outPath, statePath, version,
+      affected, dead = dIds)
+  }
+
+  /** The shared recompute-and-append tail of the two maintenance ops:
+    * fresh rows for `affected` (alive) and `dead` (tombstoned) docs,
+    * one O(touched) version-log append.
+    *
+    * The probes read the s-clustered index with filter-at-scan-exit
+    * semi-joins: the rows that FLOW (and everything shuffled/aggregated
+    * downstream) are touched-sized, while the scans themselves stay
+    * corpus-sequential — scattered md5/doc_id key sets defeat parquet
+    * min/max pruning, and a >10-value In is not pushed to parquet at
+    * all, so a literal variant was measured SLOWER (docs/SCALING.md). At
+    * extreme scale the standard move is a doc_id-clustered postings
+    * projection to prune the by-doc pass too; the shuffle/write volumes
+    * — the terms that dominate a distributed rebuild — are already
+    * O(touched).
+    */
+  private def writeStateRows(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      statePath: String, version: Long,
+      affected: DataFrame, dead: DataFrame): Unit = {
     val segsA = ShingleIndex.segments(spark, shingleTable)
       .join(broadcast(affected), Seq("doc_id"), "left_semi")
       .localCheckpoint(false) // feeds the hash probe AND the dup rollup
@@ -815,12 +857,19 @@ object OnlineGate {
           .join(broadcast(segsA.select(col("h")).distinct()), Seq("h"), "left_semi"))
       .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dup_frac_e4"))
-    decisions(spark, outPath).filter(col("kept"))
+    val kept = decisions(spark, outPath).filter(col("kept"))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"))
+    val aliveRows = kept
       .join(affected, Seq("doc_id"), "left_semi")
       .join(dupA, Seq("doc_id"), "left")
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"),
-        coalesce(col("dup_frac_e4"), lit(0L)).as("dup_frac_e4"))
+        coalesce(col("dup_frac_e4"), lit(0L)).as("dup_frac_e4"),
+        lit(true).as("alive"))
+    val deadRows = kept
+      .join(broadcast(dead), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"),
+        lit(0L).as("dup_frac_e4"), lit(false).as("alive"))
+    aliveRows.unionByName(deadRows)
       .write.mode("overwrite").parquet(s"$statePath/log/v=$version")
   }
 
@@ -838,7 +887,8 @@ object OnlineGate {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "v")
-      .filter(col("dup_frac_e4") <= maxDupFracE4)
+      .filter(col("alive") && col("dup_frac_e4") <= maxDupFracE4)
+      .drop("alive")
   }
 
   /** Fold the survivor version log into the single version `intoVersion`
@@ -900,7 +950,8 @@ object OnlineGate {
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {
     val dup = Dedup.segmentDupStats(ShingleIndex.segments(spark, shingleTable))
       .select(col("doc_id"), col("dup_frac_e4"))
-    decisions(spark, outPath).filter(col("kept"))
+    ShingleIndex.minusTombstones(spark, shingleTable,
+        decisions(spark, outPath).filter(col("kept")))
       .join(dup, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"),
@@ -950,7 +1001,8 @@ object OnlineGate {
     else {
       val scrubbed = Dedup.scrubbedSpansOfDocs(
         docs, ShingleIndex.duplicatedSegmentHashes(spark, shingleTable))
-      decisions(spark, outPath).filter(col("fuzzy_keep") && col("sem_keep"))
+      ShingleIndex.minusTombstones(spark, shingleTable,
+          decisions(spark, outPath).filter(col("fuzzy_keep") && col("sem_keep")))
         .select(col("doc_id"), col("shard"))
         .join(scrubbed, Seq("doc_id"))
         .select(

@@ -1859,17 +1859,26 @@ class StreamingSpec extends SparkSuite {
         OnlineGate.updateSurvivors(spark, tbl, s"$base/out",
           st, 2L, b2.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
         equalSurvivors()
-        // batch 3 plants a verbatim copy of a CURRENT SURVIVOR: the
+        // batch 3: the remaining natural docs — ingested BEFORE the
+        // victim is chosen, so the clone is provably the ONLY thing that
+        // later flips it (a victim picked earlier can be flipped by a
+        // natural duplicate arriving in this batch, which is exactly
+        // what happened to doc 1 on the first cut of this fixture)
+        mem.addData(b3base.toIndexedSeq); q.processAllAvailable()
+        OnlineGate.updateSurvivors(spark, tbl, s"$base/out",
+          st, 3L, b3base.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
+        equalSurvivors()
+        // batch 4 plants a verbatim copy of a CURRENT SURVIVOR: the
         // victim's decisions row never changes, but its segments turn
         // cross-doc duplicated — the maintenance must touch and drop an
         // OLD doc, not just ingest arrivals
         val victim = OnlineGate.survivorsFromState(spark, st)
           .select(col("doc_id")).as[Long].collect().min
         val vRow = rows.find(_._1 == victim).get
-        val b3 = b3base ++ Seq((5000000L + victim, vRow._2, vRow._3, vRow._4))
-        mem.addData(b3.toIndexedSeq); q.processAllAvailable()
+        val b4 = Seq((5000000L + victim, vRow._2, vRow._3, vRow._4))
+        mem.addData(b4.toIndexedSeq); q.processAllAvailable()
         OnlineGate.updateSurvivors(spark, tbl, s"$base/out",
-          st, 3L, b3.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
+          st, 4L, b4.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "text"))
         equalSurvivors()
         assert(OnlineGate.survivorsFromState(spark, st)
             .filter(col("doc_id") === victim).count() === 0L,
@@ -1877,32 +1886,47 @@ class StreamingSpec extends SparkSuite {
         assert(OnlineGate.decisions(spark, s"$base/out")
             .filter(col("doc_id") === victim && col("kept")).count() === 1L,
           "victim's verdict changed — the flip must come from dup stats alone")
-        // the delta is genuinely incremental: batch 3 touched only its
-        // arrivals plus hash-sharing docs, a strict subset of the corpus
+        // the delta is genuinely incremental: batch 4 touched only its
+        // arrival plus hash-sharing docs, a strict subset of the corpus
         val segs = ShingleIndex.segments(spark, tbl)
-        val b3Ids = b3.map(_._1).toSeq.toDF("doc_id")
-        val hb = segs.join(b3Ids, Seq("doc_id"), "left_semi")
+        val b4Ids = b4.map(_._1).toSeq.toDF("doc_id")
+        val hb = segs.join(b4Ids, Seq("doc_id"), "left_semi")
           .select(col("h")).distinct()
         val touchedDocs = segs.join(hb, Seq("h"), "left_semi")
           .select(col("doc_id")).distinct()
-          .unionByName(b3Ids).distinct().count()
+          .unionByName(b4Ids).distinct().count()
         val totalDocs = OnlineGate.decisions(spark, s"$base/out").count()
         assert(touchedDocs < totalDocs / 2,
-          s"batch 3 touched $touchedDocs of $totalDocs docs — not incremental")
+          s"batch 4 touched $touchedDocs of $totalDocs docs — not incremental")
         // ...and the version log records exactly O(touched) rows per
         // batch, never an O(corpus) rewrite
-        val v3Rows = spark.read.parquet(s"$st/log/v=3").count()
-        assert(v3Rows <= touchedDocs,
-          s"v=3 wrote $v3Rows rows for $touchedDocs touched docs")
+        val v4Rows = spark.read.parquet(s"$st/log/v=4").count()
+        assert(v4Rows <= touchedDocs,
+          s"v=4 wrote $v4Rows rows for $touchedDocs touched docs")
         // compaction folds the log to one version; the view is unchanged
         val before = OnlineGate.survivorsFromState(spark, st)
           .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-        OnlineGate.compactState(spark, st, 3L)
+        OnlineGate.compactState(spark, st, 4L)
         assert(new java.io.File(s"$st/log").listFiles()
             .count(_.getName.startsWith("v=")) === 1, "old versions survived compact")
         val after = OnlineGate.survivorsFromState(spark, st)
           .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
         assert(after === before, "compaction changed the survivor view")
+        // takedown maintenance: deleting the planted clone must (a) kill
+        // any state row of the clone, (b) RESURRECT the victim — its dup
+        // fraction falls back under the gate once its only duplicate is
+        // gone — and (c) keep delta ≡ full recompute (the cut paths
+        // subtract the deletion log, so the full side moves too)
+        ShingleIndex.delete(spark, tbl, Seq(5000000L + victim).toDF("doc_id"))
+        OnlineGate.updateSurvivorsAfterDelete(spark, tbl, s"$base/out",
+          st, 5L, Seq(5000000L + victim).toDF("doc_id"))
+        equalSurvivors()
+        val postDelete = OnlineGate.survivorsFromState(spark, st)
+          .select(col("doc_id")).as[Long].collect().toSet
+        assert(postDelete.contains(victim),
+          "victim did not rejoin after its duplicate was deleted")
+        assert(!postDelete.contains(5000000L + victim),
+          "deleted doc survived the takedown")
       } finally q.stop()
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.tombstonesTable(tbl)}")
@@ -2275,7 +2299,7 @@ class StreamingSpec extends SparkSuite {
         "stream:cut_selection" ->
           OnlineGate.cutTimeSelection(spark, tbl, s"$base/out"),
         "stream:cut_selection_soft" ->
-          OnlineGate.cutTimeSelectionSoft(spark, s"$base/out"),
+          OnlineGate.cutTimeSelectionSoft(spark, tbl, s"$base/out"),
         "stream:cut_t23" -> OnlineGate.cut(spark, tbl, s"$base/out", rawDocs),
         "stream:cut_t25_scrub" ->
           OnlineGate.cut(spark, tbl, s"$base/out", rawDocs, scrub = true),

@@ -141,6 +141,22 @@ object Bpe {
     wordPieces(spark, dir).toDF("w", "np")
   }
 
+  /** The same trained map over an ARBITRARY (doc_id, text) frame — the
+    * seam the cut flow uses to train on the INGESTED store at freeze
+    * time ([[graft.streaming.OnlineGate.cutManifestBpe]]): a tokenizer
+    * shipped with a frozen snapshot is trained on that snapshot's
+    * corpus, not on a fixture directory. Unmemoized — a cut is an
+    * explicit, infrequent event; the corpus-bounded histogram collect
+    * and the driver merge loop are the same deliberate t50 costs.
+    */
+  private[graft] def wordPiecesDfOf(docs: DataFrame, k: Int = NumMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = wordHistogram(docs)
+    val merges = trainMerges(hist, k)
+    hist.map { case (w, _) => (w, pieces(w, merges).length) }.toDF("w", "np")
+  }
+
   /** The same map as DuckDB VALUES literals (the centroid-literal
     * precedent) — shared by every oracle that replays the trained merges.
     */

@@ -945,6 +945,42 @@ object OnlineGate {
     layout
   }
 
+  /** t66b's freeze twin: the PIECE-MEASURED run manifest computed at the
+    * cut — [[cutProduction]] → per-survivor trained-piece counts under a
+    * BPE vocabulary trained ON THE INGESTED STORE at freeze time
+    * ([[graft.operators.Bpe.wordPiecesDfOf]] — the tokenizer a snapshot
+    * ships is trained on that snapshot, not on a fixture dir) →
+    * mixture/epochs/shards over piece budgets
+    * ([[TrainingPrep.runManifestOf]]). Output matches the batch t66b:
+    * (shard, doc_count, piece_sum, weighted_piece_sum, max_pos).
+    * `StreamingSpec` pins ingest ≡ cold like every other cut stage.
+    */
+  def cutManifestBpe(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      docsWithSource: DataFrame, evalDocs: DataFrame, hosts: DataFrame,
+      quota: Int = Dedup.HostQuota): DataFrame = {
+    // kept feeds the survivor semi-join and the final manifest join —
+    // materialize the production-cut chain once (the g9 pattern)
+    val kept = cutProduction(spark, shingleTable, outPath,
+        docsWithSource.select(col("doc_id"), col("text")), evalDocs, hosts, quota)
+      .select(col("doc_id"), col("quality_e4")).localCheckpoint(false)
+    val wp = graft.operators.Bpe.wordPiecesDfOf(
+      docsWithSource.select(col("doc_id"), col("text")))
+    val perDoc = docsWithSource
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(wp), Seq("w"), "left")
+      .withColumn("np", coalesce(col("np"), length(col("w")).cast("int") + lit(1)))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("np")).cast("long").as("n_tokens"))
+    TrainingPrep.runManifestOf(kept.join(perDoc, Seq("doc_id")))
+      .select(col("shard"), col("doc_count"),
+        col("token_sum").as("piece_sum"),
+        col("weighted_token_sum").as("weighted_piece_sum"),
+        col("max_pos"))
+  }
+
   def cutTimeSelection(
       spark: SparkSession, shingleTable: String, outPath: String,
       maxDupFracE4: Long = TrainingPrep.MaxDupFracE4): DataFrame = {

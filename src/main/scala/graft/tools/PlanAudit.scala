@@ -137,6 +137,10 @@ object PlanAudit {
       "windows over the |sources|-row mixture/epoch frames and the offset table",
     ("stream:cut_manifest_soft", Bnlj) ->
       "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
+    ("stream:cut_manifest_bpe", "GlobalWindow") ->
+      "windows over the |sources|-row mixture/epoch frames and the offset table",
+    ("stream:cut_manifest_bpe", Bnlj) ->
+      "1-row corpus-total frame crossed into the per-source schedule (the t51 shape)",
     ("stream:pre_cut_sweep", "GlobalWindow") ->
       "window over the ≤15-row threshold-bucket frame (the d16 shape)",
     // t26/t27 reuse t11's two-phase prefix-sum: the only global window is

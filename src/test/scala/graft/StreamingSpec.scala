@@ -2221,6 +2221,33 @@ class StreamingSpec extends SparkSuite {
       assert(manDocs > 0 && manDocs <= coldProd.count(),
         "manifest doc accounting out of range")
 
+      // 10b. the t66b-equivalent PIECE-MEASURED cut manifest: the BPE
+      //      vocabulary trained on the INGESTED store at the freeze is
+      //      the same pure function of the word histogram as the cold
+      //      union-corpus training, so the manifests match bit-for-bit
+      val cutManBpe = OnlineGate.cutManifestBpe(spark, tbl, s"$base/out",
+        docsWithSource, evalDocs, hostsF)
+      val coldWp = graft.operators.Bpe.wordPiecesDf(spark, unionDir)
+      val coldPieces = all
+        .join(coldProd.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit("web").as("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(coldWp), Seq("w"), "left")
+        .withColumn("np",
+          coalesce(col("np"), length(col("w")).cast("int") + lit(1)))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("np")).cast("long").as("n_tokens"))
+      val coldManBpe = TrainingPrep.runManifestOf(
+          coldProd.select(col("doc_id"), col("quality_e4"))
+            .join(coldPieces, Seq("doc_id")))
+        .select(col("shard"), col("doc_count"),
+          col("token_sum").as("piece_sum"),
+          col("weighted_token_sum").as("weighted_piece_sum"),
+          col("max_pos"))
+      assert(qImage(cutManBpe) === qImage(coldManBpe),
+        "piece-measured cut manifest diverged from the cold t66b composition")
+      assert(cutManBpe.count() > 0, "piece-measured cut manifest empty — vacuous")
+
       // 11. the t66s-equivalent SOFT cut manifest: the soft-regime
       //     selection (hard quality/token/semantic legs; duplication KEPT
       //     for the 1/|cluster| discount) → decontamination → soft
@@ -2314,6 +2341,8 @@ class StreamingSpec extends SparkSuite {
           spark, tbl, s"$base/out", docsWithSource, evalDocs, hostsF),
         "stream:cut_manifest_soft" -> OnlineGate.cutManifestSoft(
           spark, tbl, s"$base/out", docsWithSource, evalDocs),
+        "stream:cut_manifest_bpe" -> OnlineGate.cutManifestBpe(
+          spark, tbl, s"$base/out", docsWithSource, evalDocs, hostsF),
         "stream:pre_cut_sweep" -> OnlineGate.preCutSweep(spark, tbl))
       val auditFindings = cutStages.flatMap { case (n, df) =>
         graft.tools.PlanAudit.audit(n, df)

@@ -633,6 +633,12 @@ object SparkEntry {
     // centroid — same bit budget, tighter quantization; per-(query,
     // probed-cell) distance tables as query-bounded literals
     "v27_residual_ivfpq_topk" -> graft.operators.PqAnn.residualIvfPqTopK _,
+    // the persisted form: stored codebooks + stored codes, the code scan
+    // directory-pruned to the probed lists (encode once at build, query
+    // reads 4-byte codes — the production IVFADC shape)
+    "v27i_residual_ivfpq_topk" -> ((s: SparkSession, d: String) =>
+      graft.operators.VectorIndex.residualIvfPqTopK(
+        s, d, graft.operators.IndexStore.vectorPqPath(s, d))),
     // residual vs raw recall against the brute-force ground truth;
     // v28 >= v14's ivfpq on the graded corpus is spec-asserted
     "v28_residual_recall" -> ((s: SparkSession, d: String) =>
@@ -2001,6 +2007,11 @@ object SparkEntry {
         "v22_ivf_binary_recall" -> graft.operators.IvfAnn.ivfBinaryRecallOracleSql(s, d),
         "v14_pq_recall" -> graft.operators.PqAnn.pqRecallOracleSql(s, d),
         "v27_residual_ivfpq_topk" ->
+          graft.operators.PqAnn.residualIvfPqTopKOracleSql(s, d),
+        // v27i probes the PERSISTED artifact, bit-equal to the inline
+        // v27 (same trained geometry — IvfBucketingSpec pins it), so the
+        // same oracle applies verbatim (the v7i precedent)
+        "v27i_residual_ivfpq_topk" ->
           graft.operators.PqAnn.residualIvfPqTopKOracleSql(s, d),
         "v28_residual_recall" ->
           graft.operators.PqAnn.residualRecallOracleSql(s, d),

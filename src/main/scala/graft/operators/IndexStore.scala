@@ -137,6 +137,19 @@ object IndexStore {
       path
     })
 
+  /** The IVF index with its residual-PQ artifact materialized
+    * ([[VectorIndex.pqBuild]]) — the v27i probe path. Builds on first
+    * use on top of [[vectorPath]] (hoisted OUTSIDE the mapping function,
+    * the r15 recursive-computeIfAbsent rule).
+    */
+  def vectorPqPath(spark: SparkSession, dir: String): String = {
+    val base = vectorPath(spark, dir)
+    built.computeIfAbsent(s"ivfpq:$dir", { _ =>
+      VectorIndex.pqBuild(spark, dir, base)
+      base
+    })
+  }
+
   private val centroids = new ConcurrentHashMap[String, Array[Array[Long]]]()
 
   /** The stored centroids for an IndexStore-managed IVF index, loaded once

@@ -441,10 +441,10 @@ object PqAnn {
     * (centroid) and each candidate is scored against its own cell's
     * table, exactly Jégou's IVFADC scan.
     */
-  private def queryResDtq(
+  private[operators] def queryResDtqRows(
       spark: SparkSession, dir: String,
       centsFx: Array[Array[Long]],
-      cbsFx: Array[Array[Array[Long]]]): DataFrame = {
+      cbsFx: Array[Array[Array[Long]]]): Seq[(Long, Int, Seq[Seq[Long]])] = {
     import spark.implicits._
     val qs = table(spark, dir, "embeddings")
       .filter(col("vec_id") < NumQueries)
@@ -473,8 +473,32 @@ object PqAnn {
         }
         (qid, a, dt)
       }
-    }.toDF("qid", "centroid", "dt")
+    }
   }
+
+  private def queryResDtq(
+      spark: SparkSession, dir: String,
+      centsFx: Array[Array[Long]],
+      cbsFx: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    queryResDtqRows(spark, dir, centsFx, cbsFx).toDF("qid", "centroid", "dt")
+  }
+
+  /** The (vec_id, centroid, codes) residual-encoded corpus under an
+    * EXPLICIT geometry — the encode pass [[residualIvfPqTopK]] runs
+    * inline and [[VectorIndex.pqBuild]] materializes next to the
+    * persisted lists (assignment and residuals against the SAME supplied
+    * centroids, so stored and inline codes are bit-equal for the same
+    * trained geometry).
+    */
+  private[operators] def residualCodes(
+      spark: SparkSession, dir: String,
+      centsFx: Array[Array[Long]],
+      cbsFx: Array[Array[Array[Long]]]): DataFrame =
+    table(spark, dir, "embeddings")
+      .withColumn("centroid", IvfAnn.nearestCentroid(centsFx))
+      .withColumn("rfx", rfxCol(centsFx))
+      .select(col("vec_id"), col("centroid"), resCodesCol(cbsFx).as("codes"))
 
   /** v27: residual-encoding IVFADC top-k — [[ivfPqTopK]] with the PQ
     * stage encoding RESIDUALS to the coarse centroid (subtract before
@@ -490,10 +514,18 @@ object PqAnn {
   def residualIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val centsFx = IvfAnn.centroidsFx(spark, dir)
     val cbsFx = fxQuantize(resCodebooksFor(spark, dir))
-    val coded = IvfAnn.assignedCorpus(spark, dir)
-      .withColumn("rfx", rfxCol(centsFx))
-      .select(col("vec_id"), col("centroid"), resCodesCol(cbsFx).as("codes"))
-    val probes = queryResDtq(spark, dir, centsFx, cbsFx)
+    rankResidualAdc(
+      residualCodes(spark, dir, centsFx, cbsFx),
+      queryResDtq(spark, dir, centsFx, cbsFx))
+  }
+
+  /** The shared ADC ranking tail over a (vec_id, centroid, codes) corpus
+    * and a (qid, centroid, dt) probe frame — v27 inline and v27i's
+    * persisted-index probe ([[VectorIndex.residualIvfPqTopK]]) both end
+    * here, so the twins cannot diverge on the scoring arithmetic.
+    */
+  private[operators] def rankResidualAdc(
+      coded: DataFrame, probes: DataFrame): DataFrame = {
     val adc = graft.functions.VectorFunctions.adcSumF(col("dt"), col("codes"))
     coded.join(broadcast(probes), "centroid")
       .select(col("qid"), (-adc).as("score"), col("vec_id"), adc.as("adc_fx"))

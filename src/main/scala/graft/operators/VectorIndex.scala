@@ -486,6 +486,67 @@ object VectorIndex {
       spark: SparkSession, dir: String, path: String, nprobe: Int): Seq[Int] =
     probeBundle(spark, dir, nprobe, centroidsFx(spark, path))._2
 
+  // ---- v27i: persisted residual-PQ artifact + probe -------------------
+
+  /** Materialize the residual-PQ artifact next to an existing index —
+    * the production IVFADC shape (Jégou 2011): encode once at build,
+    * query reads 4-byte codes instead of 256-byte vectors. Writes the
+    * trained residual codebooks (M·Ks rows, one footer) and every
+    * vector's codes, list-partitioned like `lists/` so probes prune at
+    * the directory level identically. Assignment and residuals run
+    * against the STORED coarse centroids, so the codes are bit-equal to
+    * the inline v27 derivation for the same trained geometry
+    * (`IvfBucketingSpec` pins it).
+    */
+  def pqBuild(spark: SparkSession, dir: String, path: String): Unit = {
+    val cbsFx = PqAnn.fxQuantize(PqAnn.resCodebooksFor(spark, dir))
+    import spark.implicits._
+    (for {
+      m <- cbsFx.indices
+      (cvec, c) <- cbsFx(m).zipWithIndex
+    } yield (m, c, cvec.toSeq)).toDF("m", "c", "vec")
+      .repartition(1) // M·Ks rows — one footer at probe time
+      .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    PqAnn.residualCodes(spark, dir, centroidsFx(spark, path), cbsFx)
+      .write.mode("overwrite")
+      .partitionBy("centroid")
+      .parquet(s"$path/pq_codes")
+  }
+
+  /** The stored residual codebooks: [m][code][subdim] fx longs. */
+  private[graft] def pqCodebooksFx(
+      spark: SparkSession, path: String): Array[Array[Array[Long]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .as[(Int, Int, Seq[Long])].collect()
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Long]](m, ks)
+    rows.foreach { case (mi, ci, v) => out(mi)(ci) = v.toArray }
+    out.map(_.toArray)
+  }
+
+  /** v27i: residual IVFADC against the PERSISTED artifact — stored
+    * coarse centroids, stored residual codebooks, stored codes; the code
+    * scan is restricted to the probed lists with a static partition
+    * filter (directory-level pruning, the [[ivfTopK]] discipline), and
+    * the per-(query, probed-cell) distance tables are the same
+    * query-bounded driver literals as the inline v27. Bit-equal to v27
+    * by construction (same geometry, same scoring tail —
+    * [[PqAnn.rankResidualAdc]]), so the v27 oracle applies verbatim.
+    */
+  def residualIvfPqTopK(
+      spark: SparkSession, dir: String, path: String): DataFrame = {
+    import spark.implicits._
+    val rows = PqAnn.queryResDtqRows(
+      spark, dir, centroidsFx(spark, path), pqCodebooksFx(spark, path))
+    val probed = rows.map(_._2).distinct
+    PqAnn.rankResidualAdc(
+      spark.read.parquet(s"$path/pq_codes")
+        .filter(col("centroid").isin(probed: _*)),
+      rows.toDF("qid", "centroid", "dt"))
+  }
+
   /** The index scan restricted to the probed lists — a static partition
     * filter, so pruning happens at the DIRECTORY level before any footer
     * is read.

@@ -264,6 +264,48 @@ class IvfBucketingSpec extends SparkSuite {
     }
   }
 
+  test("v27i persisted residual-PQ: bit-equal to inline v27, code scan pruned to probed lists") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.VectorIndex
+    val base = java.nio.file.Files.createTempDirectory("ivfpqidx")
+    val path = base.toString + "/idx"
+    try {
+      VectorIndex.build(spark, sf0001, path)
+      VectorIndex.pqBuild(spark, sf0001, path)
+      // same trained geometry (coarse centroids + residual codebooks)
+      // persisted → the stored-code probe reproduces inline v27 bit-for-bit
+      val fromIndex = VectorIndex.residualIvfPqTopK(spark, sf0001, path)
+        .collect().map(_.toSeq).toSet
+      val inline = graft.operators.PqAnn.residualIvfPqTopK(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(fromIndex === inline, "persisted residual probe diverged from inline v27")
+      assert(fromIndex.nonEmpty)
+      // the code scan plans only the probed lists' partitions (asserted
+      // on the scan the probe path performs — AQE stage wrapping hides
+      // the scan node inside the full ranking query's plan, the v7i rule)
+      val probed = VectorIndex.probedFor(spark, sf0001, path, 4) // IvfAnn.NProbe
+      assert(probed.nonEmpty && probed.size < 16, s"probe set not selective: $probed")
+      val prunedCodes = spark.read.parquet(s"$path/pq_codes")
+        .filter(col("centroid").isin(probed: _*))
+      prunedCodes.collect()
+      val scan = prunedCodes.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(scan.partitionFilters.nonEmpty,
+        "centroid isin did not become a partition filter on pq_codes")
+      import scala.jdk.CollectionConverters._
+      val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/pq_codes"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      val readFiles = scan.metrics("numFiles").value
+      assert(readFiles < totalFiles,
+        s"expected pruning below $totalFiles code files, scanned $readFiles")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("persisted IVF index append assigns under the STORED geometry") {
     import graft.operators.{IvfAnn, VectorIndex}
     val base = java.nio.file.Files.createTempDirectory("ivfapp")

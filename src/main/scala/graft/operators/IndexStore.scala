@@ -129,22 +129,57 @@ object IndexStore {
     })
   }
 
-  /** The persisted IVF index path for `dir`, building it on first use. */
-  def vectorPath(spark: SparkSession, dir: String): String =
-    built.computeIfAbsent(s"ivf:$dir", { _ =>
-      val path = s"${root(dir)}/ivf"
+  /** Evict memo entries for superseded snapshots of the same dir BEFORE
+    * entering computeIfAbsent — the CHM contract forbids touching other
+    * mappings from inside a mapping function, and a long-lived driver
+    * regenerating data must not accumulate stale entries (the
+    * codebook-cache discipline, [[PqAnn]]).
+    */
+  private def evictStaleSnapshots(prefix: String, key: String): Unit = {
+    val it = built.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != key && k.startsWith(prefix)) it.remove()
+    }
+  }
+
+  /** The persisted IVF index path for `dir`, building it on first use.
+    *
+    * Keyed on the embeddings SNAPSHOT (dir + mtime,
+    * [[IvfAnn.snapshotKey]]), with the snapshot stamp in the on-disk
+    * path: a regenerated embeddings table at the same dir rebuilds the
+    * index instead of silently serving stale geometry — and because the
+    * PATH changes per snapshot, the path-keyed [[centroidsFx]] memo is
+    * coherent for free (a rebuild at the SAME path would have kept
+    * serving the old centroids out of that cache). This keeps the
+    * persisted probe paths (v7i/v27i) bit-equal to their inline twins,
+    * whose codebook/centroid caches are snapshot-keyed the same way.
+    */
+  def vectorPath(spark: SparkSession, dir: String): String = {
+    val snap = IvfAnn.snapshotKey(dir)
+    val key = s"ivf:$snap"
+    evictStaleSnapshots(s"ivf:$dir@", key)
+    built.computeIfAbsent(key, { _ =>
+      val path = s"${root(dir)}/ivf-${snap.split('@').last}"
       VectorIndex.build(spark, dir, path)
       path
     })
+  }
 
   /** The IVF index with its residual-PQ artifact materialized
     * ([[VectorIndex.pqBuild]]) — the v27i probe path. Builds on first
     * use on top of [[vectorPath]] (hoisted OUTSIDE the mapping function,
-    * the r15 recursive-computeIfAbsent rule).
+    * the r15 recursive-computeIfAbsent rule). Snapshot-keyed like
+    * [[vectorPath]]: if the embeddings change within a session, the
+    * inline v27 retrains its codebooks ([[PqAnn.resCodebooksFor]] is
+    * snapshot-keyed), so the persisted codes/codebooks must be rebuilt
+    * too or the 'bit-equal to inline v27' contract silently breaks.
     */
   def vectorPqPath(spark: SparkSession, dir: String): String = {
     val base = vectorPath(spark, dir)
-    built.computeIfAbsent(s"ivfpq:$dir", { _ =>
+    val key = s"ivfpq:${IvfAnn.snapshotKey(dir)}"
+    evictStaleSnapshots(s"ivfpq:$dir@", key)
+    built.computeIfAbsent(key, { _ =>
       VectorIndex.pqBuild(spark, dir, base)
       base
     })

@@ -33,7 +33,7 @@ object IvfAnn {
   // n·nprobe/K, so K must grow with the corpus — see [[recommendedLists]].
   private[graft] val K = 16
   private val Iterations = 3
-  private[operators] val NProbe = 4
+  private[graft] val NProbe = 4
   private[operators] val NumQueries = 8
   private val TopK = 10
   private[operators] val MaxTrain = 4096

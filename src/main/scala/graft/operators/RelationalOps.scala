@@ -289,15 +289,23 @@ object RelationalOps {
     */
   def purchasersMinusErrored(spark: SparkSession, dir: String): DataFrame = {
     val ev = secEvents(spark, dir)
+    // FLOOR division, not `div` (which truncates toward zero): a negative
+    // epoch second (pre-1970 timestamp) must not collapse into a
+    // double-width bucket 0, or the same-bucket "within the window by
+    // construction" invariant breaks and the banded form diverges from
+    // the exact pair predicate. pmod is nonnegative, so sec − pmod(sec,w)
+    // is the exact floor multiple in pure long arithmetic.
+    val bucketExpr = expr(
+      s"(sec - pmod(sec, $ErrWindowSec)) div $ErrWindowSec")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("sec"))
     val pb = purchases
-      .withColumn("bucket", expr(s"sec div $ErrWindowSec"))
+      .withColumn("bucket", bucketExpr)
       .groupBy(col("user_id"), col("bucket"))
       .agg(min(col("sec")).as("min_p"), max(col("sec")).as("max_p"))
     val eb = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("sec"))
-      .withColumn("bucket", expr(s"sec div $ErrWindowSec"))
+      .withColumn("bucket", bucketExpr)
       .groupBy(col("user_id"), col("bucket"))
       .agg(min(col("sec")).as("min_e"), max(col("sec")).as("max_e"))
     val sameBucket = pb.join(eb, Seq("user_id", "bucket"))

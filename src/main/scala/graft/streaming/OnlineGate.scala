@@ -964,8 +964,13 @@ object OnlineGate {
     val kept = cutProduction(spark, shingleTable, outPath,
         docsWithSource.select(col("doc_id"), col("text")), evalDocs, hosts, quota)
       .select(col("doc_id"), col("quality_e4")).localCheckpoint(false)
+    // takedowns bind in the shipped tokenizer too: the vocabulary is
+    // trained on the store MINUS the deletion log, so a taken-down
+    // document's text cannot shape the merges a snapshot ships
+    // (spec-pinned: deleting the doc changes the trained pieces)
     val wp = graft.operators.Bpe.wordPiecesDfOf(
-      docsWithSource.select(col("doc_id"), col("text")))
+      ShingleIndex.minusTombstones(spark, shingleTable,
+        docsWithSource.select(col("doc_id"), col("text"))))
     val perDoc = docsWithSource
       .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"),

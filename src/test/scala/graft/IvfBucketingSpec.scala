@@ -283,7 +283,7 @@ class IvfBucketingSpec extends SparkSuite {
       // the code scan plans only the probed lists' partitions (asserted
       // on the scan the probe path performs — AQE stage wrapping hides
       // the scan node inside the full ranking query's plan, the v7i rule)
-      val probed = VectorIndex.probedFor(spark, sf0001, path, 4) // IvfAnn.NProbe
+      val probed = VectorIndex.probedFor(spark, sf0001, path, IvfAnn.NProbe)
       assert(probed.nonEmpty && probed.size < 16, s"probe set not selective: $probed")
       val prunedCodes = spark.read.parquet(s"$path/pq_codes")
         .filter(col("centroid").isin(probed: _*))

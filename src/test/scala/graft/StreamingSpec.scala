@@ -2358,10 +2358,35 @@ class StreamingSpec extends SparkSuite {
             .over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))))
       assert(canary.exists(f => f.tag == "GlobalWindow" && !f.waived),
         s"canary not flagged: $canary")
+
+      // 14. takedowns bind in the shipped tokenizer: a tombstoned doc's
+      //     text must not shape the freeze-trained BPE merges. The vocab
+      //     victim is never KEPT (token ceiling: 1100 > MaxTokens) and
+      //     its nonsense word shares no shingle/segment with anyone, so
+      //     the ONLY channel through which it can move the manifest is
+      //     the trained merges — which it demonstrably does while
+      //     present (with 16 merge slots, its dominant q·q pairs displace
+      //     real merges), and must not once deleted.
+      val vocabVictim = 6000000L
+      val victimText = Seq.fill(1100)("q" * 64).mkString(" ")
+      val docsPlus = docsWithSource.unionByName(
+        Seq((vocabVictim, victimText, "web")).toDF("doc_id", "text", "source"))
+      val manBefore = qImage(cutManBpe)
+      val manWith = qImage(OnlineGate.cutManifestBpe(
+        spark, tbl, s"$base/out", docsPlus, evalDocs, hostsF))
+      assert(manWith !== manBefore,
+        "vocab victim moved no merges — tokenizer-takedown canary vacuous")
+      ShingleIndex.delete(spark, tbl, Seq(vocabVictim).toDF("doc_id"))
+      val manAfter = qImage(OnlineGate.cutManifestBpe(
+        spark, tbl, s"$base/out", docsPlus, evalDocs, hostsF))
+      assert(manAfter === manBefore,
+        "a deleted doc's text still shapes the trained merges")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
       spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.tombstonesTable(tbl)}")
       Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
     }

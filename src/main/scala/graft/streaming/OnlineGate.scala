@@ -746,15 +746,17 @@ object OnlineGate {
     *
     *   - new arrivals (the batch itself), and
     *   - existing docs whose segment-duplication stats the batch
-    *     changed — precisely the docs sharing ≥1 segment hash with a
-    *     batch doc (a doc's dup fraction depends only on its own
-    *     segments' cross-doc duplicated-ness, and appending docs can
-    *     only change the duplicated-ness of hashes the batch contains).
+    *     actually FLIPPED — dup-ness is binary (≥2 distinct holders),
+    *     so only the sole prior holder of a batch hash whose prior
+    *     distinct-doc count was exactly 1 can move; holders of
+    *     already-duplicated hashes are untouched, which makes the set
+    *     batch-bounded even under boilerplate skew (see
+    *     [[appendStateFrame]]).
     *
-    * The recompute feeds [[Dedup.segmentDupStats]] the FULL postings of
-    * the affected docs' hashes (bucketed-scan semi-joins — hash
-    * dup-ness needs every occurrence of those hashes, and only those),
-    * then keeps the affected docs' rows; everything else carries over
+    * The recompute aggregates the touched hashes' full postings to
+    * binary flags and rolls the affected docs' own postings up against
+    * them ([[stateRowsFrame]] — bit-equal to [[Dedup.segmentDupStats]]
+    * restricted to those docs); everything else carries over
     * untouched. The quality/token/fuzzy/semantic legs are per-doc
     * prefix-consistent verdicts (decisions rows never change after
     * arrival), so they need no maintenance. Survivors =
@@ -782,31 +784,60 @@ object OnlineGate {
   def updateSurvivors(
       spark: SparkSession, shingleTable: String, outPath: String,
       statePath: String, version: Long,
-      batchDocs: DataFrame): Unit = {
+      batchDocs: DataFrame): Unit =
+    appendStateFrame(spark, shingleTable, outPath, batchDocs)
+      .write.mode("overwrite").parquet(s"$statePath/log/v=$version")
+
+  /** The version-log rows an append batch produces — the frame
+    * [[updateSurvivors]] writes, exposed so the flood spec and the plan
+    * audit can inspect the DAG and its metrics directly.
+    *
+    * Dup-ness is BINARY (≥2 distinct holders, [[Dedup.segmentDupStats]]),
+    * so an append can only FLIP a hash whose PRIOR distinct-doc count was
+    * exactly 1 — and that sole prior holder is the only pre-existing doc
+    * whose stats move. Holders of already-duplicated hashes keep their
+    * flags (and therefore their fractions) unchanged, so the affected set
+    * is provably batch-bounded (≤ |batch| + one prior holder per batch
+    * hash) even when a boilerplate hash saturates half the corpus — the
+    * all-sharers rule this replaces recomputed every holder of every
+    * batch hash, O(corpus) under exactly that skew (flood-spec-pinned).
+    * min==max over the batch-excluded postings ⟺ one distinct prior
+    * holder (the min≠max discipline — never a countDistinct); the
+    * touched-hash semi-join runs BEFORE the batch anti-join so every
+    * intermediate is touched-hash-posting-sized.
+    */
+  private[graft] def appendStateFrame(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      batchDocs: DataFrame): DataFrame = {
     val bIds = batchDocs.select(col("doc_id"))
     // hashes the batch touched: derived map-only from the batch TEXT —
     // no index read at all for this leg
     val hb = ShingleIndex.segmentHashesOf(
         batchDocs.select(col("doc_id"), col("text")))
       .select(col("h")).distinct()
-    // docs whose stats may have moved: the postings of those hashes
-    val affected = ShingleIndex.segments(spark, shingleTable)
+    val priorSole = ShingleIndex.segments(spark, shingleTable)
       .join(broadcast(hb), Seq("h"), "left_semi")
-      .select(col("doc_id")).distinct()
-      .unionByName(bIds) // segment-less arrivals still need their row
+      .join(broadcast(bIds), Seq("doc_id"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") === col("mx"))
+      .select(col("mn").as("doc_id"))
+    val affected = priorSole
+      .unionByName(bIds) // every arrival needs its own fresh row
       .distinct()
       .localCheckpoint(false) // feeds three plan branches (g9 pattern)
-    writeStateRows(spark, shingleTable, outPath, statePath, version,
-      affected, dead = bIds.limit(0))
+    stateRowsFrame(spark, shingleTable, outPath, affected,
+      dead = bIds.limit(0))
   }
 
   /** Takedown maintenance for the survivor log — the delete-side twin of
     * [[updateSurvivors]], run after [[ShingleIndex.delete]](ids): writes
     * the deleted docs' rows DEAD (`alive = false` — the log has no row
     * removal, so death is a versioned fact like everything else) and
-    * recomputes the docs that shared a segment hash with them, whose dup
-    * fractions a delete can only LOWER — a doc the duplication gate
-    * excluded can rejoin the survivor set here (spec-pinned). The
+    * recomputes the sole remaining holders of the hashes the delete
+    * un-duplicated, whose dup fractions can only fall — a doc the
+    * duplication gate excluded can rejoin the survivor set here
+    * (spec-pinned; see [[deleteStateFrame]] for the flip rule). The
     * deleted docs' own hashes come from the RAW pre-subtraction postings
     * ([[ShingleIndex.segmentsOfDocsRaw]] — the one read that must see
     * them); the recompute reads the tombstone-subtracted accessors, so
@@ -815,21 +846,41 @@ object OnlineGate {
   def updateSurvivorsAfterDelete(
       spark: SparkSession, shingleTable: String, outPath: String,
       statePath: String, version: Long,
-      deletedIds: DataFrame): Unit = {
+      deletedIds: DataFrame): Unit =
+    deleteStateFrame(spark, shingleTable, outPath, deletedIds)
+      .write.mode("overwrite").parquet(s"$statePath/log/v=$version")
+
+  /** The version-log rows a takedown produces — the delete-side twin of
+    * [[appendStateFrame]]. The flip rule mirrors the append side: a
+    * delete can only flip a hash whose REMAINING distinct-doc count is
+    * exactly 1 (it was duplicated — the deleted holders plus one
+    * survivor — and is not anymore), and that sole survivor is the only
+    * doc whose stats move; a hash that keeps ≥2 survivors stays
+    * duplicated and its holders carry over untouched. The postings here
+    * are tombstone-subtracted (the delete is already logged), so
+    * min==max ⟺ one survivor; deleting a boilerplate holder therefore
+    * recomputes nobody (flood-spec-pinned).
+    */
+  private[graft] def deleteStateFrame(
+      spark: SparkSession, shingleTable: String, outPath: String,
+      deletedIds: DataFrame): DataFrame = {
     val dIds = deletedIds.select(col("doc_id"))
     val hd = ShingleIndex.segmentsOfDocsRaw(spark, shingleTable, dIds)
       .select(col("h")).distinct()
     val affected = ShingleIndex.segments(spark, shingleTable)
       .join(broadcast(hd), Seq("h"), "left_semi")
-      .select(col("doc_id")).distinct() // tombstone-subtracted: ∌ deleted
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") === col("mx"))
+      .select(col("mn").as("doc_id"))
+      .distinct()
       .localCheckpoint(false)
-    writeStateRows(spark, shingleTable, outPath, statePath, version,
-      affected, dead = dIds)
+    stateRowsFrame(spark, shingleTable, outPath, affected, dead = dIds)
   }
 
-  /** The shared recompute-and-append tail of the two maintenance ops:
-    * fresh rows for `affected` (alive) and `dead` (tombstoned) docs,
-    * one O(touched) version-log append.
+  /** The shared recompute tail of the two maintenance ops: fresh rows
+    * for `affected` (alive) and `dead` (tombstoned) docs — one
+    * O(touched) version-log append's worth of rows.
     *
     * The probes read the s-clustered index with filter-at-scan-exit
     * semi-joins: the rows that FLOW (and everything shuffled/aggregated
@@ -841,22 +892,42 @@ object OnlineGate {
     * projection to prune the by-doc pass too; the shuffle/write volumes
     * — the terms that dominate a distributed rebuild — are already
     * O(touched).
+    *
+    * The dup recompute aggregates each touched hash's postings to ONE
+    * binary flag (≥2 distinct holders ⟺ min≠max — map-side-combined and
+    * riding the table's bucketing on the hash), then rolls the affected
+    * docs' own touched-sized postings up against those flags. Bit-equal
+    * to [[Dedup.segmentDupStats]] restricted to the affected docs (same
+    * ≥2-distinct-docs predicate, same occurrence arithmetic and
+    * [[graft.operators.Exact.e]] rounding; the delta ≡ full spec pins
+    * it) — but a hash flooding half the corpus contributes one flag row,
+    * never its occurrence list, to every join and shuffle downstream
+    * (the old shape pushed the full posting slice through the per-doc
+    * rollup, O(flood) under exactly that skew).
     */
-  private def writeStateRows(
+  private[graft] def stateRowsFrame(
       spark: SparkSession, shingleTable: String, outPath: String,
-      statePath: String, version: Long,
-      affected: DataFrame, dead: DataFrame): Unit = {
+      affected: DataFrame, dead: DataFrame): DataFrame = {
     val segsA = ShingleIndex.segments(spark, shingleTable)
       .join(broadcast(affected), Seq("doc_id"), "left_semi")
-      .localCheckpoint(false) // feeds the hash probe AND the dup rollup
-    // dup stats over the FULL postings of the affected docs' hashes:
-    // those docs' own segments are complete in the slice, and each
-    // hash's occurrence list is complete → global flags
-    val dupA = Dedup.segmentDupStats(
-        ShingleIndex.segments(spark, shingleTable)
-          .join(broadcast(segsA.select(col("h")).distinct()), Seq("h"), "left_semi"))
-      .join(affected, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("dup_frac_e4"))
+      .localCheckpoint(false) // feeds the flag probe AND the dup rollup
+    val flagH = ShingleIndex.segments(spark, shingleTable)
+      .join(broadcast(segsA.select(col("h")).distinct()), Seq("h"), "left_semi")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .select(col("h"), (col("mn") =!= col("mx")).as("is_dup"))
+    // every segsA hash has a flag row by construction (segsA ⊆ the flag
+    // feed), so the inner join is exact
+    val dupA = segsA
+      .join(flagH, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_segments"))
+      .select(col("doc_id"),
+        graft.operators.Exact.e(
+          col("n_dup_segments").cast("double") / col("n_segments").cast("double"), 4)
+          .as("dup_frac_e4"))
     val kept = decisions(spark, outPath).filter(col("kept"))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"))
     val aliveRows = kept
@@ -870,7 +941,6 @@ object OnlineGate {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("quality_e4"),
         lit(0L).as("dup_frac_e4"), lit(false).as("alive"))
     aliveRows.unionByName(deadRows)
-      .write.mode("overwrite").parquet(s"$statePath/log/v=$version")
   }
 
   /** The survivor view over [[updateSurvivors]]' version log — bit-equal

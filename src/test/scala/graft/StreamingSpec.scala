@@ -1938,6 +1938,124 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("boilerplate flood: survivor maintenance touches O(batch) when one hash saturates half the corpus") {
+    import graft.operators.{Dedup, ShingleIndex}
+    import graft.streaming.OnlineGate
+    val base = Files.createTempDirectory("survflood")
+    val tbl = "surv_flood_idx"
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val segTok = Dedup.SegmentTokens
+      val boiler = (0 until segTok).map(j => s"bp$j").mkString(" ")
+      def uniq(id: Long, s: Int): String =
+        (0 until segTok).map(j => s"u${id}x${s}w$j").mkString(" ")
+      def text(id: Long): String =
+        if (id % 2 == 0) s"$boiler ${uniq(id, 1)}" else s"${uniq(id, 0)} ${uniq(id, 1)}"
+      val b1 = (0L until 200L).map(id => (id, text(id)))
+      val b1Df = b1.toDF("doc_id", "text")
+      ShingleIndex.buildFor(spark, b1Df, s"$base/sh", tbl)
+      val out = s"$base/out"
+      def writeDecisions(ids: Seq[Long]): Unit =
+        ids.map(id => (id, 0, 32L, 9000L, true))
+          .toDF("doc_id", "shard", "n_tokens", "quality_e4", "kept")
+          .write.mode("append").parquet(s"$out/decisions")
+      writeDecisions(b1.map(_._1))
+      val st = s"$base/st"
+      def images(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      def equalSurvivors(): Unit = {
+        val inc = images(OnlineGate.survivorsFromState(spark, st))
+        val full = images(OnlineGate.cutTimeSelection(spark, tbl, out))
+        assert(inc === full, "state diverged from the full recompute")
+        assert(inc.nonEmpty, "empty survivor set — fixture vacuous")
+      }
+      OnlineGate.updateSurvivors(spark, tbl, out, st, 1L, b1Df)
+      equalSurvivors()
+      // half the corpus (the even docs) shares ONE boilerplate segment;
+      // their dup fraction sits exactly on the 5000 gate bound, so they
+      // are all survivors — the worst case for an all-sharers rule
+      assert(OnlineGate.survivorsFromState(spark, st)
+        .filter(col("dup_frac_e4") === 5000L).count() === 100L)
+
+      // batch 2: 4 new docs carrying the SAME flooded hash. Its dup flag
+      // is already true (≥2 holders), so NO existing doc's stats flip:
+      // the delta must touch exactly the 4 arrivals — and no join in the
+      // recompute DAG may push the flooded posting list downstream.
+      val b2 = (1000L until 1004L).map(id => (id, s"$boiler ${uniq(id, 1)}"))
+      val b2Df = b2.toDF("doc_id", "text")
+      ShingleIndex.append(spark, b2Df, tbl)
+      writeDecisions(b2.map(_._1))
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // keep join metrics visible
+      try {
+        val frame2 = OnlineGate.appendStateFrame(spark, tbl, out, b2Df)
+        val rows2 = frame2.collect()
+        assert(rows2.length === 4,
+          s"flood recompute touched ${rows2.length} docs (expected the 4 arrivals)")
+        val joinRows = frame2.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            j.nodeName -> j.metrics("numOutputRows").value
+        }
+        assert(joinRows.nonEmpty, "no joins in the recompute plan — probe broken")
+        joinRows.foreach { case (n, r) =>
+          assert(r <= 150L,
+            s"$n emitted $r rows — the flooded posting list leaked past the flag aggregate")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      OnlineGate.updateSurvivors(spark, tbl, out, st, 2L, b2Df)
+      equalSurvivors()
+      assert(spark.read.parquet(s"$st/log/v=2").count() === 4L,
+        "version log recorded more than the batch")
+
+      // flip coverage: a batch hash whose PRIOR holder count was exactly
+      // 1 (doc 42's tail, re-sent by a new arrival) must recompute that
+      // sole prior holder — the tightened rule still catches real flips
+      val b3Df = Seq((2000L, s"${uniq(42L, 1)} ${uniq(2000L, 1)}"))
+        .toDF("doc_id", "text")
+      ShingleIndex.append(spark, b3Df, tbl)
+      writeDecisions(Seq(2000L))
+      val touched3 = OnlineGate.appendStateFrame(spark, tbl, out, b3Df)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(touched3 === Set(42L, 2000L),
+        s"flip set was $touched3 (expected the sole prior holder + the arrival)")
+      OnlineGate.updateSurvivors(spark, tbl, out, st, 3L, b3Df)
+      equalSurvivors()
+      // doc 42's both segments are now cross-doc dup → 10000 → dropped
+      assert(OnlineGate.survivorsFromState(spark, st)
+        .filter(col("doc_id") === 42L).count() === 0L,
+        "the flipped prior holder was not re-gated")
+
+      // takedown of one boilerplate holder: 103 remain, the hash stays
+      // duplicated, the flip set is EMPTY — the log gets the dead row
+      // and nothing else
+      ShingleIndex.delete(spark, tbl, Seq(0L).toDF("doc_id"))
+      val rows4 = OnlineGate.deleteStateFrame(spark, tbl, out,
+        Seq(0L).toDF("doc_id")).collect()
+      assert(rows4.length === 1 && !rows4.head.getAs[Boolean]("alive"),
+        s"flood takedown wrote ${rows4.length} rows (expected only the dead row)")
+      OnlineGate.updateSurvivorsAfterDelete(spark, tbl, out, st, 4L,
+        Seq(0L).toDF("doc_id"))
+      equalSurvivors()
+
+      // the maintenance DAGs pass the same plan audit as the cut stages
+      // (the one streaming surface the registered-query sweep misses)
+      val findings = Seq(
+        "maint:append" -> OnlineGate.appendStateFrame(spark, tbl, out, b2Df),
+        "maint:delete" -> OnlineGate.deleteStateFrame(spark, tbl, out,
+          Seq(0L).toDF("doc_id")))
+        .flatMap { case (n, df) => graft.tools.PlanAudit.audit(n, df) }
+        .filterNot(_.waived)
+      assert(findings.isEmpty, s"maintenance plan red flags: $findings")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.tombstonesTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.bandsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${graft.operators.ShingleIndex.sigsTable(tbl)}")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("online training gate composes text, fuzzy and semantic legs prefix-consistently") {
     import graft.operators.{Dedup, IvfAnn, ShingleIndex, TextAnalysis, TrainingPrep, VectorIndex}
     import graft.streaming.OnlineGate

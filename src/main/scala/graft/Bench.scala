@@ -44,6 +44,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalescing keeps parallelism first (total/defaultParallelism),
+      // but floors the target at minPartitionSize — and the 1 MiB default
+      // is a constant tuned for multi-GB shuffles: every CPU-heavy reduce
+      // stage under ~32 MiB of shuffle bytes (the dedup posting-list pair
+      // emission, the minhash aggregation, the scoring joins) coalesced to
+      // ONE task and ran serially on a 32-core box (profiled r17: d3's
+      // pair stage 2.27 s in 1 task over 1.8 MiB). Lowering the floor lets
+      // the scale-adaptive term decide; at cluster scale bytes/parallelism
+      // is far above either floor, so the setting is inert there (guide
+      // §2.2/§2.5 — derive partitioning from input size, not a constant).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "16k"))
       .config("spark.sql.session.timeZone", "UTC")
       // the events table carries nanosecond timestamps; session-level
       // choice, not a per-query mutation (see RelationalOps.eventsTable)

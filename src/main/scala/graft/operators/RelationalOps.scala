@@ -956,7 +956,12 @@ object RelationalOps {
   private[operators] def coPurchaseEdges(
       spark: SparkSession, dir: String, minSupport: Long): DataFrame =
     table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      // no .distinct() prologue: collect_set dedupes per order, and the
+      // partial (map-side) collect_set shuffles the same distinct pairs a
+      // distinct would — dropping it removes one full corpus Exchange
+      // (r17, guide §2.4; plans/r17/g7_part_triangles_*.txt: 3 → 2
+      // exchanges before the pair explosion)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("docs"))
       .select(explode(expr(Dedup.OrderedPairsExpr)).as("p"))

@@ -175,8 +175,18 @@ object GraphOps {
       spark: SparkSession, dir: String,
       minSupport: Long = RelationalOps.TriangleSupport): DataFrame =
     connectedComponents(
+      // LAZY localCheckpoint: connectedComponents reads its edge input
+      // TWICE (the canon/union-find prologue and the vertex table), and
+      // without a cut the verts branch re-ran the whole co-purchase
+      // pair-generation pipeline a second time at the terminal join —
+      // profiled r17 as a duplicated ~0.5 s stage trio (the 12 MB pair
+      // explosion) at the END of the computation. The caller checkpoints
+      // (not the generic operator) because only the caller knows the
+      // upstream is a multi-exchange derivation worth storing; a cheap
+      // scan input should stay recomputable (guide §5 caching rule).
       RelationalOps.coPurchaseEdges(spark, dir, minSupport)
-        .select(col("pa").as("a"), col("pb").as("b")))
+        .select(col("pa").as("a"), col("pb").as("b"))
+        .localCheckpoint(false))
       .select(col("id").as("p_partkey"), col("component"))
 
   def partComponentsOracleSql: String =

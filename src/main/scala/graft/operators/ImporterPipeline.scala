@@ -198,7 +198,16 @@ object ImporterPipeline {
 
   private def codePageRankUnrolled(
       dedup: DataFrame, codeLists: DataFrame, iterations: Int): DataFrame = {
+    // LAZY localCheckpoint on the edge list (the g9 pattern): the unrolled
+    // chain references the edges in every branch of every iteration
+    // (contrib 2x, outdeg, nodes, consts), so the LOGICAL plan re-inlined
+    // the whole codeEdges/dedup subtree ~3x more per round — Catalyst
+    // analysis alone cost ~1.0 s of g5's 3.0 s at sf0.1 (r17 QueryProfile:
+    // plan=1.00 s → 0.07 s after). Physical work is unchanged: exchange
+    // reuse already dedup'd the edge shuffles; the checkpoint just
+    // truncates the plan the optimizer must chew per round.
     val e0 = codeEdges(dedup, codeLists).select(col("src"), col("dst"))
+      .localCheckpoint(false)
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val nodes = edges.select(col("src").as("node")).distinct()

@@ -401,11 +401,44 @@ object LmScore {
     * broadcasts; the corpus sees one explode + one groupBy(doc_id).
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val (occ, feats) = dsirFeats(spark, dir)
-    occ.filter(col("doc_id") >= DsirTargetCutoff)
+    // ONE corpus pass for both the feature estimation and the scoring:
+    // the old shape referenced the exploded occ frame from two different
+    // aggregation keys, so the bigram explode + md5 ran twice (two full
+    // corpus scans — at 100 TB the dominant legs, and profiled r17 as two
+    // serial ~0.9 s stages at sf0.1). Pre-aggregating to (b, doc_id, cnt)
+    // gives both consumers the IDENTICAL exchange subtree — physical
+    // planning dedupes it (ReusedExchange), so the scan/explode/hash runs
+    // once and the two re-aggregations read pair-volume data (guide §2.3
+    // aggregate-before-shuffle + §2.4 shared exchange). Arithmetic is
+    // unchanged: n_feats = Σcnt, sums/counts commute over the pre-agg.
+    val occ = bigramOcc(table(spark, dir, "documents"))
+      .withColumn("b",
+        PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
+    // LAZY localCheckpoint, not bare reuse: the scoring branch filters on
+    // the grouping key doc_id, which Catalyst pushes BELOW the aggregate —
+    // the two exchange subtrees then differ and ReusedExchange no longer
+    // fires. The checkpointed pair frame is ≤ |docs|·DsirBuckets rows
+    // (distinct pairs), far below the exploded occ volume, so storing it
+    // is the cheap side of the trade at any scale.
+    val pairs = occ.groupBy(col("b"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val counts = pairs
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("doc_id") < DsirTargetCutoff, col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") >= DsirTargetCutoff, col("cnt")).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val feats = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        Exact.e(
+          log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(DsirBuckets))) -
+            log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(DsirBuckets))), 6)
+          .as("logratio_e6"))
+    pairs.filter(col("doc_id") >= DsirTargetCutoff)
       .join(broadcast(feats), "b")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("logratio_e6")).as("logw_sum_e6"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("logratio_e6")).as("logw_sum_e6"))
       .select(col("doc_id"), col("n_feats"), col("logw_sum_e6"),
         (col("logw_sum_e6") >= lit(DsirSelectE6) * col("n_feats")).as("selected"))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimHash.simhash64
-import graft.sources.Fixtures.table
+import graft.sources.Fixtures.{table, tableParallel}
 
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash group-by), n-gram Jaccard (shingle inverted index), MinHash
@@ -68,7 +68,12 @@ object Dedup {
     * `range(1, len-1)` — same shingle set by construction.
     */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(table(spark, dir, "documents"))
+    // tableParallel: the 9-gram explode + per-shingle md5 chain below is
+    // the suite's heaviest scan-stage work, and the fixture is a
+    // single-row-group file — unsplittable, so it otherwise runs in ONE
+    // task (r18 A/B: d4 2.98 → 2.11 s, d3 2.11 → 1.65 s with the scan
+    // parallelized; guide §2.5)
+    shinglesOf(tableParallel(spark, dir, "documents"))
 
   /** Same shingling over an arbitrary (doc_id, text) frame — d9 runs it
     * over the planted cross-corpus union.
@@ -530,7 +535,7 @@ object Dedup {
     */
   private def crossDocs(
       spark: SparkSession, dir: String, plantClones: Boolean): DataFrame = {
-    val docs = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = tableParallel(spark, dir, "documents").select(col("doc_id"), col("text"))
     if (!plantClones) docs
     else docs.unionAll(
       docs.filter(col("doc_id") % 100 === 50)
@@ -1167,7 +1172,13 @@ object Dedup {
     */
   private[graft] def maybePartialCopies(
       spark: SparkSession, dir: String, plantCopies: Boolean): DataFrame = {
-    val d = table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // tableParallel only on the planted (graded d10/d11/d12/t24/t25) path,
+    // whose segment-md5 explode dominates its scan; the unplanted t20-leg
+    // consumers measured net-negative with the extra exchange (r18 A/B:
+    // t20 +0.35 s, t64 +0.39 s, t34 +0.43 s vs d12 −0.58 s, t25 −0.56 s)
+    val d = (if (plantCopies) tableParallel(spark, dir, "documents")
+             else table(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
     if (!plantCopies) d
     // one projection, not a unionAll: each branch of a DataFrame union
     // performs its own file scan, so the planted variants are emitted as

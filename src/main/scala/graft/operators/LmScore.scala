@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.sources.Fixtures.table
+import graft.sources.Fixtures.{table, tableParallel}
 
 /** Statistical language-model scoring for training-data curation — the
   * CCNet/DSIR layer of an LLM data pipeline, over the `documents` table.
@@ -411,7 +411,7 @@ object LmScore {
     // once and the two re-aggregations read pair-volume data (guide §2.3
     // aggregate-before-shuffle + §2.4 shared exchange). Arithmetic is
     // unchanged: n_feats = Σcnt, sums/counts commute over the pre-agg.
-    val occ = bigramOcc(table(spark, dir, "documents"))
+    val occ = bigramOcc(tableParallel(spark, dir, "documents"))
       .withColumn("b",
         PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
     // LAZY localCheckpoint, not bare reuse: the scoring branch filters on
@@ -447,7 +447,7 @@ object LmScore {
     * ratio), shared by the inline pass and [[buildDsirFeatures]].
     */
   private def dsirFeats(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val occ = bigramOcc(table(spark, dir, "documents"))
+    val occ = bigramOcc(tableParallel(spark, dir, "documents"))
       .withColumn("b",
         PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
     val counts = occ
@@ -478,7 +478,7 @@ object LmScore {
     */
   def dsirWeightsIndexed(spark: SparkSession, dir: String, path: String): DataFrame = {
     val feats = spark.read.parquet(s"$path/feats")
-    bigramOcc(table(spark, dir, "documents"))
+    bigramOcc(tableParallel(spark, dir, "documents"))
       .filter(col("doc_id") >= DsirTargetCutoff)
       .withColumn("b",
         PortableHash.md5Prefix60(concat_ws(" ", col("u"), col("w"))) % lit(DsirBuckets))
